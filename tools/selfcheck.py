@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+
+For each query dir under verifyOutDir: read the Spark parquet result, run the
+matching oracle SQL from oracle_sql.json in DuckDB over views of the sfDir
+tables, and compare rows/schema/values (columns sorted by name, rows sorted,
+values canonicalized). Exit nonzero if any query mismatches.
+
+Driver-side tooling only — the Scala engine never depends on this.
+"""
+import sys, os, json, math, glob
+import duckdb
+
+TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # repr keeps full double precision; bit-identical doubles compare equal
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+def table_rows(tbl):
+    cols = sorted(tbl.column_names)
+    pylist = tbl.select(cols).to_pylist()
+    return cols, sorted(tuple(canon(r[c]) for c in cols) for r in pylist)
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    failures = []
+    for name in sorted(os.listdir(out_dir)):
+        qdir = os.path.join(out_dir, name)
+        if not os.path.isdir(qdir):
+            continue
+        files = glob.glob(os.path.join(qdir, "*.parquet"))
+        spark_tbl = pa.concat_tables([pq.read_table(f) for f in files]) if files else None
+        if name not in oracle:
+            n = spark_tbl.num_rows if spark_tbl is not None else 0
+            status = "ROWS-ONLY ok" if n > 0 else "ROWS-ONLY EMPTY"
+            print(f"{name}: {status} ({n} rows)")
+            if n == 0:
+                failures.append(name)
+            continue
+        try:
+            duck_tbl = con.execute(oracle[name]).fetch_arrow_table()
+        except Exception as e:
+            print(f"{name}: ORACLE SQL ERROR: {e}")
+            failures.append(name)
+            continue
+        scols, srows = table_rows(spark_tbl)
+        dcols, drows = table_rows(duck_tbl)
+        if scols != dcols:
+            print(f"{name}: COLUMN MISMATCH spark={scols} duck={dcols}")
+            failures.append(name)
+            continue
+        if len(srows) != len(drows):
+            print(f"{name}: ROWCOUNT MISMATCH spark={len(srows)} duck={len(drows)}")
+            failures.append(name)
+            continue
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(srows, drows)) if a != b]
+        if bad:
+            i, a, b = bad[0]
+            print(f"{name}: VALUE MISMATCH ({len(bad)}/{len(srows)} rows) first@{i}:")
+            print(f"  cols : {scols}")
+            print(f"  spark: {a}")
+            print(f"  duck : {b}")
+            failures.append(name)
+        else:
+            print(f"{name}: OK ({len(srows)} rows, {len(scols)} cols)")
+    if failures:
+        print(f"\nFAILED: {failures}")
+        sys.exit(1)
+    print("\nALL OK")
+
+if __name__ == "__main__":
+    main()
