@@ -15,12 +15,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Analytics.q09GoldJoin(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * training-data-pipeline extensions (dedup / similarity / text / events). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Analytics.queries
+    Analytics.queries ++ graft.queries.Extensions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Analytics.oracleSql
+    Analytics.oracleSql ++ graft.queries.Extensions.oracleSql
 }

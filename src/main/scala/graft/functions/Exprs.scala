@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the training-data-pipeline operators the
+  * built-in function library lacks (MinHash, SimHash, winnowing, vector
+  * similarity, language id).
+  *
+  * All are native `Expression`s with real `doGenCode` (they emit a single
+  * static call into [[Ops]]), so they stay inside whole-stage codegen —
+  * preference order (b) of the build brief: composition of built-ins would
+  * re-hash every shingle per permutation (128× the work), a UDF would break
+  * codegen entirely.
+  */
+object Exprs {
+
+  /** cosine(array<float>, array<float>) → double */
+  case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Ops.cosine(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Ops.cosine($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** dot(array<float>, array<float>) → double */
+  case class DotF(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Ops.dotF(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Ops.dotF($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** minhash_sig(array<string> tokens) → array<bigint>, k-token shingles. */
+  case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      Ops.minhashSig(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], shingleK, numHashes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Ops.minhashSig($c, $shingleK, $numHashes)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** band_hashes(array<bigint> sig) → array<bigint> of length `bands`. */
+  case class BandHashes(child: Expression, bands: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      Ops.bandHashes(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bands)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Ops.bandHashes($c, $bands)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** jaccard_shingles(array<string>, array<string>) → double (exact). */
+  case class JaccardShingles(left: Expression, right: Expression, shingleK: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Ops.jaccardShingles(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], shingleK)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Ops.jaccardShingles($a, $b, $shingleK)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** simhash64(array<string> tokens) → bigint */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(v: Any): Any =
+      Ops.simhash64(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Ops.simhash64($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** winnow_fingerprint(string) → array<bigint> */
+  case class WinnowFingerprint(child: Expression, k: Int, w: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      Ops.winnowFingerprint(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Ops.winnowFingerprint($c, $k, $w)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** hyperplane_bucket(array<float>) → bigint — random-hyperplane LSH. */
+  case class HyperplaneBucket(child: Expression, nbits: Int, seed: Long)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(v: Any): Any =
+      Ops.hyperplaneBucket(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], nbits, seed)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Ops.hyperplaneBucket($c, $nbits, ${seed}L)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** lang_id(string) → string */
+  case class LangId(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override protected def nullSafeEval(v: Any): Any =
+      Ops.langId(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Ops.langId($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  // -------------------------------------------------------- Column builders
+  private def col(e: Expression): Column = GraftBridge.column(e)
+  private def ex(c: Column): Expression = GraftBridge.expression(c)
+
+  def cosine_sim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
+  def dot_f(a: Column, b: Column): Column = col(DotF(ex(a), ex(b)))
+  def minhash_sig(tokens: Column, shingleK: Int = 3, numHashes: Int = 128): Column =
+    col(MinHashSig(ex(tokens), shingleK, numHashes))
+  def band_hashes(sig: Column, bands: Int = 16): Column = col(BandHashes(ex(sig), bands))
+  def jaccard_shingles(a: Column, b: Column, shingleK: Int = 3): Column =
+    col(JaccardShingles(ex(a), ex(b), shingleK))
+  def simhash64(tokens: Column): Column = col(SimHash64(ex(tokens)))
+  def winnow_fingerprint(text: Column, k: Int = 8, w: Int = 16): Column =
+    col(WinnowFingerprint(ex(text), k, w))
+  def hyperplane_bucket(vec: Column, nbits: Int = 16, seed: Long = 42L): Column =
+    col(HyperplaneBucket(ex(vec), nbits, seed))
+  def lang_id(text: Column): Column = col(LangId(ex(text)))
+
+  /** Register the SQL-facing names so `spark.sql` users get the same surface
+    * (reference EP3 parity: the analytics layer is plain SQL). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    def register(name: String, f: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, f, "builtin")
+    register("cosine_sim", es => CosineSim(es(0), es(1)))
+    register("dot_f", es => DotF(es(0), es(1)))
+    register("simhash64", es => SimHash64(es(0)))
+    register("lang_id", es => LangId(es(0)))
+  }
+}

@@ -1,0 +1,294 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels behind the custom Catalyst expressions in [[Exprs]].
+  *
+  * Every method is referenced BY NAME from generated Java (whole-stage
+  * codegen emits `graft.functions.Ops.xxx(...)`), so signatures must stay
+  * Java-friendly (Scala object = static forwarders). All hashing is
+  * explicit FNV-1a / SplitMix64 — deterministic across JVMs and Spark
+  * versions, no dependence on JVM hashCode.
+  */
+object Ops {
+
+  // ------------------------------------------------------------------ hashing
+  private final val FnvOffset = 0xcbf29ce484222325L
+  private final val FnvPrime  = 0x100000001b3L
+
+  /** FNV-1a 64-bit over UTF-8 bytes. */
+  def fnv1a(s: UTF8String): Long = {
+    val b = s.getBytes
+    var h = FnvOffset
+    var i = 0
+    while (i < b.length) { h = (h ^ (b(i) & 0xffL)) * FnvPrime; i += 1 }
+    h
+  }
+
+  /** SplitMix64 — the standard public-domain mixer; used to derive the
+    * per-permutation multipliers/addends for MinHash and the deterministic
+    * LSH hyperplanes. */
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  // --------------------------------------------------------------- minhash
+  /** Rolling shingle hashes of a token array: hash of each k-consecutive-token
+    * window (FNV over token hashes). Returns the DISTINCT shingle hash set.
+    * Empty/short input → single hash of the whole token list, so every doc
+    * has a non-empty shingle set (stable degenerate case). */
+  def shingleHashes(tokens: ArrayData, k: Int): Array[Long] = {
+    val n = tokens.numElements()
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = if (tokens.isNullAt(i)) 0L else fnv1a(tokens.getUTF8String(i))
+      i += 1
+    }
+    if (n < k) {
+      var h = FnvOffset
+      i = 0
+      while (i < n) { h = (h ^ th(i)) * FnvPrime; i += 1 }
+      return Array(h)
+    }
+    val out = new java.util.HashSet[java.lang.Long]()
+    i = 0
+    while (i <= n - k) {
+      var h = FnvOffset
+      var j = 0
+      while (j < k) { h = (h ^ th(i + j)) * FnvPrime; j += 1 }
+      out.add(h)
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
+  /** MinHash signature: for permutation p, min over shingles of
+    * splitmix64-derived (a_p * h + b_p). One pass over the shingle set —
+    * O(|shingles| * numHashes) multiply-adds, no per-permutation re-hash of
+    * the strings (SURVEY.md §7 extension 6: designed for 100 TB — this runs
+    * map-side, per row, no shuffle). */
+  def minhashSig(tokens: ArrayData, shingleK: Int, numHashes: Int): ArrayData = {
+    val sh = shingleHashes(tokens, shingleK)
+    val sig = new Array[Long](numHashes)
+    var p = 0
+    while (p < numHashes) {
+      val a = splitmix64(2L * p) | 1L // odd multiplier
+      val b = splitmix64(2L * p + 1)
+      var m = Long.MaxValue
+      var i = 0
+      while (i < sh.length) {
+        val v = a * sh(i) + b
+        if (v < m) m = v
+        i += 1
+      }
+      sig(p) = m
+      p += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Hash each of `bands` contiguous signature slices to one long (LSH
+    * banding: equal band hash ⇒ candidate pair). */
+  def bandHashes(sig: ArrayData, bands: Int): ArrayData = {
+    val n = sig.numElements()
+    val r = n / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = FnvOffset ^ b
+      var j = 0
+      while (j < r) { h = (h ^ sig.getLong(b * r + j)) * FnvPrime; j += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Exact Jaccard similarity of the k-shingle sets of two token arrays —
+    * the LSH verification kernel (runs on candidate pairs only). */
+  def jaccardShingles(a: ArrayData, b: ArrayData, k: Int): Double = {
+    val sa = shingleHashes(a, k)
+    val sb = shingleHashes(b, k)
+    // both sorted → merge-count intersection
+    var i = 0; var j = 0; var inter = 0
+    while (i < sa.length && j < sb.length) {
+      if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+      else if (sa(i) < sb(j)) i += 1
+      else j += 1
+    }
+    val union = sa.length + sb.length - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  // --------------------------------------------------------------- simhash
+  /** 64-bit SimHash over token hashes (unit weights). */
+  def simhash64(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = fnv1a(tokens.getUTF8String(i))
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (acc(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  // ------------------------------------------------------------ fingerprint
+  /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    * rolling FNV over char k-grams, minimum per window of w, distinct sorted.
+    * Robust to local edits — standard near-copy detection fingerprint. */
+  def winnowFingerprint(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val b = text.getBytes
+    if (b.length < k) return new GenericArrayData(Array(fnv1a(text)))
+    val m = b.length - k + 1
+    val kh = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = FnvOffset
+      var j = 0
+      while (j < k) { h = (h ^ (b(i + j) & 0xffL)) * FnvPrime; j += 1 }
+      kh(i) = h
+      i += 1
+    }
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    if (m <= w) {
+      var min = kh(0); i = 1
+      while (i < m) { if (kh(i) < min) min = kh(i); i += 1 }
+      sel.add(min)
+    } else {
+      i = 0
+      while (i + w <= m) {
+        var min = kh(i)
+        var j = i + 1
+        while (j < i + w) { if (kh(j) < min) min = kh(j); j += 1 }
+        sel.add(min)
+        i += 1
+      }
+    }
+    val arr = new Array[Long](sel.size)
+    val it = sel.iterator()
+    i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Whole-document polynomial rolling hash (order-sensitive content id). */
+  def docHash(text: UTF8String): Long = fnv1a(text)
+
+  // ---------------------------------------------------------------- vectors
+  /** Cosine similarity of two float vectors; 0.0 for zero-norm inputs. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val fa = a.toFloatArray()
+    val fb = b.toFloatArray()
+    val n = math.min(fa.length, fb.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      dot += fa(i).toDouble * fb(i); na += fa(i).toDouble * fa(i); nb += fb(i).toDouble * fb(i)
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Dot product of two float vectors. */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val fa = a.toFloatArray()
+    val fb = b.toFloatArray()
+    val n = math.min(fa.length, fb.length)
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += fa(i).toDouble * fb(i); i += 1 }
+    dot
+  }
+
+  /** L2 norm of a float vector. */
+  def normF(a: ArrayData): Double = {
+    val fa = a.toFloatArray()
+    var s = 0.0
+    var i = 0
+    while (i < fa.length) { s += fa(i).toDouble * fa(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Sign-bit bucket of a vector under `nbits` deterministic SplitMix64
+    * hyperplanes (random-hyperplane LSH for cosine similarity). Components
+    * are derived as splitmix64(bit * 131071 + dim) mapped to [-1, 1). */
+  def hyperplaneBucket(v: ArrayData, nbits: Int, seed: Long): Long = {
+    val f = v.toFloatArray()
+    var bucket = 0L
+    var bit = 0
+    while (bit < nbits) {
+      var dot = 0.0
+      var i = 0
+      while (i < f.length) {
+        val r = splitmix64(seed + bit.toLong * 131071L + i)
+        // map to [-1, 1): top 53 bits as double in [0,1) then scale
+        val u = (r >>> 11).toDouble / (1L << 53).toDouble
+        dot += f(i) * (2.0 * u - 1.0)
+        i += 1
+      }
+      if (dot >= 0) bucket |= (1L << bit)
+      bit += 1
+    }
+    bucket
+  }
+
+  // ------------------------------------------------------------ text analysis
+  private val langNames = Array("de", "en", "es", "fr")
+  // Tiny public-knowledge character-bigram marker profiles. Scores are summed
+  // marker hits per language; CJK codepoints short-circuit to "zh".
+  private val langMarkers: Array[Array[String]] = Array(
+    Array("ch", "ei", "ie", "sch", "un", "der", "die", "und", "ung", "ß", "ü", "ö", "ä"), // de
+    Array("th", "he", "ing", "er", "an", " the ", " of ", " and ", " is ", " to "),       // en
+    Array("ll", "ñ", "ci", "os", "as", " el ", " la ", " de ", " que ", " los "),          // es
+    Array("ou", "ai", "eau", "é", "è", " le ", " la ", " les ", " des ", " est "))         // fr
+
+  /** Heuristic n-gram language id over a small closed set (de/en/es/fr/zh).
+    * Deterministic: ties break by language-code order. */
+  def langId(text: UTF8String): UTF8String = {
+    val s = " " + text.toString.toLowerCase + " "
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 0x4e00 && c <= 0x9fff) || (c >= 0x3040 && c <= 0x30ff)) return UTF8String.fromString("zh")
+      i += 1
+    }
+    var best = 0; var bestScore = -1
+    var l = 0
+    while (l < langMarkers.length) {
+      var score = 0
+      val ms = langMarkers(l)
+      var mi = 0
+      while (mi < ms.length) {
+        var from = 0
+        val m = ms(mi)
+        var idx = s.indexOf(m, from)
+        while (idx >= 0) { score += 1; from = idx + 1; idx = s.indexOf(m, from) }
+        mi += 1
+      }
+      if (score > bestScore) { bestScore = score; best = l }
+      l += 1
+    }
+    UTF8String.fromString(langNames(best))
+  }
+}

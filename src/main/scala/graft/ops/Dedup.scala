@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.Exprs._
+
+/** Deduplication operators for large-scale corpus curation.
+  *
+  * Scale design notes (the point of each choice at 100 TB):
+  *  - Exact dedup groups on a 128-bit content hash, never on raw text: the
+  *    shuffle carries 16-byte keys + ids, not documents.
+  *  - MinHash/SimHash signatures are computed map-side by a single codegen'd
+  *    expression; only (bucket-key, id) pairs shuffle — LSH banding turns the
+  *    O(n²) pair problem into an equi-join.
+  *  - Mega-buckets (degenerate boilerplate clusters) are capped before the
+  *    self-join: a bucket of b docs yields b² candidate pairs, so one hot
+  *    bucket can dominate the job; capping is standard practice and keeps
+  *    the join skew-safe (AQE skew-join handles the remainder).
+  */
+object Dedup {
+
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  // ------------------------------------------------------------------ exact
+  /** One surviving row per distinct text content: group by md5(text), keep
+    * the lowest id (deterministic keep-first — SURVEY.md §7.3.2: never
+    * dropDuplicates' arbitrary-row semantics). */
+  def exactDedupSummary(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** The surviving rows themselves (all columns), keep-lowest-id. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---------------------------------------------------------------- minhash
+  /** MinHash + LSH near-duplicate pairs, verified with exact shingle Jaccard.
+    *
+    * shingle→minhash→band→bucket-join: each doc computes a `numHashes`
+    * signature from its k-token shingles (one map-side expression), bands of
+    * r = numHashes/bands hashes become bucket keys, docs sharing any bucket
+    * are candidates, candidates are verified exactly. With 128 hashes and 16
+    * bands the LSH S-curve crosses ~(1/16)^(1/8) ≈ 0.71 Jaccard.
+    */
+  def minhashNearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 16,
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    val banded = base
+      .select(col("doc_id"), posexplode(band_hashes(minhash_sig(col("toks"), shingleK, numHashes), bands)))
+      .toDF("doc_id", "band_idx", "band_hash")
+    // cap degenerate buckets before the self-join (see scale notes above)
+    val bucketed = banded
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("band_idx"), col("band_hash"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .select("doc_id", "band_idx", "band_hash")
+    val l = bucketed.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+    val r = bucketed.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
+    val candidates = l.join(r, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val ta = base.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+    val tb = base.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+    candidates
+      .join(ta, Seq("doc_a"))
+      .join(tb, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard_shingles(col("toks_a"), col("toks_b"), shingleK).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Corpus minus the lower-id-loses side of every verified near-dup pair. */
+  def minhashDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val losers = minhashNearDupPairs(docs, idCol, textCol)
+      .select(col("doc_b").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  // ---------------------------------------------------------------- simhash
+  /** SimHash near-duplicate pairs: 64-bit signature, pigeonhole-banded into
+    * `chunks` 16-bit keys (hamming ≤ chunks-1 ⇒ some chunk equal), verified
+    * with bit_count(xor) ≤ maxHamming. */
+  def simhashNearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val chunks = 4 // 4 × 16-bit chunks of the 64-bit signature
+    val sigs = docs.select(col(idCol).as("doc_id"), simhash64(tokens(col(textCol))).as("sig"))
+    val chunked = sigs.select(
+      col("doc_id"), col("sig"),
+      explode(sequence(lit(0), lit(chunks - 1))).as("chunk_idx"))
+      .withColumn("chunk_val", expr("(sig >> (chunk_idx * 16)) & 65535"))
+    val capped = chunked
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("chunk_idx"), col("chunk_val"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+    val l = capped.select(col("chunk_idx"), col("chunk_val"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val r = capped.select(col("chunk_idx"), col("chunk_val"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("chunk_idx", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ----------------------------------------------------------- n-gram jaccard
+  /** Exact n-gram Jaccard pairs via shingle explode + equi-join — fully
+    * relational (SQL-expressible, so it carries a DuckDB oracle). Quadratic
+    * only within shared-shingle groups; for the planted-near-dup corpus this
+    * is the exact answer the MinHash path approximates. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    val shingles = toks
+      .select(col("doc_id"),
+        explode(when(size(col("toks")) >= shingleK,
+          transform(sequence(lit(0), size(col("toks")) - shingleK),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(shingleK)))))
+          .otherwise(array(concat_ws(" ", col("toks"))))).as("shingle"))
+      .distinct()
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val a = shingles.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = shingles.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "n_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------------- embedding near-dup
+  /** Embedding-cosine near-duplicate candidates via random-hyperplane LSH:
+    * vectors sharing a sign-bucket under `bands` independent 8-bit hyperplane
+    * sets are candidates; exact cosine verifies. Returns all candidate pairs
+    * with their cosine, highest first — thresholding is the caller's policy. */
+  def embeddingNearDupPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bands: Int = 4,
+      bitsPerBand: Int = 8,
+      maxBucketSize: Int = 2000): DataFrame = {
+    val base = emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    val banded = base.select(
+      col("vec_id"), col("vec"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), hyperplane_bucket(col("vec"), bitsPerBand, 42L + b).as("bucket"))): _*)).as("bb"))
+      .select(col("vec_id"), col("vec"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val capped = banded
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+    val l = capped.select(col("band"), col("bucket"), col("vec_id").as("id_a"), col("vec").as("vec_a"))
+    val r = capped.select(col("band"), col("bucket"), col("vec_id").as("id_b"), col("vec").as("vec_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine_sim(col("vec_a"), col("vec_b")).as("cos_sim"))
+      .distinct()
+  }
+}

@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data-pipeline extension operators (build brief: dedup, similarity
+  * search, text analysis, event streams) as driver-checkable queries.
+  *
+  * SQL-expressible ops carry a DuckDB oracle; the LSH/ANN/fingerprint ops are
+  * rows-only here and get exact unit-test oracles in ScalaTest instead.
+  */
+object Extensions {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "embeddings")
+
+  private def sumDecSql(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
+
+  // ------------------------------------------------------------ x01 exact dedup
+  def x01DedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.exactDedupSummary(docs(s, dir), "doc_id", "text").orderBy($"keep_doc_id")
+  }
+  val x01Sql: String =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin
+
+  // ------------------------------------------------------------ x02 token counts
+  def x02TokenCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text").orderBy($"doc_id")
+  }
+  val x02Sql: String =
+    """SELECT doc_id,
+      |  len(regexp_split_to_array(text, '\s+')) AS n_ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_word_tokens,
+      |  length(text) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ x03 quality score
+  def x03QualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.qualityScores(docs(s, dir), "doc_id", "text").orderBy($"doc_id")
+  }
+  val x03Sql: String = {
+    val stops = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS DOUBLE) AS n_chars,
+       |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+       |    / NULLIF(CAST(length(text) AS DOUBLE), 0.0) AS punct_ratio,
+       |  CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ($stops))) AS DOUBLE)
+       |    / NULLIF(CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 0.0) AS stopword_ratio,
+       |  (CAST(length(text) AS DOUBLE) - (CAST(len(string_split(lower(text), ' ')) AS DOUBLE) - 1.0))
+       |    / NULLIF(CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 0.0) AS mean_word_len,
+       |  (CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ($stops))) AS DOUBLE)
+       |    / NULLIF(CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 0.0)) * 2.0
+       |    + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+       |             / NULLIF(CAST(length(text) AS DOUBLE), 0.0)) AS quality_score
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------ x04 language id
+  // Rows-only: the n-gram marker heuristic is a custom expression; its exact
+  // oracle lives in the ScalaTest suite.
+  def x04LangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.languageId(docs(s, dir), "doc_id", "text")
+      .join(docs(s, dir).select($"doc_id", $"lang"), Seq("doc_id"))
+      .select($"doc_id", $"lang_pred", $"lang".as("lang_labeled"),
+        ($"lang_pred" === $"lang").as("agree"))
+      .orderBy($"doc_id")
+  }
+
+  // ------------------------------------------------------------ x05 fingerprint
+  // Rows-only: winnowing fingerprint (custom expression).
+  def x05Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")
+      .select($"doc_id", size($"fingerprint").as("n_fingerprints"),
+        $"fingerprint", $"content_hash")
+      .orderBy($"doc_id")
+  }
+
+  // ------------------------------------------------------------ x06 minhash LSH
+  // Rows-only: near-dup pairs through shingle→minhash→band→bucket-join.
+  def x06MinhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.minhashNearDupPairs(docs(s, dir), "doc_id", "text",
+      shingleK = 3, numHashes = 128, bands = 16, threshold = 0.5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  // ------------------------------------------------------------ x07 simhash
+  def x07SimhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.simhashNearDupPairs(docs(s, dir), "doc_id", "text", maxHamming = 6)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  // ------------------------------------------------------------ x08 n-gram jaccard
+  // Exact relational shingle-join Jaccard — the one near-dup path with a
+  // full DuckDB oracle (same explode+join shape both engines).
+  def x08NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", shingleK = 3, threshold = 0.5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+  val x08Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 3
+      |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
+      |    ELSE [array_to_string(w, ' ')] END) AS shingle
+      |  FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------ x09 ANN brute force
+  def x09AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    Similarity.bruteForceTopK(e, e.filter($"vec_id" < 10), "vec_id", "embedding", k = 10)
+      .orderBy($"query_id", $"rank")
+  }
+
+  // ------------------------------------------------------------ x10 ANN IVF
+  def x10AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    Similarity.ivfTopK(e, e.filter($"vec_id" < 10), "vec_id", "embedding",
+      k = 10, nlist = 16, nprobe = 4)
+      .orderBy($"query_id", $"rank")
+  }
+
+  // ------------------------------------------------------------ x11 embedding near-dup
+  def x11EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.embeddingNearDupPairs(emb(s, dir), "vec_id", "embedding")
+      .orderBy($"cos_sim".desc, $"id_a", $"id_b")
+      .limit(100)
+  }
+
+  // ------------------------------------------------------------ x12 event windows
+  // Tumbling 1-hour windows over the event stream, batch view (the streaming
+  // twin lives in graft.streaming; semantics pinned here by the oracle).
+  def x12EventsWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select($"window.start".as("window_start"), $"event_type", $"n_events", $"total_value")
+      .orderBy($"window_start", $"event_type")
+  }
+  val x12Sql: String =
+    s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+       |  COUNT(*) AS n_events, ${sumDecSql("value")} AS total_value
+       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  // ------------------------------------------------------------ x13 sessionization
+  // 30-minute-gap sessions via lag + running sum — the batch twin of the
+  // mapGroupsWithState streaming sessionizer.
+  def x13Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gapUs = 1800L * 1000000L
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"value", unix_micros($"ts").as("us"))
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val sessioned = ev
+      .withColumn("prev_us", lag($"us", 1).over(w))
+      .withColumn("new_sess",
+        when($"prev_us".isNull || ($"us" - $"prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_id",
+        sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+    sessioned.groupBy($"user_id", $"session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min($"us").as("start_us"),
+        max($"us").as("end_us"),
+        sum($"value".cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .orderBy($"user_id", $"session_id")
+  }
+  val x13Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+       |marked AS (
+       |  SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+       |    THEN 1 ELSE 0 END AS new_sess
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |sessioned AS (
+       |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+       |  FROM marked)
+       |SELECT user_id, session_id, COUNT(*) AS n_events,
+       |  MIN(us) AS start_us, MAX(us) AS end_us, ${sumDecSql("value")} AS total_value
+       |FROM sessioned GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  // ------------------------------------------------------------ x14 json extract
+  def x14JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_id",
+        get_json_object($"props", "$.k").cast("int").as("k_val"))
+      .orderBy($"event_id")
+  }
+  val x14Sql: String =
+    """SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k_val
+      |FROM events ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x01_dedup_exact" -> x01DedupExact _,
+    "x02_token_count" -> x02TokenCount _,
+    "x03_quality_score" -> x03QualityScore _,
+    "x04_lang_id" -> x04LangId _,
+    "x05_fingerprint" -> x05Fingerprint _,
+    "x06_minhash_neardup" -> x06MinhashNearDup _,
+    "x07_simhash_neardup" -> x07SimhashNearDup _,
+    "x08_ngram_jaccard" -> x08NgramJaccard _,
+    "x09_ann_bruteforce" -> x09AnnBruteForce _,
+    "x10_ann_ivf" -> x10AnnIvf _,
+    "x11_embedding_neardup" -> x11EmbeddingNearDup _,
+    "x12_events_window" -> x12EventsWindow _,
+    "x13_sessionize" -> x13Sessionize _,
+    "x14_json_extract" -> x14JsonExtract _)
+
+  val oracleSql: Map[String, String] = Map(
+    "x01_dedup_exact" -> x01Sql,
+    "x02_token_count" -> x02Sql,
+    "x03_quality_score" -> x03Sql,
+    "x08_ngram_jaccard" -> x08Sql,
+    "x12_events_window" -> x12Sql,
+    "x13_sessionize" -> x13Sql,
+    "x14_json_extract" -> x14Sql)
+}
