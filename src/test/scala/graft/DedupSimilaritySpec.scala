@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity}
+
+/** Operator-level tests for dedup + ANN over the real sf0.001 testdata and
+  * hand-built frames with planted duplicates. */
+class DedupSimilaritySpec extends SparkSpec {
+
+  private lazy val docs: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val emb: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("exact dedup: keep-first semantics on planted exact copies") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta"), (3L, "alpha beta gamma"),
+      (4L, "delta"), (5L, "unique text")).toDF("doc_id", "text")
+    val kept = Dedup.exactDedup(planted, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 5L))
+    val summary = Dedup.exactDedupSummary(planted, "doc_id", "text")
+      .orderBy($"keep_doc_id").collect()
+    assert(summary.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L), (2L, 2L), (5L, 1L)))
+  }
+
+  test("minhash LSH recovers exactly the exact-jaccard near-dup pairs") {
+    import spark.implicits._
+    val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    // recall on the high-similarity pairs must be total at this threshold gap
+    assert(lsh == exact, s"LSH=${lsh.size} exact=${exact.size} diff=${(lsh diff exact) ++ (exact diff lsh)}")
+  }
+
+  test("minhashDedup removes one side of each near-dup pair") {
+    import spark.implicits._
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+    val losers = pairs.select($"doc_b").as[Long].collect().toSet
+    val kept = Dedup.minhashDedup(docs, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept.intersect(losers).isEmpty)
+    assert(kept.size == docs.count() - losers.size)
+  }
+
+  test("simhash pairs include the high-jaccard planted dups") {
+    import spark.implicits._
+    val sim = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 6)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val high = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.9)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(high.nonEmpty)
+    val recall = high.count(sim.contains).toDouble / high.size
+    assert(recall >= 0.9, s"simhash recall on >0.9-jaccard pairs: $recall")
+  }
+
+  test("brute-force ANN: top-k is exactly the naive driver-side answer") {
+    import spark.implicits._
+    val result = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3), "vec_id", "embedding", k = 5)
+      .select($"query_id", $"item_id", $"rank").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    // naive oracle
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    for (qid <- 0L until 3L) {
+      val qv = vecs.find(_._1 == qid).get._2
+      val expected = vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSeq
+      assert(result(qid) == expected, s"query $qid")
+    }
+  }
+
+  test("IVF ANN: results are a subset of probed cells with reasonable recall") {
+    import spark.implicits._
+    val brute = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", k = 10)
+      .select($"query_id", $"item_id").as[(Long, Long)].collect().groupBy(_._1)
+    val ivf = Similarity.ivfTopK(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding",
+      k = 10, nlist = 8, nprobe = 4)
+      .select($"query_id", $"item_id").as[(Long, Long)].collect().groupBy(_._1)
+    assert(ivf.keySet == brute.keySet)
+    val recalls = brute.keys.map { q =>
+      val b = brute(q).map(_._2).toSet
+      val i = ivf(q).map(_._2).toSet
+      i.intersect(b).size.toDouble / b.size
+    }.toSeq
+    val mean = recalls.sum / recalls.size
+    // random embeddings are a worst case for IVF; probing half the cells
+    // should still recover a solid fraction of the true top-10
+    assert(mean >= 0.3, s"mean IVF recall $mean")
+    ivf.values.foreach(v => assert(v.length <= 10))
+  }
+
+  test("embedding near-dup candidates carry exact cosine, highest first") {
+    import spark.implicits._
+    val top = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding")
+      .orderBy($"cos_sim".desc).limit(5)
+      .select($"id_a", $"id_b", $"cos_sim").as[(Long, Long, Double)].collect()
+    assert(top.nonEmpty)
+    assert(top.forall { case (a, b, c) => a < b && c <= 1.0 && c >= -1.0 })
+    assert(top.sortBy(-_._3).toSeq == top.toSeq)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import graft.io.{Readers, Xlsx}
+
+/** Source operators S1–S3 (SURVEY.md §2.1). */
+class ReadersSpec extends SparkSpec {
+
+  test("S2: csvWithHeaderOffset skips 4 metadata lines, header at row 4") {
+    val path = resourcePath(
+      "bronze/special_education/ingest_date=2024-01-15/special_education2022-23.csv")
+    val df = Readers.csvWithHeaderOffset(spark, path, headerRow = 4)
+    assert(df.columns.toSeq == Seq("State LEA ID", "LEA Name",
+      "School Age All Educational Environments",
+      "School Age Inside regular class 80% or more of the day", "School Year", "Unused Col"))
+    assert(df.count() == 7)
+    val first = df.orderBy(df("State LEA ID")).collect().head
+    assert(first.getString(0) == "601" && first.getString(1) == "Fulton County")
+  }
+
+  test("S2: header offset on a file with too few lines fails cleanly") {
+    val f = Files.createTempFile("short", ".csv")
+    Files.writeString(f, "only,one,line\n")
+    val e = intercept[IllegalArgumentException] {
+      Readers.csvWithHeaderOffset(spark, f.toString, headerRow = 4)
+    }
+    assert(e.getMessage.contains("fewer than 5 lines"))
+  }
+
+  test("S3: minimal XLSX reader — shared strings, inline strings, numbers, gaps") {
+    val f = File.createTempFile("graft", ".xlsx")
+    TestXlsx.write(f, Seq(
+      Seq("colA", "colB", "colC"),
+      Seq("shared text", 42, 3.5),
+      Seq("#inline text", null, "#  padded  "),
+      Seq("shared text", "#", 7)))
+    val rows = Xlsx.readSheet(f)
+    assert(rows.length == 4)
+    assert(rows.head.toSeq == Seq("colA", "colB", "colC"))
+    assert(rows(1).toSeq == Seq("shared text", "42", "3.5"))
+    assert(rows(2).toSeq == Seq("inline text", null, "  padded  "))
+    assert(rows(3).toSeq == Seq("shared text", "", "7"))
+
+    val df = Readers.xlsx(spark, f.getPath)
+    assert(df.columns.toSeq == Seq("colA", "colB", "colC"))
+    assert(df.count() == 3)
+  }
+
+  test("S3: A1 column-reference decoding") {
+    assert(Xlsx.colIndex("A1") == 0)
+    assert(Xlsx.colIndex("Z3") == 25)
+    assert(Xlsx.colIndex("AA10") == 26)
+    assert(Xlsx.colIndex("AB1") == 27)
+  }
+
+  test("S1: csv reads header and keeps raw strings") {
+    val path = resourcePath(
+      "bronze/housing_affordability/ingest_date=2024-01-15/housing2019-23.csv")
+    val df = Readers.csv(spark, path)
+    assert(df.columns.contains("S2503_C01_001E"))
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+  }
+}
