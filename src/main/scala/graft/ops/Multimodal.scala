@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus decode / feature-extract / resize / frame-sample
+  * stages.
+  *
+  * The Spark-side design is real and tested — schema, partition-preserving
+  * batched processing via `mapPartitions` (the Scala twin of mapInPandas:
+  * one iterator per partition, no per-row JVM boundary), deterministic
+  * output shapes. The actual codec work is STUBBED (this container has no
+  * image/audio libraries): `decodeStub` derives a deterministic fake
+  * "decode" from the bytes. Swapping in a real codec changes only the
+  * function body, none of the dataflow.
+  *
+  * Scale notes: all stages are map-side (no shuffle); binary payloads never
+  * serve as join/group keys; metadata travels in a narrow struct so pruning
+  * drops the heavy bytes column whenever a stage doesn't need it.
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside every binary payload. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("n_bytes", LongType),
+    StructField("checksum", LongType)))
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("payload", BinaryType),
+    StructField("meta", mediaMetaType)))
+
+  /** Wrap any table into the media schema, payload = utf-8 bytes of a text
+    * column (the stand-in for real image/audio bytes in this container). */
+  def attachBinary(df: DataFrame, idCol: String, textCol: String, mime: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      encode(col(textCol), "UTF-8").as("payload"))
+      .withColumn("meta", struct(
+        lit(mime).as("mime"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        xxhash64(col("payload")).as("checksum")))
+
+  /** One decoded frame/patch: fixed-shape feature vector + dimensions. */
+  case class DecodedMedia(media_id: Long, width: Int, height: Int,
+      n_frames: Int, features: Array[Float])
+
+  /** STUB decode: a real implementation would hand `payload` to a codec
+    * (JPEG/PNG/opus/h264). Here dimensions and features derive
+    * deterministically from the bytes so every downstream stage (schema,
+    * batching, feature consumers) is exercised for real. */
+  def decodeStub(payload: Array[Byte], featureDim: Int = 16): (Int, Int, Int, Array[Float]) = {
+    val n = payload.length
+    val width = 16 + (math.abs(java.util.Arrays.hashCode(payload)) % 64)
+    val height = 16 + (n % 64)
+    val nFrames = 1 + n % 4
+    val features = new Array[Float](featureDim)
+    var i = 0
+    while (i < n) {
+      features(i % featureDim) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    (width, height, nFrames, features)
+  }
+
+  /** Batched decode stage — mapPartitions so any per-partition setup (codec
+    * context, model session) is paid once per partition, not per row. */
+  def decode(media: DataFrame, featureDim: Int = 16): Dataset[DecodedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init of the (stub) codec happens here
+        it.map { case (id, payload) =>
+          val (w, h, f, feats) = decodeStub(payload, featureDim)
+          DecodedMedia(id, w, h, f, feats)
+        }
+      }
+  }
+
+  /** Resize stage: pure metadata+feature transform on decoded media. */
+  def resize(decoded: Dataset[DecodedMedia], maxDim: Int): Dataset[DecodedMedia] = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.map { d =>
+      val scale = math.min(1.0, maxDim.toDouble / math.max(d.width, d.height))
+      d.copy(
+        width = math.max(1, (d.width * scale).toInt),
+        height = math.max(1, (d.height * scale).toInt))
+    }
+  }
+
+  /** Frame-sample stage: every `stride`-th frame index of each clip
+    * (explode-style generator → one row per sampled frame). */
+  def sampleFrames(decoded: Dataset[DecodedMedia], stride: Int): DataFrame = {
+    require(stride > 0)
+    decoded.toDF()
+      .select(col("media_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+  }
+}

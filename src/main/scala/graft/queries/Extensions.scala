@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data-pipeline extension operators (build brief: dedup, similarity
   * search, text analysis, event streams) as driver-checkable queries.
@@ -224,7 +224,21 @@ object Extensions {
     """SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k_val
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------------ x15 multimodal
+  // Rows-only: binary-column plumbing — attach payload+metadata, batched
+  // decode (stubbed codec), resize, frame-sample; asserts nothing about
+  // pixels, everything about schema/batch/partition behavior.
+  def x15Multimodal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.attachBinary(docs(s, dir), "doc_id", "text", "text/plain")
+    val decoded = Multimodal.resize(Multimodal.decode(media), maxDim = 32)
+    Multimodal.sampleFrames(decoded, stride = 2)
+      .join(media.select($"media_id", $"meta.n_bytes".as("n_bytes"), $"meta.checksum".as("checksum")), Seq("media_id"))
+      .orderBy($"media_id", $"frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x15_multimodal" -> x15Multimodal _,
     "x01_dedup_exact" -> x01DedupExact _,
     "x02_token_count" -> x02TokenCount _,
     "x03_quality_score" -> x03QualityScore _,
