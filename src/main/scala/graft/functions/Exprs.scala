@@ -141,7 +141,7 @@ object Exprs {
     val reg = spark.sessionState.functionRegistry
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     def register(name: String, f: Seq[Expression] => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, f, "builtin")
+      reg.createOrReplaceTempFunction(name, f, "scala_udf")
     register("cosine_sim", es => CosineSim(es(0), es(1)))
     register("dot_f", es => DotF(es(0), es(1)))
     register("simhash64", es => SimHash64(es(0)))
