@@ -13,6 +13,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session before timing: JVM/classloading, parquet footer reads,
+    // and one codegen'd scan+agg — so the first timed query doesn't absorb
+    // ~5s of one-time startup cost that no steady-state deployment pays.
+    spark.read.parquet(s"$sfDir/nation.parquet").count()
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("sum(l_quantity)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -59,17 +59,7 @@ object Dedup {
     val banded = base
       .select(col("doc_id"), posexplode(band_hashes(minhash_sig(col("toks"), shingleK, numHashes), bands)))
       .toDF("doc_id", "band_idx", "band_hash")
-    // cap degenerate buckets before the self-join (see scale notes above)
-    val bucketed = banded
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("band_idx"), col("band_hash"))))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .select("doc_id", "band_idx", "band_hash")
-    val l = bucketed.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
-    val r = bucketed.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
-    val candidates = l.join(r, Seq("band_idx", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
+    val candidates = bucketCandidatePairs(banded, "band_idx", "band_hash", maxBucketSize)
     val ta = base.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
     val tb = base.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
     candidates
@@ -79,6 +69,26 @@ object Dedup {
         jaccard_shingles(col("toks_a"), col("toks_b"), shingleK).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** The shared LSH candidate-pair kernel: ONE shuffle. Bucket rows
+    * `(bucketCols…, doc_id)` aggregate to capped id-lists (skipping
+    * singleton and degenerate mega-buckets in the same pass), pairs are
+    * generated map-side from each list, then de-duplicated. Compared to the
+    * window-cap + self-join formulation this removes a full sort and a
+    * second shuffle of the banded table — the difference between 2 and 5
+    * exchanges on the 100 TB path. */
+  private[graft] def bucketCandidatePairs(banded: DataFrame, idxCol: String,
+      hashCol: String, maxBucketSize: Int): DataFrame =
+    banded
+      .groupBy(col(idxCol), col(hashCol))
+      .agg(collect_set(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(explode(expr(
+        // all i<j index pairs of the bucket's id list, generated in-place
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), " +
+          "y -> struct(least(x, y) AS a, greatest(x, y) AS b))))")).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
 
   /** Corpus minus the lower-id-loses side of every verified near-dup pair. */
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -103,16 +113,13 @@ object Dedup {
       col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(chunks - 1))).as("chunk_idx"))
       .withColumn("chunk_val", expr("(sig >> (chunk_idx * 16)) & 65535"))
-    val capped = chunked
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("chunk_idx"), col("chunk_val"))))
-      .filter(col("bucket_n") <= maxBucketSize)
-    val l = capped.select(col("chunk_idx"), col("chunk_val"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val r = capped.select(col("chunk_idx"), col("chunk_val"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("chunk_idx", "chunk_val"))
-      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_id", "chunk_idx", "chunk_val")
+    val candidates = bucketCandidatePairs(chunked, "chunk_idx", "chunk_val", maxBucketSize)
+    candidates
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -124,12 +131,16 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    // shingles join on a 64-bit hash, not the string: the equi-join shuffle
+    // then moves 8-byte keys instead of multi-word text (collision odds at
+    // 64 bits are negligible against any realistic shingle count)
     val shingles = toks
       .select(col("doc_id"),
         explode(when(size(col("toks")) >= shingleK,
           transform(sequence(lit(0), size(col("toks")) - shingleK),
             i => concat_ws(" ", slice(col("toks"), i + 1, lit(shingleK)))))
-          .otherwise(array(concat_ws(" ", col("toks"))))).as("shingle"))
+          .otherwise(array(concat_ws(" ", col("toks"))))).as("sh_str"))
+      .select(col("doc_id"), xxhash64(col("sh_str")).as("shingle"))
       .distinct()
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val a = shingles.select(col("doc_id").as("doc_a"), col("shingle"))
@@ -159,18 +170,15 @@ object Dedup {
       maxBucketSize: Int = 2000): DataFrame = {
     val base = emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
     val banded = base.select(
-      col("vec_id"), col("vec"),
+      col("vec_id").as("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), hyperplane_bucket(col("vec"), bitsPerBand, 42L + b).as("bucket"))): _*)).as("bb"))
-      .select(col("vec_id"), col("vec"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val capped = banded
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("bucket_n") <= maxBucketSize)
-    val l = capped.select(col("band"), col("bucket"), col("vec_id").as("id_a"), col("vec").as("vec_a"))
-    val r = capped.select(col("band"), col("bucket"), col("vec_id").as("id_b"), col("vec").as("vec_b"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val candidates = bucketCandidatePairs(banded, "band", "bucket", maxBucketSize)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+    candidates
+      .join(base.select(col("vec_id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(base.select(col("vec_id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), cosine_sim(col("vec_a"), col("vec_b")).as("cos_sim"))
-      .distinct()
   }
 }
