@@ -35,4 +35,30 @@ object Lake {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(dir)
+
+  /** Bucketed+sorted table write (saveAsTable — bucket metadata lives in the
+    * catalog). The 100 TB fact-table pattern: two tables bucketed the same
+    * way on the join key co-locate, so the join runs with ZERO exchanges —
+    * pre-shuffling once at write time instead of per query. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, numBuckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** S7 — storage-mode resolution, the reference's `PIPELINE_STORAGE_MODE`
+    * switch (`storage_io.py:27-36`) mapped onto Hadoop FileSystem URIs:
+    * everything downstream is scheme-agnostic. */
+  def resolveBase(mode: String, localBase: String,
+      account: String = "", container: String = "", basePath: String = ""): String =
+    mode match {
+      case "local" => localBase
+      case "adls" =>
+        require(account.nonEmpty && container.nonEmpty, "adls mode needs account+container")
+        val suffix = if (basePath.isEmpty) "" else s"/$basePath"
+        s"abfss://$container@$account.dfs.core.windows.net$suffix"
+      case other => throw new IllegalArgumentException(s"unknown storage mode: $other")
+    }
 }

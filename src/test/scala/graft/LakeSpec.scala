@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Lake
+
+/** Lake sinks: Hive-partition pruning (S6), bucketed co-located joins, and
+  * storage-mode base resolution (S7). */
+class LakeSpec extends SparkSpec {
+
+  test("S6: partitioned write + filter → partition pruning in the scan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lake").toString + "/events_by_date"
+    val df = Seq(
+      (1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0),
+      (3L, "2024-01-02", 30.0), (4L, "2024-01-03", 40.0))
+      .toDF("id", "ingest_date", "value")
+    Lake.writePartitioned(df, dir, Seq("ingest_date"))
+    val pruned = spark.read.parquet(dir).filter($"ingest_date" === "2024-01-02")
+    assert(pruned.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // the partition filter must reach the file index, not a post-scan Filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("ingest_date"), s"no partition pruning in:\n$plan")
+    // dynamic overwrite of ONE partition leaves the others intact
+    Lake.writePartitioned(
+      Seq((9L, "2024-01-02", 99.0)).toDF("id", "ingest_date", "value"), dir, Seq("ingest_date"))
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 4)
+    assert(after.filter($"ingest_date" === "2024-01-02").collect().head.getLong(0) == 9L)
+  }
+
+  test("bucketed tables: same-bucket join plans with zero shuffle exchanges") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val facts = (1L to 1000L).map(i => (i, i % 7, s"f$i")).toDF("k", "grp", "payload")
+      val dims = (1L to 1000L).map(i => (i, s"d$i")).toDF("k", "name")
+      Lake.writeBucketed(facts, "graft_facts_b", "k", 4)
+      Lake.writeBucketed(dims, "graft_dims_b", "k", 4)
+      val joined = spark.table("graft_facts_b").join(spark.table("graft_dims_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_facts_b")
+      spark.sql("DROP TABLE IF EXISTS graft_dims_b")
+    }
+  }
+
+  test("S7: storage-mode base resolution (local vs abfss URI)") {
+    assert(Lake.resolveBase("local", "/data/lake") == "/data/lake")
+    assert(Lake.resolveBase("adls", "", "acct", "cont", "edu") ==
+      "abfss://cont@acct.dfs.core.windows.net/edu")
+    assert(Lake.resolveBase("adls", "", "acct", "cont") ==
+      "abfss://cont@acct.dfs.core.windows.net")
+    intercept[IllegalArgumentException](Lake.resolveBase("s3", "/x"))
+    intercept[IllegalArgumentException](Lake.resolveBase("adls", ""))
+    assert(Lake.path(Lake.resolveBase("local", "/base"), "silver", "housing", "2024-01-01")
+      == "/base/silver/housing/ingest_date=2024-01-01")
+  }
+}
