@@ -18,10 +18,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2, plus the
     * training-data-pipeline extensions (dedup / similarity / text / events). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Analytics.queries ++ graft.queries.Extensions.queries
+    Analytics.queries ++ graft.queries.Extensions.queries ++ graft.queries.Breadth.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Analytics.oracleSql ++ graft.queries.Extensions.oracleSql
+    Analytics.oracleSql ++ graft.queries.Extensions.oracleSql ++ graft.queries.Breadth.oracleSql
 }

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Skew mitigation primitives. AQE's skew-join split handles most runtime
+  * skew; these are the explicit spellings for when the skew is known ahead
+  * of time (hot keys in a 100 TB fact table) or the operator is not
+  * AQE-splittable.
+  *
+  * Correctness does not depend on WHICH salt a row gets — only that the
+  * small side is replicated across every salt — so the salt can be any
+  * cheap per-row value.
+  */
+object Skew {
+
+  /** Salted equi-join: the large (skewed) side scatters each hot key across
+    * `saltFactor` sub-keys; the small side replicates `saltFactor`×. The
+    * shuffle then spreads a hot key over `saltFactor` reducers instead of
+    * melting one. */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+      saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    require(saltFactor > 0)
+    val salted = large.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Two-stage salted aggregation: partial (key, salt) combine, then final
+    * per-key merge. For count/sum the decomposition is exact; the decimal
+    * widening keeps the double sums order-insensitive so the result is
+    * bit-identical to the unsalted aggregate. */
+  def saltedCountSum(df: DataFrame, key: String, valueCol: String,
+      saltFactor: Int): DataFrame = {
+    require(saltFactor > 0)
+    df
+      .withColumn("__salt",
+        pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
+      .groupBy(col(key), col("__salt"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col(valueCol).cast(DecimalType(18, 2))).as("__s"))
+      .groupBy(col(key))
+      .agg(
+        sum(col("__n")).as("n"),
+        sum(col("__s")).cast("double").as("total"))
+  }
+}

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Engine-breadth operators beyond the reference's floor (SURVEY.md §2.7
+  * lists these as verified-absent in the reference): grouping sets, set
+  * operations, analytic window functions, as-of join. Each carries a DuckDB
+  * oracle — the absence rows become presence rows in our engine.
+  */
+object Breadth {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+  private def sumDecSql(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
+
+  // ---------------------------------------------------------------- q16 rollup
+  // Hierarchical aggregation: ROLLUP(flag, status) → per-pair, per-flag, and
+  // grand-total rows in one pass (partial-aggregated like any groupBy).
+  def q16Rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"l_quantity".cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("rf"),
+        coalesce($"l_linestatus", lit("ALL")).as("ls"),
+        $"n", $"sum_qty")
+      .orderBy($"rf", $"ls")
+  }
+  val q16Sql: String =
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+       |  COUNT(*) AS n, ${sumDecSql("l_quantity")} AS sum_qty
+       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY rf, ls""".stripMargin
+
+  // ---------------------------------------------------------------- q17 set ops
+  def q17SetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cn = t(s, dir, "customer").select($"c_nationkey".as("k")).distinct()
+    val sn = t(s, dir, "supplier").select($"s_nationkey".as("k")).distinct()
+    val union = cn.union(sn).distinct().withColumn("op", lit("union"))
+    val inter = cn.intersect(sn).withColumn("op", lit("intersect"))
+    val exc = cn.except(sn).withColumn("op", lit("except"))
+    union.unionByName(inter).unionByName(exc)
+      .select($"op", $"k")
+      .orderBy($"op", $"k")
+  }
+  val q17Sql: String =
+    """SELECT 'union' AS op, k FROM (
+      |  SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier)
+      |UNION ALL
+      |SELECT 'intersect', k FROM (
+      |  SELECT DISTINCT c_nationkey AS k FROM customer INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+      |UNION ALL
+      |SELECT 'except', k FROM (
+      |  SELECT DISTINCT c_nationkey AS k FROM customer EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+      |ORDER BY op, k""".stripMargin
+
+  // ------------------------------------------------------------ q18 analytics
+  // lag / lead / running total / moving average / ntile — per-customer
+  // partitions (shuffle by customer, never a global window).
+  def q18WindowAnalytics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mov = w.rowsBetween(-2, Window.currentRow)
+    val byPrice = Window.partitionBy($"o_custkey").orderBy($"o_totalprice", $"o_orderkey")
+    t(s, dir, "orders")
+      .select(
+        $"o_orderkey", $"o_custkey",
+        lag($"o_totalprice", 1).over(w).as("prev_price"),
+        lead($"o_totalprice", 1).over(w).as("next_price"),
+        sum($"o_totalprice".cast(DecimalType(18, 2))).over(frame).cast("double").as("run_total"),
+        (sum($"o_totalprice".cast(DecimalType(18, 2))).over(mov).cast("double")
+          / count(lit(1)).over(mov)).as("moving_avg3"),
+        ntile(4).over(byPrice).as("price_quartile"))
+      .orderBy($"o_orderkey")
+  }
+  val q18Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  lead(o_totalprice, 1) OVER w AS next_price,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_total,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / COUNT(*) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3,
+      |  ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS price_quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------ x16 as-of join
+  /** Each purchase matched to the user's most recent signup at-or-before it.
+    *
+    * Implemented as the union+running-last trick: tag both sides, sort each
+    * user's timeline once, carry the last signup id forward — one shuffle on
+    * user_id, linear in events. (A naive range join is quadratic per user;
+    * DuckDB's ASOF JOIN — the oracle — is the same idea built in.) */
+  def x16AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"), $"event_type")
+    val tagged = ev
+      .filter($"event_type".isin("signup", "purchase"))
+      .select($"user_id", $"us", $"event_id",
+        when($"event_type" === "signup", 0).otherwise(1).as("tag"))
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"tag", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("signup_id", last(when($"tag" === 0, $"event_id"), ignoreNulls = true).over(w))
+      .filter($"tag" === 1)
+      .select($"event_id", $"signup_id")
+      .orderBy($"event_id")
+  }
+  val x16Sql: String =
+    """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |           WHERE event_type = 'purchase'),
+      |s AS (SELECT event_id AS signup_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |      WHERE event_type = 'signup')
+      |SELECT p.event_id, s.signup_id
+      |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_rollup" -> q16Rollup _,
+    "q17_set_ops" -> q17SetOps _,
+    "q18_window_analytics" -> q18WindowAnalytics _,
+    "x16_asof_join" -> x16AsofJoin _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q16_rollup" -> q16Sql,
+    "q17_set_ops" -> q17Sql,
+    "q18_window_analytics" -> q18Sql,
+    "x16_asof_join" -> x16Sql)
+}
