@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.Exprs
+
+/** SparkSessionExtensions entry point: installs the graft function surface
+  * into any session at build time —
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions …
+  *   // or
+  *   SparkSession.builder().withExtensions(new GraftExtensions) …
+  *
+  * This is the deployment-grade registration (catalog-level, survives
+  * `newSession()`), complementing [[Exprs.registerAll]]'s per-session
+  * temp-function path.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String, usage: String, builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+
+    inject("cosine_sim", "cosine_sim(array<float>, array<float>) - cosine similarity",
+      es => Exprs.CosineSim(es(0), es(1)))
+    inject("dot_f", "dot_f(array<float>, array<float>) - dot product",
+      es => Exprs.DotF(es(0), es(1)))
+    inject("simhash64", "simhash64(array<string>) - 64-bit SimHash of tokens",
+      es => Exprs.SimHash64(es(0)))
+    inject("lang_id", "lang_id(string) - heuristic language id (de/en/es/fr/zh)",
+      es => Exprs.LangId(es(0)))
+  }
+}
