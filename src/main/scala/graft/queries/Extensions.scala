@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data-pipeline extension operators (build brief: dedup, similarity
   * search, text analysis, event streams) as driver-checkable queries.
@@ -237,8 +237,33 @@ object Extensions {
       .orderBy($"media_id", $"frame_idx")
   }
 
+  // ------------------------------------------------------------ x17 per-source cap
+  // The per-domain document cap every curation run applies — window
+  // row_number per source, fully SQL-expressible.
+  def x17PerSourceCap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Curation.perGroupCap(docs(s, dir), "source", "doc_id", n = 10)
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+  val x17Sql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |SELECT doc_id, source FROM ranked WHERE rn <= 10 ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ x18 curation flow
+  // Rows-only: the composed quality→language→dedup→cap pipeline.
+  def x18Curation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (curated, _) = Curation.curate(docs(s, dir), maxPerSource = 20)
+    curated.select($"doc_id", $"source", $"lang").orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x15_multimodal" -> x15Multimodal _,
+    "x17_per_source_cap" -> x17PerSourceCap _,
+    "x18_curation" -> x18Curation _,
     "x01_dedup_exact" -> x01DedupExact _,
     "x02_token_count" -> x02TokenCount _,
     "x03_quality_score" -> x03QualityScore _,
@@ -255,6 +280,7 @@ object Extensions {
     "x14_json_extract" -> x14JsonExtract _)
 
   val oracleSql: Map[String, String] = Map(
+    "x17_per_source_cap" -> x17Sql,
     "x01_dedup_exact" -> x01Sql,
     "x02_token_count" -> x02Sql,
     "x03_quality_score" -> x03Sql,
