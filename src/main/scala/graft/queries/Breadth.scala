@@ -130,15 +130,41 @@ object Breadth {
       |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
       |ORDER BY p.event_id""".stripMargin
 
+  // ------------------------------------------------------- x19 bounded top-k agg
+  /** Per-customer top-3 orders via the bounded-heap `top_k` aggregate
+    * (graft.functions.TopKAgg) — hash aggregate with O(k) state per key and
+    * map-side partial merge, versus the window spelling's full partition
+    * sort. The oracle IS that window spelling, pinning equivalence. */
+  def x19TopKAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TopKBuffer.top_k
+    t(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(top_k($"o_totalprice", $"o_orderkey", 3).as("tk"))
+      .select($"o_custkey", explode($"tk").as("e"))
+      .select($"o_custkey", $"e.ord".as("price"), $"e.id".as("okey"))
+      .orderBy($"o_custkey", $"price".desc, $"okey")
+  }
+  val x19Sql: String =
+    """WITH ranked AS (
+      |  SELECT o_custkey, o_totalprice AS price, o_orderkey AS okey,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders)
+      |SELECT o_custkey, price, okey FROM ranked WHERE rn <= 3
+      |ORDER BY o_custkey, price DESC, okey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_rollup" -> q16Rollup _,
     "q17_set_ops" -> q17SetOps _,
     "q18_window_analytics" -> q18WindowAnalytics _,
-    "x16_asof_join" -> x16AsofJoin _)
+    "x16_asof_join" -> x16AsofJoin _,
+    "x19_topk_agg" -> x19TopKAgg _)
 
   val oracleSql: Map[String, String] = Map(
     "q16_rollup" -> q16Sql,
     "q17_set_ops" -> q17Sql,
     "q18_window_analytics" -> q18Sql,
-    "x16_asof_join" -> x16Sql)
+    "x16_asof_join" -> x16Sql,
+    "x19_topk_agg" -> x19Sql)
 }
