@@ -154,7 +154,42 @@ object Breadth {
       |SELECT o_custkey, price, okey FROM ranked WHERE rn <= 3
       |ORDER BY o_custkey, price DESC, okey""".stripMargin
 
+  // -------------------------------------------------------- q20 big-big join
+  /** Revenue per nation (TPC-H Q5 shape): lineitem ⋈ orders is the genuine
+    * big-big join (shuffle/sort-merge — both sides fact-scale, neither
+    * broadcastable), then medium customer, then broadcast nation. Revenue is
+    * exact decimal arithmetic (price × (1−discount) in DECIMAL) so the
+    * distributed sum is bit-stable against the oracle. */
+  def q20BigJoinRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")))
+    val revenue = ($"l_extendedprice".cast(DecimalType(18, 2)) *
+      (lit(java.math.BigDecimal.ONE).cast(DecimalType(18, 2)) - $"l_discount".cast(DecimalType(18, 2))))
+    li.join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation_name"))
+      .agg(
+        sum(revenue).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .select($"nation_name", $"revenue", $"n_items")
+      .orderBy($"nation_name")
+  }
+  val q20Sql: String =
+    """SELECT n_name AS nation_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY nation_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_bigjoin_revenue" -> q20BigJoinRevenue _,
     "q16_rollup" -> q16Rollup _,
     "q17_set_ops" -> q17SetOps _,
     "q18_window_analytics" -> q18WindowAnalytics _,
@@ -162,6 +197,7 @@ object Breadth {
     "x19_topk_agg" -> x19TopKAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    "q20_bigjoin_revenue" -> q20Sql,
     "q16_rollup" -> q16Sql,
     "q17_set_ops" -> q17Sql,
     "q18_window_analytics" -> q18Sql,
