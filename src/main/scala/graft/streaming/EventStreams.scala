@@ -40,6 +40,15 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup on event_id: duplicates arriving within the
+    * watermark horizon are dropped across micro-batches with bounded state
+    * (ids older than the watermark are evicted — the streaming twin of
+    * Dedup.exactDedup for at-least-once upstream delivery). */
+  def streamingDedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Sliding 1-hour windows every 15 minutes (overlapping aggregation). */
   def slidingCounts(events: DataFrame): DataFrame =
     events

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+import graft.ops.{Curation, Dedup, Similarity, TextAnalysis}
+
+/** Degenerate inputs: empty tables, single rows, nulls, unicode — every
+  * operator must return sane empty/singleton results, never throw. */
+class EdgeCaseSpec extends SparkSpec {
+
+  private lazy val emptyDocs = spark.createDataFrame(
+    new java.util.ArrayList[Row](),
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType), StructField("lang", StringType))))
+
+  test("dedup family on an empty corpus returns empty, not an error") {
+    assert(Dedup.exactDedup(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashNearDupPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashNearDupPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.ngramJaccardPairs(emptyDocs, "doc_id", "text").count() == 0)
+  }
+
+  test("text analysis on nulls and unicode") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "héllo wörld ünïcode 你好"),
+      (2L, ""),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val tc = TextAnalysis.tokenCounts(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(tc(1L).getInt(1) == 4)
+    assert(tc(2L).getInt(3) == 0) // n_chars of empty
+    assert(tc(3L).isNullAt(1))    // null text → null counts, no crash
+    val q = TextAnalysis.qualityScores(docs, "doc_id", "text").count()
+    assert(q == 3)
+    val lid = TextAnalysis.languageId(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(lid(1L) == "zh") // CJK short-circuit wins on mixed text
+    assert(lid(3L) == null)
+  }
+
+  test("single-document corpus: no pairs, dedup keeps it") {
+    import spark.implicits._
+    val one = Seq((7L, "only document here", "s", "en")).toDF("doc_id", "text", "source", "lang")
+    assert(Dedup.minhashNearDupPairs(one, "doc_id", "text").count() == 0)
+    assert(Dedup.exactDedup(one, "doc_id", "text").count() == 1)
+    val (curated, stats) = Curation.curate(one)
+    assert(curated.count() == 1 && stats.afterCap == 1)
+  }
+
+  test("ANN with empty query set returns empty") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val none = emb.filter($"vec_id" < 0)
+    assert(Similarity.bruteForceTopK(emb, none, "vec_id", "embedding").count() == 0)
+  }
+
+  test("normalizer and guarded division on all-null input columns") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq.fill(3)(null.asInstanceOf[String]).toDF("v")
+    val out = df.select(graft.gold.Normalize.normalizeCounty($"v").as("n")).collect()
+    assert(out.forall(_.isNullAt(0)))
+    val div = Seq((null.asInstanceOf[java.lang.Double], null.asInstanceOf[java.lang.Double]))
+      .toDF("a", "b")
+      .select(graft.clean.Silver.guardedPct(col("a"), col("b"))).collect()
+    assert(div.head.isNullAt(0))
+  }
+}

@@ -76,6 +76,46 @@ class StreamingSpec extends SparkSpec {
     assert(statefulCounts == oracle)
   }
 
+  test("streamingDedup drops cross-batch duplicates within the watermark") {
+    import spark.implicits._
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.streamingDedup(input.toDF())
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      input.addData(sample.take(3))
+      q.processAllAvailable()
+      // re-deliver an old event (duplicate) plus one new one
+      input.addData(Seq(sample.head, sample(4)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select($"event_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L, 5L), s"duplicate must be dropped, got $ids")
+    } finally q.stop()
+  }
+
+  test("availableNow trigger with checkpoint processes a parquet dir exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val batchDf = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-an").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-out").toString
+    batchDf.write.mode("overwrite").parquet(dir)
+    def runOnce(): Unit = {
+      val q = EventStreams.readEventStream(spark, dir, batchDf.schema)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == batchDf.count())
+    // restart from the checkpoint: nothing new to process, no duplication
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == batchDf.count())
+  }
+
   test("file-source stream: watermarked windowed agg over the events parquet") {
     import spark.implicits._
     val batchDf = Tables.events(spark, "/root/testdata/sf0.001")
