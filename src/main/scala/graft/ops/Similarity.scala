@@ -35,19 +35,45 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Deterministic coarse centroids: every `corpusSize / nlist`-th vector by
-    * id order. (A production lake would k-means these at ingest; determinism
-    * matters more here than centroid quality, and recall is governed by
-    * nprobe either way.) */
-  def coarseCentroids(corpus: DataFrame, idCol: String, vecCol: String, nlist: Int): DataFrame = {
-    val w = Window.orderBy(col("cid_src"))
-    corpus.select(col(idCol).as("cid_src"), col(vecCol).as("centroid"))
-      .withColumn("rn", row_number().over(w) - 1)
-      .withColumn("total", count(lit(1)).over())
-      .filter(col("rn") % greatest(floor(col("total") / nlist), lit(1)) === 0)
-      .withColumn("centroid_id", row_number().over(Window.orderBy(col("rn"))) - 1)
-      .filter(col("centroid_id") < nlist)
-      .select(col("centroid_id"), col("centroid"))
+  /** Coarse centroids via deterministic Lloyd iterations: seeds are the
+    * `nlist` lowest-id vectors, then `iters` rounds of
+    * assign(distributed) → mean(distributed) with only the tiny centroid
+    * set collected per round — the standard IVF training loop, seeded
+    * deterministically instead of k-means++ randomness. */
+  def coarseCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).as("item_id"), col(vecCol).as("item_vec"))
+    base.cache()
+    var centroids = base.orderBy(col("item_id")).limit(nlist)
+      .select(col("item_vec").as("centroid"))
+      .collect().map(_.getSeq[Float](0).toArray).zipWithIndex
+      .map { case (v, i) => (i, v) }
+    for (_ <- 1 to iters) {
+      val cDf = centroids.toSeq.toDF("centroid_id", "centroid")
+      val assigned = base.join(broadcast(cDf))
+        .select(col("item_id"), col("item_vec"), col("centroid_id"),
+          cosine_sim(col("item_vec"), col("centroid")).as("c_sim"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("item_id")).orderBy(col("c_sim").desc, col("centroid_id").asc)))
+        .filter(col("rn") === 1)
+      // per-cell mean vector (element-wise) — aggregate in the cluster
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col("item_vec")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect().groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          val dim = rows.map(_.getInt(1)).max + 1
+          val v = new Array[Float](dim)
+          rows.foreach(r => v(r.getInt(1)) = r.getDouble(2).toFloat)
+          (cid, v)
+        }
+      // empty cells keep their previous centroid
+      centroids = centroids.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    centroids.toSeq.toDF("centroid_id", "centroid")
   }
 
   /** Assign every corpus vector to its nearest centroid (broadcast the tiny
