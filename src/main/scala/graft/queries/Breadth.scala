@@ -188,8 +188,51 @@ object Breadth {
       |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
       |GROUP BY n_name ORDER BY nation_name""".stripMargin
 
+  // ---------------------------------------------------------- q21 semi/anti join
+  // EXISTS / NOT EXISTS as left-semi and left-anti joins: customers with and
+  // without open orders. Semi/anti never materialize the probe side's
+  // payload — at scale the build side streams through a broadcast or
+  // shuffled hash relation with early-out semantics.
+  def q21SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val open = t(s, dir, "orders").filter($"o_orderstatus" === "O").select($"o_custkey")
+    val cust = t(s, dir, "customer")
+    val withOpen = cust.join(open, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", lit("has_open").as("bucket"))
+    val withoutOpen = cust.join(open, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", lit("no_open").as("bucket"))
+    withOpen.unionByName(withoutOpen).orderBy($"bucket", $"c_custkey")
+  }
+  val q21Sql: String =
+    """SELECT c_custkey, 'has_open' AS bucket FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      |UNION ALL
+      |SELECT c_custkey, 'no_open' AS bucket FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      |ORDER BY bucket, c_custkey""".stripMargin
+
+  // -------------------------------------------------------------- q22 sketches
+  // Rows-only: approximate aggregates (HLL distinct, quantile sketch) beside
+  // their exact counterparts — sketch values are engine-specific, so the
+  // accuracy contract is the ScalaTest bound, not a DuckDB hash.
+  def q22Sketches(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_orderkey").as("exact_distinct"),
+        approx_count_distinct($"l_orderkey", 0.02).as("approx_distinct"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("price_quantiles"),
+        expr("percentile_approx(l_quantity, 0.5, 1000)").as("median_qty"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_bigjoin_revenue" -> q20BigJoinRevenue _,
+    "q21_semi_anti" -> q21SemiAnti _,
+    "q22_sketches" -> q22Sketches _,
     "q16_rollup" -> q16Rollup _,
     "q17_set_ops" -> q17SetOps _,
     "q18_window_analytics" -> q18WindowAnalytics _,
@@ -198,6 +241,7 @@ object Breadth {
 
   val oracleSql: Map[String, String] = Map(
     "q20_bigjoin_revenue" -> q20Sql,
+    "q21_semi_anti" -> q21Sql,
     "q16_rollup" -> q16Sql,
     "q17_set_ops" -> q17Sql,
     "q18_window_analytics" -> q18Sql,
