@@ -62,4 +62,15 @@ class ReadersSpec extends SparkSpec {
     assert(df.columns.contains("S2503_C01_001E"))
     assert(df.schema.fields.forall(_.dataType.typeName == "string"))
   }
+
+  test("S1: csv with an explicit schema projects and types at the scan") {
+    import org.apache.spark.sql.types._
+    val path = resourcePath(
+      "bronze/housing_affordability/ingest_date=2024-01-15/housing2019-23.csv")
+    val schema = StructType(Seq(
+      StructField("GEO_ID", StringType), StructField("NAME", StringType)))
+    val df = Readers.csv(spark, path, Some(schema))
+    assert(df.schema == schema)
+    assert(df.count() == 8) // 7 data rows + the label row (filtered in silver)
+  }
 }
