@@ -229,10 +229,54 @@ object Breadth {
       .orderBy($"l_returnflag")
   }
 
+  // ------------------------------------------------ q23 correlated subquery
+  // Orders priced >1.5× their customer's mean — Catalyst decorrelates the
+  // scalar subquery into an aggregate+join; the mean uses the exact decimal
+  // form so both engines agree bit-for-bit. Runs through spark.sql to
+  // exercise the SQL parser surface end-to-end.
+  def q23CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        |FROM orders o
+        |WHERE o.o_totalprice > 1.5 * (
+        |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin)
+  }
+  val q23Sql: String =
+    """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+      |FROM orders o
+      |WHERE o.o_totalprice > 1.5 * (
+      |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  // ------------------------------------------------------ q24 generator/explode
+  // Table-valued generation: explode document tokens → global token counts
+  // (the flat-map + aggregate shape of every tokenize-then-count pipeline).
+  def q24TokenExplode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(explode(split(lower($"text"), " ")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token")
+      .limit(50)
+  }
+  val q24Sql: String =
+    """SELECT token, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+      |WHERE token <> ''
+      |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_bigjoin_revenue" -> q20BigJoinRevenue _,
     "q21_semi_anti" -> q21SemiAnti _,
     "q22_sketches" -> q22Sketches _,
+    "q23_correlated_subquery" -> q23CorrelatedSubquery _,
+    "q24_token_explode" -> q24TokenExplode _,
     "q16_rollup" -> q16Rollup _,
     "q17_set_ops" -> q17SetOps _,
     "q18_window_analytics" -> q18WindowAnalytics _,
@@ -242,6 +286,8 @@ object Breadth {
   val oracleSql: Map[String, String] = Map(
     "q20_bigjoin_revenue" -> q20Sql,
     "q21_semi_anti" -> q21Sql,
+    "q23_correlated_subquery" -> q23Sql,
+    "q24_token_explode" -> q24Sql,
     "q16_rollup" -> q16Sql,
     "q17_set_ops" -> q17Sql,
     "q18_window_analytics" -> q18Sql,
