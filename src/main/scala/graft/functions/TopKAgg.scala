@@ -80,9 +80,14 @@ final class TopKBuffer(val k: Int) {
   private val ids = new Array[Long](k)
   private var n = 0
 
-  /** true if (o1,i1) ranks WORSE than (o2,i2) under ord DESC, id ASC. */
-  private def worse(o1: Double, i1: Long, o2: Double, i2: Long): Boolean =
-    o1 < o2 || (o1 == o2 && i1 > i2)
+  /** true if (o1,i1) ranks WORSE than (o2,i2) under ord DESC, id ASC.
+    * Total order via Double.compare — NaN sorts greatest, matching Spark's
+    * sort semantics (primitive < would make a NaN at the heap root
+    * unevictable). */
+  private def worse(o1: Double, i1: Long, o2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(o1, o2)
+    c < 0 || (c == 0 && i1 > i2)
+  }
 
   def insert(o: Double, id: Long): Unit = {
     if (n < k) {
@@ -129,7 +134,10 @@ final class TopKBuffer(val k: Int) {
 
   def sortedDescending: Seq[(Double, Long)] =
     (0 until n).map(i => (ords(i), ids(i)))
-      .sortBy { case (o, i) => (-o, i) }
+      .sortWith { case ((o1, i1), (o2, i2)) =>
+        val c = java.lang.Double.compare(o1, o2)
+        c > 0 || (c == 0 && i1 < i2)
+      }
 
   def toBytes: Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + n * 16)

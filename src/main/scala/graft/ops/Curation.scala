@@ -37,13 +37,51 @@ object Curation {
   case class CurationStats(input: Long, afterQuality: Long, afterLang: Long,
       afterDedup: Long, afterCap: Long)
 
+  /** Per-row quality gate predicate (stopword ratio ≥ min, mean word length
+    * ≤ max) — a pure map-side filter, NOT a join: at 100 TB a semi-join
+    * against a derived id list would shuffle the corpus for a predicate the
+    * scan can evaluate in place. */
+  private def qualityGate(textCol: String, minStopRatio: Double,
+      maxMeanWordLen: Double): Column = {
+    val txt = col(textCol)
+    val nChars = length(txt).cast("double")
+    val words = split(lower(txt), "\\s+")
+    val nWords = size(words).cast("double")
+    val nStop = size(filter(words,
+      w => w.isin(TextAnalysis.Stopwords.map(x => x: Any): _*))).cast("double")
+    val stopRatio = nStop / nullif(nWords, lit(0.0))
+    val meanWordLen = (nChars - (nWords - lit(1.0))) / nullif(nWords, lit(0.0))
+    stopRatio >= minStopRatio && meanWordLen <= maxMeanWordLen
+  }
+
   /** The composed training-data curation flow over a documents table:
     *  1. quality gate (stopword ratio ≥ min, mean word length in range)
     *  2. language allow-list (heuristic lang-id)
     *  3. exact + MinHash near-dup removal (keep-lowest-id)
     *  4. per-source cap
-    * Returns (curated corpus, per-stage counts). Every stage is a DataFrame
-    * transform; the stats actions are the only materializations. */
+    * Pure DataFrame transform — no actions. Stages 1–2 are map-side filters
+    * fused into the scan; only dedup and the cap shuffle. */
+  def curateFlow(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source",
+      minStopRatio: Double = 0.0,
+      maxMeanWordLen: Double = 20.0,
+      allowedLangs: Seq[String] = Seq("en", "de", "es", "fr", "zh"),
+      maxPerSource: Int = 1000): DataFrame = {
+    val gated = docs
+      .filter(qualityGate(textCol, minStopRatio, maxMeanWordLen))
+      .filter(graft.functions.Exprs.lang_id(col(textCol))
+        .isin(allowedLangs.map(x => x: Any): _*))
+    val nearDeduped = Dedup.minhashDedup(
+      Dedup.exactDedup(gated, idCol, textCol), idCol, textCol)
+    perGroupCap(nearDeduped, sourceCol, idCol, maxPerSource)
+  }
+
+  /** [[curateFlow]] plus per-stage row counts. The counted frames are cached
+    * before their count so the downstream stages (and the returned corpus)
+    * reuse them instead of recomputing the whole lineage per action. */
   def curate(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -55,21 +93,17 @@ object Curation {
       maxPerSource: Int = 1000): (DataFrame, CurationStats) = {
     val input = docs.count()
 
-    val quality = TextAnalysis.qualityScores(docs, idCol, textCol)
-      .filter(col("stopword_ratio") >= minStopRatio &&
-        col("mean_word_len") <= maxMeanWordLen)
-      .select(col(idCol))
-    val afterQualityDf = docs.join(quality, Seq(idCol), "left_semi")
+    val afterQualityDf = docs.filter(qualityGate(textCol, minStopRatio, maxMeanWordLen))
     val afterQuality = afterQualityDf.count()
 
-    val langOk = TextAnalysis.languageId(afterQualityDf, idCol, textCol)
-      .filter(col("lang_pred").isin(allowedLangs.map(x => x: Any): _*))
-      .select(col(idCol))
-    val afterLangDf = afterQualityDf.join(langOk, Seq(idCol), "left_semi")
+    val afterLangDf = afterQualityDf
+      .filter(graft.functions.Exprs.lang_id(col(textCol))
+        .isin(allowedLangs.map(x => x: Any): _*))
+      .cache()
     val afterLang = afterLangDf.count()
 
     val exactDeduped = Dedup.exactDedup(afterLangDf, idCol, textCol)
-    val nearDeduped = Dedup.minhashDedup(exactDeduped, idCol, textCol)
+    val nearDeduped = Dedup.minhashDedup(exactDeduped, idCol, textCol).cache()
     val afterDedup = nearDeduped.count()
 
     val capped = perGroupCap(nearDeduped, sourceCol, idCol, maxPerSource)

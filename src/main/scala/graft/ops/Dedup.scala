@@ -76,13 +76,19 @@ object Dedup {
     * generated map-side from each list, then de-duplicated. Compared to the
     * window-cap + self-join formulation this removes a full sort and a
     * second shuffle of the banded table — the difference between 2 and 5
-    * exchanges on the 100 TB path. */
+    * exchanges on the 100 TB path.
+    *
+    * The aggregation uses `bounded_collect_set`, which saturates to NULL and
+    * O(1) buffer state the moment a bucket exceeds `maxBucketSize` — so a
+    * degenerate mega-bucket (boilerplate docs sharing one band hash) never
+    * materializes an unbounded id list on any executor, in the partial
+    * aggregate or the shuffle. */
   private[graft] def bucketCandidatePairs(banded: DataFrame, idxCol: String,
       hashCol: String, maxBucketSize: Int): DataFrame =
     banded
       .groupBy(col(idxCol), col(hashCol))
-      .agg(collect_set(col("doc_id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
+      .agg(graft.functions.BoundedLongSet.bounded_collect_set(col("doc_id"), maxBucketSize).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
       .select(explode(expr(
         // all i<j index pairs of the bucket's id list, generated in-place
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), " +

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -18,6 +18,12 @@ import graft.functions.Exprs._
   *    to their nearest coarse centroid once (a write-time step in a real
   *    lake), queries probe only the `nprobe` closest centroid cells. The
   *    scan is 1/nlist-ish of brute force; recall trades off via nprobe.
+  *
+  * The centroid set is tiny by construction (nlist entries), so nearest-cell
+  * assignment is a MAP-SIDE expression over a literal centroid array — no
+  * join, no window, no shuffle. The only shuffles in IVF training are the
+  * per-cell mean aggregations; the only shuffles in search are the probed
+  * cell join and the final per-query top-k.
   */
 object Similarity {
 
@@ -35,15 +41,30 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Literal array<struct<s double, ncid int>> of per-centroid cosine scores
+    * for `vec`: s = cosine(vec, centroid), ncid = -centroid_id. With the id
+    * NEGATED, the natural struct ordering (s first, then ncid) makes both
+    * `array_max` and ascending `array_sort` break score ties toward the
+    * LOWEST centroid id — and doubles order NaN-greatest, matching the
+    * previous desc-sort spelling. */
+  private def centroidScores(vec: Column, centroids: Array[(Int, Array[Float])]): Column =
+    array(centroids.map { case (cid, cvec) =>
+      struct(
+        cosine_sim(vec, typedLit(cvec.toSeq)).as("s"),
+        lit(-cid).as("ncid"))
+    }: _*)
+
+  /** Map-side argmax cell id for `vec` against the literal centroid set. */
+  private def nearestCell(vec: Column, centroids: Array[(Int, Array[Float])]): Column =
+    -(array_max(centroidScores(vec, centroids)).getField("ncid"))
+
   /** Coarse centroids via deterministic Lloyd iterations: seeds are the
     * `nlist` lowest-id vectors, then `iters` rounds of
-    * assign(distributed) → mean(distributed) with only the tiny centroid
-    * set collected per round — the standard IVF training loop, seeded
+    * assign(map-side) → mean(one shuffle) with only the tiny centroid set
+    * collected per round — the standard IVF training loop, seeded
     * deterministically instead of k-means++ randomness. */
   def coarseCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, iters: Int = 3): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
+      nlist: Int, iters: Int = 3): Array[(Int, Array[Float])] = {
     val base = corpus.select(col(idCol).as("item_id"), col(vecCol).as("item_vec"))
     base.cache()
     var centroids = base.orderBy(col("item_id")).limit(nlist)
@@ -51,16 +72,10 @@ object Similarity {
       .collect().map(_.getSeq[Float](0).toArray).zipWithIndex
       .map { case (v, i) => (i, v) }
     for (_ <- 1 to iters) {
-      val cDf = centroids.toSeq.toDF("centroid_id", "centroid")
-      val assigned = base.join(broadcast(cDf))
-        .select(col("item_id"), col("item_vec"), col("centroid_id"),
-          cosine_sim(col("item_vec"), col("centroid")).as("c_sim"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("item_id")).orderBy(col("c_sim").desc, col("centroid_id").asc)))
-        .filter(col("rn") === 1)
-      // per-cell mean vector (element-wise) — aggregate in the cluster
-      val means = assigned
-        .select(col("centroid_id"), posexplode(col("item_vec")))
+      // per-cell mean vector (element-wise) — one shuffle of (cell, pos, v)
+      val means = base
+        .select(nearestCell(col("item_vec"), centroids).as("centroid_id"),
+          posexplode(col("item_vec")))
         .groupBy(col("centroid_id"), col("pos"))
         .agg(avg(col("col")).as("m"))
         .collect().groupBy(_.getInt(0))
@@ -73,40 +88,36 @@ object Similarity {
       // empty cells keep their previous centroid
       centroids = centroids.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }
-    centroids.toSeq.toDF("centroid_id", "centroid")
+    base.unpersist()
+    centroids
   }
 
-  /** Assign every corpus vector to its nearest centroid (broadcast the tiny
-    * centroid set; pick argmax cosine with a per-vector window). */
-  def assignCells(corpus: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val scored = corpus.select(col(idCol).as("item_id"), col(vecCol).as("item_vec"))
-      .join(broadcast(centroids))
-      .select(col("item_id"), col("item_vec"), col("centroid_id"),
-        cosine_sim(col("item_vec"), col("centroid")).as("c_sim"))
-    val w = Window.partitionBy(col("item_id")).orderBy(col("c_sim").desc, col("centroid_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("item_id"), col("item_vec"), col("centroid_id"))
-  }
+  /** Assign every corpus vector to its nearest centroid — pure map-side
+    * expression (the "write-time" step of a real IVF index build). */
+  def assignCells(corpus: DataFrame, centroids: Array[(Int, Array[Float])],
+      idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("item_id"), col(vecCol).as("item_vec"),
+      nearestCell(col(vecCol), centroids).as("centroid_id"))
 
-  /** IVF search: probe the `nprobe` nearest cells per query, exact cosine
-    * within the probed cells, top-k per query. */
+  /** IVF search: probe the `nprobe` nearest cells per query (map-side sort
+    * of the literal centroid scores), exact cosine within the probed cells,
+    * top-k per query. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val centroids = coarseCentroids(corpus, idCol, vecCol, nlist)
     val cells = assignCells(corpus, centroids, idCol, vecCol)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
-    val qCells = q.join(broadcast(centroids))
-      .select(col("query_id"), col("query_vec"), col("centroid_id"),
-        cosine_sim(col("query_vec"), col("centroid")).as("c_sim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("c_sim").desc, col("centroid_id").asc)))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("query_vec"), col("centroid_id"))
-    val scored = qCells.join(cells, Seq("centroid_id"))
+    // probe cells: descending (s, ncid) = best score first, ties → lowest id
+    val qCells = q
+      .select(col("query_id"), col("query_vec"),
+        explode(slice(reverse(array_sort(centroidScores(col("query_vec"), centroids))),
+          1, nprobe)).as("probe"))
+      .select(col("query_id"), col("query_vec"), (-col("probe.ncid")).as("centroid_id"))
+    val scored = cells.join(broadcast(qCells), Seq("centroid_id"))
       .filter(col("item_id") =!= col("query_id"))
       .select(col("query_id"), col("item_id"),
         cosine_sim(col("query_vec"), col("item_vec")).as("cos_sim"))
-      // a vector can be reached via multiple probed cells of different bands — dedupe
+      // a vector can be reached via multiple probed cells — dedupe
       .groupBy(col("query_id"), col("item_id")).agg(max(col("cos_sim")).as("cos_sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("item_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -19,9 +19,19 @@ object Skew {
     * `saltFactor` sub-keys; the small side replicates `saltFactor`×. The
     * shuffle then spreads a hot key over `saltFactor` reducers instead of
     * melting one. */
+  private val SaltSafeJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti")
+
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    // The salt rewrite only preserves semantics when unmatched SMALL-side
+    // rows are never null-extended: a right/full join would emit one
+    // null-extended row per salt replica (saltFactor duplicates).
+    require(SaltSafeJoinTypes.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin: unsupported joinType '$joinType' — the salt rewrite is " +
+        "only correct for inner/left/left_semi/left_anti joins")
     val salted = large.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
     val replicated = small.withColumn("__salt",

@@ -41,14 +41,26 @@ object Breadth {
        |ORDER BY rf, ls""".stripMargin
 
   // ---------------------------------------------------------------- q17 set ops
+  /** UNION / INTERSECT / EXCEPT results in ONE aggregation: tag each side,
+    * fold per-key presence flags, derive the set memberships with a
+    * generator. The naive operator chain (distinct ×2 + union.distinct +
+    * intersect + except) runs 5+ exchanges over the same two key columns;
+    * this is a single shuffle — the rewrite every engine's set-operator
+    * planner performs at scale. (Equivalence to Spark's native
+    * INTERSECT/EXCEPT operators is pinned by SetOpsSpec; the DuckDB oracle
+    * pins the SQL semantics.) */
   def q17SetOps(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cn = t(s, dir, "customer").select($"c_nationkey".as("k")).distinct()
-    val sn = t(s, dir, "supplier").select($"s_nationkey".as("k")).distinct()
-    val union = cn.union(sn).distinct().withColumn("op", lit("union"))
-    val inter = cn.intersect(sn).withColumn("op", lit("intersect"))
-    val exc = cn.except(sn).withColumn("op", lit("except"))
-    union.unionByName(inter).unionByName(exc)
+    val tagged = t(s, dir, "customer").select($"c_nationkey".as("k"), lit(1).as("c"), lit(0).as("su"))
+      .unionAll(t(s, dir, "supplier").select($"s_nationkey".as("k"), lit(0), lit(1)))
+    tagged.groupBy($"k")
+      .agg(max($"c").as("in_c"), max($"su").as("in_s"))
+      .select($"k", explode(concat(
+        array(lit("union")),
+        when($"in_c" === 1 && $"in_s" === 1, array(lit("intersect")))
+          .otherwise(array().cast("array<string>")),
+        when($"in_c" === 1 && $"in_s" === 0, array(lit("except")))
+          .otherwise(array().cast("array<string>")))).as("op"))
       .select($"op", $"k")
       .orderBy($"op", $"k")
   }
@@ -216,7 +228,9 @@ object Breadth {
   // -------------------------------------------------------------- q22 sketches
   // Rows-only: approximate aggregates (HLL distinct, quantile sketch) beside
   // their exact counterparts — sketch values are engine-specific, so the
-  // accuracy contract is the ScalaTest bound, not a DuckDB hash.
+  // accuracy contract is the ScalaTest bound, not a DuckDB hash. Quantiles
+  // are emitted as scalar columns (no array-typed output: the driver's
+  // comparator sorts result columns with pandas, which cannot hash arrays).
   def q22Sketches(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "lineitem")
@@ -224,8 +238,9 @@ object Breadth {
       .agg(
         countDistinct($"l_orderkey").as("exact_distinct"),
         approx_count_distinct($"l_orderkey", 0.02).as("approx_distinct"),
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("price_quantiles"),
-        expr("percentile_approx(l_quantity, 0.5, 1000)").as("median_qty"))
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_price"),
+        expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("p95_price"),
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("median_qty"))
       .orderBy($"l_returnflag")
   }
 

@@ -49,16 +49,19 @@ object Extensions {
   }
   val x03Sql: String = {
     val stops = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    // Tokenize with regexp_split_to_array('\s+') — the exact split the Spark
+    // side uses; a plain ' ' split diverges on tabs/newlines/double spaces.
+    val toks = """regexp_split_to_array(lower(text), '\s+')"""
     s"""SELECT doc_id,
        |  CAST(length(text) AS DOUBLE) AS n_chars,
        |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
        |    / NULLIF(CAST(length(text) AS DOUBLE), 0.0) AS punct_ratio,
-       |  CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ($stops))) AS DOUBLE)
-       |    / NULLIF(CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 0.0) AS stopword_ratio,
-       |  (CAST(length(text) AS DOUBLE) - (CAST(len(string_split(lower(text), ' ')) AS DOUBLE) - 1.0))
-       |    / NULLIF(CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 0.0) AS mean_word_len,
-       |  (CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ($stops))) AS DOUBLE)
-       |    / NULLIF(CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 0.0)) * 2.0
+       |  CAST(len(list_filter($toks, w -> w IN ($stops))) AS DOUBLE)
+       |    / NULLIF(CAST(len($toks) AS DOUBLE), 0.0) AS stopword_ratio,
+       |  (CAST(length(text) AS DOUBLE) - (CAST(len($toks) AS DOUBLE) - 1.0))
+       |    / NULLIF(CAST(len($toks) AS DOUBLE), 0.0) AS mean_word_len,
+       |  (CAST(len(list_filter($toks, w -> w IN ($stops))) AS DOUBLE)
+       |    / NULLIF(CAST(len($toks) AS DOUBLE), 0.0)) * 2.0
        |    + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
        |             / NULLIF(CAST(length(text) AS DOUBLE), 0.0)) AS quality_score
        |FROM documents ORDER BY doc_id""".stripMargin
@@ -77,12 +80,15 @@ object Extensions {
   }
 
   // ------------------------------------------------------------ x05 fingerprint
-  // Rows-only: winnowing fingerprint (custom expression).
+  // Rows-only: winnowing fingerprint (custom expression). The fingerprint
+  // array is emitted as a CSV string: the driver's comparator sorts columns
+  // with pandas, which cannot hash array cells.
   def x05Fingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")
       .select($"doc_id", size($"fingerprint").as("n_fingerprints"),
-        $"fingerprint", $"content_hash")
+        array_join($"fingerprint".cast("array<string>"), ",").as("fingerprint_csv"),
+        $"content_hash")
       .orderBy($"doc_id")
   }
 
@@ -256,8 +262,8 @@ object Extensions {
   // Rows-only: the composed quality→language→dedup→cap pipeline.
   def x18Curation(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (curated, _) = Curation.curate(docs(s, dir), maxPerSource = 20)
-    curated.select($"doc_id", $"source", $"lang").orderBy($"doc_id")
+    Curation.curateFlow(docs(s, dir), maxPerSource = 20)
+      .select($"doc_id", $"source", $"lang").orderBy($"doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -65,42 +65,88 @@ object EventStreams {
   case class SessionState(sessionSeq: Long, lastUs: Long, startUs: Long,
       n: Long, total: Double)
 
+  private def micros(e: Event): Long =
+    e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
+
+  /** The shared gap fold: run `sorted` events through the session automaton
+    * starting from `start` (an open session carried in from earlier
+    * micro-batches, or None). Returns (closed sessions, the still-open
+    * trailing session). Session ids continue across calls — the resumed
+    * state keeps its sessionSeq, and a gap against the CARRIED lastUs closes
+    * the prior session and increments the seq. */
+  private def foldSessions(userId: Long, sorted: Seq[Event],
+      start: Option[SessionState], gapUs: Long): (Seq[SessionAgg], Option[SessionState]) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
+    var st = start
+    sorted.foreach { e =>
+      val us = micros(e)
+      st match {
+        case None =>
+          st = Some(SessionState(1L, us, us, 1L, e.value))
+        case Some(s) if us - s.lastUs > gapUs =>
+          out += SessionAgg(userId, s.sessionSeq, s.n, s.startUs, s.lastUs, s.total)
+          st = Some(SessionState(s.sessionSeq + 1, us, us, 1L, e.value))
+        case Some(s) =>
+          st = Some(s.copy(lastUs = us, n = s.n + 1, total = s.total + e.value))
+      }
+    }
+    (out.toSeq, st)
+  }
+
   /** 30-minute-gap sessionization with explicit keyed state
     * (flatMapGroupsWithState) — the streaming twin of
-    * Extensions.x13Sessionize. Emits a session when the gap closes it;
-    * processing-time timeout flushes idle state.
+    * Extensions.x13Sessionize, for UNBOUNDED input.
     *
-    * Batch usage: on a batch Dataset each user's full history arrives as one
-    * group in ts order (sorted below), producing exactly the batch result. */
-  def sessionize(events: Dataset[Event], gapUs: Long = 1800L * 1000000L): Dataset[SessionAgg] = {
+    * Cross-batch semantics: a session is emitted when a later event closes
+    * it (gap exceeded) or when the EVENT-TIME watermark passes its end plus
+    * the gap (idle flush via timeout) — each session exactly once, with
+    * session ids that continue across micro-batches (the open session rides
+    * in state, never re-emitted). A watermark is applied here
+    * (`watermarkDelay`) because EventTimeTimeout requires one; it also
+    * bounds state: idle users' state is removed on flush.
+    *
+    * For complete batch input use [[sessionizeBatch]], which also emits the
+    * trailing open sessions. */
+  def sessionize(events: Dataset[Event], gapUs: Long = 1800L * 1000000L,
+      watermarkDelay: String = "1 hour"): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionAgg](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastUs + gap with no new events: the held
+            // session can never be extended — flush it and drop the state
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionAgg(userId, s.sessionSeq, s.n, s.startUs, s.lastUs, s.total))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (micros(e), e.event_id))
+            val (closed, open) = foldSessions(userId, sorted, state.getOption, gapUs)
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastUs / 1000 + gapUs / 1000)
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** Batch sessionization over COMPLETE per-user history: the same gap fold,
+    * with the trailing session emitted (the input is the whole history, so
+    * every session is closed). No state API involved — in batch there is
+    * nothing to carry between invocations. */
+  def sessionizeBatch(events: Dataset[Event], gapUs: Long = 1800L * 1000000L): Dataset[SessionAgg] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionAgg](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (userId, it, state: GroupState[SessionState]) =>
-          def micros(e: Event): Long = e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
-          val sorted = it.toSeq.sortBy(e => (micros(e), e.event_id))
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L, 0.0))
-          sorted.foreach { e =>
-            val us = micros(e)
-            if (st.n == 0L) {
-              st = SessionState(1L, us, us, 1L, e.value)
-            } else if (us - st.lastUs > gapUs) {
-              out += SessionAgg(userId, st.sessionSeq, st.n, st.startUs, st.lastUs, st.total)
-              st = SessionState(st.sessionSeq + 1, us, us, 1L, e.value)
-            } else {
-              st = st.copy(lastUs = us, n = st.n + 1, total = st.total + e.value)
-            }
-          }
-          if (st.n > 0) {
-            // emit the trailing open session too (batch semantics; a real
-            // stream would hold it in state until timeout)
-            out += SessionAgg(userId, st.sessionSeq, st.n, st.startUs, st.lastUs, st.total)
-            state.update(st.copy(n = 0L))
-          }
-          out.iterator
+      .flatMapGroups { (userId: Long, it: Iterator[Event]) =>
+        val sorted = it.toSeq.sortBy(e => (micros(e), e.event_id))
+        val (closed, open) = foldSessions(userId, sorted, None, gapUs)
+        (closed ++ open.map(s =>
+          SessionAgg(userId, s.sessionSeq, s.n, s.startUs, s.lastUs, s.total))).iterator
       }
   }
 }

@@ -102,6 +102,31 @@ class DedupSimilaritySpec extends SparkSpec {
     ivf.values.foreach(v => assert(v.length <= 10))
   }
 
+  test("LSH bucket kernel: mega-buckets drop with bounded state, small buckets pair up") {
+    import spark.implicits._
+    // one degenerate bucket (60 ids sharing a band hash) over the cap of 10,
+    // one healthy bucket of 3, one singleton
+    val banded = ((1L to 60L).map(id => (id, 0, 111L)) ++
+      Seq((101L, 1, 222L), (102L, 1, 222L), (103L, 1, 222L)) ++
+      Seq((200L, 2, 333L)))
+      .toDF("doc_id", "band_idx", "band_hash")
+    val pairs = Dedup.bucketCandidatePairs(banded, "band_idx", "band_hash", maxBucketSize = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((101L, 102L), (101L, 103L), (102L, 103L)),
+      s"mega-bucket must be dropped, singleton ignored: $pairs")
+  }
+
+  test("bounded_collect_set: saturates to NULL past the cap, exact below it") {
+    import spark.implicits._
+    import graft.functions.BoundedLongSet.bounded_collect_set
+    val df = ((1L to 20L).map(v => ("big", v)) ++ Seq(("small", 7L), ("small", 7L), ("small", 3L)))
+      .toDF("g", "v").repartition(4) // force partial buffers + merge
+    val rows = df.groupBy($"g").agg(bounded_collect_set($"v", 5).as("ids"))
+      .collect().map(r => r.getString(0) -> Option(r.getSeq[Long](1))).toMap
+    assert(rows("big").isEmpty, "over-cap group must evaluate to NULL")
+    assert(rows("small").get.sorted == Seq(3L, 7L), "distinct + exact below cap")
+  }
+
   test("embedding near-dup candidates carry exact cosine, highest first") {
     import spark.implicits._
     val top = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding")

@@ -12,8 +12,9 @@ class SketchSpec extends SparkSpec {
       val approx = r.getLong(r.fieldIndex("approx_distinct"))
       assert(math.abs(approx - exact).toDouble / exact < 0.05,
         s"flag ${r.getString(0)}: approx $approx vs exact $exact")
-      val qs = r.getSeq[Double](r.fieldIndex("price_quantiles"))
-      assert(qs.length == 2 && qs(0) <= qs(1))
+      val p50 = r.getDouble(r.fieldIndex("p50_price"))
+      val p95 = r.getDouble(r.fieldIndex("p95_price"))
+      assert(p50 <= p95)
       val med = r.getDouble(r.fieldIndex("median_qty"))
       assert(med >= 1.0 && med <= 50.0)
     }

@@ -52,9 +52,9 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(_._4).sum == sample.size * 4)
   }
 
-  test("sessionize (flatMapGroupsWithState): gap splits match the batch oracle query") {
+  test("sessionizeBatch: gap splits match the batch oracle query") {
     import spark.implicits._
-    val sessions = EventStreams.sessionize(sample.toDS())
+    val sessions = EventStreams.sessionizeBatch(sample.toDS())
       .collect().sortBy(s => (s.user_id, s.session_id))
     assert(sessions.map(s => (s.user_id, s.session_id, s.n_events)).toSeq ==
       Seq((1L, 1L, 2L), (1L, 2L, 1L), (1L, 3L, 1L), (2L, 1L, 2L)))
@@ -71,9 +71,51 @@ class StreamingSpec extends SparkSpec {
       .groupBy($"user_id").agg(count(lit(1)).as("n_sessions"))
       .as[(Long, Long)].collect().toMap
     // session boundaries identical → same per-user session counts
-    val statefulCounts = EventStreams.sessionize(events)
+    val statefulCounts = EventStreams.sessionizeBatch(events)
       .groupBy($"user_id").agg(count(lit(1))).as[(Long, Long)].collect().toMap
     assert(statefulCounts == oracle)
+  }
+
+  test("sessionize (streaming): sessions span micro-batches, ids continue, idle flush via watermark") {
+    import spark.implicits._
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.sessionize(input.toDS(), watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("session_stream_test")
+      .outputMode("append").start()
+    def emitted(): Seq[(Long, Long, Long, Double)] =
+      spark.table("session_stream_test")
+        .select($"user_id", $"session_id", $"n_events", $"total_value")
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    try {
+      // batch 1: user 1 opens a session (t5, t20); user 2 opens one (t10, t11)
+      input.addData(Seq(sample(0), sample(1), sample(4), sample(5)))
+      q.processAllAvailable()
+      // open sessions are HELD, not emitted (the round-1 bug emitted them
+      // every micro-batch and re-numbered them on the next)
+      assert(emitted().isEmpty, s"open sessions must not be emitted: ${emitted()}")
+
+      // batch 2: user 1 at t65 — 45-min gap closes session 1 exactly once,
+      // and the CARRIED state numbers the new session 2 (not a reset to 1).
+      // (The advanced watermark may also flush user 2's idle session in the
+      // follow-up micro-batch — that's the timeout path working early.)
+      input.addData(Seq(sample(2)))
+      q.processAllAvailable()
+      assert(emitted().contains((1L, 1L, 2L, 15.0)), s"session 1 must close once: ${emitted()}")
+      assert(!emitted().exists(r => r._1 == 1L && r._2 == 2L), s"session 2 still open: ${emitted()}")
+
+      // batch 3: user 3 far in the future pushes the watermark past every
+      // held session's end+gap → idle sessions flush via event-time timeout
+      input.addData(Seq(Event(7, ts(500), 3, "click", 1.0)))
+      q.processAllAvailable()
+      // one more batch so timeouts registered against the new watermark fire
+      input.addData(Seq(Event(8, ts(501), 3, "click", 1.0)))
+      q.processAllAvailable()
+      val rows = emitted()
+      assert(rows.contains((1L, 2L, 1L, 2.0)), s"user 1 session 2 must flush: $rows")
+      assert(rows.contains((2L, 1L, 2L, 2.5)), s"user 2 session 1 must flush: $rows")
+      // no duplicates: each emitted (user, session) appears exactly once
+      assert(rows.map(r => (r._1, r._2)).distinct.size == rows.size, s"duplicate emissions: $rows")
+    } finally q.stop()
   }
 
   test("streamingDedup drops cross-batch duplicates within the watermark") {

@@ -37,6 +37,21 @@ class TopKAggSpec extends SparkSpec {
     assert(buf.sortedDescending == Seq((9.0, 1L), (9.0, 3L), (5.0, 1L), (3.0, 2L)))
   }
 
+  test("NaN ord values sort greatest (Spark semantics) and stay evictable") {
+    // NaN lands at the TOP (Spark sorts NaN as greater than any double), and
+    // a NaN at the heap root must not block later inserts (primitive <
+    // comparisons would make worse(NaN, …) always false).
+    val buf = new TopKBuffer(2)
+    buf.insert(Double.NaN, 7L); buf.insert(1.0, 1L); buf.insert(2.0, 2L)
+    val got = buf.sortedDescending
+    assert(got.head._1.isNaN && got.head._2 == 7L)
+    assert(got(1) == (2.0, 2L))
+    // two NaNs tie on ord → id ASC decides; a better (smaller-id) NaN evicts
+    val b2 = new TopKBuffer(2)
+    b2.insert(Double.NaN, 9L); b2.insert(Double.NaN, 4L); b2.insert(Double.NaN, 2L)
+    assert(b2.sortedDescending.map(_._2) == Seq(2L, 4L))
+  }
+
   test("fewer rows than k returns all, sorted") {
     val buf = new TopKBuffer(10)
     buf.insert(2.0, 5L); buf.insert(7.0, 1L)
