@@ -254,10 +254,10 @@ object Ops {
   }
 
   // ------------------------------------------------------------ text analysis
-  private val langNames = Array("de", "en", "es", "fr")
+  private[graft] val langNames = Array("de", "en", "es", "fr")
   // Tiny public-knowledge character-bigram marker profiles. Scores are summed
   // marker hits per language; CJK codepoints short-circuit to "zh".
-  private val langMarkers: Array[Array[String]] = Array(
+  private[graft] val langMarkers: Array[Array[String]] = Array(
     Array("ch", "ei", "ie", "sch", "un", "der", "die", "und", "ung", "ß", "ü", "ö", "ä"), // de
     Array("th", "he", "ing", "er", "an", " the ", " of ", " and ", " is ", " to "),       // en
     Array("ll", "ñ", "ci", "os", "as", " el ", " la ", " de ", " que ", " los "),          // es

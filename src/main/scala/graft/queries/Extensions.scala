@@ -68,8 +68,6 @@ object Extensions {
   }
 
   // ------------------------------------------------------------ x04 language id
-  // Rows-only: the n-gram marker heuristic is a custom expression; its exact
-  // oracle lives in the ScalaTest suite.
   def x04LangId(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     TextAnalysis.languageId(docs(s, dir), "doc_id", "text")
@@ -77,6 +75,36 @@ object Extensions {
       .select($"doc_id", $"lang_pred", $"lang".as("lang_labeled"),
         ($"lang_pred" === $"lang").as("agree"))
       .orderBy($"doc_id")
+  }
+  /** DuckDB oracle generated FROM the same marker tables the LangId
+    * expression uses (graft.functions.Ops.langMarkers): per-marker
+    * overlapping-occurrence counts via substr-scan, CJK short-circuit,
+    * argmax with first-language tie-break — the heuristic, re-spelled in
+    * SQL, stays in lock-step with the Scala kernel. */
+  val x04Sql: String = {
+    import graft.functions.Ops.{langMarkers, langNames}
+    def cnt(m: String): String = {
+      val L = m.codePointCount(0, m.length)
+      s"len(list_filter(range(1, greatest(len(s) - $L + 2, 1)), i -> substr(s, i, $L) = '$m'))"
+    }
+    def score(ms: Array[String]): String = ms.map(cnt).mkString("(", " + ", ")")
+    val scores = langMarkers.zipWithIndex
+      .map { case (ms, i) => s"${score(ms)} AS s$i" }.mkString(",\n  ")
+    // argmax, ties to the FIRST language in langNames order (>= chain)
+    val pick = langNames.init.zipWithIndex.map { case (name, i) =>
+      val geRest = ((i + 1) until langNames.length).map(j => s"s$i >= s$j").mkString(" AND ")
+      s"WHEN $geRest THEN '$name'"
+    }.mkString(" ")
+    val caseExpr =
+      s"CASE WHEN zh THEN 'zh' $pick ELSE '${langNames.last}' END"
+    s"""WITH st AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS s FROM documents),
+       |sc AS (SELECT doc_id, lang,
+       |  regexp_matches(s, '[\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}]') AS zh,
+       |  $scores
+       |FROM st)
+       |SELECT doc_id, $caseExpr AS lang_pred, lang AS lang_labeled,
+       |  ($caseExpr = lang) AS agree
+       |FROM sc ORDER BY doc_id""".stripMargin
   }
 
   // ------------------------------------------------------------ x05 fingerprint
@@ -144,6 +172,22 @@ object Extensions {
     Similarity.bruteForceTopK(e, e.filter($"vec_id" < 10), "vec_id", "embedding", k = 10)
       .orderBy($"query_id", $"rank")
   }
+  /** Full-precision DuckDB oracle: `list_reduce` folds left-to-right, which
+    * reproduces the CosineSim kernel's accumulation order exactly — the
+    * doubles hash-match bit-for-bit, no rounding needed. */
+  val x09Sql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS item_id, embedding AS iv FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, item_id,
+      |    list_reduce(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE)*CAST(iv[i] AS DOUBLE)), (a,b) -> a+b)
+      |    / (sqrt(list_reduce(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE)*CAST(qv[i] AS DOUBLE)), (a,b) -> a+b))
+      |     * sqrt(list_reduce(list_transform(range(1, len(iv)+1), i -> CAST(iv[i] AS DOUBLE)*CAST(iv[i] AS DOUBLE)), (a,b) -> a+b))) AS cos_sim
+      |  FROM q JOIN c ON item_id <> query_id),
+      |ranked AS (SELECT query_id, item_id, cos_sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, item_id) AS rank FROM scored)
+      |SELECT query_id, item_id, cos_sim, rank FROM ranked WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
 
   // ------------------------------------------------------------ x10 ANN IVF
   def x10AnnIvf(s: SparkSession, dir: String): DataFrame = {
@@ -290,7 +334,9 @@ object Extensions {
     "x01_dedup_exact" -> x01Sql,
     "x02_token_count" -> x02Sql,
     "x03_quality_score" -> x03Sql,
+    "x04_lang_id" -> x04Sql,
     "x08_ngram_jaccard" -> x08Sql,
+    "x09_ann_bruteforce" -> x09Sql,
     "x12_events_window" -> x12Sql,
     "x13_sessionize" -> x13Sql,
     "x14_json_extract" -> x14Sql)
