@@ -2,8 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
-
 import graft.functions.Exprs._
 
 /** Deduplication operators for large-scale corpus curation.
@@ -31,10 +29,18 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
-  /** The surviving rows themselves (all columns), keep-lowest-id. */
+  /** The surviving rows themselves (all columns), keep-lowest-id.
+    *
+    * Spelled as `min_by(struct(row), id)` under a hash aggregate — O(1)
+    * state per distinct text, map-side partial merge, no sort — where the
+    * row_number-window spelling sorts every partition of the corpus. ids are
+    * unique, so min_by is deterministic. */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
-    docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val cols = docs.columns
+    docs
+      .groupBy(md5(col(textCol)).as("__text_hash"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__row"))
+      .select(cols.map(c => col(s"__row.`$c`").as(c)): _*)
   }
 
   // ---------------------------------------------------------------- minhash
