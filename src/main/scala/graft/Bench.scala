@@ -19,14 +19,16 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .selectExpr("sum(l_quantity)").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted by name: Map iteration order would vary run-to-run, shifting
+    // which queries absorb residual warmup — stable order, comparable rounds
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

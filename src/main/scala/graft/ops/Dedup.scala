@@ -31,10 +31,14 @@ object Dedup {
 
   /** The surviving rows themselves (all columns), keep-lowest-id.
     *
-    * Spelled as `min_by(struct(row), id)` under a hash aggregate — O(1)
-    * state per distinct text, map-side partial merge, no sort — where the
-    * row_number-window spelling sorts every partition of the corpus. ids are
-    * unique, so min_by is deterministic. */
+    * Spelled as `min_by(struct(row), id)` — an aggregate with O(1) state per
+    * distinct text and a map-side partial merge, so duplicate texts collapse
+    * BEFORE the shuffle: only one surviving row per (mapper, text) moves.
+    * The row_number-window spelling shuffles every input row and cannot
+    * combine. (Struct-valued min_by plans as SortAggregate, not
+    * HashAggregate — the sort is by the 16-byte hash key; the shuffle-volume
+    * win is the point at 100 TB.) ids are unique, so min_by is
+    * deterministic. */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val cols = docs.columns
     docs

@@ -63,4 +63,44 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final aggregate:\n$p")
     assert(!p.contains("WindowExec"), s"no window operator expected:\n$p")
   }
+
+  test("exactDedup: aggregate keep-first with map-side partial combine, no window") {
+    val p = plan(graft.ops.Dedup.exactDedup(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))
+    assert(count(p, "Window") == 0, s"keep-first dedup must not use a window:\n$p")
+    assert(count(p, "SortAggregate") + count(p, "HashAggregate") +
+      count(p, "ObjectHashAggregate") >= 2,
+      s"partial+final aggregate split expected (duplicates collapse pre-shuffle):\n$p")
+    assert(count(p, "Exchange") == 1, s"exactly one shuffle expected:\n$p")
+  }
+
+  test("curateFlow: quality/lang gates fuse into the scan stage as filters") {
+    val p = plan(graft.ops.Curation.curateFlow(
+      spark.read.parquet(s"$dir/documents.parquet")))
+    // the gates are per-row predicates — they must appear as Filter nodes,
+    // never as joins against a derived id list
+    assert(count(p, "Filter") >= 1, s"expected fused filters:\n$p")
+    assert(!p.contains("lang_pred"), s"lang gate must not join a derived frame:\n$p")
+  }
+
+  test("x10 IVF search: centroid assignment is map-side (no join/window before the means)") {
+    val p = plan(Extensions.x10AnnIvf(spark, dir))
+    // one exchange for the candidate dedupe agg, one for the final top-k
+    // window, plus AQE reads — but NO per-assignment window remains
+    // (WindowGroupLimit nodes are the built-in top-k pushdown, not windows)
+    val realWindows = count(p, "Window") - count(p, "WindowGroupLimit")
+    assert(realWindows <= 1, s"only the final top-k window expected:\n$p")
+  }
+
+  test("window top-k spelling gets Spark's built-in group-limit pushdown") {
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.expressions.Window
+    // the x19 oracle spelling: Spark 4 inserts WindowGroupLimit below the
+    // sort (InferWindowGroupLimit) — documents why a custom window→TopKAgg
+    // optimizer rule would be redundant with the built-in path
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)
+    val p = plan(orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3))
+    assert(count(p, "WindowGroupLimit") >= 1, s"expected WindowGroupLimit pushdown:\n$p")
+  }
 }
