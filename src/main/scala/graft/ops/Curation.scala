@@ -54,6 +54,16 @@ object Curation {
     stopRatio >= minStopRatio && meanWordLen <= maxMeanWordLen
   }
 
+  /** Quality + language gates as one map-side filter chain — shared by the
+    * batch flow and the streaming twin (StreamingCuration). */
+  private[graft] def applyGates(docs: DataFrame, textCol: String,
+      minStopRatio: Double, maxMeanWordLen: Double,
+      allowedLangs: Seq[String]): DataFrame =
+    docs
+      .filter(qualityGate(textCol, minStopRatio, maxMeanWordLen))
+      .filter(graft.functions.Exprs.lang_id(col(textCol))
+        .isin(allowedLangs.map(x => x: Any): _*))
+
   /** The composed training-data curation flow over a documents table:
     *  1. quality gate (stopword ratio ≥ min, mean word length in range)
     *  2. language allow-list (heuristic lang-id)
@@ -70,10 +80,7 @@ object Curation {
       maxMeanWordLen: Double = 20.0,
       allowedLangs: Seq[String] = Seq("en", "de", "es", "fr", "zh"),
       maxPerSource: Int = 1000): DataFrame = {
-    val gated = docs
-      .filter(qualityGate(textCol, minStopRatio, maxMeanWordLen))
-      .filter(graft.functions.Exprs.lang_id(col(textCol))
-        .isin(allowedLangs.map(x => x: Any): _*))
+    val gated = applyGates(docs, textCol, minStopRatio, maxMeanWordLen, allowedLangs)
     val nearDeduped = Dedup.minhashDedup(
       Dedup.exactDedup(gated, idCol, textCol), idCol, textCol)
     perGroupCap(nearDeduped, sourceCol, idCol, maxPerSource)

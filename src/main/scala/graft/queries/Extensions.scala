@@ -224,6 +224,31 @@ object Extensions {
        |  COUNT(*) AS n_events, ${sumDecSql("value")} AS total_value
        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  // ------------------------------------------------------------ x20 sliding windows
+  // Overlapping 1-hour windows every 15 minutes — the batch twin of
+  // EventStreams.slidingCounts (each event lands in 4 windows). The oracle
+  // reproduces Spark's epoch-aligned window start arithmetic in µs.
+  def x20SlidingWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select($"window.start".as("window_start"), $"window.end".as("window_end"),
+        $"event_type", $"n_events", $"total_value")
+      .orderBy($"window_start", $"window_end", $"event_type")
+  }
+  val x20Sql: String =
+    s"""WITH e AS (SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+       |w AS (SELECT event_type, value,
+       |        unnest([us - us % 900000000 - CAST(k AS BIGINT) * 900000000 FOR k IN [0,1,2,3]]) AS start_us
+       |      FROM e)
+       |SELECT make_timestamp(start_us) AS window_start,
+       |       make_timestamp(start_us + 3600000000) AS window_end,
+       |       event_type, COUNT(*) AS n_events, ${sumDecSql("value")} AS total_value
+       |FROM w GROUP BY 1,2,3 ORDER BY window_start, window_end, event_type""".stripMargin
+
   // ------------------------------------------------------------ x13 sessionization
   // 30-minute-gap sessions via lag + running sum — the batch twin of the
   // mapGroupsWithState streaming sessionizer.
@@ -327,7 +352,8 @@ object Extensions {
     "x11_embedding_neardup" -> x11EmbeddingNearDup _,
     "x12_events_window" -> x12EventsWindow _,
     "x13_sessionize" -> x13Sessionize _,
-    "x14_json_extract" -> x14JsonExtract _)
+    "x14_json_extract" -> x14JsonExtract _,
+    "x20_sliding_window" -> x20SlidingWindow _)
 
   val oracleSql: Map[String, String] = Map(
     "x17_per_source_cap" -> x17Sql,
@@ -339,5 +365,6 @@ object Extensions {
     "x09_ann_bruteforce" -> x09Sql,
     "x12_events_window" -> x12Sql,
     "x13_sessionize" -> x13Sql,
-    "x14_json_extract" -> x14Sql)
+    "x14_json_extract" -> x14Sql,
+    "x20_sliding_window" -> x20Sql)
 }

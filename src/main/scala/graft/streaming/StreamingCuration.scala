@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twins of the corpus-curation operators (ops.Curation /
+  * ops.Dedup exact path) for a continuously-arriving documents stream.
+  *
+  * Composition mirrors the batch `Curation.curateFlow`:
+  *  1. quality + language gates — STATELESS per-row filters, identical
+  *     Columns as batch (nothing streaming-specific to do);
+  *  2. exact dedup — `dropDuplicatesWithinWatermark` on the 128-bit text
+  *     hash: state bounded by the watermark horizon, duplicates dropped
+  *     across micro-batches;
+  *  3. per-source cap — explicit keyed state (one counter per source):
+  *     the first `n` admitted docs per source pass, everything after drops.
+  *
+  * State-size accounting at 100 TB/day: (2) holds one 16-byte hash per doc
+  * inside the watermark window (the knob is the delay); (3) holds ONE LONG
+  * per distinct source, forever — sources are a small closed set, so
+  * NoTimeout is deliberate (evicting a counter would re-open a capped
+  * source's quota).
+  */
+object StreamingCuration {
+
+  case class DocIn(doc_id: Long, ts: Timestamp, source: String, text: String)
+
+  /** First-n-per-source admission with explicit keyed state. Within a
+    * micro-batch, docs are admitted in `doc_id` order (deterministic); the
+    * admitted count carries across batches, so the cap is global over the
+    * stream's lifetime — the streaming twin of `Curation.perGroupCap`. */
+  def perSourceCapStream(docs: Dataset[DocIn], n: Int): Dataset[DocIn] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Long, DocIn](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[Long]) =>
+          val admitted = state.getOption.getOrElse(0L)
+          val room = math.max(0L, n.toLong - admitted)
+          val kept = it.toSeq.sortBy(d => (d.doc_id, d.ts.getTime)).take(
+            math.min(room, Int.MaxValue.toLong).toInt)
+          state.update(admitted + kept.size)
+          kept.iterator
+      }
+  }
+
+  /** The composed streaming curation flow: gates → cross-batch exact dedup
+    * (watermark-bounded state) → per-source cap. Quality/language gates are
+    * the same map-side predicates the batch flow fuses into the scan. */
+  def curateStream(
+      docs: Dataset[DocIn],
+      watermarkDelay: String = "1 hour",
+      minStopRatio: Double = 0.0,
+      maxMeanWordLen: Double = 20.0,
+      allowedLangs: Seq[String] = Seq("en", "de", "es", "fr", "zh"),
+      maxPerSource: Int = 1000): Dataset[DocIn] = {
+    import docs.sparkSession.implicits._
+    val gated: DataFrame = graft.ops.Curation.applyGates(
+      docs.toDF(), "text", minStopRatio, maxMeanWordLen, allowedLangs)
+    val deduped = gated
+      .withColumn("__text_hash", md5(col("text")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("__text_hash")
+      .drop("__text_hash")
+      .as[DocIn]
+    perSourceCapStream(deduped, maxPerSource)
+  }
+}

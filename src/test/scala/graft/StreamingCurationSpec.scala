@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.StreamingCuration
+import graft.streaming.StreamingCuration.DocIn
+
+/** Streaming curation twins: the stateful per-source cap must behave like
+  * the batch perGroupCap over the stream's lifetime, and the composed flow
+  * must gate + dedup + cap across micro-batches. */
+class StreamingCurationSpec extends SparkSpec {
+
+  private def ts(min: Int): Timestamp = new Timestamp(1704067200000L + min * 60000L)
+
+  // English-looking text that passes the default gates (stopwords present)
+  private def txt(i: Int) = s"the quick brown fox $i is one of the animals in the story"
+
+  test("perSourceCapStream: admission count carries across micro-batches") {
+    import spark.implicits._
+    val input = MemoryStream[DocIn](spark)
+    val q = StreamingCuration.perSourceCapStream(input.toDS(), n = 3)
+      .writeStream.format("memory").queryName("cap_stream_test")
+      .outputMode("append").start()
+    def ids(): Seq[Long] =
+      spark.table("cap_stream_test").select($"doc_id").as[Long].collect().sorted.toSeq
+    try {
+      input.addData(Seq(
+        DocIn(1, ts(1), "web", txt(1)), DocIn(2, ts(2), "web", txt(2)),
+        DocIn(10, ts(1), "books", txt(10))))
+      q.processAllAvailable()
+      assert(ids() == Seq(1L, 2L, 10L), s"under cap, all pass: ${ids()}")
+      // batch 2: web has 1 slot left of 3 — lowest doc_id wins, rest drop
+      input.addData(Seq(
+        DocIn(4, ts(3), "web", txt(4)), DocIn(3, ts(4), "web", txt(3)),
+        DocIn(5, ts(5), "web", txt(5)), DocIn(11, ts(2), "books", txt(11))))
+      q.processAllAvailable()
+      assert(ids() == Seq(1L, 2L, 3L, 10L, 11L),
+        s"web capped at 3 (doc 3 admitted, 4 and 5 dropped): ${ids()}")
+      // batch 3: web stays closed forever
+      input.addData(Seq(DocIn(6, ts(6), "web", txt(6))))
+      q.processAllAvailable()
+      assert(!ids().contains(6L), s"capped source must stay closed: ${ids()}")
+    } finally q.stop()
+  }
+
+  test("curateStream: gates filter, cross-batch exact dups drop, caps hold") {
+    import spark.implicits._
+    val input = MemoryStream[DocIn](spark)
+    val q = StreamingCuration.curateStream(input.toDS(),
+      watermarkDelay = "2 hours", minStopRatio = 0.05, maxPerSource = 2)
+      .writeStream.format("memory").queryName("curate_stream_test")
+      .outputMode("append").start()
+    def ids(): Seq[Long] =
+      spark.table("curate_stream_test").select($"doc_id").as[Long].collect().sorted.toSeq
+    try {
+      input.addData(Seq(
+        DocIn(1, ts(1), "web", txt(1)),
+        DocIn(2, ts(2), "web", "zzz qqq xxx"), // no stopwords → gated out
+        DocIn(3, ts(3), "web", txt(3))))
+      q.processAllAvailable()
+      assert(ids() == Seq(1L, 3L), s"quality gate must drop doc 2: ${ids()}")
+      input.addData(Seq(
+        DocIn(4, ts(4), "web", txt(1)),       // exact dup of doc 1 (prior batch)
+        DocIn(5, ts(5), "books", txt(5)),
+        DocIn(6, ts(6), "web", txt(6))))      // web already at cap 2
+      q.processAllAvailable()
+      assert(ids() == Seq(1L, 3L, 5L),
+        s"dup 4 dropped cross-batch, 6 over cap, 5 admitted: ${ids()}")
+    } finally q.stop()
+  }
+}
