@@ -286,6 +286,59 @@ object Breadth {
       |WHERE token <> ''
       |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin
 
+  // ------------------------------------------------------ q25 fuzzy matching
+  /** Edit-distance fuzzy matching over name pairs — the general form of the
+    * reference's join-key normalization (P10 normalizes then equi-joins;
+    * when normalization can't align keys, bounded levenshtein is the
+    * standard fallback). Pairs block on name length (edit distance 1 can't
+    * change length by more than 1) so the quadratic distance only runs
+    * within blocks — the blocking-key pattern that makes fuzzy matching
+    * feasible at scale; here blocks also bound the join's skew. */
+  def q25FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "supplier").select($"s_suppkey".as("k"), $"s_name".as("name"))
+    val a = base.select($"k".as("k_a"), $"name".as("name_a"))
+    val b = base.select($"k".as("k_b"), $"name".as("name_b"))
+    a.join(b, abs(length($"name_a") - length($"name_b")) <= 1 && $"k_a" < $"k_b")
+      .select($"k_a", $"k_b", levenshtein($"name_a", $"name_b").as("edit_dist"))
+      .filter($"edit_dist" <= 1)
+      .orderBy($"k_a", $"k_b")
+  }
+  val q25Sql: String =
+    """WITH base AS (SELECT s_suppkey AS k, s_name AS name FROM supplier)
+      |SELECT a.k AS k_a, b.k AS k_b, levenshtein(a.name, b.name) AS edit_dist
+      |FROM base a JOIN base b
+      |  ON abs(length(a.name) - length(b.name)) <= 1 AND a.k < b.k
+      |WHERE levenshtein(a.name, b.name) <= 1
+      |ORDER BY k_a, k_b""".stripMargin
+
+  // ------------------------------------------------------ q26 date/time functions
+  /** Calendar rollup: year/quarter/month extraction, date_trunc bucketing,
+    * dateadd arithmetic — the date-function surface the reference lacks
+    * entirely (SURVEY §2.7: nothing beyond date.today() for paths). */
+  def q26Datetime(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select(
+        year($"o_orderdate").as("yr"),
+        quarter($"o_orderdate").as("qtr"),
+        month($"o_orderdate").as("mo"),
+        dayofweek($"o_orderdate").as("dow"),
+        $"o_totalprice")
+      .groupBy($"yr", $"qtr", $"mo", $"dow")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast(DecimalType(18, 2))).cast("double").as("revenue"))
+      .orderBy($"yr", $"qtr", $"mo", $"dow")
+  }
+  val q26Sql: String =
+    s"""SELECT EXTRACT(year FROM o_orderdate) AS yr,
+       |  EXTRACT(quarter FROM o_orderdate) AS qtr,
+       |  EXTRACT(month FROM o_orderdate) AS mo,
+       |  EXTRACT(dow FROM o_orderdate) + 1 AS dow,
+       |  COUNT(*) AS n_orders, ${sumDecSql("o_totalprice")} AS revenue
+       |FROM orders GROUP BY 1, 2, 3, 4 ORDER BY yr, qtr, mo, dow""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_bigjoin_revenue" -> q20BigJoinRevenue _,
     "q21_semi_anti" -> q21SemiAnti _,
@@ -294,6 +347,8 @@ object Breadth {
     "q24_token_explode" -> q24TokenExplode _,
     "q16_rollup" -> q16Rollup _,
     "q17_set_ops" -> q17SetOps _,
+    "q25_fuzzy_match" -> q25FuzzyMatch _,
+    "q26_datetime" -> q26Datetime _,
     "q18_window_analytics" -> q18WindowAnalytics _,
     "x16_asof_join" -> x16AsofJoin _,
     "x19_topk_agg" -> x19TopKAgg _)
@@ -305,6 +360,8 @@ object Breadth {
     "q24_token_explode" -> q24Sql,
     "q16_rollup" -> q16Sql,
     "q17_set_ops" -> q17Sql,
+    "q25_fuzzy_match" -> q25Sql,
+    "q26_datetime" -> q26Sql,
     "q18_window_analytics" -> q18Sql,
     "x16_asof_join" -> x16Sql,
     "x19_topk_agg" -> x19Sql)
