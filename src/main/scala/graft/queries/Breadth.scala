@@ -339,6 +339,62 @@ object Breadth {
        |  COUNT(*) AS n_orders, ${sumDecSql("o_totalprice")} AS revenue
        |FROM orders GROUP BY 1, 2, 3, 4 ORDER BY yr, qtr, mo, dow""".stripMargin
 
+  // ------------------------------------------------------ q27 grouping sets
+  /** Explicit GROUPING SETS (disjoint per-flag and per-status slices plus a
+    * grand total in one pass) with grouping_id disambiguation — the general
+    * operator behind q16's ROLLUP. Runs through spark.sql to exercise the
+    * parser path. */
+  def q27GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_rf, g_ls, rf, ls""".stripMargin)
+  }
+  val q27Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY g_rf, g_ls, rf, ls""".stripMargin
+
+  // ------------------------------------------------------ q28 array fold ops
+  /** Higher-order array functions as the vector-math surface: `aggregate`
+    * (left fold) for the squared L2 norm, `zip_with` for an element-wise
+    * product folded to a dot product — all built-ins, no UDF, fully
+    * codegen'd. The oracle's list_reduce folds in the same order, so the
+    * doubles match bit-for-bit. */
+  def q28ArrayFold(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+    val sq = aggregate($"embedding", lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val dotRev = aggregate(
+      zip_with($"embedding", reverse($"embedding"),
+        (a, b) => a.cast("double") * b.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    e.select($"vec_id", sqrt(sq).as("l2_norm"), dotRev.as("dot_reversed"),
+        size($"embedding").as("dim"))
+      .orderBy($"vec_id")
+  }
+  val q28Sql: String =
+    """SELECT vec_id,
+      |  sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS l2_norm,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(list_zip(embedding, list_reverse(embedding)),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, b) -> a + b) AS dot_reversed,
+      |  len(embedding) AS dim
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_bigjoin_revenue" -> q20BigJoinRevenue _,
     "q21_semi_anti" -> q21SemiAnti _,
@@ -349,6 +405,8 @@ object Breadth {
     "q17_set_ops" -> q17SetOps _,
     "q25_fuzzy_match" -> q25FuzzyMatch _,
     "q26_datetime" -> q26Datetime _,
+    "q27_grouping_sets" -> q27GroupingSets _,
+    "q28_array_fold" -> q28ArrayFold _,
     "q18_window_analytics" -> q18WindowAnalytics _,
     "x16_asof_join" -> x16AsofJoin _,
     "x19_topk_agg" -> x19TopKAgg _)
@@ -362,6 +420,8 @@ object Breadth {
     "q17_set_ops" -> q17Sql,
     "q25_fuzzy_match" -> q25Sql,
     "q26_datetime" -> q26Sql,
+    "q27_grouping_sets" -> q27Sql,
+    "q28_array_fold" -> q28Sql,
     "q18_window_analytics" -> q18Sql,
     "x16_asof_join" -> x16Sql,
     "x19_topk_agg" -> x19Sql)
