@@ -395,6 +395,28 @@ object Breadth {
       |  len(embedding) AS dim
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------ q29 exact percentiles
+  /** Exact interpolated percentiles — the exact twin of q22's sketch
+    * quantiles (approx_percentile trades a full sort for bounded-memory
+    * sketches; this is the ground truth it approximates, and the spelling
+    * DuckDB's quantile_cont matches exactly). */
+  def q29ExactPercentile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50_price"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95_price"),
+        expr("percentile(l_quantity, 0.5)").as("median_qty"))
+      .orderBy($"l_returnflag")
+  }
+  val q29Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50_price,
+      |  quantile_cont(l_extendedprice, 0.95) AS p95_price,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_bigjoin_revenue" -> q20BigJoinRevenue _,
     "q21_semi_anti" -> q21SemiAnti _,
@@ -407,6 +429,7 @@ object Breadth {
     "q26_datetime" -> q26Datetime _,
     "q27_grouping_sets" -> q27GroupingSets _,
     "q28_array_fold" -> q28ArrayFold _,
+    "q29_exact_percentile" -> q29ExactPercentile _,
     "q18_window_analytics" -> q18WindowAnalytics _,
     "x16_asof_join" -> x16AsofJoin _,
     "x19_topk_agg" -> x19TopKAgg _)
@@ -422,6 +445,7 @@ object Breadth {
     "q26_datetime" -> q26Sql,
     "q27_grouping_sets" -> q27Sql,
     "q28_array_fold" -> q28Sql,
+    "q29_exact_percentile" -> q29Sql,
     "q18_window_analytics" -> q18Sql,
     "x16_asof_join" -> x16Sql,
     "x19_topk_agg" -> x19Sql)
