@@ -417,6 +417,43 @@ object Breadth {
       |  quantile_cont(l_quantity, 0.5) AS median_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ------------------------------------------------------------- q30 pivot
+  /** groupBy().pivot() — long-to-wide reshaping with an explicit value list
+    * (explicit values keep the plan single-pass; omitting them costs a
+    * distinct-scan first). Oracle is the universal CASE-aggregation
+    * spelling. */
+  def q30Pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum($"l_quantity".cast(DecimalType(18, 2))).cast("double"))
+      .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+      .orderBy($"l_returnflag")
+  }
+  val q30Sql: String =
+    s"""SELECT l_returnflag,
+       |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+       |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ----------------------------------------------------------- q31 unpivot
+  /** unpivot/melt — wide-to-long: the housing burden tiers become
+    * (tier, value) rows; the oracle is the UNION ALL spelling. */
+  def q31Unpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "part")
+      .select($"p_partkey", $"p_retailprice", $"p_size".cast("double").as("p_size"))
+      .unpivot(Array($"p_partkey"), Array($"p_retailprice", $"p_size"),
+        "measure", "value")
+      .orderBy($"p_partkey", $"measure")
+  }
+  val q31Sql: String =
+    """SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS value FROM part
+      |UNION ALL
+      |SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+      |ORDER BY p_partkey, measure""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_bigjoin_revenue" -> q20BigJoinRevenue _,
     "q21_semi_anti" -> q21SemiAnti _,
@@ -430,6 +467,8 @@ object Breadth {
     "q27_grouping_sets" -> q27GroupingSets _,
     "q28_array_fold" -> q28ArrayFold _,
     "q29_exact_percentile" -> q29ExactPercentile _,
+    "q30_pivot" -> q30Pivot _,
+    "q31_unpivot" -> q31Unpivot _,
     "q18_window_analytics" -> q18WindowAnalytics _,
     "x16_asof_join" -> x16AsofJoin _,
     "x19_topk_agg" -> x19TopKAgg _)
@@ -446,6 +485,8 @@ object Breadth {
     "q27_grouping_sets" -> q27Sql,
     "q28_array_fold" -> q28Sql,
     "q29_exact_percentile" -> q29Sql,
+    "q30_pivot" -> q30Sql,
+    "q31_unpivot" -> q31Sql,
     "q18_window_analytics" -> q18Sql,
     "x16_asof_join" -> x16Sql,
     "x19_topk_agg" -> x19Sql)
