@@ -68,4 +68,35 @@ class EdgeCaseSpec extends SparkSpec {
       .select(graft.clean.Silver.guardedPct(col("a"), col("b"))).collect()
     assert(div.head.isNullAt(0))
   }
+
+  test("BoundedLongSet: serialization roundtrips both saturated and exact buffers") {
+    import graft.functions.BoundedLongSet
+    val exact = new BoundedLongSet(5)
+    Seq(3L, 1L, 3L, 2L).foreach(exact.add)
+    val back = BoundedLongSet.fromBytes(5, exact.toBytes)
+    assert(!back.saturated && back.sorted.toSeq == Seq(1L, 2L, 3L))
+    val sat = new BoundedLongSet(2)
+    Seq(1L, 2L, 3L).foreach(sat.add)
+    assert(sat.saturated)
+    val satBack = BoundedLongSet.fromBytes(2, sat.toBytes)
+    assert(satBack.saturated && satBack.sorted.isEmpty)
+    // merging a saturated buffer poisons the target (absorbing)
+    val fresh = new BoundedLongSet(2); fresh.add(9L)
+    fresh.mergeFrom(satBack)
+    assert(fresh.saturated)
+  }
+
+  test("sessionizeBatch on an empty dataset is empty") {
+    import spark.implicits._
+    val empty = spark.emptyDataset[graft.streaming.EventStreams.Event]
+    assert(graft.streaming.EventStreams.sessionizeBatch(empty).count() == 0)
+  }
+
+  test("curateFlow on empty input is empty; perGroupCap n boundary") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, String, String, String)].toDF("doc_id", "text", "source", "lang")
+    assert(Curation.curateFlow(none).count() == 0)
+    val three = Seq((1L, "s"), (2L, "s"), (3L, "s")).toDF("id", "g")
+    assert(Curation.perGroupCap(three, "g", "id", 3).count() == 3)
+  }
 }
