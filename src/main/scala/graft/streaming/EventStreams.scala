@@ -105,6 +105,13 @@ object EventStreams {
     * (`watermarkDelay`) because EventTimeTimeout requires one; it also
     * bounds state: idle users' state is removed on flush.
     *
+    * Identity caveat: `session_id` numbers sessions within one state
+    * lifetime — after an idle flush evicts a user's state, that user's next
+    * burst restarts at 1. The globally unique session key is
+    * `(user_id, start_us)` (both emitted); retaining per-user counters
+    * forever would grow state with every user EVER seen, defeating the
+    * watermark bound that keeps state proportional to ACTIVE users.
+    *
     * For complete batch input use [[sessionizeBatch]], which also emits the
     * trailing open sessions. */
   def sessionize(events: Dataset[Event], gapUs: Long = 1800L * 1000000L,

@@ -86,6 +86,10 @@ class StreamingSpec extends SparkSpec {
       spark.table("session_stream_test")
         .select($"user_id", $"session_id", $"n_events", $"total_value")
         .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    def emittedFull(): Seq[(Long, Long, Long)] =
+      spark.table("session_stream_test")
+        .select($"user_id", $"session_id", $"start_us")
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
     try {
       // batch 1: user 1 opens a session (t5, t20); user 2 opens one (t10, t11)
       input.addData(Seq(sample(0), sample(1), sample(4), sample(5)))
@@ -115,6 +119,19 @@ class StreamingSpec extends SparkSpec {
       assert(rows.contains((2L, 1L, 2L, 2.5)), s"user 2 session 1 must flush: $rows")
       // no duplicates: each emitted (user, session) appears exactly once
       assert(rows.map(r => (r._1, r._2)).distinct.size == rows.size, s"duplicate emissions: $rows")
+
+      // documented identity caveat: after the idle flush evicted user 2's
+      // state, a new burst restarts its numbering at session_id 1 — the
+      // globally unique key is (user_id, start_us), not (user_id, session_id)
+      input.addData(Seq(Event(9, ts(502), 2, "click", 4.0)))
+      q.processAllAvailable()
+      input.addData(Seq(Event(10, ts(600), 3, "click", 1.0)))
+      q.processAllAvailable()
+      input.addData(Seq(Event(11, ts(601), 3, "click", 1.0)))
+      q.processAllAvailable()
+      val u2 = emittedFull().filter(_._1 == 2L)
+      assert(u2.map(_._2) == Seq(1L, 1L), s"post-flush numbering restarts at 1: $u2")
+      assert(u2.map(_._3).distinct.size == 2, s"(user, start_us) stays unique: $u2")
     } finally q.stop()
   }
 
