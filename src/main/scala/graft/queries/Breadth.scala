@@ -142,6 +142,34 @@ object Breadth {
       |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
       |ORDER BY p.event_id""".stripMargin
 
+  // ---------------------------------------------------------- x21 range join
+  /** Interval/range join: per-user event pairs where the second event
+    * follows the first within 5 minutes — an equi key (user_id) bounds the
+    * join so the range predicate `0 < gap <= 5min` evaluates only within
+    * user partitions (never a cross product); the standard
+    * equi-key + band-condition spelling every engine's interval join
+    * reduces to. DuckDB's IEJoin oracle pins the semantics. */
+  def x21RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+    val a = ev.select($"user_id", $"event_id".as("event_a"), $"us".as("us_a"))
+    val b = ev.select($"user_id", $"event_id".as("event_b"), $"us".as("us_b"))
+    a.join(b, Seq("user_id"))
+      .filter($"us_b" > $"us_a" && $"us_b" - $"us_a" <= 300000000L &&
+        $"event_a" =!= $"event_b")
+      .select($"user_id", $"event_a", $"event_b", ($"us_b" - $"us_a").as("gap_us"))
+      .orderBy($"user_id", $"event_a", $"event_b")
+  }
+  val x21Sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+      |SELECT a.user_id AS user_id, a.event_id AS event_a, b.event_id AS event_b,
+      |  b.us - a.us AS gap_us
+      |FROM e a JOIN e b ON a.user_id = b.user_id
+      | AND b.us > a.us AND b.us - a.us <= 300000000
+      | AND a.event_id <> b.event_id
+      |ORDER BY a.user_id, event_a, event_b""".stripMargin
+
   // ------------------------------------------------------- x19 bounded top-k agg
   /** Per-customer top-3 orders via the bounded-heap `top_k` aggregate
     * (graft.functions.TopKAgg) — hash aggregate with O(k) state per key and
@@ -471,7 +499,8 @@ object Breadth {
     "q31_unpivot" -> q31Unpivot _,
     "q18_window_analytics" -> q18WindowAnalytics _,
     "x16_asof_join" -> x16AsofJoin _,
-    "x19_topk_agg" -> x19TopKAgg _)
+    "x19_topk_agg" -> x19TopKAgg _,
+    "x21_range_join" -> x21RangeJoin _)
 
   val oracleSql: Map[String, String] = Map(
     "q20_bigjoin_revenue" -> q20Sql,
@@ -489,5 +518,6 @@ object Breadth {
     "q31_unpivot" -> q31Sql,
     "q18_window_analytics" -> q18Sql,
     "x16_asof_join" -> x16Sql,
-    "x19_topk_agg" -> x19Sql)
+    "x19_topk_agg" -> x19Sql,
+    "x21_range_join" -> x21Sql)
 }
