@@ -34,5 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => Exprs.SimHash64(es(0)))
     inject("lang_id", "lang_id(string) - heuristic language id (de/en/es/fr/zh)",
       es => Exprs.LangId(es(0)))
+
+    // custom operator stack (build-brief preference c): exact-k reservoir
+    // sampling — LogicalPlan + SparkStrategy + SparkPlan
+    ext.injectPlannerStrategy(_ => graft.plans.ReservoirSampleStrategy)
   }
 }

@@ -1,0 +1,110 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, SinglePartition}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+/** Exact-k distributed reservoir sampling as a full custom operator stack —
+  * build-brief preference (c): LogicalPlan + SparkStrategy + SparkPlan,
+  * registered either per-session ([[Reservoir.sample]] self-installs) or at
+  * build time via `graft.GraftExtensions` (spark.sql.extensions).
+  *
+  * Why an operator: "give me exactly k uniformly sampled rows" is a
+  * first-class need of a training-data pipeline (fixed eval sets, bounded
+  * debugging corpora). `df.sample(fraction)` is Bernoulli — the row COUNT
+  * varies; `orderBy(rand()).limit(k)` is exact and Spark plans it as
+  * TakeOrderedAndProject, but it materializes a random sort key per row and
+  * compares keys through the sort machinery. This operator streams each
+  * partition ONCE with an Algorithm-R reservoir (O(k) state, no keys, no
+  * comparator), then merges the per-partition reservoirs weighted by their
+  * observed counts (Efraimidis–Spirakis exponential keys — the same merge
+  * the production sketch libraries use). Exactly min(k, n) rows come out;
+  * only numPartitions × k rows ever move.
+  */
+object Reservoir {
+
+  /** Uniform exact-k sample of `df` (deterministic for a fixed seed +
+    * partitioning). Installs the planner strategy into the session on first
+    * use. */
+  def sample(df: DataFrame, k: Int, seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    GraftBridge.installStrategy(spark, ReservoirSampleStrategy)
+    GraftBridge.ofRows(spark, ReservoirSample(k, seed, GraftBridge.logicalPlan(df)))
+  }
+}
+
+/** Logical node: exactly min(k, |child|) uniformly sampled rows. */
+case class ReservoirSample(k: Int, seed: Long, child: LogicalPlan) extends UnaryNode {
+  require(k > 0, "reservoir: k must be positive")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = Some(k.toLong)
+  override protected def withNewChildInternal(newChild: LogicalPlan): ReservoirSample =
+    copy(child = newChild)
+}
+
+/** Planner strategy: one physical spelling, no alternatives. */
+object ReservoirSampleStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case ReservoirSample(k, seed, child) =>
+      ReservoirSampleExec(k, seed, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical operator: per-partition Algorithm-R reservoirs (single pass,
+  * O(k) state), then a single-task weighted merge. */
+case class ReservoirSampleExec(k: Int, seed: Long, child: SparkPlan)
+  extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = SinglePartition
+  override protected def withNewChildInternal(newChild: SparkPlan): ReservoirSampleExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kk = k
+    val s = seed
+    // Seed hygiene: every RNG stream (each partition, and the merge) gets a
+    // DISTINCT splitmix64-scrambled seed. Deriving them with plain XOR made
+    // partition 0's stream identical to the merge's (s ^ 0 == s), which
+    // correlated merge keys with partition-0 acceptance draws — a real,
+    // test-caught uniformity bias.
+    def scrambled(tag: Long): Long = graft.functions.Ops.splitmix64(s + tag)
+    // stage 1: Algorithm R per partition; emit (rows seen, reservoir)
+    val partials: RDD[(Long, Array[InternalRow])] =
+      child.execute().mapPartitionsWithIndex { (idx, it) =>
+        val rng = new java.util.Random(scrambled(idx.toLong + 1L))
+        val buf = new Array[InternalRow](kk)
+        var n = 0L
+        while (it.hasNext) {
+          val row = it.next()
+          if (n < kk) {
+            buf(n.toInt) = row.copy() // unsafe rows are reused by the iterator
+          } else {
+            val j = (rng.nextDouble() * (n + 1)).toLong
+            if (j < kk) buf(j.toInt) = row.copy()
+          }
+          n += 1
+        }
+        val res = if (n >= kk) buf else java.util.Arrays.copyOf(buf, n.toInt)
+        Iterator.single((n, res))
+      }
+    // stage 2: weighted merge in one task. Each reservoir item stands for
+    // n_i / |res_i| stream rows; Efraimidis–Spirakis assigns key
+    // u^(1/weight) and keeps the k largest — uniform over the union.
+    partials.coalesce(1).mapPartitions { it =>
+      val parts = it.filter(_._1 > 0L).toArray
+      val rng = new java.util.Random(scrambled(0L))
+      val keyed = parts.flatMap { case (n, res) =>
+        val w = n.toDouble / res.length
+        res.map(row => (math.pow(rng.nextDouble(), 1.0 / w), row))
+      }
+      keyed.sortBy(-_._1).take(kk).iterator.map(_._2)
+    }
+  }
+}

@@ -312,6 +312,16 @@ object Extensions {
       .orderBy($"media_id", $"frame_idx")
   }
 
+  // ------------------------------------------------------------ x22 reservoir sample
+  // Rows-only (sampling is engine-specific): exact-k uniform sample through
+  // the custom ReservoirSample operator stack; always exactly 100 rows.
+  def x22ReservoirSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.plans.Reservoir.sample(docs(s, dir), k = 100, seed = 7L)
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
   // ------------------------------------------------------------ x17 per-source cap
   // The per-domain document cap every curation run applies — window
   // row_number per source, fully SQL-expressible.
@@ -353,7 +363,8 @@ object Extensions {
     "x12_events_window" -> x12EventsWindow _,
     "x13_sessionize" -> x13Sessionize _,
     "x14_json_extract" -> x14JsonExtract _,
-    "x20_sliding_window" -> x20SlidingWindow _)
+    "x20_sliding_window" -> x20SlidingWindow _,
+    "x22_reservoir_sample" -> x22ReservoirSample _)
 
   val oracleSql: Map[String, String] = Map(
     "x17_per_source_cap" -> x17Sql,

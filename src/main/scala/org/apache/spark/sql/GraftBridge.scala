@@ -13,4 +13,25 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Wrap a custom LogicalPlan as a DataFrame (classic.Dataset.ofRows is
+    * `private[sql]`). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The logical plan behind a DataFrame. */
+  def logicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].logicalPlan
+
+  /** Idempotently install a planner strategy into a session (the
+    * session-local twin of SparkSessionExtensions.injectPlannerStrategy —
+    * usable on an already-built session). */
+  def installStrategy(spark: SparkSession,
+      strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraStrategies.contains(strategy)) {
+      cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ strategy
+    }
+  }
 }

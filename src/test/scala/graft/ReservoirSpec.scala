@@ -1,0 +1,74 @@
+package graft
+
+import graft.plans.Reservoir
+
+/** Custom operator stack (ReservoirSample logical node → strategy →
+  * ReservoirSampleExec): exact-k cardinality, determinism, uniformity, and
+  * the plan shape. */
+class ReservoirSpec extends SparkSpec {
+
+  test("exactly k rows out; all rows when input smaller than k") {
+    import spark.implicits._
+    val df = (1L to 1000L).toDF("v").repartition(8)
+    assert(Reservoir.sample(df, 25).count() == 25)
+    val small = (1L to 7L).toDF("v").repartition(3)
+    val got = Reservoir.sample(small, 100).as[Long].collect().sorted.toSeq
+    assert(got == (1L to 7L), s"under-k input passes through whole: $got")
+  }
+
+  test("deterministic for a fixed seed and partitioning") {
+    import spark.implicits._
+    val df = (1L to 500L).toDF("v").repartition(4)
+    val a = Reservoir.sample(df, 20, seed = 11L).as[Long].collect().sorted.toSeq
+    val b = Reservoir.sample(df, 20, seed = 11L).as[Long].collect().sorted.toSeq
+    val c = Reservoir.sample(df, 20, seed = 12L).as[Long].collect().sorted.toSeq
+    assert(a == b)
+    assert(a != c, "different seeds should (overwhelmingly) differ")
+  }
+
+  test("sampling is uniform across elements (200 seeds, loose bounds)") {
+    import spark.implicits._
+    val df = (1L to 100L).toDF("v").repartition(4).cache()
+    df.count()
+    val hits = new Array[Int](101)
+    for (seed <- 1 to 200) {
+      Reservoir.sample(df, 10, seed.toLong).as[Long].collect()
+        .foreach(v => hits(v.toInt) += 1)
+    }
+    // each element: Binomial(200, 0.1) → mean 20; P(0 hits) ~ 1e-10,
+    // P(>60 hits) ~ 1e-14 — failures here mean real bias, not bad luck
+    val (mn, mx) = ((1 to 100).map(hits).min, (1 to 100).map(hits).max)
+    assert(mn > 0, s"some element never sampled (min=$mn)")
+    assert(mx <= 60, s"some element over-sampled (max=$mx)")
+    assert(hits.sum == 2000)
+    df.unpersist()
+  }
+
+  test("plan uses ReservoirSampleExec (single pass, no sort of the corpus)") {
+    import spark.implicits._
+    val df = (1L to 100L).toDF("v")
+    val exec = Reservoir.sample(df, 5).queryExecution.executedPlan
+    assert(exec.collect { case e: graft.plans.ReservoirSampleExec => e }.nonEmpty,
+      s"custom exec expected:\n$exec")
+    assert(!exec.toString.contains("TakeOrderedAndProject") &&
+      !exec.toString.toLowerCase.contains("sortexec"),
+      s"no sort machinery expected:\n$exec")
+  }
+
+  test("works through spark.sql.extensions installation (GraftExtensions)") {
+    // a FRESH session built with the extension must plan the operator too
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-reservoir")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import s2.implicits._
+    val df = (1L to 50L).toDF("v")
+    // bypass Reservoir.sample's self-install: build the plan directly so
+    // only the extension-injected strategy can plan it
+    val planned = org.apache.spark.sql.GraftBridge.ofRows(s2,
+      graft.plans.ReservoirSample(5, 3L, org.apache.spark.sql.GraftBridge.logicalPlan(df.toDF())))
+    assert(planned.count() == 5)
+  }
+}
