@@ -318,18 +318,29 @@ object Breadth {
   /** Edit-distance fuzzy matching over name pairs — the general form of the
     * reference's join-key normalization (P10 normalizes then equi-joins;
     * when normalization can't align keys, bounded levenshtein is the
-    * standard fallback). Pairs block on name length (edit distance 1 can't
-    * change length by more than 1) so the quadratic distance only runs
-    * within blocks — the blocking-key pattern that makes fuzzy matching
-    * feasible at scale; here blocks also bound the join's skew. */
+    * standard fallback).
+    *
+    * Candidate generation is the Ed-Join-style SEGMENT pigeonhole, as an
+    * EQUI join: one edit cannot touch both the 9-char prefix and the 9-char
+    * suffix, so every distance-≤1 pair shares at least one of the two
+    * segments at the same slot. Each row explodes into 2 (slot, segment)
+    * keys; candidates equi-join on them (hash join, shuffle on 2n narrow
+    * keys) and only candidates pay the levenshtein. A length/non-equi
+    * "block" would plan as a nested-loop join — quadratic, the thing this
+    * spelling exists to avoid at scale. */
   def q25FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = t(s, dir, "supplier").select($"s_suppkey".as("k"), $"s_name".as("name"))
-    val a = base.select($"k".as("k_a"), $"name".as("name_a"))
-    val b = base.select($"k".as("k_b"), $"name".as("name_b"))
-    a.join(b, abs(length($"name_a") - length($"name_b")) <= 1 && $"k_a" < $"k_b")
+    val seg = base.select($"k", $"name",
+        posexplode(array(substring($"name", 1, 9), expr("right(name, 9)"))))
+      .toDF("k", "name", "slot", "segment")
+    val a = seg.select($"k".as("k_a"), $"name".as("name_a"), $"slot", $"segment")
+    val b = seg.select($"k".as("k_b"), $"name".as("name_b"), $"slot", $"segment")
+    a.join(b, Seq("slot", "segment"))
+      .filter($"k_a" < $"k_b")
       .select($"k_a", $"k_b", levenshtein($"name_a", $"name_b").as("edit_dist"))
       .filter($"edit_dist" <= 1)
+      .distinct() // a pair can match on both segments
       .orderBy($"k_a", $"k_b")
   }
   val q25Sql: String =

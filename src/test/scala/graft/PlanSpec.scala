@@ -92,6 +92,12 @@ class PlanSpec extends SparkSpec {
     assert(realWindows <= 1, s"only the final top-k window expected:\n$p")
   }
 
+  test("q25 fuzzy match: segment blocking is an equi hash join, never nested-loop") {
+    val p = plan(Breadth.q25FuzzyMatch(spark, dir))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"pigeonhole blocking must equi-join:\n$p")
+  }
+
   test("window top-k spelling gets Spark's built-in group-limit pushdown") {
     import org.apache.spark.sql.functions.{col, row_number}
     import org.apache.spark.sql.expressions.Window
