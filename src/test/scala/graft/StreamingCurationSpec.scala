@@ -45,6 +45,42 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curateStream: checkpointed AvailableNow restart is exactly-once (state recovered)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-cur-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-cur-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cur-ckpt").toString
+    val schema = Seq.empty[DocIn].toDS().schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(srcDir).as[DocIn]
+      val q = StreamingCuration.curateStream(stream,
+        watermarkDelay = "365 days", minStopRatio = 0.05, maxPerSource = 2)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    // run 1: two web docs admitted (cap 2 reached), one duplicate-free books doc
+    Seq(DocIn(1, ts(1), "web", txt(1)), DocIn(2, ts(2), "web", txt(2)),
+      DocIn(10, ts(3), "books", txt(10)))
+      .toDS().write.mode("append").parquet(srcDir)
+    runOnce()
+    val after1 = spark.read.parquet(outDir).select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(after1 == Seq(1L, 2L, 10L), s"run 1 admits all three: $after1")
+    // run 2 (restart from checkpoint): a dup of doc 1's TEXT must be dropped
+    // by recovered dedup state; web is at cap from run 1's recovered counter;
+    // one genuinely new books doc passes
+    Seq(DocIn(20, ts(4), "web", txt(1)),   // cross-RESTART duplicate text
+      DocIn(21, ts(5), "web", txt(21)),    // web over recovered cap
+      DocIn(22, ts(6), "books", txt(22)))
+      .toDS().write.mode("append").parquet(srcDir)
+    runOnce()
+    val after2 = spark.read.parquet(outDir).select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(after2 == Seq(1L, 2L, 10L, 22L),
+      s"restart must not re-emit, dup must drop, cap must persist: $after2")
+  }
+
   test("curateStream: gates filter, cross-batch exact dups drop, caps hold") {
     import spark.implicits._
     val input = MemoryStream[DocIn](spark)
