@@ -493,6 +493,38 @@ object Breadth {
       |SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
       |ORDER BY p_partkey, measure""".stripMargin
 
+  // ------------------------------------------------ q32 ranking-family windows
+  /** The rest of the ranking/distribution window family beyond q18's
+    * analytics and q12's rank(): dense_rank, percent_rank, cume_dist,
+    * first_value and nth_value with explicit frames — per-customer
+    * partitions (no global window). */
+  def q32RankingWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice", $"o_orderkey")
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .select(
+        $"o_orderkey", $"o_custkey",
+        dense_rank().over(w).as("dr"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        first_value($"o_orderkey").over(full).as("cheapest_order"),
+        nth_value($"o_orderkey", 2).over(full).as("second_cheapest"))
+      .orderBy($"o_orderkey")
+  }
+  val q32Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  dense_rank() OVER w AS dr,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  first_value(o_orderkey) OVER wf AS cheapest_order,
+      |  nth_value(o_orderkey, 2) OVER wf AS second_cheapest
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+      |  wf AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_bigjoin_revenue" -> q20BigJoinRevenue _,
     "q21_semi_anti" -> q21SemiAnti _,
@@ -508,6 +540,7 @@ object Breadth {
     "q29_exact_percentile" -> q29ExactPercentile _,
     "q30_pivot" -> q30Pivot _,
     "q31_unpivot" -> q31Unpivot _,
+    "q32_ranking_windows" -> q32RankingWindows _,
     "q18_window_analytics" -> q18WindowAnalytics _,
     "x16_asof_join" -> x16AsofJoin _,
     "x19_topk_agg" -> x19TopKAgg _,
@@ -527,6 +560,7 @@ object Breadth {
     "q29_exact_percentile" -> q29Sql,
     "q30_pivot" -> q30Sql,
     "q31_unpivot" -> q31Sql,
+    "q32_ranking_windows" -> q32Sql,
     "q18_window_analytics" -> q18Sql,
     "x16_asof_join" -> x16Sql,
     "x19_topk_agg" -> x19Sql,
