@@ -131,14 +131,39 @@ object Ops {
   }
 
   // --------------------------------------------------------------- simhash
-  /** 64-bit SimHash over token hashes (unit weights). */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes of MD5(UTF-8 bytes) as a big-endian signed long.
+    *
+    * This is the SimHash token hash ON PURPOSE (instead of the faster FNV
+    * used elsewhere): md5 is a cross-engine primitive, so the full 64-bit
+    * signature — and therefore every near-dup verdict derived from it — can
+    * be independently recomputed and audited by ANY engine that reads the
+    * same lake (the DuckDB oracle for x07 does exactly that from
+    * `substr(md5(token), 1, 16)`). Signature stability across engines and
+    * versions is worth one MD5 per token on a once-per-corpus map pass. */
+  def md5Hash64(s: UTF8String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val b = d.digest(s.getBytes)
+    ((b(0) & 0xffL) << 56) | ((b(1) & 0xffL) << 48) | ((b(2) & 0xffL) << 40) |
+      ((b(3) & 0xffL) << 32) | ((b(4) & 0xffL) << 24) | ((b(5) & 0xffL) << 16) |
+      ((b(6) & 0xffL) << 8) | (b(7) & 0xffL)
+  }
+
+  /** 64-bit SimHash over md5-derived token hashes (unit weights). Bit j of
+    * the signature is the sign of the sum over tokens of ±1 on bit j of the
+    * token hash — reproducible bit-for-bit in SQL from md5 hex. */
   def simhash64(tokens: ArrayData): Long = {
     val n = tokens.numElements()
     val acc = new Array[Int](64)
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val h = fnv1a(tokens.getUTF8String(i))
+        val h = md5Hash64(tokens.getUTF8String(i))
         var j = 0
         while (j < 64) {
           if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1

@@ -83,13 +83,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("lang_pred"), s"lang gate must not join a derived frame:\n$p")
   }
 
-  test("x10 IVF search: centroid assignment is map-side (no join/window before the means)") {
-    val p = plan(Extensions.x10AnnIvf(spark, dir))
+  test("IVF search plan: centroid assignment is map-side (no join/window before the means)") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val index = graft.ops.Similarity.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8)
+    val p = plan(graft.ops.Similarity.ivfSearch(index, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 10, nprobe = 4))
     // one exchange for the candidate dedupe agg, one for the final top-k
     // window, plus AQE reads — but NO per-assignment window remains
     // (WindowGroupLimit nodes are the built-in top-k pushdown, not windows)
     val realWindows = count(p, "Window") - count(p, "WindowGroupLimit")
     assert(realWindows <= 1, s"only the final top-k window expected:\n$p")
+    index.cells.unpersist()
   }
 
   test("q25 fuzzy match: segment blocking is an equi hash join, never nested-loop") {

@@ -1,11 +1,21 @@
 package graft
 
-/** Accuracy contract for the approximate aggregates in q22 (sketch values
-  * are engine-specific, so the oracle is a bound, not a hash). */
+/** Accuracy contract for the approximate aggregates behind q22 (sketch
+  * values are engine-specific; the numeric 5% bound lives here, while q22's
+  * DuckDB oracle pins the within-ε booleans + exact distinct counts). */
 class SketchSpec extends SparkSpec {
 
   test("approx distinct within 5% of exact; median quantile sane") {
-    val rows = graft.queries.Breadth.q22Sketches(spark, "/root/testdata/sf0.01").collect()
+    import org.apache.spark.sql.functions._
+    val rows = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_distinct"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_distinct"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_price"),
+        expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("p95_price"),
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("median_qty"))
+      .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val exact = r.getLong(r.fieldIndex("exact_distinct"))
@@ -17,6 +27,17 @@ class SketchSpec extends SparkSpec {
       assert(p50 <= p95)
       val med = r.getDouble(r.fieldIndex("median_qty"))
       assert(med >= 1.0 && med <= 50.0)
+    }
+  }
+
+  test("q22's within-epsilon booleans all hold on real data") {
+    val rows = graft.queries.Breadth.q22Sketches(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("hll_ok", "p50_ok", "p95_ok", "median_ok").foreach { c =>
+        assert(r.getBoolean(r.fieldIndex(c)), s"flag ${r.getString(0)}: $c false")
+      }
+      assert(r.getLong(r.fieldIndex("exact_distinct")) > 0)
     }
   }
 }
