@@ -61,4 +61,71 @@ object Lake {
         s"abfss://$container@$account.dfs.core.windows.net$suffix"
       case other => throw new IllegalArgumentException(s"unknown storage mode: $other")
     }
+
+  /** Account short-name from the reference's `ADLS_ACCOUNT_URL`
+    * (`https://<acct>.dfs.core.windows.net`). */
+  private def accountOf(accountUrl: String): String =
+    accountUrl.stripPrefix("https://").stripPrefix("http://").takeWhile(_ != '.')
+
+  /** The reference's full env contract (`storage_io.py:27-36`) resolved to a
+    * base URI: local mode reuses `ADLS_BASE_PATH` as a local prefix exactly
+    * like `read_bytes` does (`storage_io.py:80-93`). */
+  def resolveBaseFromEnv(env: Map[String, String], localBase: String): String = {
+    val mode = env.getOrElse("PIPELINE_STORAGE_MODE", "local").trim.toLowerCase
+    val basePath = env.getOrElse("ADLS_BASE_PATH", "").strip.stripPrefix("/").stripSuffix("/")
+    mode match {
+      case "local" => if (basePath.isEmpty) localBase else s"$localBase/$basePath"
+      case "adls" => resolveBase("adls", localBase,
+        accountOf(env.getOrElse("ADLS_ACCOUNT_URL", "")),
+        env.getOrElse("ADLS_FILE_SYSTEM", ""), basePath)
+      case other => throw new IllegalArgumentException(s"unknown storage mode: $other")
+    }
+  }
+
+  /** Auth mapping for adls mode — the reference's credential selection
+    * (`storage_io.py:42-58`: connection string if present, else
+    * DefaultAzureCredential ≈ managed identity) re-expressed as the PUBLIC
+    * hadoop-azure ABFS configuration keys (per-account-qualified so two
+    * accounts with different auth coexist in one session):
+    *  - `AZURE_STORAGE_CONNECTION_STRING` set → SharedKey: parse
+    *    `AccountName`/`AccountKey` out of the connection string and set
+    *    `fs.azure.account.key.<acct>.dfs.core.windows.net`.
+    *  - else → OAuth via `MsiTokenProvider` (managed identity, the Azure
+    *    deployment path of DefaultAzureCredential), honouring the
+    *    reference's optional `AZURE_CLIENT_ID` for user-assigned identity.
+    * Returns the key→value map (unit-testable without an account); apply
+    * with [[applyStorageAuth]]. Local mode returns empty. */
+  def adlsHadoopConf(env: Map[String, String]): Map[String, String] = {
+    val mode = env.getOrElse("PIPELINE_STORAGE_MODE", "local").trim.toLowerCase
+    if (mode != "adls") Map.empty
+    else env.get("AZURE_STORAGE_CONNECTION_STRING").filter(_.nonEmpty) match {
+      case Some(cs) =>
+        val kv = cs.split(";").iterator.filter(_.contains("="))
+          .map { p => val i = p.indexOf('='); p.take(i) -> p.drop(i + 1) }.toMap
+        val acct = kv.getOrElse("AccountName",
+          accountOf(env.getOrElse("ADLS_ACCOUNT_URL", "")))
+        require(acct.nonEmpty, "connection string or ADLS_ACCOUNT_URL must name the account")
+        val host = s"$acct.dfs.core.windows.net"
+        Map(
+          s"fs.azure.account.auth.type.$host" -> "SharedKey",
+          s"fs.azure.account.key.$host" -> kv.getOrElse("AccountKey", ""))
+      case None =>
+        val url = env.getOrElse("ADLS_ACCOUNT_URL", "")
+        require(url.nonEmpty, "ADLS_ACCOUNT_URL is required when PIPELINE_STORAGE_MODE=adls")
+        val host = s"${accountOf(url)}.dfs.core.windows.net"
+        Map(
+          s"fs.azure.account.auth.type.$host" -> "OAuth",
+          s"fs.azure.account.oauth.provider.type.$host" ->
+            "org.apache.hadoop.fs.azurebfs.oauth2.MsiTokenProvider") ++
+          env.get("AZURE_CLIENT_ID").filter(_.nonEmpty)
+            .map(id => s"fs.azure.account.oauth2.msi.client.id.$host" -> id)
+    }
+  }
+
+  /** Push the resolved auth keys into the live Hadoop configuration. */
+  def applyStorageAuth(spark: org.apache.spark.sql.SparkSession,
+      env: Map[String, String]): Unit =
+    adlsHadoopConf(env).foreach { case (k, v) =>
+      spark.sparkContext.hadoopConfiguration.set(k, v)
+    }
 }

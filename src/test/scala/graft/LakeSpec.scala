@@ -62,4 +62,50 @@ class LakeSpec extends SparkSpec {
     assert(Lake.path(Lake.resolveBase("local", "/base"), "silver", "housing", "2024-01-01")
       == "/base/silver/housing/ingest_date=2024-01-01")
   }
+
+  test("S7: env contract resolution mirrors storage_io.load_storage_config") {
+    assert(Lake.resolveBaseFromEnv(Map.empty, "/data") == "/data")
+    // local mode reuses ADLS_BASE_PATH as a root prefix (storage_io.py:80-86)
+    assert(Lake.resolveBaseFromEnv(
+      Map("ADLS_BASE_PATH" -> "/edu/"), "/data") == "/data/edu")
+    assert(Lake.resolveBaseFromEnv(Map(
+      "PIPELINE_STORAGE_MODE" -> "adls",
+      "ADLS_ACCOUNT_URL" -> "https://myacct.dfs.core.windows.net",
+      "ADLS_FILE_SYSTEM" -> "lake",
+      "ADLS_BASE_PATH" -> "edu"), "/data")
+      == "abfss://lake@myacct.dfs.core.windows.net/edu")
+    intercept[IllegalArgumentException](
+      Lake.resolveBaseFromEnv(Map("PIPELINE_STORAGE_MODE" -> "s3"), "/data"))
+  }
+
+  test("S7: adls auth env → per-account hadoop-azure conf keys") {
+    // local mode: nothing to configure
+    assert(Lake.adlsHadoopConf(Map.empty).isEmpty)
+    // connection string → SharedKey on the account it names (storage_io.py:45-46)
+    val shared = Lake.adlsHadoopConf(Map(
+      "PIPELINE_STORAGE_MODE" -> "adls",
+      "AZURE_STORAGE_CONNECTION_STRING" ->
+        "DefaultEndpointsProtocol=https;AccountName=myacct;AccountKey=c2VjcmV0;EndpointSuffix=core.windows.net"))
+    assert(shared("fs.azure.account.auth.type.myacct.dfs.core.windows.net") == "SharedKey")
+    assert(shared("fs.azure.account.key.myacct.dfs.core.windows.net") == "c2VjcmV0")
+    // no connection string → OAuth managed identity (DefaultAzureCredential
+    // in Azure, storage_io.py:52-58), honouring AZURE_CLIENT_ID
+    val msi = Lake.adlsHadoopConf(Map(
+      "PIPELINE_STORAGE_MODE" -> "adls",
+      "ADLS_ACCOUNT_URL" -> "https://myacct.dfs.core.windows.net",
+      "AZURE_CLIENT_ID" -> "uami-123"))
+    assert(msi("fs.azure.account.auth.type.myacct.dfs.core.windows.net") == "OAuth")
+    assert(msi("fs.azure.account.oauth.provider.type.myacct.dfs.core.windows.net")
+      .endsWith("MsiTokenProvider"))
+    assert(msi("fs.azure.account.oauth2.msi.client.id.myacct.dfs.core.windows.net") == "uami-123")
+    // adls with neither credential source is a config error
+    intercept[IllegalArgumentException](
+      Lake.adlsHadoopConf(Map("PIPELINE_STORAGE_MODE" -> "adls")))
+    // applyStorageAuth pushes into the live hadoop conf
+    Lake.applyStorageAuth(spark, Map(
+      "PIPELINE_STORAGE_MODE" -> "adls",
+      "ADLS_ACCOUNT_URL" -> "https://confacct.dfs.core.windows.net"))
+    assert(spark.sparkContext.hadoopConfiguration
+      .get("fs.azure.account.auth.type.confacct.dfs.core.windows.net") == "OAuth")
+  }
 }
