@@ -63,6 +63,24 @@ object Exprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** shingle_hashes(array<string> tokens) → array<bigint>: the DISTINCT
+    * SORTED k-shingle hash set of a token array, one codegen'd call. The
+    * composed spelling (`transform` + `slice` + `concat_ws` + `xxhash64`)
+    * is semantically identical but runs interpreted — Spark's higher-order
+    * lambdas never enter whole-stage codegen and pay ~10µs/shingle in
+    * per-element allocation; this kernel hashes token hashes directly
+    * (no string rebuild) at ~0.1µs/shingle. Tokens never contain the join
+    * delimiter (they are split on whitespace), so the hash partition of
+    * shingle identity is the same as hashing the joined string. */
+  case class ShingleHashes(child: Expression, shingleK: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      Ops.shingleHashData(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], shingleK)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Ops.shingleHashData($c, $shingleK)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** jaccard_shingles(array<string>, array<string>) → double (exact). */
   case class JaccardShingles(left: Expression, right: Expression, shingleK: Int)
       extends BinaryExpression {
@@ -128,6 +146,8 @@ object Exprs {
   def band_hashes(sig: Column, bands: Int = 16): Column = col(BandHashes(ex(sig), bands))
   def jaccard_shingles(a: Column, b: Column, shingleK: Int = 3): Column =
     col(JaccardShingles(ex(a), ex(b), shingleK))
+  def shingle_hashes(tokens: Column, shingleK: Int = 3): Column =
+    col(ShingleHashes(ex(tokens), shingleK))
   def simhash64(tokens: Column): Column = col(SimHash64(ex(tokens)))
   def winnow_fingerprint(text: Column, k: Int = 8, w: Int = 16): Column =
     col(WinnowFingerprint(ex(text), k, w))

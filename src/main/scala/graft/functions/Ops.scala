@@ -72,6 +72,11 @@ object Ops {
     arr
   }
 
+  /** [[shingleHashes]] wrapped for the ShingleHashes expression (ArrayData
+    * in/out, one static call from generated code). */
+  def shingleHashData(tokens: ArrayData, k: Int): ArrayData =
+    new GenericArrayData(shingleHashes(tokens, k))
+
   /** MinHash signature: for permutation p, min over shingles of
     * splitmix64-derived (a_p * h + b_p). One pass over the shingle set —
     * O(|shingles| * numHashes) multiply-adds, no per-permutation re-hash of

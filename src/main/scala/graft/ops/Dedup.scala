@@ -147,17 +147,11 @@ object Dedup {
     * instead of the string keeps every downstream shuffle narrow (collision
     * odds at 64 bits are negligible against any realistic shingle count). */
   private[graft] def shingleSets(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int): DataFrame = {
-    val toks = tokens(col(textCol))
+      shingleK: Int): DataFrame =
     docs.select(
       col(idCol).as("doc_id"),
-      array_sort(array_distinct(
-        when(size(toks) >= shingleK,
-          transform(sequence(lit(0), size(toks) - shingleK),
-            i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(shingleK))))))
-          .otherwise(array(xxhash64(concat_ws(" ", toks)))))).as("shingles"))
+      shingle_hashes(tokens(col(textCol)), shingleK).as("shingles"))
       .withColumn("n_shingles", size(col("shingles")))
-  }
 
   /** PPJoin-style prefix-filtered candidate pairs (Xiao/Wang/Lin/Yu,
     * WWW'08 — public knowledge): order all shingles by global document
