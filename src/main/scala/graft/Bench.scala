@@ -31,11 +31,19 @@ object Bench {
     // guessed: 57.2s uncached vs 73.8s cached on an idle host.
     Tables.names.foreach(n => spark.read.parquet(s"$sfDir/$n.parquet").count())
     // sorted by name: Map iteration order would vary run-to-run, shifting
-    // which queries absorb residual warmup — stable order, comparable rounds
+    // which queries absorb residual warmup — stable order, comparable rounds.
+    // Best of 2 runs per query, matching the DuckDB comparator's protocol
+    // exactly (tools/benchcmp.py times each oracle SQL "warm, best of 2"):
+    // the first run pays one-time plan+codegen compilation (~0.3-0.6s/query
+    // here, amortized to nothing in steady-state deployment), the second
+    // measures execution. Asymmetric cold-vs-warm was flattering DuckDB.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> runs.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
