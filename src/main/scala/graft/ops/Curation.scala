@@ -118,4 +118,28 @@ object Curation {
 
     (capped, CurationStats(input, afterQuality, afterLang, afterDedup, afterCap))
   }
+
+  /** Benchmark decontamination: drop every corpus document that shares any
+    * k-token shingle with the held-out eval set (the standard n-gram-overlap
+    * test-set-leak filter applied before training).
+    *
+    * Scale shape — the eval set is always tiny next to the corpus (benchmark
+    * suites, not web crawls), so its distinct gram set is BROADCAST: the
+    * corpus side evaluates the semi-join map-side against a hash set, and
+    * the only shuffled rows are the contaminated doc ids (distinct over a
+    * small set). The corpus itself never shuffles — two scans, zero
+    * exchanges of document data, which is the difference between "works"
+    * and "works at 100 TB". Grams are 64-bit shingle hashes, not strings,
+    * so the broadcast and the probe stay narrow. */
+  def decontaminate(corpus: DataFrame, evalDocs: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 5): DataFrame = {
+    val evalGrams = Dedup.shingleSets(evalDocs, idCol, textCol, shingleK)
+      .select(explode(col("shingles")).as("gram")).distinct()
+    val corpusGrams = Dedup.shingleSets(corpus, idCol, textCol, shingleK)
+      .select(col("doc_id"), explode(col("shingles")).as("gram"))
+    val contaminated = corpusGrams
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .select(col("doc_id")).distinct()
+    corpus.join(contaminated.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+  }
 }

@@ -61,4 +61,64 @@ object TextAnalysis {
       col(idCol),
       winnow_fingerprint(col(textCol), 8, 16).as("fingerprint"),
       xxhash64(col(textCol)).as("content_hash"))
+
+  // ------------------------------------------------------------- PII scrub
+  // Patterns restricted to syntax with identical semantics in Java regex
+  // (Spark) and RE2 (the DuckDB oracle): char classes, bounded repetition,
+  // \d, \b — no backrefs or lookaround.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+\\d{1,3}-\\d{3}-\\d{4}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact emails, intl-format phone numbers, and IPv4 addresses — the
+    * standard pre-training scrub pass. Counts are taken on the ORIGINAL
+    * text (replacement order cannot hide a match), and the whole thing is
+    * three codegen'd regexp passes per row: map-side, zero shuffle. */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val txt = col(textCol)
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(txt, EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      Ipv4Re, "[IP]")
+    docs.select(
+      col(idCol),
+      scrubbed.as("scrubbed"),
+      (regexp_count(txt, lit(EmailRe)) + regexp_count(txt, lit(PhoneRe)) +
+        regexp_count(txt, lit(Ipv4Re))).as("n_redactions"))
+  }
+
+  // ---------------------------------------------- repetition quality signals
+  /** Gopher-style repetition signals: the fraction of tokens taken by the
+    * single most frequent token, and the fraction of duplicated 2-grams.
+    * Heavily repetitive documents (boilerplate, keyword stuffing, decode
+    * loops) light up both.
+    *
+    * Scale shape: the 2-gram signal is pure map-side (the codegen'd
+    * ShingleHashes kernel counts distinct 2-grams in place — no explode).
+    * The top-word signal is the canonical two-level aggregation — explode to
+    * (doc, token), count, then per-doc max/sum with map-side partial
+    * combine — so the only shuffle carries (doc_id, token, count) triples,
+    * never documents. */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    val base = docs
+      .select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n_tokens"),
+        size(shingle_hashes(col("toks"), 2)).as("n_distinct_2grams"))
+    val wordCounts = base
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val topWord = wordCounts.groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_c"), sum(col("c")).as("n_toks"))
+    base.join(topWord, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("max_c").cast("double") / col("n_toks").cast("double")).as("top_word_frac"),
+        when(col("n_tokens") >= 2,
+          lit(1.0) - col("n_distinct_2grams").cast("double") /
+            (col("n_tokens") - 1).cast("double"))
+          .otherwise(lit(0.0)).as("dup_2gram_frac"))
+  }
 }

@@ -434,6 +434,101 @@ object Extensions {
       .select($"doc_id", $"source", $"lang").orderBy($"doc_id")
   }
 
+  // ------------------------------------------------------------ x23 PII scrub
+  /** PII redaction over a corpus with planted, deterministic PII: the
+    * synthetic documents table carries no emails/phones/IPs, so the query
+    * appends one of each derived from doc_id — both engines construct the
+    * identical string, making the oracle a real cross-engine check of
+    * regex-replacement semantics over every row (patterns restricted to the
+    * Java-regex ∩ RE2 common subset). */
+  def x23PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withPii = docs(s, dir).withColumn("text",
+      concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+        lit("@example.com or +1-555-"),
+        lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+        lit(" from 10.0."), ($"doc_id" % 256).cast("string"),
+        lit("."), ($"doc_id" % 100).cast("string")))
+    TextAnalysis.piiScrub(withPii, "doc_id", "text")
+      .select($"doc_id", $"scrubbed", $"n_redactions".cast("long").as("n_redactions"))
+      .orderBy($"doc_id")
+  }
+  val x23Sql: String =
+    """WITH withpii AS (
+      |  SELECT doc_id,
+      |    concat(text, ' contact user', doc_id, '@example.com or +1-555-',
+      |           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+      |           ' from 10.0.', doc_id % 256, '.', doc_id % 100) AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |      '\+\d{1,3}-\d{3}-\d{4}', '[PHONE]', 'g'),
+      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS scrubbed,
+      |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+      |  + len(regexp_extract_all(text, '\+\d{1,3}-\d{3}-\d{4}'))
+      |  + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_redactions
+      |FROM withpii ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ x24 repetition signals
+  /** Gopher-style repetition quality signals per document. The doubles
+    * hash-match because both engines divide the same exact integers. */
+  def x24Repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text")
+      .select($"doc_id", $"n_tokens".cast("long").as("n_tokens"),
+        $"top_word_frac", $"dup_2gram_frac")
+      .orderBy($"doc_id")
+  }
+  val x24Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |tok AS (SELECT doc_id, unnest(w) AS tok FROM t),
+      |c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+      |top AS (SELECT doc_id, max(c) AS max_c, sum(c) AS n_toks FROM c GROUP BY 1),
+      |g AS (
+      |  SELECT doc_id, len(w) AS n_tokens,
+      |    len(list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS nd
+      |  FROM t)
+      |SELECT g.doc_id, n_tokens,
+      |  CAST(max_c AS DOUBLE) / CAST(n_toks AS DOUBLE) AS top_word_frac,
+      |  CASE WHEN n_tokens >= 2
+      |       THEN 1.0 - CAST(nd AS DOUBLE) / CAST(n_tokens - 1 AS DOUBLE)
+      |       ELSE 0.0 END AS dup_2gram_frac
+      |FROM g JOIN top ON g.doc_id = top.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+
+  // ------------------------------------------------------ x25 decontamination
+  /** Benchmark decontamination: eval set = doc_id % 97 == 0, corpus = the
+    * rest; any corpus doc sharing a 5-token shingle with any eval doc is
+    * dropped. Spark joins on 64-bit shingle hashes (broadcast semi-join,
+    * corpus never shuffles); the oracle joins on the shingle strings — the
+    * surviving id set is identical barring a 64-bit hash collision inside
+    * this corpus (odds ≪ 1e-9). */
+  def x25Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    Curation.decontaminate(
+      d.filter($"doc_id" % 97 =!= 0), d.filter($"doc_id" % 97 === 0),
+      "doc_id", "text", shingleK = 5)
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+  val x25Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+      |    THEN list_transform(range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' '))
+      |    ELSE [array_to_string(w, ' ')] END) AS gram
+      |  FROM t),
+      |eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+      |contaminated AS (
+      |  SELECT DISTINCT g.doc_id FROM g JOIN eg USING (gram) WHERE g.doc_id % 97 <> 0)
+      |SELECT doc_id, source FROM documents
+      |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x15_multimodal" -> x15Multimodal _,
     "x17_per_source_cap" -> x17PerSourceCap _,
@@ -453,7 +548,10 @@ object Extensions {
     "x13_sessionize" -> x13Sessionize _,
     "x14_json_extract" -> x14JsonExtract _,
     "x20_sliding_window" -> x20SlidingWindow _,
-    "x22_reservoir_sample" -> x22ReservoirSample _)
+    "x22_reservoir_sample" -> x22ReservoirSample _,
+    "x23_pii_scrub" -> x23PiiScrub _,
+    "x24_repetition" -> x24Repetition _,
+    "x25_decontaminate" -> x25Decontaminate _)
 
   val oracleSql: Map[String, String] = Map(
     "x17_per_source_cap" -> x17Sql,
@@ -470,5 +568,8 @@ object Extensions {
     "x12_events_window" -> x12Sql,
     "x13_sessionize" -> x13Sql,
     "x14_json_extract" -> x14Sql,
-    "x20_sliding_window" -> x20Sql)
+    "x20_sliding_window" -> x20Sql,
+    "x23_pii_scrub" -> x23Sql,
+    "x24_repetition" -> x24Sql,
+    "x25_decontaminate" -> x25Sql)
 }

@@ -54,4 +54,26 @@ class CurationSpec extends SparkSpec {
     import spark.implicits._
     assert(curated.groupBy($"source").count().as[(String, Long)].collect().forall(_._2 <= 10))
   }
+
+  test("decontaminate drops exactly the docs sharing a k-gram with the eval set") {
+    import spark.implicits._
+    // eval doc 100 shares the 5-gram "one two three four five" with corpus
+    // doc 1 (mid-string) and doc 2 (prefix); docs 3/4 are clean; doc 5 is a
+    // SHORT doc (< 5 tokens) whose whole-doc gram matches nothing.
+    val eval = Seq((100L, "one two three four five six")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta one two three four five gamma"),
+      (2L, "one two three four five"),
+      (3L, "one two three gamma delta epsilon"), // 3-token overlap only — no shared 5-gram
+      (4L, "totally unrelated words in this document"),
+      (5L, "one two")).toDF("doc_id", "text")
+    val kept = Curation.decontaminate(corpus, eval, "doc_id", "text", shingleK = 5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L, 5L))
+    // a short eval doc's whole-text gram only hits identical short corpus docs
+    val evalShort = Seq((101L, "one two")).toDF("doc_id", "text")
+    val keptShort = Curation.decontaminate(corpus, evalShort, "doc_id", "text", shingleK = 5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keptShort == Set(1L, 2L, 3L, 4L))
+  }
 }

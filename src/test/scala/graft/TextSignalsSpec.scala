@@ -1,0 +1,49 @@
+package graft
+
+import graft.ops.TextAnalysis
+
+/** PII scrubbing and repetition-signal operators. */
+class TextSignalsSpec extends SparkSpec {
+
+  test("piiScrub redacts emails, intl phones, and IPv4, and counts each") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "reach me at jane.doe+spam@mail.example.org thanks"),
+      (2L, "call +44-020-7946 or +1-555-0100 now"),
+      (3L, "server at 192.168.0.1 and 10.0.0.255"),
+      (4L, "no pii here at all"),
+      (5L, "a@b.co and 8.8.8.8 and +1-555-9999")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out(1L) == ("reach me at [EMAIL] thanks", 1))
+    assert(out(2L) == ("call [PHONE] or [PHONE] now", 2))
+    assert(out(3L) == ("server at [IP] and [IP]", 2))
+    assert(out(4L) == ("no pii here at all", 0))
+    assert(out(5L) == ("[EMAIL] and [IP] and [PHONE]", 3))
+  }
+
+  test("piiScrub leaves near-miss text untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      // not an email (no TLD), not a phone (wrong grouping), not an IPv4 (3 octets)
+      (1L, "user@localhost 555-0100 10.0.1 v1.2.3.x")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs, "doc_id", "text").collect().head
+    assert(out.getString(1) == "user@localhost 555-0100 10.0.1 v1.2.3.x")
+    assert(out.getInt(2) == 0)
+  }
+
+  test("repetitionSignals: degenerate, clean, and single-token documents") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam"), // one token type; all 2-grams identical
+      (2L, "all words here are distinct tokens"), // no repetition at all
+      (3L, "word"), // single token: dup_2gram_frac pinned to 0
+      (4L, "a b a b a b")).toDF("doc_id", "text") // alternating: 2 distinct 2-grams of 5
+    val out = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4, 1.0, 1.0 - 1.0 / 3.0)))
+    assert(out(2L) == ((6, 1.0 / 6.0, 0.0)))
+    assert(out(3L) == ((1, 1.0, 0.0)))
+    assert(out(4L) == ((6, 0.5, 1.0 - 2.0 / 5.0)))
+  }
+}
