@@ -34,6 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => Exprs.SimHash64(es(0)))
     inject("lang_id", "lang_id(string) - heuristic language id (de/en/es/fr/zh)",
       es => Exprs.LangId(es(0)))
+    inject("shingle_hashes", "shingle_hashes(array<string>) - distinct sorted 3-shingle hashes",
+      es => Exprs.ShingleHashes(es(0), 3))
+    inject("repetition_stats",
+      "repetition_stats(array<string>) - [n_tokens, n_distinct_2grams, max_token_count]",
+      es => Exprs.RepetitionStats(es(0), 2))
 
     // custom operator stack (build-brief preference c): exact-k reservoir
     // sampling — LogicalPlan + SparkStrategy + SparkPlan

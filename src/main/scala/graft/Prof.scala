@@ -1,7 +1,6 @@
 package graft
 // Scratch stage-level profiler (local diagnosis only; not part of the API).
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 object Prof {
   def main(args: Array[String]): Unit = {
@@ -18,17 +17,16 @@ object Prof {
       val t0 = System.nanoTime(); val r = f
       println(f"PROF $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    docs.count()
-    val perDoc = ops.Dedup.shingleSets(docs, "doc_id", "text", 3)
-    tm("shingleSets count")(perDoc.count())
-    val cands = ops.Dedup.prefixCandidates(perDoc, 0.5)
-    tm("prefixCandidates")(cands.count())
-    tm("prefixCandidates2")(cands.count())
-    val full = ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
-    tm("full x08 run1")(full.count())
-    tm("full x08 run2")(full.count())
-    tm("full x08 run3")(full.count())
+    val names = args.toSeq match {
+      case Nil => Seq("x23_pii_scrub", "x24_repetition", "x25_decontaminate")
+      case xs  => xs
+    }
+    names.foreach { n =>
+      val q = SparkEntry.queries(n)
+      tm(s"$n run1")(q(spark, dir).count())
+      tm(s"$n run2")(q(spark, dir).count())
+      if (sys.env.contains("PROF_EXPLAIN")) q(spark, dir).explain("formatted")
+    }
     spark.stop()
   }
 }

@@ -81,6 +81,19 @@ object Exprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** repetition_stats(array<string> tokens) → array<bigint>
+    * `[n_tokens, n_distinct_kgrams, max_token_count]`: the per-document
+    * repetition signals in one codegen'd pass — replaces an explode +
+    * two-level aggregation + join (three shuffles) with zero shuffles. */
+  case class RepetitionStats(child: Expression, shingleK: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      Ops.repetitionStats(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], shingleK)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Ops.repetitionStats($c, $shingleK)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** jaccard_shingles(array<string>, array<string>) → double (exact). */
   case class JaccardShingles(left: Expression, right: Expression, shingleK: Int)
       extends BinaryExpression {
@@ -148,6 +161,8 @@ object Exprs {
     col(JaccardShingles(ex(a), ex(b), shingleK))
   def shingle_hashes(tokens: Column, shingleK: Int = 3): Column =
     col(ShingleHashes(ex(tokens), shingleK))
+  def repetition_stats(tokens: Column, shingleK: Int = 2): Column =
+    col(RepetitionStats(ex(tokens), shingleK))
   def simhash64(tokens: Column): Column = col(SimHash64(ex(tokens)))
   def winnow_fingerprint(text: Column, k: Int = 8, w: Int = 16): Column =
     col(WinnowFingerprint(ex(text), k, w))
@@ -166,5 +181,7 @@ object Exprs {
     register("dot_f", es => DotF(es(0), es(1)))
     register("simhash64", es => SimHash64(es(0)))
     register("lang_id", es => LangId(es(0)))
+    register("shingle_hashes", es => ShingleHashes(es(0), 3))
+    register("repetition_stats", es => RepetitionStats(es(0), 2))
   }
 }

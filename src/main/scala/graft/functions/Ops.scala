@@ -77,6 +77,44 @@ object Ops {
   def shingleHashData(tokens: ArrayData, k: Int): ArrayData =
     new GenericArrayData(shingleHashes(tokens, k))
 
+  /** One-pass repetition stats over a token array:
+    * `[n_tokens, n_distinct_kgrams, max_token_count]`. Token multiplicity is
+    * counted on 64-bit token hashes (collision odds negligible within one
+    * document); the k-gram count follows [[shingleHashes]]'s conventions
+    * exactly (rolling FNV, whole-doc gram when n < k) so both signals come
+    * from a single pass over hashes already in hand. */
+  def repetitionStats(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = if (tokens.isNullAt(i)) 0L else fnv1a(tokens.getUTF8String(i))
+      i += 1
+    }
+    val counts = new java.util.HashMap[java.lang.Long, Integer]()
+    var maxC = 0
+    i = 0
+    while (i < n) {
+      val c = counts.merge(th(i), Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
+      if (c > maxC) maxC = c
+      i += 1
+    }
+    var nd = 1L
+    if (n >= k) {
+      val set = new java.util.HashSet[java.lang.Long]()
+      i = 0
+      while (i <= n - k) {
+        var h = FnvOffset
+        var j = 0
+        while (j < k) { h = (h ^ th(i + j)) * FnvPrime; j += 1 }
+        set.add(h)
+        i += 1
+      }
+      nd = set.size.toLong
+    }
+    new GenericArrayData(Array(n.toLong, nd, maxC.toLong))
+  }
+
   /** MinHash signature: for permutation p, min over shingles of
     * splitmix64-derived (a_p * h + b_p). One pass over the shingle set —
     * O(|shingles| * numHashes) multiply-adds, no per-permutation re-hash of

@@ -94,31 +94,23 @@ object TextAnalysis {
     * Heavily repetitive documents (boilerplate, keyword stuffing, decode
     * loops) light up both.
     *
-    * Scale shape: the 2-gram signal is pure map-side (the codegen'd
-    * ShingleHashes kernel counts distinct 2-grams in place — no explode).
-    * The top-word signal is the canonical two-level aggregation — explode to
-    * (doc, token), count, then per-doc max/sum with map-side partial
-    * combine — so the only shuffle carries (doc_id, token, count) triples,
-    * never documents. */
+    * Scale shape: ONE codegen'd pass per row (the RepetitionStats kernel —
+    * the token array is already in memory, so counting token multiplicity
+    * and distinct 2-grams there beats the relational spelling's explode +
+    * two-level aggregation + join and its three shuffles). Zero shuffles at
+    * any corpus size; the relational spelling survives as the DuckDB oracle
+    * (x24), which cross-checks this kernel row-for-row. */
   def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = Dedup.tokens(col(textCol))
-    val base = docs
-      .select(col(idCol).as("doc_id"), toks.as("toks"))
-      .select(col("doc_id"), col("toks"), size(col("toks")).as("n_tokens"),
-        size(shingle_hashes(col("toks"), 2)).as("n_distinct_2grams"))
-    val wordCounts = base
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-    val topWord = wordCounts.groupBy(col("doc_id"))
-      .agg(max(col("c")).as("max_c"), sum(col("c")).as("n_toks"))
-    base.join(topWord, Seq("doc_id"))
+    val st = repetition_stats(Dedup.tokens(col(textCol)), 2)
+    docs.select(col(idCol).as("doc_id"), st.as("st"))
       .select(
         col("doc_id"),
-        col("n_tokens"),
-        (col("max_c").cast("double") / col("n_toks").cast("double")).as("top_word_frac"),
-        when(col("n_tokens") >= 2,
-          lit(1.0) - col("n_distinct_2grams").cast("double") /
-            (col("n_tokens") - 1).cast("double"))
+        col("st").getItem(0).cast("int").as("n_tokens"),
+        (col("st").getItem(2).cast("double") / col("st").getItem(0).cast("double"))
+          .as("top_word_frac"),
+        when(col("st").getItem(0) >= 2,
+          lit(1.0) - col("st").getItem(1).cast("double") /
+            (col("st").getItem(0) - 1).cast("double"))
           .otherwise(lit(0.0)).as("dup_2gram_frac"))
   }
 }
