@@ -119,6 +119,71 @@ object Curation {
     (capped, CurationStats(input, afterQuality, afterLang, afterDedup, afterCap))
   }
 
+  /** Water-filling token allocation: every source keeps all its tokens if it
+    * is below the shared level; the rest are capped at the level; the level
+    * is the largest integer budget split the saturated sources can share.
+    * Pure integer math over per-source totals (the canonical algorithm, and
+    * deterministic — the x26 oracle respells it in SQL). */
+  private[graft] def waterfillAlloc(totals: Seq[(String, Long)], budget: Long): Map[String, Long] = {
+    val sorted = totals.sortBy { case (s, t) => (t, s) }
+    val n = sorted.size
+    var cum = 0L
+    var k = 0
+    var cumK = 0L
+    sorted.zipWithIndex.foreach { case ((_, t), i) =>
+      cum += t
+      // t <= floor((B - cum_{i-1}) / (n - i)) in overflow-safe product form
+      if (t * (n - i) <= budget - (cum - t)) { k = i + 1; cumK = cum }
+    }
+    val level = if (k == n) Long.MaxValue else (budget - cumK) / (n - k)
+    sorted.zipWithIndex.map { case ((s, t), i) =>
+      s -> (if (i < k) t else math.min(t, level))
+    }.toMap
+  }
+
+  /** Token-budget source mixing: downsample the corpus to ≈`budget` tokens
+    * with water-filled per-source allocations (small sources keep
+    * everything; big sources are capped at a common level), taking each
+    * source's docs in ascending-id order until its allocation is spent.
+    *
+    * Scale shape: the per-source totals are a two-column aggregate (tiny at
+    * any corpus size — sources are domains, not documents), collected for
+    * the driver-side water-fill; the allocation table is broadcast back and
+    * the admission test is one cumulative-sum window per source — a single
+    * shuffle of (id, source, n_tok), never document text. */
+  def tokenBudgetMix(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, budget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withTok = docs.withColumn("__n_tok",
+      size(Dedup.tokens(col(textCol))).cast("long"))
+    val totals = withTok.groupBy(col(sourceCol)).agg(sum(col("__n_tok")).as("t"))
+      .as[(String, Long)].collect().toSeq
+    val alloc = waterfillAlloc(totals, budget)
+    val allocDf = broadcast(alloc.toSeq.toDF(sourceCol, "__alloc"))
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
+    withTok.join(allocDf, Seq(sourceCol))
+      .withColumn("__cum", sum(col("__n_tok")).over(w))
+      .filter(col("__cum") <= col("__alloc"))
+      .drop("__n_tok", "__alloc", "__cum")
+  }
+
+  /** Per-source data card: the corpus-composition summary every training-data
+    * release publishes. One straight aggregation — group by source. */
+  def dataCard(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, langCol: String): DataFrame =
+    docs.groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(Dedup.tokens(col(textCol))).cast("long")).as("total_tokens"),
+        // exact-integer sum divided as doubles: bit-deterministic under any
+        // partitioning (a double avg would depend on partial-merge order)
+        (sum(length(col(textCol)).cast("long")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_chars"),
+        countDistinct(col(langCol)).as("n_langs"),
+        (sum(when(col(langCol) === "en", 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("en_frac"))
+
   /** Benchmark decontamination: drop every corpus document that shares any
     * k-token shingle with the held-out eval set (the standard n-gram-overlap
     * test-set-leak filter applied before training).

@@ -529,6 +529,65 @@ object Extensions {
       |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ x26 token-budget mix
+  /** Source mixing under a token budget (half the corpus's tokens):
+    * water-filled per-source allocations, docs admitted in ascending-id
+    * order until each source's allocation is spent. The oracle respells the
+    * water-fill closed form in SQL — saturation test in overflow-safe
+    * product form, same integer floor division — so the admitted doc set
+    * must match exactly. */
+  def x26TokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val total = d.select(sum(size(Dedup.tokens($"text")).cast("long"))).as[Long].head()
+    Curation.tokenBudgetMix(d, "doc_id", "text", "source", total / 2)
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+  val x26Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |tot AS (SELECT source, sum(n_tok) AS t FROM d GROUP BY source),
+      |b AS (SELECT sum(t) // 2 AS budget FROM tot),
+      |ord AS (
+      |  SELECT source, t, row_number() OVER (ORDER BY t, source) AS rn,
+      |         sum(t) OVER (ORDER BY t, source) AS cum,
+      |         count(*) OVER () AS n
+      |  FROM tot),
+      |sat AS (
+      |  SELECT coalesce(max(rn), 0) AS k, coalesce(max(cum), 0) AS cumk
+      |  FROM ord, b WHERE t * (n - rn + 1) <= budget - (cum - t)),
+      |alloc AS (
+      |  SELECT o.source,
+      |         CASE WHEN o.rn <= s.k THEN o.t
+      |              ELSE least(o.t, (b.budget - s.cumk) // (o.n - s.k)) END AS alloc
+      |  FROM ord o, sat s, b),
+      |cums AS (
+      |  SELECT doc_id, source, n_tok,
+      |         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      |  FROM d)
+      |SELECT c.doc_id, c.source FROM cums c JOIN alloc a USING (source)
+      |WHERE c.cum <= a.alloc ORDER BY c.doc_id""".stripMargin
+
+  // ------------------------------------------------------------ x27 data card
+  /** Per-source corpus-composition summary (the data card every
+    * training-data release publishes). Doubles are exact-integer divisions,
+    * so they hash-match. */
+  def x27DataCard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Curation.dataCard(docs(s, dir), "doc_id", "text", "source", "lang")
+      .orderBy($"source")
+  }
+  val x27Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  sum(CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)) AS total_tokens,
+      |  CAST(sum(len(text)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_chars,
+      |  count(DISTINCT lang) AS n_langs,
+      |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS en_frac
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x15_multimodal" -> x15Multimodal _,
     "x17_per_source_cap" -> x17PerSourceCap _,
@@ -551,7 +610,9 @@ object Extensions {
     "x22_reservoir_sample" -> x22ReservoirSample _,
     "x23_pii_scrub" -> x23PiiScrub _,
     "x24_repetition" -> x24Repetition _,
-    "x25_decontaminate" -> x25Decontaminate _)
+    "x25_decontaminate" -> x25Decontaminate _,
+    "x26_token_budget_mix" -> x26TokenBudgetMix _,
+    "x27_data_card" -> x27DataCard _)
 
   val oracleSql: Map[String, String] = Map(
     "x17_per_source_cap" -> x17Sql,
@@ -571,5 +632,7 @@ object Extensions {
     "x20_sliding_window" -> x20Sql,
     "x23_pii_scrub" -> x23Sql,
     "x24_repetition" -> x24Sql,
-    "x25_decontaminate" -> x25Sql)
+    "x25_decontaminate" -> x25Sql,
+    "x26_token_budget_mix" -> x26Sql,
+    "x27_data_card" -> x27Sql)
 }

@@ -55,6 +55,36 @@ class CurationSpec extends SparkSpec {
     assert(curated.groupBy($"source").count().as[(String, Long)].collect().forall(_._2 <= 10))
   }
 
+  test("waterfillAlloc: small sources keep all, big ones cap at a shared level") {
+    // budget 100 over (10, 20, 100, 200): 10 and 20 fit under the level,
+    // leaving 70 for the two big sources -> 35 each
+    val alloc = Curation.waterfillAlloc(
+      Seq("a" -> 10L, "b" -> 20L, "c" -> 100L, "d" -> 200L), 100L)
+    assert(alloc == Map("a" -> 10L, "b" -> 20L, "c" -> 35L, "d" -> 35L))
+    // budget covers everything -> identity
+    val all = Curation.waterfillAlloc(Seq("a" -> 10L, "b" -> 20L), 1000L)
+    assert(all == Map("a" -> 10L, "b" -> 20L))
+    // budget 0 -> nothing
+    val none = Curation.waterfillAlloc(Seq("a" -> 10L, "b" -> 20L), 0L)
+    assert(none == Map("a" -> 0L, "b" -> 0L))
+  }
+
+  test("tokenBudgetMix admits prefix-by-id per source within its allocation") {
+    import spark.implicits._
+    // src A: 3 docs x 4 tokens; src B: 2 docs x 2 tokens. budget 10:
+    // B (4 total) fits under the level; A caps at 6 -> its first doc (4
+    // tokens) admits, the second would hit 8 > 6 and drops.
+    val corpus = Seq(
+      (1L, "w w w w", "A"), (2L, "w w w w", "A"), (3L, "w w w w", "A"),
+      (4L, "w w", "B"), (5L, "w w", "B")).toDF("doc_id", "text", "source")
+    val kept = Curation.tokenBudgetMix(corpus, "doc_id", "text", "source", 10L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L))
+    // columns pass through untouched
+    val cols = Curation.tokenBudgetMix(corpus, "doc_id", "text", "source", 10L).columns.toSeq
+    assert(cols == Seq("source", "doc_id", "text"))
+  }
+
   test("decontaminate drops exactly the docs sharing a k-gram with the eval set") {
     import spark.implicits._
     // eval doc 100 shares the 5-gram "one two three four five" with corpus

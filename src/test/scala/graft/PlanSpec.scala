@@ -103,6 +103,13 @@ class PlanSpec extends SparkSpec {
       s"pigeonhole blocking must equi-join:\n$p")
   }
 
+  test("x25 decontaminate: both join sides broadcast; corpus documents never shuffle") {
+    val p = plan(Extensions.x25Decontaminate(spark, dir))
+    assert(count(p, "BroadcastHashJoin") == 2,
+      s"semi (eval grams) and anti (contaminated ids) joins must broadcast:\n$p")
+    assert(count(p, "SortMergeJoin") == 0, s"corpus must not shuffle-join:\n$p")
+  }
+
   test("window top-k spelling gets Spark's built-in group-limit pushdown") {
     import org.apache.spark.sql.functions.{col, row_number}
     import org.apache.spark.sql.expressions.Window
