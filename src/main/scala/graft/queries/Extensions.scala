@@ -588,10 +588,10 @@ object Extensions {
   }
   val x27Sql: String =
     """SELECT source, count(*) AS n_docs,
-      |  sum(CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)) AS total_tokens,
+      |  CAST(sum(len(string_split_regex(lower(text), '\s+'))) AS BIGINT) AS total_tokens,
       |  CAST(sum(len(text)) AS BIGINT) AS total_chars,
       |  count(DISTINCT lang) AS n_langs,
-      |  sum(CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS n_en
+      |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -85,6 +85,33 @@ class CurationSpec extends SparkSpec {
     assert(cols == Seq("source", "doc_id", "text"))
   }
 
+  test("dataCard derives ratios exactly from its own integer numerators") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three", "A", "en"),
+      (2L, "four five", "A", "fr"),
+      (3L, "six", "A", "en"),
+      (4L, "seven eight nine ten", "B", "de")).toDF("doc_id", "text", "source", "lang")
+    val card = Curation.dataCard(docs, "doc_id", "text", "source", "lang")
+    // exact column set and order (ratios trail the integer numerators)
+    assert(card.columns.toSeq == Seq("source", "n_docs", "total_tokens",
+      "total_chars", "n_langs", "n_en", "mean_chars", "en_frac"))
+    val rows = card.orderBy($"source").collect()
+    val a = rows(0)
+    assert(a.getString(0) == "A" && a.getLong(1) == 3L)
+    assert(a.getLong(2) == 6L)                    // 3 + 2 + 1 tokens
+    assert(a.getLong(3) == ("one two three".length + "four five".length + "six".length).toLong)
+    assert(a.getLong(4) == 2L && a.getLong(5) == 2L)
+    // ratios reconstruct the integer numerators EXACTLY (n_docs <= 2^26 so
+    // the double product is exact) — this is the derivation the x27 oracle
+    // deliberately leaves un-oracled
+    rows.foreach { r =>
+      val (nDocs, totalChars, nEn) = (r.getLong(1), r.getLong(3), r.getLong(5))
+      assert(r.getDouble(6) * nDocs == totalChars.toDouble)
+      assert(r.getDouble(7) * nDocs == nEn.toDouble)
+    }
+  }
+
   test("decontaminate drops exactly the docs sharing a k-gram with the eval set") {
     import spark.implicits._
     // eval doc 100 shares the 5-gram "one two three four five" with corpus

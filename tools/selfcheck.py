@@ -69,6 +69,21 @@ def main():
             print(f"{name}: COLUMN MISMATCH spark={scols} duck={dcols}")
             failures.append(name)
             continue
+        # The driver's gate hashes through pandas, where DuckDB HUGEINT
+        # (arrow decimal128) becomes float64 and hash-mismatches Spark's
+        # int64 even when every value prints identically. str()-canon can't
+        # see that, so flag any decimal-typed oracle column whose Spark twin
+        # is an integer/float as a hard failure here.
+        import pyarrow.types as pat
+        tmix = []
+        for c in scols:
+            st, dt = spark_tbl.schema.field(c).type, duck_tbl.schema.field(c).type
+            if pat.is_decimal(dt) and not pat.is_decimal(st):
+                tmix.append(f"{c}: spark={st} duck={dt} (HUGEINT? add outer CAST AS BIGINT)")
+        if tmix:
+            print(f"{name}: ORACLE TYPE DRIFT " + "; ".join(tmix))
+            failures.append(name)
+            continue
         if len(srows) != len(drows):
             print(f"{name}: ROWCOUNT MISMATCH spark={len(srows)} duck={len(drows)}")
             failures.append(name)
