@@ -375,36 +375,51 @@ object Breadth {
     * when normalization can't align keys, bounded levenshtein is the
     * standard fallback).
     *
-    * Candidate generation is a length-adaptive prefix/suffix pigeonhole as
-    * an EQUI join (Ed-Join/PassJoin family, Xiao et al. VLDB'08 / Li et al.
-    * VLDB'11 — public knowledge). For ed(a,b) ≤ 1 let m = min(len): a
-    * single edit at position p either leaves the first ⌊m/2⌋ chars intact
-    * (p ≥ ⌊m/2⌋) or leaves the last ⌈m/2⌉ chars intact (p < ⌊m/2⌋ ⇒ shared
-    * suffix ≥ m − p − 1 ≥ ⌈m/2⌉ for substitution, ≥ m − p > ⌈m/2⌉ for
-    * insert/delete). A row can't know its partner's length, but ed ≤ 1
-    * bounds it to {len−1, len, len+1}, so each row emits prefix/suffix keys
-    * for assumed m ∈ {len−1, len} (the partner covers m = len+1 − 1 from
-    * its side). 4 narrow keys per row, hash join, and only candidates pay
-    * the levenshtein — no fixed-width assumption (the round-3 verdict's
-    * hardcoded-9 finding), no quadratic nested-loop block. */
+    * Candidate generation is DELETION-NEIGHBORHOOD blocking (FastSS, Bocek
+    * et al. 2007 / SymSpell — public knowledge): each name emits itself
+    * plus its len single-char-deletion variants; ed(a,b) ≤ 1 guarantees a
+    * shared variant (equality → the name itself; substitution at p → both
+    * delete p; insert/delete → the shorter IS a deletion variant of the
+    * longer), so recall is exact, and collisions imply ed ≤ 2 so precision
+    * stays tight. This replaces the earlier half-length prefix/suffix
+    * pigeonhole, which is sound but degenerates on shared-prefix corpora:
+    * every supplier name starts "Supplier#", so its prefix slot enumerated
+    * ~ALL n² pairs (999k candidates at sf0.1 vs 77k for deletion blocking —
+    * measured, 13×). The trade is len+1 keys per row instead of 4 — the
+    * standard price for short identifier strings, not a scheme for long
+    * documents. Pairs are generated in-place per variant group (one
+    * aggregation, no self-join — the variant table is never evaluated
+    * twice), and only candidates pay a THRESHOLDED levenshtein (banded
+    * O(d·len) DP, -1 past the bound — kept pairs get their exact distance). */
   def q25FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = t(s, dir, "supplier").select($"s_suppkey".as("k"), $"s_name".as("name"))
-    val seg = base.select($"k", $"name", explode(expr(
-        """array(
-          |  named_struct('slot', 'p', 'seg', substr(name, 1, cast(floor(length(name) / 2) as int))),
-          |  named_struct('slot', 's', 'seg', right(name, cast(ceil(length(name) / 2) as int))),
-          |  named_struct('slot', 'p', 'seg', substr(name, 1, cast(floor((length(name) - 1) / 2) as int))),
-          |  named_struct('slot', 's', 'seg', right(name, cast(ceil((length(name) - 1) / 2) as int))))""".stripMargin))
-        .as("sg"))
-      .select($"k", $"name", $"sg.slot".as("slot"), $"sg.seg".as("segment"))
-    val a = seg.select($"k".as("k_a"), $"name".as("name_a"), $"slot", $"segment")
-    val b = seg.select($"k".as("k_b"), $"name".as("name_b"), $"slot", $"segment")
-    a.join(b, Seq("slot", "segment"))
-      .filter($"k_a" < $"k_b")
-      .select($"k_a", $"k_b", levenshtein($"name_a", $"name_b").as("edit_dist"))
-      .filter($"edit_dist" <= 1)
-      .distinct() // a pair can match on several (slot, assumed-length) keys
+    editDistanceOnePairs(
+      t(s, dir, "supplier").select($"s_suppkey".as("k"), $"s_name".as("name")))
+  }
+
+  /** The q25 kernel over any `(k: long, name: string)` frame: all pairs with
+    * levenshtein ≤ 1 and their exact distance, via deletion-neighborhood
+    * blocking. Package-private for the planted-case spec. */
+  private[graft] def editDistanceOnePairs(base: DataFrame): DataFrame = {
+    import base.sparkSession.implicits._
+    val variants = base.select($"k", explode(expr(
+      "concat(array(name), transform(sequence(1, length(name)), " +
+        "i -> concat(substr(name, 1, i - 1), substr(name, i + 1))))")).as("variant"))
+    val cand = variants
+      .groupBy($"variant")
+      .agg(collect_set($"k").as("ids"))
+      .filter(size($"ids") >= 2)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), " +
+          "y -> struct(least(x, y) AS a, greatest(x, y) AS b))))")).as("p"))
+      .select($"p.a".as("k_a"), $"p.b".as("k_b"))
+      .distinct()
+    cand
+      .join(base.select($"k".as("k_a"), $"name".as("name_a")), Seq("k_a"))
+      .join(base.select($"k".as("k_b"), $"name".as("name_b")), Seq("k_b"))
+      .select($"k_a", $"k_b",
+        expr("levenshtein(name_a, name_b, 1)").as("edit_dist"))
+      .filter($"edit_dist" >= 0)
       .orderBy($"k_a", $"k_b")
   }
   val q25Sql: String =
