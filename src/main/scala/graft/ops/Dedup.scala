@@ -212,6 +212,56 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ----------------------------------------------------- near-dup clustering
+  /** Connected components over a near-dup pair graph: every document that
+    * appears in a pair gets a `cluster_id` = the minimum doc id reachable
+    * through the pairs (the canonical representative a dedup pipeline keeps;
+    * pair-finding alone under-deletes — A~B and B~C must collapse to ONE
+    * survivor even when A~C was never emitted as a pair).
+    *
+    * Algorithm: iterative min-label propagation to a fixpoint — each round,
+    * every node takes the min of its own label and its neighbors' labels
+    * (one shuffle per round: edges ⋈ labels, then a min-agg). Rounds are
+    * driver-sequenced with a convergence count, exactly like Pregel-style
+    * iteration; each round's labels are persisted and the previous round
+    * freed. Converges in O(graph diameter) rounds — near-dup graphs are
+    * piles of small dense cliques, so diameter is small by construction
+    * (the alternating large-star/small-star formulation [Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    * knowledge] drops in here if a corpus ever produces long chains).
+    * Throws if `maxIters` rounds don't converge rather than returning
+    * silently-partial clusters. */
+  def nearDupClusters(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIters: Int = 25): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // Eager localCheckpoint per round, NOT persist: each round's plan nests
+    // the previous round's inside a join+union+agg, so without lineage
+    // TRUNCATION Catalyst re-analyzes a plan that grows superlinearly and
+    // the loop dies in the optimizer long before the data is a problem
+    // (persist caches data but keeps the logical plan). Checkpointed blocks
+    // are dropped as each round's frame is replaced.
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val next = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+        .union(labels.select(col("id"), col("comp")))
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
+        .filter(col("comp") < col("prev")).count()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    require(converged, s"nearDupClusters did not converge in $maxIters rounds")
+    labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+  }
+
   // ------------------------------------------------------- embedding near-dup
   /** Probability that an UNRELATED (≈orthogonal) vector pair shares at least
     * one band bucket under random-hyperplane LSH: 1 − (1 − 2^−bits)^bands.

@@ -185,8 +185,10 @@ object Extensions {
     Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", shingleK = 3, threshold = 0.5)
       .orderBy($"doc_a", $"doc_b")
   }
-  val x08Sql: String =
-    """WITH toks AS (
+  /** Shared CTE block: exact 3-gram Jaccard ≥ 0.5 pairs over `documents`
+    * (the x08 oracle's body; also the edge set of x28's cluster oracle). */
+  private val ngramPairCtes: String =
+    """toks AS (
       |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 3
@@ -197,7 +199,9 @@ object Extensions {
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
+      |  GROUP BY 1, 2)""".stripMargin
+  val x08Sql: String =
+    s"""WITH $ngramPairCtes
       |SELECT doc_a, doc_b,
       |  CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) AS jaccard
       |FROM inter
@@ -594,7 +598,42 @@ object Extensions {
       |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------- x28 near-dup clustering
+  /** Connected components over the exact n-gram-Jaccard pair graph (x08's
+    * edges): every clustered doc labeled with its component's minimum id.
+    * ORACLED: DuckDB computes the same closure with a recursive CTE over the
+    * same exact pair set — pair-finding is deterministic on both sides, and
+    * min-label connectivity has a unique fixpoint, so the component labels
+    * hash-match. The transitive-closure CTE is fine for an oracle (small
+    * dense cliques); the Spark side is the O(diameter) propagation loop that
+    * actually scales. */
+  def x28NearDupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+      shingleK = 3, threshold = 0.5)
+    Dedup.nearDupClusters(pairs).orderBy($"doc_id")
+  }
+  val x28Sql: String =
+    s"""WITH RECURSIVE $ngramPairCtes,
+      |pairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |reach(x, y) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT r.x, e.b FROM reach r JOIN edges e ON e.a = r.y)
+      |SELECT x AS doc_id, min(y) AS cluster_id FROM reach GROUP BY x
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x28_neardup_clusters" -> x28NearDupClusters _,
     "x15_multimodal" -> x15Multimodal _,
     "x17_per_source_cap" -> x17PerSourceCap _,
     "x18_curation" -> x18Curation _,
@@ -640,5 +679,6 @@ object Extensions {
     "x24_repetition" -> x24Sql,
     "x25_decontaminate" -> x25Sql,
     "x26_token_budget_mix" -> x26Sql,
-    "x27_data_card" -> x27Sql)
+    "x27_data_card" -> x27Sql,
+    "x28_neardup_clusters" -> x28Sql)
 }

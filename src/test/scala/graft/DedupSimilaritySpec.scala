@@ -175,6 +175,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(top.sortBy(-_._3).toSeq == top.toSeq)
   }
 
+  test("near-dup clusters: transitive closure with min-id labels, O(diameter) convergence") {
+    import spark.implicits._
+    // chain 1-2-3 (transitivity: 1~3 never emitted as a pair), triangle
+    // 10-11-12, separate pair 20-21, and a 9-hop path 30..39 to exercise
+    // multi-round convergence
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      ++ (30L until 39L).map(i => (i, i + 1)))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L) ++
+      (30L to 39L).map(_ -> 30L).toMap
+    assert(got == want)
+    // insufficient iteration budget must throw, not return partial labels
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupClusters((30L until 39L).map(i => (i, i + 1)).toDF("doc_a", "doc_b"),
+        maxIters = 2).collect()
+    }
+  }
+
   test("cost-based embedding near-dup: exact and LSH paths agree; planner picks by geometry") {
     import spark.implicits._
     // geometry math: 64x4-bit bands admit ~98% of random pairs; 8x16-bit ~0.01%
