@@ -190,6 +190,81 @@ object Curation {
       .withColumn("en_frac",
         col("n_en").cast("double") / col("n_docs").cast("double"))
 
+  /** Sequence packing: assign documents, in doc-id order within each source,
+    * to consecutive token-capacity bins (next-fit — the packing step that
+    * turns a curated corpus into fixed-length training sequences). A new bin
+    * opens exactly when the incoming document would overflow the current
+    * one; an oversized document therefore sits alone in its own bin.
+    *
+    * Packing is sequential BY DEFINITION within a source, so the honest
+    * Spark spelling is the typed path: `groupByKey(source)` +
+    * `flatMapSortedGroups(doc_id)` — the secondary sort rides the shuffle
+    * (no in-group buffering), the scan is a single O(n) fold per source,
+    * and only (source, id, n_tok) METADATA ever moves; document text never
+    * enters the shuffle. Returns (source, doc_id, n_tok, bin_id); callers
+    * join assignments back by id when they need the text. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, capacity: Long): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(col(sourceCol).cast("string").as("source"),
+        col(idCol).cast("long").as("doc_id"),
+        size(Dedup.tokens(col(textCol))).cast("long").as("n_tok"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("doc_id").asc) { (_, it) =>
+        var bin = 0L
+        var sum = 0L
+        var first = true
+        it.map { case (src, id, n) =>
+          if (first) { sum = n; first = false }
+          else if (sum + n > capacity) { bin += 1L; sum = n }
+          else sum += n
+          (src, id, n, bin)
+        }
+      }
+      .toDF("source", "doc_id", "n_tok", "bin_id")
+  }
+
+  /** Boilerplate line removal: delete every line that appears in at least
+    * `minDocs` distinct documents OF THE SAME SOURCE (headers, footers,
+    * cookie banners — the per-domain template noise web corpora carry), and
+    * reassemble each document from its surviving lines in original order.
+    * Documents whose every line is boilerplate come back with empty text,
+    * not dropped — dropping is a separate curation-gate decision.
+    *
+    * Scale shape: the frequency count groups on (source, xxhash64(line)),
+    * so the wide line strings never enter that shuffle — only 8-byte hashes
+    * (a 64-bit collision could only over-delete a line pair within one
+    * source, odds negligible against any realistic line count). The
+    * boilerplate key set joins back as a left-anti on the same narrow key,
+    * and the only wide shuffle is the per-doc reassembly, which carries
+    * each document's surviving lines exactly once. */
+  def removeBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, minDocs: Long = 5L): DataFrame = {
+    val cols = docs.columns
+    val lines = docs
+      .select(col(idCol).as("__id"), col(sourceCol).as("__src"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__lh", xxhash64(col("__line")))
+    val boiler = lines
+      .groupBy(col("__src"), col("__lh"))
+      .agg(countDistinct(col("__id")).as("__n"))
+      .filter(col("__n") >= minDocs)
+      .select(col("__src"), col("__lh"))
+    val rebuilt = lines
+      .join(boiler, Seq("__src", "__lh"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line")),
+        "\n").as("__clean"))
+    docs.join(rebuilt, docs(idCol) === rebuilt("__id"), "left")
+      .withColumn(textCol, coalesce(col("__clean"), lit("")))
+      .select(cols.map(col): _*)
+  }
+
   /** Benchmark decontamination: drop every corpus document that shares any
     * k-token shingle with the held-out eval set (the standard n-gram-overlap
     * test-set-leak filter applied before training).

@@ -632,7 +632,79 @@ object Extensions {
       |SELECT x AS doc_id, min(y) AS cluster_id FROM reach GROUP BY x
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------- x29 boilerplate line removal
+  /** Per-source boilerplate line removal over a PLANTED lined corpus: the
+    * synthetic documents carry no newlines, so the query (like x23's
+    * planted PII) wraps every text in a corpus-wide promo header and a
+    * per-source copyright footer — both engines build the identical string,
+    * so the oracle is a real cross-engine check of positional line explode,
+    * per-source distinct-doc frequency, anti-join, and ordered reassembly.
+    * Expected fixpoint: header and footer vanish (each appears in every doc
+    * of a source, ≥ minDocs), the original text line survives (unique per
+    * doc), so cleaned text equals the original — checked structurally by
+    * the hash match, not assumed. */
+  def x29Boilerplate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lined = docs(s, dir).withColumn("text",
+      concat(lit("promo: visit example dot com\n"), $"text",
+        lit("\ncopyright "), $"source"))
+    Curation.removeBoilerplateLines(lined, "doc_id", "text", "source", minDocs = 5L)
+      .select($"doc_id", $"text", $"source")
+      .orderBy($"doc_id")
+  }
+  val x29Sql: String =
+    """WITH lined AS (
+      |  SELECT doc_id, source,
+      |    'promo: visit example dot com' || chr(10) || text || chr(10) || 'copyright ' || source AS lt
+      |  FROM documents),
+      |lines AS (
+      |  SELECT doc_id, source, u.pl.pos AS pos, u.pl.line AS line
+      |  FROM (SELECT doc_id, source,
+      |          unnest(list_transform(string_split(lt, chr(10)),
+      |            (x, i) -> struct_pack(pos := i, line := x))) AS pl
+      |        FROM lined) u),
+      |boiler AS (
+      |  SELECT source, line FROM lines GROUP BY source, line
+      |  HAVING count(DISTINCT doc_id) >= 5),
+      |kept AS (
+      |  SELECT l.doc_id, l.pos, l.line FROM lines l
+      |  WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.source = l.source AND b.line = l.line)),
+      |rebuilt AS (
+      |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(r.text, '') AS text, d.source
+      |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------------ x30 sequence packing
+  /** Next-fit sequence packing at capacity 128 tokens. ORACLED: packing is a
+    * deterministic per-source fold over the id-ordered token counts, so the
+    * typed flatMapSortedGroups fold and DuckDB's recursive-CTE respelling
+    * produce identical bin assignments — a cross-engine pin on an operator
+    * whole-relation SQL cannot express without recursion. */
+  def x30SequencePacking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Curation.packSequences(docs(s, dir), "doc_id", "text", "source", capacity = 128L)
+      .orderBy($"source", $"doc_id")
+  }
+  val x30Sql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tok,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |pack(source, rn, doc_id, n_tok, bin, binsum) AS (
+      |  SELECT source, rn, doc_id, n_tok, CAST(0 AS BIGINT), n_tok FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.source, d.rn, d.doc_id, d.n_tok,
+      |    CASE WHEN p.binsum + d.n_tok > 128 THEN p.bin + 1 ELSE p.bin END,
+      |    CASE WHEN p.binsum + d.n_tok > 128 THEN d.n_tok ELSE p.binsum + d.n_tok END
+      |  FROM pack p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+      |SELECT source, doc_id, n_tok, bin AS bin_id FROM pack
+      |ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x30_sequence_packing" -> x30SequencePacking _,
+    "x29_boilerplate" -> x29Boilerplate _,
     "x28_neardup_clusters" -> x28NearDupClusters _,
     "x15_multimodal" -> x15Multimodal _,
     "x17_per_source_cap" -> x17PerSourceCap _,
@@ -680,5 +752,7 @@ object Extensions {
     "x25_decontaminate" -> x25Sql,
     "x26_token_budget_mix" -> x26Sql,
     "x27_data_card" -> x27Sql,
-    "x28_neardup_clusters" -> x28Sql)
+    "x28_neardup_clusters" -> x28Sql,
+    "x29_boilerplate" -> x29Sql,
+    "x30_sequence_packing" -> x30Sql)
 }

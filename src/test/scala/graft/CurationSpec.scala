@@ -85,6 +85,54 @@ class CurationSpec extends SparkSpec {
     assert(cols == Seq("source", "doc_id", "text"))
   }
 
+  test("removeBoilerplateLines: per-source frequency, order-preserving reassembly") {
+    import spark.implicits._
+    // "ad" is boilerplate in source A (3 docs >= minDocs=3) but rare in B;
+    // doc 4 is ALL boilerplate -> empty text, still present; line order and
+    // duplicate non-boilerplate lines within a doc are preserved
+    val docs = Seq(
+      (1L, "ad\nkeep one\nkeep one\nmid", "A"),
+      (2L, "ad\nunique two", "A"),
+      (3L, "mid\nad", "A"),
+      (4L, "ad", "A"),
+      (5L, "ad\nother corpus", "B"),
+      (6L, "solo", "B")).toDF("doc_id", "text", "source")
+    val got = Curation.removeBoilerplateLines(docs, "doc_id", "text", "source", minDocs = 3L)
+      .orderBy($"doc_id").as[(Long, String, String)].collect().toSeq
+    // in A: "ad" (docs 1,2,3,4) removed; "mid" (docs 1,3) kept (< 3)
+    assert(got == Seq(
+      (1L, "keep one\nkeep one\nmid", "A"),
+      (2L, "unique two", "A"),
+      (3L, "mid", "A"),
+      (4L, "", "A"),
+      (5L, "ad\nother corpus", "B"),
+      (6L, "solo", "B")))
+    // schema/columns pass through unchanged
+    assert(Curation.removeBoilerplateLines(docs, "doc_id", "text", "source")
+      .columns.toSeq == Seq("doc_id", "text", "source"))
+  }
+
+  test("packSequences: next-fit per source in id order; oversized doc gets its own bin") {
+    import spark.implicits._
+    // source A capacity 10: [4, 5] fit bin 0; 3 overflows -> bin 1; the
+    // 25-token doc overflows -> bin 2 alone; 2 -> bin 3.
+    // source B: one doc -> bin 0 even though oversized.
+    val docs = Seq(
+      (1L, "w w w w", "A"), (2L, "w w w w w", "A"), (3L, "w w w", "A"),
+      (4L, ("w " * 24).trim + " w", "A"), (5L, "w w", "A"),
+      (10L, ("w " * 11).trim, "B")).toDF("doc_id", "text", "source")
+    val got = Curation.packSequences(docs, "doc_id", "text", "source", capacity = 10L)
+      .orderBy($"source", $"doc_id")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("A", 1L, 4L, 0L), ("A", 2L, 5L, 0L), ("A", 3L, 3L, 1L),
+      ("A", 4L, 25L, 2L), ("A", 5L, 2L, 3L),
+      ("B", 10L, 11L, 0L)))
+    // invariant: no multi-doc bin exceeds capacity
+    val sums = got.groupBy(r => (r._1, r._4)).view.mapValues(g => (g.map(_._3).sum, g.size))
+    assert(sums.forall { case (_, (s, n)) => n == 1 || s <= 10L })
+  }
+
   test("dataCard derives ratios exactly from its own integer numerators") {
     import spark.implicits._
     val docs = Seq(
