@@ -22,6 +22,29 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(emptyDocs, "doc_id", "text").count() == 0)
   }
 
+  test("round-6 operators on empty and degenerate inputs") {
+    import spark.implicits._
+    // empty pair graph -> empty clusters, converged immediately
+    val noPairs = emptyDocs.select($"doc_id".as("doc_a"), $"doc_id".as("doc_b"))
+    assert(Dedup.nearDupClusters(noPairs).count() == 0)
+    // empty corpus: packing and boilerplate removal return empty, not errors
+    assert(Curation.packSequences(emptyDocs, "doc_id", "text", "source", 128L).count() == 0)
+    assert(Curation.removeBoilerplateLines(emptyDocs, "doc_id", "text", "source").count() == 0)
+    // cost-based embedding near-dup on an empty vector set (exact path)
+    val emptyEmb = spark.createDataFrame(
+      new java.util.ArrayList[Row](),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    assert(Dedup.embeddingNearDup(emptyEmb, "vec_id", "embedding",
+      threshold = 0.5, bands = 64, bitsPerBand = 4).count() == 0)
+    // single doc: its own bin, its text untouched by boilerplate removal
+    val one = Seq((1L, "a\nb", "s")).toDF("doc_id", "text", "source")
+    assert(Curation.packSequences(one, "doc_id", "text", "source", 128L)
+      .as[(String, Long, Long, Long)].collect().toSeq == Seq(("s", 1L, 2L, 0L)))
+    assert(Curation.removeBoilerplateLines(one, "doc_id", "text", "source")
+      .select($"text").as[String].first() == "a\nb")
+  }
+
   test("text analysis on nulls and unicode") {
     import spark.implicits._
     val docs = Seq(
