@@ -23,6 +23,62 @@ object Curation {
       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
 
+  /** Deterministic train/val/test split by content-independent id hash.
+    * Each row's bucket is the first 16 bits of md5(id-as-string) compared
+    * against cumulative-fraction thresholds (fixed-width lowercase hex, so
+    * lexicographic compare IS numeric compare). This is the split a 100 TB
+    * corpus actually needs: pure map-side (zero shuffle, zero state), stable
+    * across runs/engines/partitionings, and consistent for the same id
+    * across tables — none of which a seeded `sample` gives you. */
+  def hashSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val bucket = substring(md5(col(idCol).cast("string")), 1, 4)
+    val thresholds = splits.map(_._2).scanLeft(0.0)(_ + _).tail.init
+      .map(f => f"${math.floor(f * 65536).toLong}%04x")
+    val assigned = splits.map(_._1).init.zip(thresholds)
+      .foldRight(lit(splits.last._1): Column) { case ((name, th), els) =>
+        when(bucket < lit(th), lit(name)).otherwise(els)
+      }
+    df.withColumn("split", assigned)
+  }
+
+  /** Exact-count stratified sample: per stratum, keep the first
+    * floor(n * keepNum / keepDen) rows in md5(id) order — a deterministic
+    * pseudo-random order, so the sample is uniform but reproducible on any
+    * engine. All-integer admission test (`rn * den <= n * num`): no float
+    * thresholds to disagree on. One shuffle (the stratum window); only
+    * ids/strata ride it if the caller projects first. */
+  def exactStratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      keepNum: Int, keepDen: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(stratumCol))))
+      .filter(col("__rn") * lit(keepDen.toLong) <= col("__n") * lit(keepNum.toLong))
+      .drop("__rn", "__n")
+  }
+
+  /** Quality-gate funnel report: how many rows survive each successive
+    * gate. `stages` are (name, predicate) in gate order; row i of the
+    * output counts rows passing gates 1..i (row 0 = input). ONE scan —
+    * every stage is a conditional sum in a single partial-aggregable
+    * `agg`, then the 1×k row unpivots to k rows driver-side via `stack`.
+    * At 100 TB this is the same cost as one count(*). */
+  def filterFunnel(docs: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    val cum = stages.scanLeft(("input", lit(true): Column)) {
+      case ((_, acc), (name, pred)) => (name, acc && pred)
+    }
+    val aggs = cum.map { case (name, pred) =>
+      sum(when(pred, 1L).otherwise(0L)).as(name)
+    }
+    val stacked = cum.zipWithIndex
+      .map { case ((name, _), i) => s"$i, '$name', `$name`" }.mkString(", ")
+    docs.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cum.size}, $stacked) AS (stage_idx, stage, n_kept)")
+  }
+
   /** Keep at most `n` rows per group, by ascending `orderCol` — the standard
     * per-domain/per-source cap. Deterministic (orderCol must be unique per
     * group for exact reproducibility). */

@@ -113,4 +113,34 @@ object TextAnalysis {
             (col("st").getItem(0) - 1).cast("double"))
           .otherwise(lit(0.0)).as("dup_2gram_frac"))
   }
+
+  // ------------------------------------------------- corpus n-gram statistics
+  /** Top-k most frequent token bigrams per group (per language, per source —
+    * the corpus-composition statistic behind boilerplate discovery and
+    * domain profiling). Ties break on the bigram string, so the result is
+    * fully deterministic.
+    *
+    * Scale shape: the explode fans each doc out to its bigrams, but the
+    * (group, ngram) count is partial-aggregable — hot bigrams collapse
+    * map-side before the one wide shuffle. The top-k filter then runs on
+    * the counted relation (|distinct bigrams|, not |tokens|); a per-group
+    * bounded-heap aggregate (functions.TopKAgg) could replace the window
+    * if distinct-ngram cardinality per group ever became the bottleneck. */
+  def topNgrams(docs: DataFrame, textCol: String, groupCol: String,
+      k: Int): DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    val grams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val counts = docs
+      .select(col(groupCol), explode(grams).as("ngram"))
+      .groupBy(col(groupCol), col("ngram"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("n").desc, col("ngram").asc)
+    counts.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Multimodal, Similarity, Stats, TextAnalysis}
 
 /** Training-data-pipeline extension operators (build brief: dedup, similarity
   * search, text analysis, event streams) as driver-checkable queries.
@@ -702,7 +702,138 @@ object Extensions {
       |SELECT source, doc_id, n_tok, bin AS bin_id FROM pack
       |ORDER BY source, doc_id""".stripMargin
 
+  // ------------------------------------------------------- x31 hash split
+  /** Deterministic 80/10/10 train/val/test split. ORACLED: both engines
+    * compute md5 of the decimal id string and compare the first 4 hex chars
+    * against the same fixed-width thresholds (0.8·2^16 = 0xcccc,
+    * 0.9·2^16 = 0xe666), so assignments match bit-for-bit. */
+  def x31HashSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Curation.hashSplit(docs(s, dir), "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .select($"doc_id", $"split")
+      .orderBy($"doc_id")
+  }
+  val x31Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+      |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------- x32 exact stratified sample
+  /** Exact-count 1/5 stratified sample per source. ORACLED: the admission
+    * test is all-integer (rn·5 <= n·1) over a deterministic md5 ordering,
+    * so both engines select the identical row set. */
+  def x32StratifiedExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Curation.exactStratifiedSample(
+        docs(s, dir).select($"doc_id", $"source"), "source", "doc_id",
+        keepNum = 1, keepDen = 5)
+      .orderBy($"source", $"doc_id")
+  }
+  val x32Sql: String =
+    """WITH r AS (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents)
+      |SELECT doc_id, source FROM r WHERE rn * 5 <= n * 1
+      |ORDER BY source, doc_id""".stripMargin
+
+  // ------------------------------------------------------ x33 filter funnel
+  /** Per-stage retention report for the curation gate chain (the funnel
+    * table every data-quality readout starts from). All-integer output;
+    * the stopword gate is spelled n_stop·20 >= n_tokens so no float ratio
+    * enters the cross-engine contract. */
+  def x33FilterFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Dedup.tokens($"text")
+    val nTok = size(toks)
+    val nStop = size(filter(toks,
+      w => w.isin(TextAnalysis.Stopwords.map(x => x: Any): _*)))
+    Curation.filterFunnel(docs(s, dir), Seq(
+      ("min_len", length($"text") >= 200),
+      ("lang_en", $"lang" === "en"),
+      ("token_range", nTok.between(10, 5000)),
+      ("stopwords", nStop * lit(20) >= nTok)))
+  }
+  val x33Sql: String = {
+    val stops = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    val toks = """string_split_regex(lower(text), '\s+')"""
+    s"""WITH f AS (
+       |  SELECT length(text) >= 200 AS p1,
+       |    lang = 'en' AS p2,
+       |    len($toks) BETWEEN 10 AND 5000 AS p3,
+       |    len(list_filter($toks, w -> w IN ($stops))) * 20 >= len($toks) AS p4
+       |  FROM documents)
+       |SELECT CAST(0 AS INTEGER) AS stage_idx, 'input' AS stage, count(*) AS n_kept FROM f
+       |UNION ALL SELECT 1, 'min_len', CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) FROM f
+       |UNION ALL SELECT 2, 'lang_en', CAST(sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) FROM f
+       |UNION ALL SELECT 3, 'token_range', CAST(sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT) FROM f
+       |UNION ALL SELECT 4, 'stopwords', CAST(sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS BIGINT) FROM f
+       |ORDER BY stage_idx""".stripMargin
+  }
+
+  // ----------------------------------------------------- x34 group anomalies
+  /** Per-group z-score outliers over order quantity totals (group = number
+    * of line items — cohorts with comparable distributions). ORACLED: the
+    * sums are exact-integer doubles and both engines evaluate the identical
+    * mean/sd/threshold expression tree, so the flag set is bit-identical —
+    * see [[graft.ops.Stats.groupAnomalies]]. Output pins integers only. */
+  def x34GroupAnomalies(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.load(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity".cast("double")).as("order_qty"),
+        count(lit(1)).as("n_items"))
+    Stats.groupAnomalies(orders, "n_items", "order_qty", sigma = 2.5)
+      .select($"l_orderkey", $"n_items", $"order_qty".cast("long").as("order_qty"))
+      .orderBy($"l_orderkey")
+  }
+  val x34Sql: String =
+    """WITH o AS (
+      |  SELECT l_orderkey, sum(CAST(l_quantity AS DOUBLE)) AS order_qty,
+      |    count(*) AS n_items
+      |  FROM lineitem GROUP BY l_orderkey),
+      |st AS (
+      |  SELECT n_items, sum(order_qty) AS s, sum(order_qty * order_qty) AS ssq,
+      |    CAST(count(*) AS DOUBLE) AS n
+      |  FROM o GROUP BY n_items)
+      |SELECT l_orderkey, o.n_items, CAST(order_qty AS BIGINT) AS order_qty
+      |FROM o JOIN st ON o.n_items = st.n_items
+      |WHERE n > 1.0 AND abs(order_qty - s / n) > 2.5 * sqrt((ssq - s * s / n) / (n - 1.0))
+      |ORDER BY l_orderkey""".stripMargin
+
+  // -------------------------------------------------------- x35 top n-grams
+  /** Top-10 token bigrams per language — corpus profiling. Ties break on
+    * the bigram string; counts are exact integers; both engines tokenize
+    * with the same \s+ split (pinned cross-engine by x02). */
+  def x35NgramTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.topNgrams(docs(s, dir), "text", "lang", k = 10)
+      .orderBy($"lang", $"n".desc, $"ngram")
+  }
+  val x35Sql: String =
+    """WITH toks AS (
+      |  SELECT lang, string_split_regex(lower(text), '\s+') AS t FROM documents),
+      |grams AS (
+      |  SELECT lang,
+      |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS ngram
+      |  FROM toks),
+      |cnt AS (SELECT lang, ngram, count(*) AS n FROM grams GROUP BY lang, ngram),
+      |rk AS (SELECT lang, ngram, n,
+      |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, ngram) AS rk FROM cnt)
+      |SELECT lang, ngram, n FROM rk WHERE rk <= 10
+      |ORDER BY lang, n DESC, ngram""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x31_hash_split" -> x31HashSplit _,
+    "x32_stratified_exact" -> x32StratifiedExact _,
+    "x33_filter_funnel" -> x33FilterFunnel _,
+    "x34_group_anomalies" -> x34GroupAnomalies _,
+    "x35_ngram_topk" -> x35NgramTopK _,
     "x30_sequence_packing" -> x30SequencePacking _,
     "x29_boilerplate" -> x29Boilerplate _,
     "x28_neardup_clusters" -> x28NearDupClusters _,
@@ -732,6 +863,11 @@ object Extensions {
     "x27_data_card" -> x27DataCard _)
 
   val oracleSql: Map[String, String] = Map(
+    "x31_hash_split" -> x31Sql,
+    "x32_stratified_exact" -> x32Sql,
+    "x33_filter_funnel" -> x33Sql,
+    "x34_group_anomalies" -> x34Sql,
+    "x35_ngram_topk" -> x35Sql,
     "x17_per_source_cap" -> x17Sql,
     "x01_dedup_exact" -> x01Sql,
     "x02_token_count" -> x02Sql,

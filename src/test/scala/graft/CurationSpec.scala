@@ -181,4 +181,45 @@ class CurationSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet
     assert(keptShort == Set(1L, 2L, 3L, 4L))
   }
+
+  test("hashSplit: every row gets exactly one split, fractions near target, stable") {
+    import spark.implicits._
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val a = Curation.hashSplit(docs, "doc_id", splits)
+    assert(a.count() == docs.count()) // total preserved, no dup/drop
+    val counts = a.groupBy($"split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    val n = docs.count().toDouble
+    assert(counts("train") / n > 0.7 && counts("train") / n < 0.9)
+    // content-independent: same ids → same assignment on a reshuffled frame
+    val b = Curation.hashSplit(docs.repartition(7), "doc_id", splits)
+    assert(a.select("doc_id", "split").except(b.select("doc_id", "split")).isEmpty)
+  }
+
+  test("exactStratifiedSample keeps exactly floor(n*num/den) rows per stratum") {
+    import spark.implicits._
+    val sampled = Curation.exactStratifiedSample(docs, "source", "doc_id", 1, 5)
+    val got = sampled.groupBy($"source").count().as[(String, Long)].collect().toMap
+    val want = docs.groupBy($"source").count().as[(String, Long)].collect().toMap
+      .map { case (s, c) => s -> c / 5 }
+    assert(got == want.filter(_._2 > 0))
+    // sample is a subset of the input rows
+    assert(sampled.select("doc_id").except(docs.select("doc_id")).isEmpty)
+  }
+
+  test("filterFunnel: one row per stage, cumulative and monotone") {
+    import spark.implicits._
+    val funnel = Curation.filterFunnel(docs, Seq(
+      ("lang_en", $"lang" === "en"),
+      ("min_len", length($"text") >= 100)))
+      .orderBy($"stage_idx")
+      .collect()
+    assert(funnel.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((0, "input"), (1, "lang_en"), (2, "min_len")))
+    val ns = funnel.map(_.getLong(2))
+    assert(ns(0) == docs.count())
+    assert(ns(1) == docs.filter($"lang" === "en").count())
+    assert(ns(2) == docs.filter($"lang" === "en" && length($"text") >= 100).count())
+    assert(ns.sliding(2).forall(p => p(0) >= p(1)))
+  }
 }

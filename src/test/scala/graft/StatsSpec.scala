@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Stats
+
+/** Group-statistics ops: z-score outlier flagging. */
+class StatsSpec extends SparkSpec {
+
+  test("groupAnomalies flags exactly the planted outlier, not the bulk") {
+    import spark.implicits._
+    // group "a": tight cluster at 10 plus one wild point; group "b": n=1
+    // (excluded — sd undefined); group "c": uniform spread, no outlier.
+    val df = (Seq.fill(20)(10.0) ++ Seq(11.0, 9.0, 100.0)).zipWithIndex
+      .map { case (v, i) => ("a", i.toLong, v) }
+      .++(Seq(("b", 100L, 5.0)))
+      .++(Seq(("c", 200L, 1.0), ("c", 201L, 2.0), ("c", 202L, 3.0)))
+      .toDF("g", "id", "v")
+    val flagged = Stats.groupAnomalies(df, "g", "v", sigma = 2.5)
+      .select($"g", $"id").as[(String, Long)].collect().toSet
+    assert(flagged == Set(("a", 22L)))
+  }
+
+  test("groupAnomalies matches the explicit mean/sd formula") {
+    import spark.implicits._
+    val vals = Seq(3.0, 7.0, 7.0, 19.0, 2.0, 5.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }.toDF("g", "id", "v")
+    val s = vals.sum; val ssq = vals.map(v => v * v).sum; val n = vals.size.toDouble
+    val mean = s / n
+    val sd = math.sqrt((ssq - s * s / n) / (n - 1.0))
+    val want = vals.zipWithIndex.collect {
+      case (v, i) if math.abs(v - mean) > 1.5 * sd => i.toLong
+    }.toSet
+    assert(want.nonEmpty) // the fixture actually exercises the flag path
+    val got = Stats.groupAnomalies(df, "g", "v", sigma = 1.5)
+      .select($"id").as[Long].collect().toSet
+    assert(got == want)
+  }
+}

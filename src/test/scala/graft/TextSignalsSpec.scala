@@ -46,4 +46,20 @@ class TextSignalsSpec extends SparkSpec {
     assert(out(3L) == ((1, 1.0, 0.0)))
     assert(out(4L) == ((6, 0.5, 1.0 - 2.0 / 5.0)))
   }
+
+  test("topNgrams: per-group top-k bigrams, count-desc with string tie-break") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "a b a b c"),   // bigrams: "a b" ×2, "b a", "b c"
+      (2L, "en", "a b x"),       // "a b", "b x"
+      (3L, "de", "nur ein wort paar"),
+      (4L, "de", "x")            // single token → no bigrams
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.topNgrams(docs, "text", "lang", k = 2)
+      .orderBy($"lang", $"n".desc, $"ngram")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      ("de", "ein wort", 1L), ("de", "nur ein", 1L), // tie → lexicographic
+      ("en", "a b", 3L), ("en", "b a", 1L)))
+  }
 }
