@@ -128,4 +128,28 @@ object Lake {
     adlsHadoopConf(env).foreach { case (k, v) =>
       spark.sparkContext.hadoopConfiguration.set(k, v)
     }
+
+  /** Snapshot upsert (MERGE keep-latest): overlay `updates` onto `base`,
+    * keeping per key the row with the highest `versionCol` (updates win
+    * version ties — the overlay is the newer snapshot by definition).
+    * Plain-parquet lakes have no transactional MERGE; this is the
+    * deterministic read-side equivalent, and writing its result back via
+    * [[writePartitioned]] completes the compaction.
+    *
+    * Scale shape: one shuffle on the key for the window. The union is
+    * by-name, so both sides may arrive with any column order; when the
+    * base table is bucketed by the key ([[writeBucketed]]) only the
+    * (always far smaller) update side shuffles. */
+  def upsertKeepLatest(base: DataFrame, updates: DataFrame, keyCol: String,
+      versionCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val tagged = base.withColumn("__pri", lit(0))
+      .unionByName(updates.withColumn("__pri", lit(1)))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(versionCol).desc, col("__pri").desc)
+    tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__pri")
+  }
 }

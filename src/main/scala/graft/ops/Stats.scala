@@ -40,4 +40,36 @@ object Stats {
       .filter(col("__n") > lit(1.0) && abs(v - mean) > lit(sigma) * sd)
       .drop("__s", "__ssq", "__n")
   }
+
+  /** Fixed-width histogram: bin index = floor(value / binWidth), with the
+    * bin's inclusive lower bound alongside. One partial-aggregable groupBy
+    * on a small key domain — bins collapse map-side, the shuffle carries
+    * |bins| rows per partition no matter how many input rows. NULLs are
+    * excluded (they have no bin; count them via [[columnProfile]]). */
+  def histogram(df: DataFrame, valueCol: String, binWidth: Double): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(floor(col(valueCol).cast("double") / lit(binWidth)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", col("bin").cast("double") * lit(binWidth))
+
+  /** Per-column data-quality profile: row count, null count, exact distinct
+    * count — the profile table a lake publishes next to each dataset.
+    *
+    * One logical pass; the exact multi-column countDistinct makes Catalyst
+    * plan an Expand (one duplicated row per distinct aggregate), so cost is
+    * |cols| × scan. That is the EXACT spelling — at 100 TB, profile either
+    * a column subset (the `cols` parameter) or swap approx_count_distinct
+    * into `distinctExpr` if ±2% is acceptable; the contract here stays
+    * exact so it can carry a DuckDB oracle. */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        countDistinct(col(c)).as(s"__dist_$c"))
+    }
+    val stacked = cols.map(c => s"'$c', `__null_$c`, `__dist_$c`").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows",
+        s"stack(${cols.size}, $stacked) AS (column_name, n_null, n_distinct)")
+      .select("column_name", "n_rows", "n_null", "n_distinct")
+  }
 }

@@ -604,7 +604,72 @@ object Breadth {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_orderkey""".stripMargin
 
+  // --------------------------------------------------------- x36 upsert merge
+  /** Snapshot upsert: a synthetic "version 2" overlay (every 10th order,
+    * price bumped) merged keep-latest onto the base snapshot. ORACLED:
+    * keep-latest over distinct versions has a unique answer, which SQL
+    * spells as a CASE against the update predicate. */
+  def x36Upsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice").withColumn("version", lit(1L))
+    val updates = base.filter($"o_orderkey" % 10 === 0)
+      .withColumn("o_totalprice", $"o_totalprice" + lit(1.0))
+      .withColumn("version", lit(2L))
+    graft.io.Lake.upsertKeepLatest(base, updates, "o_orderkey", "version")
+      .orderBy($"o_orderkey")
+  }
+  val x36Sql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+      |  CAST(CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ----------------------------------------------------------- x37 histogram
+  /** Fixed-width histogram of order prices (1000-wide bins). ORACLED: the
+    * bin index is floor(x/1000) — one IEEE division and floor, identical in
+    * both engines — and counts are exact integers. */
+  def x37Histogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Stats.histogram(t(s, dir, "orders"), "o_totalprice", 1000.0)
+      .orderBy($"bin")
+  }
+  val x37Sql: String =
+    """SELECT CAST(floor(o_totalprice / CAST(1000 AS DOUBLE)) AS BIGINT) AS bin,
+      |  count(*) AS n,
+      |  CAST(floor(o_totalprice / CAST(1000 AS DOUBLE)) AS DOUBLE) * CAST(1000 AS DOUBLE) AS bin_lo
+      |FROM orders WHERE o_totalprice IS NOT NULL
+      |GROUP BY 1, 3 ORDER BY bin""".stripMargin
+
+  // ------------------------------------------------------ x38 column profile
+  /** Per-column null/distinct profile of the orders table — the data-quality
+    * summary published next to a lake dataset. All-integer output. */
+  def x38ColumnProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Stats.columnProfile(t(s, dir, "orders"),
+        Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"))
+      .orderBy($"column_name")
+  }
+  val x38Sql: String =
+    """WITH f AS (SELECT count(*) AS n_rows FROM orders)
+      |SELECT 'o_custkey' AS column_name, n_rows,
+      |  CAST((SELECT sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) FROM orders) AS BIGINT) AS n_null,
+      |  (SELECT count(DISTINCT o_custkey) FROM orders) AS n_distinct FROM f
+      |UNION ALL SELECT 'o_orderstatus', n_rows,
+      |  CAST((SELECT sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) FROM orders) AS BIGINT),
+      |  (SELECT count(DISTINCT o_orderstatus) FROM orders) FROM f
+      |UNION ALL SELECT 'o_orderpriority', n_rows,
+      |  CAST((SELECT sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) FROM orders) AS BIGINT),
+      |  (SELECT count(DISTINCT o_orderpriority) FROM orders) FROM f
+      |UNION ALL SELECT 'o_orderdate', n_rows,
+      |  CAST((SELECT sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) FROM orders) AS BIGINT),
+      |  (SELECT count(DISTINCT o_orderdate) FROM orders) FROM f
+      |ORDER BY column_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x36_upsert" -> x36Upsert _,
+    "x37_histogram" -> x37Histogram _,
+    "x38_column_profile" -> x38ColumnProfile _,
     "q19_string_funcs" -> q19StringFuncs _,
     "q20_bigjoin_revenue" -> q20BigJoinRevenue _,
     "q21_semi_anti" -> q21SemiAnti _,
@@ -627,6 +692,9 @@ object Breadth {
     "x21_range_join" -> x21RangeJoin _)
 
   val oracleSql: Map[String, String] = Map(
+    "x36_upsert" -> x36Sql,
+    "x37_histogram" -> x37Sql,
+    "x38_column_profile" -> x38Sql,
     "q19_string_funcs" -> q19Sql,
     "q20_bigjoin_revenue" -> q20Sql,
     "q22_sketches" -> q22Sql,

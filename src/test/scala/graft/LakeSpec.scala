@@ -108,4 +108,18 @@ class LakeSpec extends SparkSpec {
     assert(spark.sparkContext.hadoopConfiguration
       .get("fs.azure.account.auth.type.confacct.dfs.core.windows.net") == "OAuth")
   }
+
+  test("upsertKeepLatest: updates win by version, ties go to updates, inserts append") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 1L), (2L, "b", 5L), (3L, "c", 1L)).toDF("k", "v", "version")
+    val updates = Seq(
+      (1L, "a2", 2L), // newer version → replaces
+      (2L, "b2", 5L), // SAME version → update still wins (overlay is newer)
+      (4L, "d", 1L)   // new key → inserted
+    ).toDF("k", "v", "version")
+    val rows = graft.io.Lake.upsertKeepLatest(base, updates, "k", "version")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(rows == Map(
+      1L -> (("a2", 2L)), 2L -> (("b2", 5L)), 3L -> (("c", 1L)), 4L -> (("d", 1L))))
+  }
 }

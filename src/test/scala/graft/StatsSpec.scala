@@ -36,4 +36,26 @@ class StatsSpec extends SparkSpec {
       .select($"id").as[Long].collect().toSet
     assert(got == want)
   }
+
+  test("histogram bins by floor(v/width), excludes NULLs, handles negatives") {
+    import spark.implicits._
+    val df = Seq(Some(0.0), Some(999.9), Some(1000.0), Some(2500.0),
+      Some(-0.5), None).toDF("v")
+    val out = Stats.histogram(df, "v", 1000.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set((0L, 2L, 0.0), (1L, 1L, 1000.0), (2L, 1L, 2000.0),
+      (-1L, 1L, -1000.0)))
+  }
+
+  test("columnProfile: exact null and distinct counts per column") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("a"), Some(1)), (Some("a"), None), (Some("b"), Some(2)),
+      (None, Some(2))).toDF("s", "i")
+    val out = Stats.columnProfile(df, Seq("s", "i"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("s") == ((4L, 1L, 2L))) // 4 rows, 1 null, {a,b}
+    assert(out("i") == ((4L, 1L, 2L))) // 4 rows, 1 null, {1,2}
+  }
 }
