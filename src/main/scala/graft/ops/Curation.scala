@@ -126,7 +126,12 @@ object Curation {
     *  3. exact + MinHash near-dup removal (keep-lowest-id)
     *  4. per-source cap
     * Pure DataFrame transform — no actions. Stages 1–2 are map-side filters
-    * fused into the scan; only dedup and the cap shuffle. */
+    * fused into the scan; only dedup and the cap shuffle.
+    *
+    * The MinHash stage runs in the deterministic LSH regime (64 bands of
+    * r=2 at J≥0.5 — boundary-pair miss p ≈ 1e-8), so the removed set EQUALS
+    * the exact-Jaccard loser set and the whole flow is oracle-able
+    * end-to-end in SQL (x18's DuckDB oracle recomputes every stage). */
   def curateFlow(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -138,7 +143,8 @@ object Curation {
       maxPerSource: Int = 1000): DataFrame = {
     val gated = applyGates(docs, textCol, minStopRatio, maxMeanWordLen, allowedLangs)
     val nearDeduped = Dedup.minhashDedup(
-      Dedup.exactDedup(gated, idCol, textCol), idCol, textCol)
+      Dedup.exactDedup(gated, idCol, textCol), idCol, textCol,
+      shingleK = 3, numHashes = 128, bands = 64, threshold = 0.5)
     perGroupCap(nearDeduped, sourceCol, idCol, maxPerSource)
   }
 
@@ -166,7 +172,8 @@ object Curation {
     val afterLang = afterLangDf.count()
 
     val exactDeduped = Dedup.exactDedup(afterLangDf, idCol, textCol)
-    val nearDeduped = Dedup.minhashDedup(exactDeduped, idCol, textCol).cache()
+    val nearDeduped = Dedup.minhashDedup(exactDeduped, idCol, textCol,
+      shingleK = 3, numHashes = 128, bands = 64, threshold = 0.5).cache()
     val afterDedup = nearDeduped.count()
 
     val capped = perGroupCap(nearDeduped, sourceCol, idCol, maxPerSource)

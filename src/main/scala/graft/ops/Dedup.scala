@@ -106,9 +106,17 @@ object Dedup {
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
 
-  /** Corpus minus the lower-id-loses side of every verified near-dup pair. */
-  def minhashDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val losers = minhashNearDupPairs(docs, idCol, textCol)
+  /** Corpus minus the lower-id-loses side of every verified near-dup pair.
+    * LSH parameters pass through to [[minhashNearDupPairs]]; callers that
+    * need oracle-able determinism (pair set == exact-Jaccard pair set)
+    * should pick a band geometry whose miss probability at the threshold is
+    * negligible — e.g. 64 bands of r=2 at threshold 0.5 miss a boundary
+    * pair with p = (1−0.5²)^64 ≈ 1e-8 (the x06 regime). */
+  def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16,
+      threshold: Double = 0.7, maxBucketSize: Int = 1000): DataFrame = {
+    val losers = minhashNearDupPairs(docs, idCol, textCol,
+      shingleK, numHashes, bands, threshold, maxBucketSize)
       .select(col("doc_b").as(idCol)).distinct()
     docs.join(losers, Seq(idCol), "left_anti")
   }

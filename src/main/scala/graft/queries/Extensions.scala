@@ -81,8 +81,14 @@ object Extensions {
     * overlapping-occurrence counts via substr-scan, CJK short-circuit,
     * argmax with first-language tie-break — the heuristic, re-spelled in
     * SQL, stays in lock-step with the Scala kernel. */
-  val x04Sql: String = {
-    import graft.functions.Ops.{langMarkers, langNames}
+  /** Marker-score select list over a column alias `s` (leading/trailing-
+    * space-padded lowered text): the CJK flag plus one overlapping-
+    * occurrence count per language — generated FROM the same marker tables
+    * the LangId expression uses, so the SQL respelling stays in lock-step
+    * with the Scala kernel. Shared by x04's oracle and x18's (which re-runs
+    * the language gate inside the composed curation oracle). */
+  private lazy val langIdScoreCols: String = {
+    import graft.functions.Ops.langMarkers
     def cnt(m: String): String = {
       val L = m.codePointCount(0, m.length)
       s"len(list_filter(range(1, greatest(len(s) - $L + 2, 1)), i -> substr(s, i, $L) = '$m'))"
@@ -90,22 +96,29 @@ object Extensions {
     def score(ms: Array[String]): String = ms.map(cnt).mkString("(", " + ", ")")
     val scores = langMarkers.zipWithIndex
       .map { case (ms, i) => s"${score(ms)} AS s$i" }.mkString(",\n  ")
-    // argmax, ties to the FIRST language in langNames order (>= chain)
+    s"""regexp_matches(s, '[\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}]') AS zh,
+       |  $scores""".stripMargin
+  }
+
+  /** Argmax over the s0..sN marker scores, ties to the FIRST language in
+    * langNames order (>= chain), CJK short-circuit — the LangId heuristic. */
+  private lazy val langIdCaseExpr: String = {
+    import graft.functions.Ops.langNames
     val pick = langNames.init.zipWithIndex.map { case (name, i) =>
       val geRest = ((i + 1) until langNames.length).map(j => s"s$i >= s$j").mkString(" AND ")
       s"WHEN $geRest THEN '$name'"
     }.mkString(" ")
-    val caseExpr =
-      s"CASE WHEN zh THEN 'zh' $pick ELSE '${langNames.last}' END"
+    s"CASE WHEN zh THEN 'zh' $pick ELSE '${langNames.last}' END"
+  }
+
+  val x04Sql: String =
     s"""WITH st AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS s FROM documents),
        |sc AS (SELECT doc_id, lang,
-       |  regexp_matches(s, '[\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}]') AS zh,
-       |  $scores
+       |  $langIdScoreCols
        |FROM st)
-       |SELECT doc_id, $caseExpr AS lang_pred, lang AS lang_labeled,
-       |  ($caseExpr = lang) AS agree
+       |SELECT doc_id, $langIdCaseExpr AS lang_pred, lang AS lang_labeled,
+       |  ($langIdCaseExpr = lang) AS agree
        |FROM sc ORDER BY doc_id""".stripMargin
-  }
 
   // ------------------------------------------------------------ x05 fingerprint
   // Rows-only: winnowing fingerprint (custom expression). The fingerprint
@@ -431,11 +444,63 @@ object Extensions {
       |SELECT doc_id, source FROM ranked WHERE rn <= 10 ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ x18 curation flow
-  // Rows-only: the composed quality→language→dedup→cap pipeline.
+  /** The composed quality→language→dedup→cap pipeline. ORACLED end-to-end:
+    * every stage is individually deterministic and SQL-expressible — the
+    * quality gate is x03's feature arithmetic, the language gate is x04's
+    * marker-argmax respelling, exact dedup is x01's min-per-md5, the MinHash
+    * stage runs in the deterministic LSH regime (64 bands of r=2 at J≥0.5,
+    * boundary-pair miss ≈ 1e-8) so its loser set EQUALS the exact-Jaccard
+    * loser set x08's CTEs compute, and the cap is x17's window. The oracle
+    * recomputes the whole composition in DuckDB. */
   def x18Curation(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Curation.curateFlow(docs(s, dir), maxPerSource = 20)
       .select($"doc_id", $"source", $"lang").orderBy($"doc_id")
+  }
+  def x18Sql: String = {
+    val stops = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH st AS (
+      |  SELECT doc_id, text, source, lang, ' ' || lower(text) || ' ' AS s
+      |  FROM documents),
+      |sc AS (SELECT doc_id, text, source, lang,
+      |  $langIdScoreCols
+      |FROM st),
+      |g1 AS (
+      |  SELECT doc_id, text, source, lang,
+      |         string_split_regex(lower(text), '\\s+') AS w
+      |  FROM sc
+      |  WHERE $langIdCaseExpr IN ('en', 'de', 'es', 'fr', 'zh')),
+      |gated AS (
+      |  SELECT doc_id, text, source, lang FROM g1
+      |  WHERE (CAST(len(list_filter(w, x -> x IN ($stops))) AS DOUBLE)
+      |         / NULLIF(CAST(len(w) AS DOUBLE), 0.0)) >= 0.0
+      |    AND ((CAST(length(text) AS DOUBLE) - (CAST(len(w) AS DOUBLE) - 1.0))
+      |         / NULLIF(CAST(len(w) AS DOUBLE), 0.0)) <= 20.0),
+      |exkeep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+      |ex AS (SELECT g.doc_id, g.text, g.source, g.lang
+      |       FROM gated g JOIN exkeep k ON g.doc_id = k.doc_id),
+      |toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM ex),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 3
+      |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
+      |    ELSE [array_to_string(w, ' ')] END) AS shingle
+      |  FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |losers AS (
+      |  SELECT DISTINCT doc_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5),
+      |kept AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_b FROM losers)),
+      |ranked AS (
+      |  SELECT doc_id, source, lang,
+      |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM kept)
+      |SELECT doc_id, source, lang FROM ranked WHERE rn <= 20 ORDER BY doc_id""".stripMargin
   }
 
   // ------------------------------------------------------------ x23 PII scrub
@@ -869,6 +934,7 @@ object Extensions {
     "x34_group_anomalies" -> x34Sql,
     "x35_ngram_topk" -> x35Sql,
     "x17_per_source_cap" -> x17Sql,
+    "x18_curation" -> x18Sql,
     "x01_dedup_exact" -> x01Sql,
     "x02_token_count" -> x02Sql,
     "x03_quality_score" -> x03Sql,
