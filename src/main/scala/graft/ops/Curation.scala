@@ -351,4 +351,42 @@ object Curation {
       .select(col("doc_id")).distinct()
     corpus.join(contaminated.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
   }
+
+  /** Cross-source k-gram overlap matrix: for every pair of sources, the
+    * number of DISTINCT k-token shingles they share. The governance twin of
+    * [[decontaminate]] — where that op drops contaminated docs, this one
+    * reports how much text the sources duplicate among themselves (scraped
+    * mirrors, syndicated articles, shared boilerplate) before any dedup
+    * threshold is chosen.
+    *
+    * Scale shape — ONE wide shuffle, keyed on the 8-byte shingle hash:
+    * `collect_set(source)` dedups (gram, source) during the aggregation
+    * itself (partials are per-gram source sets, bounded by the source
+    * cardinality, which is catalog-sized — hundreds, not billions). Pair
+    * expansion happens map-side on the aggregated row via a quadratic
+    * `transform×transform` over that tiny sorted set, and the final
+    * groupBy collapses to at most |sources|² rows. The corpus text itself
+    * never moves: shingle hashing is a scan-fused projection
+    * ([[graft.functions.Exprs.ShingleHashes]], codegen'd).
+    *
+    * Sharing is measured on 64-bit shingle hashes, not strings (collision
+    * odds negligible — same argument as [[decontaminate]]). */
+  def sourceOverlap(docs: DataFrame, textCol: String, sourceCol: String,
+      shingleK: Int = 5): DataFrame = {
+    val grams = docs.select(
+      col(sourceCol).as("src"),
+      explode(graft.functions.Exprs.shingle_hashes(
+        Dedup.tokens(col(textCol)), shingleK)).as("gram"))
+    val bySrcSet = grams.groupBy("gram")
+      .agg(sort_array(collect_set(col("src"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+    // srcs is sorted, so nested transform over (i, j>i) yields each unordered
+    // pair exactly once with src_a < src_b — no self-join, no dedup pass.
+    val pairs = bySrcSet.select(explode(expr(
+      """flatten(transform(srcs, (a, i) ->
+        |  transform(slice(srcs, i + 2, size(srcs)), b ->
+        |    struct(a AS src_a, b AS src_b))))""".stripMargin)).as("p"))
+      .select(col("p.src_a"), col("p.src_b"))
+    pairs.groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+  }
 }

@@ -893,12 +893,37 @@ object Extensions {
       |SELECT lang, ngram, n FROM rk WHERE rk <= 10
       |ORDER BY lang, n DESC, ngram""".stripMargin
 
+  // -------------------------------------------------- x39 source overlap matrix
+  /** Cross-source duplication report: distinct shared 5-token shingles per
+    * source pair. Spark shares on 64-bit shingle hashes; the oracle shares
+    * on the shingle STRINGS — identical counts barring a 64-bit collision
+    * inside this corpus (odds ≪ 1e-9; same cross-spelling as x25). The
+    * short-doc fallback (docs with < k tokens contribute their whole token
+    * list as one shingle) matches `Dedup.shingleSets`. */
+  def x39SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Curation.sourceOverlap(docs(s, dir), "text", "source", shingleK = 5)
+      .orderBy($"src_a", $"src_b")
+  }
+  val x39Sql: String =
+    """WITH t AS (
+      |  SELECT source, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |g AS (
+      |  SELECT DISTINCT source, unnest(CASE WHEN len(w) >= 5
+      |    THEN list_transform(range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' '))
+      |    ELSE [array_to_string(w, ' ')] END) AS gram
+      |  FROM t)
+      |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+      |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x31_hash_split" -> x31HashSplit _,
     "x32_stratified_exact" -> x32StratifiedExact _,
     "x33_filter_funnel" -> x33FilterFunnel _,
     "x34_group_anomalies" -> x34GroupAnomalies _,
     "x35_ngram_topk" -> x35NgramTopK _,
+    "x39_source_overlap" -> x39SourceOverlap _,
     "x30_sequence_packing" -> x30SequencePacking _,
     "x29_boilerplate" -> x29Boilerplate _,
     "x28_neardup_clusters" -> x28NearDupClusters _,
@@ -933,6 +958,7 @@ object Extensions {
     "x33_filter_funnel" -> x33Sql,
     "x34_group_anomalies" -> x34Sql,
     "x35_ngram_topk" -> x35Sql,
+    "x39_source_overlap" -> x39Sql,
     "x17_per_source_cap" -> x17Sql,
     "x18_curation" -> x18Sql,
     "x01_dedup_exact" -> x01Sql,

@@ -222,4 +222,26 @@ class CurationSpec extends SparkSpec {
     assert(ns(2) == docs.filter($"lang" === "en" && length($"text") >= 100).count())
     assert(ns.sliding(2).forall(p => p(0) >= p(1)))
   }
+
+  test("sourceOverlap: counts distinct shared shingles per sorted source pair") {
+    import spark.implicits._
+    // k=3 shingles. "a b c d" → {abc, bcd}; "b c d e" → {bcd, cde};
+    // short doc "x y" → whole-list shingle {xy}.
+    val corpus = Seq(
+      (1L, "a b c d", "s1"),
+      (2L, "b c d e", "s2"),
+      (3L, "a b c x", "s2"), // shares "a b c" with s1's doc 1
+      (4L, "a b c d", "s3"), // shares both of doc 1's shingles with s1, "b c d" with s2
+      (5L, "x y", "s1"),
+      (6L, "x y", "s3")      // short-doc whole-list shingle shared s1↔s3
+    ).toDF("doc_id", "text", "source")
+    val m = Curation.sourceOverlap(corpus, "text", "source", shingleK = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // s1↔s2: {abc (docs 1,3), bcd (docs 1,2)} = 2
+    // s1↔s3: {abc, bcd (doc 4 vs doc 1), xy (docs 5,6)} = 3
+    // s2↔s3: {abc (doc 3 vs 4), bcd (doc 2 vs 4)} = 2
+    assert(m == Map(("s1", "s2") -> 2L, ("s1", "s3") -> 3L, ("s2", "s3") -> 2L))
+    // pairs come out sorted: src_a < src_b always
+    assert(m.keys.forall { case (a, b) => a < b })
+  }
 }
