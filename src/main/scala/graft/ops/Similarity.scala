@@ -202,4 +202,51 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame =
     ivfSearch(buildIvfIndex(corpus, idCol, vecCol, nlist), queries, idCol, vecCol, k, nprobe)
+
+  /** Per-label embedding centroid + each vector's cosine similarity to its
+    * OWN label's centroid, with an outlier flag — the standard embedding-
+    * space screen for mislabeled / noise vectors in a training set (a
+    * vector pointing away from its class centroid is a label-quality
+    * suspect).
+    *
+    * Bit-determinism contract ([[Stats.groupAnomalies]]'s integer-sum trick
+    * lifted to vectors): centroid component sums run over QUANTIZED
+    * components (`floor(v * 1e6)` as long — a fixed 1e-6 grid) — so every
+    * partial and merge is exact integer arithmetic,
+    * order-independent under any partitioning; the centroid itself and the
+    * cosine are then fixed expression trees over exact inputs (sequential
+    * `aggregate` fold = DuckDB's `list_reduce`), so the output doubles are
+    * bit-identical cross-engine — which is what lets x40 carry a DuckDB
+    * oracle. The quantization error (≤1e-6 per component) moves the
+    * CENTROID only; it is a parameter of the statistic, not a loss of
+    * determinism.
+    *
+    * Scale shape: component sums are ONE partial-aggregable groupBy on
+    * (label, pos) — the shuffle carries |labels|·dim rows per map
+    * partition, not the corpus. The centroid table (|labels| rows) joins
+    * back BROADCAST; the cosine is map-side. The corpus never shuffles. */
+  def centroidOutliers(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, tau: Double = 0.0): DataFrame = {
+    val base = emb.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+      col(vecCol).as("vec"))
+    val quantized = base.withColumn("qv",
+      expr("transform(vec, v -> cast(floor(cast(v as double) * 1000000.0) as bigint))"))
+    val sums = quantized
+      .select(col("label"), posexplode(col("qv")).as(Seq("pos", "q")))
+      .groupBy("label", "pos")
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+    val centroids = sums
+      .groupBy("label")
+      .agg(sort_array(collect_list(struct(col("pos"),
+        (col("s").cast("double") / col("n").cast("double") / lit(1000000.0)).as("c")))).as("pc"))
+      .select(col("label"), expr("transform(pc, x -> x.c)").as("centroid"))
+    base.join(broadcast(centroids), Seq("label"))
+      .withColumn("dv", expr("transform(vec, v -> cast(v as double))"))
+      .withColumn("cos_centroid", expr(
+        """aggregate(zip_with(dv, centroid, (x, y) -> x * y), 0D, (a, b) -> a + b)
+          |/ (sqrt(aggregate(transform(dv, x -> x * x), 0D, (a, b) -> a + b))
+          | * sqrt(aggregate(transform(centroid, x -> x * x), 0D, (a, b) -> a + b)))""".stripMargin))
+      .withColumn("is_outlier", col("cos_centroid") < lit(tau))
+      .select("vec_id", "label", "cos_centroid", "is_outlier")
+  }
 }

@@ -917,6 +917,35 @@ object Extensions {
       |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------- x40 embedding centroid outliers
+  /** Label-quality screen: cosine of each vector to its own label centroid.
+    * Bit-exact cross-engine by construction — centroid sums are quantized
+    * integers (order-independent), cosine is a pinned sequential fold
+    * (aggregate == list_reduce); see `Similarity.centroidOutliers`. */
+  def x40CentroidOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.centroidOutliers(emb(s, dir), "vec_id", "embedding", "label", tau = 0.0)
+      .orderBy($"vec_id")
+  }
+  val x40Sql: String =
+    """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+      |qc AS (
+      |  SELECT label, unnest(list_transform(range(1, len(embedding)+1),
+      |      i -> struct_pack(pos := i, q := CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)))) AS u
+      |  FROM e),
+      |sums AS (SELECT label, u.pos AS pos, CAST(sum(u.q) AS BIGINT) AS s, count(*) AS n
+      |         FROM qc GROUP BY 1, 2),
+      |cent AS (SELECT label, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 ORDER BY pos) AS centroid
+      |         FROM sums GROUP BY label),
+      |scored AS (
+      |  SELECT vec_id, e.label,
+      |    list_reduce(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * centroid[i]), (a,b) -> a+b)
+      |    / (sqrt(list_reduce(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)), (a,b) -> a+b))
+      |     * sqrt(list_reduce(list_transform(range(1, len(centroid)+1), i -> centroid[i]*centroid[i]), (a,b) -> a+b))) AS cos_centroid
+      |  FROM e JOIN cent ON e.label = cent.label)
+      |SELECT vec_id, label, cos_centroid, cos_centroid < 0.0 AS is_outlier
+      |FROM scored ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x31_hash_split" -> x31HashSplit _,
     "x32_stratified_exact" -> x32StratifiedExact _,
@@ -924,6 +953,7 @@ object Extensions {
     "x34_group_anomalies" -> x34GroupAnomalies _,
     "x35_ngram_topk" -> x35NgramTopK _,
     "x39_source_overlap" -> x39SourceOverlap _,
+    "x40_centroid_outliers" -> x40CentroidOutliers _,
     "x30_sequence_packing" -> x30SequencePacking _,
     "x29_boilerplate" -> x29Boilerplate _,
     "x28_neardup_clusters" -> x28NearDupClusters _,
@@ -959,6 +989,7 @@ object Extensions {
     "x34_group_anomalies" -> x34Sql,
     "x35_ngram_topk" -> x35Sql,
     "x39_source_overlap" -> x39Sql,
+    "x40_centroid_outliers" -> x40Sql,
     "x17_per_source_cap" -> x17Sql,
     "x18_curation" -> x18Sql,
     "x01_dedup_exact" -> x01Sql,

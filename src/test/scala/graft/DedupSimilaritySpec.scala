@@ -223,4 +223,34 @@ class DedupSimilaritySpec extends SparkSpec {
     val exactHi = pairs(Dedup.cosineAllPairs(emb, "vec_id", "embedding", 0.3))
     assert(lshHi.subsetOf(exactHi))
   }
+
+  test("centroidOutliers: known centroid, outlier flag, partition-invariant bits") {
+    import spark.implicits._
+    // label A: (1,0,0),(0,1,0),(-1,0,0) → centroid (0, 1/3, 0) — the x-axis
+    // vectors are ORTHOGONAL to it (cos 0, not outliers under tau=0).
+    // label B: (0,0,1),(0,0,2),(0,0,-1) → centroid (0,0,2/3) — the planted
+    // (0,0,-1) points opposite → cos -1 → outlier.
+    val rows = Seq(
+      (1L, Array(1f, 0f, 0f), "A"),
+      (2L, Array(0f, 1f, 0f), "A"),
+      (3L, Array(-1f, 0f, 0f), "A"),
+      (4L, Array(0f, 0f, 1f), "B"),
+      (5L, Array(0f, 0f, 2f), "B"),
+      (6L, Array(0f, 0f, -1f), "B"))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidOutliers(df, "vec_id", "embedding", "label")
+      .orderBy("vec_id")
+      .as[(Long, String, Double, Boolean)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._3.abs < 1e-9 && !byId(1L)._4)             // orthogonal → cos 0
+    assert(math.abs(byId(2L)._3 - 1.0) < 1e-9 && !byId(2L)._4) // along centroid
+    assert(byId(3L)._3.abs < 1e-9 && !byId(3L)._4)
+    assert(math.abs(byId(4L)._3 - 1.0) < 1e-9 && math.abs(byId(5L)._3 - 1.0) < 1e-9)
+    assert(math.abs(byId(6L)._3 + 1.0) < 1e-9 && byId(6L)._4)  // opposite → outlier
+    // bit-determinism under repartitioning: the exact doubles must not move
+    val repartitioned = Similarity.centroidOutliers(
+      df.repartition(7), "vec_id", "embedding", "label")
+      .orderBy("vec_id").as[(Long, String, Double, Boolean)].collect()
+    assert(out.toSeq == repartitioned.toSeq)
+  }
 }
