@@ -155,4 +155,63 @@ object TextAnalysis {
       .filter(col("__rk") <= k)
       .drop("__rk")
   }
+
+  /** Corpus bigram-LM document scoring — the perplexity-style quality
+    * filter: train add-one-smoothed bigram statistics on the corpus itself,
+    * then score every document by the average log-probability of its
+    * bigrams, `avg_logp = Σ ln((c2+1)/(c1+V)) / m` (c2 = corpus count of
+    * the bigram, c1 = corpus count of its leading unigram, V = unigram
+    * vocabulary size, m = the doc's bigram instances). Repetitive /
+    * templated docs score high; rare or garbled token sequences score low
+    * — curation gates on either tail.
+    *
+    * Output: the exact-integer sufficient statistics (`n_bigrams`,
+    * `sum_bigram_c`, `sum_unigram_c`, `vocab` — order-independent sums,
+    * cross-engine reproducible, which is what x41's oracle pins) plus the
+    * derived `avg_logp` double (ln is correctly-rounded nowhere — its last
+    * ulp is engine-specific, so the score rides UNORACLED on top of the
+    * oracled integers; the spec reconstructs it from hand counts).
+    *
+    * Scale shape: counts are two partial-aggregable groupBys keyed on
+    * 8-byte xxhash64 values (bigram/unigram strings never shuffle); the
+    * doc-instance relation joins the two count tables on those hashes and
+    * collapses back to one row per doc. At 100 TB the count tables are
+    * billions of rows — these are genuine shuffle joins, hash-keyed and
+    * narrow, NOT broadcasts (the standard alternative, top-K-vocab
+    * broadcast + OOV bucket, trades exactness for zero shuffles; this is
+    * the exact spelling). The vocab scalar joins as a broadcast literal. */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      Dedup.tokens(col(textCol)).as("w"))
+    // one row per bigram INSTANCE: leading-unigram hash + bigram hash
+    val inst = toks.select(col("doc_id"), explode(expr(
+      """transform(slice(w, 1, greatest(size(w) - 1, 0)),
+        |  (x, i) -> struct(xxhash64(x) AS h1,
+        |                   xxhash64(concat(x, ' ', w[i + 1])) AS hb))""".stripMargin)).as("u"))
+      .select(col("doc_id"), col("u.h1").as("h1"), col("u.hb").as("hb"))
+    val uniInst = toks.select(explode(col("w")).as("tok"))
+    val c1 = uniInst.groupBy(xxhash64(col("tok")).as("h1")).agg(count(lit(1)).as("c1"))
+    val c2 = inst.groupBy("hb").agg(count(lit(1)).as("c2"))
+    val vocab = uniInst.agg(count_distinct(col("tok")).as("vocab"))
+    val perDoc = inst
+      .join(c2, Seq("hb"))
+      .join(c1, Seq("h1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("c2")).as("sum_bigram_c"),
+        sum(col("c1")).as("sum_unigram_c"),
+        first(col("vocab")).as("vocab"),
+        sum(log((col("c2") + lit(1)).cast("double") /
+          (col("c1") + col("vocab")).cast("double"))).as("__sum_logp"))
+    toks.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_bigram_c"), lit(0L)).as("sum_bigram_c"),
+        coalesce(col("sum_unigram_c"), lit(0L)).as("sum_unigram_c"),
+        col("vocab"),
+        (col("__sum_logp") / col("n_bigrams").cast("double")).as("avg_logp"))
+  }
 }

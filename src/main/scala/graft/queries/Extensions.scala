@@ -946,6 +946,39 @@ object Extensions {
       |SELECT vec_id, label, cos_centroid, cos_centroid < 0.0 AS is_outlier
       |FROM scored ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------- x41 bigram-LM doc scoring
+  /** Perplexity-style quality filter over the corpus's own bigram model.
+    * The oracle pins the exact-integer sufficient statistics (counts join on
+    * 64-bit hashes in Spark, strings in DuckDB — x25/x39's cross-spelling);
+    * the ln-based score itself is engine-ulp-dependent and rides unoracled
+    * (reconstructed in OpsSpec from hand counts). */
+  def x41BigramLm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.bigramLmScore(docs(s, dir), "doc_id", "text")
+      .select($"doc_id", $"n_bigrams", $"sum_bigram_c", $"sum_unigram_c")
+      .orderBy($"doc_id")
+  }
+  val x41Sql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |inst AS (
+      |  SELECT doc_id, u.w1 AS w1, u.bg AS bg FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |      i -> struct_pack(w1 := w[i], bg := w[i] || ' ' || w[i+1]))) AS u
+      |    FROM t)),
+      |c2 AS (SELECT bg, count(*) AS c FROM inst GROUP BY bg),
+      |c1 AS (SELECT tok, count(*) AS c FROM (SELECT unnest(w) AS tok FROM t) GROUP BY tok),
+      |agg AS (
+      |  SELECT i.doc_id, count(*) AS n_bigrams,
+      |    CAST(sum(c2.c) AS BIGINT) AS sum_bigram_c,
+      |    CAST(sum(c1.c) AS BIGINT) AS sum_unigram_c
+      |  FROM inst i JOIN c2 ON i.bg = c2.bg JOIN c1 ON i.w1 = c1.tok
+      |  GROUP BY i.doc_id)
+      |SELECT t.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+      |  coalesce(sum_bigram_c, 0) AS sum_bigram_c,
+      |  coalesce(sum_unigram_c, 0) AS sum_unigram_c
+      |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x31_hash_split" -> x31HashSplit _,
     "x32_stratified_exact" -> x32StratifiedExact _,
@@ -954,6 +987,7 @@ object Extensions {
     "x35_ngram_topk" -> x35NgramTopK _,
     "x39_source_overlap" -> x39SourceOverlap _,
     "x40_centroid_outliers" -> x40CentroidOutliers _,
+    "x41_bigram_lm" -> x41BigramLm _,
     "x30_sequence_packing" -> x30SequencePacking _,
     "x29_boilerplate" -> x29Boilerplate _,
     "x28_neardup_clusters" -> x28NearDupClusters _,
@@ -990,6 +1024,7 @@ object Extensions {
     "x35_ngram_topk" -> x35Sql,
     "x39_source_overlap" -> x39Sql,
     "x40_centroid_outliers" -> x40Sql,
+    "x41_bigram_lm" -> x41Sql,
     "x17_per_source_cap" -> x17Sql,
     "x18_curation" -> x18Sql,
     "x01_dedup_exact" -> x01Sql,

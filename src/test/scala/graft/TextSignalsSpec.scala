@@ -62,4 +62,26 @@ class TextSignalsSpec extends SparkSpec {
       ("de", "ein wort", 1L), ("de", "nur ein", 1L), // tie → lexicographic
       ("en", "a b", 3L), ("en", "b a", 1L)))
   }
+
+  test("bigramLmScore: hand-counted stats and add-one smoothed score") {
+    import spark.implicits._
+    // corpus counts — unigrams: a=3 b=2 c=1 z=1 (V=4); bigrams: "a b"=2, "b a"=1, "a c"=1
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a c"),
+      (3L, "z")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val d1 = out(0); val d2 = out(1); val d3 = out(2)
+    // d1: instances ab(c2=2,c1=3), ba(1,2), ab(2,3)
+    assert((d1.getLong(1), d1.getLong(2), d1.getLong(3), d1.getLong(4)) == ((3L, 5L, 8L, 4L)))
+    val expected1 = (math.log(3.0 / 7.0) + math.log(2.0 / 6.0) + math.log(3.0 / 7.0)) / 3.0
+    assert(math.abs(d1.getDouble(5) - expected1) < 1e-12)
+    // d2: one instance ac(c2=1,c1=3) → ln((1+1)/(3+4))
+    assert((d2.getLong(1), d2.getLong(2), d2.getLong(3)) == ((1L, 1L, 3L)))
+    assert(math.abs(d2.getDouble(5) - math.log(2.0 / 7.0)) < 1e-12)
+    // d3: single token → zero bigrams, null score
+    assert((d3.getLong(1), d3.getLong(2), d3.getLong(3)) == ((0L, 0L, 0L)))
+    assert(d3.isNullAt(5))
+  }
 }
