@@ -979,6 +979,32 @@ object Extensions {
       |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  // --------------------------------------------- x42 interval join (batch twin)
+  /** Batch twin of the stream-stream interval join (EventStreams.
+    * viewPurchaseJoin run on batch frames — watermarks no-op): every
+    * (view, purchase) pair per user with the purchase inside [view_ts,
+    * view_ts + 1h]. Both engines compare at µs precision (Tables.events
+    * truncates ns→µs; the oracle's CAST(ts AS TIMESTAMP) does the same). */
+  def x42IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    graft.streaming.EventStreams.viewPurchaseJoin(
+      ev.filter($"event_type" === "view"),
+      ev.filter($"event_type" === "purchase"))
+      .select($"view_id", $"purchase_id", $"user_id")
+      .orderBy($"view_id", $"purchase_id")
+  }
+  val x42Sql: String =
+    """WITH v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS view_ts
+      |           FROM events WHERE event_type = 'view'),
+      |p AS (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT v.view_id, p.purchase_id, v.user_id
+      |FROM v JOIN p ON v.user_id = p.user_id
+      |  AND p.purchase_ts >= v.view_ts
+      |  AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+      |ORDER BY v.view_id, p.purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x31_hash_split" -> x31HashSplit _,
     "x32_stratified_exact" -> x32StratifiedExact _,
@@ -988,6 +1014,7 @@ object Extensions {
     "x39_source_overlap" -> x39SourceOverlap _,
     "x40_centroid_outliers" -> x40CentroidOutliers _,
     "x41_bigram_lm" -> x41BigramLm _,
+    "x42_interval_join" -> x42IntervalJoin _,
     "x30_sequence_packing" -> x30SequencePacking _,
     "x29_boilerplate" -> x29Boilerplate _,
     "x28_neardup_clusters" -> x28NearDupClusters _,
@@ -1025,6 +1052,7 @@ object Extensions {
     "x39_source_overlap" -> x39Sql,
     "x40_centroid_outliers" -> x40Sql,
     "x41_bigram_lm" -> x41Sql,
+    "x42_interval_join" -> x42Sql,
     "x17_per_source_cap" -> x17Sql,
     "x18_curation" -> x18Sql,
     "x01_dedup_exact" -> x01Sql,

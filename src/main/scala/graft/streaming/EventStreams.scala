@@ -49,6 +49,33 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: attribute each purchase to every view by
+    * the same user in the preceding hour. The canonical two-stream join —
+    * both sides watermarked AND the join carrying an event-time range bound,
+    * which is exactly what lets Spark evict state: a buffered view older
+    * than `purchase watermark − 1 hour` can never match again and is
+    * dropped, so state tracks the join window, not the stream's history.
+    * (Without the time bound a stream-stream inner join must buffer both
+    * sides forever — the unbounded-state trap this op exists to avoid.)
+    *
+    * Works unchanged on batch frames (watermarks are no-ops there): the
+    * batch twin is x42's oracled query. */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+    val p = purchases
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"))
+    v.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        col("view_ts"), col("purchase_ts"))
+  }
+
   /** Sliding 1-hour windows every 15 minutes (overlapping aggregation). */
   def slidingCounts(events: DataFrame): DataFrame =
     events

@@ -193,4 +193,35 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batchDf.count())
     } finally q.stop()
   }
+
+  test("stream-stream interval join: matches emit across batches, equals batch twin") {
+    import spark.implicits._
+    val viewEvents = Seq(
+      Event(101, ts(10), 1, "view", 0.0),
+      Event(102, ts(100), 1, "view", 0.0),
+      Event(103, ts(5), 2, "view", 0.0))
+    val purchaseEvents = Seq(
+      Event(201, ts(30), 1, "purchase", 9.0),   // 20m after view 101 → match
+      Event(202, ts(130), 1, "purchase", 5.0),  // 30m after view 102; 120m after 101 → only 102
+      Event(203, ts(200), 2, "purchase", 3.0))  // 195m after view 103 → no match
+    val views = MemoryStream[Event](spark)
+    val purchases = MemoryStream[Event](spark)
+    val q = EventStreams.viewPurchaseJoin(views.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("vp_join_test")
+      .outputMode("append").start()
+    try {
+      views.addData(viewEvents)
+      q.processAllAvailable()
+      purchases.addData(purchaseEvents.take(1))
+      q.processAllAvailable()
+      purchases.addData(purchaseEvents.drop(1)) // second batch joins state buffered earlier
+      q.processAllAvailable()
+      val streamed = spark.table("vp_join_test")
+        .select($"view_id", $"purchase_id").as[(Long, Long)].collect().toSet
+      assert(streamed == Set((101L, 201L), (102L, 202L)))
+      val batch = EventStreams.viewPurchaseJoin(viewEvents.toDF(), purchaseEvents.toDF())
+        .select($"view_id", $"purchase_id").as[(Long, Long)].collect().toSet
+      assert(batch == streamed)
+    } finally q.stop()
+  }
 }
