@@ -389,4 +389,35 @@ object Curation {
       .select(col("p.src_a"), col("p.src_b"))
     pairs.groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Fixed-size token-window chunking with overlap — the pre-tokenization
+    * step that turns variable-length documents into training-context-sized
+    * pieces. Chunk k starts at token `k·(chunkTokens−overlap)`; a document
+    * with ≤ chunkTokens tokens is one chunk; otherwise the last chunk is
+    * the first window that reaches the end (so every token is covered and
+    * no window starts past the end). All arithmetic is integer and the
+    * whole op is a scan-fused map-side projection — ZERO shuffles, which is
+    * the point: chunking 100 TB is embarrassingly parallel and must stay
+    * that way (an explode is a flatMap, not an exchange). */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap $overlap must be in [0, chunkTokens=$chunkTokens)")
+    val stride = chunkTokens - overlap
+    docs
+      .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("w"))
+      .withColumn("n_tok", size(col("w")))
+      // integer ceil-div spelling: floor-div on positives, cross-engine exact
+      .withColumn("k", expr(
+        s"CASE WHEN n_tok <= $chunkTokens THEN 1 " +
+        s"ELSE (n_tok - $chunkTokens + ${stride - 1}) div $stride + 1 END"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, k - 1), i -> struct(
+           |  array_join(slice(w, i * $stride + 1, $chunkTokens), ' ') AS chunk_text,
+           |  size(slice(w, i * $stride + 1, $chunkTokens)) AS n_chunk_tokens))""".stripMargin))
+        .as(Seq("chunk_idx", "u")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("u.chunk_text").as("chunk_text"),
+        col("u.n_chunk_tokens").cast("long").as("n_chunk_tokens"))
+  }
 }

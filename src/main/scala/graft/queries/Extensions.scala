@@ -1005,6 +1005,30 @@ object Extensions {
       |  AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
       |ORDER BY v.view_id, p.purchase_id""".stripMargin
 
+  // ------------------------------------------------- x43 document chunking
+  /** Context-window chunking (32-token windows, 8-token overlap). Chunk
+    * boundaries, text, and counts are all integer/string arithmetic over
+    * the pinned \s+ tokenization — exact cross-engine. */
+  def x43DocChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Curation.chunkDocuments(docs(s, dir), "doc_id", "text",
+      chunkTokens = 32, overlap = 8)
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+  val x43Sql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |k AS (SELECT doc_id, w,
+      |        CASE WHEN len(w) <= 32 THEN 1 ELSE (len(w) - 32 + 23) // 24 + 1 END AS k
+      |      FROM t),
+      |c AS (SELECT doc_id, unnest(list_transform(range(0, k), i -> struct_pack(
+      |        chunk_idx := i,
+      |        chunk_text := array_to_string(w[i*24+1 : i*24+32], ' '),
+      |        n_chunk_tokens := len(w[i*24+1 : i*24+32])))) AS u
+      |      FROM k)
+      |SELECT doc_id, u.chunk_idx AS chunk_idx, u.chunk_text AS chunk_text,
+      |       u.n_chunk_tokens AS n_chunk_tokens
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x31_hash_split" -> x31HashSplit _,
     "x32_stratified_exact" -> x32StratifiedExact _,
@@ -1015,6 +1039,7 @@ object Extensions {
     "x40_centroid_outliers" -> x40CentroidOutliers _,
     "x41_bigram_lm" -> x41BigramLm _,
     "x42_interval_join" -> x42IntervalJoin _,
+    "x43_doc_chunks" -> x43DocChunks _,
     "x30_sequence_packing" -> x30SequencePacking _,
     "x29_boilerplate" -> x29Boilerplate _,
     "x28_neardup_clusters" -> x28NearDupClusters _,
@@ -1053,6 +1078,7 @@ object Extensions {
     "x40_centroid_outliers" -> x40Sql,
     "x41_bigram_lm" -> x41Sql,
     "x42_interval_join" -> x42Sql,
+    "x43_doc_chunks" -> x43Sql,
     "x17_per_source_cap" -> x17Sql,
     "x18_curation" -> x18Sql,
     "x01_dedup_exact" -> x01Sql,

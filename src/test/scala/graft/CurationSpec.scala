@@ -244,4 +244,28 @@ class CurationSpec extends SparkSpec {
     // pairs come out sorted: src_a < src_b always
     assert(m.keys.forall { case (a, b) => a < b })
   }
+
+  test("chunkDocuments: window starts, overlap, tail clamp, single-chunk doc") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens
+      (2L, "a b c d"),                         // exactly chunkTokens → one chunk
+      (3L, "x y z w v")                        // 5 tokens → two chunks, tail of 2
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(corpus, "doc_id", "text",
+      chunkTokens = 4, overlap = 1) // stride 3
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, "t1 t2 t3 t4", 4L),
+      (1L, 1L, "t4 t5 t6 t7", 4L),   // starts at token 4 — 1-token overlap
+      (1L, 2L, "t7 t8 t9 t10", 4L),  // last window reaches the end
+      (2L, 0L, "a b c d", 4L),
+      (3L, 0L, "x y z w", 4L),
+      (3L, 1L, "w v", 2L)))          // clamped tail, still overlapping by 1
+    // zero shuffles: chunking must stay a map-side flatMap
+    val plan = Curation.chunkDocuments(corpus, "doc_id", "text", 4, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
 }
