@@ -152,4 +152,61 @@ object Lake {
       .filter(col("__rn") === 1)
       .drop("__rn", "__pri")
   }
+
+  /** Bit-spread for 16-bit Morton interleaving: the classic mask-shift
+    * ladder (public knowledge — Morton 1966 and every bit-twiddling text)
+    * that moves bit i of a 16-bit value to bit 2i. Pure integer ops ⟹
+    * identical on any engine, which is what lets x44 oracle the codes. */
+  private def spread16(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val a = (v.bitwiseOR(shiftleft(v, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val b = (a.bitwiseOR(shiftleft(a, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val c = (b.bitwiseOR(shiftleft(b, 2))).bitwiseAND(lit(0x33333333L))
+    (c.bitwiseOR(shiftleft(c, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-order (Morton) code over two integer dimensions, each clamped to its
+    * low 16 bits. Interleaved bits make lexicographic order on the code a
+    * space-filling curve over (a, b) — rows close in BOTH dimensions land
+    * close in the code. */
+  def mortonCode(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val x = a.cast("long").bitwiseAND(lit(65535L))
+    val y = b.cast("long").bitwiseAND(lit(65535L))
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+  }
+
+  /** Z-order clustered write — multi-dimensional data skipping for plain
+    * parquet. Rows are range-partitioned and sorted by their Morton code,
+    * so each output file covers a compact rectangle of (colA, colB) space
+    * and carries tight parquet min/max stats on BOTH columns: a reader
+    * filtering on either dimension (or both) prunes most files, the same
+    * effect Delta/Iceberg's OPTIMIZE ZORDER BY buys, without a table
+    * format. One range-exchange (sampled bounds) + per-partition sort —
+    * the write-once cost that every subsequent selective scan repays. */
+  def zorderWrite(df: DataFrame, dir: String, colA: String, colB: String,
+      numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__z", mortonCode(col(colA), col(colB)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+  }
+
+  /** Small-file compaction: rewrite a directory into ⌈bytes/target⌉ files.
+    * The lake-maintenance chore that keeps scan task counts sane — 100k
+    * streaming micro-batch files become a handful of scan-sized ones.
+    * Destination is a NEW directory (rewriting a parquet dir while reading
+    * it is undefined); callers swap paths or re-point the view after. */
+  def compact(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+      dstDir: String, targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(srcDir), spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(srcDir)).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(srcDir).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(dstDir)
+  }
 }

@@ -1029,6 +1029,36 @@ object Extensions {
       |       u.n_chunk_tokens AS n_chunk_tokens
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ---------------------------------------------------- x44 z-order codes
+  /** Morton codes over (customer, order-day) — the ordering key behind
+    * `Lake.zorderWrite`'s multi-dimensional data-skipping layout. Pure
+    * integer mask-shift arithmetic, bit-identical cross-engine; the oracle
+    * respells the spread ladder with DuckDB's native bit operators. */
+  def x44ZorderCodes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.load(s, dir, "orders")
+    o.select($"o_orderkey",
+      graft.io.Lake.mortonCode(
+        $"o_custkey",
+        datediff(to_date($"o_orderdate"), lit("1992-01-01"))).as("zval"))
+      .orderBy($"o_orderkey")
+  }
+  val x44Sql: String =
+    """WITH o AS (SELECT o_orderkey,
+      |  CAST(o_custkey AS BIGINT) & 65535 AS x,
+      |  CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) & 65535 AS y
+      |  FROM orders),
+      |s1 AS (SELECT o_orderkey, ((x | (x << 8)) & 16711935) AS xa,
+      |                          ((y | (y << 8)) & 16711935) AS ya FROM o),
+      |s2 AS (SELECT o_orderkey, ((xa | (xa << 4)) & 252645135) AS xb,
+      |                          ((ya | (ya << 4)) & 252645135) AS yb FROM s1),
+      |s3 AS (SELECT o_orderkey, ((xb | (xb << 2)) & 858993459) AS xc,
+      |                          ((yb | (yb << 2)) & 858993459) AS yc FROM s2),
+      |s4 AS (SELECT o_orderkey, ((xc | (xc << 1)) & 1431655765) AS xd,
+      |                          ((yc | (yc << 1)) & 1431655765) AS yd FROM s3)
+      |SELECT o_orderkey, (xd | (yd << 1)) AS zval FROM s4
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x31_hash_split" -> x31HashSplit _,
     "x32_stratified_exact" -> x32StratifiedExact _,
@@ -1040,6 +1070,7 @@ object Extensions {
     "x41_bigram_lm" -> x41BigramLm _,
     "x42_interval_join" -> x42IntervalJoin _,
     "x43_doc_chunks" -> x43DocChunks _,
+    "x44_zorder_codes" -> x44ZorderCodes _,
     "x30_sequence_packing" -> x30SequencePacking _,
     "x29_boilerplate" -> x29Boilerplate _,
     "x28_neardup_clusters" -> x28NearDupClusters _,
@@ -1079,6 +1110,7 @@ object Extensions {
     "x41_bigram_lm" -> x41Sql,
     "x42_interval_join" -> x42Sql,
     "x43_doc_chunks" -> x43Sql,
+    "x44_zorder_codes" -> x44Sql,
     "x17_per_source_cap" -> x17Sql,
     "x18_curation" -> x18Sql,
     "x01_dedup_exact" -> x01Sql,

@@ -122,4 +122,51 @@ class LakeSpec extends SparkSpec {
     assert(rows == Map(
       1L -> (("a2", 2L)), 2L -> (("b2", 5L)), 3L -> (("c", 1L)), 4L -> (("d", 1L))))
   }
+
+  test("zorderWrite: files cover disjoint code ranges; both dims get tight stats") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-zorder").toString + "/pts"
+    // a 64×64 grid: every (a, b) combination, so clustering is measurable
+    val grid = for { a <- 0 until 64; b <- 0 until 64 } yield (a.toLong, b.toLong)
+    Lake.zorderWrite(grid.toDF("a", "b"), dir, "a", "b", numFiles = 8)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 64L * 64L)
+    // per-file Morton ranges must be disjoint (range partition + sort)
+    val ranges = back
+      .withColumn("f", input_file_name())
+      .withColumn("z", Lake.mortonCode($"a", $"b"))
+      .groupBy("f").agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1)
+    assert(ranges.sliding(2).forall { case Array(x, y) => x._2 < y._1 })
+    // data-skipping proxy: a box query on BOTH dims should touch few files.
+    // With z-order, each file's (a, b) bounding box is compact; count files
+    // whose box intersects a 8×8 query box at the origin.
+    val boxes = back.withColumn("f", input_file_name())
+      .groupBy("f").agg(min("a").as("a0"), max("a").as("a1"),
+        min("b").as("b0"), max("b").as("b1"))
+      .collect()
+    val touched = boxes.count(r =>
+      r.getLong(1) <= 7 && r.getLong(2) >= 0 && r.getLong(3) <= 7 && r.getLong(4) >= 0)
+    assert(touched < boxes.length,
+      s"z-order should let a box query skip files: touched $touched of ${boxes.length}")
+  }
+
+  test("compact: many small files rewritten to the targeted count, rows intact") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-compact").toString
+    val src = s"$base/src"; val dst = s"$base/dst"
+    (1L to 10000L).toDF("id").repartition(64).write.parquet(src)
+    val srcFiles = new java.io.File(src).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(srcFiles == 64)
+    val totalBytes = new java.io.File(src).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    // target ≈ a quarter of the data per file → ~4 output files
+    Lake.compact(spark, src, dst, targetFileBytes = totalBytes / 4)
+    val dstFiles = new java.io.File(dst).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(dstFiles <= 6, s"expected ~4-5 compacted files, got $dstFiles")
+    assert(spark.read.parquet(dst).count() == 10000L)
+    assert(spark.read.parquet(dst).agg(sum($"id")).as[Long].head ==
+      10000L * 10001L / 2)
+  }
 }
