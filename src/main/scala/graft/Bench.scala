@@ -45,10 +45,14 @@ object Bench {
       }
       name -> runs.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the JSON line compact: the driver captures
+    // only the tail of the sbt output, and full-precision doubles pushed the
+    // 76-query line past that window in round 6 (BENCH_r06.json parsed:null).
+    def f(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -165,15 +165,20 @@ object Lake {
     (c.bitwiseOR(shiftleft(c, 1))).bitwiseAND(lit(0x55555555L))
   }
 
-  /** Z-order (Morton) code over two integer dimensions, each clamped to its
-    * low 16 bits. Interleaved bits make lexicographic order on the code a
-    * space-filling curve over (a, b) — rows close in BOTH dimensions land
-    * close in the code. */
+  /** Z-order (Morton) code over two integer dimensions, each SATURATED into
+    * [0, 65535] (values below clamp to 0, above to 65535) — saturation, not
+    * `& 0xFFFF` wrapping, so the code stays monotone on wide-range columns:
+    * wrapping would give 0 and 65536 identical codes, silently co-locating
+    * distant values and widening per-file min/max to the full range.
+    * Interleaved bits make lexicographic order on the code a space-filling
+    * curve over (a, b) — rows close in BOTH dimensions land close in the
+    * code. Columns wider than 16 bits should be pre-bucketed (divide or
+    * ntile into 65536 buckets) to keep resolution past the clamp point. */
   def mortonCode(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    val x = a.cast("long").bitwiseAND(lit(65535L))
-    val y = b.cast("long").bitwiseAND(lit(65535L))
+    val x = least(greatest(a.cast("long"), lit(0L)), lit(65535L))
+    val y = least(greatest(b.cast("long"), lit(0L)), lit(65535L))
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
   }
 
@@ -199,14 +204,29 @@ object Lake {
     * The lake-maintenance chore that keeps scan task counts sane — 100k
     * streaming micro-batch files become a handful of scan-sized ones.
     * Destination is a NEW directory (rewriting a parquet dir while reading
-    * it is undefined); callers swap paths or re-point the view after. */
+    * it is undefined); callers swap paths or re-point the view after.
+    *
+    * With `sortCols` empty the rewrite is round-robin `repartition(n)`,
+    * which DESTROYS any existing intra-file ordering — compacting a
+    * [[zorderWrite]] output this way loses its min/max skipping. Pass the
+    * clustering columns (e.g. the z-order dimensions, or the original sort
+    * key) to compact via range-partition + within-partition sort instead,
+    * preserving tight per-file stats through the rewrite. */
   def compact(spark: org.apache.spark.sql.SparkSession, srcDir: String,
-      dstDir: String, targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(srcDir), spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(srcDir)).getLength
+      dstDir: String, targetFileBytes: Long = 128L * 1024 * 1024,
+      sortCols: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.col
+    // Path.getFileSystem handles plain local paths (spaces, relative) that
+    // would break a raw java.net.URI round-trip, and schemes uniformly.
+    val srcPath = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(srcPath).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    spark.read.parquet(srcDir).repartition(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(dstDir)
+    val src = spark.read.parquet(srcDir)
+    val repartitioned =
+      if (sortCols.isEmpty) src.repartition(nFiles)
+      else src.repartitionByRange(nFiles, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    repartitioned.write.mode(SaveMode.Overwrite).parquet(dstDir)
   }
 }

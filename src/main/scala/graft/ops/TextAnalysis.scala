@@ -202,11 +202,14 @@ object TextAnalysis {
         count(lit(1)).as("n_bigrams"),
         sum(col("c2")).as("sum_bigram_c"),
         sum(col("c1")).as("sum_unigram_c"),
-        first(col("vocab")).as("vocab"),
         sum(log((col("c2") + lit(1)).cast("double") /
           (col("c1") + col("vocab")).cast("double"))).as("__sum_logp"))
+    // vocab is a corpus-wide constant, so every row carries it — including
+    // zero-bigram docs the left join misses (perDoc's copy would be NULL
+    // there); the broadcast cross-join re-attaches the scalar uniformly.
     toks.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(vocab))
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("sum_bigram_c"), lit(0L)).as("sum_bigram_c"),

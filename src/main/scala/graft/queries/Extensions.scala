@@ -1045,8 +1045,8 @@ object Extensions {
   }
   val x44Sql: String =
     """WITH o AS (SELECT o_orderkey,
-      |  CAST(o_custkey AS BIGINT) & 65535 AS x,
-      |  CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) & 65535 AS y
+      |  LEAST(GREATEST(CAST(o_custkey AS BIGINT), 0), 65535) AS x,
+      |  LEAST(GREATEST(CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT), 0), 65535) AS y
       |  FROM orders),
       |s1 AS (SELECT o_orderkey, ((x | (x << 8)) & 16711935) AS xa,
       |                          ((y | (y << 8)) & 16711935) AS ya FROM o),

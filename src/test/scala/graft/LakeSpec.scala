@@ -169,4 +169,38 @@ class LakeSpec extends SparkSpec {
     assert(spark.read.parquet(dst).agg(sum($"id")).as[Long].head ==
       10000L * 10001L / 2)
   }
+
+  test("compact with sortCols: clustering survives the rewrite") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-compact-sorted").toString
+    val src = s"$base/src"; val dst = s"$base/dst"
+    // clustered source: sorted ids spread over many small files
+    (1L to 10000L).toDF("id").repartitionByRange(64, $"id")
+      .sortWithinPartitions($"id").write.parquet(src)
+    val totalBytes = new java.io.File(src).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    Lake.compact(spark, src, dst, targetFileBytes = totalBytes / 4, sortCols = Seq("id"))
+    // per-file id ranges must still be disjoint after compaction
+    val ranges = spark.read.parquet(dst)
+      .withColumn("f", input_file_name())
+      .groupBy("f").agg(min("id").as("lo"), max("id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1 && ranges.length <= 6)
+    assert(ranges.sliding(2).forall { case Array(x, y) => x._2 < y._1 },
+      s"compacted files must keep disjoint id ranges: ${ranges.mkString(",")}")
+    assert(spark.read.parquet(dst).count() == 10000L)
+  }
+
+  test("mortonCode saturates out-of-range dims instead of wrapping") {
+    import spark.implicits._
+    val codes = Seq(
+      (0L, 0L), (65536L, 0L), (70000L, 0L), (-5L, 0L), (65535L, 0L))
+      .toDF("a", "b")
+      .select(Lake.mortonCode($"a", $"b").as("z")).as[Long].collect()
+    // 65536 and 70000 clamp to 65535's code (monotone ceiling), NOT to 0's
+    assert(codes(1) == codes(4) && codes(2) == codes(4))
+    assert(codes(1) != codes(0), "wrapping would alias 65536 onto 0")
+    // negatives clamp to the floor code
+    assert(codes(3) == codes(0))
+  }
 }

@@ -80,8 +80,9 @@ class TextSignalsSpec extends SparkSpec {
     // d2: one instance ac(c2=1,c1=3) → ln((1+1)/(3+4))
     assert((d2.getLong(1), d2.getLong(2), d2.getLong(3)) == ((1L, 1L, 3L)))
     assert(math.abs(d2.getDouble(5) - math.log(2.0 / 7.0)) < 1e-12)
-    // d3: single token → zero bigrams, null score
-    assert((d3.getLong(1), d3.getLong(2), d3.getLong(3)) == ((0L, 0L, 0L)))
+    // d3: single token → zero bigrams, null score — but vocab is a corpus
+    // constant and must still be present on the row
+    assert((d3.getLong(1), d3.getLong(2), d3.getLong(3), d3.getLong(4)) == ((0L, 0L, 0L, 4L)))
     assert(d3.isNullAt(5))
   }
 }
