@@ -390,6 +390,86 @@ object Curation {
     pairs.groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Per-source quality-quantile gate: keep the top `keepNum/keepDen`
+    * fraction of each source's documents by quality score (descending;
+    * ties broken by id). The relative-quality cut a mixed-source corpus
+    * needs — an absolute score threshold calibrated on encyclopedia text
+    * would annihilate a forum source; a per-source quantile keeps the best
+    * of EACH distribution.
+    *
+    * Determinism: the score ([[TextAnalysis.qualityScoreCol]]) is exact
+    * per-row arithmetic (x03's oracle pins the values bit-for-bit), so
+    * ordering by it is cross-engine stable, and the admission test is
+    * all-integer (`rn * den ≤ n * num` — exactStratifiedSample's spelling,
+    * no float thresholds). Scale shape: ONE shuffle (the per-source
+    * window); the score itself is scan-fused, and only surviving rows flow
+    * downstream. */
+  def qualityQuantileGate(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, keepNum: Int, keepDen: Int): DataFrame = {
+    val score = TextAnalysis.qualityScoreCol(textCol)
+    // NULLS LAST spelled explicitly (Spark's desc default) so the oracle's
+    // ORDER BY ... DESC NULLS LAST is a literal transcription.
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(score.desc_nulls_last, col(idCol))
+    docs.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(sourceCol))))
+      .filter(col("__rn") * lit(keepDen.toLong) <= col("__n") * lit(keepNum.toLong))
+      .drop("__rn", "__n")
+  }
+
+  /** Phrase-blocklist screen: per document, how many of the `phrases`
+    * occur as substrings (case-insensitive), plus the keep/drop verdict —
+    * the C4-style badword filter. The phrase list is a curated artifact
+    * (hundreds of entries, not millions), so it compiles into the row
+    * expression as a LITERAL array: the filter is pure map-side scan-fused
+    * compute, zero shuffle, zero joins — the only shape that survives
+    * 100 TB. (A million-phrase list would want an Aho-Corasick custom
+    * expression instead; the operator contract is the same.)
+    *
+    * Matching is raw substring (`contains`), the conservative curation
+    * default: "badword" inside "notbadwordy" still flags. Token-boundary
+    * policy belongs to the caller via the phrase spelling (" word "). */
+  def blocklistScreen(docs: DataFrame, textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "blocklist must not be empty")
+    val lowered = lower(col(textCol))
+    val hits = phrases.map(p => when(contains(lowered, lit(p.toLowerCase)), 1).otherwise(0))
+    docs
+      .withColumn("n_blocked", hits.reduce(_ + _))
+      .withColumn("is_clean", col("n_blocked") === 0)
+  }
+
+  /** [[blocklistScreen]] that returns only the clean rows, original schema. */
+  def blocklistFilter(docs: DataFrame, textCol: String,
+      phrases: Seq[String]): DataFrame =
+    blocklistScreen(docs, textCol, phrases)
+      .filter(col("is_clean"))
+      .drop("n_blocked", "is_clean")
+
+  /** Per-source token-length decile profile: each source's docs are ranked
+    * by token count (ties by id) into `nBuckets` equal-frequency buckets —
+    * ntile — and each (source, bucket) reports its population and token
+    * range. The length-distribution diagnostic behind context-window
+    * planning and per-source truncation policy; equal-frequency buckets
+    * (not fixed-width bins) is what makes skewed length distributions
+    * readable. One shuffle (the per-source window) over (source, id,
+    * n_tok) metadata only; ntile with a unique orderBy is deterministic,
+    * so the bucket stats are exactly SQL-expressible (x50's oracle). */
+  def lengthDeciles(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, nBuckets: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col("n_tok"), col(idCol))
+    docs
+      .select(col(sourceCol).as("source"), col(idCol).as("doc_id"),
+        size(Dedup.tokens(col(textCol))).cast("long").as("n_tok"))
+      .withColumn("bucket", ntile(nBuckets).over(w))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tok")).as("min_tokens"),
+        max(col("n_tok")).as("max_tokens"),
+        sum(col("n_tok")).as("total_tokens"))
+  }
+
   /** Fixed-size token-window chunking with overlap — the pre-tokenization
     * step that turns variable-length documents into training-context-sized
     * pieces. Chunk k starts at token `k·(chunkTokens−overlap)`; a document

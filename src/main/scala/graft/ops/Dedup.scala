@@ -250,6 +250,18 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp")).localCheckpoint()
+    // Convergence probe: labels only ever DECREASE under min-propagation and
+    // the id set is fixed, so the label sum strictly decreases until the
+    // fixpoint — sum(next) == sum(prev) ⟺ no label changed. One map-side
+    // aggregate per round instead of the next⋈prev join+shuffle a
+    // changed-row count would cost. sum(DECIMAL) over longs can't overflow
+    // short of 10^20 label mass.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      // sum over zero rows is NULL — an empty pair graph is already converged
+      val s = df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -258,10 +270,10 @@ object Dedup {
         .union(labels.select(col("id"), col("comp")))
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
-        .filter(col("comp") < col("prev")).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0L
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     require(converged, s"nearDupClusters did not converge in $maxIters rounds")

@@ -52,6 +52,38 @@ object Stats {
       .agg(count(lit(1)).as("n"))
       .withColumn("bin_lo", col("bin").cast("double") * lit(binWidth))
 
+  /** Per-group sufficient statistics — (n, sum, min, max) over an
+    * integer-valued column — as a MERGEABLE state table: the incremental-
+    * maintenance primitive. A lake that stores this table per partition
+    * never rescans history to refresh a dashboard: a new ingest computes
+    * stats over ITS rows only and [[mergeStats]] folds them in — commutative
+    * and associative, so any merge tree (per-file, per-day, per-region)
+    * yields identical totals. Integer sums are exact in any engine, which
+    * is what lets x47 oracle merged-incremental against full-recompute
+    * bit-for-bit. */
+  def mergeableStats(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    df.groupBy(col(groupCol).as("grp")).agg(
+      count(lit(1)).as("n"),
+      sum(v).as("s"),
+      min(v).as("mn"),
+      max(v).as("mx"))
+  }
+
+  /** Fold any number of [[mergeableStats]] tables into one: union + re-agg
+    * with the same combinators (count→sum, sum→sum, min→min, max→max).
+    * The shuffle carries |groups| rows per input table — catalog-sized,
+    * never data-sized. */
+  def mergeStats(tables: DataFrame*): DataFrame = {
+    require(tables.nonEmpty, "mergeStats needs at least one stats table")
+    tables.reduce(_.unionByName(_))
+      .groupBy(col("grp")).agg(
+        sum(col("n")).as("n"),
+        sum(col("s")).as("s"),
+        min(col("mn")).as("mn"),
+        max(col("mx")).as("mx"))
+  }
+
   /** Per-column data-quality profile: row count, null count, exact distinct
     * count — the profile table a lake publishes next to each dataset.
     *

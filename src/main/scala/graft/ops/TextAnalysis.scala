@@ -26,6 +26,23 @@ object TextAnalysis {
       size(expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")).as("n_word_tokens"),
       length(col(textCol)).as("n_chars"))
 
+  /** The combined quality score as a standalone column expression —
+    * `stopword_ratio * 2 + (1 − punct_ratio)` — shared by [[qualityScores]]
+    * and the per-source quantile gate (Curation.qualityQuantileGate), so the
+    * gate ranks by exactly the score x03's oracle pins. Pure per-row
+    * arithmetic on exact integer counts: bit-deterministic cross-engine. */
+  def qualityScoreCol(textCol: String): Column = {
+    val txt = col(textCol)
+    val nChars = length(txt).cast("double")
+    val nPunct = (length(txt) - length(regexp_replace(txt, "[.,;:!?'\"()-]", ""))).cast("double")
+    val words = split(lower(txt), "\\s+")
+    val nWords = size(words).cast("double")
+    val nStop = size(filter(words, w => w.isin(Stopwords.map(x => x: Any): _*))).cast("double")
+    val punctRatio = nPunct / nullif(nChars, lit(0.0))
+    val stopRatio = nStop / nullif(nWords, lit(0.0))
+    stopRatio * lit(2.0) + (lit(1.0) - punctRatio)
+  }
+
   /** Heuristic quality features + a combined score:
     * length, punctuation ratio, stopword ratio, mean word length.
     * The score formula is arbitrary-but-documented; what matters is each
@@ -46,7 +63,7 @@ object TextAnalysis {
       punctRatio.as("punct_ratio"),
       stopRatio.as("stopword_ratio"),
       meanWordLen.as("mean_word_len"),
-      (stopRatio * lit(2.0) + (lit(1.0) - punctRatio)).as("quality_score"))
+      qualityScoreCol(textCol).as("quality_score"))
   }
 
   /** Language id over the closed de/en/es/fr/zh set (custom expression,
@@ -154,6 +171,38 @@ object TextAnalysis {
       .withColumn("__rk", row_number().over(overall))
       .filter(col("__rk") <= k)
       .drop("__rk")
+  }
+
+  /** Per-document salient-term extraction: each doc's top-`k` RARE terms —
+    * terms whose corpus document frequency is ≤ `maxDf` — ranked by in-doc
+    * term frequency (ties by term string). The keyword/topic signal behind
+    * per-doc routing and contamination triage: boilerplate vocabulary has
+    * high df and never qualifies, so the surviving terms are what makes the
+    * document distinctive.
+    *
+    * Scale shape: tf is a partial-aggregable (doc, term) count — repeated
+    * terms collapse map-side; df is the same over distinct (doc, term) rows
+    * the tf aggregate ALREADY produced (one row per pair, so `count(*)` is
+    * document frequency — no second corpus scan). The df ≤ maxDf filter
+    * runs BEFORE the per-doc window, so the ranked set is only the rare
+    * tail, not the whole vocabulary; the window shuffle carries
+    * (doc, term, tf, df) for qualifying terms only. All-integer ordering —
+    * exactly SQL-expressible (x48's oracle). */
+  def salientTerms(docs: DataFrame, idCol: String, textCol: String,
+      maxDf: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(Dedup.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("term").asc)
+    tf.join(df, Seq("term"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"))
   }
 
   /** Corpus bigram-LM document scoring — the perplexity-style quality

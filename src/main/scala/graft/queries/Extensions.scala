@@ -1059,7 +1059,148 @@ object Extensions {
       |SELECT o_orderkey, (xd | (yd << 1)) AS zval FROM s4
       |ORDER BY o_orderkey""".stripMargin
 
+  // ------------------------------------------ x45 per-source quality quantile
+  /** Keep the top half of each source's docs by quality score. The score is
+    * x03's exact per-row arithmetic (already oracle-pinned bit-for-bit), so
+    * ranking by it is cross-engine stable; admission is all-integer. */
+  def x45QualityGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Curation.qualityQuantileGate(docs(s, dir), "doc_id", "text", "source",
+      keepNum = 1, keepDen = 2)
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+  val x45Sql: String = {
+    val stops = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    val toks = """regexp_split_to_array(lower(text), '\s+')"""
+    s"""WITH scored AS (
+       |  SELECT doc_id, source,
+       |    (CAST(len(list_filter($toks, w -> w IN ($stops))) AS DOUBLE)
+       |      / NULLIF(CAST(len($toks) AS DOUBLE), 0.0)) * 2.0
+       |    + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+       |             / NULLIF(CAST(length(text) AS DOUBLE), 0.0)) AS score
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY score DESC NULLS LAST, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY source) AS n
+       |  FROM scored)
+       |SELECT doc_id, source FROM ranked
+       |WHERE rn * 2 <= n * 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ----------------------------------------------------- x46 blocklist screen
+  /** C4-style phrase-blocklist screen: per-doc hit count over a literal
+    * phrase list + keep/drop verdict. Pure map-side scan-fused compute
+    * (zero shuffle at any scale); the oracle respells contains() per
+    * phrase. */
+  val BlockPhrases: Seq[String] = Seq("big vector", "slow merge", "hash join")
+  def x46Blocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Curation.blocklistScreen(docs(s, dir), "text", BlockPhrases)
+      .select($"doc_id", $"n_blocked", $"is_clean")
+      .orderBy($"doc_id")
+  }
+  val x46Sql: String = {
+    val hits = BlockPhrases
+      .map(p => s"CASE WHEN contains(lower(text), '$p') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT doc_id, $hits AS n_blocked, ($hits) = 0 AS is_clean
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------ x47 incremental stats merge
+  /** Incremental statistics maintenance: per-source token-count sufficient
+    * stats computed over a base snapshot and a delta batch SEPARATELY, then
+    * merged — never rescanning the base — must equal the full recompute the
+    * oracle runs. Integer sums: exact on any engine, any merge order. */
+  def x47IncrementalStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir).withColumn("n_tok",
+      size(Dedup.tokens($"text")).cast("long"))
+    val base = Stats.mergeableStats(d.filter($"doc_id" % 10 =!= 0), "source", "n_tok")
+    val delta = Stats.mergeableStats(d.filter($"doc_id" % 10 === 0), "source", "n_tok")
+    Stats.mergeStats(base, delta).orderBy($"grp")
+  }
+  val x47Sql: String =
+    """SELECT source AS grp, count(*) AS n,
+      |  CAST(sum(len(string_split_regex(lower(text), '\s+'))) AS BIGINT) AS s,
+      |  CAST(min(len(string_split_regex(lower(text), '\s+'))) AS BIGINT) AS mn,
+      |  CAST(max(len(string_split_regex(lower(text), '\s+'))) AS BIGINT) AS mx
+      |FROM documents GROUP BY source ORDER BY grp""".stripMargin
+
+  // --------------------------------------------------- x48 salient rare terms
+  /** Per-doc top-3 salient terms among the rare vocabulary tail (corpus
+    * df ≤ 390 here — the synthetic corpus has a 31-term vocab, so "rare" is
+    * relative; the selection/ranking semantics are what the oracle pins).
+    * All-integer ordering with string tiebreak: exactly SQL-expressible. */
+  def x48SalientTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.salientTerms(docs(s, dir), "doc_id", "text", maxDf = 390L, k = 3)
+      .orderBy($"doc_id", $"term")
+  }
+  val x48Sql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      |    FROM documents)
+      |  GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term HAVING count(*) <= 390),
+      |ranked AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, tf.term) AS rk
+      |  FROM tf JOIN df USING (term))
+      |SELECT doc_id, term, tf, df FROM ranked WHERE rk <= 3
+      |ORDER BY doc_id, term""".stripMargin
+
+  // ------------------------------------------------ x49 stream-static enrich
+  /** Batch twin of the stream-static broadcast enrichment join
+    * (EventStreams.enrichEvents): every event decorated with its user's
+    * static dimension columns. Stateless per micro-batch when streaming;
+    * identical plan on batch frames. */
+  def x49EventEnrich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.streaming.EventStreams.enrichEvents(
+      Tables.events(s, dir), Tables.load(s, dir, "customer"))
+      .select($"event_id", $"user_id", $"c_name", $"c_mktsegment")
+      .orderBy($"event_id")
+  }
+  val x49Sql: String =
+    """SELECT event_id, user_id, c_name, c_mktsegment
+      |FROM events LEFT JOIN customer ON user_id = c_custkey
+      |ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------------- x50 length decile profile
+  /** Per-source equal-frequency token-length buckets (ntile over a unique
+    * total order): population and token range per (source, decile). */
+  def x50LengthDeciles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Curation.lengthDeciles(docs(s, dir), "doc_id", "text", "source", nBuckets = 10)
+      .orderBy($"source", $"bucket")
+  }
+  val x50Sql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |b AS (
+      |  SELECT source, n_tok,
+      |    ntile(10) OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS bucket
+      |  FROM d)
+      |SELECT source, bucket, count(*) AS n_docs,
+      |  min(n_tok) AS min_tokens, max(n_tok) AS max_tokens,
+      |  CAST(sum(n_tok) AS BIGINT) AS total_tokens
+      |FROM b GROUP BY source, bucket
+      |ORDER BY source, bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x45_quality_gate" -> x45QualityGate _,
+    "x46_blocklist" -> x46Blocklist _,
+    "x47_incremental_stats" -> x47IncrementalStats _,
+    "x48_salient_terms" -> x48SalientTerms _,
+    "x49_event_enrich" -> x49EventEnrich _,
+    "x50_length_deciles" -> x50LengthDeciles _,
     "x31_hash_split" -> x31HashSplit _,
     "x32_stratified_exact" -> x32StratifiedExact _,
     "x33_filter_funnel" -> x33FilterFunnel _,
@@ -1100,6 +1241,12 @@ object Extensions {
     "x27_data_card" -> x27DataCard _)
 
   val oracleSql: Map[String, String] = Map(
+    "x45_quality_gate" -> x45Sql,
+    "x46_blocklist" -> x46Sql,
+    "x47_incremental_stats" -> x47Sql,
+    "x48_salient_terms" -> x48Sql,
+    "x49_event_enrich" -> x49Sql,
+    "x50_length_deciles" -> x50Sql,
     "x31_hash_split" -> x31Sql,
     "x32_stratified_exact" -> x32Sql,
     "x33_filter_funnel" -> x33Sql,

@@ -268,4 +268,66 @@ class CurationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
+
+  test("qualityQuantileGate keeps the per-source top fraction by score, ties by id") {
+    import spark.implicits._
+    // scores (stopRatio*2 + (1 - punctRatio)):
+    //   doc 1 "the of to in" → 2*1 + 1   = 3.0
+    //   doc 2 "zz zz zz zz"  → 0 + 1     = 1.0
+    //   doc 3 "the zz"       → 2*0.5 + 1 = 2.0
+    //   doc 4 "??? !!!"      → 0 + (1 - 6/7) ≈ 0.143
+    //   doc 5/6 in s2: "the the" (3.0) beats "zz" (1.0)
+    val docs = Seq(
+      (1L, "the of to in", "s1"), (2L, "zz zz zz zz", "s1"),
+      (3L, "the zz", "s1"), (4L, "??? !!!", "s1"),
+      (5L, "the the", "s2"), (6L, "zz", "s2")
+    ).toDF("doc_id", "text", "source")
+    val kept = Curation.qualityQuantileGate(docs, "doc_id", "text", "source", 1, 2)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L)) // top half per source: {1,3} of s1, {5} of s2
+    // equal scores fall back to ascending id: two identical docs, keep 1 of 2
+    val tied = Seq((10L, "same", "s"), (11L, "same", "s")).toDF("doc_id", "text", "source")
+    val keptTied = Curation.qualityQuantileGate(tied, "doc_id", "text", "source", 1, 2)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(keptTied == Seq(10L))
+  }
+
+  test("blocklistScreen counts case-insensitive substring hits; filter drops flagged") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a BIG Vector appears here"),  // matches "big vector" case-folded
+      (2L, "clean text entirely"),
+      (3L, "notbadwordy"),                // substring semantics: "bad" inside a word flags
+      (4L, "bad and big vector both")
+    ).toDF("doc_id", "text")
+    val screened = Curation.blocklistScreen(docs, "text", Seq("big vector", "bad"))
+      .select($"doc_id", $"n_blocked", $"is_clean")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(screened == Map(
+      1L -> ((1, false)), 2L -> ((0, true)), 3L -> ((1, false)), 4L -> ((2, false))))
+    val clean = Curation.blocklistFilter(docs, "text", Seq("big vector", "bad"))
+    assert(clean.select($"doc_id").as[Long].collect().toSeq == Seq(2L))
+    assert(clean.columns.toSeq == Seq("doc_id", "text")) // original schema back
+    // map-side contract: the screen must not shuffle
+    val plan = Curation.blocklistScreen(docs, "text", Seq("x"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"blocklist screen must not shuffle:\n$plan")
+  }
+
+  test("lengthDeciles: equal-frequency buckets with deterministic edges") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "s"), (2L, "a b", "s"), (3L, "a b c", "s"), (4L, "a b c d", "s"),
+      (5L, "x", "t"), (6L, "x y z", "t")
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.lengthDeciles(docs, "doc_id", "text", "source", nBuckets = 2)
+      .orderBy("source", "bucket")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(out == Seq(
+      ("s", 1, 2L, 1L, 2L, 3L),  // docs 1,2 → lengths 1,2
+      ("s", 2, 2L, 3L, 4L, 7L),  // docs 3,4 → lengths 3,4
+      ("t", 1, 1L, 1L, 1L, 1L),
+      ("t", 2, 1L, 3L, 3L, 3L)))
+  }
 }

@@ -47,6 +47,27 @@ class StatsSpec extends SparkSpec {
       (-1L, 1L, -1000.0)))
   }
 
+  test("mergeableStats + mergeStats == full recompute, any merge tree") {
+    import graft.ops.Stats
+    import spark.implicits._
+    val all = Seq(
+      ("a", 5L), ("a", 1L), ("a", 9L), ("b", 4L), ("b", 4L), ("c", 7L)
+    ).toDF("g", "v")
+    def stats(df: org.apache.spark.sql.DataFrame) = Stats.mergeableStats(df, "g", "v")
+    val full = stats(all).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(full == Map("a" -> ((3L, 15L, 1L, 9L)), "b" -> ((2L, 8L, 4L, 4L)),
+      "c" -> ((1L, 7L, 7L, 7L))))
+    // split three ways, merge in two different shapes — totals identical
+    val p1 = stats(all.filter($"v" < 4L))
+    val p2 = stats(all.filter($"v" >= 4L && $"v" < 7L))
+    val p3 = stats(all.filter($"v" >= 7L))
+    def toMapOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(toMapOf(Stats.mergeStats(p1, p2, p3)) == full)
+    assert(toMapOf(Stats.mergeStats(Stats.mergeStats(p1, p2), p3)) == full)
+  }
+
   test("columnProfile: exact null and distinct counts per column") {
     import spark.implicits._
     val df = Seq(

@@ -152,6 +152,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichEvents: stream-static broadcast join, stateless, facts never dropped") {
+    import spark.implicits._
+    val users = Seq((1L, "Alice", "BUILDING"), (2L, "Bob", "MACHINERY"))
+      .toDF("c_custkey", "c_name", "c_mktsegment")
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.enrichEvents(input.toDF(), users)
+      .select($"event_id", $"user_id", $"c_name")
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        Event(1, ts(0), 1, "view", 1.0),
+        Event(2, ts(1), 2, "view", 1.0),
+        Event(3, ts(2), 99, "view", 1.0))) // no matching user — must survive
+      q.processAllAvailable()
+      val rows = spark.table("enrich_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+      assert(rows == Set(
+        (1L, 1L, Some("Alice")), (2L, 2L, Some("Bob")), (3L, 99L, None)))
+    } finally q.stop()
+    // batch plan: the static side must be a broadcast, never a shuffle join
+    val batch = Seq((1L, new Timestamp(0L), 1L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val plan = EventStreams.enrichEvents(batch, users)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
   test("availableNow trigger with checkpoint processes a parquet dir exactly once") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger

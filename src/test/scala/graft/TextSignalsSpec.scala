@@ -85,4 +85,20 @@ class TextSignalsSpec extends SparkSpec {
     assert((d3.getLong(1), d3.getLong(2), d3.getLong(3), d3.getLong(4)) == ((0L, 0L, 0L, 4L)))
     assert(d3.isNullAt(5))
   }
+
+  test("salientTerms: df-capped vocabulary, per-doc top-k by (tf desc, term)") {
+    import spark.implicits._
+    // df: a=1 b=2 c=3 z=1 q=1; cap df<=2 excludes c everywhere
+    val docs = Seq(
+      (1L, "a a b c"),
+      (2L, "b b b c z"),
+      (3L, "c c q")).toDF("doc_id", "text")
+    val out = TextAnalysis.salientTerms(docs, "doc_id", "text", maxDf = 2L, k = 2)
+      .orderBy("doc_id", "term")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, "a", 2L, 1L), (1L, "b", 1L, 2L),
+      (2L, "b", 3L, 2L), (2L, "z", 1L, 1L),
+      (3L, "q", 1L, 1L)))
+  }
 }
