@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over the events stream table — funnel conversion and
+  * cohort retention (reference has no analogue; extension per the build
+  * brief's analytics mandate).
+  *
+  * Scale notes: both operators collapse the event log to per-user rows with
+  * ONE partial-aggregable groupBy (conditional min/max aggregates merge
+  * map-side), so the wide shuffle carries |users| rows, not |events|. All
+  * time arithmetic is integer µs/epoch-seconds — exactly SQL-expressible.
+  */
+object EventAnalytics {
+
+  /** Conversion funnel across an ordered stage sequence: stage i counts the
+    * users whose earliest `stages(i)` event happened AFTER their earliest
+    * `stages(i-1)` event (strict event-time progression — a purchase logged
+    * before any view does not convert). Emits one row per stage with the
+    * user count and the conversion rate numerator/denominator as exact
+    * integers.
+    *
+    * One groupBy(user) with a conditional min per stage, then one tiny
+    * aggregate over |users| rows — the event log itself shuffles once,
+    * collapsed map-side to (user, min-ts per stage). */
+  def conversionFunnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "a funnel needs at least two stages")
+    val mins = stages.zipWithIndex.map { case (st, i) =>
+      min(when(col(typeCol) === st, col(tsCol))).as(s"__t$i")
+    }
+    val perUser = events.groupBy(col(userCol)).agg(mins.head, mins.tail: _*)
+    // reached(i): every stage ≤ i present, strictly increasing first-times
+    val reached = stages.indices.map { i =>
+      (0 to i).map(j => col(s"__t$j").isNotNull)
+        .reduce(_ && _) &&
+        (1 to i).map(j => col(s"__t${j - 1}") < col(s"__t$j"))
+          .foldLeft(lit(true))(_ && _)
+    }
+    val counts = reached.zipWithIndex.map { case (p, i) =>
+      sum(when(p, 1L).otherwise(0L)).as(s"__n$i")
+    }
+    val one = perUser.agg(counts.head, counts.tail: _*)
+    val stacked = stages.zipWithIndex
+      .map { case (st, i) => s"$i, '$st', `__n$i`" }.mkString(", ")
+    one.selectExpr(
+      s"stack(${stages.size}, $stacked) AS (stage_idx, stage, n_users)")
+  }
+
+  /** Weekly cohort retention matrix: users are cohorted by the epoch week
+    * (`unix_micros(ts) div 604_800_000_000` — pure integer µs division, no
+    * calendar/timezone/float semantics to disagree on) of their FIRST event;
+    * cell (cohort, offset) counts the cohort's distinct users active
+    * `offset` weeks later. Offset 0 is the cohort size by construction.
+    *
+    * Two shuffles, both narrow: first-event-week per user (partial-agg
+    * min over |users| rows), then the distinct-user count per
+    * (cohort, offset) — the events relation joins the per-user cohort map
+    * as a BROADCAST (users are catalog-sized next to the event log), so the
+    * log itself never re-shuffles on the join key. */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val week = expr(s"unix_micros($tsCol) div 604800000000")
+    val cohorts = events
+      .groupBy(col(userCol).as("__u"))
+      .agg(min(week).as("cohort_week"))
+    events
+      .select(col(userCol).as("__u"), week.as("__w"))
+      .join(broadcast(cohorts), Seq("__u"))
+      .groupBy(col("cohort_week"), (col("__w") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("__u")).as("n_active_users"))
+  }
+}

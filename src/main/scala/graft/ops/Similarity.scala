@@ -249,4 +249,32 @@ object Similarity {
       .withColumn("is_outlier", col("cos_centroid") < lit(tau))
       .select("vec_id", "label", "cos_centroid", "is_outlier")
   }
+
+  /** Boolean keyword retrieval with coordination-level ranking: docs
+    * matching ≥1 of the query terms, ranked by (distinct terms matched desc,
+    * total term frequency desc, doc_id) — the classic pre-BM25 ranking whose
+    * ordering is ALL-INTEGER, so the top-k is bit-deterministic on any
+    * engine (BM25's float idf·tf math would be engine-ulp-dependent; its
+    * integer sufficient statistics are exactly these tf/match counts).
+    *
+    * Scale shape: the query is a literal array compiled into the row
+    * expression — matching and counting are scan-fused map-side compute
+    * over each doc's token array, ZERO shuffles; the only coordination is
+    * the global top-k (TakeOrderedAndProject — per-partition heaps, k rows
+    * to the driver). An inverted-index build is the write-time alternative;
+    * this is the scan-time spelling. */
+  def keywordSearch(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "query must have at least one term")
+    val q = array(terms.map(t => lit(t.toLowerCase)): _*)
+    val toks = Dedup.tokens(col(textCol))
+    docs
+      .select(
+        col(idCol).as("doc_id"),
+        size(array_intersect(array_distinct(toks), q)).as("n_matched"),
+        size(filter(toks, t => array_contains(q, t))).as("total_tf"))
+      .filter(col("n_matched") >= 1)
+      .orderBy(col("n_matched").desc, col("total_tf").desc, col("doc_id"))
+      .limit(k)
+  }
 }

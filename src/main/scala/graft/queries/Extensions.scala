@@ -1194,7 +1194,84 @@ object Extensions {
       |FROM b GROUP BY source, bucket
       |ORDER BY source, bucket""".stripMargin
 
+  // ------------------------------------------------- x51 keyword search
+  /** Boolean keyword retrieval, coordination-level ranked — all-integer
+    * ordering (n_matched desc, total_tf desc, doc_id) so the top-k set is
+    * bit-deterministic cross-engine. Scan-fused matching, zero shuffles;
+    * the only coordination is TakeOrderedAndProject's k-row heap merge. */
+  val SearchTerms: Seq[String] = Seq("vector", "merge", "window")
+  def x51KeywordSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.keywordSearch(docs(s, dir), "doc_id", "text", SearchTerms, k = 50)
+      .orderBy($"doc_id")
+  }
+  val x51Sql: String = {
+    val arr = SearchTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+       |scored AS (
+       |  SELECT doc_id,
+       |    len(list_intersect(list_distinct(w), $arr)) AS n_matched,
+       |    len(list_filter(w, x -> list_contains($arr, x))) AS total_tf
+       |  FROM t),
+       |topk AS (
+       |  SELECT * FROM scored WHERE n_matched >= 1
+       |  ORDER BY n_matched DESC, total_tf DESC, doc_id LIMIT 50)
+       |SELECT doc_id, n_matched, total_tf FROM topk ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------ x52 conversion funnel
+  /** Strict event-time funnel view→click→purchase: stage i counts users
+    * whose earliest stage-i event is strictly later than their earliest
+    * stage-(i−1) event. One |users|-row shuffle; exact µs comparisons. */
+  def x52ConversionFunnel(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.EventAnalytics
+    EventAnalytics.conversionFunnel(Tables.events(s, dir),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .orderBy(col("stage_idx"))
+  }
+  val x52Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t0,
+      |    min(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t1,
+      |    min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t2
+      |  FROM events GROUP BY user_id)
+      |SELECT 0 AS stage_idx, 'view' AS stage,
+      |  CAST(sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_users FROM pu
+      |UNION ALL
+      |SELECT 1, 'click',
+      |  CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t0 < t1 THEN 1 ELSE 0 END) AS BIGINT) FROM pu
+      |UNION ALL
+      |SELECT 2, 'purchase',
+      |  CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t2 IS NOT NULL
+      |           AND t0 < t1 AND t1 < t2 THEN 1 ELSE 0 END) AS BIGINT) FROM pu
+      |ORDER BY stage_idx""".stripMargin
+
+  // ------------------------------------------------ x53 retention cohorts
+  /** Weekly cohort retention: epoch-week integer buckets (µs div — no
+    * calendar semantics), distinct active users per (cohort, offset). */
+  def x53RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.EventAnalytics
+    EventAnalytics.retentionCohorts(Tables.events(s, dir), "user_id", "ts")
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+  val x53Sql: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS w
+      |  FROM events),
+      |cohorts AS (SELECT user_id, min(w) AS cohort_week FROM e GROUP BY user_id)
+      |SELECT cohort_week, (w - cohort_week) AS week_offset,
+      |  count(DISTINCT e.user_id) AS n_active_users
+      |FROM e JOIN cohorts USING (user_id)
+      |GROUP BY cohort_week, week_offset
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x51_keyword_search" -> x51KeywordSearch _,
+    "x52_conversion_funnel" -> x52ConversionFunnel _,
+    "x53_retention_cohorts" -> x53RetentionCohorts _,
     "x45_quality_gate" -> x45QualityGate _,
     "x46_blocklist" -> x46Blocklist _,
     "x47_incremental_stats" -> x47IncrementalStats _,
@@ -1241,6 +1318,9 @@ object Extensions {
     "x27_data_card" -> x27DataCard _)
 
   val oracleSql: Map[String, String] = Map(
+    "x51_keyword_search" -> x51Sql,
+    "x52_conversion_funnel" -> x52Sql,
+    "x53_retention_cohorts" -> x53Sql,
     "x45_quality_gate" -> x45Sql,
     "x46_blocklist" -> x46Sql,
     "x47_incremental_stats" -> x47Sql,

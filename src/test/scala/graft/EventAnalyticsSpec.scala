@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.EventAnalytics
+
+class EventAnalyticsSpec extends SparkSpec {
+  private def ts(min: Int): Timestamp = new Timestamp(1704067200000L + min * 60000L)
+
+  test("conversionFunnel: strict event-time progression per stage") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: full funnel in order → counts at every stage
+      (1L, "view", ts(0)), (1L, "click", ts(5)), (1L, "purchase", ts(10)),
+      // user 2: view then click, no purchase → stages 0,1
+      (2L, "view", ts(0)), (2L, "click", ts(1)),
+      // user 3: purchase BEFORE view — logged out of order → stage 0 only
+      (3L, "purchase", ts(0)), (3L, "view", ts(5)), (3L, "click", ts(6)),
+      // user 4: click only, never viewed → no stage at all
+      (4L, "click", ts(0)),
+      // user 5: view and click at the SAME instant — strict < fails → stage 0
+      (5L, "view", ts(7)), (5L, "click", ts(7))
+    ).toDF("user_id", "event_type", "ts")
+    val out = EventAnalytics.conversionFunnel(events, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .orderBy("stage_idx")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    // user 3 clicks after view (stage 1) but its purchase precedes both
+    assert(out == Seq((0, "view", 4L), (1, "click", 3L), (2, "purchase", 1L)))
+  }
+
+  test("retentionCohorts: epoch-week cohorts, offset 0 is cohort size") {
+    import spark.implicits._
+    def wk(weeks: Int, min: Int): Timestamp =
+      new Timestamp((1704067200L + weeks * 604800L) * 1000L + min * 60000L)
+    // epoch week of 2024-01-01 00:00 UTC: 1704067200 / 604800 = 2817 (floor)
+    val base = 1704067200L / 604800L
+    val events = Seq(
+      (1L, wk(0, 0)), (1L, wk(1, 0)), (1L, wk(1, 5)), (1L, wk(3, 0)),
+      (2L, wk(0, 10)), (2L, wk(0, 20)),
+      (3L, wk(1, 0)), (3L, wk(2, 0))
+    ).toDF("user_id", "ts")
+    val out = EventAnalytics.retentionCohorts(events, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (base, 0L) -> 2L,     // users 1,2 first seen week 0
+      (base, 1L) -> 1L,     // user 1 active week 1
+      (base, 3L) -> 1L,     // user 1 active week 3
+      (base + 1, 0L) -> 1L, // user 3 first seen week 1
+      (base + 1, 1L) -> 1L))
+  }
+
+  test("keywordSearch: coordination rank, tf tiebreak, id tiebreak, top-k") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val docs = Seq(
+      (1L, "alpha beta alpha"),   // both terms → (2, tf 3)
+      (2L, "alpha beta gamma"),   // both terms → (2, tf 2)
+      (3L, "beta beta beta"),     // beta only → (1, tf 3)
+      (4L, "delta only here"),    // no match — excluded
+      (5L, "alpha beta alpha beta") // (2, tf 4) → best
+    ).toDF("doc_id", "text")
+    val out = Similarity.keywordSearch(docs, "doc_id", "text",
+      Seq("alpha", "beta"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    // k=3 cuts doc 3 (fewer matched terms than any 2-term doc)
+    assert(out == Seq((5L, 2, 4), (1L, 2, 3), (2L, 2, 2)))
+    // zero-shuffle contract: scan → filter → TakeOrdered, no Exchange needed
+    val plan = Similarity.keywordSearch(docs, "doc_id", "text", Seq("alpha"), 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+  }
+}
