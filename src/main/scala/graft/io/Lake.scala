@@ -48,6 +48,18 @@ object Lake {
       .format("parquet")
       .saveAsTable(table)
 
+  /** ORC sink — the second columnar lake format Spark ships natively.
+    * Same predicate-pushdown/column-pruning/min-max-stat story as parquet
+    * (ORC stripes carry their own indexes); everything downstream of
+    * `spark.read` is format-agnostic, which x55 proves by running an
+    * oracled aggregate THROUGH an ORC round-trip against the parquet
+    * ground truth. */
+  def writeOrc(df: DataFrame, dir: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(dir)
+
+  def readOrc(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.orc(dir)
+
   /** S7 — storage-mode resolution, the reference's `PIPELINE_STORAGE_MODE`
     * switch (`storage_io.py:27-36`) mapped onto Hadoop FileSystem URIs:
     * everything downstream is scheme-agnostic. */

@@ -604,6 +604,44 @@ object Breadth {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_orderkey""".stripMargin
 
+  // -------------------------------------------------- q33 full outer join
+  /** FULL OUTER join — the one join type the surface didn't yet exercise:
+    * 1995 buyers vs 2001 buyers on custkey, with unmatched customers
+    * null-padded on EITHER side (churned vs newly-acquired — the classic
+    * year-over-year audience comparison). coalesce() restores the key;
+    * order counts make the null pattern visible to the oracle hash. */
+  def q33FullOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def buyers(yr: Int) = t(s, dir, "orders")
+      .filter(year($"o_orderdate".cast("date")) === yr)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as(s"n_$yr"))
+    buyers(1995).withColumnRenamed("o_custkey", "k95")
+      .join(buyers(2001).withColumnRenamed("o_custkey", "k01"),
+        $"k95" === $"k01", "full_outer")
+      .select(
+        coalesce($"k95", $"k01").as("custkey"),
+        coalesce($"n_1995", lit(0L)).as("n_1995"),
+        coalesce($"n_2001", lit(0L)).as("n_2001"),
+        ($"k95".isNotNull && $"k01".isNull).as("churned"),
+        ($"k95".isNull && $"k01".isNotNull).as("acquired"))
+      .orderBy($"custkey")
+  }
+  val q33Sql: String =
+    """WITH b95 AS (
+      |  SELECT o_custkey AS k95, count(*) AS n_1995 FROM orders
+      |  WHERE year(CAST(o_orderdate AS DATE)) = 1995 GROUP BY o_custkey),
+      |b01 AS (
+      |  SELECT o_custkey AS k01, count(*) AS n_2001 FROM orders
+      |  WHERE year(CAST(o_orderdate AS DATE)) = 2001 GROUP BY o_custkey)
+      |SELECT coalesce(k95, k01) AS custkey,
+      |  coalesce(n_1995, 0) AS n_1995,
+      |  coalesce(n_2001, 0) AS n_2001,
+      |  (k95 IS NOT NULL AND k01 IS NULL) AS churned,
+      |  (k95 IS NULL AND k01 IS NOT NULL) AS acquired
+      |FROM b95 FULL OUTER JOIN b01 ON k95 = k01
+      |ORDER BY custkey""".stripMargin
+
   // --------------------------------------------------------- x36 upsert merge
   /** Snapshot upsert: a synthetic "version 2" overlay (every 10th order,
     * price bumped) merged keep-latest onto the base snapshot. ORACLED:
@@ -667,6 +705,7 @@ object Breadth {
       |ORDER BY column_name""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_full_outer" -> q33FullOuter _,
     "x36_upsert" -> x36Upsert _,
     "x37_histogram" -> x37Histogram _,
     "x38_column_profile" -> x38ColumnProfile _,
@@ -692,6 +731,7 @@ object Breadth {
     "x21_range_join" -> x21RangeJoin _)
 
   val oracleSql: Map[String, String] = Map(
+    "q33_full_outer" -> q33Sql,
     "x36_upsert" -> x36Sql,
     "x37_histogram" -> x37Sql,
     "x38_column_profile" -> x38Sql,

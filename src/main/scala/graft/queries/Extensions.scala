@@ -1268,7 +1268,64 @@ object Extensions {
       |GROUP BY cohort_week, week_offset
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  // -------------------------------- x54 outer stream-stream interval join
+  /** Batch twin of the LEFT OUTER watermarked interval join
+    * (EventStreams.viewPurchaseJoinOuter): every view keeps its row even
+    * with no purchase inside [view_ts, view_ts+1h] — the null-padded rows
+    * are exactly the ones the streaming runtime may only emit after the
+    * watermark passes. */
+  def x54IntervalJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    graft.streaming.EventStreams.viewPurchaseJoinOuter(
+      ev.filter($"event_type" === "view"),
+      ev.filter($"event_type" === "purchase"))
+      .select($"view_id", $"purchase_id", $"user_id")
+      .orderBy($"view_id", $"purchase_id")
+  }
+  val x54Sql: String =
+    """WITH v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS view_ts
+      |           FROM events WHERE event_type = 'view'),
+      |p AS (SELECT event_id AS purchase_id, user_id AS p_user_id,
+      |             CAST(ts AS TIMESTAMP) AS purchase_ts
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT view_id, purchase_id, user_id
+      |FROM v LEFT JOIN p ON user_id = p_user_id
+      |  AND purchase_ts >= view_ts
+      |  AND purchase_ts <= view_ts + INTERVAL 1 HOUR
+      |ORDER BY view_id, purchase_id""".stripMargin
+
+  // ------------------------------------------------- x55 ORC format round-trip
+  /** Source/sink format breadth: project orders to ORC (Spark's second
+    * native columnar format), read it back, and aggregate — the result must
+    * match DuckDB computing the same aggregate from the PARQUET ground
+    * truth, proving the ORC write/read path is lossless for the value and
+    * date types crossing it. Deliberately round-trips through a real
+    * on-disk ORC dataset, not an in-memory frame. */
+  def x55OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_x55_orc"
+    graft.io.Lake.writeOrc(
+      Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority"),
+      tmp)
+    graft.io.Lake.readOrc(s, tmp)
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast(DecimalType(18, 2))).cast("double").as("total_price"),
+        countDistinct($"o_custkey").as("n_customers"))
+      .orderBy($"o_orderpriority")
+  }
+  val x55Sql: String =
+    s"""SELECT o_orderpriority, count(*) AS n_orders,
+       |  ${sumDecSql("o_totalprice")} AS total_price,
+       |  count(DISTINCT o_custkey) AS n_customers
+       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x54_interval_join_outer" -> x54IntervalJoinOuter _,
+    "x55_orc_roundtrip" -> x55OrcRoundtrip _,
     "x51_keyword_search" -> x51KeywordSearch _,
     "x52_conversion_funnel" -> x52ConversionFunnel _,
     "x53_retention_cohorts" -> x53RetentionCohorts _,
@@ -1318,6 +1375,8 @@ object Extensions {
     "x27_data_card" -> x27DataCard _)
 
   val oracleSql: Map[String, String] = Map(
+    "x54_interval_join_outer" -> x54Sql,
+    "x55_orc_roundtrip" -> x55Sql,
     "x51_keyword_search" -> x51Sql,
     "x52_conversion_funnel" -> x52Sql,
     "x53_retention_cohorts" -> x53Sql,

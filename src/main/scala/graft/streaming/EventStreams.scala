@@ -76,6 +76,35 @@ object EventStreams {
         col("view_ts"), col("purchase_ts"))
   }
 
+  /** LEFT OUTER stream-stream interval join: every view, attributed to its
+    * within-the-hour purchases when they exist, null-padded otherwise. The
+    * outer side is what makes this a genuinely different operator from the
+    * inner join ([[viewPurchaseJoin]]): an unmatched view can only be
+    * emitted once the purchase-side WATERMARK has passed `view_ts + 1h` —
+    * before that, a matching purchase could still arrive — so the null rows
+    * surface with watermark latency, driven by event time, not wall clock.
+    * Same state-eviction bound as the inner join: buffered rows die at
+    * watermark − interval.
+    *
+    * Works unchanged on batch frames (watermarks no-op; the outer join is
+    * just a left join): x54's oracled batch twin. */
+  def viewPurchaseJoinOuter(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+    val p = purchases
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"))
+    v.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        col("view_ts"), col("purchase_ts"))
+  }
+
   /** Stream-static enrichment join: attach a static dimension (the user/
     * customer catalog) to a live event stream. The static side is
     * BROADCAST — per micro-batch the stream side joins map-side with no

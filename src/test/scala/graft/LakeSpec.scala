@@ -191,6 +191,24 @@ class LakeSpec extends SparkSpec {
     assert(spark.read.parquet(dst).count() == 10000L)
   }
 
+  test("ORC write/read round-trips schema and values losslessly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-orc").toString + "/t"
+    val df = Seq(
+      (1L, "a", 1.5, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, null.asInstanceOf[String], -0.25, java.sql.Timestamp.valueOf("2024-06-15 12:34:56"))
+    ).toDF("id", "s", "v", "ts")
+    Lake.writeOrc(df, dir)
+    val back = Lake.readOrc(spark, dir)
+    // nullability widens through any file format; names+types must hold
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    // predicate pushdown reaches the ORC scan like parquet
+    val plan = back.filter($"id" === 1L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("id"), plan)
+  }
+
   test("mortonCode saturates out-of-range dims instead of wrapping") {
     import spark.implicits._
     val codes = Seq(

@@ -152,6 +152,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("viewPurchaseJoinOuter: matches emit promptly; unmatched views wait for the watermark") {
+    import spark.implicits._
+    val views = MemoryStream[Event](spark)
+    val purchases = MemoryStream[Event](spark)
+    val q = EventStreams.viewPurchaseJoinOuter(views.toDF(), purchases.toDF())
+      .select($"view_id", $"purchase_id")
+      .writeStream.format("memory").queryName("outer_join_test")
+      .outputMode("append").start()
+    def rows() = spark.table("outer_join_test")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]))).toSet
+    try {
+      // view 1 gets a purchase in-window; view 2 never will
+      views.addData(Seq(Event(1, ts(0), 1, "view", 1.0), Event(2, ts(0), 2, "view", 1.0)))
+      purchases.addData(Seq(Event(10, ts(30), 1, "purchase", 5.0)))
+      q.processAllAvailable()
+      assert(rows().contains((1L, Some(10L))), s"matched pair must emit: ${rows()}")
+      assert(!rows().exists(_._1 == 2L),
+        s"view 2 must NOT emit yet - a purchase could still arrive: ${rows()}")
+      // advance BOTH watermarks far past view 2's window end (+1h) — the
+      // unmatched view can now never match and must surface null-padded
+      views.addData(Seq(Event(3, ts(600), 9, "view", 1.0)))
+      purchases.addData(Seq(Event(11, ts(600), 9, "purchase", 1.0)))
+      q.processAllAvailable()
+      views.addData(Seq(Event(4, ts(601), 9, "view", 1.0)))
+      purchases.addData(Seq(Event(12, ts(601), 9, "purchase", 1.0)))
+      q.processAllAvailable()
+      assert(rows().contains((2L, None)),
+        s"unmatched view must emit null-padded after the watermark: ${rows()}")
+    } finally q.stop()
+  }
+
   test("enrichEvents: stream-static broadcast join, stateless, facts never dropped") {
     import spark.implicits._
     val users = Seq((1L, "Alice", "BUILDING"), (2L, "Bob", "MACHINERY"))
