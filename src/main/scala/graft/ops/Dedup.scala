@@ -218,6 +218,72 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ------------------------------------------------- duplicate span statistics
+  /** Exact duplicated-span statistics — the ExactSubstr diagnostic from the
+    * dedup literature (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL'22 — public knowledge): for every
+    * document, how much of it is covered by ≥`spanTokens`-token runs that
+    * appear verbatim in OTHER documents. Where near-dup ops find whole-doc
+    * copies, this finds the quoted paragraph / syndicated passage INSIDE
+    * otherwise-distinct documents — the duplication mode whole-doc dedup
+    * can't see.
+    *
+    * Method, fully relational (SQL-expressible ⟹ x56's oracle): every
+    * position i emits the hash of its L-token window (stride 1, positions
+    * kept — unlike [[shingleSets]]' distinct sets); a window duplicated ⟺
+    * present in ≥2 distinct docs; per doc, duplicated positions merge into
+    * maximal covered intervals via the gap rule (next_pos − pos > L starts
+    * a new run; a run from p₁..p₂ covers p₂ − p₁ + L tokens — interval
+    * union without interval types). All counts integer; `dup_frac` is one
+    * exact-integer division.
+    *
+    * Scale shape: the wide shuffle is (hash, doc) pairs — 8-byte keys,
+    * stride-1 volume ≈ corpus token count, the honest cost every ExactSubstr
+    * implementation pays (suffix arrays pay it in sort form). The per-doc
+    * run merge shuffles only the DUPLICATED positions. The document-
+    * frequency aggregate collapses map-side (docs repeat a window rarely;
+    * count_distinct partials stay tiny). */
+  def duplicateSpanStats(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = spanTokens
+    val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+    // guarded: Spark's sequence() auto-reverses when stop < start, so the
+    // short-doc case must short-circuit to an empty array explicitly
+    val spans = base.select(col("doc_id"), explode(expr(
+      s"""CASE WHEN size(w) >= $L
+         |  THEN transform(sequence(0, size(w) - $L),
+         |         i -> struct(CAST(i AS LONG) AS pos,
+         |                     xxhash64(array_join(slice(w, i + 1, $L), ' ')) AS h))
+         |  ELSE array() END""".stripMargin)).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.h").as("h"))
+    val dupHashes = spans.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select("h")
+    val dupPos = spans.join(dupHashes, Seq("h"), "left_semi")
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = dupPos
+      .withColumn("__newrun",
+        when(col("pos") - lag(col("pos"), 1).over(wOrd) > L, 1L).otherwise(0L))
+      .withColumn("__run", sum(col("__newrun")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__run"))
+      .agg((max(col("pos")) - min(col("pos")) + L).as("__covered"),
+        count(lit(1)).as("__npos"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__covered")).as("dup_tokens"),
+        sum(col("__npos")).as("n_dup_positions"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("dup_frac"))
+  }
+
   // ----------------------------------------------------- near-dup clustering
   /** Connected components over a near-dup pair graph: every document that
     * appears in a pair gets a `cluster_id` = the minimum doc id reachable

@@ -1323,7 +1323,75 @@ object Extensions {
        |  count(DISTINCT o_custkey) AS n_customers
        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ----------------------------------------------- x56 duplicate span stats
+  /** ExactSubstr-style duplicated-span coverage per document (Lee et al.,
+    * ACL'22): positions whose 5-token window recurs in ≥2 distinct docs,
+    * merged into maximal covered intervals. Spark hashes windows (xxhash64),
+    * the oracle keeps the strings — the x25/x39 cross-spelling. */
+  def x56DupSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.duplicateSpanStats(docs(s, dir), "doc_id", "text", spanTokens = 5)
+      .orderBy($"doc_id")
+  }
+  val x56Sql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |sp AS (
+      |  SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+      |    SELECT doc_id, unnest(list_transform(range(0, greatest(len(w) - 4, 0)),
+      |      i -> struct_pack(pos := CAST(i AS BIGINT),
+      |                       g := array_to_string(w[i+1:i+5], ' ')))) AS u
+      |    FROM t)),
+      |dup AS (SELECT g FROM sp GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+      |dp AS (SELECT doc_id, pos FROM sp JOIN dup USING (g)),
+      |rid AS (
+      |  SELECT doc_id, pos, sum(nr) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS UNBOUNDED PRECEDING) AS run
+      |  FROM (SELECT doc_id, pos,
+      |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+      |               THEN 1 ELSE 0 END AS nr
+      |        FROM dp)),
+      |agg AS (
+      |  SELECT doc_id, CAST(sum(cov) AS BIGINT) AS dup_tokens,
+      |         CAST(sum(np) AS BIGINT) AS n_dup_positions
+      |  FROM (SELECT doc_id, run, max(pos) - min(pos) + 5 AS cov, count(*) AS np
+      |        FROM rid GROUP BY doc_id, run)
+      |  GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+      |  coalesce(n_dup_positions, 0) AS n_dup_positions,
+      |  coalesce(dup_tokens, 0) AS dup_tokens,
+      |  CAST(coalesce(dup_tokens, 0) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS dup_frac
+      |FROM t LEFT JOIN agg USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
+  // ------------------------------------------------ x57 JSONL format round-trip
+  /** JSONL — THE LLM training-data interchange format — as a lake format:
+    * write documents to JSON lines, read back with an explicit schema (no
+    * inference scan at 100 TB), aggregate; must match DuckDB on the parquet
+    * ground truth, proving the encode/decode is lossless for the types
+    * crossing it. */
+  def x57JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_x57_jsonl"
+    val src = docs(s, dir)
+    src.write.mode("overwrite").json(tmp)
+    s.read.schema(src.schema).json(tmp)
+      .groupBy($"source", $"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length($"text").cast("long")).as("total_chars"),
+        min($"doc_id").as("min_id"),
+        max($"doc_id").as("max_id"))
+      .orderBy($"source", $"lang")
+  }
+  val x57Sql: String =
+    """SELECT source, lang, count(*) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x56_dup_spans" -> x56DupSpans _,
+    "x57_jsonl_roundtrip" -> x57JsonlRoundtrip _,
     "x54_interval_join_outer" -> x54IntervalJoinOuter _,
     "x55_orc_roundtrip" -> x55OrcRoundtrip _,
     "x51_keyword_search" -> x51KeywordSearch _,
@@ -1375,6 +1443,8 @@ object Extensions {
     "x27_data_card" -> x27DataCard _)
 
   val oracleSql: Map[String, String] = Map(
+    "x56_dup_spans" -> x56Sql,
+    "x57_jsonl_roundtrip" -> x57Sql,
     "x54_interval_join_outer" -> x54Sql,
     "x55_orc_roundtrip" -> x55Sql,
     "x51_keyword_search" -> x51Sql,

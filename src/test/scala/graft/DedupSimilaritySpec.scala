@@ -253,4 +253,29 @@ class DedupSimilaritySpec extends SparkSpec {
       .orderBy("vec_id").as[(Long, String, Double, Boolean)].collect()
     assert(out.toSeq == repartitioned.toSeq)
   }
+
+  test("duplicateSpanStats: cross-doc spans merge into intervals; within-doc repeats don't count") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),          // "a b c","b c d" shared with doc 2 → pos 0,1 merge: 4 tokens
+      (2L, "a b c d x y"),          // same two dup windows → 4 of 6 tokens covered
+      (3L, "q r s"),                // unique window → clean
+      (4L, "m n"),                  // shorter than the span — no windows at all
+      (5L, "a b c 1 2 3 4 5 b c d") // dup at pos 0 and pos 8, gap > L → TWO runs of 3
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanStats(docs, "doc_id", "text", spanTokens = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1L, 6L, 2L, 4L, 4.0 / 6.0),
+      (2L, 6L, 2L, 4L, 4.0 / 6.0),
+      (3L, 3L, 0L, 0L, 0.0),
+      (4L, 2L, 0L, 0L, 0.0),
+      (5L, 11L, 2L, 6L, 6.0 / 11.0)))
+    // a doc whose only repeats are INTERNAL stays clean (distinct-doc rule)
+    val internal = Seq((1L, "z z z z z z"), (2L, "p q r s t u")).toDF("doc_id", "text")
+    val clean = Dedup.duplicateSpanStats(internal, "doc_id", "text", 3)
+      .agg(sum($"n_dup_positions")).head.getLong(0)
+    assert(clean == 0L)
+  }
 }
