@@ -165,6 +165,38 @@ object Lake {
       .drop("__rn", "__pri")
   }
 
+  /** Snapshot diff — the read-side CDC primitive: compare two keyed
+    * snapshots and emit every row that was `inserted`, `deleted`, or
+    * `changed` (any compare column differs, null-safe), tagged with the
+    * change kind. Unchanged rows are suppressed — at 100 TB the diff is
+    * interesting precisely because it is small. One full-outer shuffle
+    * join on the key; with both snapshots bucketed by the key
+    * ([[writeBucketed]]) even that exchange disappears.
+    *
+    * Output: key, change ('inserted'|'deleted'|'changed'), and the old/new
+    * value of each compare column (`<col>_old` / `<col>_new`). */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(compareCols.nonEmpty, "snapshotDiff needs at least one compare column")
+    val o = oldSnap.select((keyCol +: compareCols).map(col): _*)
+      .toDF(("__k_old" +: compareCols.map(c => s"${c}_old")): _*)
+    val n = newSnap.select((keyCol +: compareCols).map(col): _*)
+      .toDF(("__k_new" +: compareCols.map(c => s"${c}_new")): _*)
+    val anyChanged = compareCols
+      .map(c => !(col(s"${c}_old") <=> col(s"${c}_new")))
+      .reduce(_ || _)
+    o.join(n, col("__k_old") === col("__k_new"), "full_outer")
+      .withColumn("change",
+        when(col("__k_old").isNull, lit("inserted"))
+          .when(col("__k_new").isNull, lit("deleted"))
+          .when(anyChanged, lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(coalesce(col("__k_old"), col("__k_new")).as(keyCol) +:
+        col("change") +:
+        compareCols.flatMap(c => Seq(col(s"${c}_old"), col(s"${c}_new"))): _*)
+  }
+
   /** Bit-spread for 16-bit Morton interleaving: the classic mask-shift
     * ladder (public knowledge — Morton 1966 and every bit-twiddling text)
     * that moves bit i of a 16-bit value to bit 2i. Pure integer ops ⟹

@@ -48,6 +48,34 @@ object EventAnalytics {
       s"stack(${stages.size}, $stacked) AS (stage_idx, stage, n_users)")
   }
 
+  /** Dense hourly series per group with zero-filled gaps — the time-series
+    * densification every downstream windowing/charting step assumes: a
+    * (group, epoch-hour) grid spanning [min, max] of the OBSERVED hours,
+    * left-joined with the actual counts, absent cells zero. Hours are
+    * integer epoch-hour indexes (`unix_micros div 3_600_000_000`) — no
+    * calendar/timezone semantics, exactly SQL-expressible.
+    *
+    * Scale shape: the observed counts are one partial-aggregable groupBy
+    * (the event log collapses map-side to |groups|·|hours| cells); the
+    * dense grid is GENERATED (groups × sequence(min,max) — a broadcast-
+    * sized frame at any corpus scale, since both factors are domain-sized,
+    * not row-sized), and the counts join it by hash. The raw log never
+    * shuffles twice. */
+  def gapFillHourly(events: DataFrame, groupCol: String, tsCol: String): DataFrame = {
+    val hour = expr(s"unix_micros($tsCol) div 3600000000")
+    val counts = events
+      .groupBy(col(groupCol).as("grp"), hour.as("hour_idx"))
+      .agg(count(lit(1)).as("n_events"))
+    val bounds = counts.agg(
+      min(col("hour_idx")).as("lo"), max(col("hour_idx")).as("hi"))
+    val grid = counts.select(col("grp")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("grp"), explode(sequence(col("lo"), col("hi"))).as("hour_idx"))
+    grid.join(counts, Seq("grp", "hour_idx"), "left")
+      .select(col("grp"), col("hour_idx"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
   /** Weekly cohort retention matrix: users are cohorted by the epoch week
     * (`unix_micros(ts) div 604_800_000_000` — pure integer µs division, no
     * calendar/timezone/float semantics to disagree on) of their FIRST event;

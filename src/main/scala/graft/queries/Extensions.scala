@@ -1389,7 +1389,66 @@ object Extensions {
       |  min(doc_id) AS min_id, max(doc_id) AS max_id
       |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
+  // ------------------------------------------------- x58 time-series gap fill
+  /** Dense hourly per-type event series with zero-filled gaps (integer
+    * epoch-hour grid spanning the observed range). */
+  def x58GapFill(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.EventAnalytics
+    EventAnalytics.gapFillHourly(Tables.events(s, dir), "event_type", "ts")
+      .orderBy(col("grp"), col("hour_idx"))
+  }
+  val x58Sql: String =
+    """WITH c AS (
+      |  SELECT event_type AS grp,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_idx,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(hour_idx) AS lo, max(hour_idx) AS hi FROM c),
+      |grid AS (
+      |  SELECT g.grp, unnest(generate_series(b.lo, b.hi)) AS hour_idx
+      |  FROM (SELECT DISTINCT grp FROM c) g, b)
+      |SELECT grid.grp, grid.hour_idx, coalesce(n, 0) AS n_events
+      |FROM grid LEFT JOIN c USING (grp, hour_idx)
+      |ORDER BY grp, hour_idx""".stripMargin
+
+  // ---------------------------------------------------- x59 snapshot diff (CDC)
+  /** Read-side CDC: diff the orders snapshot against a planted v2 (every
+    * 97th key deleted, every 10th surviving price bumped, every 50th key
+    * re-inserted shifted) — emit only inserted/deleted/changed. */
+  def x59SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.load(s, dir, "orders").select($"o_orderkey", $"o_totalprice")
+    val v2 = base.filter($"o_orderkey" % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when($"o_orderkey" % 10 === 0, $"o_totalprice" + lit(1.0))
+          .otherwise($"o_totalprice"))
+      .unionByName(base.filter($"o_orderkey" % 50 === 0)
+        .withColumn("o_orderkey", $"o_orderkey" + lit(10000000L)))
+    graft.io.Lake.snapshotDiff(base, v2, "o_orderkey", Seq("o_totalprice"))
+      .orderBy($"o_orderkey")
+  }
+  val x59Sql: String =
+    """WITH old AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+      |new AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS p
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_totalprice FROM orders WHERE o_orderkey % 50 = 0)
+      |SELECT coalesce(old.k, new.k) AS o_orderkey,
+      |  CASE WHEN old.k IS NULL THEN 'inserted'
+      |       WHEN new.k IS NULL THEN 'deleted'
+      |       WHEN old.p IS DISTINCT FROM new.p THEN 'changed' END AS change,
+      |  old.p AS o_totalprice_old, new.p AS o_totalprice_new
+      |FROM old FULL OUTER JOIN new ON old.k = new.k
+      |WHERE (CASE WHEN old.k IS NULL THEN 'inserted'
+      |            WHEN new.k IS NULL THEN 'deleted'
+      |            WHEN old.p IS DISTINCT FROM new.p THEN 'changed' END) IS NOT NULL
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x58_gap_fill" -> x58GapFill _,
+    "x59_snapshot_diff" -> x59SnapshotDiff _,
     "x56_dup_spans" -> x56DupSpans _,
     "x57_jsonl_roundtrip" -> x57JsonlRoundtrip _,
     "x54_interval_join_outer" -> x54IntervalJoinOuter _,
@@ -1443,6 +1502,8 @@ object Extensions {
     "x27_data_card" -> x27DataCard _)
 
   val oracleSql: Map[String, String] = Map(
+    "x58_gap_fill" -> x58Sql,
+    "x59_snapshot_diff" -> x59Sql,
     "x56_dup_spans" -> x56Sql,
     "x57_jsonl_roundtrip" -> x57Sql,
     "x54_interval_join_outer" -> x54Sql,

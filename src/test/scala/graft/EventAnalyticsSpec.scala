@@ -50,6 +50,36 @@ class EventAnalyticsSpec extends SparkSpec {
       (base + 1, 1L) -> 1L))
   }
 
+  test("gapFillHourly: zero-filled grid spans the observed hour range per group") {
+    import spark.implicits._
+    def hr(h: Int, min: Int = 0): Timestamp =
+      new Timestamp(1704067200000L + h * 3600000L + min * 60000L)
+    val base = 1704067200L / 3600L // epoch-hour of 2024-01-01 00:00 UTC
+    val events = Seq(
+      ("a", hr(0)), ("a", hr(0, 30)), ("a", hr(3)), // a: hours 0 and 3, gap 1-2
+      ("b", hr(1))                                  // b: hour 1 only
+    ).toDF("event_type", "ts")
+    val out = EventAnalytics.gapFillHourly(events, "event_type", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // global range is hours 0..3 — BOTH groups get the full dense grid
+    assert(out == Map(
+      ("a", base + 0) -> 2L, ("a", base + 1) -> 0L, ("a", base + 2) -> 0L, ("a", base + 3) -> 1L,
+      ("b", base + 0) -> 0L, ("b", base + 1) -> 1L, ("b", base + 2) -> 0L, ("b", base + 3) -> 0L))
+  }
+
+  test("snapshotDiff: inserted/deleted/changed tagged, unchanged suppressed, null-safe") {
+    import spark.implicits._
+    import graft.io.Lake
+    val old = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, Some(30.0)), (4L, None))
+      .toDF("k", "v")
+    val neu = Seq((1L, Some(10.0)), (2L, Some(21.0)), (4L, None), (5L, Some(50.0)))
+      .toDF("k", "v") // 1 unchanged, 2 changed, 3 deleted, 4 null==null unchanged, 5 inserted
+    val out = Lake.snapshotDiff(old, neu, "k", Seq("v"))
+      .orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((2L, "changed"), (3L, "deleted"), (5L, "inserted")))
+  }
+
   test("keywordSearch: coordination rank, tf tiebreak, id tiebreak, top-k") {
     import spark.implicits._
     import graft.ops.Similarity
