@@ -1446,7 +1446,40 @@ object Extensions {
       |            WHEN old.p IS DISTINCT FROM new.p THEN 'changed' END) IS NOT NULL
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------- x60 range-frame rolling window
+  /** RANGE-frame rolling aggregates — the window family q18/q32 don't
+    * touch (those are ROWS frames): per user, the count and value-sum of
+    * the user's events in the trailing hour, frame bounds in VALUE space
+    * (integer µs offsets), not row counts. The value sum rides through
+    * DECIMAL so the sliding-frame accumulation order can't move a double
+    * bit (the q15/sumDecSql discipline). */
+  def x60RollingWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us")
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(s, dir)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"),
+        $"value".cast(DecimalType(18, 2)).as("v"))
+      .select($"event_id", $"user_id",
+        count(lit(1)).over(w).as("n_trailing_1h"),
+        sum($"v").over(w).cast("double").as("val_trailing_1h"))
+      .orderBy($"event_id")
+  }
+  val x60Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |  count(*) OVER w AS n_trailing_1h,
+      |  CAST(sum(v) OVER w AS DOUBLE) AS val_trailing_1h
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY us
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x60_rolling_window" -> x60RollingWindow _,
     "x58_gap_fill" -> x58GapFill _,
     "x59_snapshot_diff" -> x59SnapshotDiff _,
     "x56_dup_spans" -> x56DupSpans _,
@@ -1502,6 +1535,7 @@ object Extensions {
     "x27_data_card" -> x27DataCard _)
 
   val oracleSql: Map[String, String] = Map(
+    "x60_rolling_window" -> x60Sql,
     "x58_gap_fill" -> x58Sql,
     "x59_snapshot_diff" -> x59Sql,
     "x56_dup_spans" -> x56Sql,

@@ -48,6 +48,45 @@ object StreamingCuration {
       }
   }
 
+  /** Streaming upsert sink — `foreachBatch` folding each micro-batch into a
+    * keep-latest parquet snapshot (`Lake.upsertKeepLatest` + atomic-ish
+    * directory swap): the streaming lake-maintenance loop that turns an
+    * update stream into an always-current table without a transactional
+    * format. foreachBatch is the escape hatch Structured Streaming provides
+    * exactly for sinks with batch-only semantics; the checkpoint still
+    * gives each batch an exactly-once identity (re-run batches overwrite
+    * deterministically — upsert of the same delta is idempotent).
+    *
+    * Layout: `dir/current` is the readable snapshot; each batch writes a
+    * complete new snapshot to `dir/v<batchId>` and repoints `dir/current`.
+    * The swap is two FS metadata ops (delete + rename), so a reader landing
+    * exactly between them misses the table for that instant — plain-FS
+    * honesty; a transactional table format is the answer when that gap
+    * matters. Readers never see a PARTIAL snapshot, though: the rename only
+    * happens after the full write committed. */
+  def upsertSink(updates: DataFrame, dir: String, keyCol: String,
+      versionCol: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val current = new org.apache.hadoop.fs.Path(s"$dir/current")
+        val next = new org.apache.hadoop.fs.Path(s"$dir/v$batchId")
+        val merged =
+          if (fs.exists(current))
+            graft.io.Lake.upsertKeepLatest(
+              spark.read.parquet(current.toString), batch, keyCol, versionCol)
+          else batch
+        merged.write.mode("overwrite").parquet(next.toString)
+        // repoint: delete the old pointer, rename the new snapshot in
+        if (fs.exists(current)) fs.delete(current, true)
+        fs.rename(next, current)
+        ()
+      }
+      .start()
+
   /** The composed streaming curation flow: gates → cross-batch exact dedup
     * (watermark-bounded state) → per-source cap. Quality/language gates are
     * the same map-side predicates the batch flow fuses into the scan. */

@@ -81,6 +81,32 @@ class StreamingCurationSpec extends SparkSpec {
       s"restart must not re-emit, dup must drop, cap must persist: $after2")
   }
 
+  test("upsertSink: micro-batches fold into a keep-latest snapshot; idempotent re-merge") {
+    import spark.implicits._
+    case class Upd(k: Long, v: String, version: Long)
+    val input = MemoryStream[(Long, String, Long)](spark)
+    val base = java.nio.file.Files.createTempDirectory("graft-upsink").toString
+    val dir = s"$base/snap"; val ckpt = s"$base/ckpt"
+    val q = StreamingCuration.upsertSink(
+      input.toDF().toDF("k", "v", "version"), dir, "k", "version", ckpt)
+    def snap(): Map[Long, (String, Long)] =
+      spark.read.parquet(s"$dir/current")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    try {
+      input.addData(Seq((1L, "a", 1L), (2L, "b", 1L)))
+      q.processAllAvailable()
+      assert(snap() == Map(1L -> (("a", 1L)), 2L -> (("b", 1L))))
+      // batch 2: update key 1, insert key 3; key 2 untouched survives
+      input.addData(Seq((1L, "a2", 2L), (3L, "c", 2L)))
+      q.processAllAvailable()
+      assert(snap() == Map(1L -> (("a2", 2L)), 2L -> (("b", 1L)), 3L -> (("c", 2L))))
+      // batch 3: stale version loses against the snapshot
+      input.addData(Seq((1L, "a_old", 1L)))
+      q.processAllAvailable()
+      assert(snap()(1L) == (("a2", 2L)), s"stale update must lose: ${snap()}")
+    } finally q.stop()
+  }
+
   test("curateStream: gates filter, cross-batch exact dups drop, caps hold") {
     import spark.implicits._
     val input = MemoryStream[DocIn](spark)
