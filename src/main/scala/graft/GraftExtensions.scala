@@ -43,5 +43,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // custom operator stack (build-brief preference c): exact-k reservoir
     // sampling — LogicalPlan + SparkStrategy + SparkPlan
     ext.injectPlannerStrategy(_ => graft.plans.ReservoirSampleStrategy)
+    // custom optimizer rule (preference b): column pruning through the
+    // reservoir — Catalyst's ColumnPruning can't see through a foreign node
+    ext.injectOptimizerRule(_ => graft.plans.ReservoirColumnPruning)
   }
 }

@@ -34,6 +34,7 @@ object Reservoir {
   def sample(df: DataFrame, k: Int, seed: Long = 42L): DataFrame = {
     val spark = df.sparkSession
     GraftBridge.installStrategy(spark, ReservoirSampleStrategy)
+    GraftBridge.installOptimizerRule(spark, ReservoirColumnPruning)
     GraftBridge.ofRows(spark, ReservoirSample(k, seed, GraftBridge.logicalPlan(df)))
   }
 }
@@ -45,6 +46,36 @@ case class ReservoirSample(k: Int, seed: Long, child: LogicalPlan) extends Unary
   override def maxRows: Option[Long] = Some(k.toLong)
   override protected def withNewChildInternal(newChild: LogicalPlan): ReservoirSample =
     copy(child = newChild)
+}
+
+/** Custom optimizer rule — build-brief extension point (b): column pruning
+  * THROUGH the reservoir. Catalyst's built-in ColumnPruning doesn't know a
+  * foreign node, so `Reservoir.sample(df, k).select("id")` would otherwise
+  * drag every column of `df` through the per-partition reservoirs and the
+  * single-task merge. Reservoir selection reads only the RNG and the row
+  * stream — never a column value — so pushing a Project below the sample
+  * is semantics-preserving EXACTLY: same partition row counts, same draws,
+  * same selected positions for a fixed seed, just narrower rows. At 100 TB
+  * that is the difference between shuffling k wide documents per partition
+  * and k ids.
+  *
+  * Fires on Project(ReservoirSample) when the projection needs a strict
+  * subset of the child's columns; inserts the pruning Project beneath the
+  * sample (where Catalyst's own rules then push it into the scan). The
+  * guard makes it fire at most once per sample node. */
+object ReservoirColumnPruning
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p @ Project(projList, r: ReservoirSample) =>
+      val needed = AttributeSet(projList.flatMap(_.references))
+      val kept = r.child.output.filter(needed.contains)
+      if (kept.length < r.child.output.length)
+        p.copy(child = r.copy(child = Project(kept, r.child)))
+      else p
+  }
 }
 
 /** Planner strategy: one physical spelling, no alternatives. */

@@ -34,4 +34,15 @@ object GraftBridge {
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ strategy
     }
   }
+
+  /** Idempotently install an optimizer rule into a session (the
+    * session-local twin of SparkSessionExtensions.injectOptimizerRule). */
+  def installOptimizerRule(spark: SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraOptimizations.contains(rule)) {
+      cs.experimental.extraOptimizations = cs.experimental.extraOptimizations :+ rule
+    }
+  }
 }

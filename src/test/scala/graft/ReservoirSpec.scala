@@ -71,4 +71,26 @@ class ReservoirSpec extends SparkSpec {
       graft.plans.ReservoirSample(5, 3L, org.apache.spark.sql.GraftBridge.logicalPlan(df.toDF())))
     assert(planned.count() == 5)
   }
+
+  test("ReservoirColumnPruning pushes projection below the sample, into the scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rcp").toString + "/t"
+    (1L to 1000L).map(i => (i, s"text_$i", i * 2.0, s"src${i % 5}"))
+      .toDF("id", "text", "score", "source")
+      .write.parquet(dir)
+    val wide = spark.read.parquet(dir)
+    val narrow = Reservoir.sample(wide, 20, seed = 7L).select($"id")
+    // the pruning Project must land BELOW ReservoirSample and reach the scan
+    val optimized = narrow.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("ReservoirSample"), optimized)
+    val scan = narrow.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("ReadSchema: struct<id:bigint>"),
+      s"scan must read only the projected column:\n$scan")
+    // value-independence: pruning must not change WHICH rows are sampled
+    val idsNarrow = narrow.as[Long].collect().sorted.toSeq
+    val idsWide = Reservoir.sample(wide, 20, seed = 7L)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(idsNarrow == idsWide,
+      "same seed+partitioning must select identical rows with or without pruning")
+  }
 }
