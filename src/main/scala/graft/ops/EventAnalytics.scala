@@ -38,8 +38,10 @@ object EventAnalytics {
         (1 to i).map(j => col(s"__t${j - 1}") < col(s"__t$j"))
           .foldLeft(lit(true))(_ && _)
     }
+    // coalesce: a global agg over ZERO users yields NULL sums — an empty
+    // log must report an all-zero funnel, not a null one
     val counts = reached.zipWithIndex.map { case (p, i) =>
-      sum(when(p, 1L).otherwise(0L)).as(s"__n$i")
+      coalesce(sum(when(p, 1L).otherwise(0L)), lit(0L)).as(s"__n$i")
     }
     val one = perUser.agg(counts.head, counts.tail: _*)
     val stacked = stages.zipWithIndex

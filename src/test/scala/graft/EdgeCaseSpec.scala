@@ -122,4 +122,42 @@ class EdgeCaseSpec extends SparkSpec {
     val three = Seq((1L, "s"), (2L, "s"), (3L, "s")).toDF("id", "g")
     assert(Curation.perGroupCap(three, "g", "id", 3).count() == 3)
   }
+
+  test("round-7 operators on empty and degenerate inputs") {
+    import spark.implicits._
+    import graft.ops.{EventAnalytics, Similarity, Stats, TextAnalysis}
+    val noDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, String)]
+      .toDF("user_id", "ts", "event_type")
+
+    // funnel over an empty log: all-zero stages, never NULL
+    val funnel = EventAnalytics.conversionFunnel(noEvents,
+      "user_id", "event_type", "ts", Seq("view", "purchase"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(funnel == Seq(("view", 0L), ("purchase", 0L)))
+
+    assert(EventAnalytics.retentionCohorts(noEvents, "user_id", "ts").count() == 0)
+    assert(EventAnalytics.gapFillHourly(noEvents, "event_type", "ts").count() == 0)
+    assert(Curation.qualityQuantileGate(noDocs, "doc_id", "text", "source", 1, 2).count() == 0)
+    assert(Curation.lengthDeciles(noDocs, "doc_id", "text", "source").count() == 0)
+    assert(Curation.blocklistScreen(noDocs, "text", Seq("x")).count() == 0)
+    assert(TextAnalysis.salientTerms(noDocs, "doc_id", "text", 5L, 3).count() == 0)
+    assert(Similarity.keywordSearch(noDocs, "doc_id", "text", Seq("x"), 5).count() == 0)
+    assert(Dedup.duplicateSpanStats(noDocs, "doc_id", "text", 3).count() == 0)
+    assert(graft.io.Lake.snapshotDiff(
+      noDocs.select($"doc_id", $"text"), noDocs.select($"doc_id", $"text"),
+      "doc_id", Seq("text")).count() == 0)
+
+    // mergeStats over empty stat tables stays empty; single table is identity
+    val emptyStats = Stats.mergeableStats(noDocs, "source", "doc_id")
+    assert(Stats.mergeStats(emptyStats, emptyStats).count() == 0)
+
+    // guards hold
+    intercept[IllegalArgumentException] {
+      Curation.blocklistScreen(noDocs, "text", Nil)
+    }
+    intercept[IllegalArgumentException] {
+      EventAnalytics.conversionFunnel(noEvents, "user_id", "event_type", "ts", Seq("view"))
+    }
+  }
 }
