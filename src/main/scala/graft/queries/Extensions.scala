@@ -1478,7 +1478,45 @@ object Extensions {
       |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------------- x61 split leakage audit
+  /** Near-dup leakage ACROSS the train/test hash split: the eval-integrity
+    * check a pipeline runs after splitting — a test doc near-duplicating a
+    * train doc (J ≥ 0.5) inflates eval scores exactly like benchmark
+    * contamination. Composes the exact-Jaccard pair machinery (x08) with
+    * the deterministic md5 split (x31); only boundary-crossing pairs
+    * survive. */
+  def x61SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val split = Curation.hashSplit(d, "doc_id",
+      Seq("train" -> 0.9, "test" -> 0.1)).select($"doc_id", $"split")
+    Dedup.ngramJaccardPairs(d, "doc_id", "text", shingleK = 3, threshold = 0.5)
+      .join(split.toDF("doc_a", "split_a"), Seq("doc_a"))
+      .join(split.toDF("doc_b", "split_b"), Seq("doc_b"))
+      .filter($"split_a" =!= $"split_b")
+      .select($"doc_a", $"doc_b", $"split_a", $"split_b", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+  val x61Sql: String =
+    s"""WITH $ngramPairCtes,
+      |sp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+      |         THEN 'train' ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT doc_a, doc_b, sa2.split AS split_a, sb2.split AS split_b,
+      |  CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |JOIN sp sa2 ON sa2.doc_id = doc_a
+      |JOIN sp sb2 ON sb2.doc_id = doc_b
+      |WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5
+      |  AND sa2.split <> sb2.split
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x61_split_leakage" -> x61SplitLeakage _,
     "x60_rolling_window" -> x60RollingWindow _,
     "x58_gap_fill" -> x58GapFill _,
     "x59_snapshot_diff" -> x59SnapshotDiff _,
@@ -1535,6 +1573,7 @@ object Extensions {
     "x27_data_card" -> x27DataCard _)
 
   val oracleSql: Map[String, String] = Map(
+    "x61_split_leakage" -> x61Sql,
     "x60_rolling_window" -> x60Sql,
     "x58_gap_fill" -> x58Sql,
     "x59_snapshot_diff" -> x59Sql,
