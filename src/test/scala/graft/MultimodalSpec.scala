@@ -40,6 +40,48 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imageDims parses real PNG/JPEG/GIF headers; junk and truncation yield None") {
+    // hand-built VALID format headers (public specs: PNG RFC 2083, JPEG
+    // ISO/IEC 10918 marker structure, GIF89a spec)
+    def png(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(24)
+      b.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      b.putInt(13).put("IHDR".getBytes("US-ASCII")).putInt(w).putInt(h)
+      b.array()
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(2 + 4 + 16 + 2 + 9)
+      b.put(Array(0xff, 0xd8).map(_.toByte))                    // SOI
+      b.put(Array(0xff, 0xe0).map(_.toByte)).putShort(18)       // APP0, len 18
+      b.put(new Array[Byte](16))                                //   JFIF payload
+      b.put(Array(0xff, 0xc0).map(_.toByte)).putShort(9)        // SOF0, len
+      b.put(8.toByte).putShort(h.toShort).putShort(w.toShort)   // precision, H, W
+      b.array()
+    }
+    def gif(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(10).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("GIF89a".getBytes("US-ASCII")).putShort(w.toShort).putShort(h.toShort)
+      b.array()
+    }
+    assert(Multimodal.imageDims(png(640, 480)) == Some(("png", 640, 480)))
+    assert(Multimodal.imageDims(jpeg(1024, 768)) == Some(("jpeg", 1024, 768)))
+    assert(Multimodal.imageDims(gif(320, 200)) == Some(("gif", 320, 200)))
+    assert(Multimodal.imageDims("not an image".getBytes) == None)
+    assert(Multimodal.imageDims(png(640, 480).take(10)) == None) // truncated
+    assert(Multimodal.imageDims(Array[Byte]()) == None)
+
+    // the DataFrame stage: real dims out, NULLs for unknown payloads
+    import spark.implicits._
+    val rows = Seq(
+      (1L, png(8, 16)), (2L, gif(3, 4)), (3L, "junk".getBytes)
+    ).toDF("media_id", "payload")
+    val out = Multimodal.imageDimensions(rows).orderBy("media_id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSeq
+    assert(out == Seq(
+      (1L, Some("png"), Some(8)), (2L, Some("gif"), Some(3)), (3L, None, None)))
+  }
+
   test("sampleFrames: stride-2 generator over n_frames") {
     import spark.implicits._
     val decoded = Multimodal.decode(media)
