@@ -50,6 +50,24 @@ object EventAnalytics {
       s"stack(${stages.size}, $stacked) AS (stage_idx, stage, n_users)")
   }
 
+  /** Event-type transition matrix: counts of consecutive (prev → next)
+    * event-type pairs along each user's event-time-ordered timeline — the
+    * Markov-chain sufficient statistics behind "what do users do after X"
+    * and anomaly screens (a transition that never occurs organically).
+    * Ordering ties break on an id column so the lag is deterministic.
+    * One per-user window shuffle of (user, type, ts, id); the transition
+    * count is a partial-aggregable groupBy on a |types|² key domain. */
+  def eventTransitions(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   /** Dense hourly series per group with zero-filled gaps — the time-series
     * densification every downstream windowing/charting step assumes: a
     * (group, epoch-hour) grid spanning [min, max] of the OBSERVED hours,

@@ -1515,7 +1515,29 @@ object Extensions {
       |  AND sa2.split <> sb2.split
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------------ x62 event transition matrix
+  /** Markov transition counts along per-user event-time-ordered timelines
+    * (ties broken on event_id — both engines lag over the same total
+    * order). */
+  def x62EventTransitions(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.EventAnalytics
+    EventAnalytics.eventTransitions(Tables.events(s, dir),
+      "user_id", "event_type", "ts", "event_id")
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+  val x62Sql: String =
+    """WITH lagged AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+      |  FROM events)
+      |SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+      |FROM lagged WHERE prev_type IS NOT NULL
+      |GROUP BY prev_type, next_type
+      |ORDER BY prev_type, next_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x62_event_transitions" -> x62EventTransitions _,
     "x61_split_leakage" -> x61SplitLeakage _,
     "x60_rolling_window" -> x60RollingWindow _,
     "x58_gap_fill" -> x58GapFill _,
@@ -1573,6 +1595,7 @@ object Extensions {
     "x27_data_card" -> x27DataCard _)
 
   val oracleSql: Map[String, String] = Map(
+    "x62_event_transitions" -> x62Sql,
     "x61_split_leakage" -> x61Sql,
     "x60_rolling_window" -> x60Sql,
     "x58_gap_fill" -> x58Sql,

@@ -50,6 +50,22 @@ class EventAnalyticsSpec extends SparkSpec {
       (base + 1, 1L) -> 1L))
   }
 
+  test("eventTransitions: per-user lag pairs, first event excluded, id tiebreak") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, "view", ts(0), 1L), (1L, "click", ts(1), 2L), (1L, "view", ts(2), 3L),
+      (2L, "view", ts(0), 4L), (2L, "click", ts(1), 5L),
+      // user 3: two events at the SAME instant — id order decides the pair
+      (3L, "b_type", ts(0), 7L), (3L, "a_type", ts(0), 6L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = EventAnalytics.eventTransitions(events, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("view", "click") -> 2L,      // users 1 and 2
+      ("click", "view") -> 1L,      // user 1
+      ("a_type", "b_type") -> 1L))  // user 3: id 6 before id 7
+  }
+
   test("gapFillHourly: zero-filled grid spans the observed hour range per group") {
     import spark.implicits._
     def hr(h: Int, min: Int = 0): Timestamp =
