@@ -250,6 +250,47 @@ object Similarity {
       .select("vec_id", "label", "cos_centroid", "is_outlier")
   }
 
+  /** Within-label embedding cohesion WITHOUT the quadratic pair join: the
+    * sum over all ordered pairs of dot products collapses algebraically to
+    * `|Σv|² − Σ|v|²` — one linear pass computes what naively costs n² dot
+    * products per label. The cluster-compactness diagnostic behind
+    * label-quality screens (a low mean pairwise dot = the label's vectors
+    * don't agree), at 100 TB the difference between an aggregation and an
+    * impossible self-join.
+    *
+    * Exactness discipline (x40's pattern): components quantize to
+    * `floor(v·10⁶)` integers map-side; every sum/square runs in
+    * DECIMAL(38,0) (a position sum at billions of vectors squares past
+    * int64), so `pair_dot_q` — the quantized-unit numerator — is EXACT and
+    * cross-engine oracle-able. The descaled `mean_pair_dot` double is a
+    * derived convenience (numerator / n(n−1) / 10¹²), reconstructed in the
+    * spec rather than hash-pinned. */
+  def labelCohesion(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val quantized = emb.select(col(labelCol).as("label"), col(vecCol).as("vec"))
+      .withColumn("qv",
+        expr("transform(vec, v -> cast(floor(cast(v as double) * 1000000.0) as bigint))"))
+      .withColumn("vss", expr(
+        "aggregate(qv, cast(0 as decimal(38,0)), (a, x) -> a + cast(x as decimal(38,0)) * x)"))
+    val perLabel = quantized
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("vss")).as("sumss"))
+    val posSums = quantized
+      .select(col("label"), posexplode(col("qv")).as(Seq("pos", "q")))
+      .groupBy("label", "pos")
+      .agg(sum(col("q").cast("decimal(38,0)")).as("s"))
+      .groupBy("label")
+      .agg(sum(col("s") * col("s")).as("s2"))
+    perLabel.join(posSums, Seq("label"))
+      .select(col("label"), col("n_vectors"),
+        (col("s2") - col("sumss")).cast("decimal(38,0)").as("pair_dot_q"),
+        when(col("n_vectors") >= 2,
+          (col("s2") - col("sumss")).cast("double") /
+            (col("n_vectors") * (col("n_vectors") - 1)).cast("double") / lit(1e12))
+          .as("mean_pair_dot"))
+  }
+
   /** Boolean keyword retrieval with coordination-level ranking: docs
     * matching ≥1 of the query terms, ranked by (distinct terms matched desc,
     * total term frequency desc, doc_id) — the classic pre-BM25 ranking whose

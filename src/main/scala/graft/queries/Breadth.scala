@@ -642,6 +642,40 @@ object Breadth {
       |FROM b95 FULL OUTER JOIN b01 ON k95 = k01
       |ORDER BY custkey""".stripMargin
 
+  // ------------------------------------------------------ q34 map functions
+  /** The map-function family (create/keys/filter/transform/element_at) —
+    * §2.7's last unexercised category. The map column lives INSIDE the
+    * query (built per row, consumed per row — map-typed output would be a
+    * comparator headache for zero coverage gain); the oracle pins the
+    * extracted scalar results, which have exact closed forms. */
+  def q34MapFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber",
+        map(
+          lit("qty"), $"l_quantity",
+          lit("price"), $"l_extendedprice",
+          lit("tax"), $"l_tax").as("m"))
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        size($"m").as("n_entries"),
+        array_join(array_sort(map_keys($"m")), ",").as("keys_sorted"),
+        element_at($"m", "qty").as("qty"),
+        size(map_filter($"m", (_, v) => v > lit(10.0))).as("n_gt10"),
+        element_at(transform_values($"m", (_, v) => v * lit(2.0)), "qty").as("qty_doubled"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+  val q34Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  3 AS n_entries,
+      |  'price,qty,tax' AS keys_sorted,
+      |  l_quantity AS qty,
+      |  (CASE WHEN l_quantity > 10 THEN 1 ELSE 0 END
+      |   + CASE WHEN l_extendedprice > 10 THEN 1 ELSE 0 END
+      |   + CASE WHEN l_tax > 10 THEN 1 ELSE 0 END) AS n_gt10,
+      |  l_quantity * 2.0 AS qty_doubled
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   // --------------------------------------------------------- x36 upsert merge
   /** Snapshot upsert: a synthetic "version 2" overlay (every 10th order,
     * price bumped) merged keep-latest onto the base snapshot. ORACLED:
@@ -706,6 +740,7 @@ object Breadth {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_full_outer" -> q33FullOuter _,
+    "q34_map_funcs" -> q34MapFuncs _,
     "x36_upsert" -> x36Upsert _,
     "x37_histogram" -> x37Histogram _,
     "x38_column_profile" -> x38ColumnProfile _,
@@ -732,6 +767,7 @@ object Breadth {
 
   val oracleSql: Map[String, String] = Map(
     "q33_full_outer" -> q33Sql,
+    "q34_map_funcs" -> q34Sql,
     "x36_upsert" -> x36Sql,
     "x37_histogram" -> x37Sql,
     "x38_column_profile" -> x38Sql,

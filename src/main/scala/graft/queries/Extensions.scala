@@ -1536,7 +1536,40 @@ object Extensions {
       |GROUP BY prev_type, next_type
       |ORDER BY prev_type, next_type""".stripMargin
 
+  // --------------------------------------------------- x63 label cohesion
+  /** Within-label embedding cohesion via the |Σv|² − Σ|v|² identity — the
+    * quantized-integer numerator is exact on both engines (x40's floor·10⁶
+    * discipline, sums in DECIMAL); the descaled double stays out of the
+    * oracled projection (reconstructed in DedupSimilaritySpec). */
+  def x63LabelCohesion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.labelCohesion(emb(s, dir), "vec_id", "embedding", "label")
+      .select($"label", $"n_vectors", $"pair_dot_q")
+      .orderBy($"label")
+  }
+  val x63Sql: String =
+    """WITH q AS (
+      |  SELECT label,
+      |    list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |ss AS (
+      |  SELECT label, list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b) AS vss
+      |  FROM q),
+      |pos AS (
+      |  SELECT label, u.p AS p, u.x AS x FROM (
+      |    SELECT label, unnest(list_transform(qv, (x, i) -> struct_pack(p := i, x := x))) AS u
+      |    FROM q)),
+      |s2 AS (
+      |  SELECT label, sum(s * s) AS s2 FROM (
+      |    SELECT label, p, sum(x) AS s FROM pos GROUP BY 1, 2)
+      |  GROUP BY label),
+      |agg AS (SELECT label, count(*) AS n_vectors, sum(vss) AS sumss FROM ss GROUP BY 1)
+      |SELECT a.label, n_vectors, CAST(s2.s2 - a.sumss AS DECIMAL(38,0)) AS pair_dot_q
+      |FROM agg a JOIN s2 ON a.label = s2.label
+      |ORDER BY a.label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x63_label_cohesion" -> x63LabelCohesion _,
     "x62_event_transitions" -> x62EventTransitions _,
     "x61_split_leakage" -> x61SplitLeakage _,
     "x60_rolling_window" -> x60RollingWindow _,
@@ -1595,6 +1628,7 @@ object Extensions {
     "x27_data_card" -> x27DataCard _)
 
   val oracleSql: Map[String, String] = Map(
+    "x63_label_cohesion" -> x63Sql,
     "x62_event_transitions" -> x62Sql,
     "x61_split_leakage" -> x61Sql,
     "x60_rolling_window" -> x60Sql,

@@ -254,6 +254,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.toSeq == repartitioned.toSeq)
   }
 
+  test("labelCohesion: |sum v|^2 - sum|v|^2 identity equals the naive pair sum") {
+    import spark.implicits._
+    val vecs = Map(
+      "a" -> Seq(Array(1.0f, 0.0f), Array(0.8f, 0.6f), Array(0.9f, -0.1f)),
+      "b" -> Seq(Array(0.0f, 1.0f), Array(0.0f, -1.0f)))
+    val df = vecs.toSeq.flatMap { case (l, vs) => vs.zipWithIndex.map {
+      case (v, i) => (l.hashCode.toLong + i, v, l) } }
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCohesion(df, "vec_id", "embedding", "label")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDecimal(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    // naive ordered-pair dot sum over the SAME quantized integers
+    def q(v: Array[Float]): Array[Long] = v.map(x => math.floor(x.toDouble * 1e6).toLong)
+    vecs.foreach { case (l, vs) =>
+      val qs = vs.map(q)
+      val naive = (for { i <- qs.indices; j <- qs.indices if i != j } yield
+        qs(i).zip(qs(j)).map { case (x, y) => BigInt(x) * BigInt(y) }.sum).sum
+      val (n, dec, mean) = out(l)
+      assert(n == vs.size)
+      assert(BigInt(dec.toBigInteger) == naive, s"label $l: $dec vs $naive")
+      val expectedMean = naive.toDouble / (n * (n - 1)) / 1e12
+      assert(math.abs(mean.get - expectedMean) < 1e-9)
+    }
+    // n=1 label: zero pairs, NULL mean, zero numerator
+    val single = Seq((1L, Array(0.5f, 0.5f), "solo")).toDF("vec_id", "embedding", "label")
+    val s1 = Similarity.labelCohesion(single, "vec_id", "embedding", "label").head
+    assert(s1.getLong(1) == 1L && s1.getDecimal(2).longValueExact() == 0L && s1.isNullAt(3))
+  }
+
   test("duplicateSpanStats: cross-doc spans merge into intervals; within-doc repeats don't count") {
     import spark.implicits._
     val docs = Seq(
