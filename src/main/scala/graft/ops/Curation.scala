@@ -182,6 +182,51 @@ object Curation {
     (capped, CurationStats(input, afterQuality, afterLang, afterDedup, afterCap))
   }
 
+  /** [[curate]]'s stats in ONE action — the `Observation` spelling: every
+    * stage boundary gets a CollectMetrics node, so the counts accumulate
+    * DURING the single pass that materializes the corpus, instead of the
+    * five separate actions (five full lineage executions or a cache) the
+    * count-per-stage spelling pays. At 100 TB that is the difference
+    * between one job and five.
+    *
+    * Returns the curated frame plus a stats thunk: run ANY full action on
+    * the frame (count, write), then call the thunk. (Observation.get
+    * blocks until its metrics arrive, so calling it before an action
+    * deadlocks — hence the explicit two-step contract.) */
+  def curateObserved(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source",
+      minStopRatio: Double = 0.0,
+      maxMeanWordLen: Double = 20.0,
+      allowedLangs: Seq[String] = Seq("en", "de", "es", "fr", "zh"),
+      maxPerSource: Int = 1000): (DataFrame, () => CurationStats) = {
+    import org.apache.spark.sql.Observation
+    val oIn = Observation("curate_input")
+    val oQual = Observation("curate_quality")
+    val oLang = Observation("curate_lang")
+    val oDedup = Observation("curate_dedup")
+    val oCap = Observation("curate_cap")
+    val n = count(lit(1)).as("n")
+    val gatedQ = docs.observe(oIn, n)
+      .filter(qualityGate(textCol, minStopRatio, maxMeanWordLen))
+      .observe(oQual, n)
+    val gatedL = gatedQ
+      .filter(graft.functions.Exprs.lang_id(col(textCol))
+        .isin(allowedLangs.map(x => x: Any): _*))
+      .observe(oLang, n)
+    val nearDeduped = Dedup.minhashDedup(
+      Dedup.exactDedup(gatedL, idCol, textCol), idCol, textCol,
+      shingleK = 3, numHashes = 128, bands = 64, threshold = 0.5)
+      .observe(oDedup, n)
+    val capped = perGroupCap(nearDeduped, sourceCol, idCol, maxPerSource)
+      .observe(oCap, n)
+    def grab(o: Observation): Long = o.get("n").asInstanceOf[Long]
+    (capped, () => CurationStats(
+      grab(oIn), grab(oQual), grab(oLang), grab(oDedup), grab(oCap)))
+  }
+
   /** Water-filling token allocation: every source keeps all its tokens if it
     * is below the shared level; the rest are capped at the level; the level
     * is the largest integer budget split the saturated sources can share.

@@ -269,6 +269,26 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
 
+  test("curateObserved: one-action stats equal the count-per-stage spelling") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the deal of the day is on the table", "web"),
+      (2L, "the deal of the day is on the table", "web"),   // exact dup of 1
+      (3L, "zzz qqq xxx", "web"),                           // no stopwords → quality-gated
+      (4L, "a fresh take on the morning news", "web"),
+      (5L, "the quick brown fox is in the yard", "books"),
+      (6L, "the quick brown fox is in the yard too", "books")
+    ).toDF("doc_id", "text", "source")
+    val (multi, multiStats) = Curation.curate(docs, minStopRatio = 0.05, maxPerSource = 2)
+    val (observedDf, statsThunk) =
+      Curation.curateObserved(docs, minStopRatio = 0.05, maxPerSource = 2)
+    val observedIds = observedDf.select($"doc_id").as[Long].collect().sorted.toSeq
+    val observed = statsThunk() // safe: the collect above ran the action
+    assert(observed == multiStats, s"$observed vs $multiStats")
+    assert(observedIds == multi.select($"doc_id").as[Long].collect().sorted.toSeq)
+    assert(observed.input == 6L && observed.afterQuality == 5L)
+  }
+
   test("qualityQuantileGate keeps the per-source top fraction by score, ties by id") {
     import spark.implicits._
     // scores (stopRatio*2 + (1 - punctRatio)):
