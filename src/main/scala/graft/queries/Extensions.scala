@@ -1568,7 +1568,32 @@ object Extensions {
       |FROM agg a JOIN s2 ON a.label = s2.label
       |ORDER BY a.label""".stripMargin
 
+  // ------------------------------------------- x64 sliding distinct users
+  /** Distinct-user counts over OVERLAPPING windows (1h sliding by 15min) —
+    * x20's sliding machinery composed with an exact distinct aggregate,
+    * the shape a dashboard's "active users (rolling hour)" tile needs.
+    * Each event lands in 4 windows; countDistinct dedups per window. */
+  def x64SlidingDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "1 hour", "15 minutes"))
+      .agg(countDistinct($"user_id").as("n_active_users"),
+        count(lit(1)).as("n_events"))
+      .select($"window.start".as("window_start"), $"n_active_users", $"n_events")
+      .orderBy($"window_start")
+  }
+  val x64Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |w AS (SELECT user_id,
+      |        unnest([us - us % 900000000 - CAST(k AS BIGINT) * 900000000 FOR k IN [0,1,2,3]]) AS start_us
+      |      FROM e)
+      |SELECT make_timestamp(start_us) AS window_start,
+      |       count(DISTINCT user_id) AS n_active_users,
+      |       count(*) AS n_events
+      |FROM w GROUP BY 1 ORDER BY window_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x64_sliding_distinct" -> x64SlidingDistinct _,
     "x63_label_cohesion" -> x63LabelCohesion _,
     "x62_event_transitions" -> x62EventTransitions _,
     "x61_split_leakage" -> x61SplitLeakage _,
@@ -1628,6 +1653,7 @@ object Extensions {
     "x27_data_card" -> x27DataCard _)
 
   val oracleSql: Map[String, String] = Map(
+    "x64_sliding_distinct" -> x64Sql,
     "x63_label_cohesion" -> x63Sql,
     "x62_event_transitions" -> x62Sql,
     "x61_split_leakage" -> x61Sql,
