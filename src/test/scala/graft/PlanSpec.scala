@@ -20,6 +20,24 @@ class PlanSpec extends SparkSpec {
   private def count(p: String, needle: String): Int =
     p.linesIterator.count(_.matches(s"^\\(\\d+\\) $needle.*"))
 
+  test("Hive-partitioned lake: ingest_date filter becomes a partition filter (no data read from other dates)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.input_file_name
+    val base = java.nio.file.Files.createTempDirectory("graft-ppune").toString + "/ds"
+    val df = Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-01"),
+      (3L, "c", "2024-01-02")).toDF("id", "v", "ingest_date")
+    graft.io.Lake.writePartitioned(df, base, Seq("ingest_date"))
+    val q = spark.read.parquet(base).filter($"ingest_date" === "2024-01-01")
+    val p = plan(q)
+    // the predicate must land in PartitionFilters (metadata pruning), not PushedFilters
+    assert(p.contains("PartitionFilters") && p.contains("ingest_date"), p)
+    // and only the matching partition's files are touched
+    val files = q.select(input_file_name()).distinct().as[String].collect()
+    assert(files.nonEmpty && files.forall(_.contains("ingest_date=2024-01-01")),
+      files.mkString("\n"))
+    assert(q.count() == 2)
+  }
+
   test("q15: filter and column pruning reach the parquet scan") {
     val p = plan(Analytics.q15PricingSummary(spark, dir))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
