@@ -346,6 +346,37 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
   }
 
+  // -------------------------------------------------------- survivor selection
+  /** Policy-driven survivor selection over a near-dup pair graph: within
+    * each connected component, keep the row with the HIGHEST `scoreCol`
+    * (ties → lowest id); rows in no pair survive untouched. The curation
+    * semantics keep-lowest-id can't express — of three copies of an
+    * article, keep the longest / highest-quality one, not the one that
+    * happened to be crawled first.
+    *
+    * Scale shape: [[nearDupClusters]] labels only the PAIRED docs (a tiny
+    * set next to the corpus); the labels join back as a broadcast-sized
+    * relation, the per-cluster argmax is a window over paired rows only,
+    * and unpaired rows pass through a left-anti-free path (label NULL ⟹
+    * keep). The corpus never shuffles on the cluster key. */
+  def keepBestPerCluster(docs: DataFrame, pairs: DataFrame, idCol: String,
+      scoreCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = nearDupClusters(pairs)
+      .withColumnRenamed("doc_id", idCol)
+    // two disjoint paths, NOT a left join + guarded window: unpaired rows
+    // (the overwhelming majority) would otherwise all share one NULL
+    // cluster_id window partition — a single-task skew bomb
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(scoreCol.desc_nulls_last, col(idCol))
+    val survivors = docs.join(labels, Seq(idCol))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk", "cluster_id")
+    val unpaired = docs.join(labels.select(col(idCol)), Seq(idCol), "left_anti")
+    unpaired.unionByName(survivors)
+  }
+
   // ------------------------------------------------------- embedding near-dup
   /** Probability that an UNRELATED (≈orthogonal) vector pair shares at least
     * one band bucket under random-hyperplane LSH: 1 − (1 − 2^−bits)^bands.

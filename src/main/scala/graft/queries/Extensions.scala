@@ -1592,7 +1592,50 @@ object Extensions {
       |       count(*) AS n_events
       |FROM w GROUP BY 1 ORDER BY window_start""".stripMargin
 
+  // -------------------------------------------------- x65 survivor selection
+  /** Keep-BEST dedup policy: within each exact-Jaccard near-dup cluster
+    * keep the longest document (ties → lowest id); unpaired docs survive
+    * untouched. The oracle recomputes the same closure (x28's recursive
+    * CTE) and the same argmax window. */
+  def x65KeepBest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      shingleK = 3, threshold = 0.5)
+    Dedup.keepBestPerCluster(d, pairs, "doc_id", length($"text"))
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+  val x65Sql: String =
+    s"""WITH RECURSIVE $ngramPairCtes,
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |reach(x, y) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT r.x, e.b FROM reach r JOIN edges e ON e.a = r.y),
+      |comp AS (SELECT x AS doc_id, min(y) AS cluster_id FROM reach GROUP BY x),
+      |ranked AS (
+      |  SELECT d.doc_id, d.source,
+      |    row_number() OVER (PARTITION BY c.cluster_id
+      |      ORDER BY length(d.text) DESC NULLS LAST, d.doc_id) AS rk
+      |  FROM documents d JOIN comp c ON d.doc_id = c.doc_id)
+      |SELECT d.doc_id, d.source FROM documents d
+      |LEFT JOIN comp c ON d.doc_id = c.doc_id
+      |WHERE c.doc_id IS NULL
+      |UNION ALL
+      |SELECT doc_id, source FROM ranked WHERE rk = 1
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x65_keep_best" -> x65KeepBest _,
     "x64_sliding_distinct" -> x64SlidingDistinct _,
     "x63_label_cohesion" -> x63LabelCohesion _,
     "x62_event_transitions" -> x62EventTransitions _,
@@ -1653,6 +1696,7 @@ object Extensions {
     "x27_data_card" -> x27DataCard _)
 
   val oracleSql: Map[String, String] = Map(
+    "x65_keep_best" -> x65Sql,
     "x64_sliding_distinct" -> x64Sql,
     "x63_label_cohesion" -> x63Sql,
     "x62_event_transitions" -> x62Sql,

@@ -254,6 +254,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.toSeq == repartitioned.toSeq)
   }
 
+  test("keepBestPerCluster: per-cluster argmax survives, ties to lowest id, unpaired pass") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L), // cluster {1,2,3}: 2 and 3 tie on score → 2 wins
+      (4L, 5L),                        // unpaired → survives untouched
+      (5L, 1L), (6L, 2L)               // cluster {5,6}: 6 wins on score
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.keepBestPerCluster(docs, pairs, "doc_id", col("score"))
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 4L, 6L))
+    // empty pair graph: everything survives
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.keepBestPerCluster(docs, noPairs, "doc_id", col("score")).count() == 6)
+  }
+
   test("labelCohesion: |sum v|^2 - sum|v|^2 identity equals the naive pair sum") {
     import spark.implicits._
     val vecs = Map(
