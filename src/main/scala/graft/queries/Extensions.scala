@@ -1634,7 +1634,43 @@ object Extensions {
       |SELECT doc_id, source FROM ranked WHERE rk = 1
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------- x66 per-source dup report
+  /** Duplication governance report per source: document count, distinct
+    * text count (exact-dup signal, md5), and how many docs sit in an
+    * exact-Jaccard near-dup pair (near-dup exposure). Integers only —
+    * the rates are trivial client-side divisions. */
+  def x66DupReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val paired = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      shingleK = 3, threshold = 0.5)
+      .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+    d.join(paired.withColumn("__p", lit(1)), Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5($"text")).as("n_unique_texts"),
+        sum(when($"__p".isNotNull, 1L).otherwise(0L)).as("n_near_dup_docs"))
+      .orderBy($"source")
+  }
+  val x66Sql: String =
+    s"""WITH $ngramPairCtes,
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5),
+      |paired AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs))
+      |SELECT d.source, count(*) AS n_docs,
+      |  count(DISTINCT md5(d.text)) AS n_unique_texts,
+      |  CAST(sum(CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup_docs
+      |FROM documents d LEFT JOIN paired p ON d.doc_id = p.doc_id
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x66_dup_report" -> x66DupReport _,
     "x65_keep_best" -> x65KeepBest _,
     "x64_sliding_distinct" -> x64SlidingDistinct _,
     "x63_label_cohesion" -> x63LabelCohesion _,
@@ -1696,6 +1732,7 @@ object Extensions {
     "x27_data_card" -> x27DataCard _)
 
   val oracleSql: Map[String, String] = Map(
+    "x66_dup_report" -> x66Sql,
     "x65_keep_best" -> x65Sql,
     "x64_sliding_distinct" -> x64Sql,
     "x63_label_cohesion" -> x63Sql,
