@@ -77,6 +77,25 @@ object Ops {
   def shingleHashData(tokens: ArrayData, k: Int): ArrayData =
     new GenericArrayData(shingleHashes(tokens, k))
 
+  /** Intersection size of two SORTED long arrays — one merge walk, zero
+    * allocation. The verify kernel for exact-Jaccard candidates: the
+    * composed `size(array_intersect(a, b))` builds a hash set AND the
+    * intersection array per pair; over hundreds of thousands of candidate
+    * pairs the difference is the whole verify stage's budget. Inputs must
+    * be ascending-sorted and duplicate-free ([[shingleHashes]]'s contract —
+    * it sorts its distinct output). */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var n = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
   /** One-pass repetition stats over a token array:
     * `[n_tokens, n_distinct_kgrams, max_token_count]`. Token multiplicity is
     * counted on 64-bit token hashes (collision odds negligible within one
