@@ -65,18 +65,31 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.7,
       maxBucketSize: Int = 1000): DataFrame = {
+    // Signature AND sorted shingle-hash array in ONE map-side projection
+    // over the scan, materialized once (three consumers: the banded
+    // pipeline and both verify sides). Verification is then a merge walk
+    // over the two precomputed arrays — the earlier spelling carried raw
+    // token arrays to the verify join and re-shingled BOTH docs PER PAIR
+    // (a doc in p pairs paid p re-hashings of its whole text).
     val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        minhash_sig(col("toks"), shingleK, numHashes).as("sig"),
+        shingle_hashes(col("toks"), shingleK).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .localCheckpoint()
     val banded = base
-      .select(col("doc_id"), posexplode(band_hashes(minhash_sig(col("toks"), shingleK, numHashes), bands)))
+      .select(col("doc_id"), posexplode(band_hashes(col("sig"), bands)))
       .toDF("doc_id", "band_idx", "band_hash")
     val candidates = bucketCandidatePairs(banded, "band_idx", "band_hash", maxBucketSize)
-    val ta = base.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-    val tb = base.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+    val ta = base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n_sh").as("n_a"))
+    val tb = base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n_sh").as("n_b"))
     candidates
       .join(ta, Seq("doc_a"))
       .join(tb, Seq("doc_b"))
+      .withColumn("n_inter", sorted_intersect_count(col("sh_a"), col("sh_b")))
       .select(col("doc_a"), col("doc_b"),
-        jaccard_shingles(col("toks_a"), col("toks_b"), shingleK).as("jaccard"))
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -132,7 +145,11 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {
     val chunks = 4 // 4 × 16-bit chunks of the 64-bit signature
+    // (id, sig) is 16 bytes/doc; materialize it once or all three consumers
+    // (chunk explode + both verify sides) re-scan the corpus and re-MD5
+    // every token.
     val sigs = docs.select(col(idCol).as("doc_id"), simhash64(tokens(col(textCol))).as("sig"))
+      .localCheckpoint()
     val chunked = sigs.select(
       col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(chunks - 1))).as("chunk_idx"))
