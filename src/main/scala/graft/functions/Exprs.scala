@@ -81,6 +81,21 @@ object Exprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** ngram_hashes(array<string> tokens) → array<bigint>: POSITIONAL k-gram
+    * hashes — one hash per window position, multiplicity and order kept
+    * (unlike [[ShingleHashes]]' distinct sorted set). Docs shorter than k
+    * yield an empty array. The count-on-hashes half of the
+    * count/reconstruct top-k pattern: frequency aggregation shuffles 8-byte
+    * keys, never n-gram strings. */
+  case class NgramHashes(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      Ops.ngramHashData(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Ops.ngramHashData($c, $k)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** sorted_intersect_count(array<bigint>, array<bigint>) → bigint: merge
     * walk over two ascending duplicate-free arrays (ShingleHashes output).
     * Zero allocation per pair vs size(array_intersect)'s hash set + array. */
@@ -187,6 +202,7 @@ object Exprs {
   def lang_id(text: Column): Column = col(LangId(ex(text)))
   def sorted_intersect_count(a: Column, b: Column): Column =
     col(SortedIntersectCount(ex(a), ex(b)))
+  def ngram_hashes(tokens: Column, k: Int): Column = col(NgramHashes(ex(tokens), k))
 
   /** Register the SQL-facing names so `spark.sql` users get the same surface
     * (reference EP3 parity: the analytics layer is plain SQL). */

@@ -77,6 +77,31 @@ object Ops {
   def shingleHashData(tokens: ArrayData, k: Int): ArrayData =
     new GenericArrayData(shingleHashes(tokens, k))
 
+  /** Positional (multiset) k-gram hashes: one FNV-combined hash per window
+    * position, duplicates kept, order kept; empty for docs shorter than k.
+    * Hash identity matches k-gram string identity (tokens are whitespace-
+    * split so space-joining is injective; 64-bit collisions negligible). */
+  def ngramHashData(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = if (tokens.isNullAt(i)) 0L else fnv1a(tokens.getUTF8String(i))
+      i += 1
+    }
+    val out = new Array[Long](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      var h = FnvOffset
+      var j = 0
+      while (j < k) { h = (h ^ th(i + j)) * FnvPrime; j += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Intersection size of two SORTED long arrays — one merge walk, zero
     * allocation. The verify kernel for exact-Jaccard candidates: the
     * composed `size(array_intersect(a, b))` builds a hash set AND the

@@ -137,40 +137,59 @@ object TextAnalysis {
     * domain profiling). Ties break on the bigram string, so the result is
     * fully deterministic.
     *
-    * Scale shape: the explode fans each doc out to its bigrams, but the
-    * (group, ngram) count is partial-aggregable — hot bigrams collapse
-    * map-side before the one wide shuffle. The top-k then runs TWO-LEVEL:
+    * Scale shape — count on hashes, reconstruct only winners: the frequency
+    * aggregate runs over POSITIONAL 64-bit bigram hashes, so the one
+    * corpus-wide shuffle carries (group, 8-byte key, count) and never a
+    * bigram string. Per-group top-k over the hash counts runs TWO-LEVEL —
     * a per-(group, hash-bucket) window prunes to k survivors per bucket
-    * (many small parallel sorts), and the final window ranks only
-    * |groups|·buckets·k rows. A single per-group window would sort every
-    * distinct bigram inside |groups| partitions — with few groups (5
-    * languages) that is a handful of giant single-threaded sorts, measured
-    * 3× slower at sf0.1. Exactness: every global top-k row is by
-    * definition in its own bucket's top-k, so level 1 never prunes a
-    * winner. */
+    * (many small parallel sorts), then a final window ranks
+    * |groups|·buckets·k rows; a single per-group window would sort every
+    * distinct bigram in |groups| giant single-threaded partitions. Because
+    * ties at the k-th COUNT can only be broken by the (not-yet-known)
+    * bigram string, the hash phase keeps every hash with count ≥ the k-th
+    * largest count τ — τ is a function of the count multiset alone, so no
+    * true winner is lost. A second scan then rebuilds strings for ONLY the
+    * candidate hashes (broadcast semi-join BEFORE the concat, so losing
+    * bigrams never materialize a string), and the final exact
+    * (n DESC, ngram ASC) window ranks the handful of survivors. */
   def topNgrams(docs: DataFrame, textCol: String, groupCol: String,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = Dedup.tokens(col(textCol))
-    val grams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val counts = Par.widen(docs)
-      .select(col(groupCol), explode(grams).as("ngram"))
-      .groupBy(col(groupCol), col("ngram"))
+    val wide = Par.widen(docs)
+    val counts = wide
+      .select(col(groupCol), explode(ngram_hashes(toks, 2)).as("__h"))
+      .groupBy(col(groupCol), col("__h"))
       .agg(count(lit(1)).as("n"))
-    val bucket = pmod(xxhash64(col("ngram")), lit(64L))
+    val bucket = pmod(col("__h"), lit(64L))
     val perBucket = Window.partitionBy(col(groupCol), bucket)
-      .orderBy(col("n").desc, col("ngram").asc)
+      .orderBy(col("n").desc, col("__h").asc)
     val overall = Window.partitionBy(col(groupCol))
-      .orderBy(col("n").desc, col("ngram").asc)
-    counts
+      .orderBy(col("n").desc, col("__h").asc)
+    val tau = counts
       .withColumn("__rk", row_number().over(perBucket))
       .filter(col("__rk") <= k)
       .withColumn("__rk", row_number().over(overall))
       .filter(col("__rk") <= k)
-      .drop("__rk")
+      .groupBy(col(groupCol)).agg(min(col("n")).as("__tau"))
+    val cand = counts
+      .join(broadcast(tau), Seq(groupCol))
+      .filter(col("n") >= col("__tau"))
+      .select(col(groupCol), col("__h"), col("n"))
+    val strings = wide
+      .select(col(groupCol), toks.as("__t"))
+      .select(col(groupCol), col("__t"),
+        posexplode(ngram_hashes(col("__t"), 2)).as(Seq("__p", "__h")))
+      .join(broadcast(cand.select(col("__h")).distinct()), Seq("__h"), "left_semi")
+      .select(col(groupCol), col("__h"),
+        concat(element_at(col("__t"), col("__p") + 1), lit(" "),
+          element_at(col("__t"), col("__p") + 2)).as("ngram"))
+      .distinct()
+    cand.join(strings, Seq(groupCol, "__h"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("n").desc, col("ngram").asc)))
+      .filter(col("__rk") <= k)
+      .select(col(groupCol), col("ngram"), col("n"))
   }
 
   /** Per-document salient-term extraction: each doc's top-`k` RARE terms —
