@@ -48,6 +48,17 @@ object Lake {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Schema-evolution read: a directory whose parquet files were written at
+    * different pipeline versions (columns added over time) reads as ONE
+    * relation under `mergeSchema` — the union-by-name of every footer
+    * schema, with columns a file lacks surfacing as NULL for its rows.
+    * The lake reality this serves: a 100 TB table is never rewritten when
+    * a column is added; readers must absorb old and new footers in place.
+    * (Off by default in Spark because footer-merging lists every file's
+    * schema; turning it on per-read here is the explicit opt-in.) */
+  def readParquetMerged(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir)
+
   /** ORC sink — the second columnar lake format Spark ships natively.
     * Same predicate-pushdown/column-pruning/min-max-stat story as parquet
     * (ORC stripes carry their own indexes); everything downstream of

@@ -41,6 +41,47 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Symmetric int8 quantization of a float vector: q_i = ⌊127·x_i/max|x| +
+    * 0.5⌋ (round-half-up spelled as floor so both engines agree bit-for-bit;
+    * the all-zero vector quantizes to zeros). Values land in [-127, 127] —
+    * int8 range, stored as longs for arithmetic headroom. */
+  private def quantized(vec: Column): Column = {
+    val m = col("__maxabs")
+    when(m === 0.0d, transform(vec, _ => lit(0L)))
+      .otherwise(transform(vec,
+        x => floor(x.cast("double") * lit(127.0d) / m + lit(0.5d)).cast("long")))
+  }
+  private def withQuantized(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("__maxabs",
+        aggregate(col(vecCol), lit(0.0d), (acc, x) => greatest(acc, abs(x.cast("double")))))
+      .withColumn("__q", quantized(col(vecCol)))
+      .drop("__maxabs")
+
+  /** Int8-quantized similarity top-k — the memory/bandwidth face of ANN at
+    * scale: a 100 TB float32 embedding corpus is 25 TB as int8, and the
+    * scoring kernel becomes integer multiply-adds (the form SIMD and every
+    * vector-DB quantization scheme exploit). Per-vector symmetric
+    * quantization (scale = max|x|/127) happens map-side during the scan;
+    * ranking is by EXACT INTEGER quantized dot product with (qdot DESC, id)
+    * total order — deterministic across engines by construction, so unlike
+    * float-scored ANN this variant carries a full value-level DuckDB oracle
+    * (x68). Same broadcast-queries/corpus-never-shuffles plan as
+    * [[bruteForceTopK]]. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10): DataFrame = {
+    val c = withQuantized(corpus.select(col(idCol).as("item_id"), col(vecCol)), vecCol)
+      .select(col("item_id"), col("__q").as("item_q"))
+    val q = withQuantized(queries.select(col(idCol).as("query_id"), col(vecCol)), vecCol)
+      .select(col("query_id"), col("__q").as("query_q"))
+    val scored = c.join(broadcast(q), col("item_id") =!= col("query_id"))
+      .select(col("query_id"), col("item_id"),
+        aggregate(zip_with(col("query_q"), col("item_q"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("qdot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("item_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Literal array<struct<s double, ncid int>> of per-centroid cosine scores
     * for `vec`: s = cosine(vec, centroid), ncid = -centroid_id. With the id
     * NEGATED, the natural struct ordering (s first, then ncid) makes both

@@ -224,6 +224,49 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("df"))
   }
 
+  /** Hashed linear text-classifier INFERENCE — the fastText-style quality
+    * filter shape (Joulin et al., "Bag of Tricks for Efficient Text
+    * Classification", EACL'17; CCNet's quality gate — public knowledge):
+    * each document's unigrams + bigrams hash into `numBuckets` feature
+    * buckets, each bucket carries a weight from the model table, and the
+    * document's score is the mean bucket weight. The weights here are a
+    * deterministic function of the bucket index (a stand-in for a trained
+    * model's weight vector — training is out of scope, serving is not);
+    * swapping in learned weights is a literal-array change.
+    *
+    * Scale shape: inference is a SINGLE map-side expression — feature
+    * hashing, weight lookup, and the sum all fold over the token array
+    * per row (`aggregate` higher-order function), so scoring a 100 TB
+    * corpus is one scan with ZERO shuffles, and the classifier rides along
+    * inside any other projection. Integer sufficient statistics
+    * (weight_sum, n_features); the score is one exact int/int division.
+    * Cross-engine determinism: the feature hash is the first 8 hex chars
+    * of md5(feature) — a primitive every engine shares (the x07 md5
+    * spelling) — so the DuckDB oracle rebuilds identical buckets, weights,
+    * and sums. */
+  def hashedClassifierScore(docs: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int = 1024): DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    def weight(t: Column): Column = {
+      val h = conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+      val b = pmod(h, lit(numBuckets.toLong))
+      pmod(b * lit(2654435761L), lit(1000001L)) - lit(500000L)
+    }
+    docs
+      .withColumn("__toks", toks)
+      .withColumn("__bi", when(size(col("__toks")) >= 2,
+        transform(sequence(lit(1), size(col("__toks")) - 1),
+          i => concat(element_at(col("__toks"), i), lit(" "),
+            element_at(col("__toks"), i + 1))))
+        .otherwise(array().cast("array<string>")))
+      .withColumn("__f", concat(col("__toks"), col("__bi")))
+      .select(col(idCol).as("doc_id"),
+        size(col("__f")).cast("long").as("n_features"),
+        aggregate(col("__f"), lit(0L), (acc, t) => acc + weight(t)).as("weight_sum"))
+      .withColumn("score",
+        col("weight_sum").cast("double") / col("n_features").cast("double"))
+  }
+
   /** Corpus bigram-LM document scoring — the perplexity-style quality
     * filter: train add-one-smoothed bigram statistics on the corpus itself,
     * then score every document by the average log-probability of its

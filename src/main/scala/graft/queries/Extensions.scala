@@ -1669,7 +1669,100 @@ object Extensions {
       |FROM documents d LEFT JOIN paired p ON d.doc_id = p.doc_id
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  // ------------------------------------------------- x67 classifier inference
+  /** Hashed linear classifier scoring (fastText/CCNet quality-filter shape)
+    * as a zero-shuffle map-side expression. ORACLED value-exactly: feature
+    * hash = first 8 hex of md5 (the x07 cross-engine spelling), integer
+    * bucket weights, integer sums; the score is one int/int division. */
+  def x67ClassifierScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.hashedClassifierScore(docs(s, dir), "doc_id", "text", numBuckets = 1024)
+      .orderBy($"doc_id")
+  }
+  val x67Sql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |f AS (SELECT doc_id, list_concat(w,
+      |        CASE WHEN len(w) >= 2
+      |          THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+      |          ELSE [] END) AS fs FROM t),
+      |sc AS (SELECT doc_id, CAST(len(fs) AS BIGINT) AS n_features,
+      |  CAST(list_sum(list_transform(fs, s ->
+      |    (CAST(list_sum(list_transform(range(1, 9), i ->
+      |       (strpos('0123456789abcdef', substr(md5(s), CAST(i AS INT), 1)) - 1)
+      |         * power(16.0, 8 - i))) AS BIGINT) % 1024)
+      |    * 2654435761 % 1000001 - 500000)) AS BIGINT) AS weight_sum
+      |  FROM f)
+      |SELECT doc_id, n_features, weight_sum,
+      |  CAST(weight_sum AS DOUBLE) / CAST(n_features AS DOUBLE) AS score
+      |FROM sc ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------- x68 quantized ANN
+  /** Int8-quantized similarity top-k: symmetric per-vector quantization
+    * (scale = max|x|/127, round-half-up spelled floor(x+0.5)), ranking by
+    * EXACT INTEGER quantized dot product — so unlike float-scored ANN this
+    * carries a full value-level oracle. The scale story: int8 is 4× less
+    * memory/bandwidth than float32 and integer MACs; determinism is free. */
+  def x68QuantizedAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    Similarity.quantizedTopK(e, e.filter($"vec_id" < 10), "vec_id", "embedding", k = 10)
+      .orderBy($"query_id", $"rank")
+  }
+  val x68Sql: String =
+    """WITH qz AS (
+      |  SELECT vec_id,
+      |    CASE WHEN m = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+      |         ELSE list_transform(e, x ->
+      |           CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5) AS BIGINT)) END AS q
+      |  FROM (SELECT vec_id, embedding AS e,
+      |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+      |        FROM embeddings)),
+      |scored AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS item_id,
+      |    CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS BIGINT) AS qdot
+      |  FROM qz a JOIN qz b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+      |ranked AS (SELECT query_id, item_id, qdot,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, item_id) AS rank FROM scored)
+      |SELECT query_id, item_id, qdot, rank FROM ranked WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  // --------------------------------------------------- x69 schema evolution
+  /** Schema-evolution read: half the events are written as v1 files WITHOUT
+    * the `value` column, half as v2 files WITH it, into one directory; the
+    * mergeSchema read unifies them (missing column ⟹ NULL for v1 rows) and
+    * the aggregate distinguishes presence from value. ORACLED against the
+    * original parquet truth with the same even/odd split — the x55 pattern:
+    * the round-trip is correct iff the post-merge aggregate matches the
+    * never-written-out computation. */
+  def x69SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_x69_evo"
+    ev.filter($"event_id" % 2 === 0)
+      .select($"event_id", $"user_id", $"event_type")
+      .write.mode("overwrite").parquet(tmp)
+    ev.filter($"event_id" % 2 === 1)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .write.mode("append").parquet(tmp)
+    graft.io.Lake.readParquetMerged(s, tmp)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when($"value".isNotNull, 1L).otherwise(0L)).as("n_with_value"),
+        sum(coalesce($"value", lit(0.0)).cast(DecimalType(18, 2))).cast("double")
+          .as("total_value"))
+      .orderBy($"event_type")
+  }
+  val x69Sql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_value,
+      |  CAST(SUM(CAST(CASE WHEN event_id % 2 = 1 THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x67_classifier_score" -> x67ClassifierScore _,
+    "x68_quantized_ann" -> x68QuantizedAnn _,
+    "x69_schema_evolution" -> x69SchemaEvolution _,
     "x66_dup_report" -> x66DupReport _,
     "x65_keep_best" -> x65KeepBest _,
     "x64_sliding_distinct" -> x64SlidingDistinct _,
@@ -1774,6 +1867,9 @@ object Extensions {
     "x06_minhash_neardup" -> x06Sql,
     "x07_simhash_neardup" -> x07Sql,
     "x08_ngram_jaccard" -> x08Sql,
+    "x67_classifier_score" -> x67Sql,
+    "x68_quantized_ann" -> x68Sql,
+    "x69_schema_evolution" -> x69Sql,
     "x09_ann_bruteforce" -> x09Sql,
     "x10_ann_ivf" -> x10Sql,
     "x11_embedding_neardup" -> x11Sql,

@@ -323,4 +323,21 @@ class DedupSimilaritySpec extends SparkSpec {
       .agg(sum($"n_dup_positions")).head.getLong(0)
     assert(clean == 0L)
   }
+
+  test("quantizedTopK: int8 range, zero-vector safe, parallel vectors rank first") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(100.0f, 0.0f, 0.0f)),  // parallel to query 0 → qdot 127*127
+      (2L, Array(0.0f, 5.0f, 0.0f)),    // orthogonal → qdot 0
+      (3L, Array(-2.0f, 0.0f, 0.0f)),   // anti-parallel → qdot -127*127
+      (4L, Array(0.0f, 0.0f, 0.0f))     // zero vector → quantizes to zeros
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizedTopK(vecs, vecs.filter($"vec_id" === 0L),
+      "vec_id", "embedding", k = 4)
+      .orderBy($"rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      (1L, 127L * 127L), (2L, 0L), (4L, 0L), (3L, -127L * 127L)))
+  }
 }

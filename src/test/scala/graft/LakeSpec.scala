@@ -51,6 +51,25 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("mergeSchema read unifies v1/v2 footers; v1 rows read added column as NULL") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-evo").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("overwrite").parquet(dir)
+    Seq((3L, "c", 30.0), (4L, "d", 40.0)).toDF("id", "name", "score")
+      .write.mode("append").parquet(dir)
+    val merged = Lake.readParquetMerged(spark, dir)
+    assert(merged.columns.toSet == Set("id", "name", "score"))
+    val rows = merged.orderBy($"id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows.toSeq == Seq(
+      (1L, None), (2L, None), (3L, Some(30.0)), (4L, Some(40.0))))
+    // the plain read (no mergeSchema) picks ONE footer — the capability under
+    // test is exactly that readParquetMerged sees the union
+    val plain = spark.read.parquet(dir)
+    assert(plain.columns.length <= merged.columns.length)
+  }
+
   test("S7: storage-mode base resolution (local vs abfss URI)") {
     assert(Lake.resolveBase("local", "/data/lake") == "/data/lake")
     assert(Lake.resolveBase("adls", "", "acct", "cont", "edu") ==

@@ -101,4 +101,25 @@ class TextSignalsSpec extends SparkSpec {
       (2L, "b", 3L, 2L), (2L, "z", 1L, 1L),
       (3L, "q", 1L, 1L)))
   }
+
+  test("hashedClassifierScore: feature count, weight bounds, determinism") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"), // 3 unigrams + 2 bigrams = 5 features
+      (2L, "alpha beta gamma"), // identical text → identical score
+      (3L, "solo"),             // 1 unigram, no bigrams
+      (4L, "")                  // split("") = [""] → 1 feature, defined score
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.hashedClassifierScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L)._1 == 5L)
+    assert(out(3L)._1 == 1L)
+    assert(out(4L)._1 == 1L)
+    assert(out(1L) == out(2L))
+    // every bucket weight is in [-500000, 500000], so |mean| is bounded too
+    out.values.foreach { case (n, ws, sc) =>
+      assert(math.abs(ws) <= 500000L * n)
+      assert(sc == ws.toDouble / n.toDouble)
+    }
+  }
 }
