@@ -23,6 +23,28 @@ object Curation {
       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
 
+  /** Deterministic sharded training order: the pseudo-random global
+    * permutation a training run reads the corpus in, spelled scale-first.
+    * A single global shuffle rank would funnel 100 TB through one sort
+    * partition boundary computation and give downstream readers no
+    * parallelism unit — so the permutation is SHARDED: shard =
+    * md5(id) mod `shards` (map-side, zero state), order within a shard =
+    * (md5(id), id). Each shard is an independently readable, internally
+    * shuffled slice — exactly the "shuffle then shard" layout training
+    * jobs consume — and the within-shard rank is a per-shard window
+    * (`shards`-way parallel, never a global sort). Content-independent
+    * hashing keeps the order stable under corpus edits: adding documents
+    * never reorders surviving ones within their shard. */
+  def trainingOrder(docs: DataFrame, idCol: String, shards: Int): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
+    docs.select(col(idCol).as("doc_id"))
+      .withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
+      .withColumn("pos_in_shard", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__h"), col("doc_id"))))
+      .select(col("doc_id"), col("shard"), col("pos_in_shard"))
+  }
+
   /** Deterministic train/val/test split by content-independent id hash.
     * Each row's bucket is the first 16 bits of md5(id-as-string) compared
     * against cumulative-fraction thresholds (fixed-width lowercase hex, so

@@ -84,6 +84,35 @@ object Stats {
         max(col("mx")).as("mx"))
   }
 
+  /** Per-group ROBUST outlier screen: median / MAD (median absolute
+    * deviation) instead of mean / stddev — the screen that survives the
+    * exact pathology it exists to find, since one extreme value drags a
+    * mean + inflates a stddev but moves neither median. The z-score variant
+    * ([[groupAnomalies]]) and this one are the classic complementary pair.
+    *
+    * Two aggregation passes by necessity (MAD is a median OF deviations
+    * from a median — not mergeable into one pass): pass 1 collapses to
+    * (group, median), broadcast-joins back, pass 2 collapses deviations to
+    * (group, mad). The fact table is scanned twice but never shuffled —
+    * both joins broadcast the tiny group-stats side. Exact interpolated
+    * medians over integer inputs produce doubles on the 0.25 grid, exact
+    * in IEEE — cross-engine oracle-able. */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val med = df.groupBy(col(groupCol))
+      .agg(percentile(v, lit(0.5)).as("med"))
+    val withMed = df.join(broadcast(med), Seq(groupCol))
+    val mad = withMed.groupBy(col(groupCol))
+      .agg(percentile(abs(v - col("med")), lit(0.5)).as("mad"))
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .groupBy(col(groupCol), col("med"), col("mad"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(abs(v - col("med")) > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   /** Per-column data-quality profile: row count, null count, exact distinct
     * count — the profile table a lake publishes next to each dataset.
     *

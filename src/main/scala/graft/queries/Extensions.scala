@@ -1759,7 +1759,72 @@ object Extensions {
       |  CAST(SUM(CAST(CASE WHEN event_id % 2 = 1 THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------- x70 training order
+  /** Deterministic sharded training-order permutation (shuffle-then-shard).
+    * ORACLED: shard and rank derive from the md5-hex id hash both engines
+    * compute identically; integers end to end. */
+  def x70TrainingOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Curation.trainingOrder(docs(s, dir), "doc_id", shards = 8)
+      .orderBy($"shard", $"pos_in_shard")
+  }
+  val x70Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(1, 9), i ->
+      |      (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+      |        * power(16.0, 8 - i))) AS BIGINT) AS hv
+      |  FROM documents)
+      |SELECT doc_id, hv % 8 AS shard,
+      |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS INT) AS pos_in_shard
+      |FROM h ORDER BY shard, pos_in_shard""".stripMargin
+
+  // --------------------------------------------------- x71 robust outliers
+  /** Median/MAD robust outlier screen per source over document length —
+    * the complementary screen to x34's z-score (one extreme value moves a
+    * mean and inflates a stddev; it moves neither median). Interpolated
+    * medians over integers land on the 0.25 grid — exact doubles both
+    * engines. */
+  def x71RobustOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Stats.robustOutliers(docs(s, dir), "source", "n_chars", k = 3.0)
+      .orderBy($"source")
+  }
+  val x71Sql: String =
+    """WITH med AS (
+      |  SELECT source, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+      |  FROM documents GROUP BY source),
+      |mad AS (
+      |  SELECT d.source, quantile_cont(abs(CAST(d.n_chars AS DOUBLE) - m.med), 0.5) AS mad
+      |  FROM documents d JOIN med m ON d.source = m.source GROUP BY d.source),
+      |j AS (SELECT d.source, m.med, a.mad, CAST(d.n_chars AS DOUBLE) AS v
+      |      FROM documents d JOIN med m ON d.source = m.source
+      |      JOIN mad a ON d.source = a.source)
+      |SELECT source, med, mad, count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN abs(v - med) > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM j GROUP BY source, med, mad ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------ x72 provenance
+  /** File-level provenance: every row tagged with its source file basename
+    * via input_file_name() — the lineage column a lake audit needs when a
+    * bad file must be traced and its rows quarantined. The oracle pins the
+    * (basename, count) contract; with single-file tables the basename is
+    * the table file itself. */
+  def x72Provenance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+      .groupBy($"file").agg(count(lit(1)).as("n_rows"))
+      .orderBy($"file")
+  }
+  val x72Sql: String =
+    """SELECT 'documents.parquet' AS file, count(*) AS n_rows
+      |FROM documents GROUP BY 1 ORDER BY file""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x70_training_order" -> x70TrainingOrder _,
+    "x71_robust_outliers" -> x71RobustOutliers _,
+    "x72_provenance" -> x72Provenance _,
     "x67_classifier_score" -> x67ClassifierScore _,
     "x68_quantized_ann" -> x68QuantizedAnn _,
     "x69_schema_evolution" -> x69SchemaEvolution _,
@@ -1867,6 +1932,9 @@ object Extensions {
     "x06_minhash_neardup" -> x06Sql,
     "x07_simhash_neardup" -> x07Sql,
     "x08_ngram_jaccard" -> x08Sql,
+    "x70_training_order" -> x70Sql,
+    "x71_robust_outliers" -> x71Sql,
+    "x72_provenance" -> x72Sql,
     "x67_classifier_score" -> x67Sql,
     "x68_quantized_ann" -> x68Sql,
     "x69_schema_evolution" -> x69Sql,

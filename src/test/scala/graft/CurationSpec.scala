@@ -350,4 +350,24 @@ class CurationSpec extends SparkSpec {
       ("t", 1, 1L, 1L, 1L, 1L),
       ("t", 2, 1L, 3L, 3L, 3L)))
   }
+
+  test("trainingOrder: complete sharded permutation, stable under corpus growth") {
+    import spark.implicits._
+    val docs = (1L to 100L).toDF("doc_id")
+    val out = Curation.trainingOrder(docs, "doc_id", shards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.length == 100)
+    assert(out.map(_._1).toSet == (1L to 100L).toSet)
+    // per-shard positions are 1..n_shard dense
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    // growing the corpus never reorders surviving docs within their shard
+    val grown = Curation.trainingOrder((1L to 150L).toDF("doc_id"), "doc_id", shards = 4)
+      .filter($"doc_id" <= 100L)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getInt(2)))
+    val before = out.map(t => (t._2, t._1, t._3))
+    assert(grown.groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap ==
+      before.groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap)
+  }
 }

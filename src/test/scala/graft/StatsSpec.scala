@@ -79,4 +79,19 @@ class StatsSpec extends SparkSpec {
     assert(out("s") == ((4L, 1L, 2L))) // 4 rows, 1 null, {a,b}
     assert(out("i") == ((4L, 1L, 2L))) // 4 rows, 1 null, {1,2}
   }
+
+  test("robustOutliers: median/MAD ignore the extreme value that wrecks z-scores") {
+    import spark.implicits._
+    // values 10..14 plus one 1000: med=12, |v-med| = {2,1,0,1,2,988}, mad=1.5
+    val df = Seq(10, 11, 12, 13, 14, 1000).map(("g", _)).toDF("g", "v")
+    val out = Stats.robustOutliers(df, "g", "v", k = 3.0).collect().head
+    assert(out.getDouble(1) == 12.5)  // interpolated median of 6 values
+    assert(out.getLong(3) == 6L)
+    // only 1000 deviates more than 3*mad from the median
+    assert(out.getLong(4) == 1L)
+    // the z-score screen on the same data: sd is so inflated by the outlier
+    // that LESS deviation is flagged relative to sigma*sd at high sigma —
+    // the motivating contrast, pinned loosely: robust flags exactly one
+    assert(Stats.groupAnomalies(df, "g", "v", sigma = 3.0).count() <= 1L)
+  }
 }
