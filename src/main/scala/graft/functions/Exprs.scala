@@ -265,5 +265,7 @@ object Exprs {
     register("lang_id", es => LangId(es(0)))
     register("shingle_hashes", es => ShingleHashes(es(0), 3))
     register("repetition_stats", es => RepetitionStats(es(0), 2))
+    register("ngram_hashes", es => NgramHashes(es(0), 2))
+    register("sorted_intersect_count", es => SortedIntersectCount(es(0), es(1)))
   }
 }

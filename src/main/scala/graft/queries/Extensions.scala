@@ -1821,7 +1821,47 @@ object Extensions {
     """SELECT 'documents.parquet' AS file, count(*) AS n_rows
       |FROM documents GROUP BY 1 ORDER BY file""".stripMargin
 
+  // ----------------------------------------------- x73 incremental dedup
+  /** Incremental near-dup admission: the 20% "arriving batch"
+    * (doc_id % 10 ≥ 8) scored against the 80% "existing corpus". Exact
+    * cross-relation shingle Jaccard — prefix-filtered Spark-side with the
+    * corpus-derived order, naively recomputed by the oracle. */
+  def x73IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    Dedup.incrementalDedupReport(
+      d.filter($"doc_id" % 10 >= 8), d.filter($"doc_id" % 10 < 8),
+      "doc_id", "text", shingleK = 3, threshold = 0.5)
+      .orderBy($"doc_id")
+  }
+  val x73Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 3
+      |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
+      |    ELSE [array_to_string(w, ' ')] END) AS shingle
+      |  FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS new_id, b.doc_id AS cor_id, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+      |  WHERE a.doc_id % 10 >= 8 AND b.doc_id % 10 < 8
+      |  GROUP BY 1, 2),
+      |m AS (
+      |  SELECT new_id, count(*) AS n_matches FROM inter
+      |  JOIN sizes sa ON sa.doc_id = new_id
+      |  JOIN sizes sb ON sb.doc_id = cor_id
+      |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5
+      |  GROUP BY 1)
+      |SELECT d.doc_id, coalesce(m.n_matches, 0) AS n_matches,
+      |  m.new_id IS NULL AS admitted
+      |FROM documents d LEFT JOIN m ON d.doc_id = m.new_id
+      |WHERE d.doc_id % 10 >= 8
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x73_incremental_dedup" -> x73IncrementalDedup _,
     "x70_training_order" -> x70TrainingOrder _,
     "x71_robust_outliers" -> x71RobustOutliers _,
     "x72_provenance" -> x72Provenance _,
@@ -1932,6 +1972,7 @@ object Extensions {
     "x06_minhash_neardup" -> x06Sql,
     "x07_simhash_neardup" -> x07Sql,
     "x08_ngram_jaccard" -> x08Sql,
+    "x73_incremental_dedup" -> x73Sql,
     "x70_training_order" -> x70Sql,
     "x71_robust_outliers" -> x71Sql,
     "x72_provenance" -> x72Sql,

@@ -324,6 +324,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(clean == 0L)
   }
 
+  test("incrementalDedupReport: new-vs-corpus matches only, within-batch dups ignored") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated corpus content about spark plans")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),   // dup of corpus 1
+      (11L, "the quick brown fox jumps over the lazy dog"),   // dup of 1 AND of 10
+      (12L, "entirely novel text that matches nothing else here")).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedupReport(fresh, corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    // 10 and 11 each match corpus doc 1; their matching EACH OTHER is not counted
+    assert(out.toSeq == Seq((10L, 1L, false), (11L, 1L, false), (12L, 0L, true)))
+  }
+
   test("quantizedTopK: int8 range, zero-vector safe, parallel vectors rank first") {
     import spark.implicits._
     val vecs = Seq(

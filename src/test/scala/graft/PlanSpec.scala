@@ -128,6 +128,29 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "SortMergeJoin") == 0, s"corpus must not shuffle-join:\n$p")
   }
 
+  test("x67 classifier inference: zero exchanges — scoring rides the scan") {
+    val p = plan(Extensions.x67ClassifierScore(spark, dir))
+    // the only operators between scan and the final sort are projections;
+    // the sort is the test-stability orderBy, not part of the operator
+    assert(count(p, "Exchange") <= 1, s"classifier scoring must not shuffle:\n$p")
+    assert(count(p, "HashAggregate") == 0 && count(p, "SortMergeJoin") == 0,
+      s"classifier scoring must not aggregate or join:\n$p")
+  }
+
+  test("x68 quantized ANN: queries broadcast, corpus never shuffle-joins") {
+    val p = plan(Extensions.x68QuantizedAnn(spark, dir))
+    assert(count(p, "BroadcastNestedLoopJoin") + count(p, "BroadcastHashJoin") >= 1,
+      s"query side must broadcast:\n$p")
+    assert(count(p, "SortMergeJoin") == 0, s"corpus must not shuffle-join:\n$p")
+  }
+
+  test("x70 training order: rank window is per-shard, never a global sort partition") {
+    val p = plan(Extensions.x70TrainingOrder(spark, dir))
+    // a Window with no partition spec plans an Exchange SinglePartition
+    assert(!p.contains("SinglePartition"),
+      s"training-order window must partition by shard:\n$p")
+  }
+
   test("window top-k spelling gets Spark's built-in group-limit pushdown") {
     import org.apache.spark.sql.functions.{col, row_number}
     import org.apache.spark.sql.expressions.Window
