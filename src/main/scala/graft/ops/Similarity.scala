@@ -336,8 +336,9 @@ object Similarity {
     * matching ≥1 of the query terms, ranked by (distinct terms matched desc,
     * total term frequency desc, doc_id) — the classic pre-BM25 ranking whose
     * ordering is ALL-INTEGER, so the top-k is bit-deterministic on any
-    * engine (BM25's float idf·tf math would be engine-ulp-dependent; its
-    * integer sufficient statistics are exactly these tf/match counts).
+    * engine with no arithmetic discipline at all. [[bm25Search]] is the
+    * graded upgrade — it pays for its float scores with pinned association
+    * and a sorted fold.
     *
     * Scale shape: the query is a literal array compiled into the row
     * expression — matching and counting are scan-fused map-side compute
@@ -357,6 +358,56 @@ object Similarity {
         size(filter(toks, t => array_contains(q, t))).as("total_tf"))
       .filter(col("n_matched") >= 1)
       .orderBy(col("n_matched").desc, col("total_tf").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** BM25 ranked retrieval (Robertson/Spärck Jones probabilistic weighting —
+    * public knowledge): score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avgdl)),
+    * idf = ln(1 + (N−df+0.5)/(df+0.5)). The graded upgrade of
+    * [[keywordSearch]]'s boolean coordination ranking.
+    *
+    * Determinism discipline (the x41 ln precedent): every INPUT is an exact
+    * integer (tf, df, len, N, Σlen), the score is assembled in one pinned
+    * double-arithmetic shape, and the per-doc term sum is a SORTED fold
+    * (collect_list → sort_array → aggregate), never a float `sum()` whose
+    * partial-merge order varies by partitioning — so the doubles are
+    * bit-identical on any engine and the oracle hash-matches.
+    *
+    * Scale shape: tokens not in the query are dropped INSIDE the scan
+    * projection, so the tf aggregate shuffles only matched-term rows
+    * (|terms| ≈ query length, not vocabulary); df and the corpus stats are
+    * broadcast scalars; the global top-k is TakeOrderedAndProject. */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "query must have at least one term")
+    val q = array(terms.map(t => lit(t.toLowerCase)): _*)
+    val toks = Dedup.tokens(col(textCol))
+    val stats = docs.select(size(toks).cast("long").as("__l"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__l")).as("sum_len"))
+    val tf = docs
+      .select(col(idCol).as("doc_id"), size(toks).cast("long").as("len"),
+        explode(filter(toks, t => array_contains(q, t))).as("term"))
+      .groupBy(col("doc_id"), col("len"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__avgdl", col("sum_len").cast("double") / col("n_docs").cast("double"))
+      .withColumn("__idf", log(lit(1.0) +
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("__c", col("__idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+        (col("tf").cast("double") +
+          lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("len").cast("double") / col("__avgdl"))))
+    contrib
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"),
+        sort_array(collect_list(struct(col("term"), col("__c").as("c")))).as("__cs"))
+      .withColumn("score",
+        aggregate(col("__cs"), lit(0.0d), (acc, x) => acc + x.getField("c")))
+      .select(col("doc_id"), col("n_matched"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
 }

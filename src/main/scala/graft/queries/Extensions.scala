@@ -1860,7 +1860,49 @@ object Extensions {
       |WHERE d.doc_id % 10 >= 8
       |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------------------------------- x74 BM25
+  /** BM25 ranked retrieval for a 3-term query, top-20. The oracle contract
+    * is the score quantized to nano-precision (floor(score·1e9) as BIGINT):
+    * Spark 4's `log` is StrictMath/fdlibm while DuckDB's `ln` is platform
+    * libm, and the two differ by 1 ulp on some arguments (measured here —
+    * 9/20 rows at sf0.01), so full-double parity is out of reach for ANY
+    * log-based score. Everything else is pinned exactly: integer sufficient
+    * statistics, association mirrored token-for-token, a SORTED fold for
+    * the per-doc term sum (float `sum()`'s merge order never enters). The
+    * 1-ulp noise is ~2e-16 relative against a 1e-9 grid. */
+  def x74Bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.bm25Search(docs(s, dir), "doc_id", "text",
+      Seq("spark", "join", "vector"), k = 20)
+      .select($"doc_id", $"n_matched",
+        floor($"score" * lit(1e9)).cast("long").as("score_e9"))
+      .orderBy($"score_e9".desc, $"doc_id")
+  }
+  val x74Sql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |st AS (SELECT count(*) AS n_docs, CAST(sum(len(w)) AS BIGINT) AS sum_len FROM t),
+      |tf AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS len, u AS term, count(*) AS tf
+      |  FROM (SELECT doc_id, w, unnest(list_filter(w, x -> x IN ('spark', 'join', 'vector'))) AS u FROM t)
+      |  GROUP BY 1, 2, 3),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |c AS (
+      |  SELECT doc_id, term,
+      |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+      |      / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(len AS DOUBLE)
+      |           / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS c
+      |  FROM tf JOIN dfq USING (term), st),
+      |sc AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+      |    list_reduce(list_prepend(0.0, list(c ORDER BY term)), (a, b) -> a + b) AS score
+      |  FROM c GROUP BY doc_id),
+      |topk AS (SELECT doc_id, n_matched, score FROM sc ORDER BY score DESC, doc_id LIMIT 20)
+      |SELECT doc_id, n_matched, CAST(floor(score * 1000000000.0) AS BIGINT) AS score_e9
+      |FROM topk ORDER BY score_e9 DESC, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x74_bm25" -> x74Bm25 _,
     "x73_incremental_dedup" -> x73IncrementalDedup _,
     "x70_training_order" -> x70TrainingOrder _,
     "x71_robust_outliers" -> x71RobustOutliers _,
@@ -1972,6 +2014,7 @@ object Extensions {
     "x06_minhash_neardup" -> x06Sql,
     "x07_simhash_neardup" -> x07Sql,
     "x08_ngram_jaccard" -> x08Sql,
+    "x74_bm25" -> x74Sql,
     "x73_incremental_dedup" -> x73Sql,
     "x70_training_order" -> x70Sql,
     "x71_robust_outliers" -> x71Sql,

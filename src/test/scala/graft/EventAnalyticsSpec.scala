@@ -116,4 +116,32 @@ class EventAnalyticsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
   }
+
+  test("bm25Search: hand-computed scores, rank order, non-matchers excluded") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val docs = Seq(
+      (1L, "alpha beta alpha"),      // len 3, tf(alpha)=2 tf(beta)=1
+      (2L, "alpha gamma delta"),     // len 3, tf(alpha)=1
+      (3L, "beta beta beta beta"),   // len 4, tf(beta)=4
+      (4L, "zeta eta")               // no match — excluded
+    ).toDF("doc_id", "text")
+    val out = Similarity.bm25Search(docs, "doc_id", "text",
+      Seq("alpha", "beta"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // N=4, avgdl=3, df(alpha)=df(beta)=2 → idf = ln(1 + 2.5/2.5) = ln 2.
+    // doc1 norm=1.2: 2·2.2/3.2 + 1·2.2/2.2 = 2.375·ln2
+    // doc3 norm=1.5: 4·2.2/5.5 = 1.6·ln2 ; doc2: 1.0·ln2
+    val ln2 = math.log(2.0)
+    assert(out.map(_._1) == Seq(1L, 3L, 2L))
+    assert(out.map(_._2) == Seq(2L, 1L, 1L))
+    val expected = Seq(2.375 * ln2, 1.6 * ln2, 1.0 * ln2)
+    out.map(_._3).zip(expected).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-12, s"score $got vs $want")
+    }
+    // global top-k must be TakeOrderedAndProject, not a full sort
+    val plan = Similarity.bm25Search(docs, "doc_id", "text", Seq("alpha"), 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+  }
 }
