@@ -567,4 +567,35 @@ object Curation {
         col("u.chunk_text").as("chunk_text"),
         col("u.n_chunk_tokens").cast("long").as("n_chunk_tokens"))
   }
+
+  // ---------------------------------------------- temperature language mix
+  /** Temperature-resampled multilingual sampling weights (the multilingual-
+    * pretraining recipe from the XLM-R / mC4 lineage — public knowledge):
+    * language l gets weight p_l^alpha / Σ_m p_m^alpha, upweighting the tail
+    * relative to its natural share. Fixed at alpha = 0.5 so the power is
+    * `sqrt` — IEEE-754 correctly rounded in every engine, unlike `pow`,
+    * whose last-ulp differences would break cross-engine hash equality.
+    * The denominator is a SORTED fold over the per-language terms
+    * (language-name order), so the double additions associate identically
+    * on any engine and any partitioning — the same determinism discipline
+    * as the BM25 scorer.
+    *
+    * Scale shape: one map-side-combining aggregate to ~|languages| rows;
+    * everything after is arithmetic on a relation the size of the language
+    * inventory. */
+  def temperatureLangMix(docs: DataFrame, langCol: String, textCol: String): DataFrame = {
+    val perLang = docs
+      .groupBy(col(langCol).as("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(Dedup.tokens(col(textCol))).cast("long")).as("n_tokens"))
+    val denom = perLang
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("lang"), sqrt(col("n_tokens").cast("double")).as("w")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("w")).as("__denom"))
+    perLang.crossJoin(broadcast(denom))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        (sqrt(col("n_tokens").cast("double")) / col("__denom")).as("weight"))
+  }
 }

@@ -328,4 +328,108 @@ object TextAnalysis {
         col("vocab"),
         (col("__sum_logp") / col("n_bigrams").cast("double")).as("avg_logp"))
   }
+
+  // ------------------------------------------------------------ novelty
+  /** Per-document shingle novelty: the fraction of a doc's DISTINCT k-token
+    * shingles whose global FIRST occurrence (minimum doc id over the corpus)
+    * is the doc itself. The incremental-crawl value signal: a recrawl or
+    * near-copy scores ~0, genuinely new material ~1 — used to rank sources
+    * by how much they still add to the corpus.
+    *
+    * Scale shape: per-doc shingle sets are one map-side projection
+    * ([[Dedup.shingleSets]] — 8-byte hashes, never strings); the wide
+    * shuffle is (hash, doc) with a map-side-combining `min` aggregate, and
+    * the join back to score each doc reuses the same hash partitioning
+    * (exchange reuse — one shuffle of the exploded relation, not two).
+    * Counts are integers; `novelty_frac` is one exact division. */
+  def shingleNovelty(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3): DataFrame = {
+    val exploded = Dedup.shingleSets(docs, idCol, textCol, shingleK)
+      .select(col("doc_id"), explode(col("shingles")).as("h"))
+    val firstOcc = exploded.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    exploded.join(firstOcc, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double")).as("novelty_frac"))
+  }
+
+  // ------------------------------------------------------- char classes
+  /** Character-class profile + Simpson concentration: per doc, counts of
+    * letters / digits / whitespace / punctuation / other, and the Simpson
+    * index Σ(c/n)² of the class distribution (1 = all one class; 1/5 =
+    * uniform). The entropy-style gibberish screen WITHOUT a transcendental:
+    * Simpson is a rational function of integer counts — Σc² and n² are
+    * exact longs, the index is ONE double division, so it hash-matches
+    * cross-engine where -Σp·log p (libm-dependent last-ulp) cannot.
+    * Pure per-row expression composition: codegen, zero shuffle. */
+  def charClassProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val txt = col(textCol)
+    def drop(pattern: String): Column =
+      length(txt) - length(regexp_replace(txt, pattern, ""))
+    val nLetters = drop("[A-Za-z]")
+    val nDigits = drop("[0-9]")
+    val nSpaces = drop("\\s")
+    val nPunct = drop("[.,;:!?'\"()-]")
+    val nChars = length(txt)
+    val nOther = nChars - nLetters - nDigits - nSpaces - nPunct
+    def sq(c: Column): Column = c.cast("long") * c.cast("long")
+    val sumSq = sq(nLetters) + sq(nDigits) + sq(nSpaces) + sq(nPunct) + sq(nOther)
+    docs.select(
+      col(idCol),
+      nChars.as("n_chars"),
+      nLetters.as("n_letters"),
+      nDigits.as("n_digits"),
+      nSpaces.as("n_spaces"),
+      nPunct.as("n_punct"),
+      nOther.as("n_other"),
+      when(nChars === 0, lit(null).cast("double"))
+        .otherwise(sumSq.cast("double") / sq(nChars).cast("double"))
+        .as("simpson"))
+  }
+
+  // ------------------------------------------------------ vocabulary growth
+  /** Vocabulary growth curve by corpus decile (Heaps'-law measurement):
+    * bucket documents into 10 equal id-ranges in ingestion order; per
+    * bucket, how many NEW token types first appear there and the cumulative
+    * vocabulary size. The diminishing-returns diagnostic — when new-type
+    * counts flatten, more of the same source stops growing coverage.
+    *
+    * Scale shape: first occurrence is a map-side-combining `min(doc_id)`
+    * per distinct token (one shuffle of 8-byte hashes — the token string
+    * never shuffles; type counts on 64-bit hashes are exact modulo
+    * negligible collisions, same contract as the shingle kernels); the
+    * growth curve then aggregates to 10 rows, so the ordered cumulative
+    * window is a 10-row driver-trivial step — NOT a global per-doc window,
+    * which would single-task at corpus scale. */
+  def vocabGrowthBuckets(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 10, shingleK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxId = docs.agg(max(col(idCol))).head.getLong(0)
+    // integer floor-div, NOT `/` (double division + cast truncation can
+    // misplace exact bucket boundaries): `div` is cross-engine-exact
+    val bucketOf = expr(s"(first_doc * $buckets) div ${maxId + 1}")
+    def growth(firstOcc: DataFrame, countCol: String): DataFrame =
+      firstOcc.groupBy(bucketOf.cast("long").as("bucket"))
+        .agg(count(lit(1)).as(countCol))
+    val uniFirst = docs
+      .select(col(idCol).as("doc_id"), explode(array_distinct(
+        split(lower(col(textCol)), "\\s+"))).as("tok"))
+      .groupBy(xxhash64(col("tok")).as("h"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val shFirst = Dedup.shingleSets(docs, idCol, textCol, shingleK)
+      .select(col("doc_id"), explode(col("shingles")).as("h"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    growth(uniFirst, "new_types")
+      .join(growth(shFirst, "new_shingle_types"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"),
+        coalesce(col("new_shingle_types"), lit(0L)).as("new_shingle_types"))
+      .withColumn("cum_vocab", sum(col("new_types")).over(w))
+      .withColumn("cum_shingle_vocab", sum(col("new_shingle_types")).over(w))
+  }
 }

