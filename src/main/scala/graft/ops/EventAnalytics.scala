@@ -118,4 +118,26 @@ object EventAnalytics {
       .groupBy(col("cohort_week"), (col("__w") - col("cohort_week")).as("week_offset"))
       .agg(countDistinct(col("__u")).as("n_active_users"))
   }
+
+  /** Per-key hourly rate limiting: keep the first `maxPerHour` events per
+    * (key, event-time hour), earliest-first with the unique event id as
+    * tiebreak — the ingestion-admission op that stops one hot client from
+    * flooding a window. Kept rows pass through unchanged.
+    *
+    * Scale shape: the window partitions on (key, hour) — bounded-size
+    * partitions by construction (one client-hour), so no global sort and
+    * no skew bomb; a rank-only window over a keyed partition is the
+    * streaming-friendly spelling (its stateful twin is a per-key counter
+    * with an hour-rollover watermark). */
+  def rateLimit(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, maxPerHour: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col(keyCol), date_trunc("hour", col(tsCol)))
+      .orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerHour)
+      .drop("__rn")
+  }
 }

@@ -432,4 +432,85 @@ object TextAnalysis {
       .withColumn("cum_vocab", sum(col("new_types")).over(w))
       .withColumn("cum_shingle_vocab", sum(col("new_shingle_types")).over(w))
   }
+
+  // ------------------------------------------------------- collocations
+  /** Top-k adjacent-token collocations by LIFT — association mining for
+    * tokenizer/vocab design (which word pairs behave as one unit):
+    * lift(a,b) = P(ab) / (P(a)·P(b)) = c_ab·N / (c_a·c_b), with N the
+    * total token-instance count. All sufficient statistics are integer
+    * counts; the lift is ONE double division of exact integer products,
+    * so ordering and values are cross-engine deterministic (ties broken
+    * by the pair itself). Pairs below `minPairCount` are noise-floored
+    * out before the join.
+    *
+    * Scale shape: bigram and unigram counts both collapse map-side; the
+    * two count joins are vocab-sized relations joined to a bigram-vocab-
+    * sized relation (AQE broadcasts them when small). 64-bit headroom:
+    * c_ab·N and c_a·c_b are each ≤ N², so past N ≈ 3·10⁹ instances the
+    * products must move to DECIMAL — at that point switch both engines
+    * together, the spelling stays identical. */
+  def collocationLift(docs: DataFrame, textCol: String,
+      k: Int = 20, minPairCount: Long = 5L): DataFrame = {
+    val toks = docs.select(wsTokens(lower(col(textCol))).as("w"))
+    val bi = toks.select(explode(expr(
+      """CASE WHEN size(w) >= 2
+        |  THEN transform(sequence(0, size(w) - 2), i -> struct(w[i] AS t1, w[i + 1] AS t2))
+        |  ELSE array() END""".stripMargin)).as("p"))
+      .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .agg(count(lit(1)).as("c_pair"))
+      .filter(col("c_pair") >= minPairCount)
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c_uni"))
+    val total = uni.agg(sum(col("c_uni")).as("n_instances"))
+    bi
+      .join(uni.select(col("t").as("t1"), col("c_uni").as("c_t1")), Seq("t1"))
+      .join(uni.select(col("t").as("t2"), col("c_uni").as("c_t2")), Seq("t2"))
+      .crossJoin(broadcast(total))
+      .select(col("t1"), col("t2"), col("c_pair"), col("c_t1"), col("c_t2"),
+        ((col("c_pair") * col("n_instances")).cast("double") /
+          (col("c_t1") * col("c_t2")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("t1"), col("t2"))
+      .limit(k)
+  }
+
+  // -------------------------------------------------------- corpus drift
+  /** Token-distribution drift between the first and second half of the
+    * corpus (by id order), per group — total-variation distance
+    * TV = ½ Σ_t |c_A(t)/N_A − c_B(t)/N_B|. The monitoring signal for a
+    * rolling crawl: a source whose language model shifts between
+    * snapshots gets flagged before it poisons the mix.
+    *
+    * Determinism discipline: the summand is rewritten over a COMMON
+    * denominator — Σ|c_A·N_B − c_B·N_A| / (2·N_A·N_B) — so the per-token
+    * terms are exact INTEGERS (summed in DECIMAL(38,0), any order), and
+    * the distance is one double division at the end. No per-term double
+    * addition ever happens, so partitioning/engine never changes a bit.
+    * Token identity is a 64-bit hash: counts shuffle on 8-byte keys, the
+    * strings never leave the mappers. */
+  def tokenDriftTV(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    val maxId = docs.agg(max(col(idCol))).head.getLong(0)
+    val counts = docs
+      .select(col(groupCol).as("grp"),
+        expr(s"($idCol * 2) div ${maxId + 1}").as("half"),
+        explode(wsTokens(lower(col(textCol)))).as("t"))
+      .groupBy(col("grp"), xxhash64(col("t")).as("h"))
+      .agg(
+        sum(when(col("half") === 0, 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("c_b"))
+    val totals = counts.groupBy(col("grp"))
+      .agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
+    counts.join(totals, Seq("grp"))
+      .groupBy(col("grp"))
+      // n_a/n_b are per-group constants: max() re-reads them without a
+      // second join back to `totals` (one aggregate, flatter plan)
+      .agg(
+        sum(abs(col("c_a") * col("n_b") - col("c_b") * col("n_a"))
+          .cast("decimal(38,0)")).as("__num"),
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+      .select(col("grp").as(groupCol), col("n_a"), col("n_b"),
+        (col("__num").cast("double") /
+          nullif((lit(2L) * col("n_a") * col("n_b")).cast("double"), lit(0.0)))
+          .as("tv_distance"))
+  }
 }

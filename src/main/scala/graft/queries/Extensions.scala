@@ -2030,7 +2030,83 @@ object Extensions {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_shingle_vocab
       |FROM b ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------------ x79 collocation lift
+  /** Top-20 adjacent-token collocations by lift. Integer sufficient
+    * statistics; lift is one exact-integer division, so ordering matches
+    * bit-for-bit cross-engine (ties → the pair itself). */
+  def x79Collocations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.collocationLift(docs(s, dir), "text", k = 20, minPairCount = 5L)
+  }
+  val x79Sql: String =
+    """WITH toks AS (
+      |  SELECT string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |bi AS (
+      |  SELECT p.t1, p.t2, CAST(count(*) AS BIGINT) AS c_pair
+      |  FROM (SELECT unnest(CASE WHEN len(w) >= 2
+      |          THEN list_transform(range(1, len(w)), i -> {'t1': w[i], 't2': w[i+1]})
+      |          ELSE [] END) AS p FROM toks)
+      |  GROUP BY 1, 2 HAVING count(*) >= 5),
+      |uni AS (
+      |  SELECT t, CAST(count(*) AS BIGINT) AS c_uni
+      |  FROM (SELECT unnest(w) AS t FROM toks) GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c_uni) AS BIGINT) AS n_instances FROM uni)
+      |SELECT t1, t2, c_pair, a.c_uni AS c_t1, b.c_uni AS c_t2,
+      |  CAST(c_pair * n_instances AS DOUBLE) / CAST(a.c_uni * b.c_uni AS DOUBLE) AS lift
+      |FROM bi JOIN uni a ON bi.t1 = a.t JOIN uni b ON bi.t2 = b.t, tot
+      |ORDER BY lift DESC, t1, t2 LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------ x80 corpus drift
+  /** Per-language token-distribution drift (total-variation distance)
+    * between the first and second half of the corpus by id order. The
+    * common-denominator rewrite keeps every summand an exact integer —
+    * no engine ever adds two doubles. */
+  def x80TokenDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.tokenDriftTV(docs(s, dir), "doc_id", "text", "lang").orderBy($"lang")
+  }
+  val x80Sql: String =
+    """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+      |inst AS (
+      |  SELECT lang, CAST((doc_id * 2) // (m + 1) AS BIGINT) AS half, unnest(
+      |    string_split_regex(lower(text), '\s+')) AS t
+      |  FROM documents, mx),
+      |c AS (
+      |  SELECT lang, t,
+      |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+      |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+      |  FROM inst GROUP BY 1, 2),
+      |tt AS (
+      |  SELECT lang, CAST(sum(c_a) AS BIGINT) AS n_a, CAST(sum(c_b) AS BIGINT) AS n_b
+      |  FROM c GROUP BY 1)
+      |SELECT c.lang, n_a, n_b,
+      |  CAST(sum(CAST(abs(c_a * n_b - c_b * n_a) AS DECIMAL(38,0))) AS DOUBLE)
+      |    / nullif(CAST(2 * n_a * n_b AS DOUBLE), 0.0) AS tv_distance
+      |FROM c JOIN tt ON c.lang = tt.lang
+      |GROUP BY c.lang, n_a, n_b ORDER BY c.lang""".stripMargin
+
+  // -------------------------------------------------------- x81 rate limit
+  /** Hourly per-user admission cap: first 3 events per (user, hour),
+    * earliest-first, event_id tiebreak. */
+  def x81RateLimit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.EventAnalytics
+    EventAnalytics.rateLimit(Tables.events(s, dir), "user_id", "ts", "event_id",
+      maxPerHour = 3)
+      .select($"event_id", $"user_id", $"event_type")
+      .orderBy($"event_id")
+  }
+  val x81Sql: String =
+    """SELECT event_id, user_id, event_type FROM (
+      |  SELECT event_id, user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM events) WHERE rn <= 3 ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x79_collocations" -> x79Collocations _,
+    "x80_token_drift" -> x80TokenDrift _,
+    "x81_rate_limit" -> x81RateLimit _,
     "x75_shingle_novelty" -> x75ShingleNovelty _,
     "x76_lang_mix" -> x76LangMix _,
     "x77_char_classes" -> x77CharClasses _,
@@ -2152,6 +2228,9 @@ object Extensions {
     "x76_lang_mix" -> x76Sql,
     "x77_char_classes" -> x77Sql,
     "x78_vocab_growth" -> x78Sql,
+    "x79_collocations" -> x79Sql,
+    "x80_token_drift" -> x80Sql,
+    "x81_rate_limit" -> x81Sql,
     "x73_incremental_dedup" -> x73Sql,
     "x70_training_order" -> x70Sql,
     "x71_robust_outliers" -> x71Sql,

@@ -60,6 +60,34 @@ class CorpusGrowthSpec extends SparkSpec {
     assert(out("fr") == ((1L, 4L, 2.0 / 5.0)))
   }
 
+  test("collocationLift: exact integer lift with pair-order tiebreak") {
+    import spark.implicits._
+    // unigrams a:3 b:2 c:1 d:2, N=8; pairs (a,b):2 (a,c):1 (d,d):1
+    val docs = Seq("a b", "a b", "a c", "d d").toDF("text")
+    val out = TextAnalysis.collocationLift(docs, "text", k = 10, minPairCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(5)))
+    // lift(a,b) = 2·8/(3·2) = 8/3 == lift(a,c) = 1·8/(3·1) — exact tie,
+    // broken by (t1, t2); lift(d,d) = 8/4 = 2
+    assert(out.toSeq == Seq(
+      ("a", "b", 2L, 16.0 / 6.0),
+      ("a", "c", 1L, 8.0 / 3.0),
+      ("d", "d", 1L, 2.0)))
+    assert(out(0)._4 == out(1)._4) // the tie is bit-exact, not approximate
+  }
+
+  test("tokenDriftTV: exact total-variation distance between corpus halves") {
+    import spark.implicits._
+    // maxId=3 → ids 0,1 in half A; 2,3 in half B
+    val docs = Seq(
+      (0L, "en", "a a b"), (2L, "en", "a b b"), // TV = ½(1/3 + 1/3) = 1/3
+      (1L, "fr", "x y"), (3L, "fr", "x y")      // identical → TV = 0
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.tokenDriftTV(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("en") == ((3L, 3L, 6.0 / 18.0)))
+    assert(out("fr") == ((2L, 2L, 0.0)))
+  }
+
   test("SharedViews.materialized builds once per (session, tag)") {
     import spark.implicits._
     var builds = 0

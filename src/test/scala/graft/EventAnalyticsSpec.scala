@@ -144,4 +144,17 @@ class EventAnalyticsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
   }
+
+  test("rateLimit: first N per user-hour, hour rollover resets, ts-then-id tiebreak") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val events = Seq(
+      (1L, 7L, ts(0)), (2L, 7L, ts(1)), (3L, 7L, ts(2)), (4L, 7L, ts(3)), // 4th dropped
+      (5L, 7L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00")), // new hour → kept
+      (6L, 8L, ts(5)), (7L, 8L, ts(5)), (8L, 8L, ts(5)), (9L, 8L, ts(5)) // equal ts → id order
+    ).toDF("event_id", "user_id", "ts")
+    val kept = EventAnalytics.rateLimit(events, "user_id", "ts", "event_id", maxPerHour = 3)
+      .select($"event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L, 5L, 6L, 7L, 8L))
+  }
 }
