@@ -473,6 +473,133 @@ object TextAnalysis {
       .limit(k)
   }
 
+  // ------------------------------------------------------- char entropy
+  /** Per-document character-distribution Shannon entropy (nats) — the
+    * classic gibberish screen: natural text sits in a band (~2.5–4.2 for
+    * English), while base64 blobs, key dumps, and repeated-char padding
+    * fall far outside it. H = ln(N) − (Σ_c cnt_c·ln cnt_c)/N over exact
+    * integer run counts.
+    *
+    * Scale shape: pure per-row computation — sort the doc's chars, one
+    * run-length fold over the sorted array — so the whole operator is
+    * map-side with ZERO shuffle at any corpus size.
+    *
+    * Determinism discipline: the double additions happen in a FOLD over
+    * char-ascending runs, so both engines add the identical term sequence
+    * (the oracle folds `list(term ORDER BY c)` the same way); consumers
+    * that hash-compare should quantize (floor·1e9) like x74's BM25. */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sortedChars = s"sort_array(filter(split($textCol, ''), c -> c <> ''))"
+    val runFold = expr(
+      s"""aggregate(
+         |  $sortedChars,
+         |  struct(CAST('' AS STRING) AS prev, CAST(0 AS BIGINT) AS run, CAST(0.0 AS DOUBLE) AS acc),
+         |  (st, c) -> IF(c = st.prev,
+         |    struct(st.prev AS prev, st.run + 1L AS run, st.acc AS acc),
+         |    struct(c AS prev, CAST(1 AS BIGINT) AS run,
+         |      st.acc + IF(st.run > 0L,
+         |        CAST(st.run AS DOUBLE) * ln(CAST(st.run AS DOUBLE)),
+         |        CAST(0.0 AS DOUBLE)) AS acc)),
+         |  st -> st.acc + IF(st.run > 0L,
+         |    CAST(st.run AS DOUBLE) * ln(CAST(st.run AS DOUBLE)),
+         |    CAST(0.0 AS DOUBLE)))""".stripMargin)
+    docs.select(
+      col(idCol),
+      size(expr(s"filter(split($textCol, ''), c -> c <> '')")).cast("long").as("n_chars"),
+      runFold.as("__s"))
+      .select(col(idCol), col("n_chars"),
+        when(col("n_chars") > 0L,
+          log(col("n_chars").cast("double")) - col("__s") / col("n_chars").cast("double"))
+          .as("char_entropy"))
+  }
+
+  // --------------------------------------------------------- Zipf slope
+  /** Per-group Zipf slope: least-squares fit of ln(freq) against ln(rank)
+    * over the top `topR` token ranks. Natural language sits near −1;
+    * a source drifting toward 0 (flat = synthetic/templated) or steeply
+    * negative (boilerplate-dominated) is a corpus-health red flag.
+    * slope = (m·Σxy − Σx·Σy) / (m·Σx² − (Σx)²).
+    *
+    * Determinism discipline: each per-rank element is premapped to its
+    * (x, y, xy, xx) contribution — products of two doubles are IEEE-exact
+    * — and the four sums are folded component-wise in RANK order from a
+    * sorted bounded array (≤ topR entries/group), so both engines add
+    * identical sequences. The closed-form slope is then a handful of
+    * exact IEEE ops. Consumers hash-comparing should quantize (·1e9).
+    *
+    * Scale shape: token counts collapse map-side on the (grp, token)
+    * shuffle; the rank window partitions per group over a vocab-sized
+    * relation; the fold array is capped at topR. The corpus itself is
+    * scanned once. */
+  def zipfSlope(docs: DataFrame, textCol: String, groupCol: String,
+      topR: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = docs
+      .select(col(groupCol).as("grp"), explode(wsTokens(lower(col(textCol)))).as("t"))
+      .groupBy(col("grp"), col("t")).agg(count(lit(1)).as("cnt"))
+    val ranked = freq
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("grp"))
+          .orderBy(col("cnt").desc, col("t"))))
+      .filter(col("rank") <= topR)
+      .select(col("grp"), col("rank"),
+        log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    ranked
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("m"),
+        sort_array(collect_list(struct(col("rank"), col("x"), col("y")))).as("e"))
+      .select(col("grp"), col("m"), expr(
+        """aggregate(e,
+          |  struct(CAST(0.0 AS DOUBLE) AS sx, CAST(0.0 AS DOUBLE) AS sy,
+          |         CAST(0.0 AS DOUBLE) AS sxy, CAST(0.0 AS DOUBLE) AS sxx),
+          |  (a, p) -> struct(a.sx + p.x AS sx, a.sy + p.y AS sy,
+          |                   a.sxy + p.x * p.y AS sxy, a.sxx + p.x * p.x AS sxx))""".stripMargin)
+        .as("s"))
+      .select(col("grp").as(groupCol), col("m"),
+        ((col("m").cast("double") * col("s.sxy") - col("s.sx") * col("s.sy")) /
+          (col("m").cast("double") * col("s.sxx") - col("s.sx") * col("s.sx")))
+          .as("zipf_slope"))
+  }
+
+  // ----------------------------------------------- distribution KS test
+  /** Pairwise two-sample Kolmogorov–Smirnov distance between groups on an
+    * integer-valued column — KS = max_t |F_A(t) − F_B(t)| — the
+    * distribution-shift test for "does source A's length profile match
+    * source B's?". Complements [[tokenDriftTV]] (token identity) with
+    * shape-of-distribution drift.
+    *
+    * Determinism discipline: ECDF differences are put over the common
+    * denominator — max |cum_A·N_B − cum_B·N_A| / (N_A·N_B) — so every
+    * compared quantity is an exact INTEGER (max is order-free) and the
+    * distance is one double division at the end. Bit-stable cross-engine
+    * with no fold ordering needed at all.
+    *
+    * Scale shape: the fact table collapses map-side to (grp, value)
+    * counts — bounded by |groups|·|distinct values|, NOT by row count.
+    * Everything after (dense grid, cumulative window per group, pair
+    * join on grid points) operates on that bounded relation. */
+  def distributionKS(rows: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = rows.groupBy(col(groupCol).as("grp"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = counts.select(col("v")).distinct()
+    val grps = counts.groupBy(col("grp")).agg(sum(col("cnt")).as("n"))
+    val cum = grps.crossJoin(grid)
+      .join(counts, Seq("grp", "v"), "left")
+      .withColumn("cum", sum(coalesce(col("cnt"), lit(0L)))
+        .over(Window.partitionBy(col("grp")).orderBy(col("v"))))
+      .select(col("grp"), col("n"), col("v"), col("cum"))
+    cum.as("a").join(cum.as("b"),
+        col("a.v") === col("b.v") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+      .agg(max(col("a.n")).as("n_a"), max(col("b.n")).as("n_b"),
+        max(abs(col("a.cum") * col("b.n") - col("b.cum") * col("a.n"))).as("__num"))
+      .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+        (col("__num").cast("double") / (col("n_a") * col("n_b")).cast("double"))
+          .as("ks_distance"))
+  }
+
   // -------------------------------------------------------- corpus drift
   /** Token-distribution drift between the first and second half of the
     * corpus (by id order), per group — total-variation distance

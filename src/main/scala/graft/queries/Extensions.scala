@@ -2103,7 +2103,93 @@ object Extensions {
       |                       ORDER BY ts, event_id) AS rn
       |  FROM events) WHERE rn <= 3 ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------- x82 char entropy
+  /** Per-doc char-distribution entropy, e9-quantized like x74's BM25
+    * scores (both engines fold the identical char-ascending term
+    * sequence; the quantization absorbs any residual representation
+    * noise in the final ln/divide). */
+  def x82CharEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.charEntropy(docs(s, dir), "doc_id", "text")
+      .select($"doc_id", $"n_chars",
+        expr("CAST(floor(char_entropy * 1000000000.0) AS BIGINT)").as("entropy_e9"))
+      .orderBy($"doc_id")
+  }
+  val x82Sql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+      |cc AS (
+      |  SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM ch WHERE c <> '' GROUP BY 1, 2),
+      |f AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+      |    list_reduce(list_prepend(0.0,
+      |      list(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)) ORDER BY c)),
+      |      (a, b) -> a + b) AS s
+      |  FROM cc GROUP BY 1)
+      |SELECT doc_id, n AS n_chars,
+      |  CAST(floor((ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE)) * 1000000000.0) AS BIGINT) AS entropy_e9
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------- x83 Zipf slope
+  /** Per-source Zipf slope over the top-1000 token ranks, e9-quantized.
+    * Component sums fold in rank order in both engines. */
+  def x83ZipfSlope(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.zipfSlope(docs(s, dir), "text", "source", topR = 1000)
+      .select($"source", $"m",
+        expr("CAST(floor(zipf_slope * 1000000000.0) AS BIGINT)").as("slope_e9"))
+      .orderBy($"source")
+  }
+  val x83Sql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS t FROM documents),
+      |f AS (SELECT source, t, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1, 2),
+      |r AS (SELECT source, t, cnt,
+      |        row_number() OVER (PARTITION BY source ORDER BY cnt DESC, t) AS rank
+      |      FROM f),
+      |e AS (SELECT source, rank, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+      |      FROM r WHERE rank <= 1000),
+      |a AS (SELECT source, CAST(count(*) AS BIGINT) AS m,
+      |    list_reduce(list_prepend(0.0, list(x ORDER BY rank)), (p, q) -> p + q) AS sx,
+      |    list_reduce(list_prepend(0.0, list(y ORDER BY rank)), (p, q) -> p + q) AS sy,
+      |    list_reduce(list_prepend(0.0, list(x * y ORDER BY rank)), (p, q) -> p + q) AS sxy,
+      |    list_reduce(list_prepend(0.0, list(x * x ORDER BY rank)), (p, q) -> p + q) AS sxx
+      |  FROM e GROUP BY 1)
+      |SELECT source, m,
+      |  CAST(floor((CAST(m AS DOUBLE) * sxy - sx * sy)
+      |    / (CAST(m AS DOUBLE) * sxx - sx * sx) * 1000000000.0) AS BIGINT) AS slope_e9
+      |FROM a ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------- x84 length KS
+  /** Pairwise KS distance between per-source doc-length distributions.
+    * Integer sufficient statistics end-to-end; the distance itself is one
+    * exact division, so the raw DOUBLE hash-matches. */
+  def x84LengthKS(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.distributionKS(docs(s, dir), "source", "n_chars")
+      .orderBy($"grp_a", $"grp_b")
+  }
+  val x84Sql: String =
+    """WITH c AS (
+      |  SELECT source AS grp, n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM documents GROUP BY 1, 2),
+      |g AS (SELECT DISTINCT v FROM c),
+      |t AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY 1),
+      |cum AS (
+      |  SELECT t.grp, t.n, g.v,
+      |    CAST(sum(coalesce(cnt, 0)) OVER (PARTITION BY t.grp ORDER BY g.v) AS BIGINT) AS cum
+      |  FROM t CROSS JOIN g LEFT JOIN c ON c.grp = t.grp AND c.v = g.v)
+      |SELECT a.grp AS grp_a, b.grp AS grp_b, max(a.n) AS n_a, max(b.n) AS n_b,
+      |  CAST(max(abs(a.cum * b.n - b.cum * a.n)) AS DOUBLE)
+      |    / CAST(max(a.n) * max(b.n) AS DOUBLE) AS ks_distance
+      |FROM cum a JOIN cum b ON a.v = b.v AND a.grp < b.grp
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x82_char_entropy" -> x82CharEntropy _,
+    "x83_zipf_slope" -> x83ZipfSlope _,
+    "x84_length_ks" -> x84LengthKS _,
     "x79_collocations" -> x79Collocations _,
     "x80_token_drift" -> x80TokenDrift _,
     "x81_rate_limit" -> x81RateLimit _,
@@ -2231,6 +2317,9 @@ object Extensions {
     "x79_collocations" -> x79Sql,
     "x80_token_drift" -> x80Sql,
     "x81_rate_limit" -> x81Sql,
+    "x82_char_entropy" -> x82Sql,
+    "x83_zipf_slope" -> x83Sql,
+    "x84_length_ks" -> x84Sql,
     "x73_incremental_dedup" -> x73Sql,
     "x70_training_order" -> x70Sql,
     "x71_robust_outliers" -> x71Sql,

@@ -88,6 +88,45 @@ class CorpusGrowthSpec extends SparkSpec {
     assert(out("fr") == ((2L, 2L, 0.0)))
   }
 
+  test("charEntropy: run-fold entropy, uniform=ln(n), constant=0, empty=null") {
+    import spark.implicits._
+    val docs = Seq((1L, "aab"), (2L, "aaaa"), (3L, "abcd"), (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    // H("aab") = ln3 − (2ln2 + 1ln1)/3; fold adds a's term then b's
+    assert(math.abs(out(1L)._2.get - (math.log(3.0) - 2.0 * math.log(2.0) / 3.0)) < 1e-15)
+    assert(out(2L) == ((4L, Some(0.0))))                      // one run → zero entropy
+    assert(math.abs(out(3L)._2.get - math.log(4.0)) < 1e-15)  // uniform → ln(n)
+    assert(out(4L) == ((0L, None)))                           // empty text → NULL
+  }
+
+  test("zipfSlope: closed-form least squares over rank-ordered fold") {
+    import spark.implicits._
+    // freqs c=4,2,1 → ranks 1,2,3 (ties impossible); slope from the same
+    // left-to-right component sums the operator promises
+    val docs = Seq(("s1", "a a b c a b a")).toDF("source", "text")
+    val Row2 = TextAnalysis.zipfSlope(docs, "text", "source").collect().head
+    assert(Row2.getString(0) == "s1" && Row2.getLong(1) == 3L)
+    val (xs, ys) = (Seq(1.0, 2.0, 3.0).map(math.log), Seq(4.0, 2.0, 1.0).map(math.log))
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val want = (3.0 * sxy - sx * sy) / (3.0 * sxx - sx * sx)
+    assert(math.abs(Row2.getDouble(2) - want) < 1e-12)
+  }
+
+  test("distributionKS: exact max-ECDF-gap with integer statistics") {
+    import spark.implicits._
+    val rows = Seq(("A", 1L), ("A", 2L), ("B", 2L), ("B", 3L), ("C", 3L)).toDF("src", "v")
+    val out = TextAnalysis.distributionKS(rows, "src", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    assert(out(("A", "B")) == ((2L, 2L, 0.5)))  // gap at v=1 (1/2 vs 0) and v=2 (1 vs 1/2)
+    assert(out(("A", "C")) == ((2L, 1L, 1.0)))  // disjoint supports → full separation
+    assert(out(("B", "C")) == ((2L, 1L, 0.5)))
+  }
+
   test("SharedViews.materialized builds once per (session, tag)") {
     import spark.implicits._
     var builds = 0
