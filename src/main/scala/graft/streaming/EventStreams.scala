@@ -212,6 +212,62 @@ object EventStreams {
       }
   }
 
+  case class RateState(hours: Map[Long, Long], maxHourUs: Long)
+
+  /** Streaming per-key hourly admission control — the stateful twin of
+    * `EventAnalytics.rateLimit` (batch, oracled as x81): admit the first
+    * `maxPerHour` events per (user, event-time hour), pass admitted rows
+    * through unchanged, drop the rest.
+    *
+    * State is a per-user map hour→admitted-count. Bounds: entries more
+    * than 3 hours behind the user's latest hour are pruned each batch
+    * (the out-of-order horizon the watermark promises anyway), and the
+    * whole user evicts via EventTimeTimeout once the watermark passes its
+    * newest hour + 1h idle slack — so state tracks ACTIVE user-hours.
+    *
+    * Semantics vs the batch twin: each micro-batch is folded in
+    * (event-time, event_id) order, so when arrival order respects event
+    * time the admitted set is IDENTICAL to batch `rateLimit` (the parity
+    * the spec pins). Under cross-batch disorder admission is first-seen
+    * within the cap — the only causal choice, since already-admitted rows
+    * are downstream and cannot be recalled; and after an idle eviction a
+    * straggler hour restarts its count (at-most-N per state lifetime).
+    * Exactly the trade every streaming limiter makes; the batch twin is
+    * the reconciliation path. */
+  def rateLimitStream(events: Dataset[Event], maxPerHour: Int,
+      watermarkDelay: String = "1 hour"): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    val hourUs = 3600L * 1000000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RateState, Event](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, it, state: GroupState[RateState]) =>
+          if (state.hasTimedOut) {
+            state.remove(); Iterator.empty
+          } else {
+            val sorted = it.toSeq.sortBy(e => (micros(e), e.event_id))
+            var st = state.getOption.getOrElse(RateState(Map.empty, 0L))
+            val out = Seq.newBuilder[Event]
+            sorted.foreach { e =>
+              val h = micros(e) / hourUs * hourUs
+              val c = st.hours.getOrElse(h, 0L)
+              if (c < maxPerHour) {
+                out += e
+                st = RateState(st.hours.updated(h, c + 1), math.max(st.maxHourUs, h))
+              } else st = st.copy(maxHourUs = math.max(st.maxHourUs, h))
+            }
+            st = st.copy(hours = st.hours.filter { case (h, _) =>
+              h >= st.maxHourUs - 3 * hourUs })
+            state.update(st)
+            // evict the user once the watermark passes newest hour end + 1h idle
+            state.setTimeoutTimestamp((st.maxHourUs + 2 * hourUs) / 1000L)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Batch sessionization over COMPLETE per-user history: the same gap fold,
     * with the trailing session emitted (the input is the whole history, so
     * every session is closed). No state API involved — in batch there is

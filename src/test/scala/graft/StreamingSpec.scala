@@ -283,4 +283,34 @@ class StreamingSpec extends SparkSpec {
       assert(batch == streamed)
     } finally q.stop()
   }
+
+  test("rateLimitStream: cap counts span micro-batches and equal the batch twin in order") {
+    import spark.implicits._
+    // user 1: five events in hour 0 split 3+2 across batches → only first 3 admitted;
+    // one in hour 1 → admitted (fresh counter). user 2: equal-ts tie → id order.
+    val evts = Seq(
+      Event(1, ts(0), 1, "click", 0.0), Event(2, ts(10), 1, "click", 0.0),
+      Event(3, ts(20), 1, "click", 0.0), Event(4, ts(30), 1, "click", 0.0),
+      Event(5, ts(40), 1, "click", 0.0), Event(6, ts(70), 1, "click", 0.0),
+      Event(7, ts(50), 2, "view", 0.0), Event(8, ts(50), 2, "view", 0.0),
+      Event(9, ts(50), 2, "view", 0.0), Event(10, ts(50), 2, "view", 0.0))
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.rateLimitStream(input.toDS(), maxPerHour = 3)
+      .writeStream.format("memory").queryName("rate_limit_test")
+      .outputMode("append").start()
+    try {
+      input.addData(evts.take(4))            // admits 1,2,3 (4 over cap)
+      q.processAllAvailable()
+      input.addData(evts.drop(4))            // 5 over cap; 6 new hour; 7-9 admitted, 10 over
+      q.processAllAvailable()
+      val streamed = spark.table("rate_limit_test")
+        .select($"event_id").as[Long].collect().sorted.toSeq
+      assert(streamed == Seq(1L, 2L, 3L, 6L, 7L, 8L, 9L))
+      // arrival order respected event time → identical to the oracled batch twin
+      val batch = graft.ops.EventAnalytics
+        .rateLimit(evts.toDF(), "user_id", "ts", "event_id", maxPerHour = 3)
+        .select($"event_id").as[Long].collect().sorted.toSeq
+      assert(batch == streamed)
+    } finally q.stop()
+  }
 }
