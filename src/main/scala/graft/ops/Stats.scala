@@ -133,4 +133,39 @@ object Stats {
         s"stack(${cols.size}, $stacked) AS (column_name, n_null, n_distinct)")
       .select("column_name", "n_rows", "n_null", "n_distinct")
   }
+
+  /** Per-dimension profile of an embedding column — count, mean, variance,
+    * min, max for each vector position. The vector-column health check a
+    * feature store runs before training: a dead dimension (var≈0), a
+    * scale-exploded one, or a count mismatch (ragged vectors) all surface
+    * here.
+    *
+    * Determinism discipline: values are quantized to exact integers
+    * (floor·1e6 — same contract as x40's centroids and x68's int8 path),
+    * so every aggregate is an order-free INTEGER sum/min/max in
+    * DECIMAL(38,0); mean and variance (E[q²]−E[q]² on the quantized grid)
+    * are then a fixed sequence of exact IEEE ops. Bit-stable on any
+    * engine/partitioning without a final-quantize step.
+    *
+    * Scale shape: posexplode inflates rows ×dim but collapses MAP-SIDE on
+    * the integer `pos` key — the shuffle carries dim × partials, not
+    * dim × rows. One scan, one narrow exchange. */
+  def embeddingProfile(embs: DataFrame, vecCol: String): DataFrame = {
+    embs
+      .select(posexplode(col(vecCol)).as(Seq("pos0", "v")))
+      .select((col("pos0") + 1).as("pos"),
+        expr("CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)").as("q"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q").cast("decimal(38,0)")).as("__s"),
+        sum((col("q") * col("q")).cast("decimal(38,0)")).as("__s2"),
+        min(col("q")).as("__mn"), max(col("q")).as("__mx"))
+      .select(col("pos"), col("n"),
+        (col("__s").cast("double") / col("n").cast("double") / lit(1e6)).as("mean"),
+        ((col("__s2").cast("double") / col("n").cast("double") / lit(1e12)) -
+          (col("__s").cast("double") / col("n").cast("double") / lit(1e6)) *
+          (col("__s").cast("double") / col("n").cast("double") / lit(1e6))).as("variance"),
+        (col("__mn").cast("double") / lit(1e6)).as("min_v"),
+        (col("__mx").cast("double") / lit(1e6)).as("max_v"))
+  }
 }

@@ -2186,7 +2186,38 @@ object Extensions {
       |FROM cum a JOIN cum b ON a.v = b.v AND a.grp < b.grp
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------- x85 embedding profile
+  /** Per-dimension embedding health profile. Quantized-integer sufficient
+    * statistics (floor·1e6) → order-free sums; mean/variance are a fixed
+    * IEEE op sequence mirrored exactly in the oracle. */
+  def x85EmbeddingProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Stats.embeddingProfile(emb(s, dir), "embedding").orderBy($"pos")
+  }
+  val x85Sql: String =
+    """WITH q AS (
+      |  SELECT u.pos AS pos, u.q AS q FROM (
+      |    SELECT unnest(list_transform(range(1, len(embedding) + 1),
+      |      i -> struct_pack(pos := i,
+      |        q := CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)))) AS u
+      |    FROM embeddings)),
+      |a AS (
+      |  SELECT pos, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+      |    CAST(sum(CAST(q * q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2,
+      |    min(q) AS mn, max(q) AS mx
+      |  FROM q GROUP BY 1)
+      |SELECT pos, n,
+      |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS mean,
+      |  CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000000.0
+      |    - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)
+      |    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0) AS variance,
+      |  CAST(mn AS DOUBLE) / 1000000.0 AS min_v,
+      |  CAST(mx AS DOUBLE) / 1000000.0 AS max_v
+      |FROM a ORDER BY pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x85_embedding_profile" -> x85EmbeddingProfile _,
     "x82_char_entropy" -> x82CharEntropy _,
     "x83_zipf_slope" -> x83ZipfSlope _,
     "x84_length_ks" -> x84LengthKS _,
@@ -2320,6 +2351,7 @@ object Extensions {
     "x82_char_entropy" -> x82Sql,
     "x83_zipf_slope" -> x83Sql,
     "x84_length_ks" -> x84Sql,
+    "x85_embedding_profile" -> x85Sql,
     "x73_incremental_dedup" -> x73Sql,
     "x70_training_order" -> x70Sql,
     "x71_robust_outliers" -> x71Sql,

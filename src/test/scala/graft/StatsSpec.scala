@@ -94,4 +94,21 @@ class StatsSpec extends SparkSpec {
     // the motivating contrast, pinned loosely: robust flags exactly one
     assert(Stats.groupAnomalies(df, "g", "v", sigma = 3.0).count() <= 1L)
   }
+
+  test("embeddingProfile: exact quantized per-dimension stats; dead dim has zero variance") {
+    import spark.implicits._
+    val embs = Seq(
+      (1L, Seq(1.0f, 0.5f)),
+      (2L, Seq(3.0f, 0.5f)),
+      (3L, Seq(2.0f, 0.5f))).toDF("vec_id", "embedding")
+    val out = Stats.embeddingProfile(embs, "embedding")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // dim 1: q = {1e6, 3e6, 2e6} → mean 2.0, var E[q²]−mean² = 14/3−4 = 2/3
+    assert(out(1)._1 == 3L && out(1)._2 == 2.0)
+    assert(math.abs(out(1)._3 - 2.0 / 3.0) < 1e-12)
+    assert(out(1)._4 == 1.0 && out(1)._5 == 3.0)
+    // dim 2 constant → variance exactly 0 on the quantized grid
+    assert(out(2) == ((3L, 0.5, 0.0, 0.5, 0.5)))
+  }
 }
