@@ -557,8 +557,11 @@ object TextAnalysis {
           |                   a.sxy + p.x * p.y AS sxy, a.sxx + p.x * p.x AS sxx))""".stripMargin)
         .as("s"))
       .select(col("grp").as(groupCol), col("m"),
+        // nullif guard: a single-rank group has zero x-variance → NULL fit
+        // (ANSI mode would otherwise throw DIVIDE_BY_ZERO)
         ((col("m").cast("double") * col("s.sxy") - col("s.sx") * col("s.sy")) /
-          (col("m").cast("double") * col("s.sxx") - col("s.sx") * col("s.sx")))
+          nullif(col("m").cast("double") * col("s.sxx") - col("s.sx") * col("s.sx"),
+            lit(0.0)))
           .as("zipf_slope"))
   }
 

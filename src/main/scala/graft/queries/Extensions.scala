@@ -2158,7 +2158,7 @@ object Extensions {
       |  FROM e GROUP BY 1)
       |SELECT source, m,
       |  CAST(floor((CAST(m AS DOUBLE) * sxy - sx * sy)
-      |    / (CAST(m AS DOUBLE) * sxx - sx * sx) * 1000000000.0) AS BIGINT) AS slope_e9
+      |    / NULLIF(CAST(m AS DOUBLE) * sxx - sx * sx, 0.0) * 1000000000.0) AS BIGINT) AS slope_e9
       |FROM a ORDER BY source""".stripMargin
 
   // ---------------------------------------------------- x84 length KS
@@ -2216,7 +2216,71 @@ object Extensions {
       |  CAST(mx AS DOUBLE) / 1000000.0 AS max_v
       |FROM a ORDER BY pos""".stripMargin
 
+  // --------------------------------------------- x86 quality-dup curve
+  /** Calibration curve: near-duplication rate per quality-score decile —
+    * the empirical check behind "low-quality docs duplicate more", which
+    * decides whether a pipeline can cheapen near-dup mining by gating on
+    * quality first. Composes two oracled kernels: x03's exact quality
+    * score and the SHARED materialized pair graph (marginal cost here is
+    * one decile window + one membership join).
+    *
+    * The global ntile window is a deliberate report-shape: it sorts only
+    * (doc_id, q) scalar pairs, not documents. At 100 TB the same curve
+    * would come from distributed quantile cut points (x45's gate spelling)
+    * — this entry keeps exact ntile semantics so the decile boundaries
+    * hash-match the oracle's NTILE. */
+  def x86QualityDupCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs(s, dir).select($"doc_id",
+      TextAnalysis.qualityScoreCol("text").as("q"))
+    val paired = ngramPairGraph(s, dir)
+      .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+      .withColumn("__p", lit(1))
+    scored
+      .withColumn("decile", ntile(10).over(Window.orderBy($"q", $"doc_id")))
+      .join(paired, Seq("doc_id"), "left")
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"__p".isNotNull, 1L).otherwise(0L)).as("n_near_dup"),
+        sum($"q".cast("decimal(18,2)")).as("__sq"))
+      .select($"decile", $"n_docs", $"n_near_dup",
+        ($"n_near_dup".cast("double") / $"n_docs".cast("double")).as("dup_rate"),
+        ($"__sq".cast("double") / $"n_docs".cast("double")).as("mean_quality"))
+      .orderBy($"decile")
+  }
+  val x86Sql: String = {
+    val stops = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    val toks = """regexp_split_to_array(lower(text), '\s+')"""
+    s"""WITH $ngramPairCtes,
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5),
+      |paired AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs)),
+      |scored AS (
+      |  SELECT doc_id,
+      |    (CAST(len(list_filter($toks, w -> w IN ($stops))) AS DOUBLE)
+      |      / NULLIF(CAST(len($toks) AS DOUBLE), 0.0)) * 2.0
+      |    + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+      |             / NULLIF(CAST(length(text) AS DOUBLE), 0.0)) AS q
+      |  FROM documents),
+      |dec AS (
+      |  SELECT doc_id, q, ntile(10) OVER (ORDER BY q, doc_id) AS decile FROM scored)
+      |SELECT decile, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+      |  CAST(sum(CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS dup_rate,
+      |  CAST(sum(CAST(q AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_quality
+      |FROM dec LEFT JOIN paired p ON dec.doc_id = p.doc_id
+      |GROUP BY decile ORDER BY decile""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x86_quality_dup_curve" -> x86QualityDupCurve _,
     "x85_embedding_profile" -> x85EmbeddingProfile _,
     "x82_char_entropy" -> x82CharEntropy _,
     "x83_zipf_slope" -> x83ZipfSlope _,
@@ -2352,6 +2416,7 @@ object Extensions {
     "x83_zipf_slope" -> x83Sql,
     "x84_length_ks" -> x84Sql,
     "x85_embedding_profile" -> x85Sql,
+    "x86_quality_dup_curve" -> x86Sql,
     "x73_incremental_dedup" -> x73Sql,
     "x70_training_order" -> x70Sql,
     "x71_robust_outliers" -> x71Sql,

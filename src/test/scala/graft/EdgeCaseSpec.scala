@@ -160,4 +160,30 @@ class EdgeCaseSpec extends SparkSpec {
       EventAnalytics.conversionFunnel(noEvents, "user_id", "event_type", "ts", Seq("view"))
     }
   }
+
+  test("late round-7 operators on empty and degenerate inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    import graft.ops.{EventAnalytics, Stats, TextAnalysis}
+    val noDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    val oneTok = Seq((1L, "solo", "s")).toDF("doc_id", "text", "source")
+
+    // collocations need a bigram: single-token docs yield zero pairs, no throw
+    assert(TextAnalysis.collocationLift(oneTok, "text", k = 5, minPairCount = 1L).count() == 0)
+    assert(TextAnalysis.collocationLift(noDocs, "text").count() == 0)
+    // Zipf fit on a single rank: denominator m·Σx²−(Σx)² = 0 → NaN/NULL slope, not a crash
+    val z = TextAnalysis.zipfSlope(oneTok, "text", "source").collect()
+    assert(z.length == 1 && z.head.getLong(1) == 1L &&
+      (z.head.isNullAt(2) || z.head.getDouble(2).isNaN))
+    assert(TextAnalysis.zipfSlope(noDocs, "text", "source").count() == 0)
+    // KS over a single group: no pairs; empty: no rows
+    assert(TextAnalysis.distributionKS(oneTok.withColumn("v", lit(1L)), "source", "v").count() == 0)
+    assert(TextAnalysis.distributionKS(noDocs.withColumn("v", lit(1L)), "source", "v").count() == 0)
+    assert(TextAnalysis.charEntropy(noDocs, "doc_id", "text").count() == 0)
+    assert(Stats.embeddingProfile(
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"), "embedding").count() == 0)
+    val noTsEvents = Seq.empty[(Long, java.sql.Timestamp, Long)]
+      .toDF("event_id", "ts", "user_id")
+    assert(EventAnalytics.rateLimit(noTsEvents, "user_id", "ts", "event_id", 3).count() == 0)
+  }
 }
