@@ -45,14 +45,22 @@ object Bench {
       }
       name -> runs.min
     }
-    // Millisecond precision keeps the JSON line compact: the driver captures
-    // only the tail of the sbt output, and full-precision doubles pushed the
-    // 76-query line past that window in round 6 (BENCH_r06.json parsed:null).
+    // The driver captures only the TAIL of the output: round 6's
+    // full-precision 76-query line outgrew that window (BENCH_r06.json
+    // parsed:null), and at 120 queries even ms-precision is back at ~3 KB.
+    // So the stdout line carries the total plus only the 25 slowest
+    // queries (the ones perf analysis reads first), and the complete
+    // per-query map goes to BENCH_QUERIES.json in the working directory.
     def f(v: Double): String = "%.3f".format(v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
+    def dict(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_QUERIES.json"),
+      s"""{"total":${f(total)},"sf":"$sfDir","queries":${dict(results)}}""")
+    catch { case _: Throwable => () } // detail file is best-effort
+    val slowest = results.sortBy(-_._2).take(25)
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"queries":${dict(slowest)},"detail":"BENCH_QUERIES.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
