@@ -151,6 +151,33 @@ class PlanSpec extends SparkSpec {
       s"training-order window must partition by shard:\n$p")
   }
 
+  test("x82 char entropy: zero exchanges — the run-length fold rides the scan") {
+    val p = plan(Extensions.x82CharEntropy(spark, dir))
+    // the only allowed exchange is the final presentation ORDER BY
+    assert(count(p, "Exchange") <= 1, s"entropy must be map-side:\n$p")
+    assert(count(p, "HashAggregate") == 0 && count(p, "SortMergeJoin") == 0,
+      s"entropy must not aggregate or join:\n$p")
+  }
+
+  test("x85 embedding profile: one partial+final aggregate pair, no join") {
+    val p = plan(Extensions.x85EmbeddingProfile(spark, dir))
+    // posexplode inflates ×dim, but the groupBy(pos) must collapse map-side:
+    // exactly one shuffle for the aggregate (plus the final ORDER BY)
+    assert(count(p, "Exchange") <= 2, s"profile must shuffle only partials:\n$p")
+    assert(count(p, "HashAggregate") == 2, s"expected partial+final agg:\n$p")
+    assert(count(p, "SortMergeJoin") + count(p, "BroadcastHashJoin") == 0,
+      s"profile must not join:\n$p")
+  }
+
+  test("x84 KS distance: fact table collapses before any join touches it") {
+    val p = plan(Extensions.x84LengthKS(spark, dir))
+    // the (group, value) count aggregate must sit below the pair join —
+    // formatted explain lists scans first: assert no nested-loop blowup
+    // and that aggregates exist (the collapse) alongside the grid joins
+    assert(count(p, "HashAggregate") >= 2, s"expected count-collapse aggregates:\n$p")
+    assert(count(p, "CartesianProduct") == 0, s"source-pair join must not be a cartesian over facts:\n$p")
+  }
+
   test("window top-k spelling gets Spark's built-in group-limit pushdown") {
     import org.apache.spark.sql.functions.{col, row_number}
     import org.apache.spark.sql.expressions.Window
