@@ -298,6 +298,52 @@ object Curation {
       .drop("__n_tok", "__alloc", "__cum")
   }
 
+  /** The water-fill allocation TABLE as a collect-free distributed query —
+    * the mixture-design report behind [[tokenBudgetMix]]: per source, its
+    * token capacity, its water-filled allocation under `budget`, and
+    * whether it saturated (small sources keep everything; big sources cap
+    * at the common level). Semantics are IDENTICAL to [[waterfillAlloc]]
+    * (same overflow-safe product-form saturation test, same floor level,
+    * no remainder distribution), pinned by a spec.
+    *
+    * Scale shape: the corpus collapses map-side to one (source, cap) row
+    * per source; every window below runs on that CATALOG-sized relation
+    * (sources are domains, not documents), so the single-partition global
+    * sort the plan contains is over dozens of rows — the same post-agg
+    * window shape as q12. All arithmetic is 64-bit integer. */
+  def waterfillReport(docs: DataFrame, textCol: String, groupCol: String,
+      budget: Long): DataFrame = {
+    val caps = docs.groupBy(col(groupCol))
+      .agg(sum(size(Dedup.tokens(col(textCol))).cast("long")).as("cap_tokens"))
+    val ord = Window.orderBy(col("cap_tokens"), col(groupCol))
+    val all = Window.partitionBy()
+    caps
+      .withColumn("__i", row_number().over(ord).cast("long"))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__cum", sum(col("cap_tokens")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // source i (1-based) fits below the waterline iff giving it and every
+      // LATER source cap_i each still fits: cap_i·(n−i+1) ≤ B − cum_{i−1}
+      // (product form, no division — waterfillAlloc's exact test)
+      .withColumn("__fits",
+        col("cap_tokens") * (col("__n") - col("__i") + 1) <=
+          lit(budget) - (col("__cum") - col("cap_tokens")))
+      // saturated set is the prefix up to the LAST fitting index (mirrors
+      // waterfillAlloc's fold, robust even if the test were non-monotone)
+      .withColumn("__k", coalesce(max(when(col("__fits"), col("__i"))).over(all), lit(0L)))
+      .withColumn("__cumk",
+        coalesce(max(when(col("__fits"), col("__cum"))).over(all), lit(0L)))
+      .withColumn("saturated", col("__i") <= col("__k"))
+      .withColumn("alloc_tokens",
+        when(col("saturated"), col("cap_tokens"))
+          // `div`, not `/`: integer floor division (Spark's `/` widens to
+          // DOUBLE); branch is only evaluated when unsaturated rows exist,
+          // so __n − __k > 0
+          .otherwise(least(col("cap_tokens"),
+            expr(s"(${budget}L - __cumk) div (__n - __k)"))))
+      .select(col(groupCol), col("cap_tokens"), col("alloc_tokens"), col("saturated"))
+  }
+
   /** Per-source data card: the corpus-composition summary every training-data
     * release publishes. One straight aggregation — group by source.
     *

@@ -565,6 +565,47 @@ object TextAnalysis {
           .as("zipf_slope"))
   }
 
+  // ------------------------------------------------------ vocab coverage
+  /** Corpus coverage at candidate vocabulary sizes: for each V, the
+    * fraction of all token INSTANCES covered by the top-V types by
+    * frequency — the OOV-rate curve that sizes a tokenizer's vocabulary
+    * (coverage(V) flattens where added types stop paying for themselves).
+    *
+    * All-integer sufficient statistics: type frequencies, a deterministic
+    * (freq desc, token asc) rank, and per-V covered-instance sums; the
+    * OOV rate is one exact division per output row.
+    *
+    * Scale shape: instance counts collapse map-side to the vocab-sized
+    * type relation; the rank window is over that relation (vocab-sized,
+    * partitionable by nothing — the same trade as x83, bounded by type
+    * count not corpus size); the per-V sums aggregate vocab×|sizes| rows
+    * down to |sizes|. The corpus is scanned once. */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+      sizes: Seq[Int] = Seq(1000, 2000, 4000, 8000, 16000)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(sizes.nonEmpty, "at least one vocab size")
+    val freq = docs
+      .select(explode(wsTokens(lower(col(textCol)))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("t"))))
+    val vs = docs.sparkSession.createDataFrame(
+      sizes.distinct.sorted.map(v => Tuple1(v))).toDF("vocab_size")
+    freq.crossJoin(broadcast(vs))
+      .groupBy(col("vocab_size"))
+      .agg(
+        sum(when(col("rank") <= col("vocab_size"), col("cnt")).otherwise(0L))
+          .as("covered_tokens"),
+        sum(col("cnt")).as("total_tokens"),
+        sum(when(col("rank") <= col("vocab_size"), 1L).otherwise(0L))
+          .as("n_types_used"))
+      .select(col("vocab_size"), col("n_types_used"), col("covered_tokens"),
+        col("total_tokens"),
+        (lit(1.0) - col("covered_tokens").cast("double") /
+          col("total_tokens").cast("double")).as("oov_rate"))
+      .orderBy(col("vocab_size"))
+  }
+
   // ----------------------------------------------- distribution KS test
   /** Pairwise two-sample Kolmogorov–Smirnov distance between groups on an
     * integer-valued column — KS = max_t |F_A(t) − F_B(t)| — the

@@ -2279,7 +2279,66 @@ object Extensions {
       |GROUP BY decile ORDER BY decile""".stripMargin
   }
 
+  // ------------------------------------------------ x87 waterfill report
+  /** The water-fill allocation table at budget = half the corpus's tokens
+    * (x26's convention — scale-free, always exercises both saturated and
+    * levelled sources). All-integer closed form, collect-free windows over
+    * the catalog-sized caps relation. */
+  def x87WaterfillReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val total = d.agg(sum(size(Dedup.tokens($"text")).cast("long"))).head.getLong(0)
+    Curation.waterfillReport(d, "text", "source", budget = total / 2)
+      .orderBy($"source")
+  }
+  val x87Sql: String =
+    """WITH d AS (
+      |  SELECT source, CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |tot AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS t FROM d GROUP BY source),
+      |b AS (SELECT CAST(sum(t) // 2 AS BIGINT) AS budget FROM tot),
+      |ord AS (
+      |  SELECT source, t, CAST(row_number() OVER (ORDER BY t, source) AS BIGINT) AS rn,
+      |         CAST(sum(t) OVER (ORDER BY t, source) AS BIGINT) AS cum,
+      |         CAST(count(*) OVER () AS BIGINT) AS n
+      |  FROM tot),
+      |sat AS (
+      |  SELECT CAST(coalesce(max(rn), 0) AS BIGINT) AS k,
+      |         CAST(coalesce(max(cum), 0) AS BIGINT) AS cumk
+      |  FROM ord, b WHERE t * (n - rn + 1) <= budget - (cum - t))
+      |SELECT o.source, o.t AS cap_tokens,
+      |  CAST(CASE WHEN o.rn <= s.k THEN o.t
+      |       ELSE least(o.t, (b.budget - s.cumk) // (o.n - s.k)) END AS BIGINT) AS alloc_tokens,
+      |  o.rn <= s.k AS saturated
+      |FROM ord o, sat s, b ORDER BY o.source""".stripMargin
+
+  // ------------------------------------------------- x88 vocab coverage
+  /** OOV-rate curve at candidate vocab sizes — integer coverage sums, one
+    * exact division per row. */
+  def x88VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.vocabCoverage(docs(s, dir), "text",
+      sizes = Seq(100, 500, 1000, 2000, 4000))
+  }
+  val x88Sql: String =
+    """WITH f AS (
+      |  SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS t FROM documents)
+      |  GROUP BY 1),
+      |r AS (SELECT t, cnt, row_number() OVER (ORDER BY cnt DESC, t) AS rank FROM f),
+      |v AS (SELECT unnest([100, 500, 1000, 2000, 4000]) AS vocab_size)
+      |SELECT vocab_size,
+      |  CAST(sum(CASE WHEN rank <= vocab_size THEN 1 ELSE 0 END) AS BIGINT) AS n_types_used,
+      |  CAST(sum(CASE WHEN rank <= vocab_size THEN cnt ELSE 0 END) AS BIGINT) AS covered_tokens,
+      |  CAST(sum(cnt) AS BIGINT) AS total_tokens,
+      |  1.0 - CAST(sum(CASE WHEN rank <= vocab_size THEN cnt ELSE 0 END) AS DOUBLE)
+      |      / CAST(sum(cnt) AS DOUBLE) AS oov_rate
+      |FROM r CROSS JOIN v
+      |GROUP BY vocab_size ORDER BY vocab_size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x87_waterfill_report" -> x87WaterfillReport _,
+    "x88_vocab_coverage" -> x88VocabCoverage _,
     "x86_quality_dup_curve" -> x86QualityDupCurve _,
     "x85_embedding_profile" -> x85EmbeddingProfile _,
     "x82_char_entropy" -> x82CharEntropy _,
@@ -2417,6 +2476,8 @@ object Extensions {
     "x84_length_ks" -> x84Sql,
     "x85_embedding_profile" -> x85Sql,
     "x86_quality_dup_curve" -> x86Sql,
+    "x87_waterfill_report" -> x87Sql,
+    "x88_vocab_coverage" -> x88Sql,
     "x73_incremental_dedup" -> x73Sql,
     "x70_training_order" -> x70Sql,
     "x71_robust_outliers" -> x71Sql,

@@ -127,6 +127,18 @@ class CorpusGrowthSpec extends SparkSpec {
     assert(out(("B", "C")) == ((2L, 1L, 0.5)))
   }
 
+  test("vocabCoverage: exact coverage at each V, saturates past the type count") {
+    import spark.implicits._
+    // freqs: a×4, b×2, c×1, d×1 → ranks a,b,c,d (ties by token); N=8
+    val docs = Seq("a a b c", "a a b d").toDF("text")
+    val out = TextAnalysis.vocabCoverage(docs, "text", sizes = Seq(1, 2, 10))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(out(1) == ((1L, 4L, 8L, 0.5)))       // top-1 = {a} covers 4/8
+    assert(out(2) == ((2L, 6L, 8L, 0.25)))      // {a,b} covers 6/8
+    assert(out(10) == ((4L, 8L, 8L, 0.0)))      // all 4 types → full coverage
+  }
+
   test("SharedViews.materialized builds once per (session, tag)") {
     import spark.implicits._
     var builds = 0

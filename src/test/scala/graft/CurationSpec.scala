@@ -370,4 +370,25 @@ class CurationSpec extends SparkSpec {
     assert(grown.groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap ==
       before.groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap)
   }
+
+  test("waterfillReport: distributed window spelling equals waterfillAlloc exactly") {
+    import spark.implicits._
+    // caps: a=2, b=3, c=7, d=20 tokens (one token per char-word)
+    val docs = Seq(
+      ("a", "t t"), ("b", "t t t"), ("c", "t t t t t t t"),
+      ("d", Seq.fill(20)("t").mkString(" "))).toDF("source", "text")
+    val caps = Seq("a" -> 2L, "b" -> 3L, "c" -> 7L, "d" -> 20L)
+    for (budget <- Seq(0L, 5L, 14L, 31L, 32L, 1000L)) {
+      val want = Curation.waterfillAlloc(caps, budget)
+      val got = Curation.waterfillReport(docs, "text", "source", budget)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(got == want, s"budget=$budget: $got != $want")
+    }
+    // saturation flags at budget=14: level (14−5)/2=4 → a,b saturated; c,d capped at 4
+    val rep = Curation.waterfillReport(docs, "text", "source", 14L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rep == Map(
+      "a" -> ((2L, 2L, true)), "b" -> ((3L, 3L, true)),
+      "c" -> ((7L, 4L, false)), "d" -> ((20L, 4L, false))))
+  }
 }
