@@ -575,4 +575,140 @@ object Dedup {
       .join(base.select(col("vec_id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), cosine_sim(col("vec_a"), col("vec_b")).as("cos_sim"))
   }
+
+  /** Fixed-iteration integer random-walk mass propagation over an undirected
+    * pair graph — the PageRank shape, used on a near-dup graph to rank each
+    * document by how CENTRAL it is to its duplication neighborhood (template
+    * hubs score high; incidental one-off near-dups stay near the teleport
+    * floor). `iters` is fixed, not run-to-convergence: authority ranking
+    * stabilizes in a few rounds and a fixed trip count keeps the result a
+    * pure function of the graph.
+    *
+    * All arithmetic is 64-bit integer — floor division for the per-neighbor
+    * share (`mass div deg`) and the damped inflow (`inflow·dampNum div
+    * dampDen`) — so the result is bit-deterministic under any partitioning
+    * and re-spellable exactly in another engine (addition order never
+    * matters; there is no floating point anywhere). With per-node mass ≤
+    * `initMass`, total system mass is ≤ n·initMass; the damped product
+    * inflow·dampNum stays below 2⁶³ for corpora up to ~10¹⁰ docs at the
+    * defaults.
+    *
+    * Scale shape: one shuffle join (edges ⋈ mass on src, both hash-
+    * partitionable) plus one aggregate (sum by dst) per iteration, over the
+    * EDGE relation — node- and edge-sized, never corpus-sized. The edge list
+    * is materialized once and reused every round; with K fixed and small the
+    * nested plan stays shallow, so no per-round checkpoint is needed. */
+  def walkAuthority(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", iters: Int = 3, initMass: Long = 1000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1 && dampNum >= 0 && dampNum <= dampDen)
+    val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    // teleport floor: the (1−d) share of one node's initial mass, floored
+    val base = initMass * (dampDen - dampNum) / dampDen
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var mass = deg.select(col("src").as("id"), col("deg"), lit(initMass).as("mass"))
+    for (_ <- 1 to iters) {
+      // every node of a symmetrized graph has deg ≥ 1 and ≥ 1 in-edge, so
+      // the inner joins below lose no nodes and inflow is never NULL
+      val inflow = mass
+        .select(col("id"), expr("mass div deg").as("share"))
+        .join(edges, col("id") === col("src"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("inflow"))
+      mass = mass.select(col("id"), col("deg"))
+        .join(inflow, col("id") === col("dst"))
+        .select(col("id"), col("deg"),
+          (lit(base) + expr(s"(inflow * ${dampNum}L) div ${dampDen}L")).as("mass"))
+    }
+    mass.select(col("id").as("doc_id"), col("deg"), col("mass").as("authority"))
+  }
+
+  /** Asymmetric containment near-dup pairs: every ordered pair (a, b) with
+    * |shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ `threshold` — the QUOTE
+    * detector. A short document lifted verbatim into a long one has
+    * containment ≈ 1 while its Jaccard is tiny (the union is dominated by
+    * the container), so symmetric near-dup mining ([[ngramJaccardPairs]])
+    * structurally cannot see it; both metrics are returned so callers can
+    * select the quote regime (high containment, low Jaccard) directly.
+    *
+    * Prefix filter, containment variant: C(a→b) ≥ t forces overlap ≥
+    * ⌈t·n_a⌉, which depends only on the CONTAINED side — so a's first
+    * n_a − ⌈t·n_a⌉ + 1 shingles in any fixed global order must hit b, and
+    * only the contained side can be pruned: candidates = prefix(a) ⋈
+    * full(b). Exact for any order; the hot-shingle rank ([[hotPrefixExpr]])
+    * again keeps boilerplate shingles out of prefixes, which is what
+    * defuses the full side's skew — a hot shingle on b's side meets almost
+    * no prefixes. The full-side explode is the honest extra cost over the
+    * symmetric miner; the length filter n_b ≥ t·n_a (containment needs that
+    * much overlap to exist in b at all) prunes the worst of it. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, threshold: Double = 0.9): DataFrame = {
+    val perDoc = shingleSets(docs, idCol, textCol, shingleK).localCheckpoint()
+    val prefixes = prefixRows(perDoc, hotPrefixExpr(perDoc), threshold)
+    val full = perDoc.select(col("doc_id").as("doc_b"),
+      col("n_shingles").as("n_b"), explode(col("shingles")).as("shingle"))
+    val candidates = prefixes
+      .select(col("doc_id").as("doc_a"), col("n_shingles").as("n_a"), col("shingle"))
+      .join(full, Seq("shingle"))
+      .filter(col("doc_a") =!= col("doc_b") &&
+        col("n_b") >= lit(threshold) * col("n_a"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val a = perDoc.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+      col("n_shingles").as("n_a"))
+    val b = perDoc.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+      col("n_shingles").as("n_b"))
+    candidates.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .withColumn("n_inter",
+        graft.functions.Exprs.sorted_intersect_count(col("sh_a"), col("sh_b")).cast("int"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        col("n_a").as("n_shingles_a"), col("n_b").as("n_shingles_b"),
+        (col("n_inter").cast("double") / col("n_a")).as("containment"),
+        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+          .as("jaccard"))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** Weighted (multiset) Jaccard over token frequencies for an EXISTING pair
+    * list: Σ_t min(tf_a, tf_b) / Σ_t max(tf_a, tf_b). Set Jaccard counts a
+    * token once no matter how often it repeats, so a document that is one
+    * paragraph pasted fifty times scores identically to the single
+    * paragraph; the weighted metric sees the repetition. Run over the
+    * near-dup candidate graph, it separates true near-dups from
+    * repetition-inflated ones.
+    *
+    * The identity Σmax = tot_a + tot_b − Σmin (max = a + b − min per shared
+    * token; unshared tokens contribute their own tf to Σmax only) means only
+    * the SHARED-token min-sum is computed pairwise: tf relation joined to
+    * the pair list on (pair, token), one aggregate. All-integer sufficient
+    * statistics; the final division is the only double.
+    *
+    * Scale shape: the tf relation collapses the corpus map-side to
+    * (doc, token, tf); the pair join shuffles tf rows only for documents
+    * that APPEAR in the pair list — pair-graph-sized, not corpus-sized. */
+  def weightedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val tot = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("tot"))
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    val minSum = p
+      .join(tf.select(col("doc_id").as("doc_a"), col("token"), col("tf").as("tf_a")),
+        Seq("doc_a"))
+      .join(tf.select(col("doc_id").as("doc_b"), col("token"), col("tf").as("tf_b")),
+        Seq("doc_b", "token"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(least(col("tf_a"), col("tf_b"))).as("min_sum"))
+    p.join(minSum, Seq("doc_a", "doc_b"), "left")
+      // a pair sharing no token has min_sum NULL → 0 (weighted Jaccard 0)
+      .withColumn("min_sum", coalesce(col("min_sum"), lit(0L)))
+      .join(tot.select(col("doc_id").as("doc_a"), col("tot").as("tot_a")), Seq("doc_a"))
+      .join(tot.select(col("doc_id").as("doc_b"), col("tot").as("tot_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("min_sum"),
+        (col("tot_a") + col("tot_b") - col("min_sum")).as("max_sum"),
+        (col("min_sum").cast("double") /
+          (col("tot_a") + col("tot_b") - col("min_sum"))).as("weighted_jaccard"))
+  }
 }

@@ -606,6 +606,31 @@ object TextAnalysis {
       .orderBy(col("vocab_size"))
   }
 
+  // -------------------------------------------------- sentence segmentation
+  /** Positional sentence segmentation: each document split into sentence
+    * runs (maximal punctuation-free spans plus their terminator, the
+    * lookbehind-free spelling `[^.!?]+[.!?]?` that RE2 and Java regex agree
+    * on), with the 1-based match position, token count, and char count per
+    * sentence. Whitespace-only runs (e.g. a trailing fragment after the
+    * final terminator) are dropped AFTER indexing, so `sent_idx` is stable
+    * under their removal — downstream "first k sentences" selections don't
+    * shift when a document ends in punctuation plus spaces.
+    *
+    * Scale shape: pure map-side — one projection, one positional explode,
+    * no shuffle; output size is bounded by the corpus token count. The
+    * sentence TEXT itself is not returned (stats only): at 100 TB the
+    * explode would otherwise re-materialize the whole corpus. */
+  def sentenceStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(expr(s"regexp_extract_all($textCol, '[^.!?]+[.!?]?', 0)")))
+      .select(col("doc_id"), (col("pos") + 1).as("sent_idx"),
+        trim(col("col")).as("__s"))
+      .filter(length(col("__s")) > 0)
+      .select(col("doc_id"), col("sent_idx"),
+        size(split(col("__s"), "\\s+")).as("n_sent_tokens"),
+        length(col("__s")).as("n_sent_chars"))
+
   // ----------------------------------------------- distribution KS test
   /** Pairwise two-sample Kolmogorov–Smirnov distance between groups on an
     * integer-valued column — KS = max_t |F_A(t) − F_B(t)| — the

@@ -2336,7 +2336,131 @@ object Extensions {
       |FROM r CROSS JOIN v
       |GROUP BY vocab_size ORDER BY vocab_size""".stripMargin
 
+  // ------------------------------------------------ x89 walk authority
+  /** Integer random-walk authority over the SHARED near-dup pair graph
+    * (marginal cost given the materialized pair view): 3 damped iterations,
+    * 85/100 damping, initial mass 10⁶ per node — all 64-bit floor
+    * arithmetic, so the oracle unrolls the identical three steps in SQL and
+    * the masses hash-match exactly. */
+  def x89WalkAuthority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.walkAuthority(ngramPairGraph(s, dir), iters = 3).orderBy($"doc_id")
+  }
+  val x89Sql: String = {
+    val iterations = (1 to 3).map { k =>
+      s"""i$k AS (
+         |  SELECT e.dst AS id, sum(m.mass // m.deg) AS inflow
+         |  FROM m${k - 1} m JOIN edges e ON e.src = m.id GROUP BY e.dst),
+         |m$k AS (
+         |  SELECT d.id, d.deg, CAST(150000 + (i.inflow * 85) // 100 AS BIGINT) AS mass
+         |  FROM deg d JOIN i$k i ON i.id = d.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $ngramPairCtes,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+       |m0 AS (SELECT id, deg, CAST(1000000 AS BIGINT) AS mass FROM deg),
+       |$iterations
+       |SELECT id AS doc_id, deg, mass AS authority FROM m3 ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------ x90 containment pairs
+  /** Quote detection: ordered pairs where ≥ 90% of the contained side's
+    * shingles appear in the container. Both containment and Jaccard are
+    * returned; the prefix filter is the containment variant (only the
+    * contained side prunes). */
+  def x90Containment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.containmentPairs(docs(s, dir), "doc_id", "text", shingleK = 3,
+      threshold = 0.9).orderBy($"doc_a", $"doc_b")
+  }
+  val x90Sql: String =
+    s"""WITH $ngramPairCtes,
+       |inter2 AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(n_inter AS INT) AS n_inter,
+       |  CAST(sa.n_shingles AS INT) AS n_shingles_a,
+       |  CAST(sb.n_shingles AS INT) AS n_shingles_b,
+       |  CAST(n_inter AS DOUBLE) / sa.n_shingles AS containment,
+       |  CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) AS jaccard
+       |FROM inter2
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(n_inter AS DOUBLE) / sa.n_shingles >= 0.9
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------ x91 weighted jaccard
+  /** Multiset (weighted) Jaccard re-scored over the SHARED near-dup pair
+    * graph — separates true near-dups from repetition-inflated ones. All-
+    * integer min/max sums via Σmax = tot_a + tot_b − Σmin; one division. */
+  def x91WeightedJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.weightedJaccardPairs(docs(s, dir), "doc_id", "text",
+      ngramPairGraph(s, dir)).orderBy($"doc_a", $"doc_b")
+  }
+  val x91Sql: String =
+    s"""WITH $ngramPairCtes,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5),
+       |tf AS (
+       |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+       |    FROM documents)
+       |  GROUP BY doc_id, token),
+       |ms AS (
+       |  SELECT p.doc_a, p.doc_b, sum(least(a.tf, b.tf)) AS min_sum
+       |  FROM pairs p
+       |  JOIN tf a ON a.doc_id = p.doc_a
+       |  JOIN tf b ON b.doc_id = p.doc_b AND b.token = a.token
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tot FROM tf GROUP BY doc_id)
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST(coalesce(ms.min_sum, 0) AS BIGINT) AS min_sum,
+       |  CAST(ta.tot + tb.tot - coalesce(ms.min_sum, 0) AS BIGINT) AS max_sum,
+       |  CAST(coalesce(ms.min_sum, 0) AS DOUBLE)
+       |    / CAST(ta.tot + tb.tot - coalesce(ms.min_sum, 0) AS BIGINT) AS weighted_jaccard
+       |FROM pairs p
+       |LEFT JOIN ms ON ms.doc_a = p.doc_a AND ms.doc_b = p.doc_b
+       |JOIN tot ta ON ta.doc_id = p.doc_a
+       |JOIN tot tb ON tb.doc_id = p.doc_b
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
+
+  // ------------------------------------------------ x92 sentence stats
+  /** Positional sentence segmentation stats (lookbehind-free boundary
+    * regex both engines agree on; whitespace-only runs dropped after
+    * indexing so sent_idx is stable). */
+  def x92Sentences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.sentenceStats(docs(s, dir), "doc_id", "text")
+      .orderBy($"doc_id", $"sent_idx")
+  }
+  val x92Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]?') AS ss FROM documents),
+      |e AS (SELECT doc_id, unnest(range(1, len(ss) + 1)) AS i, ss FROM m),
+      |t AS (SELECT doc_id, CAST(i AS INT) AS sent_idx,
+      |        trim(ss[CAST(i AS INT)]) AS s FROM e)
+      |SELECT doc_id, sent_idx,
+      |  CAST(len(string_split_regex(s, '\s+')) AS INT) AS n_sent_tokens,
+      |  CAST(length(s) AS INT) AS n_sent_chars
+      |FROM t WHERE length(s) > 0 ORDER BY doc_id, sent_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x89_walk_authority" -> x89WalkAuthority _,
+    "x90_containment" -> x90Containment _,
+    "x91_weighted_jaccard" -> x91WeightedJaccard _,
+    "x92_sentences" -> x92Sentences _,
     "x87_waterfill_report" -> x87WaterfillReport _,
     "x88_vocab_coverage" -> x88VocabCoverage _,
     "x86_quality_dup_curve" -> x86QualityDupCurve _,
@@ -2478,6 +2602,10 @@ object Extensions {
     "x86_quality_dup_curve" -> x86Sql,
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
+    "x89_walk_authority" -> x89Sql,
+    "x90_containment" -> x90Sql,
+    "x91_weighted_jaccard" -> x91Sql,
+    "x92_sentences" -> x92Sql,
     "x73_incremental_dedup" -> x73Sql,
     "x70_training_order" -> x70Sql,
     "x71_robust_outliers" -> x71Sql,

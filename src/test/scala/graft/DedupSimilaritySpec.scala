@@ -355,4 +355,62 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Seq(
       (1L, 127L * 127L), (2L, 0L), (4L, 0L), (3L, -127L * 127L)))
   }
+
+  test("walkAuthority: hand-traced integer masses on a 3-node path") {
+    import spark.implicits._
+    // path a-b-c: deg a=1, b=2, c=1; init 10⁶, damping 85/100, floor=150000
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.walkAuthority(pairs, iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // iter1: inflow a=500000, b=2e6, c=500000 → a=c=150000+425000=575000,
+    //        b=150000+1700000=1850000
+    // iter2: shares a=575000, b=925000, c=575000 → inflow a=c=925000,
+    //        b=1150000 → a=c=150000+786250=936250, b=150000+977500=1127500
+    assert(out == Map(
+      1L -> ((1L, 936250L)), 2L -> ((2L, 1127500L)), 3L -> ((1L, 936250L))))
+    // mass is conserved up to per-node floor loss: total ≤ n·initMass
+    assert(out.values.map(_._2).sum <= 3000000L)
+  }
+
+  test("containmentPairs: quote inside a long doc found despite tiny Jaccard") {
+    import spark.implicits._
+    // doc 1 = 6-token quote (4 shingles); doc 2 = the quote + 20 extra
+    // tokens (24 shingles, all 4 of doc 1's among them); doc 3 unrelated
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val container = quote + " " + (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, quote), (2L, container), (3L, "totally different text here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text", shingleK = 3,
+      threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(5), r.getDouble(6)))
+    // only the ordered pair 1→2 qualifies: containment 4/4 = 1.0 but
+    // Jaccard 4/(4+24−4) — the regime symmetric mining cannot see
+    assert(out.toSeq == Seq((1L, 2L, 4, 1.0, 4.0 / 24.0)))
+  }
+
+  test("weightedJaccardPairs: repetition changes the weighted metric only") {
+    import spark.implicits._
+    // doc 2 repeats doc 1's text twice: set Jaccard 1.0, weighted 0.5
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c a b c"), (3L, "a b x")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.weightedJaccardPairs(docs, "doc_id", "text", pairs)
+      .orderBy($"doc_a", $"doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    // 1↔2: min Σ=3 (each of a,b,c once), max Σ=3+6−3=6 → 0.5
+    // 1↔3: shared {a,b} min Σ=2, max Σ=3+3−2=4 → 0.5
+    assert(out == Seq((1L, 2L, 3L, 6L, 0.5), (1L, 3L, 2L, 4L, 0.5)))
+  }
+
+  test("weightedJaccardPairs: disjoint pair scores 0, not dropped") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "x y")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val out = Dedup.weightedJaccardPairs(docs, "doc_id", "text", pairs).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(2) == 0L && out(0).getLong(3) == 4L &&
+      out(0).getDouble(4) == 0.0)
+  }
 }

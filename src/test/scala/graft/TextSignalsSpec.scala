@@ -122,4 +122,22 @@ class TextSignalsSpec extends SparkSpec {
       assert(sc == ws.toDouble / n.toDouble)
     }
   }
+
+  test("sentenceStats: positions, boundary regex, whitespace-run drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "One two. Three! Four five six?"),   // 3 sentences
+      (2L, "No terminator at all"),             // 1 run, no punctuation
+      (3L, "Tail dot.   "),                     // trailing spaces → dropped run
+      (4L, "a . b")                             // "a ." and "b"
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.sentenceStats(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out == Seq(
+      (1L, 1, 2, 8), (1L, 2, 1, 6), (1L, 3, 3, 14),
+      (2L, 1, 4, 20),
+      (3L, 1, 2, 9),
+      (4L, 1, 2, 3), (4L, 2, 1, 1)))
+  }
 }
