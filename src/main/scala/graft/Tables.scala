@@ -16,17 +16,32 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects outright. Read it as raw long nanos (legacy flag) and normalize
-    * to a microsecond TimestampType column — integer `div`, not `/`, because
-    * ns-since-epoch (~1.7e18) exceeds double's 2^53 integer range. */
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects outright — read as raw long nanos via the
+    * legacy flag and rebuild: integer `div`, not `/`, because ns-since-epoch
+    * (~1.7e18) exceeds double's 2^53 integer range) and, since round 7's
+    * testdata refresh, as TIMESTAMP(isAdjustedToUTC=false, µs) which Spark 4
+    * surfaces as TIMESTAMP_NTZ. Every downstream consumer (`unix_micros`,
+    * `withWatermark`) needs plain TimestampType, so normalize both shapes
+    * here; with the session timezone pinned to UTC the NTZ→LTZ cast is
+    * epoch-preserving and matches DuckDB's naive-timestamp reading. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, sfDir, "events")
+    normalizeTs(raw)
+  }
+
+  /** Normalize an `events`-shaped frame's `ts` column to TimestampType.
+    * Shared by the batch loader above and the streaming read sites
+    * (`streaming/EventStreams.scala`), so a future testdata type drift is
+    * fixed in exactly one place. */
+  def normalizeTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      case _ => raw
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
     }
   }
 

@@ -1551,11 +1551,17 @@ object Extensions {
   /** Within-label embedding cohesion via the |Σv|² − Σ|v|² identity — the
     * quantized-integer numerator is exact on both engines (x40's floor·10⁶
     * discipline, sums in DECIMAL); the descaled double stays out of the
-    * oracled projection (reconstructed in DedupSimilaritySpec). */
+    * oracled projection (reconstructed in DedupSimilaritySpec).
+    *
+    * `pair_dot_q` ships as its canonical DIGIT STRING, not DECIMAL(38,0):
+    * the values matched across engines in round 7 but the driver's hash
+    * canonicalization of DECIMAL(38,0)/HUGEINT differs — digit strings hash
+    * identically everywhere (VERDICT r7 §What's wrong #3). */
   def x63LabelCohesion(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Similarity.labelCohesion(emb(s, dir), "vec_id", "embedding", "label")
-      .select($"label", $"n_vectors", $"pair_dot_q")
+      .select($"label", $"n_vectors",
+        $"pair_dot_q".cast("string").as("pair_dot_q"))
       .orderBy($"label")
   }
   val x63Sql: String =
@@ -1575,7 +1581,7 @@ object Extensions {
       |    SELECT label, p, sum(x) AS s FROM pos GROUP BY 1, 2)
       |  GROUP BY label),
       |agg AS (SELECT label, count(*) AS n_vectors, sum(vss) AS sumss FROM ss GROUP BY 1)
-      |SELECT a.label, n_vectors, CAST(s2.s2 - a.sumss AS DECIMAL(38,0)) AS pair_dot_q
+      |SELECT a.label, n_vectors, CAST(CAST(s2.s2 - a.sumss AS DECIMAL(38,0)) AS VARCHAR) AS pair_dot_q
       |FROM agg a JOIN s2 ON a.label = s2.label
       |ORDER BY a.label""".stripMargin
 

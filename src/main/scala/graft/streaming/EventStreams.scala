@@ -23,10 +23,15 @@ import org.apache.spark.sql.types.DecimalType
   */
 object EventStreams {
 
-  /** File-based stream source over a parquet events directory. */
+  /** File-based stream source over a parquet events directory. The source
+    * schema may carry `ts` as TIMESTAMP_NTZ (the round-7 testdata ships
+    * parquet `isAdjustedToUTC=false`) or as raw long nanos — normalize to
+    * TimestampType here, because `withWatermark` requires it
+    * (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise). Same one-place
+    * normalization as the batch loader: `Tables.normalizeTs`. */
   def readEventStream(spark: SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
+    graft.Tables.normalizeTs(spark.readStream.schema(schema).parquet(dir))
 
   /** Tumbling 1-hour windows per event type with a 1-hour watermark —
     * the streaming twin of Extensions.x12EventsWindow. */

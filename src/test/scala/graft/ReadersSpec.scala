@@ -73,4 +73,54 @@ class ReadersSpec extends SparkSpec {
     assert(df.schema == schema)
     assert(df.count() == 8) // 7 data rows + the label row (filtered in silver)
   }
+
+  // Testdata-schema drift guard: the round-7 refresh silently changed
+  // events.ts from long-nanos to TIMESTAMP_NTZ and six queries went dark
+  // (VERDICT r7 #1). Pin the NORMALIZED contract every consumer relies on,
+  // across every SF dir the driver ships, so the next drift fails here at
+  // commit time instead of in the round's correctness run.
+  test("S4: Tables.events yields TimestampType ts at every SF") {
+    import org.apache.spark.sql.types._
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val df = Tables.events(spark, s"/root/testdata/$sf")
+      assert(df.schema("ts").dataType == TimestampType,
+        s"$sf: events.ts must normalize to TIMESTAMP, got ${df.schema("ts").dataType}")
+      // unix_micros is the downstream idiom that broke — prove it analyzes
+      df.selectExpr("unix_micros(ts)").queryExecution.analyzed
+    }
+  }
+
+  test("S4: normalizeTs handles NTZ, long-nanos, and already-normalized input") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val ntz = spark.sql("SELECT CAST('2024-01-02 03:04:05.123456' AS TIMESTAMP_NTZ) AS ts")
+    assert(ntz.schema("ts").dataType == TimestampNTZType)
+    val fromNtz = Tables.normalizeTs(ntz)
+    assert(fromNtz.schema("ts").dataType == TimestampType)
+    // UTC session tz → the cast is epoch-preserving
+    assert(fromNtz.selectExpr("unix_micros(ts)").as[Long].head ==
+      spark.sql("SELECT unix_micros(CAST('2024-01-02 03:04:05.123456' AS TIMESTAMP))")
+        .as[Long].head)
+    val nanos = Seq(1704164645123456789L).toDF("ts")
+    val fromNanos = Tables.normalizeTs(nanos)
+    assert(fromNanos.schema("ts").dataType == TimestampType)
+    assert(fromNanos.selectExpr("unix_micros(ts)").as[Long].head == 1704164645123456L)
+    val already = Tables.normalizeTs(fromNtz)
+    assert(already.schema("ts").dataType == TimestampType)
+  }
+
+  test("S4: documents and embeddings keep their pinned schemas at every SF") {
+    import org.apache.spark.sql.types._
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val docs = Tables.load(spark, s"/root/testdata/$sf", "documents")
+      assert(docs.schema("doc_id").dataType == LongType)
+      assert(docs.schema("text").dataType == StringType)
+      assert(docs.schema("lang").dataType == StringType)
+      assert(docs.schema("source").dataType == StringType)
+      val emb = Tables.load(spark, s"/root/testdata/$sf", "embeddings")
+      assert(emb.schema("vec_id").dataType == LongType)
+      assert(emb.schema("embedding").dataType == ArrayType(FloatType, containsNull = true))
+      assert(emb.schema("label").dataType == IntegerType)
+    }
+  }
 }
