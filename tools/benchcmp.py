@@ -1,12 +1,22 @@
 #!/usr/bin/env python3
 """Spark-vs-DuckDB single-node throughput comparison on the oracled queries.
 
-Usage: python3 tools/benchcmp.py <sfDir> <bench_json> [oracle_sql.json]
+Usage: python3 tools/benchcmp.py <sfDir> <bench_json> [oracle_sql.json] [out.json]
 
 Times each oracle SQL in DuckDB (warm, best of 2) and prints it beside the
 Spark per-query seconds from a graft.Bench JSON line. Driver-side tooling
 only — the reference's own query layer IS DuckDB, so this is the
 "matches-or-beats the reference's single-node throughput" check.
+
+The total is DECOMPOSED into subsets (ADVICE r7: an aggregate ratio hides
+which side's spelling dominates):
+  - relational-core  (q01..q34): reference-parity SQL, a fair DuckDB fight;
+  - extension-oracle (x*): oracles deliberately spelled EXACT (recursive
+    CTEs, all-pairs Jaccard, quantized-decimal folds) to pin semantics, so
+    DuckDB-side time there overstates what a tuned native spelling would
+    cost — call the headline from the core subset, not the aggregate.
+If [out.json] is given the full per-query table and subtotals are written
+there so the raw run can be checked in alongside any claim derived from it.
 """
 import sys, json, time
 import duckdb
@@ -35,10 +45,36 @@ def main():
         rows.append((name, spark_s, best, ratio))
     print(f"{'query':28} {'spark_s':>8} {'duck_s':>8} {'spark/duck':>10}")
     for name, s, d, r in rows:
-        print(f"{name:28} {s:8.2f} {d:8.2f} {r:10.1f}")
-    tot_s = sum(r[1] for r in rows if r[1])
-    tot_d = sum(r[2] for r in rows)
-    print(f"{'TOTAL (oracled only)':28} {tot_s:8.2f} {tot_d:8.2f} {tot_s/tot_d:10.1f}")
+        ss = f"{s:8.2f}" if s is not None else "       -"
+        print(f"{name:28} {ss} {d:8.2f} {r:10.1f}")
+
+    def subtotal(label, pred):
+        sub = [r for r in rows if pred(r[0])]
+        ts = sum(r[1] for r in sub if r[1])
+        td = sum(r[2] for r in sub)
+        print(f"{label:28} {ts:8.2f} {td:8.2f} {ts/td if td else float('nan'):10.2f}"
+              f"   ({len(sub)} queries)")
+        return {"label": label, "n": len(sub), "spark_s": round(ts, 3),
+                "duck_s": round(td, 3),
+                "spark_over_duck": round(ts / td, 3) if td else None}
+    subs = [
+        subtotal("SUBTOTAL relational-core q*", lambda n: n.startswith("q")),
+        subtotal("SUBTOTAL extension x*", lambda n: n.startswith("x")),
+        subtotal("TOTAL (oracled only)", lambda n: True),
+    ]
+    if len(sys.argv) > 4:
+        out = {
+            "sf_dir": sf_dir, "bench_json": sys.argv[2],
+            "queries": [{"name": n, "spark_s": s, "duck_s": round(d, 4),
+                         "spark_over_duck": round(r, 3)} for n, s, d, r in rows],
+            "subtotals": subs,
+            "note": ("DuckDB side runs the ORACLE SQL — deliberately exact "
+                     "spellings (recursive CTEs, all-pairs verify) for x*; "
+                     "the relational-core q* subtotal is the fair "
+                     "single-node throughput comparison."),
+        }
+        json.dump(out, open(sys.argv[4], "w"), indent=1)
+        print(f"wrote {sys.argv[4]}")
 
 if __name__ == "__main__":
     main()
