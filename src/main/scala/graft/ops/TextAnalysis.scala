@@ -18,6 +18,21 @@ object TextAnalysis {
   /** Whitespace tokens. */
   def wsTokens(text: Column): Column = split(text, "\\s+")
 
+  /** Tokens of `colName`, accepting either representation: an ARRAY<STRING>
+    * column (a PRE-TOKENIZED corpus — the tokenize-once-persist pattern a
+    * 100 TB pipeline runs, where the regex pass over raw text happens once
+    * and every downstream statistic reads the materialized token arrays) is
+    * used as-is; a STRING column is lowercase-whitespace-tokenized in place
+    * ([[Dedup.tokens]]). Type dispatch keeps every operator signature
+    * unchanged while letting the query layer feed one shared tokenized
+    * relation to all corpus statistics (`Extensions.tokDocs`). */
+  def toksOf(df: DataFrame, colName: String): Column =
+    df.schema(colName).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) => col(colName)
+      case _ => Dedup.tokens(col(colName))
+    }
+
   /** doc_id + token counts (whitespace and BPE-ish word-regex runs). */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
@@ -155,7 +170,7 @@ object TextAnalysis {
   def topNgrams(docs: DataFrame, textCol: String, groupCol: String,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Dedup.tokens(col(textCol))
+    val toks = toksOf(docs, textCol)
     val wide = Par.widen(docs)
     val counts = wide
       .select(col(groupCol), explode(ngram_hashes(toks, 2)).as("__h"))
@@ -211,7 +226,7 @@ object TextAnalysis {
       maxDf: Long, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = docs
-      .select(col(idCol).as("doc_id"), explode(Dedup.tokens(col(textCol))).as("term"))
+      .select(col(idCol).as("doc_id"), explode(toksOf(docs, textCol)).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -451,7 +466,7 @@ object TextAnalysis {
     * together, the spelling stays identical. */
   def collocationLift(docs: DataFrame, textCol: String,
       k: Int = 20, minPairCount: Long = 5L): DataFrame = {
-    val toks = docs.select(wsTokens(lower(col(textCol))).as("w"))
+    val toks = docs.select(toksOf(docs, textCol).as("w"))
     val bi = toks.select(explode(expr(
       """CASE WHEN size(w) >= 2
         |  THEN transform(sequence(0, size(w) - 2), i -> struct(w[i] AS t1, w[i + 1] AS t2))
@@ -535,7 +550,7 @@ object TextAnalysis {
       topR: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val freq = docs
-      .select(col(groupCol).as("grp"), explode(wsTokens(lower(col(textCol)))).as("t"))
+      .select(col(groupCol).as("grp"), explode(toksOf(docs, textCol)).as("t"))
       .groupBy(col("grp"), col("t")).agg(count(lit(1)).as("cnt"))
     val ranked = freq
       .withColumn("rank",
@@ -585,7 +600,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     require(sizes.nonEmpty, "at least one vocab size")
     val freq = docs
-      .select(explode(wsTokens(lower(col(textCol)))).as("t"))
+      .select(explode(toksOf(docs, textCol)).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
       .withColumn("rank",
         row_number().over(Window.orderBy(col("cnt").desc, col("t"))))
@@ -689,7 +704,7 @@ object TextAnalysis {
     val counts = docs
       .select(col(groupCol).as("grp"),
         expr(s"($idCol * 2) div ${maxId + 1}").as("half"),
-        explode(wsTokens(lower(col(textCol)))).as("t"))
+        explode(toksOf(docs, textCol)).as("t"))
       .groupBy(col("grp"), xxhash64(col("t")).as("h"))
       .agg(
         sum(when(col("half") === 0, 1L).otherwise(0L)).as("c_a"),

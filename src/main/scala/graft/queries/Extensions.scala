@@ -33,6 +33,23 @@ object Extensions {
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", shingleK = 3, threshold = 0.5)
     }
 
+  /** The TOKENIZED corpus — `(doc_id, lang, source, tokens ARRAY<STRING>)`
+    * — materialized once per (session, corpus) and shared by every corpus
+    * statistic that consumes token streams (x35 n-gram top-k, x48 salient
+    * terms, x79 collocations, x80 drift, x83 Zipf, x88 vocab coverage).
+    * Same production shape as [[ngramPairGraph]]: at 100 TB the regex
+    * tokenization pass over raw text runs ONCE and is persisted; every
+    * downstream aggregate reads the token arrays. Operators dispatch on
+    * the column type ([[graft.ops.TextAnalysis.toksOf]]), so each still
+    * works standalone on raw text — this view only changes what the query
+    * layer feeds them. */
+  private def tokDocs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SharedViews.materialized(s, s"tokenized_docs/$dir") {
+      import org.apache.spark.sql.functions.col
+      docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+        graft.ops.Dedup.tokens(col("text")).as("tokens"))
+    }
+
   private def sumDecSql(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
 
   // ------------------------------------------------------------ x01 exact dedup
@@ -888,7 +905,7 @@ object Extensions {
     * with the same \s+ split (pinned cross-engine by x02). */
   def x35NgramTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    TextAnalysis.topNgrams(docs(s, dir), "text", "lang", k = 10)
+    TextAnalysis.topNgrams(tokDocs(s, dir), "tokens", "lang", k = 10)
       .orderBy($"lang", $"n".desc, $"ngram")
   }
   val x35Sql: String =
@@ -1148,7 +1165,7 @@ object Extensions {
     * All-integer ordering with string tiebreak: exactly SQL-expressible. */
   def x48SalientTerms(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    TextAnalysis.salientTerms(docs(s, dir), "doc_id", "text", maxDf = 390L, k = 3)
+    TextAnalysis.salientTerms(tokDocs(s, dir), "doc_id", "tokens", maxDf = 390L, k = 3)
       .orderBy($"doc_id", $"term")
   }
   val x48Sql: String =
@@ -2042,7 +2059,7 @@ object Extensions {
     * bit-for-bit cross-engine (ties → the pair itself). */
   def x79Collocations(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    TextAnalysis.collocationLift(docs(s, dir), "text", k = 20, minPairCount = 5L)
+    TextAnalysis.collocationLift(tokDocs(s, dir), "tokens", k = 20, minPairCount = 5L)
   }
   val x79Sql: String =
     """WITH toks AS (
@@ -2069,7 +2086,7 @@ object Extensions {
     * no engine ever adds two doubles. */
   def x80TokenDrift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    TextAnalysis.tokenDriftTV(docs(s, dir), "doc_id", "text", "lang").orderBy($"lang")
+    TextAnalysis.tokenDriftTV(tokDocs(s, dir), "doc_id", "tokens", "lang").orderBy($"lang")
   }
   val x80Sql: String =
     """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
@@ -2142,7 +2159,7 @@ object Extensions {
     * Component sums fold in rank order in both engines. */
   def x83ZipfSlope(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    TextAnalysis.zipfSlope(docs(s, dir), "text", "source", topR = 1000)
+    TextAnalysis.zipfSlope(tokDocs(s, dir), "tokens", "source", topR = 1000)
       .select($"source", $"m",
         expr("CAST(floor(zipf_slope * 1000000000.0) AS BIGINT)").as("slope_e9"))
       .orderBy($"source")
@@ -2323,7 +2340,7 @@ object Extensions {
     * exact division per row. */
   def x88VocabCoverage(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    TextAnalysis.vocabCoverage(docs(s, dir), "text",
+    TextAnalysis.vocabCoverage(tokDocs(s, dir), "tokens",
       sizes = Seq(100, 500, 1000, 2000, 4000))
   }
   val x88Sql: String =

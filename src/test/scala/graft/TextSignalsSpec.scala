@@ -140,4 +140,31 @@ class TextSignalsSpec extends SparkSpec {
       (3L, 1, 2, 9),
       (4L, 1, 2, 3), (4L, 2, 1, 1)))
   }
+
+  test("toksOf: pre-tokenized ARRAY<STRING> input gives identical results to raw text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val raw = Seq(
+      (1L, "The cat sat on the mat", "en", "web"),
+      (2L, "the cat SAT on a hat", "en", "web"),
+      (3L, "un gato y un perro y un gato", "es", "books"),
+      (4L, "cat cat cat the the mat", "en", "books")
+    ).toDF("doc_id", "text", "lang", "source")
+    val tok = raw.select(col("doc_id"), col("lang"), col("source"),
+      graft.ops.Dedup.tokens(col("text")).as("tokens"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(TextAnalysis.topNgrams(raw, "text", "lang", 3)) ==
+      rows(TextAnalysis.topNgrams(tok, "tokens", "lang", 3)))
+    assert(rows(TextAnalysis.salientTerms(raw, "doc_id", "text", 2L, 2)) ==
+      rows(TextAnalysis.salientTerms(tok, "doc_id", "tokens", 2L, 2)))
+    assert(rows(TextAnalysis.collocationLift(raw, "text", 5, 1L)) ==
+      rows(TextAnalysis.collocationLift(tok, "tokens", 5, 1L)))
+    assert(rows(TextAnalysis.zipfSlope(raw, "text", "source", 10)) ==
+      rows(TextAnalysis.zipfSlope(tok, "tokens", "source", 10)))
+    assert(rows(TextAnalysis.vocabCoverage(raw, "text", Seq(2, 5))) ==
+      rows(TextAnalysis.vocabCoverage(tok, "tokens", Seq(2, 5))))
+    assert(rows(TextAnalysis.tokenDriftTV(raw, "doc_id", "text", "lang")) ==
+      rows(TextAnalysis.tokenDriftTV(tok, "doc_id", "tokens", "lang")))
+  }
 }
