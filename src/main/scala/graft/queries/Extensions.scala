@@ -152,17 +152,72 @@ object Extensions {
        |FROM sc ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ x05 fingerprint
-  // Rows-only: winnowing fingerprint (custom expression). The fingerprint
-  // array is emitted as a CSV string: the driver's comparator sorts columns
-  // with pandas, which cannot hash array cells.
+  /** Winnowing fingerprints (custom codegen'd expression; Schleimer et al.,
+    * SIGMOD'03 semantics: FNV-1a over byte 8-grams, min of every 16-wide
+    * window, distinct, signed-ascending). FULLY ORACLED since round 8: the
+    * corpus is pure ASCII, so DuckDB rebuilds the identical FNV-1a fold
+    * with mod-2⁶⁴ HUGEINT arithmetic (`list_reduce` over `unicode()` code
+    * points == bytes) and the identical windowed minima with a framed
+    * `min() OVER`. The fingerprint array ships as a CSV string (the
+    * driver's comparator can't hash array cells); the whole-doc content id
+    * is md5 — order-sensitive and shared by both engines — rather than
+    * xxhash64, which DuckDB lacks. */
   def x05Fingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")
+      .join(docs(s, dir).select($"doc_id", md5($"text").as("content_md5")), Seq("doc_id"))
       .select($"doc_id", size($"fingerprint").as("n_fingerprints"),
         array_join($"fingerprint".cast("array<string>"), ",").as("fingerprint_csv"),
-        $"content_hash")
+        $"content_md5")
       .orderBy($"doc_id")
   }
+  // The mod-2⁶⁴ FNV fold runs in unsigned HUGEINT space, but the kernel
+  // selects window minima by SIGNED long comparison (TreeSet[Long]) — so
+  // the oracle converts each k-gram hash to signed BIGINT BEFORE any min.
+  val x05Sql: String =
+    """WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+      |kh AS (
+      |  SELECT doc_id, i AS pos,
+      |    CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+      |              THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS h
+      |  FROM (
+      |    SELECT doc_id, u.i AS i,
+      |      list_reduce(
+      |        list_prepend(14695981039346656037::HUGEINT,
+      |          list_transform(range(0, 8), j -> unicode(substr(text, u.i + j, 1))::HUGEINT)),
+      |        (a, b) -> (xor(a, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+      |      ) AS h
+      |    FROM d, unnest(range(1, L - 8 + 2)) AS u(i)
+      |    WHERE L >= 8) s),
+      |winmin AS (
+      |  SELECT doc_id, pos,
+      |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |                 ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS mh,
+      |    count(*) OVER (PARTITION BY doc_id) AS m
+      |  FROM kh),
+      |sel AS (
+      |  SELECT DISTINCT doc_id, mh AS f FROM winmin WHERE m > 16 AND pos <= m - 15
+      |  UNION
+      |  SELECT doc_id, min(h) AS f FROM kh GROUP BY doc_id HAVING count(*) <= 16
+      |  UNION
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+      |              THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS f
+      |  FROM (
+      |    SELECT doc_id,
+      |      list_reduce(
+      |        list_prepend(14695981039346656037::HUGEINT,
+      |          list_transform(range(1, L + 1), i -> unicode(substr(text, i, 1))::HUGEINT)),
+      |        (a, b) -> (xor(a, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+      |      ) AS h
+      |    FROM d WHERE L < 8) s),
+      |agg AS (
+      |  SELECT doc_id, count(f) AS n_fingerprints,
+      |    string_agg(CAST(f AS VARCHAR), ',' ORDER BY f) AS fingerprint_csv
+      |  FROM sel GROUP BY doc_id)
+      |SELECT a.doc_id, a.n_fingerprints, a.fingerprint_csv, md5(d.text) AS content_md5
+      |FROM agg a JOIN d ON a.doc_id = d.doc_id
+      |ORDER BY a.doc_id""".stripMargin
 
   // ------------------------------------------------------------ x06 minhash LSH
   /** Near-dup pairs through shingle→minhash→band→bucket-join, verified with
@@ -2607,6 +2662,7 @@ object Extensions {
     "x02_token_count" -> x02Sql,
     "x03_quality_score" -> x03Sql,
     "x04_lang_id" -> x04Sql,
+    "x05_fingerprint" -> x05Sql,
     "x06_minhash_neardup" -> x06Sql,
     "x07_simhash_neardup" -> x07Sql,
     "x08_ngram_jaccard" -> x08Sql,

@@ -117,6 +117,13 @@ class ReadersSpec extends SparkSpec {
       assert(docs.schema("text").dataType == StringType)
       assert(docs.schema("lang").dataType == StringType)
       assert(docs.schema("source").dataType == StringType)
+      // x05's DuckDB oracle rebuilds the FNV-1a byte fold from unicode code
+      // points, which only equals the kernel's byte-level fold while the
+      // corpus stays pure ASCII — fail HERE if the testdata ever drifts.
+      assert(docs.filter(
+        org.apache.spark.sql.functions.expr("octet_length(text) <> length(text)"))
+        .limit(1).count() == 0L,
+        s"$sf: non-ASCII text would break x05's byte-level oracle")
       val emb = Tables.load(spark, s"/root/testdata/$sf", "embeddings")
       assert(emb.schema("vec_id").dataType == LongType)
       assert(emb.schema("embedding").dataType == ArrayType(FloatType, containsNull = true))
