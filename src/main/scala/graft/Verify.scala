@@ -19,6 +19,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Failures are RECORDED, not just logged: round 7 shipped six queries
+    // that failed analysis, and their absence from the output dir made them
+    // invisible in the correctness report (missing row ≠ red row). Anything
+    // in errors.json turns into a hard selfcheck failure.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -26,6 +31,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +49,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // names this invocation attempted (an `only`-filtered local run attempts
+    // a subset; selfcheck must not flag the rest as missing)
+    val attempted = SparkEntry.queries.keys
+      .filter(n => only.isEmpty || only(n)).toSeq.sorted
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      attempted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

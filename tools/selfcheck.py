@@ -44,6 +44,21 @@ def main():
     import pyarrow.parquet as pq
     import pyarrow as pa
     failures = []
+    # Queries that errored in graft.Verify (recorded since round 8) and
+    # oracled queries with no output dir at all — both are hard failures:
+    # a missing row must never read as green.
+    err_path = os.path.join(out_dir, "errors.json")
+    run_errors = json.load(open(err_path)) if os.path.exists(err_path) else {}
+    for name, msg in sorted(run_errors.items()):
+        print(f"{name}: VERIFY ERROR: {msg[:160]}")
+        failures.append(name)
+    man_path = os.path.join(out_dir, "manifest.json")
+    attempted = set(json.load(open(man_path))) if os.path.exists(man_path) \
+        else set(oracle)
+    for name in sorted(set(oracle) & attempted):
+        if name not in run_errors and not os.path.isdir(os.path.join(out_dir, name)):
+            print(f"{name}: MISSING OUTPUT (oracled but never dumped)")
+            failures.append(name)
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
