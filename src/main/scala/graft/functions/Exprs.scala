@@ -215,6 +215,23 @@ object Exprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** bloom_any(array<bigint> shingles) → boolean — true iff any shingle
+    * hash maybe-hits the bloom bitset carried IN the expression (not as a
+    * child literal: a 2^20-bit filter as a CreateArray of 16K children
+    * would blow up codegen; `ctx.addReferenceObj` ships it with the task
+    * binary instead, the broadcast-equivalent path). Stays inside
+    * whole-stage codegen. */
+  case class BloomAnyExpr(child: Expression, bits: Array[Long]) extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override protected def nullSafeEval(v: Any): Any =
+      Ops.bloomAny(bits, v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloomBits", bits, "long[]")
+      defineCodeGen(ctx, ev, c => s"graft.functions.Ops.bloomAny($ref, $c)")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** lang_id(string) → string */
   case class LangId(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StringType
@@ -246,6 +263,8 @@ object Exprs {
   def hyperplane_bucket(vec: Column, nbits: Int = 16, seed: Long = 42L): Column =
     col(HyperplaneBucket(ex(vec), nbits, seed))
   def lang_id(text: Column): Column = col(LangId(ex(text)))
+  def bloom_any(shingles: Column, bits: Array[Long]): Column =
+    col(BloomAnyExpr(ex(shingles), bits))
   def sorted_intersect_count(a: Column, b: Column): Column =
     col(SortedIntersectCount(ex(a), ex(b)))
   def ngram_hashes(tokens: Column, k: Int): Column = col(NgramHashes(ex(tokens), k))

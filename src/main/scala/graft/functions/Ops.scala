@@ -403,4 +403,46 @@ object Ops {
     }
     UTF8String.fromString(langNames(best))
   }
+
+  // ---------------------------------------------------------------- bloom
+  // Double-hashing bloom filter over 64-bit gram hashes (Kirsch &
+  // Mitzenmacher '06: probe_i = h1 + i·h2 gives the asymptotic FP rate of
+  // k independent hashes). k=2 probes; positions are UNSIGNED mod the bit
+  // length so negative hashes index correctly. The bitset is a plain
+  // long[] — serialized with the expression/task binary, the broadcast-
+  // equivalent shape that stays small (2^20 bits = 128 KiB) even when the
+  // gram SET it summarizes would be gigabytes.
+  private def bloomProbe(bits: Array[Long], g: Long, set: Boolean): Boolean = {
+    val numBits = bits.length.toLong * 64L
+    val h1 = splitmix64(g)
+    val h2 = splitmix64(h1) | 1L
+    var i = 0
+    while (i < 2) {
+      val p = java.lang.Long.remainderUnsigned(h1 + i * h2, numBits)
+      val w = (p >>> 6).toInt
+      val m = 1L << (p & 63L)
+      if (set) bits(w) |= m
+      else if ((bits(w) & m) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Insert gram hash `g` into the bitset. */
+  def bloomSet(bits: Array[Long], g: Long): Unit = bloomProbe(bits, g, set = true)
+
+  /** Membership test: false = definitely absent; true = maybe present. */
+  def bloomMaybe(bits: Array[Long], g: Long): Boolean = bloomProbe(bits, g, set = false)
+
+  /** True iff ANY element of the shingle-hash array maybe-hits the bloom —
+    * the per-document prefilter, one short-circuiting pass over the array. */
+  def bloomAny(bits: Array[Long], shingles: ArrayData): Boolean = {
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (bloomMaybe(bits, shingles.getLong(i))) return true
+      i += 1
+    }
+    false
+  }
 }

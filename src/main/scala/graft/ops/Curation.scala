@@ -465,6 +465,47 @@ object Curation {
     corpus.join(contaminated.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** Bloom-prefiltered decontamination — EXACTLY the same output as
+    * [[decontaminate]], reached through the plan that survives an eval set
+    * too large to broadcast as an exact hash set:
+    *
+    *  1. BUILD: the eval grams fold distributed into a fixed `numBits`
+    *     bitset ([[graft.functions.BloomAgg]] — map-side partial OR-merge,
+    *     so a billion-gram blocklist still summarizes into 2²⁰ bits).
+    *  2. PREFILTER: every corpus document is screened MAP-SIDE by one
+    *     codegen'd pass over its shingle-hash array
+    *     ([[graft.functions.Exprs.BloomAnyExpr]] riding in the task
+    *     binary). Bloom negatives are DEFINITE negatives, so the ~all-clean
+    *     bulk of the corpus is admitted with zero shuffle and never
+    *     explodes a gram row.
+    *  3. CONFIRM: only bloom-positive candidates (true hits + the FP rate
+    *     of the filter) explode into gram rows for the exact semi-join that
+    *     removes false positives — the expensive path now runs over a
+    *     sliver of the corpus, not all of it.
+    *
+    * The bloom is a pure PERFORMANCE device: step 3 restores exactness, so
+    * this oracles against the identical SQL as [[decontaminate]] (x93 ≡
+    * x25's result), and the FP-heavy degenerate case (tiny filter) only
+    * costs time, never correctness — the spec pins both. */
+  def bloomDecontaminate(corpus: DataFrame, evalDocs: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 5, numBits: Int = 1 << 20): DataFrame = {
+    val evalGrams = Dedup.shingleSets(evalDocs, idCol, textCol, shingleK)
+      .select(explode(col("shingles")).as("gram")).distinct()
+    // one small job: the aggregated bitset (numBits/8 bytes) to the driver
+    val bits: Array[Long] = evalGrams
+      .agg(graft.functions.BloomAgg.bloom_agg(col("gram"), numBits).as("b"))
+      .head.getSeq[Long](0).toArray
+    val withShingles = corpus.withColumn("__sh",
+      graft.functions.Exprs.shingle_hashes(Dedup.tokens(col(textCol)), shingleK))
+    val candidates = withShingles
+      .filter(graft.functions.Exprs.bloom_any(col("__sh"), bits))
+    val contaminated = candidates
+      .select(col(idCol).as("__cand_id"), explode(col("__sh")).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .select(col("__cand_id").as(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Cross-source k-gram overlap matrix: for every pair of sources, the
     * number of DISTINCT k-token shingles they share. The governance twin of
     * [[decontaminate]] — where that op drops contaminated docs, this one

@@ -683,6 +683,24 @@ object Extensions {
       |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------- x93 bloom decontamination
+  /** [[graft.ops.Curation.bloomDecontaminate]] with the same eval split as
+    * x25 — the bloom prefilter + exact confirm MUST reproduce the exact
+    * decontamination result, so the oracle is literally x25's SQL. What the
+    * driver row certifies is the scale path: the map-side bloom screen
+    * (distributed [[graft.functions.BloomAgg]] build, codegen'd probe) is
+    * output-invisible. */
+  def x93BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    Curation.bloomDecontaminate(
+      d.filter($"doc_id" % 97 =!= 0), d.filter($"doc_id" % 97 === 0),
+      "doc_id", "text", shingleK = 5, numBits = 1 << 17)
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+  val x93Sql: String = x25Sql
+
   // ------------------------------------------------------ x26 token-budget mix
   /** Source mixing under a token budget (half the corpus's tokens):
     * water-filled per-source allocations, docs admitted in ascending-id
@@ -2535,6 +2553,7 @@ object Extensions {
       |FROM t WHERE length(s) > 0 ORDER BY doc_id, sent_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x93_bloom_decontaminate" -> x93BloomDecontaminate _,
     "x89_walk_authority" -> x89WalkAuthority _,
     "x90_containment" -> x90Containment _,
     "x91_weighted_jaccard" -> x91WeightedJaccard _,
@@ -2681,6 +2700,7 @@ object Extensions {
     "x86_quality_dup_curve" -> x86Sql,
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
+    "x93_bloom_decontaminate" -> x93Sql,
     "x89_walk_authority" -> x89Sql,
     "x90_containment" -> x90Sql,
     "x91_weighted_jaccard" -> x91Sql,

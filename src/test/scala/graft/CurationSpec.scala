@@ -391,4 +391,33 @@ class CurationSpec extends SparkSpec {
       "a" -> ((2L, 2L, true)), "b" -> ((3L, 3L, true)),
       "c" -> ((7L, 4L, false)), "d" -> ((20L, 4L, false))))
   }
+
+  test("bloomDecontaminate equals exact decontaminate, even with a tiny FP-heavy filter") {
+    import spark.implicits._
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = d.filter($"doc_id" % 97 =!= 0)
+    val eval_ = d.filter($"doc_id" % 97 === 0)
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select($"doc_id").as[Long].collect().sorted.toSeq
+    val exact = ids(Curation.decontaminate(corpus, eval_, "doc_id", "text", 5))
+    // production-sized filter: few FPs, confirm join touches almost nothing
+    assert(ids(Curation.bloomDecontaminate(corpus, eval_, "doc_id", "text", 5, 1 << 17)) == exact)
+    // degenerate 64-bit filter: nearly every doc is a bloom positive, so the
+    // confirm join does all the work — output must STILL be exact
+    assert(ids(Curation.bloomDecontaminate(corpus, eval_, "doc_id", "text", 5, 64)) == exact)
+  }
+
+  test("bloom filter: no false negatives; FP rate in the expected band") {
+    val bits = new Array[Long](1 << 11) // 2^17 bits
+    val rnd = new scala.util.Random(7)
+    val inserted = Array.fill(4096)(rnd.nextLong())
+    inserted.foreach(g => graft.functions.Ops.bloomSet(bits, g))
+    // definite-membership contract: every inserted gram maybe-hits
+    assert(inserted.forall(g => graft.functions.Ops.bloomMaybe(bits, g)))
+    // k=2 probes, n=4096, m=2^17: p = (1-e^(-kn/m))^2 ≈ 0.0037 — allow 3x
+    val probes = Array.fill(100000)(rnd.nextLong())
+      .filterNot(inserted.contains)
+    val fp = probes.count(g => graft.functions.Ops.bloomMaybe(bits, g)).toDouble / probes.length
+    assert(fp < 0.012, s"false-positive rate $fp out of band")
+  }
 }

