@@ -465,6 +465,65 @@ object Curation {
     corpus.join(contaminated.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** DSIR-style importance scoring for data selection (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS'23 — public knowledge): rank the raw pool by how much more
+    * likely each document is under a hashed bigram LM of the TARGET domain
+    * than under the raw pool's own LM,
+    * score(d) = Σ_g [ln(c_t(b(g))+1) − ln(c_r(b(g))+1)]
+    *          + |g(d)|·[ln(N_r+B) − ln(N_t+B)]
+    * (add-1-smoothed bucket counts; the constant term is the normalizer
+    * difference factored out of the per-gram sum).
+    *
+    * Determinism discipline: buckets come from the md5-hex prefix (x67's
+    * cross-engine spelling), counts are exact integers, each ln takes an
+    * INTEGER argument, and the per-doc sum folds over a bucket-sorted
+    * bounded array — both engines add the identical term sequence — with
+    * the score quantized to e9 for output. Scale shape: the two LMs are ONE
+    * map-side-combining aggregate bounded by `numBuckets` rows (never
+    * vocabulary-sized), broadcast back; per-doc scoring shuffles (doc,
+    * bucket) pairs once for the doc-level fold; selection is a quantized
+    * integer TakeOrdered. */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, numBuckets: Int = 4096, k: Int = 50): DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    val bigrams = when(size(toks) >= 2,
+      expr(s"transform(sequence(1, size(${textCol}__toks) - 1), " +
+        s"i -> concat(element_at(${textCol}__toks, i), ' ', element_at(${textCol}__toks, i + 1)))"))
+      .otherwise(array().cast("array<string>"))
+    val grams = docs
+      .withColumn(s"${textCol}__toks", toks)
+      .select(col(idCol).as("doc_id"), isTarget.as("__t"),
+        explode(bigrams).as("gram"))
+      .withColumn("b",
+        pmod(conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"),
+          lit(numBuckets.toLong)))
+    val lm = grams.groupBy("b").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("c_t"),
+      sum(when(col("__t"), 0L).otherwise(1L)).as("c_r"))
+    val totals = lm.agg(
+      sum(col("c_t")).as("n_t"), sum(col("c_r")).as("n_r"))
+    val perDoc = grams.filter(!col("__t"))
+      .join(broadcast(lm), Seq("b"))
+      .select(col("doc_id"), col("b"),
+        (log(col("c_t").cast("double") + 1.0) -
+          log(col("c_r").cast("double") + 1.0)).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sort_array(collect_list(struct(col("b"), col("term")))).as("e"))
+      .select(col("doc_id"), col("n_grams"),
+        expr("aggregate(e, CAST(0.0 AS DOUBLE), (a, p) -> a + p.term)").as("s"))
+    perDoc.crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_grams"),
+        (col("s") + col("n_grams").cast("double") *
+          (log(col("n_r").cast("double") + numBuckets) -
+            log(col("n_t").cast("double") + numBuckets))).as("score"))
+      .select(col("doc_id"), col("n_grams"),
+        floor(col("score") * 1e9).cast("long").as("score_e9"))
+      .orderBy(col("score_e9").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Bloom-prefiltered decontamination — EXACTLY the same output as
     * [[decontaminate]], reached through the plan that survives an eval set
     * too large to broadcast as an exact hash set:

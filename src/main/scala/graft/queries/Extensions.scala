@@ -701,6 +701,52 @@ object Extensions {
   }
   val x93Sql: String = x25Sql
 
+  // ----------------------------------------------- x94 DSIR importance select
+  /** [[graft.ops.Curation.dsirScores]]: top-50 raw-pool docs by hashed-
+    * bigram-LM importance toward the src0/src1 target domain. Every count
+    * is integer, each ln takes an integer-derived argument, the per-doc sum
+    * folds bucket-sorted on both engines, and the emitted score is
+    * e9-quantized — x83's determinism discipline on x67's md5 buckets. */
+  def x94DsirSelect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Curation.dsirScores(docs(s, dir), "doc_id", "text",
+      $"source".isin("src0", "src1"), numBuckets = 4096, k = 50)
+  }
+  val x94Sql: String =
+    """WITH t AS (SELECT doc_id, source IN ('src0','src1') AS tgt,
+      |             string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id, tgt,
+      |    unnest(CASE WHEN len(w) >= 2
+      |      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+      |      ELSE [] END) AS gram
+      |  FROM t),
+      |gb AS (
+      |  SELECT doc_id, tgt,
+      |    CAST(list_sum(list_transform(range(1, 9), i ->
+      |      (strpos('0123456789abcdef', substr(md5(gram), CAST(i AS INT), 1)) - 1)
+      |        * power(16.0, 8 - i))) AS BIGINT) % 4096 AS b
+      |  FROM g),
+      |lm AS (
+      |  SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_t,
+      |         sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS c_r
+      |  FROM gb GROUP BY b),
+      |tot AS (SELECT sum(c_t) AS n_t, sum(c_r) AS n_r FROM lm),
+      |terms AS (
+      |  SELECT gb.doc_id, gb.b,
+      |    ln(CAST(c_t AS DOUBLE) + 1.0) - ln(CAST(c_r AS DOUBLE) + 1.0) AS term
+      |  FROM gb JOIN lm USING (b) WHERE NOT gb.tgt),
+      |pd AS (
+      |  SELECT doc_id, count(*) AS n_grams,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(term ORDER BY b, term)), (a, x) -> a + x) AS s
+      |  FROM terms GROUP BY doc_id)
+      |SELECT doc_id, n_grams,
+      |  CAST(floor((s + n_grams * (ln(CAST(n_r AS DOUBLE) + 4096)
+      |    - ln(CAST(n_t AS DOUBLE) + 4096))) * 1000000000.0) AS BIGINT) AS score_e9
+      |FROM pd, tot
+      |ORDER BY score_e9 DESC, doc_id LIMIT 50""".stripMargin
+
   // ------------------------------------------------------ x26 token-budget mix
   /** Source mixing under a token budget (half the corpus's tokens):
     * water-filled per-source allocations, docs admitted in ascending-id
@@ -2553,6 +2599,7 @@ object Extensions {
       |FROM t WHERE length(s) > 0 ORDER BY doc_id, sent_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x94_dsir_select" -> x94DsirSelect _,
     "x93_bloom_decontaminate" -> x93BloomDecontaminate _,
     "x89_walk_authority" -> x89WalkAuthority _,
     "x90_containment" -> x90Containment _,
@@ -2700,6 +2747,7 @@ object Extensions {
     "x86_quality_dup_curve" -> x86Sql,
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
+    "x94_dsir_select" -> x94Sql,
     "x93_bloom_decontaminate" -> x93Sql,
     "x89_walk_authority" -> x89Sql,
     "x90_containment" -> x90Sql,

