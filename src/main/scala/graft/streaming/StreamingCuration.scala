@@ -108,4 +108,26 @@ object StreamingCuration {
       .as[DocIn]
     perSourceCapStream(deduped, maxPerSource)
   }
+
+  /** Streaming decontamination screen: drop any arriving document whose
+    * shingle set maybe-hits the benchmark bloom filter (built batch-side by
+    * [[graft.functions.BloomAgg]] from the eval set, shipped in the task
+    * binary). STATELESS and map-side — the same codegen'd probe as the
+    * batch prefilter ([[graft.ops.Curation.bloomDecontaminate]] step 2), so
+    * it composes into any stream with zero state and zero shuffle.
+    *
+    * Semantics trade, stated plainly: bloom negatives are DEFINITE
+    * negatives, so no contaminated document is ever admitted; bloom FALSE
+    * POSITIVES (rate set by the filter size) are over-dropped, because the
+    * exact confirm join needs a per-doc aggregation a low-latency admission
+    * path shouldn't pay. The batch operator is the reconciliation path —
+    * exactly the rateLimitStream/batch-twin contract. */
+  def bloomScreenStream(docs: Dataset[DocIn], bits: Array[Long],
+      shingleK: Int = 5): Dataset[DocIn] = {
+    import docs.sparkSession.implicits._
+    docs.where(!graft.functions.Exprs.bloom_any(
+      graft.functions.Exprs.shingle_hashes(
+        graft.ops.Dedup.tokens(col("text")), shingleK), bits))
+      .as[DocIn]
+  }
 }

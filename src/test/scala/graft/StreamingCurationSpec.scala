@@ -132,4 +132,38 @@ class StreamingCurationSpec extends SparkSpec {
         s"dup 4 dropped cross-batch, 6 over cap, 5 admitted: ${ids()}")
     } finally q.stop()
   }
+
+  test("bloomScreenStream: contaminated docs never admitted; clean docs pass across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    // eval set: two benchmark sentences; build the bloom batch-side
+    val eval_ = Seq(
+      (100L, "the capital of france is paris city"),
+      (101L, "water boils at one hundred degrees celsius")
+    ).toDF("doc_id", "text")
+    val evalGrams = graft.ops.Dedup.shingleSets(eval_, "doc_id", "text", 5)
+      .select(explode(col("shingles")).as("gram")).distinct()
+    val bits: Array[Long] = evalGrams
+      .agg(graft.functions.BloomAgg.bloom_agg(col("gram"), 1 << 17).as("b"))
+      .head.getSeq[Long](0).toArray
+    val input = MemoryStream[DocIn](spark)
+    val q = StreamingCuration.bloomScreenStream(input.toDS(), bits, shingleK = 5)
+      .writeStream.format("memory").queryName("bloom_stream_test")
+      .outputMode("append").start()
+    def ids(): Seq[Long] =
+      spark.table("bloom_stream_test").select($"doc_id").as[Long].collect().sorted.toSeq
+    try {
+      input.addData(Seq(
+        // shares the 5-gram "the capital of france is" with the eval set
+        DocIn(1, ts(1), "web", "everyone knows the capital of france is paris indeed"),
+        DocIn(2, ts(2), "web", txt(2))))
+      q.processAllAvailable()
+      assert(ids() == Seq(2L), s"leaked doc must drop, clean doc pass: ${ids()}")
+      input.addData(Seq(
+        DocIn(3, ts(3), "web", "as they say water boils at one hundred degrees celsius always"),
+        DocIn(4, ts(4), "web", txt(4))))
+      q.processAllAvailable()
+      assert(ids() == Seq(2L, 4L), s"second-batch leak must drop too: ${ids()}")
+    } finally q.stop()
+  }
 }
