@@ -486,7 +486,7 @@ object Curation {
     * integer TakeOrdered. */
   def dsirScores(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, numBuckets: Int = 4096, k: Int = 50): DataFrame = {
-    val toks = Dedup.tokens(col(textCol))
+    val toks = TextAnalysis.toksOf(docs, textCol)
     val bigrams = when(size(toks) >= 2,
       expr(s"transform(sequence(1, size(${textCol}__toks) - 1), " +
         s"i -> concat(element_at(${textCol}__toks, i), ' ', element_at(${textCol}__toks, i + 1)))"))

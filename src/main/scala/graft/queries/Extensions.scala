@@ -709,7 +709,7 @@ object Extensions {
     * e9-quantized — x83's determinism discipline on x67's md5 buckets. */
   def x94DsirSelect(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Curation.dsirScores(docs(s, dir), "doc_id", "text",
+    Curation.dsirScores(tokDocs(s, dir), "doc_id", "tokens",
       $"source".isin("src0", "src1"), numBuckets = 4096, k = 50)
   }
   val x94Sql: String =
