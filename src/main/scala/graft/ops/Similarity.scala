@@ -306,6 +306,78 @@ object Similarity {
     * cross-engine oracle-able. The descaled `mean_pair_dot` double is a
     * derived convenience (numerator / n(n−1) / 10¹²), reconstructed in the
     * spec rather than hash-pinned. */
+  /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication",
+    * arXiv'23 — public knowledge): within each CLUSTER of the embedding
+    * space, find pairs above a cosine threshold and keep, per pair, the
+    * vector FARTHER from the cluster centroid (SemDeDup's keep-the-
+    * boundary-point policy: centroid-near duplicates carry the least
+    * marginal information). The cluster column is an INPUT — SemDeDup
+    * assumes an upstream clusterer (k-means in the paper; [[buildIvfIndex]]
+    * here) — so this operator is pure relational composition over it.
+    *
+    * One deliberate simplification, stated plainly: the paper's greedy
+    * within-cluster sweep re-evaluates after each removal; this is the
+    * ONE-PASS pairwise rule (drop the centroid-nearer side of every
+    * qualifying pair), which over-drops only when a dropped vector was
+    * another pair's sole keeper — and is deterministic, shuffle-bounded,
+    * and exactly SQL-expressible, which the iterative sweep is not.
+    *
+    * Exactness discipline (x40/x63/x68's pattern): components quantize to
+    * floor(v·10⁶) integers; the cosine test is spelled in cross-
+    * multiplied integer form (dot > 0 ∧ den²·dot² ≥ num²·|a|²·|b|²) and
+    * the centroid distance as the integer quadratic n²·|q|² − 2n·(q·S) +
+    * |S|², every product in DECIMAL(38,0) — no division, no sqrt, no
+    * doubles anywhere, so the kept set hash-matches the oracle bit-for-bit.
+    *
+    * Scale shape: cluster sufficient statistics (S, |S|², n) are one
+    * (cluster, pos) partial-agg shuffle bounded by |clusters|·dim,
+    * broadcast back; the pair join shuffles both sides ONCE on the cluster
+    * key and is quadratic only within a cluster — the SemDeDup cost model,
+    * bounded by the upstream clusterer's cell size (a mega-cluster needs
+    * sub-bucketing first, same mitigation as the LSH kernels). */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, thetaNum: Int = 3, thetaDen: Int = 10): DataFrame = {
+    val q = emb.select(col(idCol).as("vec_id"), col(clusterCol).as("cluster"),
+      expr(s"transform($vecCol, v -> cast(floor(cast(v as double) * 1000000.0) as bigint))")
+        .as("qv"))
+      .withColumn("na2", expr(
+        "aggregate(qv, cast(0 as decimal(38,0)), (a, x) -> a + cast(x as decimal(38,0)) * x)"))
+    val stats = q
+      .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "qc")))
+      .groupBy("cluster", "pos")
+      .agg(sum(col("qc").cast("decimal(38,0)")).as("s"))
+      .groupBy("cluster")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, s))), p -> p.s)").as("sarr"),
+        sum(col("s") * col("s")).cast("decimal(38,0)").as("s2"))
+    val n = q.groupBy("cluster").agg(count(lit(1)).cast("decimal(38,0)").as("n"))
+    val withDist = q
+      .join(broadcast(stats), Seq("cluster"))
+      .join(broadcast(n), Seq("cluster"))
+      .withColumn("dot_s", expr(
+        "aggregate(zip_with(qv, sarr, (x, y) -> y * x), cast(0 as decimal(38,0)), (a, x) -> a + x)"))
+      .withColumn("d", col("n") * col("n") * col("na2")
+        - lit(2) * col("n") * col("dot_s") + col("s2"))
+      .select(col("vec_id"), col("cluster"), col("qv"), col("na2"), col("d"))
+    val a = withDist.select(col("cluster"), col("vec_id").as("id_a"),
+      col("qv").as("qv_a"), col("na2").as("na2_a"), col("d").as("d_a"))
+    val b = withDist.select(col("cluster"), col("vec_id").as("id_b"),
+      col("qv").as("qv_b"), col("na2").as("na2_b"), col("d").as("d_b"))
+    val losers = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qv_a, qv_b, (x, y) -> x * y), cast(0 as decimal(38,0)), (a, x) -> a + x)"))
+      .filter(col("dot") > 0 &&
+        lit(thetaDen.toLong * thetaDen) * col("dot") * col("dot") >=
+          lit(thetaNum.toLong * thetaNum) * col("na2_a") * col("na2_b"))
+      .select(when(col("d_a") > col("d_b") ||
+          (col("d_a") === col("d_b") && col("id_a") < col("id_b")), col("id_b"))
+        .otherwise(col("id_a")).as("vec_id"))
+      .distinct()
+    withDist.select(col("vec_id"), col("cluster"))
+      .join(losers, Seq("vec_id"), "left_anti")
+  }
+
   def labelCohesion(emb: DataFrame, idCol: String, vecCol: String,
       labelCol: String): DataFrame = {
     val quantized = emb.select(col(labelCol).as("label"), col(vecCol).as("vec"))

@@ -701,6 +701,57 @@ object Extensions {
   }
   val x93Sql: String = x25Sql
 
+  // -------------------------------------------------- x95 semantic dedup
+  /** [[graft.ops.Similarity.semanticDedup]] over the embeddings table with
+    * `label` as the upstream cluster assignment, θ = 3/10 (this corpus's
+    * within-label cosine mass sits at 0.3–0.5). All-integer discipline
+    * end to end — quantized components, cross-multiplied cosine test,
+    * quadratic-form centroid distances — so the kept set is bit-exact on
+    * both engines. */
+  def x95SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.semanticDedup(emb(s, dir), "vec_id", "embedding", "label",
+      thetaNum = 3, thetaDen = 10)
+      .withColumnRenamed("cluster", "label")
+      .orderBy($"vec_id")
+  }
+  val x95Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, label AS cluster,
+      |    list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |qq AS (
+      |  SELECT vec_id, cluster, qv,
+      |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |      list_transform(qv, x -> CAST(x AS HUGEINT) * x)), (a, b) -> a + b) AS na2
+      |  FROM q),
+      |pos AS (
+      |  SELECT cluster, u.p AS pos, u.x AS qc FROM (
+      |    SELECT cluster, unnest(list_transform(qv, (x, i) -> struct_pack(p := i, x := x))) AS u
+      |    FROM q)),
+      |sagg AS (SELECT cluster, pos, CAST(sum(qc) AS HUGEINT) AS s FROM pos GROUP BY 1, 2),
+      |sarr AS (SELECT cluster, list(s ORDER BY pos) AS sarr,
+      |         CAST(sum(s * s) AS HUGEINT) AS s2 FROM sagg GROUP BY cluster),
+      |nn AS (SELECT cluster, CAST(count(*) AS HUGEINT) AS n FROM q GROUP BY cluster),
+      |wd AS (
+      |  SELECT vec_id, qq.cluster AS cluster, qv, na2,
+      |    n * n * na2 - 2 * n * (list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |      list_transform(range(1, len(qv) + 1), i -> sarr[i] * qv[i])), (a, b) -> a + b)) + s2 AS d
+      |  FROM qq JOIN sarr ON qq.cluster = sarr.cluster JOIN nn ON qq.cluster = nn.cluster),
+      |pr AS (
+      |  SELECT a.vec_id AS ia, b.vec_id AS ib, a.d AS da, b.d AS db,
+      |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |      list_transform(range(1, len(a.qv) + 1), i -> CAST(a.qv[i] AS HUGEINT) * b.qv[i])),
+      |      (x, y) -> x + y) AS dot,
+      |    a.na2 AS na2a, b.na2 AS na2b
+      |  FROM wd a JOIN wd b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+      |losers AS (
+      |  SELECT DISTINCT CASE WHEN da > db OR (da = db AND ia < ib) THEN ib ELSE ia END AS vec_id
+      |  FROM pr WHERE dot > 0 AND 100 * dot * dot >= 9 * na2a * na2b)
+      |SELECT vec_id, cluster AS label FROM wd
+      |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+      |ORDER BY vec_id""".stripMargin
+
   // ----------------------------------------------- x94 DSIR importance select
   /** [[graft.ops.Curation.dsirScores]]: top-50 raw-pool docs by hashed-
     * bigram-LM importance toward the src0/src1 target domain. Every count
@@ -2599,6 +2650,7 @@ object Extensions {
       |FROM t WHERE length(s) > 0 ORDER BY doc_id, sent_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x95_semantic_dedup" -> x95SemanticDedup _,
     "x94_dsir_select" -> x94DsirSelect _,
     "x93_bloom_decontaminate" -> x93BloomDecontaminate _,
     "x89_walk_authority" -> x89WalkAuthority _,
@@ -2747,6 +2799,7 @@ object Extensions {
     "x86_quality_dup_curve" -> x86Sql,
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
+    "x95_semantic_dedup" -> x95Sql,
     "x94_dsir_select" -> x94Sql,
     "x93_bloom_decontaminate" -> x93Sql,
     "x89_walk_authority" -> x89Sql,

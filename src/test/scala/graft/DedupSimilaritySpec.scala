@@ -270,6 +270,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.keepBestPerCluster(docs, noPairs, "doc_id", col("score")).count() == 6)
   }
 
+  test("semanticDedup: drops the centroid-nearer side of each qualifying pair, per cluster") {
+    import spark.implicits._
+    // cluster "c": 1=(1,0) and 2=(0.9,0.05) are near-parallel (cos ≈ 0.998
+    // ≥ 0.3) → one qualifying pair; 3=(0,1) is orthogonal to both. With
+    // S = Σq, d_i = |n·q_i − S|²: d_1 > d_2, so 2 (centroid-nearer) drops.
+    // cluster "d": two antiparallel vectors — dot < 0 never qualifies.
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), "c"),
+      (2L, Array(0.9f, 0.05f), "c"),
+      (3L, Array(0.0f, 1.0f), "c"),
+      (10L, Array(1.0f, 0.0f), "d"),
+      (11L, Array(-1.0f, 0.0f), "d")
+    ).toDF("vec_id", "embedding", "label")
+    val kept = Similarity.semanticDedup(emb, "vec_id", "embedding", "label")
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 10L, 11L), s"got $kept")
+    // identical vectors tie on distance → the SMALLER id is the keeper
+    val twins = Seq(
+      (5L, Array(0.5f, 0.5f), "t"), (6L, Array(0.5f, 0.5f), "t")
+    ).toDF("vec_id", "embedding", "label")
+    val keptTwins = Similarity.semanticDedup(twins, "vec_id", "embedding", "label")
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(keptTwins == Seq(5L), s"tie must keep the smaller id: $keptTwins")
+  }
+
   test("labelCohesion: |sum v|^2 - sum|v|^2 identity equals the naive pair sum") {
     import spark.implicits._
     val vecs = Map(
