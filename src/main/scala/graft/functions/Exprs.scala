@@ -232,6 +232,21 @@ object Exprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** cms_lookup(array<bigint> matrix, string token) → bigint — count-min
+    * point estimate (min over rows at the token's double-hashed buckets);
+    * rows/width ride as expression params, codegen'd. */
+  case class CmsLookup(left: Expression, right: Expression, rows: Int, width: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(m: Any, t: Any): Any =
+      Ops.cmsLookup(m.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], rows, width)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (m, t) => s"graft.functions.Ops.cmsLookup($m, $t, $rows, $width)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** lang_id(string) → string */
   case class LangId(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StringType
@@ -265,6 +280,8 @@ object Exprs {
   def lang_id(text: Column): Column = col(LangId(ex(text)))
   def bloom_any(shingles: Column, bits: Array[Long]): Column =
     col(BloomAnyExpr(ex(shingles), bits))
+  def cms_lookup(matrix: Column, token: Column, rows: Int, width: Int): Column =
+    col(CmsLookup(ex(matrix), ex(token), rows, width))
   def sorted_intersect_count(a: Column, b: Column): Column =
     col(SortedIntersectCount(ex(a), ex(b)))
   def ngram_hashes(tokens: Column, k: Int): Column = col(NgramHashes(ex(tokens), k))

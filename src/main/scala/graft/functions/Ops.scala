@@ -428,6 +428,48 @@ object Ops {
     true
   }
 
+  /** FNV-1a with a one-byte seed prefix — the second, independent hash the
+    * count-min rows derive from (h_r = h1 + r·h2). A seed byte before the
+    * payload changes every intermediate state, which is how FNV variants
+    * are made independent without a second algorithm; the oracle replicates
+    * it by prepending the same code point to the fold. */
+  def fnv1aSeeded(s: UTF8String, seed: Int): Long = {
+    val b = s.getBytes
+    var h = (FnvOffset ^ (seed & 0xffL)) * FnvPrime
+    var i = 0
+    while (i < b.length) { h = (h ^ (b(i) & 0xffL)) * FnvPrime; i += 1 }
+    h
+  }
+
+  /** Count-min update: +1 in each of `rows` rows of the flat `rows`×`width`
+    * matrix at the double-hashed bucket of `t`. */
+  def cmsAdd(m: Array[Long], t: UTF8String, rows: Int, width: Int): Unit = {
+    val h1 = fnv1a(t)
+    val h2 = fnv1aSeeded(t, 0x78) | 1L
+    var r = 0
+    while (r < rows) {
+      val b = java.lang.Long.remainderUnsigned(h1 + r * h2, width.toLong).toInt
+      m(r * width + b) += 1L
+      r += 1
+    }
+  }
+
+  /** Count-min point estimate: min over rows of the bucket counters —
+    * never an underestimate, over by at most the row's collision mass. */
+  def cmsLookup(m: ArrayData, t: UTF8String, rows: Int, width: Int): Long = {
+    val h1 = fnv1a(t)
+    val h2 = fnv1aSeeded(t, 0x78) | 1L
+    var est = Long.MaxValue
+    var r = 0
+    while (r < rows) {
+      val b = java.lang.Long.remainderUnsigned(h1 + r * h2, width.toLong).toInt
+      val c = m.getLong(r * width + b)
+      if (c < est) est = c
+      r += 1
+    }
+    est
+  }
+
   /** Insert gram hash `g` into the bitset. */
   def bloomSet(bits: Array[Long], g: Long): Unit = bloomProbe(bits, g, set = true)
 

@@ -701,6 +701,59 @@ object Extensions {
   }
   val x93Sql: String = x25Sql
 
+  // ---------------------------------------------- x96 count-min top tokens
+  /** Count-min sketch validation query: the exact top-20 tokens beside
+    * their [[graft.functions.CountMinAgg]] point estimates. The sketch is
+    * the fixed-memory path for frequency estimates over an unbounded
+    * vocabulary (state = rows·width longs vs vocabulary-sized exact
+    * counts); this query computes BOTH on the same scan so the driver row
+    * certifies the estimates exactly — buckets derive from two FNV-1a
+    * variants the oracle refolds in mod-2⁶⁴ HUGEINT (x05's technique), so
+    * `n_est` matches bit-for-bit, and `never_under` pins the sketch's
+    * one-sided error guarantee. */
+  def x96CmsTopTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokDocs(s, dir).select(explode($"tokens").as("token"))
+    val cms = toks.agg(
+      graft.functions.CountMinAgg.count_min($"token", 4, 1024).as("m"))
+    val exact = toks.groupBy($"token").agg(count(lit(1)).as("n_exact"))
+      .orderBy($"n_exact".desc, $"token").limit(20)
+    exact.crossJoin(broadcast(cms))
+      .select($"token", $"n_exact",
+        graft.functions.Exprs.cms_lookup($"m", $"token", 4, 1024).as("n_est"))
+      .withColumn("never_under", $"n_est" >= $"n_exact")
+      .orderBy($"n_exact".desc, $"token")
+  }
+  val x96Sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents),
+      |tc AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+      |hh AS (
+      |  SELECT token, n,
+      |    list_reduce(list_prepend(14695981039346656037::HUGEINT,
+      |      list_transform(range(1, length(token) + 1),
+      |        i -> unicode(substr(token, i, 1))::HUGEINT)),
+      |      (a, b) -> (xor(a, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h1,
+      |    list_reduce(list_prepend(14695981039346656037::HUGEINT,
+      |      list_transform(range(0, length(token) + 1),
+      |        i -> CASE WHEN i = 0 THEN 120 ELSE unicode(substr(token, i, 1)) END::HUGEINT)),
+      |      (a, b) -> (xor(a, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h2r
+      |  FROM tc),
+      |h2o AS (SELECT token, n, h1,
+      |  CASE WHEN h2r % 2 = 0 THEN h2r + 1 ELSE h2r END AS h2 FROM hh),
+      |cells AS (
+      |  SELECT u.r AS r, (h1 + u.r * h2) % 1024 AS b, sum(n) AS c
+      |  FROM h2o, unnest([0, 1, 2, 3]) AS u(r) GROUP BY 1, 2),
+      |top AS (SELECT token, n AS n_exact, h1, h2 FROM h2o ORDER BY n DESC, token LIMIT 20),
+      |est AS (
+      |  SELECT t.token, t.n_exact, min(c.c) AS n_est
+      |  FROM top t, unnest([0, 1, 2, 3]) AS u(r)
+      |  JOIN cells c ON c.r = u.r AND c.b = (t.h1 + u.r * t.h2) % 1024
+      |  GROUP BY t.token, t.n_exact)
+      |SELECT token, n_exact, CAST(n_est AS BIGINT) AS n_est,
+      |  n_est >= n_exact AS never_under
+      |FROM est ORDER BY n_exact DESC, token""".stripMargin
+
   // -------------------------------------------------- x95 semantic dedup
   /** [[graft.ops.Similarity.semanticDedup]] over the embeddings table with
     * `label` as the upstream cluster assignment, θ = 3/10 (this corpus's
@@ -2650,6 +2703,7 @@ object Extensions {
       |FROM t WHERE length(s) > 0 ORDER BY doc_id, sent_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x96_cms_top_tokens" -> x96CmsTopTokens _,
     "x95_semantic_dedup" -> x95SemanticDedup _,
     "x94_dsir_select" -> x94DsirSelect _,
     "x93_bloom_decontaminate" -> x93BloomDecontaminate _,
@@ -2799,6 +2853,7 @@ object Extensions {
     "x86_quality_dup_curve" -> x86Sql,
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
+    "x96_cms_top_tokens" -> x96Sql,
     "x95_semantic_dedup" -> x95Sql,
     "x94_dsir_select" -> x94Sql,
     "x93_bloom_decontaminate" -> x93Sql,

@@ -40,4 +40,30 @@ class SketchSpec extends SparkSpec {
       assert(r.getLong(r.fieldIndex("exact_distinct")) > 0)
     }
   }
+
+  test("count-min: exact for collision-free data, one-sided error, merge == single build") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.Ops
+    val rows = 4; val width = 1024
+    def u(s: String) = UTF8String.fromString(s)
+    def lookup(m: Array[Long], s: String): Long =
+      Ops.cmsLookup(new org.apache.spark.sql.catalyst.util.GenericArrayData(m), u(s), rows, width)
+    // small vocab, wide sketch: whp no collisions → estimates are EXACT
+    val m = new Array[Long](rows * width)
+    val data = Seq("a" -> 5, "bb" -> 3, "ccc" -> 1)
+    data.foreach { case (t, n) => (1 to n).foreach(_ => Ops.cmsAdd(m, u(t), rows, width)) }
+    data.foreach { case (t, n) =>
+      assert(lookup(m, t) == n.toLong, s"$t: ${lookup(m, t)} != $n") }
+    // one-sided: an estimate is NEVER below the true count, for any token
+    assert(lookup(m, "absent") >= 0L)
+    data.foreach { case (t, n) => assert(lookup(m, t) >= n.toLong) }
+    // merge distributivity: two half-builds summed == one full build
+    val m1 = new Array[Long](rows * width); val m2 = new Array[Long](rows * width)
+    val mFull = new Array[Long](rows * width)
+    (1 to 3).foreach(_ => Ops.cmsAdd(m1, u("a"), rows, width))
+    (1 to 2).foreach(_ => Ops.cmsAdd(m2, u("a"), rows, width))
+    (1 to 5).foreach(_ => Ops.cmsAdd(mFull, u("a"), rows, width))
+    val merged = m1.zip(m2).map { case (x, y) => x + y }
+    assert(merged.sameElements(mFull))
+  }
 }
