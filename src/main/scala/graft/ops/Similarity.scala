@@ -338,11 +338,15 @@ object Similarity {
     * sub-bucketing first, same mitigation as the LSH kernels). */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       clusterCol: String, thetaNum: Int = 3, thetaDen: Int = 10): DataFrame = {
+    // na2 and the pair dot stay in LONG (|q| ≤ 10⁶, so both are ≤ dim·10¹²
+    // — int64-safe up to ~9·10⁵ dimensions); only their SQUARES in the
+    // cross-multiplied cosine test and the n-scaled distance quadratic need
+    // DECIMAL. Keeping the per-pair fold in longs keeps the hot path in the
+    // fast codegen'd HOF kernel instead of decimal arithmetic.
     val q = emb.select(col(idCol).as("vec_id"), col(clusterCol).as("cluster"),
       expr(s"transform($vecCol, v -> cast(floor(cast(v as double) * 1000000.0) as bigint))")
         .as("qv"))
-      .withColumn("na2", expr(
-        "aggregate(qv, cast(0 as decimal(38,0)), (a, x) -> a + cast(x as decimal(38,0)) * x)"))
+      .withColumn("na2", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
     val stats = q
       .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "qc")))
       .groupBy("cluster", "pos")
@@ -356,7 +360,7 @@ object Similarity {
       .join(broadcast(n), Seq("cluster"))
       .withColumn("dot_s", expr(
         "aggregate(zip_with(qv, sarr, (x, y) -> y * x), cast(0 as decimal(38,0)), (a, x) -> a + x)"))
-      .withColumn("d", col("n") * col("n") * col("na2")
+      .withColumn("d", col("n") * col("n") * col("na2").cast("decimal(38,0)")
         - lit(2) * col("n") * col("dot_s") + col("s2"))
       .select(col("vec_id"), col("cluster"), col("qv"), col("na2"), col("d"))
     val a = withDist.select(col("cluster"), col("vec_id").as("id_a"),
@@ -366,10 +370,12 @@ object Similarity {
     val losers = a.join(b, Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("dot", expr(
-        "aggregate(zip_with(qv_a, qv_b, (x, y) -> x * y), cast(0 as decimal(38,0)), (a, x) -> a + x)"))
+        "aggregate(zip_with(qv_a, qv_b, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .withColumn("dot_d", col("dot").cast("decimal(38,0)"))
       .filter(col("dot") > 0 &&
-        lit(thetaDen.toLong * thetaDen) * col("dot") * col("dot") >=
-          lit(thetaNum.toLong * thetaNum) * col("na2_a") * col("na2_b"))
+        lit(thetaDen.toLong * thetaDen) * col("dot_d") * col("dot_d") >=
+          lit(thetaNum.toLong * thetaNum) * col("na2_a").cast("decimal(38,0)") *
+            col("na2_b").cast("decimal(38,0)"))
       .select(when(col("d_a") > col("d_b") ||
           (col("d_a") === col("d_b") && col("id_a") < col("id_b")), col("id_b"))
         .otherwise(col("id_a")).as("vec_id"))

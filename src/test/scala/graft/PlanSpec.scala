@@ -208,4 +208,33 @@ class PlanSpec extends SparkSpec {
     val filterIdx = lines.indexWhere(_.toLowerCase.contains("bloomany"))
     assert(filterIdx >= 0)
   }
+
+  test("x94 DSIR: LM table broadcasts back; no sort-merge join anywhere") {
+    val p = plan(Extensions.x94DsirSelect(spark, dir))
+    // the bucket-LM join and the totals join must both broadcast — the
+    // gram relation (corpus-sized) never shuffles for a join
+    assert(count(p, "BroadcastHashJoin") >= 1, s"LM join should broadcast:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin") >= 1, s"totals crossJoin should broadcast:\n$p")
+    assert(count(p, "SortMergeJoin") == 0, s"no sort-merge join expected:\n$p")
+    // selection is a bounded heap merge, not a global sort
+    assert(count(p, "TakeOrderedAndProject") >= 1, s"top-k should TakeOrdered:\n$p")
+  }
+
+  test("x95 semantic dedup: cluster stats broadcast; pair join shuffles on the cluster key only") {
+    val p = plan(Extensions.x95SemanticDedup(spark, dir))
+    // stats (S, |S|², n) joins are broadcast; the within-cluster pair join
+    // may hash- or sort-merge on the cluster key, but must never broadcast
+    // the corpus side or degenerate to a cartesian product
+    assert(count(p, "BroadcastHashJoin") >= 2, s"cluster stats should broadcast:\n$p")
+    assert(count(p, "CartesianProduct") == 0, s"no cartesian product:\n$p")
+  }
+
+  test("x96 count-min: sketch build is a partial+final imperative aggregate") {
+    val p = plan(Extensions.x96CmsTopTokens(spark, dir))
+    // ObjectHashAggregate carries the TypedImperativeAggregate with a
+    // map-side partial (two occurrences: partial + final)
+    assert(count(p, "ObjectHashAggregate") >= 2, s"partial+final sketch build expected:\n$p")
+    assert(count(p, "SortMergeJoin") == 0 && count(p, "CartesianProduct") == 0,
+      s"single-row sketch must broadcast:\n$p")
+  }
 }
