@@ -186,4 +186,38 @@ class EdgeCaseSpec extends SparkSpec {
       .toDF("event_id", "ts", "user_id")
     assert(EventAnalytics.rateLimit(noTsEvents, "user_id", "ts", "event_id", 3).count() == 0)
   }
+
+  test("round-8 operators on empty and degenerate inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emptyDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    val docs = Seq((1L, "the quick brown fox", "web")).toDF("doc_id", "text", "source")
+    // empty EVAL set: bloom is all-zeros, nothing screens out, corpus survives
+    assert(ops.Curation.bloomDecontaminate(docs, emptyDocs, "doc_id", "text", 5)
+      .count() == 1)
+    // empty CORPUS: nothing to screen
+    assert(ops.Curation.bloomDecontaminate(emptyDocs, docs, "doc_id", "text", 5)
+      .count() == 0)
+    // DSIR with an empty target partition: every c_t = 0, scores are finite
+    // (add-1 smoothing), the pool still ranks
+    val pool = Seq((1L, "a b a b", "raw"), (2L, "c d c d", "raw")).toDF("doc_id", "text", "source")
+    assert(ops.Curation.dsirScores(pool, "doc_id", "text",
+      col("source") === "tgt", 64, 10).count() == 2)
+    // DSIR on empty input
+    assert(ops.Curation.dsirScores(emptyDocs, "doc_id", "text",
+      col("source") === "tgt", 64, 10).count() == 0)
+    // semanticDedup: singleton clusters have no pairs — everything kept
+    val lone = Seq((1L, Array(1.0f, 0.0f), "a"), (2L, Array(0.0f, 1.0f), "b"))
+      .toDF("vec_id", "embedding", "label")
+    assert(ops.Similarity.semanticDedup(lone, "vec_id", "embedding", "label")
+      .count() == 2)
+    // semanticDedup on empty input
+    val noVecs = Seq.empty[(Long, Array[Float], String)].toDF("vec_id", "embedding", "label")
+    assert(ops.Similarity.semanticDedup(noVecs, "vec_id", "embedding", "label")
+      .count() == 0)
+    // count-min over an empty relation: all-zero matrix, lookups return 0
+    val m = emptyDocs.agg(functions.CountMinAgg.count_min(col("text"), 4, 64).as("m"))
+      .head.getSeq[Long](0)
+    assert(m.length == 4 * 64 && m.forall(_ == 0L))
+  }
 }
