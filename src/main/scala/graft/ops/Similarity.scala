@@ -170,6 +170,22 @@ object Similarity {
     IvfIndex(centroids, cells)
   }
 
+  /** Incremental index maintenance: fold a batch of NEW vectors into an
+    * existing index without retraining or rescanning the indexed corpus —
+    * the write path of a living vector lake, where embeddings arrive
+    * continuously and a full rebuild per batch would rescan 100 TB.
+    * Centroids stay FIXED (the standard IVF maintenance contract: cells
+    * drift only as much as the data distribution does; retrain on a
+    * schedule, not per batch), so appending is ONE map-side assignment
+    * pass over the batch unioned onto the persisted cells. Search results
+    * through the appended index are IDENTICAL to a fixed-centroid rebuild
+    * over the combined corpus — pinned by spec. */
+  def ivfAppend(index: IvfIndex, batch: DataFrame, idCol: String,
+      vecCol: String): IvfIndex = {
+    val newCells = assignCells(batch, index.centroids, idCol, vecCol)
+    index.copy(cells = index.cells.unionByName(newCells).persist())
+  }
+
   /** Driver-local Lloyd iterations over the collected training sample.
     * Seeds are the `nlist` lowest-id sample vectors (deterministic); each
     * round assigns by cosine (same tie-break as [[nearestCell]]: best

@@ -270,6 +270,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.keepBestPerCluster(docs, noPairs, "doc_id", col("score")).count() == 6)
   }
 
+  test("ivfAppend: appended index searches identically to a fixed-centroid rebuild") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = emb.filter($"vec_id" % 3 =!= 0)
+    val batch = emb.filter($"vec_id" % 3 === 0)
+    val index = Similarity.buildIvfIndex(base, "vec_id", "embedding", nlist = 8)
+    val appended = Similarity.ivfAppend(index, batch, "vec_id", "embedding")
+    // ground truth: same centroids, full corpus assigned in one pass
+    val rebuilt = index.copy(
+      cells = Similarity.assignCells(emb, index.centroids, "vec_id", "embedding"))
+    val queries = emb.filter($"vec_id" < 5)
+    def results(ix: Similarity.IvfIndex): Seq[(Long, Long)] =
+      Similarity.ivfSearch(ix, queries, "vec_id", "embedding", k = 10, nprobe = 4)
+        .select(col("query_id"), col("item_id")).as[(Long, Long)]
+        .collect().sorted.toSeq
+    val fromAppend = results(appended)
+    assert(fromAppend == results(rebuilt), "append must equal rebuild")
+    // the appended batch is actually reachable: some result comes from it
+    assert(fromAppend.exists { case (_, item) => item % 3 == 0 },
+      s"no appended vector ever surfaced: $fromAppend")
+    index.cells.unpersist(); appended.cells.unpersist()
+  }
+
   test("semanticDedup: drops the centroid-nearer side of each qualifying pair, per cluster") {
     import spark.implicits._
     // cluster "c": 1=(1,0) and 2=(0.9,0.05) are near-parallel (cos ≈ 0.998
