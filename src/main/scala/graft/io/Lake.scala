@@ -176,6 +176,32 @@ object Lake {
       .drop("__rn", "__pri")
   }
 
+  /** Deletion-vector read: the merge-on-read DELETE pattern without a
+    * table format. Deleting rows from an immutable 100 TB parquet table by
+    * rewrite costs a full-table write; instead, deletes append to a tiny
+    * TOMBSTONE table (key + deletion version) and every read applies them
+    * — here by broadcast anti-join, the read-side half of what Delta/
+    * Iceberg deletion vectors do in metadata. A tombstone only masks
+    * versions up to its own (`versionCol` ≤ tombstone version): a row
+    * re-inserted LATER with a higher version survives its old tombstone,
+    * which is the resurrect semantics an upsert stream needs. Compaction
+    * ([[upsertKeepLatest]] + rewrite) folds tombstones in and empties the
+    * table on a schedule.
+    *
+    * Scale shape: tombstones are deletes — orders of magnitude smaller
+    * than the base — so the join broadcasts and the base table never
+    * shuffles; a plain key-only tombstone table (no versions) degenerates
+    * to the same anti-join with the version clause dropped. */
+  def applyTombstones(base: DataFrame, tombstones: DataFrame, keyCol: String,
+      versionCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val t = tombstones.select(col(keyCol).as("__t_key"),
+      col(versionCol).as("__t_ver"))
+    base.join(broadcast(t),
+      col(keyCol) === col("__t_key") && col(versionCol) <= col("__t_ver"),
+      "left_anti")
+  }
+
   /** Snapshot diff — the read-side CDC primitive: compare two keyed
     * snapshots and emit every row that was `inserted`, `deleted`, or
     * `changed` (any compare column differs, null-safe), tagged with the

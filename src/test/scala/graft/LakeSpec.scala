@@ -240,4 +240,25 @@ class LakeSpec extends SparkSpec {
     // negatives clamp to the floor code
     assert(codes(3) == codes(0))
   }
+
+  test("applyTombstones: masks up to the tombstone version, resurrect survives, broadcast plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = Seq(
+      (1L, 1L, "a"),   // tombstoned at v2 → masked
+      (1L, 3L, "a2"),  // re-inserted AFTER the tombstone → survives
+      (2L, 1L, "b"),   // no tombstone → survives
+      (3L, 2L, "c")    // tombstoned at exactly v2 → masked (≤ is inclusive)
+    ).toDF("id", "version", "v")
+    val tombs = Seq((1L, 2L), (3L, 2L)).toDF("id", "version")
+    val out = Lake.applyTombstones(base, tombs, "id", "version")
+    assert(out.select($"id", $"version").as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((1L, 3L), (2L, 1L)))
+    // the read stays a broadcast anti-join: the base never shuffles
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    // empty tombstone table: identity
+    val none = Seq.empty[(Long, Long)].toDF("id", "version")
+    assert(Lake.applyTombstones(base, none, "id", "version").count() == 4)
+  }
 }
