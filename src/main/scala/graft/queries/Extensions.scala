@@ -701,6 +701,31 @@ object Extensions {
   }
   val x93Sql: String = x25Sql
 
+  // ------------------------------------------------ x97 tombstone read
+  /** [[graft.io.Lake.applyTombstones]] over a derived versioned view of
+    * `orders` (x59's overlay trick: version = key mod 5; tombstones =
+    * every 7th key at version 3), aggregated per status so the row is
+    * stable. The oracle applies the identical version-bounded mask
+    * relationally — a row survives iff it has no tombstone or its version
+    * exceeds the tombstone's. */
+  def x97TombstoneRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", ($"o_orderkey" % 5).as("version"), $"o_orderstatus")
+    val tombs = base.filter($"o_orderkey" % 7 === 0)
+      .select($"o_orderkey", lit(3L).as("version"))
+    graft.io.Lake.applyTombstones(base, tombs, "o_orderkey", "version")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("key_sum"))
+      .orderBy($"o_orderstatus")
+  }
+  val x97Sql: String =
+    """SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      |FROM orders
+      |WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 5 <= 3)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ---------------------------------------------- x96 count-min top tokens
   /** Count-min sketch validation query: the exact top-20 tokens beside
     * their [[graft.functions.CountMinAgg]] point estimates. The sketch is
@@ -2703,6 +2728,7 @@ object Extensions {
       |FROM t WHERE length(s) > 0 ORDER BY doc_id, sent_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x97_tombstone_read" -> x97TombstoneRead _,
     "x96_cms_top_tokens" -> x96CmsTopTokens _,
     "x95_semantic_dedup" -> x95SemanticDedup _,
     "x94_dsir_select" -> x94DsirSelect _,
@@ -2853,6 +2879,7 @@ object Extensions {
     "x86_quality_dup_curve" -> x86Sql,
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
+    "x97_tombstone_read" -> x97Sql,
     "x96_cms_top_tokens" -> x96Sql,
     "x95_semantic_dedup" -> x95Sql,
     "x94_dsir_select" -> x94Sql,
