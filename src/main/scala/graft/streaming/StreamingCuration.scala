@@ -109,6 +109,24 @@ object StreamingCuration {
     perSourceCapStream(deduped, maxPerSource)
   }
 
+  /** Windowed token counts over a documents stream — the trending-terms
+    * feed behind corpus-drift monitoring. ONE streaming aggregation whose
+    * state the watermark bounds (a (window, token) count lives only until
+    * the watermark passes the window's end); the top-k RANKING runs on
+    * read over the sink table, because per-window ranking inside the
+    * stream would need a second stateful operator where a serve-side
+    * `row_number` over the tiny emitted counts does the same job.
+    * Works unchanged on batch frames (watermark no-ops) — the spec pins
+    * stream == batch. */
+  def trendingTokens(docs: DataFrame, windowDur: String = "1 hour",
+      watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"), explode(graft.ops.Dedup.tokens(col("text"))).as("token"))
+      .groupBy(window(col("ts"), windowDur), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("token"), col("n"))
+
   /** Streaming decontamination screen: drop any arriving document whose
     * shingle set maybe-hits the benchmark bloom filter (built batch-side by
     * [[graft.functions.BloomAgg]] from the eval set, shipped in the task

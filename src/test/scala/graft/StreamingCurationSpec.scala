@@ -133,6 +133,40 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trendingTokens: streamed windowed counts equal the batch twin; top-k ranks on read") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val batch1 = Seq(
+      DocIn(1, ts(1), "web", "spark spark flink"),
+      DocIn(2, ts(5), "web", "spark duck"))
+    val batch2 = Seq(
+      DocIn(3, ts(65), "web", "duck duck goose"),   // next hour window
+      DocIn(4, ts(10), "web", "flink spark"))        // late, same first window
+    val input = MemoryStream[DocIn](spark)
+    val q = StreamingCuration.trendingTokens(input.toDS().toDF())
+      .writeStream.format("memory").queryName("trend_test")
+      .outputMode("complete").start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val streamed = spark.table("trend_test")
+        .select($"window_start", $"token", $"n")
+        .as[(java.sql.Timestamp, String, Long)].collect().sorted.toSeq
+      val batchTwin = StreamingCuration.trendingTokens(
+        (batch1 ++ batch2).toDF())
+        .as[(java.sql.Timestamp, String, Long)].collect().sorted.toSeq
+      assert(streamed == batchTwin, s"stream != batch:\n$streamed\n$batchTwin")
+      // serve-side ranking: the hour-1 top token is spark (4 occurrences)
+      val top = spark.table("trend_test")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"window_start").orderBy($"n".desc, $"token")))
+        .filter(col("rk") === 1)
+        .select($"token", $"n").as[(String, Long)].collect().toSet
+      assert(top.contains(("spark", 4L)), s"hour-1 top should be spark x4: $top")
+    } finally q.stop()
+  }
+
   test("bloomScreenStream: contaminated docs never admitted; clean docs pass across batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, explode}
