@@ -371,6 +371,11 @@ object Similarity {
       .agg(expr("transform(sort_array(collect_list(struct(pos, s))), p -> p.s)").as("sarr"),
         sum(col("s") * col("s")).cast("decimal(38,0)").as("s2"))
     val n = q.groupBy("cluster").agg(count(lit(1)).cast("decimal(38,0)").as("n"))
+    // Eagerly materialized: BOTH sides of the pair self-join read this
+    // relation, and without the checkpoint each side would re-run the
+    // quantization + stats joins + centroid-distance fold from the scan.
+    // At scale this is SemDeDup's working set (quantized corpus + one
+    // decimal per row), written once per run.
     val withDist = q
       .join(broadcast(stats), Seq("cluster"))
       .join(broadcast(n), Seq("cluster"))
@@ -379,6 +384,7 @@ object Similarity {
       .withColumn("d", col("n") * col("n") * col("na2").cast("decimal(38,0)")
         - lit(2) * col("n") * col("dot_s") + col("s2"))
       .select(col("vec_id"), col("cluster"), col("qv"), col("na2"), col("d"))
+      .localCheckpoint()
     val a = withDist.select(col("cluster"), col("vec_id").as("id_a"),
       col("qv").as("qv_a"), col("na2").as("na2_a"), col("d").as("d_a"))
     val b = withDist.select(col("cluster"), col("vec_id").as("id_b"),

@@ -220,13 +220,16 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "TakeOrderedAndProject") >= 1, s"top-k should TakeOrdered:\n$p")
   }
 
-  test("x95 semantic dedup: cluster stats broadcast; pair join shuffles on the cluster key only") {
+  test("x95 semantic dedup: pair join reads the checkpointed relation, never a cartesian") {
     val p = plan(Extensions.x95SemanticDedup(spark, dir))
-    // stats (S, |S|², n) joins are broadcast; the within-cluster pair join
-    // may hash- or sort-merge on the cluster key, but must never broadcast
-    // the corpus side or degenerate to a cartesian product
-    assert(count(p, "BroadcastHashJoin") >= 2, s"cluster stats should broadcast:\n$p")
+    // the per-vector relation (quantization + broadcast stats joins +
+    // centroid distances) materializes ONCE via localCheckpoint; both pair
+    // sides then read stored blocks — the final plan must scan the
+    // checkpoint (ExistingRDD), not re-run the stats lineage twice
+    assert(p.contains("ExistingRDD"), s"expected checkpointed scan:\n$p")
     assert(count(p, "CartesianProduct") == 0, s"no cartesian product:\n$p")
+    // and the pair join itself must not broadcast the corpus side
+    assert(count(p, "BroadcastNestedLoopJoin") == 0, s"no BNLJ:\n$p")
   }
 
   test("x96 count-min: sketch build is a partial+final imperative aggregate") {
