@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed k-means (Lloyd's algorithm) over an embedding column — the
+  * corpus-scale clustering primitive behind semantic dedup (x95 consumes an
+  * upstream cluster column; this op is that upstream), data mixing, and
+  * IVF-style partitioning.
+  *
+  * Contrast with [[Similarity.buildIvfIndex]]: IVF trains on a ≤4096-vector
+  * driver-local sample because index centroids only steer recall. Here the
+  * ASSIGNMENT is the product, so every iteration runs over the full corpus:
+  * assign map-side against broadcast-literal centroids, update with ONE
+  * aggregation whose shuffle volume is #partitions · k · d longs
+  * ([[graft.functions.VecSumAgg]] map-side partials — never n·d exploded
+  * rows). Driver state per round is the k·d centroid matrix (k=8, d=64 →
+  * 4 KB), independent of corpus size.
+  *
+  * Exactness discipline (x95's): components quantize to ⌊10⁶·x⌋ once at
+  * scan; distances are integer sums of squared differences, bounded by
+  * d·(2·10⁶·max|x|)² ≈ 2⁴⁷ for unit-ish vectors — int64-safe at ANY corpus
+  * size because the bound depends on dimensionality and quantization range,
+  * not row count. Centroid updates use floor division (`Math.floorDiv`),
+  * ties break to the lowest centroid id, and empty clusters keep their
+  * previous centroid — every rule re-spelled identically in the DuckDB
+  * oracle, so assignments are bit-exact across engines (x98).
+  */
+object Clustering {
+
+  /** One Lloyd assignment pass as a pure map-side Column: argmin over the
+    * literal centroid matrix of the integer squared distance, ties to the
+    * lowest centroid id. Returns struct(d, j). */
+  private def nearest(qv: Column, centroids: Array[Array[Long]]): Column =
+    array_min(array(centroids.zipWithIndex.map { case (cv, j) =>
+      struct(
+        aggregate(
+          zip_with(qv, typedlit(cv.toSeq), (x, c) => (x - c) * (x - c)),
+          lit(0L), (acc, v) => acc + v).as("d"),
+        lit(j.toLong).as("j"))
+    }: _*))
+
+  /** `iters` full-corpus Lloyd rounds from deterministic seeds (the k
+    * lowest-id vectors), then a final assignment against the trained
+    * centroids. Output: (vec_id, cluster, d) — d the integer squared
+    * distance to the winning centroid. */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 3): DataFrame = {
+    val base = emb.select(
+      col(idCol).cast("long").as("vec_id"),
+      expr(s"transform($vecCol, v -> cast(floor(cast(v as double) * 1000000.0) as bigint))")
+        .as("qv"))
+      .persist()
+    try {
+      var centroids: Array[Array[Long]] = base.orderBy(col("vec_id")).limit(k)
+        .select(col("qv")).collect()
+        .map(_.getSeq[Long](0).toArray)
+      for (_ <- 1 to iters) {
+        // k rows of (cluster, elementwise-sum, n) — bounded collect, like the
+        // IVF trainer's per-round centroid pull.
+        val stats = base
+          .select(col("qv"), nearest(col("qv"), centroids).getField("j").as("cluster"))
+          .groupBy(col("cluster"))
+          .agg(graft.functions.VecSumAgg.vec_sum(col("qv")).as("s"), count(lit(1)).as("n"))
+          .collect()
+          .map(r => (r.getLong(0).toInt, (r.getSeq[Long](1).toArray, r.getLong(2))))
+          .toMap
+        centroids = centroids.zipWithIndex.map { case (old, j) =>
+          stats.get(j) match {
+            case Some((s, n)) => s.map(Math.floorDiv(_, n))
+            case None         => old // empty cluster keeps its centroid
+          }
+        }
+      }
+      val m = nearest(col("qv"), centroids)
+      base.select(col("vec_id"),
+        m.getField("j").as("cluster"),
+        m.getField("d").as("d"))
+    } finally base.unpersist()
+  }
+
+  /** The x98 oracle: the SAME algorithm unrolled as DuckDB CTEs — quantize,
+    * k lowest-id seeds, `iters` (assign → floor-div-update) rounds with
+    * empty-cluster carry-through, final assignment. Integer-only end to
+    * end; `min([d, j])` mirrors the struct argmin tie-break. */
+  def kmeansSql(table: String, idCol: String, vecCol: String,
+      k: Int, iters: Int): String = {
+    val distExpr = (c: String) =>
+      s"""list_reduce(list_transform(range(1, len(q.qv) + 1),
+         |      i -> (q.qv[i] - $c.cv[i]) * (q.qv[i] - $c.cv[i])), (x, y) -> x + y)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""a$t AS (
+         |  SELECT q.vec_id, q.qv,
+         |    min([${distExpr("c")}, c.j]) AS m
+         |  FROM q, c${t - 1} c GROUP BY q.vec_id, q.qv),
+         |s$t AS (
+         |  SELECT m[2] AS j, u.p AS pos, sum(u.x) AS s
+         |  FROM (SELECT m, unnest(list_transform(qv, (x, i) -> struct_pack(p := i, x := x))) AS u
+         |        FROM a$t)
+         |  GROUP BY 1, 2),
+         |n$t AS (SELECT m[2] AS j, count(*) AS n FROM a$t GROUP BY 1),
+         |sl$t AS (
+         |  SELECT s.j, list((s.s - ((s.s % n.n) + n.n) % n.n) // n.n ORDER BY s.pos) AS cv
+         |  FROM s$t s JOIN n$t n ON s.j = n.j GROUP BY s.j),
+         |c$t AS (
+         |  SELECT c.j, coalesce(sl.cv, c.cv) AS cv
+         |  FROM c${t - 1} c LEFT JOIN sl$t sl ON c.j = sl.j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT CAST($idCol AS BIGINT) AS vec_id,
+       |    list_transform($vecCol, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+       |  FROM $table),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, qv AS cv
+       |  FROM (SELECT * FROM q ORDER BY vec_id LIMIT $k)),
+       |$rounds
+       |SELECT q.vec_id, CAST(min([${distExpr("c")}, c.j])[2] AS BIGINT) AS cluster,
+       |  CAST(min([${distExpr("c")}, c.j])[1] AS BIGINT) AS d
+       |FROM q, c$iters c GROUP BY q.vec_id
+       |ORDER BY q.vec_id""".stripMargin
+  }
+}

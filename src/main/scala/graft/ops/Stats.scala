@@ -168,4 +168,39 @@ object Stats {
         (col("__mn").cast("double") / lit(1e6)).as("min_v"),
         (col("__mx").cast("double") / lit(1e6)).as("max_v"))
   }
+
+  /** Exact ROC-AUC of a score against a boolean label — the classifier-eval
+    * primitive behind every quality-filter threshold decision (does the
+    * fastText-shape score actually separate the classes before we gate
+    * 100 TB on it?).
+    *
+    * Formulation: the Mann-Whitney pair count, but NEVER as a pair join —
+    * scores e9-quantize to int64, the relation collapses to per-distinct-
+    * score (n_pos, n_neg) counts (one shuffle, cardinality = #distinct
+    * scores, ≤ a few million after quantization no matter the corpus), and
+    * a running negative count turns the pair sum into
+    * Σ_s n_pos(s)·(2·n_neg(<s) + n_neg(=s)) — ties count half, kept
+    * integer by the ×2 scaling. `auc_num` is exact; `auc_micro` =
+    * ⌊10⁶·num/(2·P·N)⌋ is one int-derived double division, identical on
+    * both engines. The ordered cumulative runs over the tiny distinct-score
+    * relation (same bounded-window discipline as x50's deciles), not the
+    * corpus. NULL scores are excluded (undefined rank). */
+  def scoreAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df
+      .filter(col(scoreCol).isNotNull)
+      .select(expr(s"CAST(FLOOR(CAST($scoreCol AS DOUBLE) * 1000000000.0D) AS BIGINT)").as("sq"),
+        col(labelCol).cast("boolean").as("pos"))
+      .groupBy(col("sq"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("nn"))
+    val w = Window.orderBy(col("sq")).rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("nn_below", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * (lit(2L) * col("nn_below") + col("nn"))).as("auc_num"))
+      .select(col("n_pos"), col("n_neg"), col("auc_num"),
+        expr("CAST(FLOOR(CAST(auc_num AS DOUBLE) * 1000000.0D / " +
+          "(2.0D * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))) AS BIGINT)")
+          .as("auc_micro"))
+  }
 }

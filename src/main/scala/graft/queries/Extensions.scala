@@ -876,6 +876,140 @@ object Extensions {
       |FROM pd, tot
       |ORDER BY score_e9 DESC, doc_id LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------- x98 distributed kmeans
+  /** [[graft.ops.Clustering.kmeansAssign]]: full-corpus Lloyd k-means (k=8,
+    * 3 rounds) over the embeddings — the upstream clusterer x95's semantic
+    * dedup assumes. All-integer discipline (⌊10⁶·x⌋ components, int64
+    * squared distances, floor-div centroid updates, lowest-j ties), so the
+    * oracle — the SAME algorithm unrolled as CTEs by
+    * [[graft.ops.Clustering.kmeansSql]] — reproduces every assignment and
+    * distance bit-for-bit. */
+  def x98Kmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Clustering.kmeansAssign(emb(s, dir), "vec_id", "embedding",
+      k = 8, iters = 3)
+      .orderBy($"vec_id")
+  }
+  val x98Sql: String =
+    graft.ops.Clustering.kmeansSql("embeddings", "vec_id", "embedding", k = 8, iters = 3)
+
+  // ------------------------------------------------------- x99 HLL distinct
+  /** [[graft.functions.HllAgg]] validation: per-event-type distinct-user
+    * estimates beside the exact counts. The register build is the
+    * fixed-memory path for COUNT(DISTINCT) over an unbounded id stream
+    * (state = 2^p bytes vs the distinct set); buckets/rhos derive from
+    * SplitMix64 alone, the harmonic numerator is an exact sum of two-powers
+    * in DECIMAL(38,0), and the one double division at the end is identical
+    * IEEE on both engines — so `est_micro` matches bit-for-bit even though
+    * it is an ESTIMATE of `n_exact`. */
+  def x99HllUsers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(graft.functions.HllAgg.hll_registers($"user_id", 4).as("regs"),
+        countDistinct($"user_id").as("n_exact"))
+      .select($"event_type", $"n_exact",
+        expr("""CAST(FLOOR(0.673D * 256.0D * 2305843009213693952.0D /
+               |  CAST(aggregate(regs, CAST(0 AS DECIMAL(38,0)),
+               |    (acc, r) -> CAST(acc + CAST(POWER(2.0D, 61 - r) AS DECIMAL(38,0))
+               |                     AS DECIMAL(38,0))) AS DOUBLE)
+               |  * 1000000.0D) AS BIGINT)""".stripMargin).as("est_micro"),
+        expr("CAST(size(filter(regs, r -> r = 0)) AS BIGINT)").as("zero_regs"))
+      .orderBy($"event_type")
+  }
+  /** 32-bit-split (a·b) mod 2⁶⁴ over non-negative HUGEINTs: intermediates
+    * stay < 2⁹⁶, inside signed INT128 — a straight `a*b % 2^64` overflows
+    * on SplitMix's ~2⁶⁴ constants. */
+  private def mulmodSql(a: String, b: String): String =
+    s"""((($a % 4294967296::HUGEINT) * $b +
+       |  ((($a // 4294967296::HUGEINT) * $b) % 4294967296::HUGEINT)
+       |    * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)""".stripMargin
+  val x99Sql: String = {
+    val m2 = mulmodSql("xor(x, x // 1073741824::HUGEINT)", "13787848793156543929::HUGEINT")
+    val m3 = mulmodSql("xor(x, x // 134217728::HUGEINT)", "10723151780598845931::HUGEINT")
+    s"""WITH du AS (SELECT DISTINCT event_type, CAST(user_id AS HUGEINT) AS u FROM events),
+       |m1 AS (SELECT event_type,
+       |  (u + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS x FROM du),
+       |m2 AS (SELECT event_type, $m2 AS x FROM m1),
+       |m3 AS (SELECT event_type, $m3 AS x FROM m2),
+       |hh AS (SELECT event_type, xor(x, x // 2147483648::HUGEINT) AS h FROM m3),
+       |br AS (
+       |  SELECT event_type,
+       |    CAST(h // 1152921504606846976::HUGEINT AS BIGINT) AS bucket,
+       |    CAST(h % 1152921504606846976::HUGEINT AS BIGINT) AS rem
+       |  FROM hh),
+       |rr AS (
+       |  SELECT event_type, bucket,
+       |    CASE WHEN rem = 0 THEN 61
+       |         ELSE CAST(bit_count((rem & (-rem)) - 1) AS INT) + 1 END AS rho
+       |  FROM br),
+       |mx AS (SELECT event_type, bucket, max(rho) AS reg FROM rr GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT g.event_type, gs.b AS bucket
+       |  FROM (SELECT DISTINCT event_type FROM events) g
+       |  CROSS JOIN (SELECT unnest(range(16)) AS b) gs),
+       |fullr AS (
+       |  SELECT grid.event_type, grid.bucket, coalesce(mx.reg, 0) AS reg
+       |  FROM grid LEFT JOIN mx
+       |    ON mx.event_type = grid.event_type AND mx.bucket = grid.bucket),
+       |z AS (
+       |  SELECT event_type,
+       |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |      list(CAST(2.0 ** (61 - reg) AS HUGEINT))), (a, b) -> a + b) AS znum,
+       |    CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_regs
+       |  FROM fullr GROUP BY event_type),
+       |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
+       |SELECT ex.event_type, CAST(ex.n_exact AS BIGINT) AS n_exact,
+       |  CAST(floor(0.673 * 256.0 * 2305843009213693952.0 / CAST(z.znum AS DOUBLE)
+       |    * 1000000.0) AS BIGINT) AS est_micro,
+       |  z.zero_regs
+       |FROM ex JOIN z USING (event_type) ORDER BY ex.event_type""".stripMargin
+  }
+
+  // --------------------------------------------------------- x100 score AUC
+  /** [[graft.ops.Stats.scoreAuc]]: does the x03 quality score separate the
+    * high labels (label ≥ 5 via the doc_id = vec_id alignment)? Exact
+    * Mann-Whitney AUC without a pair join — integer numerator, one final
+    * int-derived double division. The eval primitive you run BEFORE gating
+    * a corpus on any learned or heuristic score. */
+  def x100ScoreAuc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = TextAnalysis.qualityScores(docs(s, dir), "doc_id", "text")
+      .select($"doc_id", $"quality_score")
+      .join(emb(s, dir).select($"vec_id".as("doc_id"), ($"label" >= 5).as("pos")), "doc_id")
+    graft.ops.Stats.scoreAuc(scored, "quality_score", "pos")
+  }
+  val x100Sql: String = {
+    val stops = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    val toks = """regexp_split_to_array(lower(text), '\s+')"""
+    s"""WITH sc AS (
+       |  SELECT doc_id,
+       |    (CAST(len(list_filter($toks, w -> w IN ($stops))) AS DOUBLE)
+       |      / NULLIF(CAST(len($toks) AS DOUBLE), 0.0)) * 2.0
+       |    + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+       |             / NULLIF(CAST(length(text) AS DOUBLE), 0.0)) AS quality_score
+       |  FROM documents),
+       |j AS (
+       |  SELECT CAST(floor(CAST(sc.quality_score AS DOUBLE) * 1000000000.0) AS BIGINT) AS sq,
+       |    (e.label >= 5) AS pos
+       |  FROM sc JOIN embeddings e ON sc.doc_id = e.vec_id
+       |  WHERE sc.quality_score IS NOT NULL),
+       |g AS (
+       |  SELECT sq, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+       |         sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+       |  FROM j GROUP BY sq),
+       |c AS (
+       |  SELECT sq, np, nn,
+       |    coalesce(sum(nn) OVER (ORDER BY sq
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nn_below
+       |  FROM g)
+       |SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+       |  CAST(sum(np * (2 * nn_below + nn)) AS BIGINT) AS auc_num,
+       |  CAST(floor(CAST(sum(np * (2 * nn_below + nn)) AS DOUBLE) * 1000000.0
+       |    / (2.0 * CAST(sum(np) AS DOUBLE) * CAST(sum(nn) AS DOUBLE))) AS BIGINT) AS auc_micro
+       |FROM c""".stripMargin
+  }
+
   // ------------------------------------------------------ x26 token-budget mix
   /** Source mixing under a token budget (half the corpus's tokens):
     * water-filled per-source allocations, docs admitted in ascending-id
@@ -2728,6 +2862,9 @@ object Extensions {
       |FROM t WHERE length(s) > 0 ORDER BY doc_id, sent_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x100_score_auc" -> x100ScoreAuc _,
+    "x99_hll_distinct" -> x99HllUsers _,
+    "x98_kmeans" -> x98Kmeans _,
     "x97_tombstone_read" -> x97TombstoneRead _,
     "x96_cms_top_tokens" -> x96CmsTopTokens _,
     "x95_semantic_dedup" -> x95SemanticDedup _,
@@ -2879,6 +3016,9 @@ object Extensions {
     "x86_quality_dup_curve" -> x86Sql,
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
+    "x100_score_auc" -> x100Sql,
+    "x99_hll_distinct" -> x99Sql,
+    "x98_kmeans" -> x98Sql,
     "x97_tombstone_read" -> x97Sql,
     "x96_cms_top_tokens" -> x96Sql,
     "x95_semantic_dedup" -> x95Sql,

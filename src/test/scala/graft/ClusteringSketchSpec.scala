@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{HllAgg, VecSumAgg, Ops}
+import graft.ops.{Clustering, Stats}
+
+/** Exact-behavior contracts for the round-8 additions: the element-wise
+  * vector-sum aggregate, the HLL register aggregate, distributed k-means,
+  * and the exact AUC — each checked against an independent local reference
+  * (the DuckDB oracle checks engine parity; these check the MATH). */
+class ClusteringSketchSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  // --------------------------------------------------------------- vec_sum
+  test("vec_sum equals the posexplode reference and is partitioning-invariant") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id",
+        expr("transform(embedding, v -> cast(floor(cast(v as double) * 1000000.0) as bigint))")
+          .as("qv"),
+        ($"vec_id" % 3).as("g"))
+    val viaAgg = df.groupBy($"g").agg(VecSumAgg.vec_sum($"qv").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val viaExplode = df.select($"g", posexplode($"qv"))
+      .groupBy($"g", $"pos").agg(sum($"col").as("s"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (g, rows) =>
+        g -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toVector
+      }
+    assert(viaAgg == viaExplode)
+    val repart = df.repartition(7, $"vec_id")
+      .groupBy($"g").agg(VecSumAgg.vec_sum($"qv").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    assert(repart == viaAgg)
+  }
+
+  test("vec_sum ignores NULL vectors and raises on ragged input") {
+    import spark.implicits._
+    val ok = Seq((1L, Some(Seq(1L, 2L))), (2L, None), (3L, Some(Seq(10L, 20L))))
+      .toDF("id", "qv")
+      .agg(VecSumAgg.vec_sum($"qv")).collect()(0).getSeq[Long](0)
+    assert(ok == Seq(11L, 22L))
+    val ragged = Seq(Seq(1L, 2L), Seq(1L, 2L, 3L)).toDF("qv")
+    val e = intercept[org.apache.spark.SparkException] {
+      ragged.agg(VecSumAgg.vec_sum($"qv")).collect()
+    }
+    assert(e.getMessage.contains("ragged") ||
+      Option(e.getCause).exists(_.getMessage.contains("ragged")))
+  }
+
+  // --------------------------------------------------------------- hll
+  /** Local reference fold of the registers. */
+  private def refRegisters(keys: Seq[Long], p: Int): Vector[Int] = {
+    val regs = Array.fill(1 << p)(0)
+    keys.foreach { k =>
+      val h = Ops.splitmix64(k)
+      val bucket = (h >>> (64 - p)).toInt
+      val rem = h & ((1L << (64 - p)) - 1L)
+      val rho = if (rem == 0L) 64 - p + 1 else java.lang.Long.numberOfTrailingZeros(rem) + 1
+      if (rho > regs(bucket)) regs(bucket) = rho
+    }
+    regs.toVector
+  }
+
+  test("hll_registers matches the local reference and is duplication-insensitive") {
+    import spark.implicits._
+    val users = spark.read.parquet(s"$sfDir/events.parquet").select($"user_id")
+    val fromAgg = users.agg(HllAgg.hll_registers($"user_id", 4)).collect()(0)
+      .getSeq[Int](0).toVector
+    val distinctKeys = users.distinct().as[Long].collect().toSeq
+    assert(fromAgg == refRegisters(distinctKeys, 4))
+    // 10000 events over 150 users: the register vector from the full stream
+    // equals the one from the distinct set (duplication-insensitive), and
+    // a different partitioning merges to the same state.
+    val fromDistinct = users.distinct()
+      .agg(HllAgg.hll_registers($"user_id", 4)).collect()(0).getSeq[Int](0).toVector
+    assert(fromAgg == fromDistinct)
+    val repart = users.repartition(13)
+      .agg(HllAgg.hll_registers($"user_id", 4)).collect()(0).getSeq[Int](0).toVector
+    assert(fromAgg == repart)
+  }
+
+  test("x99 estimate lands within the m=16 error regime of the exact count") {
+    val rows = graft.queries.Extensions.x99HllUsers(spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val exact = r.getLong(r.fieldIndex("n_exact"))
+      val est = r.getLong(r.fieldIndex("est_micro")).toDouble / 1e6
+      // 1.04/sqrt(16) = 26% standard error; allow 2σ
+      assert(math.abs(est - exact) / exact < 0.52, s"est $est vs exact $exact")
+      assert(r.getLong(r.fieldIndex("zero_regs")) == 0L)
+    }
+  }
+
+  // --------------------------------------------------------------- kmeans
+  /** Local exact-integer Lloyd reference — same quantization, seeding,
+    * tie-break, floor-div update, empty-cluster carry. */
+  private def refKmeans(vecs: Seq[(Long, Array[Float])], k: Int, iters: Int)
+      : Map[Long, (Long, Long)] = {
+    val qv = vecs.sortBy(_._1).map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1000000.0).toLong)
+    }
+    var cent = qv.take(k).map(_._2.clone()).toArray
+    def nearest(q: Array[Long]): (Long, Int) =
+      cent.zipWithIndex.map { case (c, j) =>
+        var d = 0L; var i = 0
+        while (i < q.length) { val t = q(i) - c(i); d += t * t; i += 1 }
+        (d, j)
+      }.min
+    for (_ <- 1 to iters) {
+      val grouped = qv.groupBy { case (_, q) => nearest(q)._2 }
+      cent = cent.zipWithIndex.map { case (old, j) =>
+        grouped.get(j) match {
+          case Some(members) =>
+            val s = new Array[Long](old.length)
+            members.foreach { case (_, q) =>
+              var i = 0; while (i < q.length) { s(i) += q(i); i += 1 }
+            }
+            s.map(Math.floorDiv(_, members.size.toLong))
+          case None => old
+        }
+      }
+    }
+    qv.map { case (id, q) => val (d, j) = nearest(q); id -> (j.toLong, d) }.toMap
+  }
+
+  test("kmeansAssign matches the local exact-integer reference") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val got = Clustering.kmeansAssign(emb, "vec_id", "embedding", k = 8, iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val vecs = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+    assert(got == refKmeans(vecs, 8, 3))
+    // every cluster is populated on this corpus
+    assert(got.values.map(_._1).toSet == (0L until 8L).toSet)
+  }
+
+  test("kmeansAssign: empty clusters keep their centroid (duplicate seeds)") {
+    import spark.implicits._
+    // Seeds are p0, p1, p1-dup. Round 1: ties go to the lowest j, so
+    // cluster 2 is EMPTY and must keep its seed centroid rather than
+    // divide by zero. Its unmoved centroid then wins the exact-match
+    // points back in round 2 (cluster 1's centroid moved to the member
+    // mean) — the carry-through is observable in the final assignment.
+    val df = Seq(
+      (0L, Seq(0.0f, 0.0f)),
+      (1L, Seq(1.0f, 1.0f)),
+      (2L, Seq(1.0f, 1.0f)),
+      (3L, Seq(0.9f, 0.9f))).toDF("vec_id", "embedding")
+    val got = Clustering.kmeansAssign(df, "vec_id", "embedding", k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 2L, 2L -> 2L, 3L -> 1L))
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 1.0f)),
+      (2L, Array(1.0f, 1.0f)), (3L, Array(0.9f, 0.9f)))
+    assert(got == refKmeans(vecs, 3, 2).map { case (id, (j, _)) => id -> j })
+  }
+
+  // --------------------------------------------------------------- auc
+  test("scoreAuc: perfect separation, reversal, and ties give the textbook values") {
+    import spark.implicits._
+    // perfect: all positives above all negatives → AUC = 1
+    val perfect = Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false))
+      .toDF("s", "y")
+    val p = Stats.scoreAuc(perfect, "s", "y").collect()(0)
+    assert(p.getLong(p.fieldIndex("auc_micro")) == 1000000L)
+    assert(p.getLong(p.fieldIndex("auc_num")) == 2L * 2L * 2L)
+    // reversed → AUC = 0
+    val rev = Stats.scoreAuc(
+      Seq((0.1, true), (0.2, true), (0.8, false), (0.9, false)).toDF("s", "y"),
+      "s", "y").collect()(0)
+    assert(rev.getLong(rev.fieldIndex("auc_micro")) == 0L)
+    // all tied → AUC = 1/2 exactly
+    val tied = Stats.scoreAuc(
+      Seq((0.5, true), (0.5, true), (0.5, false), (0.5, false)).toDF("s", "y"),
+      "s", "y").collect()(0)
+    assert(tied.getLong(tied.fieldIndex("auc_micro")) == 500000L)
+    // mixed hand-computed case: pos {0.8, 0.5}, neg {0.5, 0.3}
+    // pairs: (0.8>0.5)=2 +(0.5=0.5)=1 + (0.5>0.3)=2 + (0.8>0.3)=2 → num=7? — spell it:
+    // num = Σ 2·[p>n] + [p=n] = 2(0.8>0.5) + 2(0.8>0.3) + 1(0.5=0.5) + 2(0.5>0.3) = 7
+    val mixed = Stats.scoreAuc(
+      Seq((0.8, true), (0.5, true), (0.5, false), (0.3, false)).toDF("s", "y"),
+      "s", "y").collect()(0)
+    assert(mixed.getLong(mixed.fieldIndex("auc_num")) == 7L)
+    assert(mixed.getLong(mixed.fieldIndex("auc_micro")) == 875000L)
+    // NULL scores are excluded
+    val withNull = Stats.scoreAuc(
+      Seq((Some(0.9), true), (None, true), (Some(0.1), false)).toDF("s", "y"),
+      "s", "y").collect()(0)
+    assert(withNull.getLong(withNull.fieldIndex("n_pos")) == 1L)
+    assert(withNull.getLong(withNull.fieldIndex("auc_micro")) == 1000000L)
+  }
+
+  test("x100 on the real corpus: bounds and internal consistency") {
+    val r = graft.queries.Extensions.x100ScoreAuc(spark, sfDir).collect()(0)
+    val np = r.getLong(r.fieldIndex("n_pos"))
+    val nn = r.getLong(r.fieldIndex("n_neg"))
+    val num = r.getLong(r.fieldIndex("auc_num"))
+    assert(np + nn == 500L)
+    assert(num >= 0L && num <= 2L * np * nn)
+    val micro = r.getLong(r.fieldIndex("auc_micro"))
+    assert(micro >= 0L && micro <= 1000000L)
+  }
+}
