@@ -32,7 +32,7 @@ object Clustering {
     * literal centroid matrix of the integer squared distance, ties to the
     * lowest centroid id. Returns struct(d, j). */
   private def nearest(qv: Column, centroids: Array[Array[Long]]): Column =
-    array_min(array(centroids.zipWithIndex.map { case (cv, j) =>
+    array_min(array(centroids.zipWithIndex.toIndexedSeq.map { case (cv, j) =>
       struct(
         aggregate(
           zip_with(qv, typedlit(cv.toSeq), (x, c) => (x - c) * (x - c)),

@@ -119,6 +119,136 @@ object Dedup {
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
 
+  /** LSH band-geometry tuning report: for each `bands` value over a
+    * `sigLen`-hash signature, the CANDIDATE pair set (docs sharing at least
+    * one band) scored against an exact-Jaccard truth pair set —
+    * precision/recall per geometry, the table you read before committing a
+    * 100 TB dedup run to one point on the S-curve.
+    *
+    * The banding key is the signature SLICE itself, not a hash of it: the
+    * slice tuple is what banding semantically buckets on (the band hash is
+    * a shuffle-key compaction), and keying on it makes the candidate stage
+    * EXACTLY reproducible by the SQL oracle — no band-hash collision term.
+    * Same one-shuffle capped-bucket kernel as production
+    * ([[bucketCandidatePairs]]); the signature relation materializes once
+    * and every geometry reuses it. */
+  def lshTuningReport(docs: DataFrame, idCol: String, textCol: String,
+      truthPairs: DataFrame, shingleK: Int = 3, sigLen: Int = 16,
+      bandConfigs: Seq[Int] = Seq(16, 8, 4, 2),
+      maxBucketSize: Int = 1000): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("doc_id"),
+        minhash_sig(tokens(col(textCol)), shingleK, sigLen).as("sig"))
+      .localCheckpoint()
+    val truth = truthPairs.select(col("doc_a"), col("doc_b")).distinct()
+      .localCheckpoint()
+    val perConfig = bandConfigs.map { bands =>
+      require(sigLen % bands == 0, s"bands=$bands must divide sigLen=$sigLen")
+      val r = sigLen / bands
+      val banded = base
+        .select(col("doc_id"), posexplode(
+          expr(s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b * $r + 1, $r))")))
+        .toDF("doc_id", "band_idx", "band_key")
+      bucketCandidatePairs(banded, "band_idx", "band_key", maxBucketSize)
+        .join(truth.withColumn("is_tp", lit(1L)), Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(col("is_tp")), lit(0L)).as("n_tp"))
+        .select(lit(bands.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_candidates"), col("n_tp"))
+    }
+    perConfig.reduce(_.unionByName(_))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .select(col("bands"), col("rows_per_band"),
+        col("n_candidates"), col("n_truth"), col("n_tp"),
+        expr("CASE WHEN n_candidates = 0 THEN NULL ELSE " +
+          "CAST(FLOOR(CAST(n_tp AS DOUBLE) * 1000000.0D / CAST(n_candidates AS DOUBLE)) AS BIGINT) END")
+          .as("precision_micro"),
+        expr("CAST(FLOOR(CAST(n_tp AS DOUBLE) * 1000000.0D / CAST(n_truth AS DOUBLE)) AS BIGINT)")
+          .as("recall_micro"))
+      .orderBy(col("bands").desc)
+  }
+
+  /** 32-bit-split (a·b) mod 2⁶⁴ over non-negative HUGEINTs — intermediates
+    * < 2⁹⁶, inside signed INT128 (x99's technique; needed because the
+    * MinHash permutation multipliers are ~2⁶⁴). */
+  private def mulmodSql(a: String, b: String): String =
+    s"""((($a % 4294967296::HUGEINT) * $b +
+       |  ((($a // 4294967296::HUGEINT) * $b) % 4294967296::HUGEINT)
+       |    * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)""".stripMargin
+
+  /** The x101 oracle: rebuilds the ENTIRE MinHash candidate stage in DuckDB
+    * — token FNV-1a, rolling k-gram shingle folds (whole-doc gram when
+    * n < k, distinct set), per-permutation a·h+b in mod-2⁶⁴ HUGEINT with the
+    * multiplier/addend constants baked from [[graft.functions.Ops
+    * .splitmix64]] at generation time, SIGNED min (the kernel compares
+    * longs), band slices per geometry, slice-equality pairs, and the same
+    * precision/recall arithmetic against the x08 exact-Jaccard truth CTEs
+    * (passed in as `truthCtes` ending in a relation named `truth`). */
+  def lshTuningSql(truthCtes: String, shingleK: Int, sigLen: Int,
+      bandConfigs: Seq[Int]): String = {
+    val perms = (0 until sigLen).map { p =>
+      val a = java.lang.Long.toUnsignedString(graft.functions.Ops.splitmix64(2L * p) | 1L)
+      val b = java.lang.Long.toUnsignedString(graft.functions.Ops.splitmix64(2L * p + 1))
+      s"($p, $a::HUGEINT, $b::HUGEINT)"
+    }.mkString(", ")
+    val cfgs = bandConfigs.map(b => s"($b, ${sigLen / b})").mkString(", ")
+    val fnvFold = (items: String) =>
+      s"""list_reduce(list_prepend(14695981039346656037::HUGEINT, $items),
+         |  (a, b) -> (xor(a, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)""".stripMargin
+    s"""WITH $truthCtes,
+       |tw AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+       |tth AS (
+       |  SELECT doc_id, list_transform(w, t ->
+       |    ${fnvFold("list_transform(range(1, length(t) + 1), i -> unicode(substr(t, i, 1))::HUGEINT)")}) AS th
+       |  FROM tw),
+       |shd AS (
+       |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(th) >= $shingleK
+       |    THEN list_transform(range(1, len(th) - ${shingleK - 2}), i ->
+       |      ${fnvFold(s"th[i:i+${shingleK - 1}]")})
+       |    ELSE [${fnvFold("th")}] END) AS h
+       |  FROM tth),
+       |perms(p, a, b) AS (VALUES $perms),
+       |sigs AS (
+       |  SELECT doc_id, p,
+       |    min(CAST(CASE WHEN v >= 9223372036854775808::HUGEINT
+       |      THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT)) AS s
+       |  FROM (
+       |    SELECT doc_id, pm.p AS p,
+       |      (${mulmodSql("pm.a", "shd.h")} + pm.b) % 18446744073709551616::HUGEINT AS v
+       |    FROM shd, perms pm)
+       |  GROUP BY doc_id, p),
+       |sigv AS (SELECT doc_id, list(s ORDER BY p) AS sig FROM sigs GROUP BY doc_id),
+       |cfg(bands, r) AS (VALUES $cfgs),
+       |banded AS (
+       |  SELECT cfg.bands, doc_id, bi.b AS band_idx,
+       |    sig[bi.b * cfg.r + 1 : bi.b * cfg.r + cfg.r] AS band_key
+       |  FROM sigv, cfg, (SELECT unnest(range(${bandConfigs.max})) AS b) bi
+       |  WHERE bi.b < cfg.bands),
+       |cands AS (
+       |  SELECT DISTINCT x.bands, x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM banded x JOIN banded y
+       |    ON x.bands = y.bands AND x.band_idx = y.band_idx
+       |    AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+       |stats AS (
+       |  SELECT c.bands, count(*) AS n_candidates,
+       |    sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS n_tp
+       |  FROM cands c LEFT JOIN truth t
+       |    ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+       |  GROUP BY c.bands),
+       |nt AS (SELECT count(*) AS n_truth FROM truth)
+       |SELECT CAST(cfg.bands AS BIGINT) AS bands, CAST(cfg.r AS BIGINT) AS rows_per_band,
+       |  CAST(coalesce(s.n_candidates, 0) AS BIGINT) AS n_candidates,
+       |  CAST(nt.n_truth AS BIGINT) AS n_truth,
+       |  CAST(coalesce(s.n_tp, 0) AS BIGINT) AS n_tp,
+       |  CASE WHEN coalesce(s.n_candidates, 0) = 0 THEN NULL ELSE
+       |    CAST(floor(CAST(coalesce(s.n_tp, 0) AS DOUBLE) * 1000000.0
+       |      / CAST(s.n_candidates AS DOUBLE)) AS BIGINT) END AS precision_micro,
+       |  CAST(floor(CAST(coalesce(s.n_tp, 0) AS DOUBLE) * 1000000.0
+       |    / CAST(nt.n_truth AS DOUBLE)) AS BIGINT) AS recall_micro
+       |FROM cfg LEFT JOIN stats s ON s.bands = cfg.bands, nt
+       |ORDER BY bands DESC""".stripMargin
+  }
+
   /** Corpus minus the lower-id-loses side of every verified near-dup pair.
     * LSH parameters pass through to [[minhashNearDupPairs]]; callers that
     * need oracle-able determinism (pair set == exact-Jaccard pair set)

@@ -169,6 +169,83 @@ object Stats {
         (col("__mx").cast("double") / lit(1e6)).as("max_v"))
   }
 
+  /** Log-bucketed histogram quantiles — the mergeable fixed-state sketch
+    * for latency/size percentiles over an unbounded stream (HDR-histogram
+    * family). Values e6-quantize to int64; the bucket key is (bit-length,
+    * top-2-sub-bits) of the quantized value — ≤ 64·4 buckets per group
+    * REGARDLESS of cardinality, pure integer derivation (`length(bin(q))`
+    * — no log2, no libm), merge = count addition. The quantile estimate is
+    * the lower bound of the first bucket whose cumulative count reaches
+    * ⌈n·pct/100⌉, in e6 units (`est_q_micro`); relative error is bounded by
+    * the bucket width, < 25% of the value. Non-positive values clamp into
+    * the q=1 bucket.
+    *
+    * vs q29's exact percentile: that sorts the group (or holds it in a
+    * percentile agg buffer); this never holds more than the bucket grid —
+    * the difference between a per-group sort and 256 counters at 100 TB. */
+  def logBucketQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = df
+      .select(col(groupCol),
+        expr(s"GREATEST(CAST(FLOOR(CAST($valueCol AS DOUBLE) * 1000000.0D) AS BIGINT), 1L)")
+          .as("q"))
+      .withColumn("blen", length(expr("bin(q)")))
+      .withColumn("lb", expr(
+        """CASE WHEN blen >= 3
+          |  THEN SHIFTLEFT(1L, blen - 1) + ((q DIV SHIFTLEFT(1L, blen - 3)) % 4) * SHIFTLEFT(1L, blen - 3)
+          |  ELSE q END""".stripMargin))
+      .groupBy(col(groupCol), col("lb"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("lb"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = bucketed
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n_vals", sum(col("c")).over(Window.partitionBy(col(groupCol))))
+    val pctDf = df.sparkSession.sql(
+      s"SELECT * FROM VALUES ${pcts.map(p => s"($p)").mkString(", ")} AS t(pct)")
+    cum.crossJoin(broadcast(pctDf))
+      .filter(col("cum") >= expr("CAST((n_vals * pct + 99) DIV 100 AS BIGINT)"))
+      .groupBy(col(groupCol), col("pct"))
+      .agg(min(col("lb")).as("est_q_micro"), min(col("n_vals")).as("n_vals"))
+      .select(col(groupCol), col("pct").cast("long").as("pct"), col("n_vals"),
+        col("est_q_micro"))
+      .orderBy(col(groupCol), col("pct"))
+  }
+
+  /** Exact covariance matrix of an embedding column on the 10⁻³ quantized
+    * grid — the PCA/whitening precursor over a feature store. The outer
+    * product flattens map-side into one d²-long array per row and
+    * [[graft.functions.VecSumAgg]] folds them — shuffle volume is
+    * #partitions·d² longs, never n·d² exploded rows. Products are ≤ ~10⁶
+    * per cell so the int64 accumulator holds ~10¹² rows; the final
+    * n·S_ij − S_i·S_j leaves int64 range at larger n, so it is computed in
+    * DECIMAL(38,0) and emitted as a canonical digit STRING (`cov_num`,
+    * covariance·n²·10⁶ — the x63 lesson: DECIMAL hashes are not
+    * driver-portable, digit strings are). Upper triangle only. */
+  def covarianceMatrix(embs: DataFrame, vecCol: String): DataFrame = {
+    val agg = embs
+      .select(expr(s"transform($vecCol, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000.0D) AS BIGINT))")
+        .as("qv"))
+      .agg(count(lit(1)).as("n_vecs"),
+        graft.functions.VecSumAgg.vec_sum(col("qv")).as("s"),
+        graft.functions.VecSumAgg.vec_sum(
+          expr("flatten(transform(qv, x -> transform(qv, y -> x * y)))")).as("sxy"))
+    agg
+      .select(col("n_vecs"), col("s"), posexplode(col("sxy")).as(Seq("pos", "s_ij")))
+      .select(col("n_vecs"),
+        expr("CAST(pos DIV size(s) + 1 AS BIGINT)").as("i"),
+        expr("CAST(pos % size(s) + 1 AS BIGINT)").as("j"),
+        expr("element_at(s, CAST(pos DIV size(s) + 1 AS INT))").as("s_i"),
+        expr("element_at(s, CAST(pos % size(s) + 1 AS INT))").as("s_j"),
+        col("s_ij"))
+      .filter(col("i") <= col("j"))
+      .select(col("i"), col("j"), col("n_vecs"), col("s_i"), col("s_j"), col("s_ij"),
+        expr("""CAST(CAST(n_vecs AS DECIMAL(38,0)) * CAST(s_ij AS DECIMAL(38,0))
+               |  - CAST(s_i AS DECIMAL(38,0)) * CAST(s_j AS DECIMAL(38,0)) AS STRING)""".stripMargin)
+          .as("cov_num"))
+  }
+
   /** Exact ROC-AUC of a score against a boolean label — the classifier-eval
     * primitive behind every quality-filter threshold decision (does the
     * fastText-shape score actually separate the classes before we gate

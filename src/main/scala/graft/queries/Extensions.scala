@@ -966,6 +966,99 @@ object Extensions {
        |FROM ex JOIN z USING (event_type) ORDER BY ex.event_type""".stripMargin
   }
 
+  // -------------------------------------------- x102 log-bucket quantiles
+  /** [[graft.ops.Stats.logBucketQuantiles]]: p50/p90/p99 of `events.value`
+    * per event type from the fixed-state log-bucket sketch (≤256 integer
+    * counters per group vs q29's per-group sort). The bucket derivation is
+    * `length(bin(q))` + two sub-bits — pure integer on both engines — so
+    * the oracle refolds the sketch and the estimates match exactly. */
+  def x102LogQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Stats.logBucketQuantiles(
+      Tables.load(s, dir, "events"), "event_type", "value")
+  }
+  val x102Sql: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    GREATEST(CAST(floor(CAST(value AS DOUBLE) * 1000000.0) AS BIGINT), 1) AS q
+      |  FROM events),
+      |bl AS (SELECT event_type, q, length(bin(q)) AS blen FROM b),
+      |lbs AS (
+      |  SELECT event_type,
+      |    CASE WHEN blen >= 3
+      |      THEN (1::BIGINT << (blen - 1))
+      |           + ((q // (1::BIGINT << (blen - 3))) % 4) * (1::BIGINT << (blen - 3))
+      |      ELSE q END AS lb
+      |  FROM bl),
+      |cnt AS (SELECT event_type, lb, count(*) AS c FROM lbs GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, lb, c,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY lb
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(c) OVER (PARTITION BY event_type) AS n_vals
+      |  FROM cnt),
+      |pcts(pct) AS (VALUES (50), (90), (99))
+      |SELECT event_type, CAST(pct AS BIGINT) AS pct,
+      |  CAST(min(n_vals) AS BIGINT) AS n_vals,
+      |  CAST(min(lb) AS BIGINT) AS est_q_micro
+      |FROM cum, pcts
+      |WHERE cum >= (n_vals * pct + 99) // 100
+      |GROUP BY event_type, pct
+      |ORDER BY event_type, pct""".stripMargin
+
+  // ------------------------------------------------------ x103 covariance
+  /** [[graft.ops.Stats.covarianceMatrix]]: the exact 64×64 upper-triangle
+    * covariance numerators of the embedding table on the 10⁻³ grid — outer
+    * products fold map-side through [[graft.functions.VecSumAgg]]
+    * (#partitions·d² shuffle, never n·d² rows). `cov_num` = n·S_ij −
+    * S_i·S_j as a canonical digit string (DECIMAL(38,0)/HUGEINT both
+    * render the same digits; the x63 lesson). */
+  def x103Covariance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Stats.covarianceMatrix(emb(s, dir), "embedding")
+      .orderBy($"i", $"j")
+  }
+  val x103Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |d AS (SELECT unnest(range(1, 65)) AS i),
+      |cells AS (
+      |  SELECT di.i AS i, dj.i AS j, sum(qv[di.i] * qv[dj.i]) AS s_ij
+      |  FROM q, d di, d dj WHERE di.i <= dj.i GROUP BY 1, 2),
+      |sums AS (SELECT di.i AS i, sum(qv[di.i]) AS s_i FROM q, d di GROUP BY 1),
+      |nn AS (SELECT count(*) AS n FROM q)
+      |SELECT CAST(c.i AS BIGINT) AS i, CAST(c.j AS BIGINT) AS j,
+      |  CAST(nn.n AS BIGINT) AS n_vecs,
+      |  CAST(sa.s_i AS BIGINT) AS s_i, CAST(sb.s_i AS BIGINT) AS s_j,
+      |  CAST(c.s_ij AS BIGINT) AS s_ij,
+      |  CAST(CAST(nn.n AS HUGEINT) * CAST(c.s_ij AS HUGEINT)
+      |    - CAST(sa.s_i AS HUGEINT) * CAST(sb.s_i AS HUGEINT) AS VARCHAR) AS cov_num
+      |FROM cells c
+      |JOIN sums sa ON sa.i = c.i
+      |JOIN sums sb ON sb.i = c.j, nn
+      |ORDER BY c.i, c.j""".stripMargin
+
+  // -------------------------------------------------------- x101 LSH tuning
+  /** [[graft.ops.Dedup.lshTuningReport]]: the MinHash banding S-curve made
+    * measurable — candidate precision/recall per band geometry over a
+    * 16-hash signature, truth = the x08 exact-Jaccard ≥ 0.5 pair set. The
+    * first round where the LSH CANDIDATE stage itself is oracled: the
+    * DuckDB side rebuilds token FNV, shingle folds, all 16 permutations
+    * (constants baked from SplitMix64 at build time), signed mins, band
+    * slices, and the pair join — [[graft.ops.Dedup.lshTuningSql]]. */
+  def x101LshTuning(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshTuningReport(docs(s, dir), "doc_id", "text", ngramPairGraph(s, dir))
+  val x101Sql: String = Dedup.lshTuningSql(
+    s"""$ngramPairCtes,
+       |truth AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5)""".stripMargin,
+    shingleK = 3, sigLen = 16, bandConfigs = Seq(16, 8, 4, 2))
+
   // --------------------------------------------------------- x100 score AUC
   /** [[graft.ops.Stats.scoreAuc]]: does the x03 quality score separate the
     * high labels (label ≥ 5 via the doc_id = vec_id alignment)? Exact
@@ -2862,6 +2955,9 @@ object Extensions {
       |FROM t WHERE length(s) > 0 ORDER BY doc_id, sent_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x103_covariance" -> x103Covariance _,
+    "x102_log_quantiles" -> x102LogQuantiles _,
+    "x101_lsh_tuning" -> x101LshTuning _,
     "x100_score_auc" -> x100ScoreAuc _,
     "x99_hll_distinct" -> x99HllUsers _,
     "x98_kmeans" -> x98Kmeans _,
@@ -3016,6 +3112,9 @@ object Extensions {
     "x86_quality_dup_curve" -> x86Sql,
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
+    "x103_covariance" -> x103Sql,
+    "x102_log_quantiles" -> x102Sql,
+    "x101_lsh_tuning" -> x101Sql,
     "x100_score_auc" -> x100Sql,
     "x99_hll_distinct" -> x99Sql,
     "x98_kmeans" -> x98Sql,

@@ -193,6 +193,89 @@ class ClusteringSketchSpec extends SparkSpec {
     assert(withNull.getLong(withNull.fieldIndex("auc_micro")) == 1000000L)
   }
 
+  // --------------------------------------------------------------- lsh tuning
+  test("x101: the banding S-curve is monotone and internally consistent") {
+    val rows = graft.queries.Extensions.x101LshTuning(spark, sfDir).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val cand = r.getLong(r.fieldIndex("n_candidates"))
+      val tp = r.getLong(r.fieldIndex("n_tp"))
+      val truth = r.getLong(r.fieldIndex("n_truth"))
+      assert(tp <= math.min(cand, truth))
+      assert(r.getLong(r.fieldIndex("bands")) * r.getLong(r.fieldIndex("rows_per_band")) == 16L)
+    }
+    // rows come back bands DESC = rows_per_band ASC: candidates shrink,
+    // precision rises, recall falls as bands coarsen — the S-curve.
+    val cands = rows.map(_.getLong(2))
+    assert(cands.zip(cands.tail).forall { case (a, b) => a >= b })
+    val prec = rows.map(r => Option(r.get(r.fieldIndex("precision_micro"))).map(_.asInstanceOf[Long]).getOrElse(0L))
+    assert(prec.zip(prec.tail).forall { case (a, b) => a <= b })
+    val recIdx = rows.head.fieldIndex("recall_micro")
+    val rec = rows.map(_.getLong(recIdx))
+    assert(rec.zip(rec.tail).forall { case (a, b) => a >= b })
+    // 16 one-row bands at threshold 0.5: per-pair miss prob ≤ 2^-16 — full
+    // recall on this corpus's 25 truth pairs.
+    assert(rec.head == 1000000L)
+  }
+
+  // ------------------------------------------------------- log quantiles
+  test("logBucketQuantiles: estimates bound the exact percentile within bucket width") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val est = Stats.logBucketQuantiles(ev, "event_type", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(est.size == 15) // 5 types × 3 pcts
+    val exact = ev.groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    exact.foreach { case (et, (p50, p90, p99, n)) =>
+      Seq(50L -> p50, 90L -> p90, 99L -> p99).foreach { case (pct, ex) =>
+        val (nVals, q) = est((et, pct))
+        assert(nVals == n)
+        val estV = q.toDouble / 1e6
+        // the sketch returns the bucket LOWER bound; the true quantile sits
+        // within one bucket width (≤ 25% relative) above it
+        assert(estV <= ex * 1.01 && estV >= ex * 0.70,
+          s"$et p$pct: est $estV vs exact $ex")
+      }
+      // monotone across pcts
+      assert(est((et, 50L))._2 <= est((et, 90L))._2 &&
+        est((et, 90L))._2 <= est((et, 99L))._2)
+    }
+  }
+
+  // --------------------------------------------------------- covariance
+  test("covarianceMatrix matches a driver-side double computation on the quantized grid") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val got = Stats.covarianceMatrix(emb, "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6))).toMap
+    assert(got.size == 64 * 65 / 2)
+    val vecs = emb.select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(v => math.floor(v.toDouble * 1000.0).toLong).toArray)
+    val n = vecs.length.toLong
+    val d = vecs.head.length
+    // spot-check a handful of cells exactly (BigInt reference)
+    for ((i, j) <- Seq((1, 1), (1, 64), (17, 32), (64, 64))) {
+      val sI = vecs.map(v => BigInt(v(i - 1))).sum
+      val sJ = vecs.map(v => BigInt(v(j - 1))).sum
+      val sIj = vecs.map(v => BigInt(v(i - 1)) * BigInt(v(j - 1))).sum
+      val (gn, gsi, gsj, gsij, cov) = got((i.toLong, j.toLong))
+      assert(gn == n && BigInt(gsi) == sI && BigInt(gsj) == sJ && BigInt(gsij) == sIj)
+      assert(BigInt(cov) == BigInt(n) * sIj - sI * sJ)
+    }
+    // every diagonal covariance numerator is non-negative (n·Σx² ≥ (Σx)²)
+    (1 to d).foreach { i =>
+      assert(BigInt(got((i.toLong, i.toLong))._5) >= 0)
+    }
+  }
+
   test("x100 on the real corpus: bounds and internal consistency") {
     val r = graft.queries.Extensions.x100ScoreAuc(spark, sfDir).collect()(0)
     val np = r.getLong(r.fieldIndex("n_pos"))
