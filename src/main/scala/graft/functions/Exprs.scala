@@ -247,6 +247,24 @@ object Exprs {
       copy(left = l, right = r)
   }
 
+  /** bpe_merge_pair(array<string>, l, r) → array<string> — one BPE merge
+    * pass; the (l, r) pair rides as expression params (driver-known
+    * constants per training round), codegen'd. */
+  case class BpeMergePair(child: Expression, l: String, r: String)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    private lazy val lU = org.apache.spark.unsafe.types.UTF8String.fromString(l)
+    private lazy val rU = org.apache.spark.unsafe.types.UTF8String.fromString(r)
+    override protected def nullSafeEval(t: Any): Any =
+      Ops.bpeMergePair(t.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], lU, rU)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val lRef = ctx.addReferenceObj("bpeL", lU)
+      val rRef = ctx.addReferenceObj("bpeR", rU)
+      defineCodeGen(ctx, ev, t => s"graft.functions.Ops.bpeMergePair($t, $lRef, $rRef)")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** lang_id(string) → string */
   case class LangId(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StringType
@@ -278,6 +296,8 @@ object Exprs {
   def hyperplane_bucket(vec: Column, nbits: Int = 16, seed: Long = 42L): Column =
     col(HyperplaneBucket(ex(vec), nbits, seed))
   def lang_id(text: Column): Column = col(LangId(ex(text)))
+  def bpe_merge_pair(tokens: Column, l: String, r: String): Column =
+    col(BpeMergePair(ex(tokens), l, r))
   def bloom_any(shingles: Column, bits: Array[Long]): Column =
     col(BloomAnyExpr(ex(shingles), bits))
   def cms_lookup(matrix: Column, token: Column, rows: Int, width: Int): Column =

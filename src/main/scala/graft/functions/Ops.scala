@@ -487,4 +487,31 @@ object Ops {
     }
     false
   }
+
+  // -------------------------------------------------------------------- bpe
+  private val BpeJoiner = UTF8String.fromString("_")
+
+  /** One BPE merge pass: every leftmost non-overlapping (l, r) adjacency in
+    * the token array becomes the single token `l_r` (the merge scan
+    * consumes both and continues AFTER the merged pair — "a a a" with pair
+    * (a,a) yields ["a_a", "a"], never overlapping matches). One pass, no
+    * allocation beyond the output array. */
+  def bpeMergePair(tokens: ArrayData, l: UTF8String, r: UTF8String): ArrayData = {
+    val n = tokens.numElements()
+    val out = new Array[UTF8String](n)
+    var o = 0
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      if (i + 1 < n && l == t && r == tokens.getUTF8String(i + 1)) {
+        out(o) = UTF8String.concat(l, BpeJoiner, r)
+        i += 2
+      } else {
+        out(o) = t
+        i += 1
+      }
+      o += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], o))
+  }
 }

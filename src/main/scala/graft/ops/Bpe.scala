@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BPE-style tokenizer training on the cluster (Sennrich et al. '16 shape):
+  * `merges` rounds of count-adjacent-pairs → pick the most frequent →
+  * rewrite every occurrence, over the whole corpus.
+  *
+  * Scale shape per round: pair counting is ONE map-side-combining aggregate
+  * over the current token table (shuffle = distinct-pair partials), the
+  * winning pair is a 1-row TakeOrdered collect (driver state = `merges`
+  * pairs total), and the rewrite is a codegen'd map-side expression
+  * ([[graft.functions.Exprs.BpeMergePair]]) with the pair riding as a
+  * constant. Each round localCheckpoints the rewritten token table, so
+  * round t rereads stored blocks instead of re-running t-1 merge passes —
+  * linear total cost, the standard iterative-refinement discipline (x28's
+  * convergence loop). At 100 TB you run this on a corpus sample; the plan
+  * shape is the same.
+  *
+  * Determinism: ties on pair count break lexicographically on (lhs, rhs);
+  * the rewrite consumes leftmost non-overlapping occurrences ("a a a" with
+  * pair (a,a) → ["a_a", "a"]). Both rules are re-spelled exactly in the
+  * DuckDB oracle ([[bpeSql]]), which carries the corpus between rounds as
+  * double-space-joined strings so plain `replace()` reproduces the
+  * non-overlapping merge scan. Merged symbols join with '_' — distinct
+  * from anything in a whitespace-tokenized corpus.
+  */
+object Bpe {
+
+  /** Train `merges` BPE merges; returns (merge_rank, lhs, rhs, pair_count)
+    * — the learned merge table, most-frequent-first. Stops early if the
+    * corpus runs out of adjacent pairs. */
+  def bpeMerges(docs: DataFrame, textCol: String, merges: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var cur = docs.select(Dedup.tokens(col(textCol)).as("toks")).localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var t = 1
+    var exhausted = false
+    while (t <= merges && !exhausted) {
+      val top = cur
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS lhs, toks[i + 1] AS rhs))"))
+          .as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("lhs"), col("rhs"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((t.toLong, l, r, c))
+        cur = cur
+          .withColumn("toks", graft.functions.Exprs.bpe_merge_pair(col("toks"), l, r))
+          .localCheckpoint()
+        t += 1
+      }
+    }
+    learned.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** The x104 oracle: the same training loop unrolled as CTEs. The corpus
+    * state between rounds is ' tok1  tok2  ... ' (double-space separators,
+    * single-space fences), so the round-t rewrite is
+    * `replace(s, ' l  r ', ' l_r ')` — SQL replace scans left-to-right
+    * non-overlapping, exactly the kernel's merge scan, and the match
+    * consuming one space from each flanking separator preserves the
+    * invariant. */
+  def bpeSql(table: String, textCol: String, merges: Int): String = {
+    val rounds = (1 to merges).map { t =>
+      s"""p$t AS (
+         |  SELECT pr.lhs AS lhs, pr.rhs AS rhs, count(*) AS c FROM (
+         |    SELECT unnest(list_transform(range(1, len(tk)),
+         |      i -> struct_pack(lhs := tk[i], rhs := tk[i + 1]))) AS pr
+         |    FROM (SELECT list_transform(string_split(s, '  '), x -> trim(x)) AS tk
+         |          FROM s${t - 1}))
+         |  GROUP BY 1, 2),
+         |t$t AS (SELECT lhs, rhs, c FROM p$t ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |s$t AS (
+         |  SELECT replace(s, ' ' || t.lhs || '  ' || t.rhs || ' ',
+         |                    ' ' || t.lhs || '_' || t.rhs || ' ') AS s
+         |  FROM s${t - 1}, t$t t)""".stripMargin
+    }.mkString(",\n")
+    val unioned = (1 to merges).map { t =>
+      s"SELECT $t AS merge_rank, lhs, rhs, CAST(c AS BIGINT) AS pair_count FROM t$t"
+    }.mkString("\nUNION ALL ")
+    s"""WITH s0 AS (
+       |  SELECT ' ' || array_to_string(string_split_regex(lower($textCol), '\\s+'), '  ') || ' ' AS s
+       |  FROM $table),
+       |$rounds
+       |SELECT CAST(merge_rank AS BIGINT) AS merge_rank, lhs, rhs, pair_count FROM (
+       |$unioned)
+       |ORDER BY merge_rank""".stripMargin
+  }
+}

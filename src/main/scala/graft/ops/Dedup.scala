@@ -150,7 +150,10 @@ object Dedup {
           expr(s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b * $r + 1, $r))")))
         .toDF("doc_id", "band_idx", "band_key")
       bucketCandidatePairs(banded, "band_idx", "band_key", maxBucketSize)
-        .join(truth.withColumn("is_tp", lit(1L)), Seq("doc_a", "doc_b"), "left")
+        // truth is the audited pair set — near-dup-density-sized, broadcast
+        // (localCheckpoint drops size stats, so without the hint Spark
+        // falls back to a sort-merge join of a tiny relation)
+        .join(broadcast(truth.withColumn("is_tp", lit(1L))), Seq("doc_a", "doc_b"), "left")
         .agg(count(lit(1)).as("n_candidates"),
           coalesce(sum(col("is_tp")), lit(0L)).as("n_tp"))
         .select(lit(bands.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),

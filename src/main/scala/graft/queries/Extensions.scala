@@ -966,6 +966,16 @@ object Extensions {
        |FROM ex JOIN z USING (event_type) ORDER BY ex.event_type""".stripMargin
   }
 
+  // ------------------------------------------------------ x104 BPE merges
+  /** [[graft.ops.Bpe.bpeMerges]]: 8 rounds of corpus-wide BPE tokenizer
+    * training — the learned merge table, with the whole loop (pair counts,
+    * lexicographic tie-break, leftmost non-overlapping rewrite) re-spelled
+    * in the DuckDB oracle via double-space-joined corpus strings and plain
+    * `replace()`. */
+  def x104BpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.bpeMerges(docs(s, dir), "text", merges = 8)
+  val x104Sql: String = graft.ops.Bpe.bpeSql("documents", "text", merges = 8)
+
   // -------------------------------------------- x102 log-bucket quantiles
   /** [[graft.ops.Stats.logBucketQuantiles]]: p50/p90/p99 of `events.value`
     * per event type from the fixed-state log-bucket sketch (≤256 integer
@@ -2955,6 +2965,7 @@ object Extensions {
       |FROM t WHERE length(s) > 0 ORDER BY doc_id, sent_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x104_bpe_merges" -> x104BpeMerges _,
     "x103_covariance" -> x103Covariance _,
     "x102_log_quantiles" -> x102LogQuantiles _,
     "x101_lsh_tuning" -> x101LshTuning _,
@@ -3112,6 +3123,7 @@ object Extensions {
     "x86_quality_dup_curve" -> x86Sql,
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
+    "x104_bpe_merges" -> x104Sql,
     "x103_covariance" -> x103Sql,
     "x102_log_quantiles" -> x102Sql,
     "x101_lsh_tuning" -> x101Sql,

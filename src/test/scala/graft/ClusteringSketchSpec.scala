@@ -218,6 +218,41 @@ class ClusteringSketchSpec extends SparkSpec {
     assert(rec.head == 1000000L)
   }
 
+  // --------------------------------------------------------------- bpe
+  test("bpeMerges: hand-computed merges on a tiny corpus, non-overlapping scan") {
+    import spark.implicits._
+    // "a a a b" + "a b x": pairs r1: (a,a)=2? no — doc1 has (a,a)×2,(a,b);
+    // doc2 (a,b),(b,x). counts: (a,a)=2, (a,b)=2, (b,x)=1 → tie (a,a) vs
+    // (a,b) → lexicographic → (a,a). Rewrite: doc1 [a_a, a, b] (leftmost
+    // non-overlap), doc2 unchanged.
+    // r2: doc1 (a_a,a),(a,b); doc2 (a,b),(b,x) → (a,b)=2 wins.
+    // r3: doc1 [a_a, a_b], doc2 [a_b, x] → (a_a,a_b)=1,(a_b,x)=1 → lex →
+    // (a_a,a_b).
+    val df = Seq("a a a b", "a b x").toDF("text")
+    val got = graft.ops.Bpe.bpeMerges(df, "text", merges = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "a", "a", 2L),
+      (2L, "a", "b", 2L),
+      (3L, "a_a", "a_b", 1L)))
+  }
+
+  test("bpeMerges early-stops when no adjacent pairs remain") {
+    import spark.implicits._
+    val df = Seq("one", "two").toDF("text") // single-token docs: zero pairs
+    assert(graft.ops.Bpe.bpeMerges(df, "text", merges = 5).collect().isEmpty)
+  }
+
+  test("x104 on the real corpus: top-pair counts are non-increasing") {
+    // standard BPE property: a merged symbol's new adjacencies can never
+    // outnumber the occurrences of the merge that created it
+    val rows = graft.queries.Extensions.x104BpeMerges(spark, sfDir).collect()
+    assert(rows.length == 8)
+    val counts = rows.map(_.getLong(3))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    assert(counts.last > 0)
+  }
+
   // ------------------------------------------------------- log quantiles
   test("logBucketQuantiles: estimates bound the exact percentile within bucket width") {
     import spark.implicits._

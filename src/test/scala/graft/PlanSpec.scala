@@ -240,4 +240,45 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "SortMergeJoin") == 0 && count(p, "CartesianProduct") == 0,
       s"single-row sketch must broadcast:\n$p")
   }
+
+  test("x98 kmeans final assignment: map-side argmin, no join, no window") {
+    val p = plan(Extensions.x98Kmeans(spark, dir))
+    // assignment against broadcast-literal centroids is a pure projection
+    // over the scan — no join of any kind, no window; the only exchange is
+    // the final ORDER BY
+    assert(count(p, "SortMergeJoin") + count(p, "BroadcastHashJoin") +
+      count(p, "BroadcastNestedLoopJoin") + count(p, "CartesianProduct") == 0,
+      s"assignment must not join:\n$p")
+    assert(count(p, "Window") == 0, s"assignment must not window:\n$p")
+    assert(count(p, "Exchange") <= 1, s"only the output sort may exchange:\n$p")
+  }
+
+  test("x99 HLL: register build is a partial+final imperative aggregate, no distinct expand") {
+    val p = plan(Extensions.x99HllUsers(spark, dir))
+    // HllAgg folds map-side like the CMS build; countDistinct in the same
+    // agg adds its expand/partial stages but nothing may sort-merge join
+    assert(count(p, "ObjectHashAggregate") >= 2, s"partial+final register build expected:\n$p")
+    assert(count(p, "SortMergeJoin") == 0 && count(p, "CartesianProduct") == 0,
+      s"no join expected:\n$p")
+  }
+
+  test("x103 covariance: outer products fold into one partial+final aggregate") {
+    val p = plan(Extensions.x103Covariance(spark, dir))
+    // the d²-cell fold must collapse to a single global aggregate pair —
+    // the shuffle carries #partitions·d² partials, never n·d² rows
+    assert(count(p, "ObjectHashAggregate") >= 2, s"partial+final vec_sum expected:\n$p")
+    assert(count(p, "Generate") <= 1, s"only the final cell posexplode may Generate:\n$p")
+    assert(count(p, "SortMergeJoin") + count(p, "BroadcastHashJoin") == 0,
+      s"covariance must not join:\n$p")
+  }
+
+  test("x101 LSH tuning: every geometry uses the capped-bucket kernel, no self-join of the banded table") {
+    val p = plan(Extensions.x101LshTuning(spark, dir))
+    // four geometries × (bucket agg + pair dedup + broadcast TP probe);
+    // the banded relation must never sort-merge join with itself — pairs
+    // come from the bounded_collect_set expansion
+    assert(count(p, "SortMergeJoin") == 0, s"no sort-merge self-join:\n$p")
+    assert(count(p, "CartesianProduct") == 0, s"no cartesian:\n$p")
+    assert(p.contains("bounded_collect_set"), s"expected capped-bucket kernel:\n$p")
+  }
 }
