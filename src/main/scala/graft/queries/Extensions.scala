@@ -909,11 +909,7 @@ object Extensions {
       .agg(graft.functions.HllAgg.hll_registers($"user_id", 4).as("regs"),
         countDistinct($"user_id").as("n_exact"))
       .select($"event_type", $"n_exact",
-        expr("""CAST(FLOOR(0.673D * 256.0D * 2305843009213693952.0D /
-               |  CAST(aggregate(regs, CAST(0 AS DECIMAL(38,0)),
-               |    (acc, r) -> CAST(acc + CAST(POWER(2.0D, 61 - r) AS DECIMAL(38,0))
-               |                     AS DECIMAL(38,0))) AS DOUBLE)
-               |  * 1000000.0D) AS BIGINT)""".stripMargin).as("est_micro"),
+        expr(hllEstMicroExpr).as("est_micro"),
         expr("CAST(size(filter(regs, r -> r = 0)) AS BIGINT)").as("zero_regs"))
       .orderBy($"event_type")
   }
@@ -965,6 +961,88 @@ object Extensions {
        |  z.zero_regs
        |FROM ex JOIN z USING (event_type) ORDER BY ex.event_type""".stripMargin
   }
+
+  // ------------------------------------------------------ x105 FK profile
+  /** Foreign-key health profile over the star schema: per relationship,
+    * child rows, NULL fks, exact distinct keys, the [[graft.functions
+    * .HllAgg]] estimate beside it (the fixed-state path you'd actually run
+    * per-partition at 100 TB), and orphan keys (distinct fks with no
+    * parent — anti-join). The events.user_id → customer.c_custkey row is
+    * deliberately an UNMODELED relationship — the check runs against a
+    * relationship nobody curated, not just the schema's own FKs (on this
+    * generator the ids happen to nest, so it reads 0 orphans too). */
+  private val fkRels: Seq[(String, String, String, String, String)] = Seq(
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"))
+
+  /** The p=4 register→estimate projection (shared by x99 and x105). */
+  private def hllEstMicroExpr: String =
+    """CAST(FLOOR(0.673D * 256.0D * 2305843009213693952.0D /
+      |  CAST(aggregate(regs, CAST(0 AS DECIMAL(38,0)),
+      |    (acc, r) -> CAST(acc + CAST(POWER(2.0D, 61 - r) AS DECIMAL(38,0))
+      |                     AS DECIMAL(38,0))) AS DOUBLE)
+      |  * 1000000.0D) AS BIGINT)""".stripMargin
+
+  def x105FkProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    fkRels.map { case (rel, child, fk, parent, pk) =>
+      val c = Tables.load(s, dir, child)
+      val p = Tables.load(s, dir, parent)
+      val stats = c.agg(
+        count(lit(1)).as("n_child"),
+        sum(when(col(fk).isNull, 1L).otherwise(0L)).as("n_null_fk"),
+        countDistinct(col(fk)).as("n_distinct_fk"),
+        graft.functions.HllAgg.hll_registers(col(fk).cast("long"), 4).as("regs"))
+        .select(lit(rel).as("rel"), col("n_child"), col("n_null_fk"),
+          col("n_distinct_fk"), expr(hllEstMicroExpr).as("hll_est_micro"))
+      val orphans = c.select(col(fk).as("k")).filter(col("k").isNotNull).distinct()
+        .join(p.select(col(pk).as("k")), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan_keys"))
+      stats.crossJoin(broadcast(orphans))
+    }.reduce(_.unionByName(_)).orderBy($"rel")
+  }
+  /** Scalar HLL-estimate subquery over one table's int64 key column —
+    * x99's HUGEINT respell, ungrouped. */
+  private def hllEstSqlScalar(table: String, keyCol: String): String = {
+    val m2 = mulmodSql("xor(x, x // 1073741824::HUGEINT)", "13787848793156543929::HUGEINT")
+    val m3 = mulmodSql("xor(x, x // 134217728::HUGEINT)", "10723151780598845931::HUGEINT")
+    s"""(WITH du AS (SELECT DISTINCT CAST($keyCol AS HUGEINT) AS u FROM $table
+       |             WHERE $keyCol IS NOT NULL),
+       |m1 AS (SELECT (u + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS x FROM du),
+       |m2 AS (SELECT $m2 AS x FROM m1),
+       |m3 AS (SELECT $m3 AS x FROM m2),
+       |hh AS (SELECT xor(x, x // 2147483648::HUGEINT) AS h FROM m3),
+       |rr AS (
+       |  SELECT CAST(h // 1152921504606846976::HUGEINT AS BIGINT) AS bucket,
+       |    CAST(h % 1152921504606846976::HUGEINT AS BIGINT) AS rem
+       |  FROM hh),
+       |mx AS (SELECT bucket,
+       |    max(CASE WHEN rem = 0 THEN 61
+       |             ELSE CAST(bit_count((rem & (-rem)) - 1) AS INT) + 1 END) AS reg
+       |  FROM rr GROUP BY bucket),
+       |fullr AS (
+       |  SELECT coalesce(mx.reg, 0) AS reg
+       |  FROM (SELECT unnest(range(16)) AS b) gs LEFT JOIN mx ON mx.bucket = gs.b),
+       |z AS (
+       |  SELECT list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |    list(CAST(2.0 ** (61 - reg) AS HUGEINT))), (a, b) -> a + b) AS znum
+       |  FROM fullr)
+       |SELECT CAST(floor(0.673 * 256.0 * 2305843009213693952.0 / CAST(znum AS DOUBLE)
+       |  * 1000000.0) AS BIGINT) FROM z)""".stripMargin
+  }
+  val x105Sql: String =
+    fkRels.map { case (rel, child, fk, parent, pk) =>
+      s"""SELECT '$rel' AS rel,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $child) AS n_child,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $child WHERE $fk IS NULL) AS n_null_fk,
+         |  (SELECT CAST(count(DISTINCT $fk) AS BIGINT) FROM $child) AS n_distinct_fk,
+         |  ${hllEstSqlScalar(child, fk)} AS hll_est_micro,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM
+         |     (SELECT DISTINCT $fk AS k FROM $child WHERE $fk IS NOT NULL) f
+         |     LEFT JOIN $parent p ON f.k = p.$pk WHERE p.$pk IS NULL) AS n_orphan_keys""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY rel"
 
   // ------------------------------------------------------ x104 BPE merges
   /** [[graft.ops.Bpe.bpeMerges]]: 8 rounds of corpus-wide BPE tokenizer
@@ -2965,6 +3043,7 @@ object Extensions {
       |FROM t WHERE length(s) > 0 ORDER BY doc_id, sent_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x105_fk_profile" -> x105FkProfile _,
     "x104_bpe_merges" -> x104BpeMerges _,
     "x103_covariance" -> x103Covariance _,
     "x102_log_quantiles" -> x102LogQuantiles _,
@@ -3123,6 +3202,7 @@ object Extensions {
     "x86_quality_dup_curve" -> x86Sql,
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
+    "x105_fk_profile" -> x105Sql,
     "x104_bpe_merges" -> x104Sql,
     "x103_covariance" -> x103Sql,
     "x102_log_quantiles" -> x102Sql,

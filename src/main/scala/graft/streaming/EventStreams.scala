@@ -45,6 +45,32 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Windowed distinct-user ESTIMATES via the HLL register aggregate —
+    * the streaming face of x99. Exact windowed COUNT(DISTINCT) is
+    * unsupported in streaming aggregations precisely because its state is
+    * the distinct set; the register vector is 2^p bytes per
+    * (window, group) and merges by element-wise max across micro-batches,
+    * so the sketch is the CORRECT streaming answer, not a compromise. The
+    * estimate math is the identical exact-integer derivation as x99's
+    * batch query (both faces pinned equal by StreamingSpec). */
+  def tumblingDistinctUsers(events: DataFrame, p: Int = 4): DataFrame = {
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673; case 32 => 0.697; case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(graft.functions.HllAgg.hll_registers(col("user_id"), p).as("regs"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        expr(s"""CAST(FLOOR(${alpha}D * ${m.toLong * m}.0D * POWER(2.0D, ${64 - p + 1}) /
+                |  CAST(aggregate(regs, CAST(0 AS DECIMAL(38,0)),
+                |    (acc, r) -> CAST(acc + CAST(POWER(2.0D, ${64 - p + 1} - r) AS DECIMAL(38,0))
+                |                     AS DECIMAL(38,0))) AS DOUBLE)
+                |  * 1000000.0D) AS BIGINT)""".stripMargin).as("est_micro"))
+  }
+
   /** Streaming exact dedup on event_id: duplicates arriving within the
     * watermark horizon are dropped across micro-batches with bounded state
     * (ids older than the watermark are evicted — the streaming twin of

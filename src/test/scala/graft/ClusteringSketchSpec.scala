@@ -218,6 +218,23 @@ class ClusteringSketchSpec extends SparkSpec {
     assert(rec.head == 1000000L)
   }
 
+  // ------------------------------------------------------- fk profile
+  test("x105: FK health rows are internally consistent; estimates track exact counts") {
+    val rows = graft.queries.Extensions.x105FkProfile(spark, sfDir).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val nChild = r.getLong(r.fieldIndex("n_child"))
+      val nDistinct = r.getLong(r.fieldIndex("n_distinct_fk"))
+      val est = r.getLong(r.fieldIndex("hll_est_micro")).toDouble / 1e6
+      assert(nDistinct <= nChild)
+      assert(r.getLong(r.fieldIndex("n_null_fk")) == 0L)
+      assert(r.getLong(r.fieldIndex("n_orphan_keys")) == 0L) // keys nest on this generator
+      // m=16 regime: generous 2σ band, but never nonsense
+      assert(est > nDistinct * 0.4 && est < nDistinct * 1.6,
+        s"${r.getString(0)}: est $est vs exact $nDistinct")
+    }
+  }
+
   // --------------------------------------------------------------- bpe
   test("bpeMerges: hand-computed merges on a tiny corpus, non-overlapping scan") {
     import spark.implicits._

@@ -44,6 +44,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tumbling HLL distinct: micro-batch register merge equals batch, estimate sane") {
+    import spark.implicits._
+    // many events, few distinct users — the duplication HLL absorbs
+    val users = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)
+    val events = (0 until 64).map { i =>
+      Event(1000 + i, ts(i % 50), users(i % users.size), "click", 1.0)
+    }
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.tumblingDistinctUsers(input.toDF())
+      .writeStream.format("memory").queryName("hll_stream_test")
+      .outputMode("complete").start()
+    try {
+      input.addData(events.take(20))
+      q.processAllAvailable()
+      input.addData(events.drop(20))
+      q.processAllAvailable()
+      val streamed = spark.table("hll_stream_test")
+        .as[(Timestamp, String, Long)].collect().toSeq.sorted
+      val batch = EventStreams.tumblingDistinctUsers(events.toDF())
+        .as[(Timestamp, String, Long)].collect().toSeq.sorted
+      // cross-micro-batch max-merge must land on the identical registers,
+      // hence the identical estimate — not merely a close one
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+      // single window, 8 distinct users, m=16: estimate within the small-n
+      // regime's generous band but never absurd
+      streamed.foreach { case (_, _, estMicro) =>
+        val est = estMicro.toDouble / 1e6
+        assert(est > 1.0 && est < 40.0, s"estimate $est out of band for 8 distinct")
+      }
+    } finally q.stop()
+  }
+
   test("sliding windows produce overlapping membership") {
     import spark.implicits._
     val out = EventStreams.slidingCounts(sample.toDF())
