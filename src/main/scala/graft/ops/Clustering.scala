@@ -55,6 +55,11 @@ object Clustering {
       var centroids: Array[Array[Long]] = base.orderBy(col("vec_id")).limit(k)
         .select(col("qv")).collect()
         .map(_.getSeq[Long](0).toArray)
+      // empty corpus: no seeds, no assignments — an empty result with the
+      // output schema, not an analysis error from a zero-arm argmin
+      if (centroids.isEmpty)
+        return base.select(col("vec_id"), lit(0L).as("cluster"), lit(0L).as("d"))
+          .limit(0)
       for (_ <- 1 to iters) {
         // k rows of (cluster, elementwise-sum, n) — bounded collect, like the
         // IVF trainer's per-round centroid pull.

@@ -166,7 +166,8 @@ object Dedup {
         expr("CASE WHEN n_candidates = 0 THEN NULL ELSE " +
           "CAST(FLOOR(CAST(n_tp AS DOUBLE) * 1000000.0D / CAST(n_candidates AS DOUBLE)) AS BIGINT) END")
           .as("precision_micro"),
-        expr("CAST(FLOOR(CAST(n_tp AS DOUBLE) * 1000000.0D / CAST(n_truth AS DOUBLE)) AS BIGINT)")
+        expr("CASE WHEN n_truth = 0 THEN NULL ELSE " +
+          "CAST(FLOOR(CAST(n_tp AS DOUBLE) * 1000000.0D / CAST(n_truth AS DOUBLE)) AS BIGINT) END")
           .as("recall_micro"))
       .orderBy(col("bands").desc)
   }
@@ -246,8 +247,9 @@ object Dedup {
        |  CASE WHEN coalesce(s.n_candidates, 0) = 0 THEN NULL ELSE
        |    CAST(floor(CAST(coalesce(s.n_tp, 0) AS DOUBLE) * 1000000.0
        |      / CAST(s.n_candidates AS DOUBLE)) AS BIGINT) END AS precision_micro,
-       |  CAST(floor(CAST(coalesce(s.n_tp, 0) AS DOUBLE) * 1000000.0
-       |    / CAST(nt.n_truth AS DOUBLE)) AS BIGINT) AS recall_micro
+       |  CASE WHEN nt.n_truth = 0 THEN NULL ELSE
+       |    CAST(floor(CAST(coalesce(s.n_tp, 0) AS DOUBLE) * 1000000.0
+       |      / CAST(nt.n_truth AS DOUBLE)) AS BIGINT) END AS recall_micro
        |FROM cfg LEFT JOIN stats s ON s.bands = cfg.bands, nt
        |ORDER BY bands DESC""".stripMargin
   }

@@ -58,4 +58,38 @@ object Skew {
         sum(col("__n")).as("n"),
         sum(col("__s")).cast("double").as("total"))
   }
+
+  /** Join-key skew report — the measurement you run BEFORE choosing between
+    * a plain shuffle join, [[saltedJoin]], or a broadcast: per key column,
+    * row count, distinct keys, the heaviest key and its row count, and
+    * `skew_ratio_micro` = ⌊10⁶ · max_key_rows · n_keys / n_rows⌋ (1.0 =
+    * perfectly uniform; AQE's skew threshold thinks in the same ratio).
+    * One aggregation per key column (map-side combining), then a 1-row
+    * reduction — nothing here is proportional to data volume except the
+    * first groupBy. All-integer output; ties on the hot key break to the
+    * lexicographically smallest key string. */
+  def skewReport(relations: Seq[(String, DataFrame, String)]): DataFrame =
+    relations.map { case (rel, df, key) =>
+      val counts = df
+        .select(col(key).cast("string").as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"))
+      counts
+        .agg(
+          sum(col("n")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("n")).as("max_key_rows"),
+          min_by(col("k"), struct((-col("n")).as("neg"), col("k"))).as("top_key"))
+        .select(
+          lit(rel).as("rel"),
+          coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+          col("n_keys"),
+          coalesce(col("max_key_rows"), lit(0L)).as("max_key_rows"),
+          coalesce(col("top_key"), lit("")).as("top_key"),
+          expr("""CASE WHEN n_rows IS NULL OR n_rows = 0 THEN 0L ELSE
+                 |  CAST(FLOOR(CAST(max_key_rows AS DOUBLE) * 1000000.0D
+                 |    * CAST(n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)) AS BIGINT) END"""
+            .stripMargin).as("skew_ratio_micro"))
+    }.reduce(_.unionByName(_)).orderBy(col("rel"))
 }

@@ -276,8 +276,9 @@ object Stats {
       .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
         sum(col("np") * (lit(2L) * col("nn_below") + col("nn"))).as("auc_num"))
       .select(col("n_pos"), col("n_neg"), col("auc_num"),
-        expr("CAST(FLOOR(CAST(auc_num AS DOUBLE) * 1000000.0D / " +
-          "(2.0D * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))) AS BIGINT)")
-          .as("auc_micro"))
+        expr("""CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE
+               |  CAST(FLOOR(CAST(auc_num AS DOUBLE) * 1000000.0D /
+               |    (2.0D * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))) AS BIGINT)
+               |END""".stripMargin).as("auc_micro"))
   }
 }

@@ -962,6 +962,39 @@ object Extensions {
        |FROM ex JOIN z USING (event_type) ORDER BY ex.event_type""".stripMargin
   }
 
+  // ------------------------------------------------------ x106 skew report
+  /** [[graft.ops.Skew.skewReport]] over the join-key families a planner
+    * would actually interrogate before picking plain-shuffle vs
+    * [[graft.ops.Skew.saltedJoin]] vs broadcast: per key column, the
+    * distinct-key count, the heaviest key, and the uniformity ratio
+    * (max·keys/rows, 1.0 = uniform). */
+  private val skewRels: Seq[(String, String, String)] = Seq(
+    ("documents.source", "documents", "source"),
+    ("events.user_id", "events", "user_id"),
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("orders.o_custkey", "orders", "o_custkey"))
+
+  def x106SkewReport(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.skewReport(skewRels.map { case (rel, table, key) =>
+      (rel, Tables.load(s, dir, table), key)
+    })
+  val x106Sql: String =
+    skewRels.map { case (rel, table, key) =>
+      s"""SELECT '$rel' AS rel, n_rows, n_keys, max_key_rows,
+         |  (SELECT k FROM (
+         |     SELECT CAST($key AS VARCHAR) AS k, count(*) AS n FROM $table
+         |     WHERE $key IS NOT NULL GROUP BY 1)
+         |   ORDER BY n DESC, k LIMIT 1) AS top_key,
+         |  CAST(FLOOR(CAST(max_key_rows AS DOUBLE) * 1000000.0
+         |    * CAST(n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)) AS BIGINT) AS skew_ratio_micro
+         |FROM (
+         |  SELECT CAST(sum(n) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys,
+         |         CAST(max(n) AS BIGINT) AS max_key_rows
+         |  FROM (SELECT count(*) AS n FROM $table WHERE $key IS NOT NULL
+         |        GROUP BY CAST($key AS VARCHAR)))""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY rel"
+
   // ------------------------------------------------------ x105 FK profile
   /** Foreign-key health profile over the star schema: per relationship,
     * child rows, NULL fks, exact distinct keys, the [[graft.functions
@@ -1186,8 +1219,10 @@ object Extensions {
        |  FROM g)
        |SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
        |  CAST(sum(np * (2 * nn_below + nn)) AS BIGINT) AS auc_num,
-       |  CAST(floor(CAST(sum(np * (2 * nn_below + nn)) AS DOUBLE) * 1000000.0
-       |    / (2.0 * CAST(sum(np) AS DOUBLE) * CAST(sum(nn) AS DOUBLE))) AS BIGINT) AS auc_micro
+       |  CASE WHEN sum(np) = 0 OR sum(nn) = 0 THEN NULL ELSE
+       |    CAST(floor(CAST(sum(np * (2 * nn_below + nn)) AS DOUBLE) * 1000000.0
+       |      / (2.0 * CAST(sum(np) AS DOUBLE) * CAST(sum(nn) AS DOUBLE))) AS BIGINT)
+       |  END AS auc_micro
        |FROM c""".stripMargin
   }
 
@@ -3043,6 +3078,7 @@ object Extensions {
       |FROM t WHERE length(s) > 0 ORDER BY doc_id, sent_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x106_skew_report" -> x106SkewReport _,
     "x105_fk_profile" -> x105FkProfile _,
     "x104_bpe_merges" -> x104BpeMerges _,
     "x103_covariance" -> x103Covariance _,
@@ -3202,6 +3238,7 @@ object Extensions {
     "x86_quality_dup_curve" -> x86Sql,
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
+    "x106_skew_report" -> x106Sql,
     "x105_fk_profile" -> x105Sql,
     "x104_bpe_merges" -> x104Sql,
     "x103_covariance" -> x103Sql,

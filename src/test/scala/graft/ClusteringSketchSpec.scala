@@ -81,6 +81,17 @@ class ClusteringSketchSpec extends SparkSpec {
     assert(fromAgg == repart)
   }
 
+  test("hll_registers merge algebra: registers of a union = elementwise max") {
+    import spark.implicits._
+    val a = (1L to 400L).toDF("k")
+    val b = (300L to 700L).toDF("k")
+    def regsOf(df: org.apache.spark.sql.DataFrame): Vector[Int] =
+      df.agg(HllAgg.hll_registers($"k", 4)).head.getSeq[Int](0).toVector
+    val union = regsOf(a.union(b))
+    val merged = regsOf(a).zip(regsOf(b)).map { case (x, y) => math.max(x, y) }
+    assert(union == merged)
+  }
+
   test("x99 estimate lands within the m=16 error regime of the exact count") {
     val rows = graft.queries.Extensions.x99HllUsers(spark, sfDir).collect()
     assert(rows.length == 5)

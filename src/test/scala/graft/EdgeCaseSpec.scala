@@ -220,4 +220,52 @@ class EdgeCaseSpec extends SparkSpec {
       .head.getSeq[Long](0)
     assert(m.length == 4 * 64 && m.forall(_ == 0L))
   }
+
+  test("round-8 second-block operators on empty and degenerate inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // kmeans: empty corpus → empty result, not an analysis error
+    val noVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(ops.Clustering.kmeansAssign(noVecs, "vec_id", "embedding", k = 4).count() == 0)
+    // kmeans: k exceeds corpus size → only the available seeds become clusters
+    val two = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val assigned = ops.Clustering.kmeansAssign(two, "vec_id", "embedding", k = 8)
+      .collect().map(_.getLong(1)).toSet
+    assert(assigned == Set(0L, 1L))
+    // HLL over an empty relation: all-zero registers
+    val regs = Seq.empty[Long].toDF("k")
+      .agg(functions.HllAgg.hll_registers(col("k"), 4)).head.getSeq[Int](0)
+    assert(regs.length == 16 && regs.forall(_ == 0))
+    // AUC with a single class present: numerator defined, ratio NULL
+    val onePos = ops.Stats.scoreAuc(
+      Seq((0.5, true), (0.7, true)).toDF("s", "y"), "s", "y").head
+    assert(onePos.getLong(onePos.fieldIndex("n_neg")) == 0L)
+    assert(onePos.isNullAt(onePos.fieldIndex("auc_micro")))
+    // LSH tuning with an empty truth set: candidates still counted,
+    // recall NULL instead of a division blowup
+    val docs2 = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val noTruth = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val tuned = ops.Dedup.lshTuningReport(docs2, "doc_id", "text", noTruth,
+      sigLen = 4, bandConfigs = Seq(4, 2)).collect()
+    assert(tuned.length == 2)
+    tuned.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_truth")) == 0L)
+      assert(r.isNullAt(r.fieldIndex("recall_micro")))
+      assert(r.getLong(r.fieldIndex("n_candidates")) > 0L) // identical docs collide
+    }
+    // log-bucket quantiles: non-positive values clamp into the q=1 bucket
+    val negs = Seq(("g", -5.0), ("g", 0.0), ("g", 2.0)).toDF("grp", "v")
+    val lq = ops.Stats.logBucketQuantiles(negs, "grp", "v", pcts = Seq(50))
+      .head
+    assert(lq.getLong(lq.fieldIndex("n_vals")) == 3L)
+    assert(lq.getLong(lq.fieldIndex("est_q_micro")) >= 1L)
+    // covariance over an empty relation: zero cells, no rows
+    assert(ops.Stats.covarianceMatrix(noVecs, "embedding").count() == 0)
+    // BPE over an empty corpus: no merges
+    assert(ops.Bpe.bpeMerges(Seq.empty[String].toDF("text"), "text").count() == 0)
+    // skew report over an empty relation: zero row with empty top key
+    val sk = ops.Skew.skewReport(Seq(("empty.k", Seq.empty[Long].toDF("k"), "k"))).head
+    assert(sk.getLong(sk.fieldIndex("n_rows")) == 0L)
+    assert(sk.getLong(sk.fieldIndex("skew_ratio_micro")) == 0L)
+  }
 }
