@@ -962,6 +962,68 @@ object Extensions {
        |FROM ex JOIN z USING (event_type) ORDER BY ex.event_type""".stripMargin
   }
 
+  // ------------------------------------------------------ x107 SCD2 merge
+  /** [[graft.ops.Scd.scd2Merge]]: history-preserving dimension maintenance.
+    * The seed history is the customer table opened at 2020-01-01; the
+    * update batch (derived deterministically so both engines build the
+    * identical input) exercises all four merge legs: every 7th key changes
+    * `c_acctbal` (+100), every 13th key re-delivers its current values
+    * verbatim (idempotence leg), every 101st key arrives shifted by 10⁶
+    * (brand-new insert leg), everything else passes through. One equi-join
+    * on the key; the closed-history leg never joins at all. */
+  def x107Scd2Merge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.load(s, dir, "customer")
+      .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+    val current = cust
+      .withColumn("valid_from", lit("2020-01-01"))
+      .withColumn("valid_to", lit(null).cast("string"))
+      .withColumn("is_current", lit(true))
+    val updates = cust.filter($"c_custkey" % 7 === 0)
+      .withColumn("c_acctbal", $"c_acctbal" + lit(100.0))
+      .unionByName(cust.filter($"c_custkey" % 101 === 0)
+        .withColumn("c_custkey", $"c_custkey" + lit(1000000L)))
+      .unionByName(cust.filter($"c_custkey" % 13 === 0 && $"c_custkey" % 7 =!= 0))
+    graft.ops.Scd.scd2Merge(current, updates, "c_custkey",
+        Seq("c_acctbal", "c_mktsegment"), "2024-06-01")
+      .orderBy($"c_custkey", $"valid_from")
+  }
+  val x107Sql: String =
+    """WITH cust AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+      |cur AS (
+      |  SELECT c_custkey, c_acctbal, c_mktsegment,
+      |    '2020-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+      |    TRUE AS is_current
+      |  FROM cust),
+      |upd AS (
+      |  SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+      |  FROM cust WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+      |  FROM cust WHERE c_custkey % 101 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_acctbal, c_mktsegment
+      |  FROM cust WHERE c_custkey % 13 = 0 AND c_custkey % 7 <> 0),
+      |j AS (
+      |  SELECT cur.c_custkey AS k_cur, cur.c_acctbal AS bal_cur,
+      |    cur.c_mktsegment AS seg_cur, cur.valid_from AS vf,
+      |    upd.c_custkey AS k_upd, upd.c_acctbal AS bal_upd,
+      |    upd.c_mktsegment AS seg_upd,
+      |    (NOT (cur.c_acctbal IS NOT DISTINCT FROM upd.c_acctbal)
+      |      OR NOT (cur.c_mktsegment IS NOT DISTINCT FROM upd.c_mktsegment))
+      |      AS changed
+      |  FROM cur FULL OUTER JOIN upd ON cur.c_custkey = upd.c_custkey)
+      |SELECT k_cur AS c_custkey, bal_cur AS c_acctbal, seg_cur AS c_mktsegment,
+      |  vf AS valid_from, CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+      |FROM j WHERE k_cur IS NOT NULL AND (k_upd IS NULL OR NOT changed)
+      |UNION ALL
+      |SELECT k_cur, bal_cur, seg_cur, vf, '2024-06-01', FALSE
+      |FROM j WHERE k_cur IS NOT NULL AND k_upd IS NOT NULL AND changed
+      |UNION ALL
+      |SELECT k_upd, bal_upd, seg_upd, '2024-06-01', CAST(NULL AS VARCHAR), TRUE
+      |FROM j WHERE k_upd IS NOT NULL AND (k_cur IS NULL OR changed)
+      |ORDER BY c_custkey, valid_from""".stripMargin
+
   // ------------------------------------------------------ x106 skew report
   /** [[graft.ops.Skew.skewReport]] over the join-key families a planner
     * would actually interrogate before picking plain-shuffle vs
@@ -3078,6 +3140,7 @@ object Extensions {
       |FROM t WHERE length(s) > 0 ORDER BY doc_id, sent_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x107_scd2_merge" -> x107Scd2Merge _,
     "x106_skew_report" -> x106SkewReport _,
     "x105_fk_profile" -> x105FkProfile _,
     "x104_bpe_merges" -> x104BpeMerges _,
@@ -3238,6 +3301,7 @@ object Extensions {
     "x86_quality_dup_curve" -> x86Sql,
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
+    "x107_scd2_merge" -> x107Sql,
     "x106_skew_report" -> x106Sql,
     "x105_fk_profile" -> x105Sql,
     "x104_bpe_merges" -> x104Sql,

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Scd
+
+/** Behavior contract for SCD2 dimension maintenance ([[graft.ops.Scd]]) on
+  * hand-built histories — every merge leg, null-safe change detection, and
+  * idempotence. The x107 DuckDB oracle checks engine parity at corpus scale;
+  * these pin the semantics on inputs small enough to enumerate. */
+class ScdSpec extends SparkSpec {
+
+  private def dim(rows: Seq[(Long, Option[Double], String, String, Option[String], Boolean)]) = {
+    import spark.implicits._
+    rows.toDF("k", "bal", "seg", "valid_from", "valid_to", "is_current")
+  }
+  private def upd(rows: Seq[(Long, Option[Double], String)]) = {
+    import spark.implicits._
+    rows.toDF("k", "bal", "seg")
+  }
+  private def merge(cur: org.apache.spark.sql.DataFrame, u: org.apache.spark.sql.DataFrame) =
+    Scd.scd2Merge(cur, u, "k", Seq("bal", "seg"), "2024-06-01")
+      .orderBy(col("k"), col("valid_from"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getString(2),
+        r.getString(3), Option(r.getString(4)), r.getBoolean(5)))
+      .toVector
+
+  test("all four merge legs: change, idempotent redelivery, insert, passthrough") {
+    val cur = dim(Seq(
+      (1L, Some(10.0), "A", "2020-01-01", None, true),            // changed by update
+      (2L, Some(20.0), "B", "2020-01-01", None, true),            // identical redelivery
+      (3L, Some(30.0), "C", "2020-01-01", None, true)))           // no update
+    val u = upd(Seq(
+      (1L, Some(11.0), "A"),
+      (2L, Some(20.0), "B"),
+      (9L, Some(90.0), "Z")))                                     // brand-new key
+    val out = merge(cur, u)
+    assert(out == Vector(
+      (1L, Some(10.0), "A", "2020-01-01", Some("2024-06-01"), false),
+      (1L, Some(11.0), "A", "2024-06-01", None, true),
+      (2L, Some(20.0), "B", "2020-01-01", None, true),
+      (3L, Some(30.0), "C", "2020-01-01", None, true),
+      (9L, Some(90.0), "Z", "2024-06-01", None, true)))
+  }
+
+  test("closed history rows pass through untouched and never re-open") {
+    val cur = dim(Seq(
+      (1L, Some(5.0), "A", "2018-01-01", Some("2020-01-01"), false),
+      (1L, Some(10.0), "A", "2020-01-01", None, true)))
+    val u = upd(Seq((1L, Some(10.0), "X")))                        // seg change only
+    val out = merge(cur, u)
+    assert(out == Vector(
+      (1L, Some(5.0), "A", "2018-01-01", Some("2020-01-01"), false),
+      (1L, Some(10.0), "A", "2020-01-01", Some("2024-06-01"), false),
+      (1L, Some(10.0), "X", "2024-06-01", None, true)))
+  }
+
+  test("null-safe change detection: NULL→value and value→NULL both version") {
+    val cur = dim(Seq(
+      (1L, None, "A", "2020-01-01", None, true),
+      (2L, Some(2.0), "B", "2020-01-01", None, true),
+      (3L, None, "C", "2020-01-01", None, true)))
+    val u = upd(Seq(
+      (1L, Some(1.0), "A"),                                       // NULL → value
+      (2L, None, "B"),                                            // value → NULL
+      (3L, None, "C")))                                           // NULL == NULL: no-op
+    val out = merge(cur, u)
+    assert(out.count(_._6) == 3 && out.size == 5)
+    assert(out.filter(_._1 == 3L) ==
+      Vector((3L, None, "C", "2020-01-01", None, true)))
+  }
+
+  test("idempotence: re-merging the same batch is a no-op") {
+    val cur = dim(Seq((1L, Some(10.0), "A", "2020-01-01", None, true)))
+    val u = upd(Seq((1L, Some(11.0), "A")))
+    val once = merge(cur, u)
+    val cur2 = dim(once.map { case (k, b, s, vf, vt, ic) =>
+      (k, b.map(_.asInstanceOf[Double]), s, vf, vt, ic) })
+    assert(merge(cur2, u) == once)
+  }
+
+  test("empty update batch returns the history unchanged") {
+    val cur = dim(Seq(
+      (1L, Some(5.0), "A", "2018-01-01", Some("2020-01-01"), false),
+      (1L, Some(10.0), "A", "2020-01-01", None, true)))
+    val out = merge(cur, upd(Seq.empty))
+    assert(out.size == 2 && out.count(_._6) == 1)
+  }
+}
