@@ -281,4 +281,107 @@ object Stats {
                |    (2.0D * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))) AS BIGINT)
                |END""".stripMargin).as("auc_micro"))
   }
+
+  /** Dominant eigenvector of the embedding covariance by fixed-point power
+    * iteration — the top principal direction, the first step of every
+    * PCA/whitening/spectral pass over an embedding corpus.
+    *
+    * Shape: the CORPUS contributes exactly one aggregate — the same
+    * (n, Σq, Σ outer-product) sufficient statistics as [[covarianceMatrix]],
+    * folded by [[graft.functions.VecSumAgg]] so the shuffle carries
+    * #partitions·(d+d²) longs, never n·d rows. Everything after is O(d²)
+    * DRIVER math (d=64 here; bounded by the embedding width, independent of
+    * corpus size — the IVF build makes the same move with its Lloyd sample).
+    *
+    * All-integer so the DuckDB oracle ([[eigenSql]]) replays it bit-for-bit:
+    * covariance numerators C = n·S_ij − S_i·S_j in BigInt; C truncation-
+    * shifted (sign·(|C|>>s)) so max|c| < 2^cbits with cbits sized from d to
+    * keep every later product inside int64; v₀ = all-ones at 2^14 scale;
+    * each round w = c·v then renormalizes by m = max(1, max|w|) via
+    * sign·(|w|·2^14 div m) — truncation toward zero, spelled identically in
+    * both engines (floor-div only ever sees non-negatives). Sign convention:
+    * power iteration from the all-ones start is deterministic, so the
+    * orientation is pinned too. Degenerate inputs (empty corpus → empty
+    * result; constant corpus → C=0 → zero vector) fall out of m's ≥1 guard.
+    */
+  def dominantEigenvector(embs: DataFrame, vecCol: String, iters: Int = 8): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val agg = embs
+      .select(expr(s"transform($vecCol, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000.0D) AS BIGINT))")
+        .as("qv"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.VecSumAgg.vec_sum(col("qv")).as("s"),
+        graft.functions.VecSumAgg.vec_sum(
+          expr("flatten(transform(qv, x -> transform(qv, y -> x * y)))")).as("sxy"))
+      .collect()(0)
+    val n = agg.getLong(0)
+    if (n == 0L) return Seq.empty[(Long, Long)].toDF("i", "v_q")
+    val s = agg.getSeq[Long](1)
+    val sxy = agg.getSeq[Long](2)
+    val d = s.length
+    val cbits = cShiftBits(d)
+    val cov = Array.tabulate(d, d)((i, j) => BigInt(n) * sxy(i * d + j) - BigInt(s(i)) * s(j))
+    val maxAbs = cov.flatten.map(_.abs).max
+    val sh = if (maxAbs.signum == 0) 0 else math.max(maxAbs.bitLength - cbits, 0)
+    val c = cov.map(_.map(x => ((x.abs >> sh) * x.signum).toLong))
+    var v = Array.fill(d)(16384L)
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+      val m = math.max(w.map(math.abs).max, 1L)
+      v = w.map(x => if (x >= 0) x * 16384L / m else -(-x * 16384L / m))
+    }
+    v.zipWithIndex.map { case (vq, i) => ((i + 1).toLong, vq) }.toSeq.toDF("i", "v_q")
+  }
+
+  /** Width of the shifted covariance entries: the renormalization product
+    * |w·2^14| ≤ d·2^cbits·2^14·2^14 must stay strictly inside int64, so
+    * cbits ≤ 34 − ⌈log2 d⌉ (28 at d=64, 22 at d=4096). */
+  private def cShiftBits(d: Int): Int =
+    math.min(28, 34 - (32 - Integer.numberOfLeadingZeros(d - 1)))
+
+  /** DuckDB respell of [[dominantEigenvector]] — the iteration unrolled as a
+    * CTE chain (the x98 kmeansSql pattern), matching bit-for-bit. */
+  def eigenSql(table: String, vecCol: String, dims: Int, iters: Int = 8): String = {
+    val cbits = cShiftBits(dims)
+    val header =
+      s"""WITH q AS (
+         |  SELECT list_transform($vecCol, v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+         |  FROM $table),
+         |d AS (SELECT unnest(range(1, ${dims + 1})) AS i),
+         |sums AS (SELECT di.i AS i, CAST(sum(qv[di.i]) AS BIGINT) AS s_i FROM q, d di GROUP BY 1),
+         |cells AS (
+         |  SELECT di.i AS i, dj.i AS j, CAST(sum(qv[di.i] * qv[dj.i]) AS BIGINT) AS s_ij
+         |  FROM q, d di, d dj GROUP BY 1, 2),
+         |nn AS (SELECT count(*) AS n FROM q),
+         |cov AS (
+         |  SELECT c.i, c.j,
+         |    CAST(nn.n AS HUGEINT) * CAST(c.s_ij AS HUGEINT)
+         |      - CAST(sa.s_i AS HUGEINT) * CAST(sb.s_i AS HUGEINT) AS cn
+         |  FROM cells c JOIN sums sa ON sa.i = c.i JOIN sums sb ON sb.i = c.j, nn),
+         |mxc AS (SELECT max(abs(cn)) AS ma FROM cov),
+         |shf AS (
+         |  SELECT CASE WHEN ma = 0 THEN 0
+         |              ELSE greatest(length(bin(CAST(ma AS BIGINT))) - $cbits, 0)
+         |         END AS s FROM mxc),
+         |cs AS (
+         |  SELECT i, j, CAST(CASE WHEN cn >= 0 THEN cn // (1::HUGEINT << shf.s)
+         |                         ELSE -((-cn) // (1::HUGEINT << shf.s)) END AS BIGINT) AS c
+         |  FROM cov, shf),
+         |v0 AS (SELECT i, CAST(16384 AS BIGINT) AS v FROM d)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""w$t AS (
+         |  SELECT cs.i AS i, CAST(sum(cs.c * v${t - 1}.v) AS BIGINT) AS w
+         |  FROM cs JOIN v${t - 1} ON v${t - 1}.i = cs.j GROUP BY 1),
+         |m$t AS (SELECT greatest(max(abs(w)), 1) AS m FROM w$t),
+         |v$t AS (
+         |  SELECT i, CASE WHEN w >= 0 THEN (w * 16384) // m
+         |                 ELSE -(((-w) * 16384) // m) END AS v
+         |  FROM w$t, m$t)""".stripMargin
+    }.mkString(",\n")
+    s"""$header,
+       |$rounds
+       |SELECT CAST(i AS BIGINT) AS i, CAST(v AS BIGINT) AS v_q
+       |FROM v$iters ORDER BY i""".stripMargin
+  }
 }

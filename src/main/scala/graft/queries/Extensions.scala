@@ -962,6 +962,17 @@ object Extensions {
        |FROM ex JOIN z USING (event_type) ORDER BY ex.event_type""".stripMargin
   }
 
+  // ------------------------------------------- x108 dominant eigenvector
+  /** [[graft.ops.Stats.dominantEigenvector]]: the top principal direction
+    * of the embedding covariance by fixed-point power iteration — corpus
+    * cost is ONE VecSumAgg sufficient-statistics pass (the x103 aggregate);
+    * the 64×64 iteration is bounded driver math, unrolled in the oracle as
+    * a CTE chain that matches bit-for-bit. */
+  def x108Eigenvector(s: SparkSession, dir: String): DataFrame =
+    Stats.dominantEigenvector(emb(s, dir), "embedding", iters = 8)
+      .orderBy(col("i"))
+  val x108Sql: String = Stats.eigenSql("embeddings", "embedding", dims = 64, iters = 8)
+
   // ------------------------------------------------------ x107 SCD2 merge
   /** [[graft.ops.Scd.scd2Merge]]: history-preserving dimension maintenance.
     * The seed history is the customer table opened at 2020-01-01; the
@@ -3140,6 +3151,7 @@ object Extensions {
       |FROM t WHERE length(s) > 0 ORDER BY doc_id, sent_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x108_eigenvector" -> x108Eigenvector _,
     "x107_scd2_merge" -> x107Scd2Merge _,
     "x106_skew_report" -> x106SkewReport _,
     "x105_fk_profile" -> x105FkProfile _,
@@ -3301,6 +3313,7 @@ object Extensions {
     "x86_quality_dup_curve" -> x86Sql,
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
+    "x108_eigenvector" -> x108Sql,
     "x107_scd2_merge" -> x107Sql,
     "x106_skew_report" -> x106Sql,
     "x105_fk_profile" -> x105Sql,

@@ -349,4 +349,52 @@ class ClusteringSketchSpec extends SparkSpec {
     val micro = r.getLong(r.fieldIndex("auc_micro"))
     assert(micro >= 0L && micro <= 1000000L)
   }
+
+  // ----------------------------------------- dominant eigenvector (x108)
+  test("dominantEigenvector matches an independent local replay exactly") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val got = Stats.dominantEigenvector(emb, "embedding", iters = 8)
+      .orderBy($"i").collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    // independent replay in plain Scala from the raw floats
+    val vecs = emb.select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(v => math.floor(v.toDouble * 1000.0).toLong).toArray)
+    val n = vecs.length
+    val d = vecs.head.length
+    val s = Array.tabulate(d)(i => vecs.map(v => BigInt(v(i))).sum)
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      BigInt(n) * vecs.map(v => BigInt(v(i)) * v(j)).sum - s(i) * s(j)
+    }
+    val ma = cov.flatten.map(_.abs).max
+    val sh = math.max(ma.bitLength - 28, 0)
+    val c = cov.map(_.map(x => ((x.abs >> sh) * x.signum).toLong))
+    var v = Array.fill(d)(16384L)
+    for (_ <- 1 to 8) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+      val m = math.max(w.map(math.abs).max, 1L)
+      v = w.map(x => if (x >= 0) x * 16384L / m else -(-x * 16384L / m))
+    }
+    assert(got.toSeq == v.zipWithIndex.map { case (vq, i) => ((i + 1).toLong, vq) }.toSeq)
+
+    // it's an eigen-direction in the making: Rayleigh quotient never drops
+    def rayleigh(x: Array[Long]): Double = {
+      val cx = Array.tabulate(d)(i =>
+        (0 until d).map(j => c(i)(j).toDouble * x(j)).sum)
+      val num = (0 until d).map(i => x(i).toDouble * cx(i)).sum
+      val den = x.map(t => t.toDouble * t).sum
+      num / den
+    }
+    assert(rayleigh(v) >= rayleigh(Array.fill(d)(16384L)) - 1e-6)
+  }
+
+  test("dominantEigenvector degenerate inputs: constant corpus and empty corpus") {
+    import spark.implicits._
+    val const = Seq.fill(10)(Seq.fill(4)(0.5f)).toDF("embedding")
+    val z = Stats.dominantEigenvector(const, "embedding", iters = 3)
+      .orderBy($"i").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(z.toSeq == (1 to 4).map(i => (i.toLong, 0L)))
+    val empty = Seq.empty[Seq[Float]].toDF("embedding")
+    assert(Stats.dominantEigenvector(empty, "embedding").count() == 0L)
+  }
 }
