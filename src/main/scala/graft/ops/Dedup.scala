@@ -503,22 +503,8 @@ object Dedup {
     val L = spanTokens
     val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
       .withColumn("n_tokens", size(col("w")).cast("long"))
-    // guarded: Spark's sequence() auto-reverses when stop < start, so the
-    // short-doc case must short-circuit to an empty array explicitly
-    val spans = base.select(col("doc_id"), explode(expr(
-      s"""CASE WHEN size(w) >= $L
-         |  THEN transform(sequence(0, size(w) - $L),
-         |         i -> struct(CAST(i AS LONG) AS pos,
-         |                     xxhash64(array_join(slice(w, i + 1, $L), ' ')) AS h))
-         |  ELSE array() END""".stripMargin)).as("s"))
-      .select(col("doc_id"), col("s.pos").as("pos"), col("s.h").as("h"))
-    val dupHashes = spans.groupBy("h")
-      .agg(count_distinct(col("doc_id")).as("ndocs"))
-      .filter(col("ndocs") >= 2)
-      .select("h")
-    val dupPos = spans.join(dupHashes, Seq("h"), "left_semi")
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val runs = dupPos
+    val runs = dupSpanStarts(base, L)
       .withColumn("__newrun",
         when(col("pos") - lag(col("pos"), 1).over(wOrd) > L, 1L).otherwise(0L))
       .withColumn("__run", sum(col("__newrun")).over(
@@ -536,6 +522,65 @@ object Dedup {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
           col("n_tokens").cast("double")).as("dup_frac"))
+  }
+
+  /** Duplicated window START positions — the shared detection stage of
+    * [[duplicateSpanStats]] and [[exactSubstrStrip]]: stride-1 `L`-token
+    * window hashes, document-frequency ≥ 2 semi-join. */
+  private def dupSpanStarts(base: DataFrame, L: Int): DataFrame = {
+    // guarded: Spark's sequence() auto-reverses when stop < start, so the
+    // short-doc case must short-circuit to an empty array explicitly
+    val spans = base.select(col("doc_id"), explode(expr(
+      s"""CASE WHEN size(w) >= $L
+         |  THEN transform(sequence(0, size(w) - $L),
+         |         i -> struct(CAST(i AS LONG) AS pos,
+         |                     xxhash64(array_join(slice(w, i + 1, $L), ' ')) AS h))
+         |  ELSE array() END""".stripMargin)).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.h").as("h"))
+    val dupHashes = spans.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select("h")
+    spans.join(dupHashes, Seq("h"), "left_semi")
+  }
+
+  /** ExactSubstr dedup as a TRANSFORM (Lee et al., ACL'22 — the removal
+    * step, where [[duplicateSpanStats]] only reports): every token position
+    * covered by an `L`-token window that recurs in ≥2 distinct docs is
+    * stripped; the surviving tokens rebuild the document in order.
+    *
+    * Scale shape: detection is the shared [[dupSpanStarts]] stage (stride-1
+    * hash volume ≈ corpus tokens — the honest ExactSubstr cost). The
+    * REBUILD never explodes tokens: duplicated starts collapse to merged
+    * `(start, end)` intervals per doc (shuffle = duplicated positions only,
+    * then one row per affected doc), and the strip itself is a single
+    * index-aware `filter` higher-order expression over the token array —
+    * docs with no duplicated spans join to NULL and pass through untouched,
+    * so the common case costs one hash-join probe and zero rewriting. */
+  def exactSubstrStrip(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = spanTokens
+    val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val intervals = dupSpanStarts(base, L)
+      .withColumn("__newrun",
+        when(col("pos") - lag(col("pos"), 1).over(wOrd) > L, 1L).otherwise(0L))
+      .withColumn("__run", sum(col("__newrun")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__run"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + L - 1).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("iv"))
+    base.join(intervals, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        expr(s"""CASE WHEN iv IS NULL THEN w
+                |  ELSE filter(w, (t, i) ->
+                |    NOT exists(iv, r -> i >= r.s AND i <= r.e))
+                |END""".stripMargin).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " ").as("clean_text"))
   }
 
   // ----------------------------------------------------- near-dup clustering

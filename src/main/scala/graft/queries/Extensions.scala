@@ -962,6 +962,52 @@ object Extensions {
        |FROM ex JOIN z USING (event_type) ORDER BY ex.event_type""".stripMargin
   }
 
+  // ------------------------------------------- x109 ExactSubstr strip
+  /** [[graft.ops.Dedup.exactSubstrStrip]]: the REMOVAL step of ExactSubstr
+    * dedup (x56 only reports coverage) — tokens under any 5-token window
+    * recurring in ≥2 docs are stripped and the document rebuilt. Spark
+    * detects on xxhash64 window hashes and strips via an index-aware
+    * `filter` HOF over merged intervals; the oracle keeps the window
+    * STRINGS and rebuilds with `string_agg` — the x56 cross-spelling,
+    * extended to the transform. */
+  def x109ExactSubstrStrip(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactSubstrStrip(docs(s, dir), "doc_id", "text", spanTokens = 5)
+      .orderBy(col("doc_id"))
+  val x109Sql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |sp AS (
+      |  SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+      |    SELECT doc_id, unnest(list_transform(range(0, greatest(len(w) - 4, 0)),
+      |      i -> struct_pack(pos := CAST(i AS BIGINT),
+      |                       g := array_to_string(w[i+1:i+5], ' ')))) AS u
+      |    FROM t)),
+      |dup AS (SELECT g FROM sp GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+      |dp AS (SELECT doc_id, pos FROM sp JOIN dup USING (g)),
+      |rid AS (
+      |  SELECT doc_id, pos, sum(nr) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS UNBOUNDED PRECEDING) AS run
+      |  FROM (SELECT doc_id, pos,
+      |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+      |               THEN 1 ELSE 0 END AS nr
+      |        FROM dp)),
+      |iv AS (SELECT doc_id, run, min(pos) AS s, max(pos) + 4 AS e
+      |       FROM rid GROUP BY doc_id, run),
+      |tk AS (
+      |  SELECT doc_id, CAST(u AS BIGINT) AS i, w[CAST(u AS INT) + 1] AS tokv
+      |  FROM (SELECT doc_id, unnest(range(0, len(w))) AS u, w FROM t)),
+      |kept AS (
+      |  SELECT tk.doc_id, tk.i, tk.tokv FROM tk LEFT JOIN iv
+      |    ON iv.doc_id = tk.doc_id AND tk.i BETWEEN iv.s AND iv.e
+      |  WHERE iv.doc_id IS NULL)
+      |SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+      |  coalesce(k.n_kept, 0) AS n_kept,
+      |  coalesce(k.clean_text, '') AS clean_text
+      |FROM t LEFT JOIN (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |    string_agg(tokv, ' ' ORDER BY i) AS clean_text
+      |  FROM kept GROUP BY doc_id) k USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
   // ------------------------------------------- x108 dominant eigenvector
   /** [[graft.ops.Stats.dominantEigenvector]]: the top principal direction
     * of the embedding covariance by fixed-point power iteration — corpus
@@ -3151,6 +3197,7 @@ object Extensions {
       |FROM t WHERE length(s) > 0 ORDER BY doc_id, sent_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x109_exactsubstr_strip" -> x109ExactSubstrStrip _,
     "x108_eigenvector" -> x108Eigenvector _,
     "x107_scd2_merge" -> x107Scd2Merge _,
     "x106_skew_report" -> x106SkewReport _,
@@ -3313,6 +3360,7 @@ object Extensions {
     "x86_quality_dup_curve" -> x86Sql,
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
+    "x109_exactsubstr_strip" -> x109Sql,
     "x108_eigenvector" -> x108Sql,
     "x107_scd2_merge" -> x107Sql,
     "x106_skew_report" -> x106Sql,

@@ -462,4 +462,52 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(0).getLong(2) == 0L && out(0).getLong(3) == 4L &&
       out(0).getDouble(4) == 0.0)
   }
+
+  // ----------------------------------------------------- exactSubstrStrip
+  test("exactSubstrStrip removes exactly the covered positions, in order") {
+    import spark.implicits._
+    // docs 1 and 2 share the 5-token run "a b c d e"; doc 3 is clean
+    val docs = Seq(
+      (1L, "x a b c d e y"),
+      (2L, "a b c d e z"),
+      (3L, "p q r s t u")).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrStrip(docs, "doc_id", "text", spanTokens = 5)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 7L, 2L, "x y"),
+      (2L, 6L, 1L, "z"),
+      (3L, 6L, 6L, "p q r s t u")))
+  }
+
+  test("exactSubstrStrip: overlapping windows merge; full-doc coverage empties the doc") {
+    import spark.implicits._
+    // 1 and 2 are identical 6-token docs → two overlapping dup windows
+    // (starts 0 and 1) merge to one interval covering everything
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),
+      (3L, "short doc")).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrStrip(docs, "doc_id", "text", spanTokens = 5)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 6L, 0L, ""),
+      (2L, 6L, 0L, ""),
+      (3L, 2L, 2L, "short doc")))
+  }
+
+  test("exactSubstrStrip is consistent with duplicateSpanStats on the real corpus") {
+    import spark.implicits._
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val strip = Dedup.exactSubstrStrip(corpus, "doc_id", "text", spanTokens = 5)
+      .select($"doc_id", ($"n_tokens" - $"n_kept").as("stripped"))
+    val stats = Dedup.duplicateSpanStats(corpus, "doc_id", "text", spanTokens = 5)
+      .select($"doc_id", $"dup_tokens")
+    val mismatches = strip.join(stats, Seq("doc_id"))
+      .filter($"stripped" =!= $"dup_tokens").count()
+    assert(mismatches == 0L)
+    // and something actually gets stripped on this corpus
+    assert(strip.filter($"stripped" > 0L).count() > 0L)
+  }
 }
