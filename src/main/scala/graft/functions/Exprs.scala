@@ -275,6 +275,19 @@ object Exprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** smix64(bigint) → bigint — SplitMix64 as a codegen'd column: the
+    * shard-router's key hash. A SQL respell would need wrapping 64-bit
+    * multiplies, which ANSI mode rejects; the native expression keeps the
+    * Java wrap semantics and stays inside whole-stage codegen. */
+  case class Smix64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(v: Any): Any =
+      Ops.splitmix64(v.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Ops.splitmix64($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // -------------------------------------------------------- Column builders
   private def col(e: Expression): Column = GraftBridge.column(e)
   private def ex(c: Column): Expression = GraftBridge.expression(c)
@@ -305,6 +318,7 @@ object Exprs {
   def sorted_intersect_count(a: Column, b: Column): Column =
     col(SortedIntersectCount(ex(a), ex(b)))
   def ngram_hashes(tokens: Column, k: Int): Column = col(NgramHashes(ex(tokens), k))
+  def smix64(c: Column): Column = col(Smix64(ex(c)))
   def prefix_rank_sort(shingles: Column, hotKeys: Array[Long], hotDfs: Array[Long]): Column =
     col(PrefixRankSort(ex(shingles), hotKeys, hotDfs))
 

@@ -962,6 +962,20 @@ object Extensions {
        |FROM ex JOIN z USING (event_type) ORDER BY ex.event_type""".stripMargin
   }
 
+  // ------------------------------------------- x110 shard rebalance plan
+  /** [[graft.ops.Sharding.rebalanceReport]]: the 8→12-shard resharding cost
+    * under mod-hash vs consistent-hash placement of smix64(doc_id) — rows
+    * moved, moved-ppm, and post-move max shard load per policy. Assignment
+    * is one codegen'd map-side projection (ring successor = bounded scan of
+    * a baked literal ring, no join); the oracle rebuilds the mixer in
+    * HUGEINT mulmod and the SAME rings as literal lists. */
+  def x110RebalancePlan(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sharding.rebalanceReport(docs(s, dir), "doc_id",
+      oldShards = 8, newShards = 12, vnodesPerShard = 32)
+  val x110Sql: String =
+    graft.ops.Sharding.rebalanceSql("documents", "doc_id",
+      oldShards = 8, newShards = 12, vnodesPerShard = 32)
+
   // ------------------------------------------- x109 ExactSubstr strip
   /** [[graft.ops.Dedup.exactSubstrStrip]]: the REMOVAL step of ExactSubstr
     * dedup (x56 only reports coverage) — tokens under any 5-token window
@@ -3197,6 +3211,7 @@ object Extensions {
       |FROM t WHERE length(s) > 0 ORDER BY doc_id, sent_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x110_rebalance_plan" -> x110RebalancePlan _,
     "x109_exactsubstr_strip" -> x109ExactSubstrStrip _,
     "x108_eigenvector" -> x108Eigenvector _,
     "x107_scd2_merge" -> x107Scd2Merge _,
@@ -3360,6 +3375,7 @@ object Extensions {
     "x86_quality_dup_curve" -> x86Sql,
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
+    "x110_rebalance_plan" -> x110Sql,
     "x109_exactsubstr_strip" -> x109Sql,
     "x108_eigenvector" -> x108Sql,
     "x107_scd2_merge" -> x107Sql,
