@@ -282,6 +282,67 @@ object Stats {
                |END""".stripMargin).as("auc_micro"))
   }
 
+  /** Reliability diagram (calibration curve) of a score against a boolean
+    * label — the companion eval to [[scoreAuc]]: AUC says the score RANKS,
+    * calibration says whether its magnitude MEANS anything, which decides
+    * whether a fixed gate threshold transfers across corpus snapshots.
+    *
+    * Equal-WIDTH buckets over the observed e9-quantized score range (not
+    * ntile: equal-width is order-free, so there is no tie-break protocol to
+    * keep in sync across engines — `(sq−min)·B div (max−min+1)` is pure
+    * integer arithmetic on both sides). Per bucket: row count, positives,
+    * mean score (µ-scale) and positive rate (ppm), both via int-derived
+    * double division (exact IEEE parity). Empty buckets are absent rows on
+    * both engines.
+    *
+    * Scale shape: one min/max aggregate (map-side collapsible), broadcast
+    * back; bucketing is a map-side projection; the final groupBy carries
+    * `buckets` keys. The corpus shuffles nothing but partial aggregates. */
+  def calibrationCurve(df: DataFrame, scoreCol: String, labelCol: String,
+      buckets: Int = 10): DataFrame = {
+    val q = df.filter(col(scoreCol).isNotNull)
+      .select(expr(s"CAST(FLOOR(CAST($scoreCol AS DOUBLE) * 1000000000.0D) AS BIGINT)").as("sq"),
+        col(labelCol).cast("boolean").as("pos"))
+    val bounds = q.agg(min(col("sq")).as("mn"), max(col("sq")).as("mx"))
+    q.crossJoin(broadcast(bounds))
+      .select(expr(s"((sq - mn) * $buckets) DIV (mx - mn + 1)").as("bucket"),
+        col("sq"), col("pos"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("sq")).as("__ssq"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        floor(col("__ssq").cast("double") / (col("n").cast("double") * lit(1000.0)))
+          .cast("long").as("mean_score_micro"),
+        floor(col("n_pos").cast("double") * lit(1000000.0) / col("n").cast("double"))
+          .cast("long").as("pos_rate_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  /** DuckDB respell of [[calibrationCurve]] given SQL for the scored
+    * relation (columns `sq`, `pos` pre-quantization is NOT expected —
+    * pass raw score/label SQL and this wraps the same e9 quantization). */
+  def calibrationSql(scoredRelSql: String, scoreExpr: String, labelExpr: String,
+      buckets: Int = 10): String =
+    s"""WITH scored AS ($scoredRelSql),
+       |q AS (
+       |  SELECT CAST(floor(CAST($scoreExpr AS DOUBLE) * 1000000000.0) AS BIGINT) AS sq,
+       |    CAST($labelExpr AS BOOLEAN) AS pos
+       |  FROM scored WHERE $scoreExpr IS NOT NULL),
+       |b AS (SELECT min(sq) AS mn, max(sq) AS mx FROM q),
+       |bk AS (SELECT ((sq - mn) * $buckets) // (mx - mn + 1) AS bucket, sq, pos FROM q, b),
+       |agg AS (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    CAST(sum(sq) AS BIGINT) AS ssq
+       |  FROM bk GROUP BY bucket)
+       |SELECT bucket, n, n_pos,
+       |  CAST(floor(CAST(ssq AS DOUBLE) / (CAST(n AS DOUBLE) * 1000.0)) AS BIGINT)
+       |    AS mean_score_micro,
+       |  CAST(floor(CAST(n_pos AS DOUBLE) * 1000000.0 / CAST(n AS DOUBLE)) AS BIGINT)
+       |    AS pos_rate_ppm
+       |FROM agg ORDER BY bucket""".stripMargin
+
   /** Dominant eigenvector of the embedding covariance by fixed-point power
     * iteration — the top principal direction, the first step of every
     * PCA/whitening/spectral pass over an embedding corpus.

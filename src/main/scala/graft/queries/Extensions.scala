@@ -962,6 +962,33 @@ object Extensions {
        |FROM ex JOIN z USING (event_type) ORDER BY ex.event_type""".stripMargin
   }
 
+  // ------------------------------------------- x111 calibration curve
+  /** [[graft.ops.Stats.calibrationCurve]]: the reliability diagram for the
+    * x100 score/label pair — equal-width buckets over the e9-quantized
+    * quality score, per-bucket positive rate vs mean score. AUC (x100)
+    * says the score ranks; this says whether its MAGNITUDE is trustworthy
+    * enough to gate on a fixed threshold. */
+  def x111Calibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = TextAnalysis.qualityScores(docs(s, dir), "doc_id", "text")
+      .select($"doc_id", $"quality_score")
+      .join(emb(s, dir).select($"vec_id".as("doc_id"), ($"label" >= 5).as("pos")), "doc_id")
+    Stats.calibrationCurve(scored, "quality_score", "pos", buckets = 10)
+  }
+  val x111Sql: String = {
+    val stops = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    val toks = """regexp_split_to_array(lower(text), '\s+')"""
+    Stats.calibrationSql(
+      s"""SELECT
+         |    (CAST(len(list_filter($toks, w -> w IN ($stops))) AS DOUBLE)
+         |      / NULLIF(CAST(len($toks) AS DOUBLE), 0.0)) * 2.0
+         |    + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+         |             / NULLIF(CAST(length(text) AS DOUBLE), 0.0)) AS quality_score,
+         |    (e.label >= 5) AS pos
+         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin,
+      scoreExpr = "quality_score", labelExpr = "pos", buckets = 10)
+  }
+
   // ------------------------------------------- x110 shard rebalance plan
   /** [[graft.ops.Sharding.rebalanceReport]]: the 8→12-shard resharding cost
     * under mod-hash vs consistent-hash placement of smix64(doc_id) — rows
@@ -3211,6 +3238,7 @@ object Extensions {
       |FROM t WHERE length(s) > 0 ORDER BY doc_id, sent_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x111_calibration" -> x111Calibration _,
     "x110_rebalance_plan" -> x110RebalancePlan _,
     "x109_exactsubstr_strip" -> x109ExactSubstrStrip _,
     "x108_eigenvector" -> x108Eigenvector _,
@@ -3375,6 +3403,7 @@ object Extensions {
     "x86_quality_dup_curve" -> x86Sql,
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
+    "x111_calibration" -> x111Sql,
     "x110_rebalance_plan" -> x110Sql,
     "x109_exactsubstr_strip" -> x109Sql,
     "x108_eigenvector" -> x108Sql,

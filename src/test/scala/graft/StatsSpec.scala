@@ -111,4 +111,40 @@ class StatsSpec extends SparkSpec {
     // dim 2 constant → variance exactly 0 on the quantized grid
     assert(out(2) == ((3L, 0.5, 0.0, 0.5, 0.5)))
   }
+
+  // -------------------------------------------------- calibrationCurve
+  test("calibrationCurve: exact buckets, rates, and means on a hand case") {
+    import spark.implicits._
+    // scores 0.0 .. 0.9; labels: positive iff score >= 0.5
+    val df = (0 until 10).map(i => (i / 10.0, i >= 5)).toDF("score", "lab")
+    val out = Stats.calibrationCurve(df, "score", "lab", buckets = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    // range [0, 9e8], width 9e8+1; bucket k catches scores {0.2k, 0.2k+0.1},
+    // so 0.5 (positive) shares bucket 2 with 0.4 (negative)
+    assert(out.map(_._1) == List(0L, 1L, 2L, 3L, 4L))
+    assert(out.forall(_._2 == 2L))
+    assert(out.map(_._3) == List(0L, 0L, 1L, 2L, 2L))
+    assert(out.map(_._5) == List(0L, 0L, 500000L, 1000000L, 1000000L))
+    // bucket 0 holds scores 0.0, 0.1 → mean 0.05 → 50000 µ
+    assert(out.head._4 == 50000L)
+  }
+
+  test("calibrationCurve: NULL scores dropped; constant scores collapse to bucket 0") {
+    import spark.implicits._
+    val df = Seq((Some(0.7), true), (Some(0.7), false), (None, true))
+      .toDF("score", "lab")
+    val out = Stats.calibrationCurve(df, "score", "lab", buckets = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(out.toList == List((0L, 2L, 1L, 500000L)))
+  }
+
+  test("x111 on the real corpus: partition of the joined rows, rates in range") {
+    val rows = graft.queries.Extensions.queries("x111_calibration")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(rows.map(_.getLong(1)).sum == 500L)
+    assert(rows.forall(r => r.getLong(0) >= 0L && r.getLong(0) <= 9L))
+    assert(rows.forall(r => r.getLong(4) >= 0L && r.getLong(4) <= 1000000L))
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
+  }
 }
