@@ -962,6 +962,52 @@ object Extensions {
        |FROM ex JOIN z USING (event_type) ORDER BY ex.event_type""".stripMargin
   }
 
+  // ------------------------------------------- x112 co-purchase triangles
+  /** [[graft.ops.Graph.triangleStats]] over the co-purchase graph (parts
+    * sharing an order): node/edge/wedge/triangle census + global
+    * clustering coefficient. Degree-oriented wedge closure — the
+    * Suri-Vassilvitskii formulation whose orientation step IS the skew
+    * defense (out-lists capped at O(√m)); the oracle replays the same
+    * relational algebra exactly. */
+  def x112CoPurchaseTriangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("pa"), col("y.p").as("pb"))
+    graft.ops.Graph.triangleStats(pairs, "pa", "pb")
+  }
+  val x112Sql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (SELECT DISTINCT least(x.p, y.p) AS a, greatest(x.p, y.p) AS b
+      |      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+      |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg
+      |        FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+      |        GROUP BY v),
+      |og AS (
+      |  SELECT
+      |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+      |         THEN e.a ELSE e.b END AS src,
+      |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+      |         THEN e.b ELSE e.a END AS dst,
+      |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+      |         THEN db.deg ELSE da.deg END AS ddeg
+      |  FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+      |wd AS (
+      |  SELECT x.dst AS v, y.dst AS w FROM og x JOIN og y ON x.src = y.src
+      |    AND (x.ddeg < y.ddeg OR (x.ddeg = y.ddeg AND x.dst < y.dst))),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      |      FROM wd JOIN og ON og.src = wd.v AND og.dst = wd.w),
+      |c1 AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+      |c2 AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+      |       CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges FROM deg)
+      |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+      |  CASE WHEN n_wedges = 0 THEN 0
+      |       ELSE CAST(floor(CAST(n_triangles AS DOUBLE) * 3000000.0
+      |              / CAST(n_wedges AS DOUBLE)) AS BIGINT) END AS clustering_ppm
+      |FROM c1, c2, t""".stripMargin
+
   // ------------------------------------------- x111 calibration curve
   /** [[graft.ops.Stats.calibrationCurve]]: the reliability diagram for the
     * x100 score/label pair — equal-width buckets over the e9-quantized
@@ -3238,6 +3284,7 @@ object Extensions {
       |FROM t WHERE length(s) > 0 ORDER BY doc_id, sent_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x112_triangle_census" -> x112CoPurchaseTriangles _,
     "x111_calibration" -> x111Calibration _,
     "x110_rebalance_plan" -> x110RebalancePlan _,
     "x109_exactsubstr_strip" -> x109ExactSubstrStrip _,
@@ -3403,6 +3450,7 @@ object Extensions {
     "x86_quality_dup_curve" -> x86Sql,
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
+    "x112_triangle_census" -> x112Sql,
     "x111_calibration" -> x111Sql,
     "x110_rebalance_plan" -> x110Sql,
     "x109_exactsubstr_strip" -> x109Sql,

@@ -1,0 +1,52 @@
+package graft
+
+import graft.ops.Graph
+
+/** Exact contracts for the triangle census ([[graft.ops.Graph]]): known
+  * closed forms, dirty-input tolerance, and a brute-force cross-check on a
+  * deterministic pseudo-random graph. */
+class GraphSpec extends SparkSpec {
+
+  private def census(edges: Seq[(Long, Long)]): (Long, Long, Long, Long, Long) = {
+    import spark.implicits._
+    val r = Graph.triangleStats(edges.toDF("pa", "pb"), "pa", "pb").collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+  }
+
+  test("K3: one triangle, fully clustered") {
+    assert(census(Seq((1L, 2L), (2L, 3L), (1L, 3L))) == ((3L, 3L, 3L, 1L, 1000000L)))
+  }
+
+  test("C4: four wedges, no triangles") {
+    assert(census(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))) == ((4L, 4L, 4L, 0L, 0L)))
+  }
+
+  test("K4: four triangles, clustering 1.0") {
+    val k4 = for { i <- 1L to 4L; j <- (i + 1) to 4L } yield (i, j)
+    assert(census(k4) == ((4L, 6L, 12L, 4L, 1000000L)))
+  }
+
+  test("dirty input: duplicates, reversals, and self-loops are normalized away") {
+    val dirty = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (2L, 3L), (1L, 3L))
+    assert(census(dirty) == ((3L, 3L, 3L, 1L, 1000000L)))
+  }
+
+  test("matches a brute-force count on a deterministic pseudo-random graph") {
+    val n = 30
+    val edges = (for {
+      i <- 0 until n; j <- (i + 1) until n
+      if graft.functions.Ops.splitmix64(i.toLong * n + j) % 5 == 0
+    } yield (i.toLong, j.toLong)).toSeq
+    val es = edges.toSet
+    def adj(a: Long, b: Long) = es.contains((a min b, a max b))
+    val expTri = (for {
+      i <- 0 until n; j <- (i + 1) until n; k <- (j + 1) until n
+      if adj(i, j) && adj(j, k) && adj(i, k)
+    } yield 1).size.toLong
+    val degs = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity).view.mapValues(_.size)
+    val expWedges = degs.values.map(d => d.toLong * (d - 1) / 2).sum
+    val got = census(edges)
+    assert(got._1 == degs.size.toLong && got._2 == edges.size.toLong)
+    assert(got._3 == expWedges && got._4 == expTri)
+  }
+}
