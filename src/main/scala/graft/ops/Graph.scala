@@ -68,4 +68,87 @@ object Graph {
         floor(col("n_triangles").cast("double") * lit(3000000.0) /
           col("n_wedges").cast("double")).cast("long")).as("clustering_ppm"))
   }
+
+  /** Semi-supervised label propagation (Zhu & Ghahramani'02 shape, hard
+    * labels): seeds are CLAMPED; every other node takes, each round, the
+    * majority label among its labeled neighbors from the PREVIOUS round
+    * (ties → smallest label; no labeled neighbor → keep what it had).
+    * Returns `(v, label)` with label = -1 for nodes never reached.
+    *
+    * Fully deterministic — majority + lowest-label tie-break, synchronous
+    * rounds — so an unrolled SQL replay lands on the identical assignment.
+    * Each round is one shuffle (the vote groupBy); the frontier relation is
+    * localCheckpoint'd per round so round t never replays rounds 1..t-1
+    * (the lineage discipline that made x28's connected components converge
+    * fast). Votes are per (node, label) — bounded by the edge count, never
+    * quadratic — and the argmax is a bounded per-node window. At 100 TB
+    * this is the standard BSP formulation: state lives in the cluster,
+    * the driver holds nothing but the round counter. */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.toDF("a", "b")
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    // bidirectional message edges, built once
+    val msgs = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      .toDF("src", "dst").localCheckpoint()
+    val nodes = msgs.select(col("src").as("v")).distinct().localCheckpoint()
+    val seed = seeds.toDF("v", "seed_label")
+    var labels = nodes.join(seed, Seq("v"), "left")
+      .select(col("v"), col("seed_label").as("label")).localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dst")).orderBy(col("n_votes").desc, col("label").asc)
+    for (_ <- 1 to rounds) {
+      val votes = msgs
+        .join(labels.filter(col("label").isNotNull), msgs("src") === labels("v"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("n_votes"))
+      val best = votes.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("dst").as("v"), col("label").as("new_label"))
+      labels = labels.join(best, Seq("v"), "left")
+        .join(seed, Seq("v"), "left")
+        .select(col("v"),
+          coalesce(col("seed_label"), col("new_label"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    labels.select(col("v"), coalesce(col("label"), lit(-1L)).as("label"))
+  }
+
+  /** DuckDB respell of [[labelPropagation]] label-COUNT summary: the rounds
+    * unroll as CTEs (`l0..l$rounds`), majority + lowest-label tie via a
+    * window, seeds re-clamped every round — the identical synchronous
+    * schedule. */
+  def labelPropagationSummarySql(edgeSql: String, seedSql: String, rounds: Int): String = {
+    val base =
+      s"""WITH e0 AS ($edgeSql),
+         |e AS (SELECT DISTINCT a, b FROM e0 WHERE a <> b
+         |        AND a IS NOT NULL AND b IS NOT NULL),
+         |m AS (SELECT a AS src, b AS dst FROM e
+         |      UNION ALL SELECT b AS src, a AS dst FROM e),
+         |nodes AS (SELECT DISTINCT src AS v FROM m),
+         |seed AS ($seedSql),
+         |l0 AS (SELECT nodes.v, seed.seed_label AS label
+         |       FROM nodes LEFT JOIN seed ON seed.v = nodes.v)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      val prev = s"l${r - 1}"
+      s"""v$r AS (
+         |  SELECT m.dst, p.label, CAST(count(*) AS BIGINT) AS n_votes
+         |  FROM m JOIN $prev p ON p.v = m.src AND p.label IS NOT NULL
+         |  GROUP BY 1, 2),
+         |b$r AS (
+         |  SELECT dst AS v, label AS new_label FROM (
+         |    SELECT dst, label,
+         |      row_number() OVER (PARTITION BY dst
+         |        ORDER BY n_votes DESC, label ASC) AS rk
+         |    FROM v$r) WHERE rk = 1),
+         |l$r AS (
+         |  SELECT p.v,
+         |    coalesce(seed.seed_label, b$r.new_label, p.label) AS label
+         |  FROM $prev p
+         |  LEFT JOIN b$r ON b$r.v = p.v
+         |  LEFT JOIN seed ON seed.v = p.v)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$base$steps
+       |SELECT coalesce(label, -1) AS label, CAST(count(*) AS BIGINT) AS n_nodes
+       |FROM l$rounds GROUP BY 1 ORDER BY label""".stripMargin
+  }
 }

@@ -445,4 +445,68 @@ object Stats {
        |SELECT CAST(i AS BIGINT) AS i, CAST(v AS BIGINT) AS v_q
        |FROM v$iters ORDER BY i""".stripMargin
   }
+
+  /** Exact single-changepoint detection per group over a daily count
+    * series: the split day t* maximizing the between-segment mean gap
+    * |mean(1..t) − mean(t+1..n)| — the two-segment special case of
+    * binary-segmentation changepoint search, evaluated EXHAUSTIVELY with
+    * prefix sums so no candidate is missed.
+    *
+    * One shuffle (the daily groupBy collapses the event stream to
+    * (group, day, cnt) — ≤ #groups·#days rows regardless of input size),
+    * then bounded per-group windows: prefix sum + totals in one pass, and
+    * the gap for EVERY candidate split is pure arithmetic on (S_i, i, S_n,
+    * n). All-integer: gap_ppm = ⌊10⁶·|S_i·(n−i) − (S_n−S_i)·i| /
+    * (i·(n−i))⌋ (|…| ≤ S_n·n ≤ ~4e8 at sf0.1, ×10⁶ inside int64), ties →
+    * earliest day, so the oracle reproduces the argmax bit-for-bit. */
+  def meanSplitChangepoint(df: DataFrame, groupCol: String, tsCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("day"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val cand = daily
+      .withColumn("i", row_number().over(wOrd))
+      .withColumn("si", sum(col("cnt")).over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("sn", sum(col("cnt")).over(wAll))
+      .filter(col("i") < col("n"))
+      .withColumn("gap_ppm",
+        expr("(abs(si * (n - i) - (sn - si) * i) * 1000000) DIV (i * (n - i))"))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("gap_ppm").desc, col("day").asc)
+    cand.withColumn("rk", row_number().over(wBest)).filter(col("rk") === 1)
+      .select(col("g").as(groupCol), col("day").as("split_day"),
+        col("n").as("n_days"), col("gap_ppm"),
+        expr("(si * 1000000) DIV i").as("left_mean_ppm"),
+        expr("((sn - si) * 1000000) DIV (n - i)").as("right_mean_ppm"))
+      .orderBy(col(groupCol))
+  }
+
+  /** DuckDB respell of [[meanSplitChangepoint]]. */
+  def meanSplitChangepointSql(table: String, groupCol: String, tsCol: String): String =
+    s"""WITH daily AS (
+       |  SELECT $groupCol AS g, CAST($tsCol AS DATE) AS day,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM $table GROUP BY 1, 2),
+       |pref AS (
+       |  SELECT g, day, cnt,
+       |    CAST(row_number() OVER (PARTITION BY g ORDER BY day) AS BIGINT) AS i,
+       |    CAST(sum(cnt) OVER (PARTITION BY g ORDER BY day
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS si,
+       |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+       |    CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS sn
+       |  FROM daily),
+       |cand AS (
+       |  SELECT *, (abs(si * (n - i) - (sn - si) * i) * 1000000)
+       |              // (i * (n - i)) AS gap_ppm
+       |  FROM pref WHERE i < n),
+       |best AS (
+       |  SELECT *, row_number() OVER (PARTITION BY g
+       |    ORDER BY gap_ppm DESC, day ASC) AS rk FROM cand)
+       |SELECT g AS $groupCol, day AS split_day, n AS n_days, gap_ppm,
+       |  (si * 1000000) // i AS left_mean_ppm,
+       |  ((sn - si) * 1000000) // (n - i) AS right_mean_ppm
+       |FROM best WHERE rk = 1 ORDER BY $groupCol""".stripMargin
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.ops.{Curation, Dedup, Multimodal, Similarity, Stats, TextAnalysis}
+import graft.ops.{Curation, Dedup, Itemsets, Multimodal, Similarity, Stats, TextAnalysis}
 
 /** Training-data-pipeline extension operators (build brief: dedup, similarity
   * search, text analysis, event streams) as driver-checkable queries.
@@ -961,6 +961,132 @@ object Extensions {
        |  z.zero_regs
        |FROM ex JOIN z USING (event_type) ORDER BY ex.event_type""".stripMargin
   }
+
+  // ------------------------------------------- x116 hybrid retrieval (RRF)
+  /** Hybrid search: reciprocal-rank fusion (Cormack et al., SIGIR'09) of
+    * the x74 sparse BM25 top-20 and an x09-style dense cosine top-20 (query
+    * vector = embedding 7), fused on the integer grid
+    * `rrf_q = Σ ⌊10¹² / (60 + rank)⌋` so both engines agree bit-for-bit.
+    * Each leg keeps its own scale story (BM25: matched-term-only shuffle +
+    * TakeOrdered; dense: broadcast query, corpus never shuffles); the
+    * fusion itself touches only 2·k rows. */
+  def x116HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wSparse = Window.orderBy($"score_e9".desc, $"doc_id")
+    val sparse = Similarity.bm25Search(docs(s, dir), "doc_id", "text",
+        Seq("spark", "join", "vector"), k = 20)
+      .select($"doc_id", floor($"score" * lit(1e9)).cast("long").as("score_e9"))
+      .withColumn("rank", row_number().over(wSparse)) // 20 rows — single partition fine
+      .select($"doc_id", lit("sparse").as("src"), $"rank".cast("long").as("rank"))
+    val e = emb(s, dir)
+    val dense = Similarity.bruteForceTopK(e, e.filter($"vec_id" === 7), "vec_id", "embedding", k = 20)
+      .select($"item_id".as("doc_id"), lit("dense").as("src"), $"rank".cast("long").as("rank"))
+    sparse.unionAll(dense)
+      .groupBy($"doc_id")
+      .agg(expr("sum(1000000000000 DIV (60 + rank))").as("rrf_q"),
+        coalesce(max(when($"src" === "sparse", $"rank")), lit(-1L)).as("sparse_rank"),
+        coalesce(max(when($"src" === "dense", $"rank")), lit(-1L)).as("dense_rank"))
+      .select($"doc_id", $"sparse_rank", $"dense_rank", $"rrf_q")
+      .orderBy($"rrf_q".desc, $"doc_id")
+      .limit(15)
+  }
+  val x116Sql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |st AS (SELECT count(*) AS n_docs, CAST(sum(len(w)) AS BIGINT) AS sum_len FROM t),
+      |tf AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS len, u AS term, count(*) AS tf
+      |  FROM (SELECT doc_id, w, unnest(list_filter(w, x -> x IN ('spark', 'join', 'vector'))) AS u FROM t)
+      |  GROUP BY 1, 2, 3),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |c AS (
+      |  SELECT doc_id, term,
+      |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+      |      / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(len AS DOUBLE)
+      |           / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS c
+      |  FROM tf JOIN dfq USING (term), st),
+      |sc AS (
+      |  SELECT doc_id, list_reduce(list_prepend(0.0, list(c ORDER BY term)), (a, b) -> a + b) AS score
+      |  FROM c GROUP BY doc_id),
+      |sp AS (SELECT doc_id, CAST(floor(score * 1000000000.0) AS BIGINT) AS score_e9
+      |       FROM sc ORDER BY score DESC, doc_id LIMIT 20),
+      |spr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_e9 DESC, doc_id) AS BIGINT) AS rank FROM sp),
+      |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id = 7),
+      |cc AS (SELECT vec_id AS item_id, embedding AS iv FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, item_id,
+      |    list_reduce(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE)*CAST(iv[i] AS DOUBLE)), (a,b) -> a+b)
+      |    / (sqrt(list_reduce(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE)*CAST(qv[i] AS DOUBLE)), (a,b) -> a+b))
+      |     * sqrt(list_reduce(list_transform(range(1, len(iv)+1), i -> CAST(iv[i] AS DOUBLE)*CAST(iv[i] AS DOUBLE)), (a,b) -> a+b))) AS cos_sim
+      |  FROM q JOIN cc ON item_id <> query_id),
+      |dr AS (SELECT item_id AS doc_id, CAST(row_number() OVER (ORDER BY cos_sim DESC, item_id) AS BIGINT) AS rank
+      |       FROM scored QUALIFY rank <= 20),
+      |u AS (SELECT doc_id, 'sparse' AS src, rank FROM spr
+      |      UNION ALL SELECT doc_id, 'dense', rank FROM dr),
+      |f AS (
+      |  SELECT doc_id,
+      |    CAST(sum(1000000000000 // (60 + rank)) AS BIGINT) AS rrf_q,
+      |    coalesce(max(CASE WHEN src = 'sparse' THEN rank END), -1) AS sparse_rank,
+      |    coalesce(max(CASE WHEN src = 'dense' THEN rank END), -1) AS dense_rank
+      |  FROM u GROUP BY doc_id)
+      |SELECT doc_id, sparse_rank, dense_rank, rrf_q
+      |FROM f ORDER BY rrf_q DESC, doc_id LIMIT 15""".stripMargin
+
+  // ------------------------------------------- x115 changepoint
+  /** [[graft.ops.Stats.meanSplitChangepoint]] on the events stream: per
+    * event_type, the day that best splits the daily-count series into two
+    * mean-shifted segments (exhaustive prefix-sum scan, all-integer gap).
+    * The event stream collapses to (type, day) in ONE shuffle; every
+    * candidate split after that is window arithmetic. */
+  def x115Changepoint(s: SparkSession, dir: String): DataFrame =
+    Stats.meanSplitChangepoint(Tables.events(s, dir), "event_type", "ts")
+  val x115Sql: String =
+    Stats.meanSplitChangepointSql("events", "event_type", "ts")
+
+  // ------------------------------------------- x114 label propagation
+  /** [[graft.ops.Graph.labelPropagation]] over the co-purchase part graph:
+    * brand labels seeded on small parts (p_size ≤ 4), clamped, propagated
+    * 3 synchronous majority rounds; output = per-label node counts
+    * (-1 = never reached). Deterministic ties (lowest label) make the
+    * unrolled SQL replay bit-exact. */
+  def x114LabelProp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+    val seeds = Tables.load(s, dir, "part")
+      .filter($"p_size" <= 4)
+      .select($"p_partkey".as("v"),
+        regexp_extract($"p_brand", "(\\d+)", 1).cast("long").as("seed_label"))
+    graft.ops.Graph.labelPropagation(edges, seeds, rounds = 3)
+      .groupBy($"label").agg(count(lit(1)).as("n_nodes"))
+      .orderBy($"label")
+  }
+  val x114Sql: String = graft.ops.Graph.labelPropagationSummarySql(
+    edgeSql =
+      """SELECT x.p AS a, y.p AS b
+        |FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) x
+        |JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) y
+        |  ON x.o = y.o AND x.p < y.p""".stripMargin,
+    seedSql =
+      """SELECT p_partkey AS v,
+        |  CAST(regexp_extract(p_brand, '\d+') AS BIGINT) AS seed_label
+        |FROM part WHERE p_size <= 4""".stripMargin,
+    rounds = 3)
+
+  // ------------------------------------------- x113 frequent itemsets
+  /** [[graft.ops.Itemsets.frequentPairs]] over the order→part baskets:
+    * A-priori two-pass co-purchase pairs with integer lift. The frequent
+    * single-item table broadcasts, so basket pruning is map-side; the one
+    * shuffle is the pair count itself. */
+  def x113FrequentPairs(s: SparkSession, dir: String): DataFrame =
+    Itemsets.frequentPairs(Tables.load(s, dir, "lineitem"),
+      "l_orderkey", "l_partkey", minSupport = 2L, topK = 40)
+  val x113Sql: String =
+    Itemsets.frequentPairsSql("lineitem", "l_orderkey", "l_partkey",
+      minSupport = 2L, topK = 40)
 
   // ------------------------------------------- x112 co-purchase triangles
   /** [[graft.ops.Graph.triangleStats]] over the co-purchase graph (parts
@@ -3284,6 +3410,10 @@ object Extensions {
       |FROM t WHERE length(s) > 0 ORDER BY doc_id, sent_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x116_hybrid_rrf" -> x116HybridRrf _,
+    "x115_changepoint" -> x115Changepoint _,
+    "x114_label_prop" -> x114LabelProp _,
+    "x113_frequent_pairs" -> x113FrequentPairs _,
     "x112_triangle_census" -> x112CoPurchaseTriangles _,
     "x111_calibration" -> x111Calibration _,
     "x110_rebalance_plan" -> x110RebalancePlan _,
@@ -3450,6 +3580,10 @@ object Extensions {
     "x86_quality_dup_curve" -> x86Sql,
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
+    "x116_hybrid_rrf" -> x116Sql,
+    "x115_changepoint" -> x115Sql,
+    "x114_label_prop" -> x114Sql,
+    "x113_frequent_pairs" -> x113Sql,
     "x112_triangle_census" -> x112Sql,
     "x111_calibration" -> x111Sql,
     "x110_rebalance_plan" -> x110Sql,

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Graph, Itemsets, Stats}
+
+/** Exact-behavior contracts for the basket/graph/series mining operators
+  * (x113–x116): hand-built inputs with known answers. The DuckDB oracles
+  * check engine parity; these check the MATH. */
+class MiningSpec extends SparkSpec {
+
+  // --------------------------------------------------------- frequent pairs
+  test("frequentPairs: counts, lift, and A-priori item pruning on a known basket set") {
+    import spark.implicits._
+    // 4 baskets; items: a in 3, b in 3, c in 2, d in 1 (d cannot reach
+    // minSupport=2 and must be pruned before pair generation)
+    val baskets = Seq(
+      (1L, "a"), (1L, "b"), (1L, "d"),
+      (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"),
+      (4L, "b"), (4L, "c"), (4L, "c") // duplicate line collapses
+    ).toDF("bk", "it")
+    val out = Itemsets.frequentPairs(baskets, "bk", "it", minSupport = 2L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(5)))
+    // co(a,b)=2 lift=2*4*1e6/(3*3); co(a,c)=1 < 2 dropped; co(b,c)=1 dropped;
+    // every pair with d dropped by pass-1 pruning
+    assert(out.toSeq == Seq(("a", "b", 2L, 2L * 4L * 1000000L / 9L)))
+  }
+
+  test("frequentPairs: empty when nothing reaches support") {
+    import spark.implicits._
+    val baskets = Seq((1L, "a"), (2L, "b")).toDF("bk", "it")
+    assert(Itemsets.frequentPairs(baskets, "bk", "it", 2L, 10).count() == 0L)
+  }
+
+  // ------------------------------------------------------ label propagation
+  test("labelPropagation: clamped seeds, majority vote, lowest-label ties, unreached = -1") {
+    import spark.implicits._
+    // path 1-2-3-4 plus isolated pair 5-6 (no seed → -1), and node 7 seeded
+    // but also voted at by a neighbor with a different label (clamp wins)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (4L, 7L)).toDF("a", "b")
+    val seeds = Seq((1L, 10L), (4L, 20L), (7L, 30L)).toDF("v", "seed_label")
+    val out = Graph.labelPropagation(edges, seeds, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 10L && out(4L) == 20L && out(7L) == 30L) // clamped
+    assert(out(2L) == 10L) // neighbor of seed 1
+    // node 3 hears 10 (from 2) and 20 (from 4) with one vote each from
+    // round 2 on → tie → smallest label
+    assert(out(3L) == 10L)
+    assert(out(5L) == -1L && out(6L) == -1L) // unreachable from any seed
+  }
+
+  // ----------------------------------------------------------- changepoint
+  test("meanSplitChangepoint finds an exact step and its segment means") {
+    import spark.implicits._
+    // 6 days: 2/day for 3 days then 6/day for 3 days → split after day 3,
+    // gap = |2 - 6| = 4 → 4_000_000 ppm
+    val rows = (for {
+      d <- 1 to 6
+      k <- 1 to (if (d <= 3) 2 else 6)
+    } yield ("g", java.sql.Timestamp.valueOf(f"2024-01-0$d%d 12:00:0$k%d"))).toSeq
+    val df = rows.toDF("g", "ts")
+    val out = Stats.meanSplitChangepoint(df, "g", "ts").collect()(0)
+    assert(out.getAs[java.sql.Date]("split_day").toString == "2024-01-03")
+    assert(out.getAs[Long]("n_days") == 6L)
+    assert(out.getAs[Long]("gap_ppm") == 4000000L)
+    assert(out.getAs[Long]("left_mean_ppm") == 2000000L)
+    assert(out.getAs[Long]("right_mean_ppm") == 6000000L)
+  }
+
+  test("meanSplitChangepoint: constant series has zero gap and earliest-day tie-break") {
+    import spark.implicits._
+    val rows = (1 to 4).map(d => ("g", java.sql.Timestamp.valueOf(f"2024-02-0$d%d 01:00:00")))
+    val out = Stats.meanSplitChangepoint(rows.toDF("g", "ts"), "g", "ts").collect()(0)
+    assert(out.getAs[Long]("gap_ppm") == 0L)
+    assert(out.getAs[java.sql.Date]("split_day").toString == "2024-02-01")
+  }
+
+  // ------------------------------------------------------------ RRF fusion
+  test("x116 hybrid RRF: fused score is exactly the reciprocal-rank sum of its legs") {
+    val out = graft.queries.Extensions.x116HybridRrf(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty && out.length <= 15)
+    def leg(rank: Long): Long = if (rank < 0) 0L else 1000000000000L / (60L + rank)
+    out.foreach { r =>
+      val (s, d, q) = (r.getAs[Long]("sparse_rank"), r.getAs[Long]("dense_rank"),
+        r.getAs[Long]("rrf_q"))
+      assert(q == leg(s) + leg(d), s"doc ${r.get(0)}")
+      assert(s != -1L || d != -1L) // every fused doc came from some leg
+    }
+    // descending fused order with doc_id tie-break
+    val qs = out.map(r => (-r.getAs[Long]("rrf_q"), r.getAs[Long]("doc_id")))
+    assert(qs.sameElements(qs.sorted))
+  }
+}
