@@ -96,4 +96,67 @@ object Bpe {
        |$unioned)
        |ORDER BY merge_rank""".stripMargin
   }
+
+  /** ENCODE with a trained merge table: apply the `merges` learned rewrites
+    * in rank order and report per-source token counts + compression.
+    *
+    * The scale contrast with [[bpeMerges]] is the point: training is
+    * iterative (a job per merge), but encoding is ONE map pass — the merge
+    * table collects to the driver (`merges` rows — bounded by construction)
+    * and rides into a single projection as a chain of codegen'd
+    * [[graft.functions.Exprs.BpeMergePair]] constants, so a 100 TB corpus
+    * encodes in one scan with zero shuffles before the final per-source
+    * aggregate. Compression is all-integer (`⌊10⁶·tok_bpe/tok_raw⌋`). */
+  def bpeEncodeReport(docs: DataFrame, srcCol: String, textCol: String,
+      merges: Int = 6): DataFrame = {
+    val table = bpeMerges(docs, textCol, merges).collect()
+      .sortBy(_.getLong(0))
+    val base = docs.select(col(srcCol).as("source"),
+        Dedup.tokens(col(textCol)).as("toks"))
+      .withColumn("n_raw", size(col("toks")).cast("long"))
+    val encoded = table.foldLeft(base) { (df, m) =>
+      df.withColumn("toks",
+        graft.functions.Exprs.bpe_merge_pair(col("toks"), m.getString(1), m.getString(2)))
+    }
+    encoded
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_raw")).as("tok_raw"),
+        sum(size(col("toks")).cast("long")).as("tok_bpe"))
+      .select(col("source"), col("n_docs"), col("tok_raw"), col("tok_bpe"),
+        expr("(tok_bpe * 1000000) DIV tok_raw").as("compression_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** The x118 oracle: [[bpeSql]]'s training rounds rederived verbatim (the
+    * oracle must learn the same table), with source + raw length carried
+    * through the rewrite chain and folded per source at the end. */
+  def bpeEncodeSql(table: String, srcCol: String, textCol: String, merges: Int): String = {
+    val rounds = (1 to merges).map { t =>
+      s"""p$t AS (
+         |  SELECT pr.lhs AS lhs, pr.rhs AS rhs, count(*) AS c FROM (
+         |    SELECT unnest(list_transform(range(1, len(tk)),
+         |      i -> struct_pack(lhs := tk[i], rhs := tk[i + 1]))) AS pr
+         |    FROM (SELECT list_transform(string_split(s, '  '), x -> trim(x)) AS tk
+         |          FROM s${t - 1}))
+         |  GROUP BY 1, 2),
+         |t$t AS (SELECT lhs, rhs, c FROM p$t ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |s$t AS (
+         |  SELECT src, n_raw,
+         |    replace(s, ' ' || t.lhs || '  ' || t.rhs || ' ',
+         |               ' ' || t.lhs || '_' || t.rhs || ' ') AS s
+         |  FROM s${t - 1}, t$t t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH s0 AS (
+       |  SELECT $srcCol AS src,
+       |    CAST(len(string_split_regex(lower($textCol), '\\s+')) AS BIGINT) AS n_raw,
+       |    ' ' || array_to_string(string_split_regex(lower($textCol), '\\s+'), '  ') || ' ' AS s
+       |  FROM $table),
+       |$rounds
+       |SELECT src AS source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_raw) AS BIGINT) AS tok_raw,
+       |  CAST(sum(len(string_split(s, '  '))) AS BIGINT) AS tok_bpe,
+       |  (CAST(sum(len(string_split(s, '  '))) AS BIGINT) * 1000000)
+       |    // CAST(sum(n_raw) AS BIGINT) AS compression_ppm
+       |FROM s$merges GROUP BY src ORDER BY source""".stripMargin
+  }
 }

@@ -744,4 +744,28 @@ object Curation {
       .select(col("lang"), col("n_docs"), col("n_tokens"),
         (sqrt(col("n_tokens").cast("double")) / col("__denom")).as("weight"))
   }
+
+  /** Deterministic weighted sampling without replacement, priority-sampling
+    * shape (Duffield-Lund-Thorup, JACM'07): each row gets a pseudo-uniform
+    * 63-bit key from SplitMix64 of its id, priority = ⌊key / weight⌋, and
+    * the sample is the k SMALLEST priorities — so inclusion probability
+    * rises with weight, yet the draw is a pure function of (id, weight):
+    * reproducible across engines, partitionings, and reruns, which is what
+    * a training-data lineage audit needs from its sampler.
+    *
+    * Scale shape: the key/priority are map-side codegen'd arithmetic and
+    * the selection is a global top-k — TakeOrderedAndProject, k rows per
+    * partition then k at the driver, never a full sort or shuffle of the
+    * corpus. All-integer, so the oracle replays the draw bit-for-bit. */
+  def weightedPrioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame =
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0 && col(idCol).isNotNull)
+      .select(col(idCol), col(weightCol).cast("long").as("weight"))
+      .withColumn("__h63",
+        graft.functions.Exprs.smix64(col(idCol).cast("long"))
+          .bitwiseAND(lit(Long.MaxValue)))
+      .withColumn("priority_q", expr("__h63 DIV weight"))
+      .select(col(idCol), col("weight"), col("priority_q"))
+      .orderBy(col("priority_q").asc, col(idCol).asc)
+      .limit(k)
 }

@@ -140,4 +140,47 @@ object EventAnalytics {
       .filter(col("__rn") <= maxPerHour)
       .drop("__rn")
   }
+
+  /** Keyed windowed dedup summary: collapse repeats of (key, type) inside
+    * an epoch-aligned `slotSeconds` tumbling slot and report, per type, how
+    * much of the stream was duplicate chatter. The slot id is integer
+    * arithmetic on event-time micros (`⌊µs / slot·10⁶⌋` — epoch-aligned
+    * exactly like Spark's `window()` buckets), so the whole summary is one
+    * partial-aggregable groupBy + a distinct count on (key, slot) — no
+    * window function, no sort, and the oracle reproduces it bit-for-bit.
+    *
+    * This is the BATCH TWIN of
+    * [[graft.streaming.EventStreams.windowedKeyDedup]]: same key, same slot
+    * arithmetic, so the streamed kept-count lands on the identical total —
+    * the batch/stream parity contract (Dataflow-model style) that makes a
+    * lambda-architecture reconciliation meaningful. */
+  def windowDedupSummary(events: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, slotSeconds: Long): DataFrame = {
+    val slotMicros = slotSeconds * 1000000L
+    events
+      .select(col(typeCol).as("event_type"), col(keyCol).as("k"),
+        unix_micros(col(tsCol)).as("__us"))
+      .withColumn("slot", expr(s"__us DIV $slotMicros")) // integer div, not `/`
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("k"), col("slot")).as("n_kept"))
+      .select(col("event_type"), col("n_events"), col("n_kept"),
+        expr("((n_events - n_kept) * 1000000) DIV n_events").as("drop_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB respell of [[windowDedupSummary]]. */
+  def windowDedupSummarySql(table: String, keyCol: String, typeCol: String,
+      tsCol: String, slotSeconds: Long): String =
+    s"""WITH k AS (
+       |  SELECT $typeCol AS event_type, $keyCol AS k,
+       |    epoch_us($tsCol) // ${slotSeconds * 1000000L} AS slot
+       |  FROM $table),
+       |d AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+       |      FROM k GROUP BY 1),
+       |u AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept
+       |      FROM (SELECT DISTINCT event_type, k, slot FROM k) GROUP BY 1)
+       |SELECT event_type, n_events, n_kept,
+       |  ((n_events - n_kept) * 1000000) // n_events AS drop_ppm
+       |FROM d JOIN u USING (event_type) ORDER BY event_type""".stripMargin
 }

@@ -509,4 +509,60 @@ object Stats {
        |  (si * 1000000) // i AS left_mean_ppm,
        |  ((sn - si) * 1000000) // (n - i) AS right_mean_ppm
        |FROM best WHERE rk = 1 ORDER BY $groupCol""".stripMargin
+
+  /** Exact ordinary-least-squares trend per group over a (date, value)
+    * series, all-integer: slope_e2 = ⌊100·(n·Σxy − Σx·Σy) / (n·Σx² −
+    * (Σx)²)⌋ (truncated toward zero on BOTH engines — Spark `DIV` is
+    * truncating, so the oracle spells `//` with a sign split).
+    *
+    * The input collapses to a per-(group, day) aggregate first (ONE
+    * shuffle; the series is ≤ #groups·#days regardless of fact-table
+    * size), x is days since the GROUP's first day (window min — keeps
+    * every product inside int64 by construction: x ≤ series span, y ≤
+    * daily total), and the five sufficient statistics are one
+    * partial-aggregable groupBy. The slope math is then driver-free
+    * per-group arithmetic. Groups need ≥ 2 distinct days (den > 0) or
+    * they are dropped. */
+  def olsTrend(df: DataFrame, groupCol: String, dateCol: String,
+      valueCentsCol: Column): DataFrame = {
+    val daily = df
+      .groupBy(col(groupCol).as("g"), to_date(col(dateCol)).as("day"))
+      .agg(sum(valueCentsCol).as("cents"))
+      .withColumn("y", expr("cents DIV 100")) // whole units, bounds products
+    val wMin = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val xy = daily
+      .withColumn("x", datediff(col("day"), min(col("day")).over(wMin)).cast("long"))
+    xy.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sx2"))
+      .filter(col("n") >= 2 && expr("n * sx2 - sx * sx") > 0)
+      .select(col("g").as(groupCol), col("n").as("n_days"), col("sy").as("total_units"),
+        expr("((n * sxy - sx * sy) * 100) DIV (n * sx2 - sx * sx)").as("slope_e2"))
+      .orderBy(col(groupCol))
+  }
+
+  /** DuckDB respell of [[olsTrend]] — `valueCentsSql` must be the exact
+    * integer-cents expression the Spark side used. */
+  def olsTrendSql(table: String, groupCol: String, dateCol: String,
+      valueCentsSql: String): String =
+    s"""WITH daily AS (
+       |  SELECT $groupCol AS g, CAST($dateCol AS DATE) AS day,
+       |    CAST(sum($valueCentsSql) AS BIGINT) AS cents
+       |  FROM $table GROUP BY 1, 2),
+       |d2 AS (
+       |  SELECT g, day,
+       |    CASE WHEN cents >= 0 THEN cents // 100 ELSE -((-cents) // 100) END AS y,
+       |    CAST(datediff('day', min(day) OVER (PARTITION BY g), day) AS BIGINT) AS x
+       |  FROM daily),
+       |s AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) AS BIGINT) AS sx2
+       |  FROM d2 GROUP BY g)
+       |SELECT g AS $groupCol, n AS n_days, sy AS total_units,
+       |  CASE WHEN (n * sxy - sx * sy) >= 0
+       |       THEN ((n * sxy - sx * sy) * 100) // (n * sx2 - sx * sx)
+       |       ELSE -((-(n * sxy - sx * sy) * 100) // (n * sx2 - sx * sx)) END AS slope_e2
+       |FROM s WHERE n >= 2 AND n * sx2 - sx * sx > 0
+       |ORDER BY $groupCol""".stripMargin
 }

@@ -962,6 +962,86 @@ object Extensions {
        |FROM ex JOIN z USING (event_type) ORDER BY ex.event_type""".stripMargin
   }
 
+  // ------------------------------------------- x121 exact OLS trend
+  /** [[graft.ops.Stats.olsTrend]]: per market segment, the exact integer
+    * least-squares slope of daily revenue — fact table collapses to a
+    * (segment, day) series in one shuffle, sufficient statistics in a
+    * second, slope arithmetic all-int64 by construction (x centered on the
+    * group's first day, y in whole currency units). */
+  def x121OlsTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val j = Tables.load(s, dir, "orders")
+      .join(Tables.load(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", $"o_orderdate",
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+    Stats.olsTrend(j, "c_mktsegment", "o_orderdate", col("cents"))
+  }
+  val x121Sql: String = Stats.olsTrendSql(
+    """(SELECT c_mktsegment, o_orderdate,
+      |   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      | FROM orders JOIN customer ON o_custkey = c_custkey)""".stripMargin,
+    "c_mktsegment", "o_orderdate", "cents")
+
+  // ------------------------------------------- x120 windowed key dedup
+  /** [[graft.ops.EventAnalytics.windowDedupSummary]]: per event type, how
+    * much of the stream is (user, type, 5-min slot) duplicate chatter.
+    * Batch face of [[graft.streaming.EventStreams.windowedKeyDedup]]; the
+    * two are pinned equal in StreamingSpec. */
+  def x120WindowDedup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.windowDedupSummary(
+      Tables.events(s, dir), "user_id", "event_type", "ts", slotSeconds = 300L)
+  val x120Sql: String =
+    graft.ops.EventAnalytics.windowDedupSummarySql(
+      "events", "user_id", "event_type", "ts", slotSeconds = 300L)
+
+  // ------------------------------------------- x119 sorted-neighborhood
+  /** [[graft.ops.Dedup.sortedNeighborhoodPairs]] over part names: entity-
+    * resolution blocking without an all-pairs join — one block-partitioned
+    * sort, `window` lead() probes, exact Levenshtein gate. */
+  def x119SortedNeighborhood(s: SparkSession, dir: String): DataFrame =
+    Dedup.sortedNeighborhoodPairs(Tables.load(s, dir, "part"), "p_partkey", "p_name")
+  val x119Sql: String =
+    Dedup.sortedNeighborhoodSql("part", "p_partkey", "p_name")
+
+  // ------------------------------------------- x118 BPE encode
+  /** [[graft.ops.Bpe.bpeEncodeReport]]: the x104-trained merge table applied
+    * to the corpus in ONE map pass (merge constants chained in a single
+    * codegen'd projection), per-source compression report. Training scales
+    * by sampling; ENCODING is the part that must stream 100 TB, and this is
+    * its plan. */
+  def x118BpeEncode(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.bpeEncodeReport(docs(s, dir), "source", "text", merges = 6)
+  val x118Sql: String =
+    graft.ops.Bpe.bpeEncodeSql("documents", "source", "text", merges = 6)
+
+  // ------------------------------------------- x117 weighted priority sample
+  /** [[graft.ops.Curation.weightedPrioritySample]]: 100 documents drawn
+    * with probability rising in `n_chars`, deterministically — priority =
+    * ⌊(SplitMix64(doc_id) & 2⁶³−1) / weight⌋, keep the k smallest. The
+    * oracle replays the mixer in HUGEINT (the x99 discipline) and lands on
+    * the identical draw. */
+  def x117PrioritySample(s: SparkSession, dir: String): DataFrame =
+    Curation.weightedPrioritySample(docs(s, dir), "doc_id", "n_chars", k = 100)
+  val x117Sql: String = {
+    val m2 = mulmodSql("xor(x, x // 1073741824::HUGEINT)", "13787848793156543929::HUGEINT")
+    val m3 = mulmodSql("xor(x, x // 134217728::HUGEINT)", "10723151780598845931::HUGEINT")
+    s"""WITH m1 AS (
+       |  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+       |    (CAST(doc_id AS HUGEINT) + 11400714819323198485::HUGEINT)
+       |      % 18446744073709551616::HUGEINT AS x
+       |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+       |m2 AS (SELECT doc_id, weight, $m2 AS x FROM m1),
+       |m3 AS (SELECT doc_id, weight, $m3 AS x FROM m2),
+       |hh AS (SELECT doc_id, weight, xor(x, x // 2147483648::HUGEINT) AS h FROM m3),
+       |p AS (
+       |  SELECT doc_id, weight,
+       |    CAST((h % 9223372036854775808::HUGEINT) // CAST(weight AS HUGEINT)
+       |      AS BIGINT) AS priority_q
+       |  FROM hh)
+       |SELECT doc_id, weight, priority_q FROM p
+       |ORDER BY priority_q, doc_id LIMIT 100""".stripMargin
+  }
+
   // ------------------------------------------- x116 hybrid retrieval (RRF)
   /** Hybrid search: reciprocal-rank fusion (Cormack et al., SIGIR'09) of
     * the x74 sparse BM25 top-20 and an x09-style dense cosine top-20 (query
@@ -3410,6 +3490,11 @@ object Extensions {
       |FROM t WHERE length(s) > 0 ORDER BY doc_id, sent_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x121_ols_trend" -> x121OlsTrend _,
+    "x120_window_dedup" -> x120WindowDedup _,
+    "x119_sorted_neighborhood" -> x119SortedNeighborhood _,
+    "x118_bpe_encode" -> x118BpeEncode _,
+    "x117_priority_sample" -> x117PrioritySample _,
     "x116_hybrid_rrf" -> x116HybridRrf _,
     "x115_changepoint" -> x115Changepoint _,
     "x114_label_prop" -> x114LabelProp _,
@@ -3580,6 +3665,11 @@ object Extensions {
     "x86_quality_dup_curve" -> x86Sql,
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
+    "x121_ols_trend" -> x121Sql,
+    "x120_window_dedup" -> x120Sql,
+    "x119_sorted_neighborhood" -> x119Sql,
+    "x118_bpe_encode" -> x118Sql,
+    "x117_priority_sample" -> x117Sql,
     "x116_hybrid_rrf" -> x116Sql,
     "x115_changepoint" -> x115Sql,
     "x114_label_prop" -> x114Sql,

@@ -80,6 +80,23 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Keyed windowed dedup — the streaming twin of
+    * [[graft.ops.EventAnalytics.windowDedupSummary]] (x120): keep one event
+    * per (key, type, tumbling slot). The dedup key INCLUDES the event-time
+    * window, which is what lets `dropDuplicates` run on an unbounded
+    * stream: with a watermark on `ts`, state for a (key, slot) pair is
+    * evicted once the watermark passes the slot's end — bounded state, the
+    * documented streaming-dedup-with-event-time pattern — whereas a dedup
+    * key without event time would accumulate keys forever. */
+  def windowedKeyDedup(events: DataFrame, slotSeconds: Long = 300L): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .withColumn("slot_window", window(col("ts"), s"$slotSeconds seconds"))
+      // the derived window inherits the event-time tag; `ts` must go or the
+      // plan carries TWO event-time columns (rejected by the planner)
+      .drop("ts")
+      .dropDuplicates("user_id", "event_type", "slot_window")
+
   /** Stream-stream interval join: attribute each purchase to every view by
     * the same user in the preceding hour. The canonical two-stream join —
     * both sides watermarked AND the join carrying an event-time range bound,

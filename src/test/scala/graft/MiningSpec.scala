@@ -91,4 +91,85 @@ class MiningSpec extends SparkSpec {
     val qs = out.map(r => (-r.getAs[Long]("rrf_q"), r.getAs[Long]("doc_id")))
     assert(qs.sameElements(qs.sorted))
   }
+
+  // ------------------------------------------------- weighted priority sample
+  test("weightedPrioritySample matches the local replay and is partitioning-invariant") {
+    import spark.implicits._
+    val df = (1L to 20L).map(i => (i, i * 10L)).toDF("id", "w")
+    val expect = (1L to 20L)
+      .map(i => (i, (graft.functions.Ops.splitmix64(i) & Long.MaxValue) / (i * 10L)))
+      .sortBy { case (id, pri) => (pri, id) }.take(5).map(_._1)
+    val got = graft.ops.Curation.weightedPrioritySample(df, "id", "w", k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == expect)
+    val reparted = graft.ops.Curation.weightedPrioritySample(
+      df.repartition(7), "id", "w", k = 5).collect().map(_.getLong(0)).toSeq
+    assert(reparted == expect)
+  }
+
+  test("weightedPrioritySample drops non-positive and NULL weights") {
+    import spark.implicits._
+    val df = Seq((1L, 0L), (2L, -5L), (3L, 100L)).toDF("id", "w")
+    val got = graft.ops.Curation.weightedPrioritySample(df, "id", "w", k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L))
+  }
+
+  // --------------------------------------------------------------- BPE encode
+  test("bpeEncodeReport: hand-computed merges and compression on a 2-doc corpus") {
+    import spark.implicits._
+    // merges: round 1 count ties (a,a)=2 (a,b)=2 → lex → (a,a);
+    // round 2 (a_a,b)=2 wins. Encoded: [a_a_b] and [a_a_b, b].
+    val corpus = Seq(("s", "a a b"), ("s", "a a b b")).toDF("source", "text")
+    val out = graft.ops.Bpe.bpeEncodeReport(corpus, "source", "text", merges = 2)
+      .collect()(0)
+    assert(out.getAs[String]("source") == "s")
+    assert(out.getAs[Long]("n_docs") == 2L)
+    assert(out.getAs[Long]("tok_raw") == 7L)
+    assert(out.getAs[Long]("tok_bpe") == 3L)
+    assert(out.getAs[Long]("compression_ppm") == 3L * 1000000L / 7L)
+  }
+
+  // ------------------------------------------------------- sorted neighborhood
+  test("sortedNeighborhoodPairs: in-block neighbors with exact Levenshtein, blocks never cross") {
+    import spark.implicits._
+    val parts = Seq((1L, "red plate"), (2L, "red plate"), (3L, "red slate"),
+      (4L, "zed plate")).toDF("id", "name")
+    val got = graft.ops.Dedup.sortedNeighborhoodPairs(parts, "id", "name",
+      blockLen = 4, window = 3, maxDist = 4, topK = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq
+    // sort order in block "red ": (1,2) dup, then slate one edit away
+    assert(got == Seq((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)))
+    // "zed plate" is 1 edit from "red plate" but in another block — by design
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  // ------------------------------------------------------------- OLS trend
+  test("olsTrend: exact slope on a hand-built linear series, short groups dropped") {
+    import spark.implicits._
+    val rows = (0 to 3).map(d =>
+      ("g", java.sql.Date.valueOf(s"2024-01-0${d + 1}"), (100L + 3L * d) * 100L)) ++
+      Seq(("solo", java.sql.Date.valueOf("2024-01-01"), 500L)) // 1 day → dropped
+    val df = rows.toDF("seg", "day", "cents")
+    val out = Stats.olsTrend(df, "seg", "day", col("cents")).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("seg") == "g")
+    assert(out(0).getAs[Long]("n_days") == 4L)
+    assert(out(0).getAs[Long]("total_units") == 100L + 103L + 106L + 109L)
+    assert(out(0).getAs[Long]("slope_e2") == 300L)
+  }
+
+  test("olsTrend: negative slope truncates toward zero like the oracle") {
+    import spark.implicits._
+    // y = 10, 9, 9 → slope = -1/2 → e2 = -50 exactly; y = 10, 9, 9, 9
+    // → slope = -6/20 = -0.3 → -30 (trunc(-600/20), no floor drift)
+    val mk = (ys: Seq[Long]) => ys.zipWithIndex.map { case (y, d) =>
+      ("g", java.sql.Date.valueOf(s"2024-02-0${d + 1}"), y * 100L) }
+    val s1 = Stats.olsTrend(mk(Seq(10L, 9L, 9L)).toDF("seg", "day", "cents"),
+      "seg", "day", col("cents")).collect()(0).getAs[Long]("slope_e2")
+    assert(s1 == -50L)
+    val s2 = Stats.olsTrend(mk(Seq(10L, 9L, 9L, 9L)).toDF("seg", "day", "cents"),
+      "seg", "day", col("cents")).collect()(0).getAs[Long]("slope_e2")
+    assert(s2 == -30L)
+  }
 }

@@ -168,6 +168,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedKeyDedup: streamed kept rows equal the batch x120 summary, state spans batches") {
+    import spark.implicits._
+    // minutes 0/1/2 share one 5-min slot; minute 6 starts the next
+    val evts = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 1, "click", 1.0),  // in-slot dup of 1
+      Event(3, ts(6), 1, "click", 1.0),  // next slot → kept
+      Event(4, ts(0), 2, "click", 1.0),  // other user → kept
+      Event(5, ts(0), 1, "view", 1.0),   // other type → kept
+      Event(6, ts(2), 1, "click", 9.0))  // arrives in batch 2, dup of slot 0 → dropped
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.windowedKeyDedup(input.toDF())
+      .writeStream.format("memory").queryName("wkd_test")
+      .outputMode("append").start()
+    try {
+      input.addData(evts.take(5))
+      q.processAllAvailable()
+      input.addData(evts.drop(5)) // event 6 must hit batch-1 state
+      q.processAllAvailable()
+      val streamed = spark.table("wkd_test")
+        .groupBy($"event_type").agg(count(lit(1)).as("n_kept"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = graft.ops.EventAnalytics.windowDedupSummary(
+          evts.toDF(), "user_id", "event_type", "ts", slotSeconds = 300L)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("n_kept")).toMap
+      assert(streamed == batch)
+      assert(streamed == Map("click" -> 3L, "view" -> 1L))
+    } finally q.stop()
+  }
+
   test("streamingDedup drops cross-batch duplicates within the watermark") {
     import spark.implicits._
     val input = MemoryStream[Event](spark)
