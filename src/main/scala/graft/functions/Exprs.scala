@@ -232,6 +232,24 @@ object Exprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** pair_in_sorted_set(bigint v, bigint w) → boolean — exact membership of
+    * the packed (v, w) pair in a sorted long array carried via
+    * `ctx.addReferenceObj` (the BloomAnyExpr task-binary path, but exact):
+    * the broadcast-hash-join-equivalent for EDGE SET probes, letting a
+    * wedge stream test closure map-side instead of shuffling to a join. */
+  case class PairInSortedSet(left: Expression, right: Expression, set: Array[Long])
+      extends BinaryExpression {
+    override def dataType: DataType = BooleanType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Ops.pairInSortedSet(set, a.asInstanceOf[Long], b.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pairSet", set, "long[]")
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Ops.pairInSortedSet($ref, $a, $b)")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** cms_lookup(array<bigint> matrix, string token) → bigint — count-min
     * point estimate (min over rows at the token's double-hashed buckets);
     * rows/width ride as expression params, codegen'd. */
@@ -308,6 +326,8 @@ object Exprs {
     col(WinnowFingerprint(ex(text), k, w))
   def hyperplane_bucket(vec: Column, nbits: Int = 16, seed: Long = 42L): Column =
     col(HyperplaneBucket(ex(vec), nbits, seed))
+  def pair_in_sorted_set(a: Column, b: Column, set: Array[Long]): Column =
+    col(PairInSortedSet(ex(a), ex(b), set))
   def lang_id(text: Column): Column = col(LangId(ex(text)))
   def bpe_merge_pair(tokens: Column, l: String, r: String): Column =
     col(BpeMergePair(ex(tokens), l, r))

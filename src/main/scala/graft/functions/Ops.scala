@@ -488,6 +488,16 @@ object Ops {
     false
   }
 
+  // -------------------------------------------------------------- pair sets
+  /** Pack a (v, w) id pair into one long — callers must guarantee both fit
+    * in 32 bits (checked by the caller against the data's max id). */
+  def packPair(v: Long, w: Long): Long = (v << 32) | (w & 0xffffffffL)
+
+  /** Exact membership probe of a packed pair against a SORTED packed-pair
+    * array (binary search — ~log₂ m probes, cache-friendly flat layout). */
+  def pairInSortedSet(sorted: Array[Long], v: Long, w: Long): Boolean =
+    java.util.Arrays.binarySearch(sorted, packPair(v, w)) >= 0
+
   // -------------------------------------------------------------------- bpe
   private val BpeJoiner = UTF8String.fromString("_")
 

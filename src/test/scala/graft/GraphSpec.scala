@@ -49,4 +49,23 @@ class GraphSpec extends SparkSpec {
     assert(got._1 == degs.size.toLong && got._2 == edges.size.toLong)
     assert(got._3 == expWedges && got._4 == expTri)
   }
+
+  test("set-probe closure and shuffle-join closure agree (and with big ids the join path runs)") {
+    import spark.implicits._
+    val n = 25
+    val edges = (for {
+      i <- 0 until n; j <- (i + 1) until n
+      if graft.functions.Ops.splitmix64(i.toLong * n + j + 7) % 4 == 0
+    } yield (i.toLong, j.toLong)).toSeq
+    val df = edges.toDF("pa", "pb")
+    val viaSet = Graph.triangleStats(df, "pa", "pb").collect()(0).toSeq
+    val viaJoin = Graph.triangleStats(df, "pa", "pb",
+      broadcastClosureMaxEdges = 0L).collect()(0).toSeq // force the join path
+    assert(viaSet == viaJoin)
+    // ids beyond 2^32 cannot pack — must fall back to the join, same counts
+    val big = edges.map { case (a, b) => (a + (1L << 40), b + (1L << 40)) }
+    val viaBig = Graph.triangleStats(big.toDF("pa", "pb"), "pa", "pb")
+      .collect()(0).toSeq
+    assert(viaBig == viaSet)
+  }
 }

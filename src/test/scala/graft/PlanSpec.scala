@@ -281,4 +281,31 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "CartesianProduct") == 0, s"no cartesian:\n$p")
     assert(p.contains("bounded_collect_set"), s"expected capped-bucket kernel:\n$p")
   }
+
+  test("x113 frequent pairs: the frequent-item prune and stats joins broadcast") {
+    val p = plan(Extensions.x113FrequentPairs(spark, dir))
+    // pass-2 basket pruning + both per-item count joins ride broadcasts;
+    // the only sort-merge-eligible join is the within-basket pair join
+    assert(count(p, "BroadcastHashJoin") >= 3, s"expected broadcast prune+stats joins:\n$p")
+    assert(count(p, "CartesianProduct") == 0, s"no cartesian:\n$p")
+  }
+
+  test("x117 priority sample: global top-k, never a full sort of the corpus") {
+    val p = plan(Extensions.x117PrioritySample(spark, dir))
+    assert(count(p, "TakeOrderedAndProject") == 1, s"expected TakeOrderedAndProject:\n$p")
+    assert(count(p, "Sort") == 0, s"no full sort expected:\n$p")
+    assert(count(p, "Exchange") == 0, s"corpus must not shuffle:\n$p")
+  }
+
+  test("x118 BPE encode: the merge chain is one map pass — single aggregate exchange") {
+    val p = plan(Extensions.x118BpeEncode(spark, dir))
+    // training ran eagerly (its jobs are done by plan time); the ENCODE
+    // plan itself must be scan → projected merge chain → partial/final agg
+    // (+ the post-agg sort of the ~#sources result rows)
+    assert(count(p, "Exchange") <= 2, s"encode should shuffle once pre-agg:\n$p")
+    assert(p.contains("bpemergepair(bpemergepair("),
+      s"merge chain should fuse into one projection:\n$p")
+    assert(count(p, "SortMergeJoin") == 0 && count(p, "BroadcastHashJoin") == 0,
+      s"merge table must ride as constants, not a join:\n$p")
+  }
 }
