@@ -124,4 +124,74 @@ object Clustering {
        |FROM q, c$iters c GROUP BY q.vec_id
        |ORDER BY q.vec_id""".stripMargin
   }
+
+  /** Greedy k-center coreset (Gonzalez'85 2-approximation — the diversity
+    * sampler behind coverage-driven data pruning): start from the lowest-id
+    * vector, then repeatedly pick the point FARTHEST from every chosen
+    * center (exact integer squared distance, ties to the lowest id).
+    * Returns the k picks as (center_rank, vec_id, d2_at_pick) —
+    * d2_at_pick is the covering radius the pick certifies.
+    *
+    * Scale shape per round: the chosen centers ride as broadcast literals
+    * in a map-side min-distance projection (same kernel as [[kmeansAssign]]
+    * assignment) and the pick is a 1-row TakeOrdered — k rounds, k·d longs
+    * of driver state, the corpus never shuffles at all. Same integer
+    * discipline as k-means, so [[kCenterSql]] replays every pick
+    * bit-for-bit. */
+  def kCenterCoreset(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select(
+      col(idCol).cast("long").as("vec_id"),
+      expr(s"transform($vecCol, v -> cast(floor(cast(v as double) * 1000000.0) as bigint))")
+        .as("qv"))
+      .persist()
+    try {
+      val first = base.orderBy(col("vec_id")).limit(1).collect()
+      if (first.isEmpty)
+        return Seq.empty[(Long, Long, Long)].toDF("center_rank", "vec_id", "d2_at_pick")
+      var centers = Array(first(0).getSeq[Long](1).toArray)
+      val picks = scala.collection.mutable.ArrayBuffer(
+        (1L, first(0).getLong(0), 0L))
+      for (t <- 2 to k) {
+        val minD = nearest(col("qv"), centers).getField("d")
+        val next = base.select(col("vec_id"), col("qv"), minD.as("d"))
+          .orderBy(col("d").desc, col("vec_id")).limit(1).collect()
+        if (next.nonEmpty) {
+          picks += ((t.toLong, next(0).getLong(0), next(0).getLong(2)))
+          centers :+= next(0).getSeq[Long](1).toArray
+        }
+      }
+      picks.toSeq.toDF("center_rank", "vec_id", "d2_at_pick")
+        .orderBy(col("center_rank"))
+    } finally base.unpersist()
+  }
+
+  /** The x122 oracle: the greedy loop unrolled — pick t is a scalar CTE,
+    * round t's min-distance takes the LEAST over all prior picks (each a
+    * 1-row cross join). */
+  def kCenterSql(table: String, idCol: String, vecCol: String, k: Int): String = {
+    def dist(c: String) =
+      s"""list_reduce(list_transform(range(1, len(q.qv) + 1),
+         |      i -> (q.qv[i] - $c.qv[i]) * (q.qv[i] - $c.qv[i])), (x, y) -> x + y)""".stripMargin
+    val rounds = (2 to k).map { t =>
+      val froms = (1 until t).map(i => s"p$i").mkString(", ")
+      val least = (1 until t).map(i => dist(s"p$i")).mkString("least(", ",\n", ")")
+      s"""p$t AS (
+         |  SELECT q.vec_id, q.qv, $least AS d
+         |  FROM q, $froms ORDER BY d DESC, q.vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val unioned = (s"SELECT 1 AS center_rank, vec_id, CAST(0 AS BIGINT) AS d2_at_pick FROM p1" +:
+      (2 to k).map(t => s"SELECT $t, vec_id, CAST(d AS BIGINT) FROM p$t")).mkString("\nUNION ALL ")
+    s"""WITH q AS (
+       |  SELECT CAST($idCol AS BIGINT) AS vec_id,
+       |    list_transform($vecCol, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+       |  FROM $table),
+       |p1 AS (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1),
+       |$rounds
+       |SELECT CAST(center_rank AS BIGINT) AS center_rank, vec_id, d2_at_pick FROM (
+       |$unioned)
+       |ORDER BY center_rank""".stripMargin
+  }
 }

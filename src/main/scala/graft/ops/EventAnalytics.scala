@@ -169,6 +169,70 @@ object EventAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** Linear multi-touch attribution: every `convType` event credits the
+    * same user's `touchType` events in the preceding `windowSeconds`
+    * EQUALLY, on an exact-integer ppm grid — each touch gets
+    * ⌊10⁶/n⌋ ppm and the EARLIEST touch (ts, then id) absorbs the
+    * remainder, so every conversion's credit sums to exactly 10⁶ and the
+    * oracle reproduces the split bit-for-bit. Reported per touch
+    * hour-of-day (the "when do converting touches happen" curve).
+    *
+    * Scale shape: the touch⋈conversion join is an equi-join on the user
+    * key with the time range as a residual predicate (the x42 interval-
+    * join kernel — state per key bounded by the window); the credit split
+    * is a window partitioned by CONVERSION id, bounded by touches-per-
+    * conversion, never global. */
+  def linearAttribution(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, touchType: String, convType: String,
+      windowSeconds: Long): DataFrame = {
+    val wUs = windowSeconds * 1000000L
+    val t = events.filter(col(typeCol) === touchType)
+      .select(col(userCol).as("u"), col(tsCol).as("tts"),
+        unix_micros(col(tsCol)).as("tus"), col(idCol).as("tid"))
+    val c = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("u"), unix_micros(col(tsCol)).as("cus"),
+        col(idCol).as("cid"))
+    val j = t.join(c, Seq("u"))
+      .filter(col("tus") >= col("cus") - wUs && col("tus") < col("cus"))
+    val wConv = org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
+    val wRank = wConv.orderBy(col("tus"), col("tid"))
+    j.withColumn("n", count(lit(1)).over(wConv))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("credit_ppm",
+        expr("1000000 DIV n + IF(rk = 1, 1000000 % n, 0)"))
+      .groupBy(hour(col("tts")).cast("long").as("touch_hour"))
+      .agg(count(lit(1)).as("n_credits"), sum(col("credit_ppm")).as("credit_ppm_sum"))
+      .orderBy(col("touch_hour"))
+  }
+
+  /** DuckDB respell of [[linearAttribution]]. */
+  def linearAttributionSql(table: String, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, touchType: String, convType: String,
+      windowSeconds: Long): String =
+    s"""WITH t AS (
+       |  SELECT $userCol AS u, $tsCol AS tts, epoch_us($tsCol) AS tus,
+       |    $idCol AS tid
+       |  FROM $table WHERE $typeCol = '$touchType'),
+       |c AS (
+       |  SELECT $userCol AS u, epoch_us($tsCol) AS cus, $idCol AS cid
+       |  FROM $table WHERE $typeCol = '$convType'),
+       |j AS (
+       |  SELECT t.*, c.cid FROM t JOIN c ON t.u = c.u
+       |  AND t.tus >= c.cus - ${windowSeconds * 1000000L} AND t.tus < c.cus),
+       |k AS (
+       |  SELECT tts,
+       |    CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n,
+       |    row_number() OVER (PARTITION BY cid ORDER BY tus, tid) AS rk
+       |  FROM j),
+       |cr AS (
+       |  SELECT tts, 1000000 // n
+       |    + CASE WHEN rk = 1 THEN 1000000 % n ELSE 0 END AS credit_ppm
+       |  FROM k)
+       |SELECT CAST(hour(tts) AS BIGINT) AS touch_hour,
+       |  CAST(count(*) AS BIGINT) AS n_credits,
+       |  CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_sum
+       |FROM cr GROUP BY 1 ORDER BY touch_hour""".stripMargin
+
   /** DuckDB respell of [[windowDedupSummary]]. */
   def windowDedupSummarySql(table: String, keyCol: String, typeCol: String,
       tsCol: String, slotSeconds: Long): String =

@@ -962,6 +962,101 @@ object Extensions {
        |FROM ex JOIN z USING (event_type) ORDER BY ex.event_type""".stripMargin
   }
 
+  // ------------------------------------------- x124 HLL overlap matrix
+  /** Pairwise distinct-user OVERLAP between event types by inclusion-
+    * exclusion over merged HLL registers: union = elementwise register max
+    * (the lossless sketch merge), intersect ≈ max(0, A + B − A∪B) on the
+    * e6 integer grid. The sketches are 2^4 bytes per type — the pair
+    * matrix costs nothing beyond the one register-build pass (x99's), vs
+    * an exact approach that would shuffle the full user set per pair. */
+  def x124HllOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val regs = Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(graft.functions.HllAgg.hll_registers($"user_id", 4).as("regs"))
+    val a = regs.select($"event_type".as("ta"), $"regs".as("ra"))
+    val b = regs.select($"event_type".as("tb"), $"regs".as("rb"))
+    a.join(b, $"ta" < $"tb") // #types² pairs — catalog-sized by construction
+      .withColumn("ru", zip_with($"ra", $"rb", (x, y) => greatest(x, y)))
+      .select($"ta", $"tb",
+        expr(hllEstMicroExprOf("ra")).as("est_a_micro"),
+        expr(hllEstMicroExprOf("rb")).as("est_b_micro"),
+        expr(hllEstMicroExprOf("ru")).as("est_union_micro"))
+      .withColumn("est_inter_micro",
+        greatest(lit(0L), $"est_a_micro" + $"est_b_micro" - $"est_union_micro"))
+      .orderBy($"ta", $"tb")
+  }
+  val x124Sql: String = {
+    val m2 = mulmodSql("xor(x, x // 1073741824::HUGEINT)", "13787848793156543929::HUGEINT")
+    val m3 = mulmodSql("xor(x, x // 134217728::HUGEINT)", "10723151780598845931::HUGEINT")
+    def est(c: String) =
+      s"""CAST(floor(0.673 * 256.0 * 2305843009213693952.0 /
+         |  CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |    list_transform($c, r -> CAST(2.0 ** (61 - r) AS HUGEINT))),
+         |    (a, b) -> a + b) AS DOUBLE) * 1000000.0) AS BIGINT)""".stripMargin
+    s"""WITH du AS (SELECT DISTINCT event_type, CAST(user_id AS HUGEINT) AS u FROM events),
+       |m1 AS (SELECT event_type,
+       |  (u + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS x FROM du),
+       |m2 AS (SELECT event_type, $m2 AS x FROM m1),
+       |m3 AS (SELECT event_type, $m3 AS x FROM m2),
+       |hh AS (SELECT event_type, xor(x, x // 2147483648::HUGEINT) AS h FROM m3),
+       |br AS (
+       |  SELECT event_type,
+       |    CAST(h // 1152921504606846976::HUGEINT AS BIGINT) AS bucket,
+       |    CAST(h % 1152921504606846976::HUGEINT AS BIGINT) AS rem
+       |  FROM hh),
+       |rr AS (
+       |  SELECT event_type, bucket,
+       |    CASE WHEN rem = 0 THEN 61
+       |         ELSE CAST(bit_count((rem & (-rem)) - 1) AS INT) + 1 END AS rho
+       |  FROM br),
+       |mx AS (SELECT event_type, bucket, max(rho) AS reg FROM rr GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT g.event_type, gs.b AS bucket
+       |  FROM (SELECT DISTINCT event_type FROM events) g
+       |  CROSS JOIN (SELECT unnest(range(16)) AS b) gs),
+       |fullr AS (
+       |  SELECT grid.event_type, grid.bucket, coalesce(mx.reg, 0) AS reg
+       |  FROM grid LEFT JOIN mx
+       |    ON mx.event_type = grid.event_type AND mx.bucket = grid.bucket),
+       |rl AS (SELECT event_type, list(reg ORDER BY bucket) AS regs
+       |       FROM fullr GROUP BY 1),
+       |p AS (
+       |  SELECT a.event_type AS ta, b.event_type AS tb, a.regs AS ra, b.regs AS rb,
+       |    list_transform(range(1, 17),
+       |      i -> greatest(a.regs[CAST(i AS INT)], b.regs[CAST(i AS INT)])) AS ru
+       |  FROM rl a JOIN rl b ON a.event_type < b.event_type),
+       |e AS (
+       |  SELECT ta, tb, ${est("ra")} AS est_a_micro, ${est("rb")} AS est_b_micro,
+       |    ${est("ru")} AS est_union_micro
+       |  FROM p)
+       |SELECT ta, tb, est_a_micro, est_b_micro, est_union_micro,
+       |  greatest(0, est_a_micro + est_b_micro - est_union_micro) AS est_inter_micro
+       |FROM e ORDER BY ta, tb""".stripMargin
+  }
+
+  // ------------------------------------------- x123 linear attribution
+  /** [[graft.ops.EventAnalytics.linearAttribution]]: purchases credit the
+    * user's clicks in the preceding hour equally on an exact ppm grid
+    * (remainder to the earliest touch — credits per conversion sum to
+    * exactly 10⁶). */
+  def x123Attribution(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.linearAttribution(Tables.events(s, dir),
+      "user_id", "event_type", "ts", "event_id", "click", "purchase", 3600L)
+  val x123Sql: String =
+    graft.ops.EventAnalytics.linearAttributionSql("events",
+      "user_id", "event_type", "ts", "event_id", "click", "purchase", 3600L)
+
+  // ------------------------------------------- x122 k-center coreset
+  /** [[graft.ops.Clustering.kCenterCoreset]]: greedy Gonzalez diversity
+    * picks over the embedding corpus — map-side min-distance against
+    * broadcast-literal centers + a 1-row TakeOrdered per round; the corpus
+    * never shuffles. */
+  def x122KCenter(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Clustering.kCenterCoreset(emb(s, dir), "vec_id", "embedding", k = 8)
+  val x122Sql: String =
+    graft.ops.Clustering.kCenterSql("embeddings", "vec_id", "embedding", k = 8)
+
   // ------------------------------------------- x121 exact OLS trend
   /** [[graft.ops.Stats.olsTrend]]: per market segment, the exact integer
     * least-squares slope of daily revenue — fact table collapses to a
@@ -1422,13 +1517,14 @@ object Extensions {
     ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
     ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"))
 
-  /** The p=4 register→estimate projection (shared by x99 and x105). */
-  private def hllEstMicroExpr: String =
-    """CAST(FLOOR(0.673D * 256.0D * 2305843009213693952.0D /
-      |  CAST(aggregate(regs, CAST(0 AS DECIMAL(38,0)),
-      |    (acc, r) -> CAST(acc + CAST(POWER(2.0D, 61 - r) AS DECIMAL(38,0))
-      |                     AS DECIMAL(38,0))) AS DOUBLE)
-      |  * 1000000.0D) AS BIGINT)""".stripMargin
+  /** The p=4 register→estimate projection (shared by x99, x105, x124). */
+  private def hllEstMicroExpr: String = hllEstMicroExprOf("regs")
+  private def hllEstMicroExprOf(regsCol: String): String =
+    s"""CAST(FLOOR(0.673D * 256.0D * 2305843009213693952.0D /
+       |  CAST(aggregate($regsCol, CAST(0 AS DECIMAL(38,0)),
+       |    (acc, r) -> CAST(acc + CAST(POWER(2.0D, 61 - r) AS DECIMAL(38,0))
+       |                     AS DECIMAL(38,0))) AS DOUBLE)
+       |  * 1000000.0D) AS BIGINT)""".stripMargin
 
   def x105FkProfile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -3490,6 +3586,9 @@ object Extensions {
       |FROM t WHERE length(s) > 0 ORDER BY doc_id, sent_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x124_hll_overlap" -> x124HllOverlap _,
+    "x123_attribution" -> x123Attribution _,
+    "x122_kcenter" -> x122KCenter _,
     "x121_ols_trend" -> x121OlsTrend _,
     "x120_window_dedup" -> x120WindowDedup _,
     "x119_sorted_neighborhood" -> x119SortedNeighborhood _,
@@ -3665,6 +3764,9 @@ object Extensions {
     "x86_quality_dup_curve" -> x86Sql,
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
+    "x124_hll_overlap" -> x124Sql,
+    "x123_attribution" -> x123Sql,
+    "x122_kcenter" -> x122Sql,
     "x121_ols_trend" -> x121Sql,
     "x120_window_dedup" -> x120Sql,
     "x119_sorted_neighborhood" -> x119Sql,

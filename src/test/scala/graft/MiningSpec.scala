@@ -159,6 +159,82 @@ class MiningSpec extends SparkSpec {
     assert(out(0).getAs[Long]("slope_e2") == 300L)
   }
 
+  // --------------------------------------------------------- k-center coreset
+  test("kCenterCoreset: farthest-first picks on a hand 1-d corpus") {
+    import spark.implicits._
+    // points (as 1-dim vectors): id→value 1→0.0, 2→0.001, 3→1.0, 4→1.001
+    // start = id 1; farthest = 3 or 4 (4 is farther) → 4; then farthest
+    // from {1,4} is 3 (min dist 1e-3·1e6=1000 → d2=1e6)... vs 2 (d2=1e6 to 1)
+    // tie on d2 → lowest id → 2
+    val pts = Seq((1L, Seq(0.0f)), (2L, Seq(0.001f)), (3L, Seq(1.0f)),
+      (4L, Seq(1.001f))).toDF("vec_id", "embedding")
+    val got = graft.ops.Clustering.kCenterCoreset(pts, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // quantized: 0, 1000, 1000000, 1001000 (floor of the float32 values ×1e6)
+    assert(got(0) == (1L, 1L, 0L))
+    assert(got(1) == (2L, 4L, 1001000L * 1001000L))
+    // round 3 min-dists from {0, 1001000}: id2 → 1000², id3 → 1000² — tie
+    // on d2 → lowest id → 2
+    assert(got(2) == (3L, 2L, 1000L * 1000L))
+  }
+
+  test("kCenterCoreset: empty corpus yields an empty frame with the right schema") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val out = graft.ops.Clustering.kCenterCoreset(empty, "vec_id", "embedding", k = 4)
+    assert(out.columns.toSeq == Seq("center_rank", "vec_id", "d2_at_pick"))
+    assert(out.count() == 0L)
+  }
+
+  // ------------------------------------------------------------- attribution
+  test("linearAttribution: per-conversion credit sums to exactly 1e6, remainder to earliest") {
+    import spark.implicits._
+    def t(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val evs = Seq(
+      (1L, t(0), 1L, "click", 0.0),   // earliest of 3 touches → 333334
+      (2L, t(10), 1L, "click", 0.0),
+      (3L, t(20), 1L, "click", 0.0),
+      (4L, t(30), 1L, "purchase", 9.0),
+      (5L, t(0), 2L, "click", 0.0),   // outside the hour for user 2's purchase
+      (6L, t(90), 2L, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.ops.EventAnalytics.linearAttribution(evs,
+      "user_id", "event_type", "ts", "event_id", "click", "purchase", 3600L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // all three touches land in hour 0 (UTC midnight)
+    assert(out.toSeq == Seq((0L, 3L, 1000000L)))
+  }
+
+  test("x123 on real events: every conversion's credit sums to exactly 1e6") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val total = graft.queries.Extensions.x123Attribution(spark, dir)
+      .agg(sum($"credit_ppm_sum"), sum($"n_credits")).collect()(0)
+    // total ppm must be 1e6 × (#purchases with ≥1 credited click)
+    val ev = graft.Tables.events(spark, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("u"), unix_micros($"ts").as("tus"))
+    val convs = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("u"), unix_micros($"ts").as("cus"), $"event_id")
+    val nConv = convs.join(clicks, Seq("u"))
+      .filter($"tus" >= $"cus" - 3600000000L && $"tus" < $"cus")
+      .select($"event_id").distinct().count()
+    assert(total.getLong(0) == 1000000L * nConv)
+  }
+
+  // ------------------------------------------------------------ HLL overlap
+  test("x124: union dominates both legs; intersection is the clamped inclusion-exclusion") {
+    val rows = graft.queries.Extensions.x124HllOverlap(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 10) // C(5 types, 2)
+    rows.foreach { r =>
+      val (a, b, u, i) = (r.getAs[Long]("est_a_micro"), r.getAs[Long]("est_b_micro"),
+        r.getAs[Long]("est_union_micro"), r.getAs[Long]("est_inter_micro"))
+      assert(u >= math.max(a, b)) // register max can only grow the estimate
+      assert(i == math.max(0L, a + b - u))
+    }
+  }
+
   test("olsTrend: negative slope truncates toward zero like the oracle") {
     import spark.implicits._
     // y = 10, 9, 9 → slope = -1/2 → e2 = -50 exactly; y = 10, 9, 9, 9
