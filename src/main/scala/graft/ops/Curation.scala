@@ -757,6 +757,55 @@ object Curation {
     * the selection is a global top-k — TakeOrderedAndProject, k rows per
     * partition then k at the driver, never a full sort or shuffle of the
     * corpus. All-integer, so the oracle replays the draw bit-for-bit. */
+  /** Temperature-scaled mixture apportionment (the Pile/GPT-3 α-sampling
+    * shape): allocate exactly `totalN` samples across groups with
+    * probability ∝ weight^0.5, by LARGEST-REMAINDER (Hamilton)
+    * apportionment on an integer grid — Σ alloc == totalN exactly, no
+    * float drift. The tempered share s = ⌊√w · 10³⌋ uses IEEE sqrt
+    * (correctly rounded on every engine, so cross-engine exact); base
+    * quotas are integer division, the `totalN − Σ base` leftover goes to
+    * the largest remainders (ties → group name). Everything after the
+    * per-group weight aggregate is arithmetic over #groups rows. */
+  def temperatureApportion(weights: DataFrame, groupCol: String,
+      weightCol: String, totalN: Long): DataFrame = {
+    val s = weights
+      .select(col(groupCol).as("g"), col(weightCol).cast("long").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("sh", floor(sqrt(col("w").cast("double")) * 1000.0d).cast("long"))
+    val tot = s.agg(sum(col("sh")).as("stot"))
+    val q = s.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($totalN * sh) DIV stot"))
+      .withColumn("rem", expr(s"($totalN * sh) % stot"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val wRank = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      .orderBy(col("rem").desc, col("g").asc)
+    q.withColumn("leftover", lit(totalN) - sum(col("base")).over(wAll))
+      .withColumn("rk", row_number().over(wRank))
+      .select(col("g").as(groupCol), col("w").as("weight"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("alloc"))
+      .orderBy(col(groupCol))
+  }
+
+  /** DuckDB respell of [[temperatureApportion]] — `weightsSql` must emit
+    * (g, w) exactly as the Spark side aggregated them. */
+  def temperatureApportionSql(weightsSql: String, groupCol: String,
+      totalN: Long): String =
+    s"""WITH s0 AS ($weightsSql),
+       |s AS (SELECT g, CAST(w AS BIGINT) AS w,
+       |        CAST(floor(sqrt(CAST(w AS DOUBLE)) * 1000.0) AS BIGINT) AS sh
+       |      FROM s0 WHERE w > 0),
+       |t AS (SELECT CAST(sum(sh) AS BIGINT) AS stot FROM s),
+       |q AS (
+       |  SELECT g, w, ($totalN * sh) // stot AS base, ($totalN * sh) % stot AS rem
+       |  FROM s, t),
+       |l AS (
+       |  SELECT *, $totalN - CAST(sum(base) OVER () AS BIGINT) AS leftover,
+       |    row_number() OVER (ORDER BY rem DESC, g ASC) AS rk
+       |  FROM q)
+       |SELECT g AS $groupCol, w AS weight,
+       |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+       |FROM l ORDER BY $groupCol""".stripMargin
+
   def weightedPrioritySample(df: DataFrame, idCol: String, weightCol: String,
       k: Int): DataFrame =
     df.filter(col(weightCol).isNotNull && col(weightCol) > 0 && col(idCol).isNotNull)

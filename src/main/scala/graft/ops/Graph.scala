@@ -152,6 +152,61 @@ object Graph {
     labels.select(col("v"), coalesce(col("label"), lit(-1L)).as("label"))
   }
 
+  /** Common-neighbor link prediction over a seed subset: for every
+    * NON-edge pair of seed nodes (id < `seedMax`), the number of shared
+    * neighbors anywhere in the graph, plus the neighborhood Jaccard on the
+    * ppm grid — the classic "customers also bought" candidate generator.
+    *
+    * Scale shape: full wedge enumeration (center u, neighbors v,w) is the
+    * Σ deg² skew bomb, so BOTH adjacency legs pre-filter to seed
+    * endpoints BEFORE the self-join — per-center work is (seed-degree)²,
+    * bounded by the seed set, while common neighbors are still counted
+    * over the WHOLE graph (the center is unrestricted). Existing edges
+    * drop via an anti-join; degrees join back from the full degree table. */
+  def linkPrediction(edges: DataFrame, aCol: String, bCol: String,
+      seedMax: Long, topK: Int): DataFrame = {
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val adj = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val deg = adj.groupBy(col("dst").as("v")).agg(count(lit(1)).as("deg"))
+    val adjS = adj.filter(col("dst") < seedMax)
+    val cn = adjS.select(col("src"), col("dst").as("pa"))
+      .join(adjS.select(col("src"), col("dst").as("pb")), Seq("src"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cn"))
+    cn.join(e, cn("pa") === e("a") && cn("pb") === e("b"), "left_anti")
+      .join(broadcast(deg.select(col("v").as("pa"), col("deg").as("deg_a"))), Seq("pa"))
+      .join(broadcast(deg.select(col("v").as("pb"), col("deg").as("deg_b"))), Seq("pb"))
+      .select(col("pa"), col("pb"), col("cn"), col("deg_a"), col("deg_b"),
+        expr("(cn * 1000000) DIV (deg_a + deg_b - cn)").as("jaccard_ppm"))
+      .orderBy(col("cn").desc, col("pa"), col("pb"))
+      .limit(topK)
+  }
+
+  /** DuckDB respell of [[linkPrediction]]. */
+  def linkPredictionSql(edgeSql: String, seedMax: Long, topK: Int): String =
+    s"""WITH e0 AS ($edgeSql),
+       |e AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM e0
+       |      WHERE a <> b AND a IS NOT NULL AND b IS NOT NULL),
+       |adj AS (SELECT a AS src, b AS dst FROM e
+       |        UNION ALL SELECT b AS src, a AS dst FROM e),
+       |deg AS (SELECT dst AS v, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+       |adjs AS (SELECT src, dst FROM adj WHERE dst < $seedMax),
+       |cn AS (
+       |  SELECT x.dst AS pa, y.dst AS pb, CAST(count(*) AS BIGINT) AS cn
+       |  FROM adjs x JOIN adjs y ON x.src = y.src AND x.dst < y.dst
+       |  GROUP BY 1, 2),
+       |ne AS (
+       |  SELECT cn.* FROM cn ANTI JOIN e ON cn.pa = e.a AND cn.pb = e.b)
+       |SELECT ne.pa, ne.pb, ne.cn, da.deg AS deg_a, db.deg AS deg_b,
+       |  (ne.cn * 1000000) // (da.deg + db.deg - ne.cn) AS jaccard_ppm
+       |FROM ne JOIN deg da ON da.v = ne.pa JOIN deg db ON db.v = ne.pb
+       |ORDER BY ne.cn DESC, ne.pa, ne.pb LIMIT $topK""".stripMargin
+
   /** DuckDB respell of [[labelPropagation]] label-COUNT summary: the rounds
     * unroll as CTEs (`l0..l$rounds`), majority + lowest-label tie via a
     * window, seeds re-clamped every round — the identical synchronous

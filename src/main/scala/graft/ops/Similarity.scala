@@ -510,4 +510,84 @@ object Similarity {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** "Related documents" by sparse TF-IDF cosine over an inverted index —
+    * the lexical complement to embedding ANN: top-k document PAIRS by
+    * cosine of mid-df term vectors.
+    *
+    * Feature selection IS the scale defense: vectors keep only terms with
+    * `dfMin ≤ df ≤ dfMax` (singleton terms can never match; mega-df terms
+    * are boilerplate AND the pair-join skew bomb — the same hot-key cap as
+    * x08's shingle rank), and tf is capped, so the postings self-join
+    * carries at most Σ df² ≤ postings·dfMax rows with no per-key hotspot.
+    * Weights are integer (tf_capped · ⌊ln(N/df)·10³⌋), norms and dots are
+    * exact int64 sums by construction (w ≤ tfCap·ln(N)·10³), and the final
+    * cosine is ONE pinned double shape (`dot / (sqrt(na)·sqrt(nb))`,
+    * floored to e9) — the x74 log-grid contract. */
+  def tfIdfDocPairs(docs: DataFrame, idCol: String, textCol: String,
+      dfMin: Long = 2L, dfMax: Long = 64L, tfCap: Long = 64L, k: Int = 20): DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(least(count(lit(1)), lit(tfCap)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= dfMin && col("df") <= dfMax)
+    val post = tf
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w", col("tf") *
+        floor(log(col("n_docs").cast("double") / col("df").cast("double")) * 1000.0d)
+          .cast("long"))
+      .select(col("term"), col("doc_id"), col("w"))
+      .localCheckpoint() // feeds norms + both pair legs
+    val norms = post.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("nrm"))
+    val dots = post.select(col("term"), col("doc_id").as("doc_a"), col("w").as("wa"))
+      .join(post.select(col("term"), col("doc_id").as("doc_b"), col("w").as("wb")),
+        Seq("term"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")), Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("dot"),
+        expr("""CAST(FLOOR(CAST(dot AS DOUBLE)
+               |  / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE)))
+               |  * 1000000000.0D) AS BIGINT)""".stripMargin).as("cos_e9"))
+      .orderBy(col("cos_e9").desc, col("doc_a"), col("doc_b"))
+      .limit(k)
+  }
+
+  /** DuckDB respell of [[tfIdfDocPairs]]. */
+  def tfIdfDocPairsSql(table: String, idCol: String, textCol: String,
+      dfMin: Long = 2L, dfMax: Long = 64L, tfCap: Long = 64L, k: Int = 20): String =
+    s"""WITH t AS (
+       |  SELECT $idCol AS doc_id,
+       |    unnest(string_split_regex(lower($textCol), '\\s+')) AS term
+       |  FROM $table),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM $table),
+       |tf AS (SELECT doc_id, term, least(CAST(count(*) AS BIGINT), $tfCap) AS tf
+       |       FROM t GROUP BY 1, 2),
+       |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+       |        HAVING count(*) BETWEEN $dfMin AND $dfMax),
+       |post AS (
+       |  SELECT tf.term, tf.doc_id,
+       |    tf.tf * CAST(floor(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+       |      * 1000.0) AS BIGINT) AS w
+       |  FROM tf JOIN dfq USING (term), nd),
+       |nrm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS nrm FROM post GROUP BY 1),
+       |dots AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(sum(a.w * b.w) AS BIGINT) AS dot
+       |  FROM post a JOIN post b ON a.term = b.term AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, dot,
+       |  CAST(floor(CAST(dot AS DOUBLE)
+       |    / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+       |    * 1000000000.0) AS BIGINT) AS cos_e9
+       |FROM dots
+       |JOIN nrm na ON na.doc_id = dots.doc_a
+       |JOIN nrm nb ON nb.doc_id = dots.doc_b
+       |ORDER BY cos_e9 DESC, doc_a, doc_b LIMIT $k""".stripMargin
 }

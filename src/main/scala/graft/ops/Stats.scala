@@ -565,4 +565,150 @@ object Stats {
        |       ELSE -((-(n * sxy - sx * sy) * 100) // (n * sx2 - sx * sx)) END AS slope_e2
        |FROM s WHERE n >= 2 AND n * sx2 - sx * sx > 0
        |ORDER BY $groupCol""".stripMargin
+
+  /** Time-decayed popularity with a ONE-DAY HALF-LIFE, exactly: the decay
+    * factor 2^(-age_days) is a right shift of a 2²⁰ fixed-point unit weight
+    * (ages past 20 days contribute 0), so the decayed score is an integer
+    * SUM — partial-aggregable, merge-order-free, and bit-identical in the
+    * oracle, where float exp-decay would be neither. Anchor = the corpus
+    * max day (one broadcast scalar). */
+  def decayedPopularity(df: DataFrame, groupCol: String, tsCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val anchor = daily.agg(max(col("day")).as("maxd"))
+    daily.crossJoin(broadcast(anchor))
+      .withColumn("age", datediff(col("maxd"), col("day")))
+      .withColumn("w", expr(
+        "CASE WHEN age BETWEEN 0 AND 20" +
+          " THEN shiftright(CAST(1048576 AS BIGINT), age) ELSE CAST(0 AS BIGINT) END"))
+      .groupBy(col("g").as(groupCol))
+      .agg(sum(col("cnt") * col("w")).as("decayed_q"), sum(col("cnt")).as("n_events"))
+      .orderBy(col(groupCol))
+  }
+
+  /** DuckDB respell of [[decayedPopularity]]. */
+  def decayedPopularitySql(table: String, groupCol: String, tsCol: String): String =
+    s"""WITH daily AS (
+       |  SELECT $groupCol AS g, CAST($tsCol AS DATE) AS day,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM $table GROUP BY 1, 2),
+       |a AS (SELECT max(day) AS maxd FROM daily),
+       |w AS (
+       |  SELECT g, cnt,
+       |    CASE WHEN datediff('day', day, maxd) BETWEEN 0 AND 20
+       |         THEN 1048576 >> datediff('day', day, maxd) ELSE 0 END AS w
+       |  FROM daily, a)
+       |SELECT g AS $groupCol, CAST(sum(cnt * w) AS BIGINT) AS decayed_q,
+       |  CAST(sum(cnt) AS BIGINT) AS n_events
+       |FROM w GROUP BY g ORDER BY $groupCol""".stripMargin
+
+  /** Exact LOWER weighted median per group: the smallest value whose
+    * cumulative weight (in value order, ties by value only — cum is taken
+    * after collapsing equal values) reaches ⌈W/2⌉. All-integer, one
+    * shuffle to (group, value) with summed weights, then a bounded window
+    * cumsum — no global sort, no sketch error (contrast x102's buckets:
+    * this is the exact answer when the per-group distinct-value set is
+    * window-sized). */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String): DataFrame = {
+    val byVal = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0 && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .agg(sum(col(weightCol).cast("long")).as("wv"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    byVal
+      .withColumn("cum", sum(col("wv")).over(wOrd))
+      .withColumn("tot", sum(col("wv")).over(wAll))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("g").as(groupCol))
+      .agg(min(col("v")).as("weighted_median"), max(col("tot")).as("total_weight"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Exact-scan decision stump (CART root split by Gini): the e9-quantized
+    * score threshold minimizing the weighted Gini impurity of
+    * (score ≤ t) vs (score > t), evaluated at EVERY distinct score via
+    * prefix sums — same machinery as [[scoreAuc]]: the stream collapses to
+    * per-distinct-score (n, npos), then each candidate is window
+    * arithmetic. The impurity 2·posL·negL/nL + 2·posR·negR/nR is assembled
+    * from EXACT integer counts in one pinned double shape (products < 2⁵³,
+    * two correctly-rounded divisions, one sum — identical IEEE on both
+    * engines), floored to an e9 grid; ties → smallest threshold. */
+  def giniStump(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df
+      .filter(col(scoreCol).isNotNull)
+      .select(expr(s"CAST(FLOOR(CAST($scoreCol AS DOUBLE) * 1000000000.0D) AS BIGINT)").as("sq"),
+        col(labelCol).cast("boolean").as("pos"))
+      .groupBy(col("sq"))
+      .agg(count(lit(1)).as("n"), sum(when(col("pos"), 1L).otherwise(0L)).as("np"))
+    val wOrd = Window.orderBy(col("sq")).rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(lit(1))
+    val cand = g
+      .withColumn("nl", sum(col("n")).over(wOrd))
+      .withColumn("pl", sum(col("np")).over(wOrd))
+      .withColumn("nt", sum(col("n")).over(wAll))
+      .withColumn("pt", sum(col("np")).over(wAll))
+      .filter(col("nl") < col("nt")) // a split must leave a right side
+      .withColumn("gini_e9", expr(
+        """CAST(FLOOR((
+          |  2.0D * CAST(pl AS DOUBLE) * CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE)
+          |  + 2.0D * CAST(pt - pl AS DOUBLE) * CAST((nt - nl) - (pt - pl) AS DOUBLE)
+          |      / CAST(nt - nl AS DOUBLE)
+          |) * 1000000000.0D) AS BIGINT)""".stripMargin))
+    cand.orderBy(col("gini_e9").asc, col("sq").asc).limit(1)
+      .select(col("sq").as("threshold_e9"), col("gini_e9"),
+        col("nl").as("n_left"), col("pl").as("pos_left"),
+        (col("nt") - col("nl")).as("n_right"), (col("pt") - col("pl")).as("pos_right"))
+  }
+
+  /** DuckDB respell of [[giniStump]] — `scoredRelSql` must emit (score,
+    * pos) exactly as the Spark side computed them. */
+  def giniStumpSql(scoredRelSql: String): String =
+    s"""WITH sc AS ($scoredRelSql),
+       |g AS (
+       |  SELECT CAST(floor(CAST(score AS DOUBLE) * 1000000000.0) AS BIGINT) AS sq,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np
+       |  FROM sc WHERE score IS NOT NULL GROUP BY 1),
+       |c AS (
+       |  SELECT sq,
+       |    CAST(sum(n) OVER (ORDER BY sq ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+       |    CAST(sum(np) OVER (ORDER BY sq ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pl,
+       |    CAST(sum(n) OVER () AS BIGINT) AS nt,
+       |    CAST(sum(np) OVER () AS BIGINT) AS pt
+       |  FROM g),
+       |k AS (
+       |  SELECT *, CAST(floor((
+       |      2.0 * CAST(pl AS DOUBLE) * CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE)
+       |      + 2.0 * CAST(pt - pl AS DOUBLE) * CAST((nt - nl) - (pt - pl) AS DOUBLE)
+       |          / CAST(nt - nl AS DOUBLE)
+       |    ) * 1000000000.0) AS BIGINT) AS gini_e9
+       |  FROM c WHERE nl < nt)
+       |SELECT sq AS threshold_e9, gini_e9, nl AS n_left, pl AS pos_left,
+       |  nt - nl AS n_right, pt - pl AS pos_right
+       |FROM k ORDER BY gini_e9 ASC, sq ASC LIMIT 1""".stripMargin
+
+  /** DuckDB respell of [[weightedMedian]]. */
+  def weightedMedianSql(table: String, groupCol: String, valueSql: String,
+      weightSql: String): String =
+    s"""WITH base AS (
+       |  SELECT $groupCol AS g, CAST($valueSql AS BIGINT) AS v,
+       |    CAST($weightSql AS BIGINT) AS w
+       |  FROM $table
+       |  WHERE ($weightSql) IS NOT NULL AND ($weightSql) > 0
+       |    AND ($valueSql) IS NOT NULL),
+       |bv AS (SELECT g, v, CAST(sum(w) AS BIGINT) AS wv FROM base GROUP BY 1, 2),
+       |c AS (
+       |  SELECT g, v, wv,
+       |    CAST(sum(wv) OVER (PARTITION BY g ORDER BY v
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |    CAST(sum(wv) OVER (PARTITION BY g) AS BIGINT) AS tot
+       |  FROM bv)
+       |SELECT g AS $groupCol, CAST(min(v) AS BIGINT) AS weighted_median,
+       |  CAST(max(tot) AS BIGINT) AS total_weight
+       |FROM c WHERE cum * 2 >= tot GROUP BY g ORDER BY $groupCol""".stripMargin
 }

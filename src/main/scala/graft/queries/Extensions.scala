@@ -962,6 +962,102 @@ object Extensions {
        |FROM ex JOIN z USING (event_type) ORDER BY ex.event_type""".stripMargin
   }
 
+  // ------------------------------------------- x130 TF-IDF related docs
+  /** [[graft.ops.Similarity.tfIdfDocPairs]]: top-20 "related documents"
+    * pairs by sparse TF-IDF cosine over a mid-df inverted index — the
+    * lexical complement to x09's embedding ANN; the df band is both the
+    * feature selection and the join-skew cap. */
+  def x130TfIdfPairs(s: SparkSession, dir: String): DataFrame =
+    Similarity.tfIdfDocPairs(docs(s, dir), "doc_id", "text")
+  val x130Sql: String =
+    Similarity.tfIdfDocPairsSql("documents", "doc_id", "text")
+
+  // ------------------------------------------- x129 Gini decision stump
+  /** [[graft.ops.Stats.giniStump]] on the x100 score/label pair: the
+    * quality-score threshold a CART root would split on — the principled
+    * answer to "where do I set the quality gate", evaluated exhaustively
+    * via the same prefix-sum machinery as the AUC. */
+  def x129GiniStump(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = TextAnalysis.qualityScores(docs(s, dir), "doc_id", "text")
+      .select($"doc_id", $"quality_score")
+      .join(emb(s, dir).select($"vec_id".as("doc_id"), ($"label" >= 5).as("pos")), "doc_id")
+    Stats.giniStump(scored, "quality_score", "pos")
+  }
+  val x129Sql: String = {
+    val stops = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    val toks = """regexp_split_to_array(lower(text), '\s+')"""
+    Stats.giniStumpSql(
+      s"""SELECT
+         |  (CAST(len(list_filter($toks, w -> w IN ($stops))) AS DOUBLE)
+         |    / NULLIF(CAST(len($toks) AS DOUBLE), 0.0)) * 2.0
+         |  + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+         |           / NULLIF(CAST(length(text) AS DOUBLE), 0.0)) AS score,
+         |  (e.label >= 5) AS pos
+         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin)
+  }
+
+  // ------------------------------------------- x128 temperature apportionment
+  /** [[graft.ops.Curation.temperatureApportion]]: a 1M-sample training mix
+    * across sources with probability ∝ tokens^0.5 — exact largest-
+    * remainder integer apportionment (Σ alloc = 10⁶ exactly). */
+  def x128TempMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = docs(s, dir).groupBy($"source")
+      .agg(sum(size(Dedup.tokens($"text")).cast("long")).as("w"))
+    Curation.temperatureApportion(w, "source", "w", totalN = 1000000L)
+  }
+  val x128Sql: String = Curation.temperatureApportionSql(
+    """SELECT source AS g,
+      |  CAST(sum(len(string_split_regex(lower(text), '\s+'))) AS BIGINT) AS w
+      |FROM documents GROUP BY source""".stripMargin,
+    "source", totalN = 1000000L)
+
+  // ------------------------------------------- x127 link prediction
+  /** [[graft.ops.Graph.linkPrediction]]: "customers also bought" candidate
+    * pairs among the 200 lowest-id parts — common neighbors counted over
+    * the WHOLE co-purchase graph, wedge legs seed-filtered BEFORE the
+    * self-join so the Σdeg² blowup never materializes. */
+  def x127LinkPrediction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+    graft.ops.Graph.linkPrediction(edges, "a", "b", seedMax = 200L, topK = 20)
+  }
+  val x127Sql: String = graft.ops.Graph.linkPredictionSql(
+    """SELECT x.p AS a, y.p AS b
+      |FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) x
+      |JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) y
+      |  ON x.o = y.o AND x.p < y.p""".stripMargin,
+    seedMax = 200L, topK = 20)
+
+  // ------------------------------------------- x126 exact weighted median
+  /** [[graft.ops.Stats.weightedMedian]]: per source, the doc-length value
+    * at which half the corpus TOKEN MASS sits below — the curation question
+    * "where do the tokens live", which the unweighted median misses when
+    * long docs dominate token count. */
+  def x126WeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir).withColumn("n_toks",
+      size(Dedup.tokens($"text")).cast("long"))
+    Stats.weightedMedian(d, "source", "n_chars", "n_toks")
+  }
+  val x126Sql: String = Stats.weightedMedianSql("documents", "source",
+    "n_chars", """len(string_split_regex(lower(text), '\s+'))""")
+
+  // ------------------------------------------- x125 decayed popularity
+  /** [[graft.ops.Stats.decayedPopularity]]: per event type, the 1-day-
+    * half-life decayed event count — decay by RIGHT SHIFT on a 2²⁰ grid,
+    * so the "trending now" score is an exact integer sum, not a float
+    * exp() that no two engines agree on. */
+  def x125DecayedPopularity(s: SparkSession, dir: String): DataFrame =
+    Stats.decayedPopularity(Tables.events(s, dir), "event_type", "ts")
+  val x125Sql: String =
+    Stats.decayedPopularitySql("events", "event_type", "ts")
+
   // ------------------------------------------- x124 HLL overlap matrix
   /** Pairwise distinct-user OVERLAP between event types by inclusion-
     * exclusion over merged HLL registers: union = elementwise register max
@@ -3586,6 +3682,12 @@ object Extensions {
       |FROM t WHERE length(s) > 0 ORDER BY doc_id, sent_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x130_tfidf_pairs" -> x130TfIdfPairs _,
+    "x129_gini_stump" -> x129GiniStump _,
+    "x128_temperature_mix" -> x128TempMix _,
+    "x127_link_prediction" -> x127LinkPrediction _,
+    "x126_weighted_median" -> x126WeightedMedian _,
+    "x125_decayed_popularity" -> x125DecayedPopularity _,
     "x124_hll_overlap" -> x124HllOverlap _,
     "x123_attribution" -> x123Attribution _,
     "x122_kcenter" -> x122KCenter _,
@@ -3764,6 +3866,12 @@ object Extensions {
     "x86_quality_dup_curve" -> x86Sql,
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
+    "x130_tfidf_pairs" -> x130Sql,
+    "x129_gini_stump" -> x129Sql,
+    "x128_temperature_mix" -> x128Sql,
+    "x127_link_prediction" -> x127Sql,
+    "x126_weighted_median" -> x126Sql,
+    "x125_decayed_popularity" -> x125Sql,
     "x124_hll_overlap" -> x124Sql,
     "x123_attribution" -> x123Sql,
     "x122_kcenter" -> x122Sql,

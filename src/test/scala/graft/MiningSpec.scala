@@ -235,6 +235,107 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  // -------------------------------------------------------- decayed popularity
+  test("decayedPopularity: right-shift half-life weights, stale days contribute zero") {
+    import spark.implicits._
+    def d(day: Int, n: Int) = (1 to n).map(i =>
+      ("t", java.sql.Timestamp.valueOf(f"2024-03-$day%02d 10:00:0${i % 10}%d.$i%03d")))
+    // 3 events on the anchor day, 2 one day back, 1 thirty days back (dead)
+    val df = (d(31, 3) ++ d(30, 2) ++ d(1, 1)).toDF("g", "ts")
+    val out = graft.ops.Stats.decayedPopularity(df, "g", "ts").collect()(0)
+    assert(out.getAs[Long]("decayed_q") == 3L * 1048576L + 2L * 524288L)
+    assert(out.getAs[Long]("n_events") == 6L)
+  }
+
+  // ---------------------------------------------------------- weighted median
+  test("weightedMedian: token mass median differs from the row median by design") {
+    import spark.implicits._
+    // values 1..4 with weights 1,1,1,7 → half the mass (≥5 of 10) first
+    // reached at v=4; unweighted median would be 2
+    val df = Seq(("s", 1L, 1L), ("s", 2L, 1L), ("s", 3L, 1L), ("s", 4L, 7L))
+      .toDF("g", "v", "w")
+    val out = graft.ops.Stats.weightedMedian(df, "g", "v", "w").collect()(0)
+    assert(out.getAs[Long]("weighted_median") == 4L)
+    assert(out.getAs[Long]("total_weight") == 10L)
+    // exact half boundary: weights 1,1 → cum*2 >= tot first true at v=1
+    val half = Seq(("h", 1L, 1L), ("h", 2L, 1L)).toDF("g", "v", "w")
+    assert(graft.ops.Stats.weightedMedian(half, "g", "v", "w")
+      .collect()(0).getAs[Long]("weighted_median") == 1L)
+  }
+
+  // ---------------------------------------------------------- link prediction
+  test("linkPrediction: common neighbors counted globally, existing edges excluded") {
+    import spark.implicits._
+    // seeds {1,2} share neighbors 10, 11 (outside the seed set); 1-2 NOT an
+    // edge → predicted with cn=2. Seeds {1,3} share 10 but ARE an edge →
+    // excluded. deg: 1→3 (10,11,3), 2→2 (10,11), so jaccard = 2/(3+2-2)
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (3L, 10L), (1L, 3L)).toDF("a", "b")
+    val out = graft.ops.Graph.linkPrediction(edges, "a", "b", seedMax = 5L, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(out.contains((1L, 2L, 2L, 2L * 1000000L / 3L)))
+    assert(!out.exists(p => p._1 == 1L && p._2 == 3L)) // existing edge
+  }
+
+  // ------------------------------------------------------------ apportionment
+  test("temperatureApportion: hand shares, exact total, largest-remainder ties by name") {
+    import spark.implicits._
+    // weights 4 and 1 → tempered shares 2000, 1000 → N=10: quotas 20/3, 10/3
+    // → bases 6, 3; leftover 1 → larger remainder (2000*10 % 3000 = 2000)
+    // goes to "a" → alloc 7, 3
+    val w = Seq(("a", 4L), ("b", 1L)).toDF("source", "w")
+    val out = graft.ops.Curation.temperatureApportion(w, "source", "w", totalN = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(out == Map("a" -> 7L, "b" -> 3L))
+  }
+
+  test("x128 on real docs: allocations sum to exactly one million") {
+    import spark.implicits._
+    val tot = graft.queries.Extensions.x128TempMix(spark, "/root/testdata/sf0.001")
+      .agg(sum($"alloc")).collect()(0).getLong(0)
+    assert(tot == 1000000L)
+  }
+
+  // ------------------------------------------------------------- Gini stump
+  test("giniStump: perfect split yields zero impurity at the right threshold") {
+    import spark.implicits._
+    val df = Seq((0.1, false), (0.2, false), (0.3, true), (0.4, true))
+      .toDF("score", "pos")
+    val out = graft.ops.Stats.giniStump(df, "score", "pos").collect()(0)
+    // candidates: t=0.1 (L={F}) and t=0.2 (L={F,F}) both have gini 0 on
+    // pure sides... t=0.1: R={F,T,T} impure. t=0.2: both pure → gini 0
+    assert(out.getAs[Long]("gini_e9") == 0L)
+    assert(out.getAs[Long]("threshold_e9") == 200000000L)
+    assert(out.getAs[Long]("n_left") == 2L && out.getAs[Long]("pos_left") == 0L)
+    assert(out.getAs[Long]("n_right") == 2L && out.getAs[Long]("pos_right") == 2L)
+  }
+
+  test("giniStump: uniform labels split anywhere with zero gini, smallest threshold wins") {
+    import spark.implicits._
+    val df = Seq((0.1, true), (0.2, true), (0.3, true)).toDF("score", "pos")
+    val out = graft.ops.Stats.giniStump(df, "score", "pos").collect()(0)
+    assert(out.getAs[Long]("gini_e9") == 0L)
+    assert(out.getAs[Long]("threshold_e9") == 100000000L) // tie → smallest
+  }
+
+  // ----------------------------------------------------------- TF-IDF pairs
+  test("tfIdfDocPairs: identical docs rank first; singleton-df terms never pair") {
+    import spark.implicits._
+    val corpus = Seq((1L, "apple banana"), (2L, "apple banana"),
+      (3L, "cherry durian"), (4L, "apple zebra")).toDF("doc_id", "text")
+    val out = graft.ops.Similarity.tfIdfDocPairs(corpus, "doc_id", "text",
+      dfMin = 2L, dfMax = 64L, tfCap = 64L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("cos_e9")))
+    // cherry/durian are df=1 → doc 3 has no surviving terms → no pairs
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
+    // identical vectors (1,2) must rank first at cos ≈ 1.0
+    assert(out.head._1 == 1L && out.head._2 == 2L)
+    assert(out.head._3 >= 999999990L && out.head._3 <= 1000000000L)
+    // the apple-only overlaps (1,4) and (2,4) follow with equal cosine
+    assert(out.drop(1).map(p => (p._1, p._2)).toSet == Set((1L, 4L), (2L, 4L)))
+    assert(out(1)._3 == out(2)._3 && out(1)._3 < out.head._3)
+  }
+
   test("olsTrend: negative slope truncates toward zero like the oracle") {
     import spark.implicits._
     // y = 10, 9, 9 → slope = -1/2 → e2 = -50 exactly; y = 10, 9, 9, 9
