@@ -310,4 +310,46 @@ object Lake {
         .sortWithinPartitions(sortCols.map(col): _*)
     repartitioned.write.mode(SaveMode.Overwrite).parquet(dstDir)
   }
+
+  /** PLAN compaction over file metadata without touching data: pack
+    * date-ordered files into contiguous target-size output bins by
+    * prefix-sum offset (`bin = start_offset DIV target` — linear packing:
+    * order-preserving, so each output file stays a contiguous date range
+    * and min/max data-skipping survives the rewrite). [[compact]] executes
+    * a plan; this op is the metadata-only dry run an operator reviews
+    * first, and at 100 TB it runs over the file LISTING (catalog-sized),
+    * not the data. All-integer — bin assignment, per-bin file counts,
+    * bytes, and date spans reproduce exactly in the oracle. */
+  def compactionPlan(files: DataFrame, dateCol: String, bytesCol: String,
+      targetBytes: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(dateCol)) // file listings are catalog-sized
+    files
+      .select(col(dateCol).as("d"), col(bytesCol).cast("long").as("bytes"))
+      .withColumn("start_off",
+        coalesce(sum(col("bytes")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("bin", expr(s"start_off DIV $targetBytes"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("total_bytes"),
+        min(col("d")).as("first_date"), max(col("d")).as("last_date"))
+      .orderBy(col("bin"))
+  }
+
+  /** DuckDB respell of [[compactionPlan]] — `filesSql` must emit (d, bytes)
+    * as the Spark side derived them. */
+  def compactionPlanSql(filesSql: String, targetBytes: Long): String =
+    s"""WITH f AS ($filesSql),
+       |o AS (
+       |  SELECT d, CAST(bytes AS BIGINT) AS bytes,
+       |    CAST(coalesce(sum(bytes) OVER (ORDER BY d
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS start_off
+       |  FROM f)
+       |SELECT start_off // $targetBytes AS bin,
+       |  CAST(count(*) AS BIGINT) AS n_files,
+       |  CAST(sum(bytes) AS BIGINT) AS total_bytes,
+       |  min(d) AS first_date, max(d) AS last_date
+       |FROM o GROUP BY 1 ORDER BY bin""".stripMargin
 }

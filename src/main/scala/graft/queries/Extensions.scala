@@ -962,6 +962,105 @@ object Extensions {
        |FROM ex JOIN z USING (event_type) ORDER BY ex.event_type""".stripMargin
   }
 
+  // ------------------------------------------- x132 layout pruning audit
+  /** Data-skipping effectiveness audit: assign orders to 32 "files" under
+    * two layouts — date-sorted vs z-ordered (x44's Morton code on
+    * (custkey, day)) — compute per-file custkey min/max zone maps, and
+    * probe them with 50 point lookups. The z-order layout's interleaved
+    * bits keep per-file custkey ranges narrow, so a `o_custkey = ?` scan
+    * prunes most files; date-sort leaves every file covering the whole
+    * custkey range. scan_ppm is the fraction of (file, probe) hits — the
+    * number a lake optimizer would gate a re-layout decision on. The
+    * global rank windows are the audit's sort simulation (file listings
+    * are catalog-sized; the real layout job is [[graft.io.Lake.zorderWrite]]'s
+    * repartitionByRange). */
+  def x132LayoutAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nFiles = 32
+    val nProbes = 50
+    val o = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey",
+        graft.io.Lake.mortonCode($"o_custkey",
+          datediff(to_date($"o_orderdate"), lit("1992-01-01"))).as("zval"),
+        to_date($"o_orderdate").as("od"))
+    def audit(layout: String,
+        ordCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      val wOrd = Window.orderBy(ordCols: _*)
+      val wAll = Window.partitionBy(lit(1))
+      val zones = o
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("f", expr(s"((rn - 1) * $nFiles) DIV n"))
+        .groupBy($"f")
+        .agg(min($"o_custkey").as("lo"), max($"o_custkey").as("hi"))
+      val probes = s.range(nProbes).select(($"id" * 7).as("probe")) // spread probes
+      zones.crossJoin(broadcast(probes))
+        .agg(sum(when($"probe" >= $"lo" && $"probe" <= $"hi", 1L).otherwise(0L))
+          .as("files_scanned"))
+        .select(lit(layout).as("layout"), lit(nFiles.toLong).as("n_files"),
+          lit(nProbes.toLong).as("n_probes"), $"files_scanned",
+          expr(s"(files_scanned * 1000000) DIV ${nFiles * nProbes}").as("scan_ppm"))
+    }
+    audit("date_sorted", Seq($"od", $"o_orderkey"))
+      .unionAll(audit("z_ordered", Seq($"zval", $"o_orderkey")))
+      .orderBy($"layout")
+  }
+  val x132Sql: String = {
+    val morton =
+      """m0 AS (SELECT o_orderkey,
+        |  LEAST(GREATEST(CAST(o_custkey AS BIGINT), 0), 65535) AS x,
+        |  LEAST(GREATEST(CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT), 0), 65535) AS y
+        |  FROM orders),
+        |m1 AS (SELECT o_orderkey, ((x | (x << 8)) & 16711935) AS xa,
+        |                          ((y | (y << 8)) & 16711935) AS ya FROM m0),
+        |m2 AS (SELECT o_orderkey, ((xa | (xa << 4)) & 252645135) AS xb,
+        |                          ((ya | (ya << 4)) & 252645135) AS yb FROM m1),
+        |m3 AS (SELECT o_orderkey, ((xb | (xb << 2)) & 858993459) AS xc,
+        |                          ((yb | (yb << 2)) & 858993459) AS yc FROM m2),
+        |m4 AS (SELECT o_orderkey, ((xc | (xc << 1)) & 1431655765) AS xd,
+        |                          ((yc | (yc << 1)) & 1431655765) AS yd FROM m3),
+        |z AS (SELECT o_orderkey, (xd | (yd << 1)) AS zval FROM m4)""".stripMargin
+    def audit(layout: String, ordSql: String) =
+      s"""SELECT '$layout' AS layout, CAST(32 AS BIGINT) AS n_files,
+         |  CAST(50 AS BIGINT) AS n_probes,
+         |  CAST(sum(CASE WHEN p.probe BETWEEN zz.lo AND zz.hi THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+         |  (CAST(sum(CASE WHEN p.probe BETWEEN zz.lo AND zz.hi THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // 1600 AS scan_ppm
+         |FROM (
+         |  SELECT f, min(o_custkey) AS lo, max(o_custkey) AS hi FROM (
+         |    SELECT b.o_custkey,
+         |      ((CAST(row_number() OVER (ORDER BY $ordSql) AS BIGINT) - 1) * 32)
+         |        // CAST(count(*) OVER () AS BIGINT) AS f
+         |    FROM base b JOIN z ON z.o_orderkey = b.o_orderkey)
+         |  GROUP BY f) zz
+         |CROSS JOIN (SELECT unnest(range(50)) * 7 AS probe) p""".stripMargin
+    s"""WITH base AS (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS od
+       |  FROM orders),
+       |$morton
+       |SELECT * FROM (
+       |${audit("date_sorted", "b.od, b.o_orderkey")}
+       |UNION ALL
+       |${audit("z_ordered", "z.zval, b.o_orderkey")})
+       |ORDER BY layout""".stripMargin
+  }
+
+  // ------------------------------------------- x131 compaction planner
+  /** [[graft.io.Lake.compactionPlan]]: pack the daily order partitions
+    * (sized as rows×128 B) into contiguous ~16 KiB output bins by
+    * prefix-sum offset — the metadata-only dry run of `Lake.compact`,
+    * order-preserving so min/max skipping survives. */
+  def x131CompactionPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val files = Tables.load(s, dir, "orders")
+      .groupBy(to_date($"o_orderdate").as("d"))
+      .agg((count(lit(1)) * 128L).as("bytes"))
+    graft.io.Lake.compactionPlan(files, "d", "bytes", targetBytes = 16384L)
+  }
+  val x131Sql: String = graft.io.Lake.compactionPlanSql(
+    """SELECT CAST(o_orderdate AS DATE) AS d,
+      |  CAST(count(*) * 128 AS BIGINT) AS bytes
+      |FROM orders GROUP BY 1""".stripMargin,
+    targetBytes = 16384L)
+
   // ------------------------------------------- x130 TF-IDF related docs
   /** [[graft.ops.Similarity.tfIdfDocPairs]]: top-20 "related documents"
     * pairs by sparse TF-IDF cosine over a mid-df inverted index — the
@@ -3682,6 +3781,8 @@ object Extensions {
       |FROM t WHERE length(s) > 0 ORDER BY doc_id, sent_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x132_layout_audit" -> x132LayoutAudit _,
+    "x131_compaction_plan" -> x131CompactionPlan _,
     "x130_tfidf_pairs" -> x130TfIdfPairs _,
     "x129_gini_stump" -> x129GiniStump _,
     "x128_temperature_mix" -> x128TempMix _,
@@ -3866,6 +3967,8 @@ object Extensions {
     "x86_quality_dup_curve" -> x86Sql,
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
+    "x132_layout_audit" -> x132Sql,
+    "x131_compaction_plan" -> x131Sql,
     "x130_tfidf_pairs" -> x130Sql,
     "x129_gini_stump" -> x129Sql,
     "x128_temperature_mix" -> x128Sql,

@@ -331,4 +331,53 @@ object EventStreams {
           SessionAgg(userId, s.sessionSeq, s.n, s.startUs, s.lastUs, s.total))).iterator
       }
   }
+
+  // ---------------------------------------------------- transformWithState
+  case class UserTotal(user_id: Long, n_events: Long, total_cents: Long)
+
+  /** Per-user running totals via the Spark 4 `transformWithState` API —
+    * the arbitrary-state successor to mapGroupsWithState: typed
+    * `ValueState` through a `StatefulProcessor`, composable state
+    * variables, per-state TTL, and timers, on the RocksDB state store
+    * (the provider this API requires; the caller sets
+    * `spark.sql.streaming.stateStore.providerClass`).
+    *
+    * Value is accumulated in integer CENTS (⌊v·100+0.5⌋) so the running
+    * total is merge-order-free — the batch twin (a plain groupBy sum over
+    * the same cents expression) lands on the identical number no matter
+    * how the stream was micro-batched, which is the parity StreamingSpec
+    * pins. Emits the running total per key on every batch that touches it
+    * (Update mode). */
+  class UserTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTotal] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTotal] = {
+      val (n0, c0) = Option(st.get()).getOrElse((0L, 0L))
+      var n = n0
+      var c = c0
+      rows.foreach { e =>
+        n += 1
+        c += math.floor(e.value * 100.0 + 0.5).toLong
+      }
+      st.update((n, c))
+      Iterator.single(UserTotal(key, n, c))
+    }
+  }
+
+  /** See [[UserTotalsProcessor]]; works on a stream (incremental running
+    * totals) and is pinned equal to the batch groupBy twin in
+    * StreamingSpec. */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new UserTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -261,4 +261,22 @@ class LakeSpec extends SparkSpec {
     val none = Seq.empty[(Long, Long)].toDF("id", "version")
     assert(Lake.applyTombstones(base, none, "id", "version").count() == 4)
   }
+
+  test("compactionPlan: contiguous date-ordered bins, bytes conserved, target respected") {
+    import spark.implicits._
+    val files = Seq(("2024-01-01", 60L), ("2024-01-02", 60L), ("2024-01-03", 60L),
+      ("2024-01-04", 250L), ("2024-01-05", 10L)).toDF("d", "bytes")
+    val plan = Lake.compactionPlan(files, "d", "bytes", targetBytes = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4)))
+    // offsets 0,60,120,180,430 → bins 0,0,1,1,4
+    assert(plan.toSeq == Seq(
+      (0L, 2L, 120L, "2024-01-01", "2024-01-02"),
+      (1L, 2L, 310L, "2024-01-03", "2024-01-04"),
+      (4L, 1L, 10L, "2024-01-05", "2024-01-05")))
+    assert(plan.map(_._3).sum == 440L) // bytes conserved
+    // contiguity: date ranges never interleave across bins
+    val spans = plan.sortBy(_._1).map(p => (p._4, p._5))
+    assert(spans.sliding(2).forall { case Array((_, hi), (lo, _)) => hi < lo; case _ => true })
+  }
 }

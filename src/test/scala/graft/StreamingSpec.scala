@@ -198,6 +198,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState running totals: state carries across batches, equals the batch twin") {
+    import spark.implicits._
+    val evts = Seq(
+      Event(1, ts(0), 1, "click", 1.25),
+      Event(2, ts(1), 1, "click", 2.50),
+      Event(3, ts(2), 2, "view", 10.0),
+      Event(4, ts(3), 1, "click", 0.255), // cents round-half-up → 26
+      Event(5, ts(4), 2, "view", 0.004))  // → 0 cents, still counts
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("tws_test")
+      .outputMode("update").start()
+    try {
+      input.addData(evts.take(3))
+      q.processAllAvailable()
+      input.addData(evts.drop(3)) // batch 2 must see batch 1's state
+      q.processAllAvailable()
+      // update mode appends a row per touched key per batch — the LAST row
+      // per key is the running total
+      val finals = spark.table("tws_test")
+        .groupBy($"user_id")
+        .agg(max(struct($"n_events", $"total_cents")).as("m"))
+        .select($"user_id", $"m.n_events", $"m.total_cents")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val batch = evts.toDS()
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(FLOOR(value * 100.0D + 0.5D) AS BIGINT)")).as("c"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(finals == batch)
+      assert(finals(1L) == ((3L, 401L)) && finals(2L) == ((2L, 1000L)))
+    } finally {
+      q.stop()
+      prior match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streamingDedup drops cross-batch duplicates within the watermark") {
     import spark.implicits._
     val input = MemoryStream[Event](spark)
