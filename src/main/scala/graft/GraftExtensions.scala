@@ -39,6 +39,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("repetition_stats",
       "repetition_stats(array<string>) - [n_tokens, n_distinct_2grams, max_token_count]",
       es => Exprs.RepetitionStats(es(0), 2))
+    inject("smix64", "smix64(bigint) - SplitMix64 mix of a 64-bit key",
+      es => Exprs.Smix64(org.apache.spark.sql.catalyst.expressions.Cast(
+        es(0), org.apache.spark.sql.types.LongType)))
+    inject("minhash_sig", "minhash_sig(array<string>) - 16-hash MinHash signature of 3-shingles",
+      es => Exprs.MinHashSig(es(0), 3, 16))
+    inject("band_hashes", "band_hashes(array<bigint>) - 16 LSH band keys of a MinHash signature",
+      es => Exprs.BandHashes(es(0), 16))
+    inject("winnow_fingerprint",
+      "winnow_fingerprint(string) - winnowing fingerprint hashes (k=8, w=16)",
+      es => Exprs.WinnowFingerprint(es(0), 8, 16))
+    inject("hyperplane_bucket",
+      "hyperplane_bucket(array<float>) - 16-bit random-hyperplane LSH bucket",
+      es => Exprs.HyperplaneBucket(es(0), 16, 42L))
 
     // custom operator stack (build-brief preference c): exact-k reservoir
     // sampling — LogicalPlan + SparkStrategy + SparkPlan

@@ -1,0 +1,43 @@
+package graft
+
+/** Partitioning-invariance harness: a representative query from each
+  * operator family must produce BIT-IDENTICAL results when the physical
+  * execution changes underneath it (shuffle partition count, AQE on/off).
+  * This is the property every cross-engine oracle silently relies on —
+  * a result that depends on partitioning would be flaky against DuckDB
+  * even when the algorithm is right — and the property that guarantees
+  * a cluster rerun reproduces a prior run's artifacts. */
+class DeterminismSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // one per family: exact dedup, LSH near-dup, exact Jaccard, token stats,
+  // clustering, sketch, basket mining, sampling, coreset, sparse retrieval,
+  // graph census, event windowing
+  private val probes = Seq(
+    "x01_dedup_exact", "x06_minhash_neardup", "x08_ngram_jaccard",
+    "x35_ngram_topk", "x98_kmeans", "x99_hll_distinct",
+    "x113_frequent_pairs", "x117_priority_sample", "x122_kcenter",
+    "x130_tfidf_pairs", "x112_triangle_census", "x120_window_dedup")
+
+  test("representative queries are invariant to shuffle width and AQE") {
+    val fns = SparkEntry.queries
+    val missing = probes.filterNot(fns.contains)
+    assert(missing.isEmpty, s"unknown probe queries: $missing")
+    val priorParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    def snap(name: String): Seq[String] =
+      fns(name)(spark, dir).collect().map(_.toString).toSeq
+    try {
+      val baseline = probes.map(n => n -> snap(n)).toMap
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      probes.foreach { n =>
+        assert(snap(n) == baseline(n), s"$n changed under 3-partition no-AQE execution")
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", priorParts)
+      spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+    }
+  }
+}

@@ -27,6 +27,15 @@ class ExtensionsInstallSpec extends SparkSpec {
       val c = child.sql("SELECT dot_f(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS d")
         .collect().head.getDouble(0)
       assert(c == 6.0)
+      // round-8 additions: hashing/LSH surface reachable from SQL
+      val r8 = child.sql(
+        """SELECT smix64(42) AS s,
+          |       size(minhash_sig(array('a','b','c','d'))) AS m,
+          |       size(band_hashes(minhash_sig(array('a','b','c','d')))) AS b,
+          |       size(winnow_fingerprint('abcdefghijklmnopqrstuvwxyz')) AS w""".stripMargin)
+        .collect().head
+      assert(r8.getLong(0) == graft.functions.Ops.splitmix64(42L))
+      assert(r8.getInt(1) == 16 && r8.getInt(2) == 16 && r8.getInt(3) >= 1)
     } finally {
       SparkSession.setDefaultSession(old)
       SparkSession.setActiveSession(old)
