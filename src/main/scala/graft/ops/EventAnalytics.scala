@@ -233,6 +233,52 @@ object EventAnalytics {
        |  CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_sum
        |FROM cr GROUP BY 1 ORDER BY touch_hour""".stripMargin
 
+  /** Frequent behavioral sequences: per-user event-type streams cut into
+    * fixed-length sliding windows (length `winLen`, stride `stride` — the
+    * sequence-model training-window shape), then the top-k window PATTERNS
+    * by support. Per-user state is one bounded array (array_sort +
+    * higher-order slices — no explode before the per-user fold), so the
+    * heavy operation is the final pattern count, which map-side combines.
+    * Deterministic: events order by (event time, id); ties on support
+    * break by pattern text. */
+  def sequenceWindows(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, winLen: Int = 8, stride: Int = 4,
+      topK: Int = 20): DataFrame = {
+    events
+      .select(col(userCol).as("u"),
+        struct(unix_micros(col(tsCol)).as("us"), col(idCol).as("eid"),
+          col(typeCol).as("et")).as("e"))
+      .groupBy(col("u"))
+      .agg(array_sort(collect_list(col("e"))).as("es"))
+      .withColumn("n", size(col("es")))
+      .filter(col("n") >= winLen)
+      .withColumn("pattern", explode(expr(
+        s"""transform(sequence(0, (n - $winLen) DIV $stride),
+           |  i -> array_join(transform(slice(es, i * $stride + 1, $winLen),
+           |                            x -> x.et), '>'))""".stripMargin)))
+      .groupBy(col("pattern")).agg(count(lit(1)).as("n_windows"))
+      .orderBy(col("n_windows").desc, col("pattern"))
+      .limit(topK)
+  }
+
+  /** DuckDB respell of [[sequenceWindows]]. */
+  def sequenceWindowsSql(table: String, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, winLen: Int = 8, stride: Int = 4,
+      topK: Int = 20): String =
+    s"""WITH pu AS (
+       |  SELECT $userCol AS u,
+       |    list($typeCol ORDER BY epoch_us($tsCol), $idCol) AS es
+       |  FROM $table GROUP BY 1),
+       |f AS (SELECT es, len(es) AS n FROM pu WHERE len(es) >= $winLen),
+       |w AS (
+       |  SELECT unnest(list_transform(range(0, (n - $winLen) // $stride + 1),
+       |    i -> array_to_string(es[CAST(i * $stride + 1 AS INT)
+       |                          : CAST(i * $stride + $winLen AS INT)], '>')))
+       |    AS pattern
+       |  FROM f)
+       |SELECT pattern, CAST(count(*) AS BIGINT) AS n_windows
+       |FROM w GROUP BY 1 ORDER BY n_windows DESC, pattern LIMIT $topK""".stripMargin
+
   /** DuckDB respell of [[windowDedupSummary]]. */
   def windowDedupSummarySql(table: String, keyCol: String, typeCol: String,
       tsCol: String, slotSeconds: Long): String =

@@ -665,6 +665,55 @@ object Stats {
         (col("nt") - col("nl")).as("n_right"), (col("pt") - col("pl")).as("pos_right"))
   }
 
+  /** Exact nearest-rank quantile mapping (histogram matching, the
+    * integer-exact cousin of scikit's quantile transform): each SOURCE row
+    * at rank r of m maps to the TARGET distribution's value at rank
+    * ⌈r·k/m⌉ — length-matched sampling across corpora without fitting any
+    * parametric curve. Ranks order by (value, id) so ties are total; every
+    * step is integer arithmetic. The rank windows are per-relation global
+    * (the relations here are per-source subsets — bounded; at corpus scale
+    * the same mapping runs per group). */
+  def quantileMap(source: DataFrame, target: DataFrame, idCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = source
+      .select(col(idCol), col(valueCol).cast("long").as("v"))
+      .withColumn("r", row_number().over(Window.orderBy(col("v"), col(idCol))))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(lit(1))))
+    // ties in target VALUES map identically whatever their internal order,
+    // so rank-by-value alone is already a deterministic idx→value function
+    val t = target
+      .select(col(valueCol).cast("long").as("tv"))
+      .withColumn("idx", row_number().over(Window.orderBy(col("tv"))))
+      .withColumn("k", count(lit(1)).over(Window.partitionBy(lit(1))))
+    s.crossJoin(broadcast(t.agg(max(col("k")).as("k"))))
+      .withColumn("idx", expr("(r * k + m - 1) DIV m"))
+      .join(broadcast(t.select(col("idx"), col("tv"))), Seq("idx"))
+      .select(col(idCol), col("v").as("value"), col("r").as("rank"),
+        col("tv").as("mapped_value"))
+      .orderBy(col(idCol))
+  }
+
+  /** DuckDB respell of [[quantileMap]] — `sourceSql`/`targetSql` emit
+    * (id, v) relations. */
+  def quantileMapSql(sourceSql: String, targetSql: String, idCol: String): String =
+    s"""WITH s0 AS ($sourceSql),
+       |t0 AS ($targetSql),
+       |s AS (
+       |  SELECT id, v,
+       |    CAST(row_number() OVER (ORDER BY v, id) AS BIGINT) AS r,
+       |    CAST(count(*) OVER () AS BIGINT) AS m
+       |  FROM s0),
+       |t AS (
+       |  SELECT v AS tv,
+       |    CAST(row_number() OVER (ORDER BY v, id) AS BIGINT) AS idx,
+       |    CAST(count(*) OVER () AS BIGINT) AS k
+       |  FROM t0)
+       |SELECT s.id AS $idCol, s.v AS value, s.r AS rank, t.tv AS mapped_value
+       |FROM s CROSS JOIN (SELECT max(k) AS k FROM t) kk
+       |JOIN t ON t.idx = (s.r * kk.k + s.m - 1) // s.m
+       |ORDER BY s.id""".stripMargin
+
   /** DuckDB respell of [[giniStump]] — `scoredRelSql` must emit (score,
     * pos) exactly as the Spark side computed them. */
   def giniStumpSql(scoredRelSql: String): String =

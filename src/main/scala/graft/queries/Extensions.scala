@@ -962,6 +962,35 @@ object Extensions {
        |FROM ex JOIN z USING (event_type) ORDER BY ex.event_type""".stripMargin
   }
 
+  // ------------------------------------------- x134 quantile mapping
+  /** [[graft.ops.Stats.quantileMap]]: src1's doc lengths histogram-matched
+    * onto src0's distribution by exact nearest rank — the length-matched
+    * sampling transform. */
+  def x134QuantileMap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    Stats.quantileMap(
+      d.filter($"source" === "src1").select($"doc_id", $"n_chars"),
+      d.filter($"source" === "src0").select($"doc_id", $"n_chars"),
+      "doc_id", "n_chars")
+  }
+  val x134Sql: String = Stats.quantileMapSql(
+    "SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS v FROM documents WHERE source = 'src1'",
+    "SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS v FROM documents WHERE source = 'src0'",
+    "doc_id")
+
+  // ------------------------------------------- x133 sequence windows
+  /** [[graft.ops.EventAnalytics.sequenceWindows]]: the top-20 8-event
+    * behavioral window patterns (stride 4) across user streams — the
+    * sliding-window extraction a sequence model trains on, counted by
+    * support. */
+  def x133SequenceWindows(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.sequenceWindows(Tables.events(s, dir),
+      "user_id", "event_type", "ts", "event_id")
+  val x133Sql: String =
+    graft.ops.EventAnalytics.sequenceWindowsSql("events",
+      "user_id", "event_type", "ts", "event_id")
+
   // ------------------------------------------- x132 layout pruning audit
   /** Data-skipping effectiveness audit: assign orders to 32 "files" under
     * two layouts — date-sorted vs z-ordered (x44's Morton code on
@@ -3781,6 +3810,8 @@ object Extensions {
       |FROM t WHERE length(s) > 0 ORDER BY doc_id, sent_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x134_quantile_map" -> x134QuantileMap _,
+    "x133_sequence_windows" -> x133SequenceWindows _,
     "x132_layout_audit" -> x132LayoutAudit _,
     "x131_compaction_plan" -> x131CompactionPlan _,
     "x130_tfidf_pairs" -> x130TfIdfPairs _,
@@ -3967,6 +3998,8 @@ object Extensions {
     "x86_quality_dup_curve" -> x86Sql,
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
+    "x134_quantile_map" -> x134Sql,
+    "x133_sequence_windows" -> x133Sql,
     "x132_layout_audit" -> x132Sql,
     "x131_compaction_plan" -> x131Sql,
     "x130_tfidf_pairs" -> x130Sql,

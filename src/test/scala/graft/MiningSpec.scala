@@ -336,6 +336,41 @@ class MiningSpec extends SparkSpec {
     assert(out(1)._3 == out(2)._3 && out(1)._3 < out.head._3)
   }
 
+  // -------------------------------------------------------- sequence windows
+  test("sequenceWindows: stride/length geometry and short-stream exclusion") {
+    import spark.implicits._
+    def t(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val types = Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
+    val evs = types.zipWithIndex.map { case (ty, i) => (i.toLong, t(i), 1L, ty, 0.0) } ++
+      Seq((100L, t(0), 2L, "x", 0.0), (101L, t(1), 2L, "y", 0.0)) // too short
+    val df = evs.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.ops.EventAnalytics.sequenceWindows(df,
+      "user_id", "event_type", "ts", "event_id", winLen = 8, stride = 4, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // 10 events → windows at offsets 0 only ((10-8) DIV 4 = 0): a..h
+    assert(out == Seq(("a>b>c>d>e>f>g>h", 1L)))
+    // 12 events → offsets 0 and 4
+    val evs12 = (types ++ Seq("k", "l")).zipWithIndex.map { case (ty, i) =>
+      (i.toLong, t(i), 1L, ty, 0.0) }
+    val out12 = graft.ops.EventAnalytics.sequenceWindows(
+      evs12.toDF("event_id", "ts", "user_id", "event_type", "value"),
+      "user_id", "event_type", "ts", "event_id", winLen = 8, stride = 4, topK = 10)
+      .collect().map(_.getString(0)).toSeq
+    assert(out12.sorted == Seq("a>b>c>d>e>f>g>h", "e>f>g>h>i>j>k>l"))
+  }
+
+  // ---------------------------------------------------------- quantile mapping
+  test("quantileMap: exact nearest-rank histogram matching") {
+    import spark.implicits._
+    val src = Seq((11L, 5L), (12L, 6L), (13L, 7L)).toDF("doc_id", "n")
+    val tgt = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L), (6L, 60L))
+      .toDF("doc_id", "n")
+    val out = graft.ops.Stats.quantileMap(src, tgt, "doc_id", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    // ranks 1..3 of 3 → target idx ⌈r·6/3⌉ = 2, 4, 6
+    assert(out == Map(11L -> 20L, 12L -> 40L, 13L -> 60L))
+  }
+
   test("olsTrend: negative slope truncates toward zero like the oracle") {
     import spark.implicits._
     // y = 10, 9, 9 → slope = -1/2 → e2 = -50 exactly; y = 10, 9, 9, 9
