@@ -380,4 +380,54 @@ object EventStreams {
       .transformWithState(new UserTotalsProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
+
+  case class IdleAlert(user_id: Long, last_seen_us: Long)
+
+  /** Event-time TIMERS through transformWithState: alert when a user goes
+    * quiet for `idleUs` of EVENT time. Each event re-arms the user's
+    * single timer at (last event time + idleUs); when the WATERMARK passes
+    * the timer — i.e. the stream itself proves no earlier event can still
+    * arrive — `handleExpiredTimer` emits the alert and clears state. This
+    * is the push-based complement of sessionize's timeout: state per user
+    * is one (last_seen, timer) pair, evicted at alert time, so state
+    * tracks currently-active users only. */
+  class IdleUserProcessor(idleUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, IdleAlert] {
+    @transient private var lastSeen: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      lastSeen = getHandle.getValueState[Long]("last_seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[IdleAlert] = {
+      val maxUs = rows.map(e => e.ts.getTime * 1000L).max
+      val prev = Option(lastSeen.get()).getOrElse(0L)
+      if (maxUs > prev) {
+        lastSeen.update(maxUs)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer((maxUs + idleUs) / 1000L) // timers are ms
+      }
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[IdleAlert] = {
+      val last = Option(lastSeen.get()).getOrElse(0L)
+      lastSeen.clear()
+      Iterator.single(IdleAlert(key, last))
+    }
+  }
+
+  /** See [[IdleUserProcessor]]; input must carry a watermark on `ts`
+    * (event-time timers fire off watermark advancement). */
+  def idleUserAlerts(events: Dataset[Event], idleUs: Long = 1800L * 1000000L): Dataset[IdleAlert] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new IdleUserProcessor(idleUs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
 }

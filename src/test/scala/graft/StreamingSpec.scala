@@ -242,6 +242,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState event-time timers: idle alert fires when the watermark passes, re-arms on activity") {
+    import spark.implicits._
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event](spark)
+    // idle = 30 event-minutes
+    val q = EventStreams.idleUserAlerts(input.toDS(), idleUs = 30L * 60000000L)
+      .writeStream.format("memory").queryName("idle_test")
+      .outputMode("append").start()
+    try {
+      // user 1 active at t=0 and t=10; user 2 active at t=5
+      input.addData(Seq(Event(1, ts(0), 1, "click", 0.0),
+        Event(2, ts(10), 1, "click", 0.0), Event(3, ts(5), 2, "view", 0.0)))
+      q.processAllAvailable()
+      assert(spark.table("idle_test").count() == 0) // watermark hasn't passed
+      // user 2 keeps going at t=40 (re-arms); watermark → 40min: user 1's
+      // timer at 10+30=40 has NOT passed (watermark must exceed it)... push
+      // to t=50 in a third batch to fire user 1 only
+      input.addData(Seq(Event(4, ts(40), 2, "view", 0.0)))
+      q.processAllAvailable()
+      input.addData(Seq(Event(5, ts(50), 2, "view", 0.0)))
+      q.processAllAvailable()
+      val alerts = spark.table("idle_test")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(alerts.keySet == Set(1L)) // user 2 re-armed at 40, not idle yet
+      assert(alerts(1L) == ts(10).getTime * 1000L)
+    } finally {
+      q.stop()
+      prior match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streamingDedup drops cross-batch duplicates within the watermark") {
     import spark.implicits._
     val input = MemoryStream[Event](spark)
