@@ -665,6 +665,56 @@ object Stats {
         (col("nt") - col("nl")).as("n_right"), (col("pt") - col("pl")).as("pos_right"))
   }
 
+  /** k-anonymity audit over quasi-identifier columns (Sweeney'02): group
+    * rows into QI equivalence classes and report the dataset's k (the
+    * smallest class), plus how many classes and rows sit below the target
+    * `k` — the privacy gate a training-data release runs before shipping
+    * anything derived from user attributes. One partial-aggregable
+    * groupBy; class cardinality is bounded by the QI domain product. */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    val classes = df
+      .groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    classes.agg(
+      sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_classes"),
+      min(col("cnt")).as("k_anonymity"),
+      sum(when(col("cnt") < k, 1L).otherwise(0L)).as("n_violating_classes"),
+      sum(when(col("cnt") < k, col("cnt")).otherwise(0L)).as("n_rows_at_risk"))
+      .withColumn("k_target", lit(k))
+  }
+
+  /** DuckDB respell of [[kAnonymity]] — `qiSql` are the quasi-identifier
+    * expressions verbatim. */
+  def kAnonymitySql(table: String, qiSql: Seq[String], k: Long): String =
+    s"""WITH c AS (
+       |  SELECT ${qiSql.mkString(", ")}, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM $table GROUP BY ${(1 to qiSql.size).mkString(", ")})
+       |SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+       |  CAST(count(*) AS BIGINT) AS n_classes,
+       |  CAST(min(cnt) AS BIGINT) AS k_anonymity,
+       |  CAST(sum(CASE WHEN cnt < $k THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_classes,
+       |  CAST(sum(CASE WHEN cnt < $k THEN cnt ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+       |  CAST($k AS BIGINT) AS k_target
+       |FROM c""".stripMargin
+
+  /** Day-of-week seasonal residuals: per (group, day) counts minus the
+    * group's weekday mean (ppm grid — all-integer), fed to
+    * [[robustOutliers]] for MAD-based anomaly flagging. Removing the
+    * weekly cycle FIRST is what separates "weekend dip" from a real
+    * incident — raw daily counts flag every Saturday. */
+  def seasonalResiduals(df: DataFrame, groupCol: String, tsCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("dow", expr("weekday(day)")) // 0 = Monday, = DuckDB isodow-1
+    val dowMean = daily.groupBy(col("g"), col("dow"))
+      .agg(expr("(sum(cnt) * 1000000) DIV count(1)").as("dow_mean_ppm"))
+    daily.join(dowMean, Seq("g", "dow"))
+      .select(col("g"), col("day"),
+        (col("cnt") * 1000000L - col("dow_mean_ppm")).as("resid_ppm"))
+  }
+
   /** Exact nearest-rank quantile mapping (histogram matching, the
     * integer-exact cousin of scikit's quantile transform): each SOURCE row
     * at rank r of m maps to the TARGET distribution's value at rank

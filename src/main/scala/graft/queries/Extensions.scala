@@ -962,6 +962,118 @@ object Extensions {
        |FROM ex JOIN z USING (event_type) ORDER BY ex.event_type""".stripMargin
   }
 
+  // ------------------------------------------- x137 seasonal anomalies
+  /** [[graft.ops.Stats.seasonalResiduals]] → [[graft.ops.Stats.robustOutliers]]:
+    * daily event counts with the weekly cycle removed, then MAD-flagged —
+    * "weekend dip" is seasonality, not an incident. */
+  def x137SeasonalAnomalies(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Stats.robustOutliers(
+      Stats.seasonalResiduals(Tables.events(s, dir), "event_type", "ts"),
+      "g", "resid_ppm", k = 3.0)
+      .select($"g".as("event_type"), $"med", $"mad", $"n_rows", $"n_outliers")
+      .orderBy($"event_type")
+  }
+  val x137Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |dm AS (
+      |  SELECT g, isodow(day) - 1 AS dow,
+      |    (sum(cnt) * 1000000) // count(*) AS dow_mean_ppm
+      |  FROM daily GROUP BY 1, 2),
+      |r AS (
+      |  SELECT daily.g, CAST(daily.cnt * 1000000 - dm.dow_mean_ppm AS DOUBLE) AS v
+      |  FROM daily JOIN dm ON dm.g = daily.g AND dm.dow = isodow(daily.day) - 1),
+      |med AS (SELECT g, median(v) AS med FROM r GROUP BY g),
+      |mad AS (SELECT r.g, median(abs(r.v - med.med)) AS mad
+      |        FROM r JOIN med ON r.g = med.g GROUP BY r.g)
+      |SELECT r.g AS event_type, med.med, mad.mad,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CASE WHEN abs(r.v - med.med) > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM r JOIN med ON r.g = med.g JOIN mad ON r.g = mad.g
+      |GROUP BY r.g, med.med, mad.mad ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------- x136 contract validation
+  /** [[graft.ops.Contracts.report]]: the declarative expectations suite
+    * over the star schema — uniqueness, NOT NULL, referential integrity,
+    * range, and domain checks, each a violating-rows relation whose count
+    * feeds one report row. */
+  def x136ContractReport(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val l = Tables.load(s, dir, "lineitem")
+    val c = Tables.load(s, dir, "customer")
+    graft.ops.Contracts.report(Seq(
+      "lineitem_linenumber_unique" ->
+        graft.ops.Contracts.unique(l, "l_orderkey", "l_linenumber"),
+      "lineitem_orderkey_fk" ->
+        graft.ops.Contracts.referential(l, "l_orderkey", o, "o_orderkey"),
+      "lineitem_quantity_range" ->
+        graft.ops.Contracts.range(l, "l_quantity", 0.0, 51.0),
+      "orders_custkey_fk" ->
+        graft.ops.Contracts.referential(o, "o_custkey", c, "c_custkey"),
+      "orders_custkey_not_null" -> graft.ops.Contracts.notNull(o, "o_custkey"),
+      "orders_orderkey_unique" -> graft.ops.Contracts.unique(o, "o_orderkey"),
+      "orders_status_domain" ->
+        graft.ops.Contracts.domain(o, "o_orderstatus", Seq("O", "F", "P")),
+      "orders_totalprice_range" ->
+        graft.ops.Contracts.range(o, "o_totalprice", 0.0, 1000000.0)))
+  }
+  val x136Sql: String =
+    """WITH u AS (
+      |SELECT 'lineitem_linenumber_unique' AS check_name,
+      |  CAST((SELECT coalesce(sum(n), 0) FROM (
+      |    SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber
+      |    HAVING count(*) > 1)) AS BIGINT) AS n_violations
+      |UNION ALL
+      |SELECT 'lineitem_orderkey_fk',
+      |  CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+      |    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT)
+      |UNION ALL
+      |SELECT 'lineitem_quantity_range',
+      |  CAST((SELECT count(*) FROM lineitem WHERE l_quantity IS NULL
+      |    OR l_quantity <= 0.0 OR l_quantity >= 51.0) AS BIGINT)
+      |UNION ALL
+      |SELECT 'orders_custkey_fk',
+      |  CAST((SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+      |    AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+      |UNION ALL
+      |SELECT 'orders_custkey_not_null',
+      |  CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)
+      |UNION ALL
+      |SELECT 'orders_orderkey_unique',
+      |  CAST((SELECT coalesce(sum(n), 0) FROM (
+      |    SELECT count(*) AS n FROM orders GROUP BY o_orderkey
+      |    HAVING count(*) > 1)) AS BIGINT)
+      |UNION ALL
+      |SELECT 'orders_status_domain',
+      |  CAST((SELECT count(*) FROM orders WHERE o_orderstatus IS NULL
+      |    OR o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+      |UNION ALL
+      |SELECT 'orders_totalprice_range',
+      |  CAST((SELECT count(*) FROM orders WHERE o_totalprice IS NULL
+      |    OR o_totalprice <= 0.0 OR o_totalprice >= 1000000.0) AS BIGINT))
+      |SELECT check_name, n_violations, n_violations = 0 AS pass
+      |FROM u ORDER BY check_name""".stripMargin
+
+  // ------------------------------------------- x135 k-anonymity
+  /** [[graft.ops.Stats.kAnonymity]] over customer quasi-identifiers
+    * (nation, segment, account-balance band): the privacy gate a
+    * user-attribute release runs first. */
+  def x135KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qi = Tables.load(s, dir, "customer")
+      .select($"c_nationkey",
+        $"c_mktsegment",
+        floor($"c_acctbal" / 1000.0).cast("long").as("bal_band"))
+    Stats.kAnonymity(qi, Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 5L)
+  }
+  val x135Sql: String = Stats.kAnonymitySql("customer",
+    Seq("c_nationkey", "c_mktsegment",
+      "CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band"),
+    k = 5L)
+
   // ------------------------------------------- x134 quantile mapping
   /** [[graft.ops.Stats.quantileMap]]: src1's doc lengths histogram-matched
     * onto src0's distribution by exact nearest rank — the length-matched
@@ -3810,6 +3922,9 @@ object Extensions {
       |FROM t WHERE length(s) > 0 ORDER BY doc_id, sent_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x137_seasonal_anomalies" -> x137SeasonalAnomalies _,
+    "x136_contract_report" -> x136ContractReport _,
+    "x135_k_anonymity" -> x135KAnonymity _,
     "x134_quantile_map" -> x134QuantileMap _,
     "x133_sequence_windows" -> x133SequenceWindows _,
     "x132_layout_audit" -> x132LayoutAudit _,
@@ -3998,6 +4113,9 @@ object Extensions {
     "x86_quality_dup_curve" -> x86Sql,
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
+    "x137_seasonal_anomalies" -> x137Sql,
+    "x136_contract_report" -> x136Sql,
+    "x135_k_anonymity" -> x135Sql,
     "x134_quantile_map" -> x134Sql,
     "x133_sequence_windows" -> x133Sql,
     "x132_layout_audit" -> x132Sql,
