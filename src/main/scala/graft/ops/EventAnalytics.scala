@@ -233,6 +233,82 @@ object EventAnalytics {
        |  CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_sum
        |FROM cr GROUP BY 1 ORDER BY touch_hour""".stripMargin
 
+  /** Linear-interpolation gap fill of a per-group daily integer series —
+    * the VALUE cousin of [[gapFillHourly]]'s zero-fill (a count of zero is
+    * the truth for missing COUNT data; for a metric, the truthful guess is
+    * the line between its neighbors). Calendar days come from a
+    * per-group `sequence(min, max)`; interior gaps get the exact integer
+    * lerp v_p + ⌊(v_n − v_p)·(d − d_p) / (d_n − d_p)⌋ (sign-split so
+    * truncation matches the oracle); edge gaps clamp to the nearest
+    * observation. One shuffle to the daily grain, then per-group windows
+    * bounded by the calendar span. */
+  def gapFillLinear(events: DataFrame, groupCol: String, tsCol: String,
+      valueCents: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
+      .agg(sum(valueCents).as("v"))
+    val cal = daily.groupBy(col("g"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("g"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val full = cal.join(daily, Seq("g", "day"), "left")
+    val wPrev = Window.partitionBy(col("g")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(col("g")).orderBy(col("day"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val obs = when(col("v").isNotNull, struct(col("day").as("d"), col("v").as("x")))
+    full
+      .withColumn("p", last(obs, ignoreNulls = true).over(wPrev))
+      .withColumn("nx", first(obs, ignoreNulls = true).over(wNext))
+      .withColumn("interp", expr(
+        """CASE WHEN p IS NULL OR nx IS NULL THEN NULL ELSE
+          |  p.x + (CASE WHEN nx.x >= p.x
+          |    THEN ((nx.x - p.x) * datediff(day, p.d)) DIV datediff(nx.d, p.d)
+          |    ELSE -(((p.x - nx.x) * datediff(day, p.d)) DIV datediff(nx.d, p.d))
+          |  END) END""".stripMargin))
+      .select(col("g").as(groupCol), col("day"),
+        coalesce(col("v"), col("interp"), col("p.x"), col("nx.x")).as("filled_cents"),
+        col("v").isNull.as("was_filled"))
+      .orderBy(col(groupCol), col("day"))
+  }
+
+  /** DuckDB respell of [[gapFillLinear]] — `eventsSql` emits (g, day, v)
+    * at the daily grain. */
+  def gapFillLinearSql(dailySql: String, groupCol: String): String =
+    s"""WITH daily AS ($dailySql),
+       |cal AS (
+       |  SELECT g, unnest(generate_series(min(day), max(day),
+       |    INTERVAL 1 DAY))::DATE AS day
+       |  FROM daily GROUP BY g),
+       |full0 AS (
+       |  SELECT cal.g, cal.day, daily.v
+       |  FROM cal LEFT JOIN daily ON daily.g = cal.g AND daily.day = cal.day),
+       |w AS (
+       |  SELECT g, day, v,
+       |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+       |      OVER (PARTITION BY g ORDER BY day
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+       |    last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+       |      OVER (PARTITION BY g ORDER BY day
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+       |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+       |      OVER (PARTITION BY g ORDER BY day
+       |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd,
+       |    first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+       |      OVER (PARTITION BY g ORDER BY day
+       |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+       |  FROM full0)
+       |SELECT g AS $groupCol, day,
+       |  CAST(coalesce(v,
+       |    CASE WHEN pd IS NULL OR nd IS NULL THEN NULL ELSE
+       |      pv + (CASE WHEN nv >= pv
+       |        THEN ((nv - pv) * (day - pd)) // (nd - pd)
+       |        ELSE -(((pv - nv) * (day - pd)) // (nd - pd)) END) END,
+       |    pv, nv) AS BIGINT) AS filled_cents,
+       |  v IS NULL AS was_filled
+       |FROM w ORDER BY $groupCol, day""".stripMargin
+
   /** Frequent behavioral sequences: per-user event-type streams cut into
     * fixed-length sliding windows (length `winLen`, stride `stride` — the
     * sequence-model training-window shape), then the top-k window PATTERNS

@@ -962,6 +962,25 @@ object Extensions {
        |FROM ex JOIN z USING (event_type) ORDER BY ex.event_type""".stripMargin
   }
 
+  // ------------------------------------------- x138 linear gap fill
+  /** [[graft.ops.EventAnalytics.gapFillLinear]] with a deterministic
+    * simulated dropout (days where day-of-month % 3 = 0 removed): daily
+    * revenue cents per event type reconstructed by exact integer lerp —
+    * the VALUE-series complement to x58's zero-filled counts. */
+  def x138LinearGapFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .filter(dayofmonth($"ts") % 3 =!= 0)
+    graft.ops.EventAnalytics.gapFillLinear(ev, "event_type", "ts",
+      floor($"value" * 100 + 0.5).cast("long"))
+  }
+  val x138Sql: String = graft.ops.EventAnalytics.gapFillLinearSql(
+    """SELECT event_type AS g, CAST(ts AS DATE) AS day,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+      |FROM events WHERE day(CAST(ts AS DATE)) % 3 <> 0
+      |GROUP BY 1, 2""".stripMargin,
+    "event_type")
+
   // ------------------------------------------- x137 seasonal anomalies
   /** [[graft.ops.Stats.seasonalResiduals]] → [[graft.ops.Stats.robustOutliers]]:
     * daily event counts with the weekly cycle removed, then MAD-flagged —
@@ -3922,6 +3941,7 @@ object Extensions {
       |FROM t WHERE length(s) > 0 ORDER BY doc_id, sent_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x138_linear_gapfill" -> x138LinearGapFill _,
     "x137_seasonal_anomalies" -> x137SeasonalAnomalies _,
     "x136_contract_report" -> x136ContractReport _,
     "x135_k_anonymity" -> x135KAnonymity _,
@@ -4113,6 +4133,7 @@ object Extensions {
     "x86_quality_dup_curve" -> x86Sql,
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
+    "x138_linear_gapfill" -> x138Sql,
     "x137_seasonal_anomalies" -> x137Sql,
     "x136_contract_report" -> x136Sql,
     "x135_k_anonymity" -> x135Sql,

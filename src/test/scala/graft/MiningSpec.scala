@@ -371,6 +371,29 @@ class MiningSpec extends SparkSpec {
     assert(out == Map(11L -> 20L, 12L -> 40L, 13L -> 60L))
   }
 
+  // ------------------------------------------------------- linear gap fill
+  test("gapFillLinear: exact lerp, clamped edges, truncation on falling slopes") {
+    import spark.implicits._
+    // observed: day1 → 100, day4 → 10 (falling); day2/3 interpolated;
+    // calendar starts/ends at observations so no edge rows here
+    def ev(day: Int, cents: Long) =
+      ("g", java.sql.Timestamp.valueOf(f"2024-05-0$day%d 09:00:00"), cents)
+    val df = Seq(ev(1, 100L), ev(4, 10L)).toDF("g", "ts", "cents")
+    val out = graft.ops.EventAnalytics.gapFillLinear(df, "g", "ts", col("cents"))
+      .collect().map(r => (r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Long]("filled_cents"), r.getAs[Boolean]("was_filled"))).toSeq
+    // lerp from 100 down to 10 over 3 days: -30/day truncated toward zero:
+    // day2 = 100 - 30 = 70, day3 = 100 - 60 = 40
+    assert(out == Seq(
+      ("2024-05-01", 100L, false), ("2024-05-02", 70L, true),
+      ("2024-05-03", 40L, true), ("2024-05-04", 10L, false)))
+    // rising series uses plain integer division: 10 → 100 gives 40, 70
+    val up = Seq(ev(1, 10L), ev(4, 100L)).toDF("g", "ts", "cents")
+    val upOut = graft.ops.EventAnalytics.gapFillLinear(up, "g", "ts", col("cents"))
+      .collect().map(_.getAs[Long]("filled_cents")).toSeq
+    assert(upOut == Seq(10L, 40L, 70L, 100L))
+  }
+
   test("olsTrend: negative slope truncates toward zero like the oracle") {
     import spark.implicits._
     // y = 10, 9, 9 → slope = -1/2 → e2 = -50 exactly; y = 10, 9, 9, 9
