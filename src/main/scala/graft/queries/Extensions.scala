@@ -962,6 +962,127 @@ object Extensions {
        |FROM ex JOIN z USING (event_type) ORDER BY ex.event_type""".stripMargin
   }
 
+  // ------------------------------------------- x140 Cohen's kappa
+  /** Inter-annotator agreement between the heuristic quality gate
+    * (score ≥ 1.2) and the embedding label (≥ 5), as EXACT Cohen's kappa:
+    * κ = (N·(a+d) − Σ marginals) / (N² − Σ marginals) — every term an
+    * int64 product of confusion-matrix counts, emitted on the ppm grid
+    * with sign-split truncation. The agreement check a labeling pipeline
+    * runs before trusting either annotator. */
+  def x140CohensKappa(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = TextAnalysis.qualityScores(docs(s, dir), "doc_id", "text")
+      .select($"doc_id", ($"quality_score" >= 1.2).as("pred"))
+      .join(emb(s, dir).select($"vec_id".as("doc_id"), ($"label" >= 5).as("truth")), "doc_id")
+    scored.agg(
+      count(lit(1)).as("n"),
+      sum(when($"pred" && $"truth", 1L).otherwise(0L)).as("a"),
+      sum(when($"pred" && !$"truth", 1L).otherwise(0L)).as("b"),
+      sum(when(!$"pred" && $"truth", 1L).otherwise(0L)).as("c"),
+      sum(when(!$"pred" && !$"truth", 1L).otherwise(0L)).as("d"))
+      .withColumn("kappa_ppm", expr(
+        """CASE WHEN n * n = (a + b) * (a + c) + (c + d) * (b + d) THEN NULL ELSE
+          |  CASE WHEN n * (a + d) - ((a + b) * (a + c) + (c + d) * (b + d)) >= 0
+          |  THEN ((n * (a + d) - ((a + b) * (a + c) + (c + d) * (b + d))) * 1000000)
+          |       DIV (n * n - ((a + b) * (a + c) + (c + d) * (b + d)))
+          |  ELSE -((-(n * (a + d) - ((a + b) * (a + c) + (c + d) * (b + d))) * 1000000)
+          |       DIV (n * n - ((a + b) * (a + c) + (c + d) * (b + d))))
+          |  END END""".stripMargin))
+  }
+  val x140Sql: String = {
+    val stops = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    val toks = """regexp_split_to_array(lower(text), '\s+')"""
+    s"""WITH sc AS (
+       |  SELECT doc_id,
+       |    ((CAST(len(list_filter($toks, w -> w IN ($stops))) AS DOUBLE)
+       |      / NULLIF(CAST(len($toks) AS DOUBLE), 0.0)) * 2.0
+       |    + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+       |             / NULLIF(CAST(length(text) AS DOUBLE), 0.0))) >= 1.2 AS pred
+       |  FROM documents),
+       |j AS (
+       |  SELECT sc.pred, (e.label >= 5) AS truth
+       |  FROM sc JOIN embeddings e ON sc.doc_id = e.vec_id),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN pred AND truth THEN 1 ELSE 0 END) AS BIGINT) AS a,
+       |    CAST(sum(CASE WHEN pred AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS b,
+       |    CAST(sum(CASE WHEN NOT pred AND truth THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |    CAST(sum(CASE WHEN NOT pred AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS d
+       |  FROM j)
+       |SELECT n, a, b, c, d,
+       |  CASE WHEN n * n = (a + b) * (a + c) + (c + d) * (b + d) THEN NULL ELSE
+       |    CASE WHEN n * (a + d) - ((a + b) * (a + c) + (c + d) * (b + d)) >= 0
+       |    THEN ((n * (a + d) - ((a + b) * (a + c) + (c + d) * (b + d))) * 1000000)
+       |         // (n * n - ((a + b) * (a + c) + (c + d) * (b + d)))
+       |    ELSE -((-(n * (a + d) - ((a + b) * (a + c) + (c + d) * (b + d))) * 1000000)
+       |         // (n * n - ((a + b) * (a + c) + (c + d) * (b + d))))
+       |    END END AS kappa_ppm
+       |FROM m""".stripMargin
+  }
+
+  // ------------------------------------------- x139 point-in-time features
+  /** Point-in-time-correct feature join with a freshness TTL — the feature-
+    * store contract: each purchase (the label event) sees the user's
+    * cumulative click/view counts AS OF strictly its own event time, and a
+    * feature whose LAST underlying event is older than 7 days reads NULL
+    * (stale). One union + per-user ordered window carries both features
+    * in a single shuffle — the x16 as-of kernel generalized to multiple
+    * feature columns with TTLs; no training-serving skew is possible
+    * because the same relation defines both. */
+  def x139PitFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ttlUs = 7L * 86400L * 1000000L
+    val ev = Tables.events(s, dir)
+      .filter($"event_type".isin("click", "view", "purchase"))
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"), $"event_type",
+        when($"event_type" === "purchase", 1).otherwise(0).as("tag"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"us", $"tag", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("cum_clicks", sum(when($"event_type" === "click", 1L).otherwise(0L)).over(w))
+      .withColumn("cum_views", sum(when($"event_type" === "view", 1L).otherwise(0L)).over(w))
+      .withColumn("last_click_us",
+        last(when($"event_type" === "click", $"us"), ignoreNulls = true).over(w))
+      .withColumn("last_view_us",
+        last(when($"event_type" === "view", $"us"), ignoreNulls = true).over(w))
+      .filter($"tag" === 1)
+      .select($"event_id",
+        when($"last_click_us".isNotNull && $"us" - $"last_click_us" <= ttlUs,
+          $"cum_clicks").as("f_clicks"),
+        when($"last_view_us".isNotNull && $"us" - $"last_view_us" <= ttlUs,
+          $"cum_views").as("f_views"),
+        ($"last_click_us".isNull || $"us" - $"last_click_us" > ttlUs).as("clicks_stale"),
+        ($"last_view_us".isNull || $"us" - $"last_view_us" > ttlUs).as("views_stale"))
+      .orderBy($"event_id")
+  }
+  val x139Sql: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS tag
+       |  FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+       |w AS (
+       |  SELECT *,
+       |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       |      OVER win AS BIGINT) AS cum_clicks,
+       |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+       |      OVER win AS BIGINT) AS cum_views,
+       |    last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+       |      OVER win AS last_click_us,
+       |    last_value(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS)
+       |      OVER win AS last_view_us
+       |  FROM ev
+       |  WINDOW win AS (PARTITION BY user_id ORDER BY us, tag, event_id
+       |                 ROWS UNBOUNDED PRECEDING))
+       |SELECT event_id,
+       |  CASE WHEN last_click_us IS NOT NULL AND us - last_click_us <= ${7L * 86400L * 1000000L}
+       |       THEN cum_clicks END AS f_clicks,
+       |  CASE WHEN last_view_us IS NOT NULL AND us - last_view_us <= ${7L * 86400L * 1000000L}
+       |       THEN cum_views END AS f_views,
+       |  (last_click_us IS NULL OR us - last_click_us > ${7L * 86400L * 1000000L}) AS clicks_stale,
+       |  (last_view_us IS NULL OR us - last_view_us > ${7L * 86400L * 1000000L}) AS views_stale
+       |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin
+
   // ------------------------------------------- x138 linear gap fill
   /** [[graft.ops.EventAnalytics.gapFillLinear]] with a deterministic
     * simulated dropout (days where day-of-month % 3 = 0 removed): daily
@@ -3941,6 +4062,8 @@ object Extensions {
       |FROM t WHERE length(s) > 0 ORDER BY doc_id, sent_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x140_cohens_kappa" -> x140CohensKappa _,
+    "x139_pit_features" -> x139PitFeatures _,
     "x138_linear_gapfill" -> x138LinearGapFill _,
     "x137_seasonal_anomalies" -> x137SeasonalAnomalies _,
     "x136_contract_report" -> x136ContractReport _,
@@ -4133,6 +4256,8 @@ object Extensions {
     "x86_quality_dup_curve" -> x86Sql,
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
+    "x140_cohens_kappa" -> x140Sql,
+    "x139_pit_features" -> x139Sql,
     "x138_linear_gapfill" -> x138Sql,
     "x137_seasonal_anomalies" -> x137Sql,
     "x136_contract_report" -> x136Sql,

@@ -394,6 +394,46 @@ class MiningSpec extends SparkSpec {
     assert(upOut == Seq(10L, 40L, 70L, 100L))
   }
 
+  // ------------------------------------------------- point-in-time features
+  test("x139 machinery: as-of counts, TTL staleness, and no feature leakage from the future") {
+    import spark.implicits._
+    // replicate the x139 pipeline on a hand timeline via a scratch dir
+    def t(dayMin: (Int, Int)) = new java.sql.Timestamp(
+      1704067200000L + dayMin._1 * 86400000L + dayMin._2 * 60000L)
+    val rows = Seq(
+      (1L, t((0, 0)), 1L, "click", 0.0),
+      (2L, t((0, 5)), 1L, "purchase", 1.0),  // sees click 1 (fresh)
+      (3L, t((0, 10)), 1L, "click", 0.0),    // AFTER purchase 2 — must not leak
+      (4L, t((9, 0)), 1L, "purchase", 1.0),  // last click 9d ago → stale
+      (5L, t((0, 0)), 2L, "purchase", 1.0))  // user 2: no history at all
+    val dir = java.nio.file.Files.createTempDirectory("graft-pit").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val out = graft.queries.Extensions.x139PitFeatures(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getBoolean(3))).toMap
+    assert(out(2L) == ((Some(1L), None, false)))  // one click as-of, fresh
+    assert(out(4L)._1.isEmpty && out(4L)._3)      // stale → NULL + flag
+    assert(out(5L) == ((None, None, true)))       // cold start
+  }
+
+  // ------------------------------------------------------------ Cohen's kappa
+  test("x140 kappa arithmetic: perfect, independent, and mixed confusion matrices") {
+    def kappa(a: Long, b: Long, c: Long, d: Long): Option[Long] = {
+      val n = a + b + c + d
+      val pe = (a + b) * (a + c) + (c + d) * (b + d)
+      val num = n * (a + d) - pe
+      val den = n * n - pe
+      if (den == 0) None
+      else Some(if (num >= 0) num * 1000000 / den else -((-num) * 1000000 / den))
+    }
+    assert(kappa(50, 0, 0, 50).contains(1000000L)) // perfect agreement
+    assert(kappa(25, 25, 25, 25).contains(0L))     // independence
+    assert(kappa(100, 0, 0, 0).isEmpty)            // degenerate marginals
+    // textbook example: a=20 b=5 c=10 d=15 → po=.7, pe=.5 → κ=.4
+    assert(kappa(20, 5, 10, 15).contains(400000L))
+  }
+
   test("olsTrend: negative slope truncates toward zero like the oracle") {
     import spark.implicits._
     // y = 10, 9, 9 → slope = -1/2 → e2 = -50 exactly; y = 10, 9, 9, 9
