@@ -232,6 +232,19 @@ object Exprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** deflate_ratio_ppm(string) → bigint — Deflater compression ratio on the
+    * ppm grid; the compressibility quality signal. JVM-only semantics (no
+    * SQL engine exposes deflate), so its consumers carry exact ScalaTest
+    * oracles instead of DuckDB ones. */
+  case class DeflateRatio(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(v: Any): Any =
+      Ops.deflateRatioPpm(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Ops.deflateRatioPpm($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** pair_in_sorted_set(bigint v, bigint w) → boolean — exact membership of
     * the packed (v, w) pair in a sorted long array carried via
     * `ctx.addReferenceObj` (the BloomAnyExpr task-binary path, but exact):
@@ -328,6 +341,7 @@ object Exprs {
     col(HyperplaneBucket(ex(vec), nbits, seed))
   def pair_in_sorted_set(a: Column, b: Column, set: Array[Long]): Column =
     col(PairInSortedSet(ex(a), ex(b), set))
+  def deflate_ratio_ppm(text: Column): Column = col(DeflateRatio(ex(text)))
   def lang_id(text: Column): Column = col(LangId(ex(text)))
   def bpe_merge_pair(tokens: Column, l: String, r: String): Column =
     col(BpeMergePair(ex(tokens), l, r))

@@ -488,6 +488,27 @@ object Ops {
     false
   }
 
+  // ------------------------------------------------------------ compression
+  /** Deflate compression ratio in ppm: ⌊10⁶ · deflate(utf8 bytes).length /
+    * bytes.length⌋ (level 6, default strategy — the java.util.zip Deflater,
+    * deterministic for a given input). Low ratio = highly repetitive text
+    * (boilerplate, generated spam), the compressibility quality signal of
+    * the Gopher/RefinedWeb rule families. Empty input → 10⁶ (defined as
+    * incompressible). */
+  def deflateRatioPpm(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    if (bytes.isEmpty) return 1000000L
+    val d = new java.util.zip.Deflater(6)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var compressed = 0L
+      while (!d.finished()) compressed += d.deflate(buf)
+      compressed * 1000000L / bytes.length
+    } finally d.end()
+  }
+
   // -------------------------------------------------------------- pair sets
   /** Pack a (v, w) id pair into one long — callers must guarantee both fit
     * in 32 bits (checked by the caller against the data's max id). */

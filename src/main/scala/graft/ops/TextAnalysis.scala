@@ -724,4 +724,83 @@ object TextAnalysis {
           nullif((lit(2L) * col("n_a") * col("n_b")).cast("double"), lit(0.0)))
           .as("tv_distance"))
   }
+
+  /** The Gopher quality-rule family (Rae et al.'21 §A1.1, bounds adapted to
+    * this corpus's 10–99-word documents), per-source pass counts — five
+    * rules, all exact integer/boolean arithmetic so the oracle reproduces
+    * every verdict:
+    *   r1 word count ∈ [20, 100000]; r2 mean word length ∈ [3, 10] (e1
+    *   grid); r3 symbol-to-word ratio ≤ 0.1 ('#' + '…' occurrences); r4
+    *   ≥ 2 distinct stopwords present; r5 ≥ 80% of words contain a letter.
+    * One map-side pass over the scan (HOFs on the token array — no
+    * explode), then a partial-aggregable per-source rollup. */
+  def gopherRules(docs: DataFrame, textCol: String, srcCol: String): DataFrame = {
+    val stopArr = array(Stopwords.map(lit): _*)
+    val base = docs
+      .select(col(srcCol).as("source"), col(textCol).as("t"),
+        graft.ops.Dedup.tokens(col(textCol)).as("w"))
+      .withColumn("wc", size(col("w")).cast("long"))
+      .withColumn("sumlen",
+        expr("aggregate(w, CAST(0 AS BIGINT), (a, x) -> a + length(x))"))
+      .withColumn("n_alpha",
+        expr("CAST(size(filter(w, x -> x rlike '[a-z]')) AS BIGINT)"))
+      .withColumn("n_stop",
+        size(filter(stopArr, s => array_contains(col("w"), s))).cast("long"))
+      .withColumn("n_sym",
+        (length(col("t")) - length(regexp_replace(col("t"), "#", ""))).cast("long") +
+          expr("(length(t) - length(replace(t, '...', ''))) DIV 3"))
+      .withColumn("r1", col("wc") >= 20L && col("wc") <= 100000L)
+      .withColumn("r2", col("wc") > 0 &&
+        expr("(sumlen * 10) DIV greatest(wc, 1)").between(30L, 100L))
+      .withColumn("r3", col("n_sym") * 10L <= col("wc"))
+      .withColumn("r4", col("n_stop") >= 2L)
+      .withColumn("r5", col("n_alpha") * 10L >= col("wc") * 8L)
+    base
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("r1"), 1L).otherwise(0L)).as("pass_wordcount"),
+        sum(when(col("r2"), 1L).otherwise(0L)).as("pass_wordlen"),
+        sum(when(col("r3"), 1L).otherwise(0L)).as("pass_symbols"),
+        sum(when(col("r4"), 1L).otherwise(0L)).as("pass_stopwords"),
+        sum(when(col("r5"), 1L).otherwise(0L)).as("pass_alpha"),
+        sum(when(col("r1") && col("r2") && col("r3") && col("r4") && col("r5"),
+          1L).otherwise(0L)).as("pass_all"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB respell of [[gopherRules]]. */
+  def gopherRulesSql(table: String, textCol: String, srcCol: String): String = {
+    val stops = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH b AS (
+       |  SELECT $srcCol AS source, $textCol AS t,
+       |    string_split_regex(lower($textCol), '\\s+') AS w
+       |  FROM $table),
+       |m AS (
+       |  SELECT source,
+       |    CAST(len(w) AS BIGINT) AS wc,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(w, x -> CAST(length(x) AS BIGINT))),
+       |      (a, x) -> a + x) AS BIGINT) AS sumlen,
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+       |    CAST(len(list_filter([$stops], s -> list_contains(w, s))) AS BIGINT) AS n_stop,
+       |    CAST(length(t) - length(replace(t, '#', '')) AS BIGINT)
+       |      + (CAST(length(t) - length(replace(t, '...', '')) AS BIGINT) // 3) AS n_sym
+       |  FROM b),
+       |r AS (
+       |  SELECT source,
+       |    wc BETWEEN 20 AND 100000 AS r1,
+       |    wc > 0 AND ((sumlen * 10) // wc) BETWEEN 30 AND 100 AS r2,
+       |    n_sym * 10 <= wc AS r3,
+       |    n_stop >= 2 AS r4,
+       |    n_alpha * 10 >= wc * 8 AS r5
+       |  FROM m)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS pass_wordcount,
+       |  CAST(sum(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_wordlen,
+       |  CAST(sum(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) AS pass_symbols,
+       |  CAST(sum(CASE WHEN r4 THEN 1 ELSE 0 END) AS BIGINT) AS pass_stopwords,
+       |  CAST(sum(CASE WHEN r5 THEN 1 ELSE 0 END) AS BIGINT) AS pass_alpha,
+       |  CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+  }
 }

@@ -962,6 +962,33 @@ object Extensions {
        |FROM ex JOIN z USING (event_type) ORDER BY ex.event_type""".stripMargin
   }
 
+  // ------------------------------------------- x142 Gopher quality rules
+  /** [[graft.ops.TextAnalysis.gopherRules]]: the published Gopher rule
+    * family (bounds adapted to this corpus), per-source pass counts —
+    * exact integer verdicts, one map-side pass. */
+  def x142GopherRules(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(docs(s, dir), "text", "source")
+  val x142Sql: String =
+    TextAnalysis.gopherRulesSql("documents", "text", "source")
+
+  // ------------------------------------------- x141 compression ratio
+  /** Deflate compressibility per source ([[graft.functions.Exprs.DeflateRatio]]
+    * — level-6 java.util.zip, codegen'd, map-side): low ratio = repetitive/
+    * templated text, the Gopher/RefinedWeb compressibility signal. No SQL
+    * engine exposes deflate, so this op carries an exact ScalaTest oracle
+    * (MiningSpec replays the JVM Deflater row by row) instead of a DuckDB
+    * one — rows-only at the driver, the x15/x22 contract. */
+  def x141CompressionRatio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"source", graft.functions.Exprs.deflate_ratio_ppm($"text").as("r"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(r) DIV count(1)").as("mean_ratio_ppm"),
+        min($"r").as("min_ratio_ppm"), max($"r").as("max_ratio_ppm"))
+      .orderBy($"source")
+  }
+
   // ------------------------------------------- x140 Cohen's kappa
   /** Inter-annotator agreement between the heuristic quality gate
     * (score ≥ 1.2) and the embedding label (≥ 5), as EXACT Cohen's kappa:
@@ -4062,6 +4089,8 @@ object Extensions {
       |FROM t WHERE length(s) > 0 ORDER BY doc_id, sent_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x142_gopher_rules" -> x142GopherRules _,
+    "x141_compression_ratio" -> x141CompressionRatio _,
     "x140_cohens_kappa" -> x140CohensKappa _,
     "x139_pit_features" -> x139PitFeatures _,
     "x138_linear_gapfill" -> x138LinearGapFill _,
@@ -4256,6 +4285,7 @@ object Extensions {
     "x86_quality_dup_curve" -> x86Sql,
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
+    "x142_gopher_rules" -> x142Sql,
     "x140_cohens_kappa" -> x140Sql,
     "x139_pit_features" -> x139Sql,
     "x138_linear_gapfill" -> x138Sql,

@@ -434,6 +434,51 @@ class MiningSpec extends SparkSpec {
     assert(kappa(20, 5, 10, 15).contains(400000L))
   }
 
+  // -------------------------------------------------------- compression ratio
+  test("x141 exact oracle: per-source deflate stats replayed row by row on the driver") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.Extensions.x141CompressionRatio(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val expect = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"source", $"text").collect()
+      .map(r => r.getString(0) -> graft.functions.Ops.deflateRatioPpm(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1))))
+      .groupBy(_._1).map { case (s, rs) =>
+        val v = rs.map(_._2)
+        s -> (v.length.toLong, v.sum / v.length, v.min, v.max)
+      }
+    assert(got == expect)
+  }
+
+  test("deflate ratio: repetitive text compresses far below prose; empty is defined") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val rep = graft.functions.Ops.deflateRatioPpm(u("spam " * 500))
+    val prose = graft.functions.Ops.deflateRatioPpm(
+      u((1 to 500).map(i => graft.functions.Ops.splitmix64(i.toLong).toHexString).mkString(" ")))
+    assert(rep < 50000L)      // > 95% compression on pure repetition
+    assert(prose > 400000L)   // high-entropy hex barely compresses
+    assert(graft.functions.Ops.deflateRatioPpm(u("")) == 1000000L)
+  }
+
+  // ------------------------------------------------------------ Gopher rules
+  test("gopherRules: each rule verdict exact on crafted documents") {
+    import spark.implicits._
+    val good = (("the and of " * 10) + ("sensible words here " * 5)).trim // 50 words, stopwords, alpha
+    val short = "tiny doc the and"                        // fails word count
+    val symbols = ("the and " + "# " * 20 + "word " * 30).trim // 52 words, 20 '#' → fails r3
+    val nostop = ("alpha beta gamma delta " * 8).trim     // fails stopword rule
+    val docs = Seq(("s", good), ("s", short), ("s", symbols), ("s", nostop))
+      .toDF("src", "text")
+    val out = graft.ops.TextAnalysis.gopherRules(docs, "text", "src").collect()(0)
+    assert(out.getAs[Long]("n_docs") == 4L)
+    assert(out.getAs[Long]("pass_wordcount") == 3L) // all but `short`
+    assert(out.getAs[Long]("pass_symbols") == 3L)   // all but `symbols`
+    assert(out.getAs[Long]("pass_stopwords") == 3L) // all but `nostop`
+    assert(out.getAs[Long]("pass_all") <= 1L)       // only `good` can pass all
+  }
+
   test("olsTrend: negative slope truncates toward zero like the oracle") {
     import spark.implicits._
     // y = 10, 9, 9 → slope = -1/2 → e2 = -50 exactly; y = 10, 9, 9, 9
