@@ -665,6 +665,62 @@ object Stats {
         (col("nt") - col("nl")).as("n_right"), (col("pt") - col("pl")).as("pos_right"))
   }
 
+  /** Pearson chi-square test of independence between two categorical
+    * columns, in the N·Σ O²/(r·c) − N spelling: every O, r, c is an exact
+    * integer count, each cell contributes one pinned double term
+    * (O²·N exact below 2⁵³ at these magnitudes, one correctly-rounded
+    * division), and the statistic lands on the e6 grid — the x74 contract.
+    * One groupBy builds the contingency table (cells ≤ |A|·|B| — catalog-
+    * sized); marginals broadcast back. Emits dof = (|A|−1)(|B|−1). */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val rm = cells.groupBy(col("a")).agg(sum(col("o")).as("ra"))
+    val cm = cells.groupBy(col("b")).agg(sum(col("o")).as("cb"))
+    val n = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("a")).as("ka"), countDistinct(col("b")).as("kb"))
+    cells
+      .join(broadcast(rm), Seq("a"))
+      .join(broadcast(cm), Seq("b"))
+      .crossJoin(broadcast(n))
+      .withColumn("term",
+        expr("CAST(o AS DOUBLE) * CAST(o AS DOUBLE) * CAST(n AS DOUBLE)" +
+          " / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE))"))
+      .groupBy(col("n"), col("ka"), col("kb"))
+      .agg(sort_array(collect_list(struct(col("a"), col("b"), col("term")))).as("ts"))
+      .select(col("n"),
+        ((col("ka") - 1) * (col("kb") - 1)).as("dof"),
+        expr("""CAST(FLOOR((aggregate(ts, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)
+               |  - CAST(n AS DOUBLE)) * 1000000.0D) AS BIGINT)""".stripMargin)
+          .as("chi2_e6"))
+  }
+
+  /** DuckDB respell of [[chiSquare]] — `relSql` emits (a, b) pairs. The
+    * per-cell terms fold in SORTED (a, b) order on both engines, so the
+    * double sum is order-pinned. */
+  def chiSquareSql(relSql: String): String =
+    s"""WITH r0 AS ($relSql),
+       |cells AS (
+       |  SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM r0
+       |  WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY 1, 2),
+       |rm AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+       |cm AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+       |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+       |  CAST(count(DISTINCT a) AS BIGINT) AS ka,
+       |  CAST(count(DISTINCT b) AS BIGINT) AS kb FROM cells),
+       |t AS (
+       |  SELECT cells.a, cells.b,
+       |    CAST(o AS DOUBLE) * CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+       |      / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)) AS term
+       |  FROM cells JOIN rm USING (a) JOIN cm USING (b), nn)
+       |SELECT nn.n, (nn.ka - 1) * (nn.kb - 1) AS dof,
+       |  CAST(floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    (SELECT list(term ORDER BY a, b) FROM t)), (x, y) -> x + y)
+       |    - CAST(nn.n AS DOUBLE)) * 1000000.0) AS BIGINT) AS chi2_e6
+       |FROM nn""".stripMargin
+
   /** k-anonymity audit over quasi-identifier columns (Sweeney'02): group
     * rows into QI equivalence classes and report the dataset's k (the
     * smallest class), plus how many classes and rows sit below the target

@@ -962,6 +962,114 @@ object Extensions {
        |FROM ex JOIN z USING (event_type) ORDER BY ex.event_type""".stripMargin
   }
 
+  // ------------------------------------------- x145 Wilson-ranked reorders
+  /** Repeat-purchase strength per part, ranked by the WILSON SCORE LOWER
+    * BOUND (95%) instead of the raw proportion — the rate that refuses to
+    * rank a 1-for-1 part above a 40-for-60 one. n = distinct buyers,
+    * k = buyers who reordered; the bound is assembled from exact integer
+    * counts in one pinned double shape and floored to e6 (the x74
+    * contract). Top-25 by (wilson_e6 DESC, part). */
+  def x145WilsonReorder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val buyers = Tables.load(s, dir, "lineitem")
+      .join(Tables.load(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_partkey", $"o_custkey")
+      .agg(countDistinct($"o_orderkey").as("n_orders"))
+    buyers.groupBy($"l_partkey")
+      .agg(count(lit(1)).as("n_buyers"),
+        sum(when($"n_orders" >= 2, 1L).otherwise(0L)).as("n_reorderers"))
+      .withColumn("wilson_e6", expr(
+        """CAST(FLOOR((
+          |  (CAST(n_reorderers AS DOUBLE) / CAST(n_buyers AS DOUBLE)
+          |   + 3.8416D / (2.0D * CAST(n_buyers AS DOUBLE))
+          |   - 1.96D * SQRT((CAST(n_reorderers AS DOUBLE) / CAST(n_buyers AS DOUBLE)
+          |       * (1.0D - CAST(n_reorderers AS DOUBLE) / CAST(n_buyers AS DOUBLE))
+          |       + 3.8416D / (4.0D * CAST(n_buyers AS DOUBLE))) / CAST(n_buyers AS DOUBLE)))
+          |  / (1.0D + 3.8416D / CAST(n_buyers AS DOUBLE))) * 1000000.0D) AS BIGINT)""".stripMargin))
+      .orderBy($"wilson_e6".desc, $"l_partkey")
+      .limit(25)
+  }
+  val x145Sql: String =
+    """WITH buyers AS (
+      |  SELECT l_partkey, o_custkey, count(DISTINCT o_orderkey) AS n_orders
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |st AS (
+      |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_buyers,
+      |    CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_reorderers
+      |  FROM buyers GROUP BY 1)
+      |SELECT l_partkey, n_buyers, n_reorderers,
+      |  CAST(floor((
+      |    (CAST(n_reorderers AS DOUBLE) / CAST(n_buyers AS DOUBLE)
+      |     + 3.8416 / (2.0 * CAST(n_buyers AS DOUBLE))
+      |     - 1.96 * sqrt((CAST(n_reorderers AS DOUBLE) / CAST(n_buyers AS DOUBLE)
+      |         * (1.0 - CAST(n_reorderers AS DOUBLE) / CAST(n_buyers AS DOUBLE))
+      |         + 3.8416 / (4.0 * CAST(n_buyers AS DOUBLE))) / CAST(n_buyers AS DOUBLE)))
+      |    / (1.0 + 3.8416 / CAST(n_buyers AS DOUBLE))) * 1000000.0) AS BIGINT) AS wilson_e6
+      |FROM st ORDER BY wilson_e6 DESC, l_partkey LIMIT 25""".stripMargin
+
+  // ------------------------------------------- x144 RFM segmentation
+  /** Classic RFM: per customer, recency (days since last order, vs the
+    * corpus max date), frequency (orders), monetary (cents); quintile each
+    * with a (metric, custkey) total order so ntile is deterministic; count
+    * customers per RFM segment. The whole fact table collapses to one row
+    * per customer before any window touches it. */
+  def x144RfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.load(s, dir, "orders")
+    val anchor = o.agg(max(to_date($"o_orderdate")).as("maxd"))
+    val per = o.groupBy($"o_custkey")
+      .agg(max(to_date($"o_orderdate")).as("lastd"),
+        count(lit(1)).as("freq"),
+        sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("cents"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("recency", datediff($"maxd", $"lastd"))
+    val rW = Window.orderBy($"recency".asc, $"o_custkey") // low recency = best
+    val fW = Window.orderBy($"freq".desc, $"o_custkey")
+    val mW = Window.orderBy($"cents".desc, $"o_custkey")
+    per
+      .withColumn("r", ntile(5).over(rW))
+      .withColumn("f", ntile(5).over(fW))
+      .withColumn("m", ntile(5).over(mW))
+      .groupBy(concat($"r", lit("-"), $"f", lit("-"), $"m").as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        expr("sum(cents) DIV count(1)").as("avg_cents"))
+      .orderBy($"segment")
+  }
+  val x144Sql: String =
+    """WITH a AS (SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+      |per AS (
+      |  SELECT o_custkey,
+      |    CAST(a.maxd - max(CAST(o_orderdate AS DATE)) AS BIGINT) AS recency,
+      |    CAST(count(*) AS BIGINT) AS freq,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders, a GROUP BY o_custkey, a.maxd),
+      |q AS (
+      |  SELECT *,
+      |    ntile(5) OVER (ORDER BY recency ASC, o_custkey) AS r,
+      |    ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f,
+      |    ntile(5) OVER (ORDER BY cents DESC, o_custkey) AS m
+      |  FROM per)
+      |SELECT r || '-' || f || '-' || m AS segment,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(cents) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_cents
+      |FROM q GROUP BY 1 ORDER BY segment""".stripMargin
+
+  // ------------------------------------------- x143 chi-square independence
+  /** [[graft.ops.Stats.chiSquare]]: is document language independent of
+    * the (label ≥ 5) quality class? The contingency-table gate run before
+    * trusting a per-language mixing decision. */
+  def x143ChiSquare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rel = docs(s, dir).select($"doc_id", $"lang")
+      .join(emb(s, dir).select($"vec_id".as("doc_id"), ($"label" >= 5).as("hi")), "doc_id")
+      .select($"lang".as("a"), $"hi".as("b"))
+    Stats.chiSquare(rel, "a", "b")
+  }
+  val x143Sql: String = Stats.chiSquareSql(
+    """SELECT d.lang AS a, (e.label >= 5) AS b
+      |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin)
+
   // ------------------------------------------- x142 Gopher quality rules
   /** [[graft.ops.TextAnalysis.gopherRules]]: the published Gopher rule
     * family (bounds adapted to this corpus), per-source pass counts —
@@ -4089,6 +4197,9 @@ object Extensions {
       |FROM t WHERE length(s) > 0 ORDER BY doc_id, sent_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x145_wilson_reorder" -> x145WilsonReorder _,
+    "x144_rfm_segments" -> x144RfmSegments _,
+    "x143_chi_square" -> x143ChiSquare _,
     "x142_gopher_rules" -> x142GopherRules _,
     "x141_compression_ratio" -> x141CompressionRatio _,
     "x140_cohens_kappa" -> x140CohensKappa _,
@@ -4285,6 +4396,9 @@ object Extensions {
     "x86_quality_dup_curve" -> x86Sql,
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
+    "x145_wilson_reorder" -> x145Sql,
+    "x144_rfm_segments" -> x144Sql,
+    "x143_chi_square" -> x143Sql,
     "x142_gopher_rules" -> x142Sql,
     "x140_cohens_kappa" -> x140Sql,
     "x139_pit_features" -> x139Sql,

@@ -479,6 +479,54 @@ class MiningSpec extends SparkSpec {
     assert(out.getAs[Long]("pass_all") <= 1L)       // only `good` can pass all
   }
 
+  // --------------------------------------------------------------- chi-square
+  test("chiSquare: perfect dependence gives chi2 = N; exact independence gives 0") {
+    import spark.implicits._
+    val dep = (Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("y", "q"))).toDF("a", "b")
+    val d = graft.ops.Stats.chiSquare(dep, "a", "b").collect()(0)
+    assert(d.getAs[Long]("n") == 20L && d.getAs[Long]("dof") == 1L)
+    assert(d.getAs[Long]("chi2_e6") == 20000000L)
+    val ind = (Seq.fill(5)(("x", "p")) ++ Seq.fill(5)(("x", "q")) ++
+      Seq.fill(5)(("y", "p")) ++ Seq.fill(5)(("y", "q"))).toDF("a", "b")
+    assert(graft.ops.Stats.chiSquare(ind, "a", "b")
+      .collect()(0).getAs[Long]("chi2_e6") == 0L)
+  }
+
+  // ---------------------------------------------------------------------- RFM
+  test("x144 RFM: customers conserved, quintiles deterministic on a strict order") {
+    import spark.implicits._
+    val out = graft.queries.Extensions.x144RfmSegments(spark, "/root/testdata/sf0.001")
+      .collect()
+    val nCustomers = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select($"o_custkey").distinct().count()
+    assert(out.map(_.getAs[Long]("n_customers")).sum == nCustomers)
+    assert(out.forall(_.getString(0).matches("[1-5]-[1-5]-[1-5]")))
+  }
+
+  // ------------------------------------------------------------------- Wilson
+  test("x145 Wilson lower bound: below the raw rate, monotone in successes") {
+    val rows = graft.queries.Extensions.x145WilsonReorder(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, k, w) = (r.getAs[Long]("n_buyers"), r.getAs[Long]("n_reorderers"),
+        r.getAs[Long]("wilson_e6"))
+      assert(w <= k * 1000000L / n, s"lower bound above raw rate for part ${r.get(0)}")
+      assert(w >= -1000000L && w <= 1000000L)
+    }
+    // local replay of the pinned shape must match the SQL expression
+    def wilson(k: Long, n: Long): Long = {
+      val p = k.toDouble / n
+      math.floor(((p + 3.8416 / (2.0 * n) -
+        1.96 * math.sqrt((p * (1.0 - p) + 3.8416 / (4.0 * n)) / n)) /
+        (1.0 + 3.8416 / n)) * 1000000.0).toLong
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("wilson_e6") ==
+        wilson(r.getAs[Long]("n_reorderers"), r.getAs[Long]("n_buyers")))
+    }
+  }
+
   test("olsTrend: negative slope truncates toward zero like the oracle") {
     import spark.implicits._
     // y = 10, 9, 9 → slope = -1/2 → e2 = -50 exactly; y = 10, 9, 9, 9
