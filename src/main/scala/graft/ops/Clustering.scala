@@ -168,6 +168,123 @@ object Clustering {
     } finally base.unpersist()
   }
 
+  /** Simplified silhouette (Hruschka et al.'s centroid variant — the O(n·k)
+    * clustering-quality gate run after [[kmeansAssign]]; the classic
+    * all-pairs silhouette is O(n²) and unrunnable at corpus scale): per
+    * vector, a = squared distance to its OWN cluster centroid, b = min
+    * squared distance to any OTHER centroid, s = (b−a)/max(a,b) on an exact
+    * per-mille grid. Positive mean = clusters separate; ≤0 = the vector sits
+    * closer to a foreign centroid than its own.
+    *
+    * Scale shape: centroids come from ONE aggregation bounded by k rows
+    * ([[graft.functions.VecSumAgg]] partials, floor-div quantization), ride
+    * back as broadcast literals in a map-side projection — the corpus never
+    * shuffles for scoring, and the per-cluster rollup is a partial-aggregable
+    * groupBy. Integer discipline throughout (⌊10⁶·x⌋ grid, int64 squared
+    * distances, s_pm via the subtract-mod floor division both engines spell
+    * identically; ×1000 keeps (b−a)·1000 ≤ 2⁵⁸ — int64-safe at any corpus
+    * size), so [[silhouetteSql]] reproduces every score bit-for-bit.
+    *
+    * Output: one row per cluster plus a TOTAL row (cluster = −1):
+    * (cluster, n_vecs, mean_s_pm, min_s_pm, max_s_pm), ordered by cluster. */
+  def simplifiedSilhouette(emb: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String): DataFrame = {
+    val base = emb.select(
+      col(idCol).cast("long").as("vec_id"),
+      col(clusterCol).cast("long").as("cluster"),
+      expr(s"transform($vecCol, v -> cast(floor(cast(v as double) * 1000000.0) as bigint))")
+        .as("qv"))
+    // bounded collect: k centroid rows (cluster count, not corpus size)
+    val centroids: Array[(Long, Array[Long])] = base
+      .groupBy(col("cluster"))
+      .agg(graft.functions.VecSumAgg.vec_sum(col("qv")).as("s"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Long](1).toArray.map(Math.floorDiv(_, r.getLong(2)))))
+      .sortBy(_._1)
+    if (centroids.isEmpty)
+      return emb.sparkSession.range(0)
+        .select(col("id").as("cluster"), lit(0L).as("n_vecs"),
+          lit(0L).as("mean_s_pm"), lit(0L).as("min_s_pm"), lit(0L).as("max_s_pm"))
+    val arr = array(centroids.toIndexedSeq.map { case (cid, cv) =>
+      struct(
+        aggregate(
+          zip_with(col("qv"), typedlit(cv.toSeq), (x, c) => (x - c) * (x - c)),
+          lit(0L), (acc, v) => acc + v).as("d"),
+        lit(cid).as("j"))
+    }: _*)
+    val scored = base.withColumn("__arr", arr)
+      .withColumn("a", expr("filter(__arr, p -> p.j = cluster)[0].d"))
+      .withColumn("b", expr("array_min(filter(__arr, p -> p.j != cluster)).d"))
+      .withColumn("__num", (col("b") - col("a")) * 1000L)
+      .withColumn("__den", greatest(col("a"), col("b")))
+      .withColumn("s_pm",
+        when(col("b").isNull || col("__den") === 0L, 0L)
+          // exact floor division: the numerator is first made divisible
+          // (subtract the nonnegative pmod), so DIV never rounds — int64
+          // throughout, no double leg (2⁵⁸ exceeds double's 2⁵³ integers)
+          .otherwise(expr("(__num - pmod(__num, __den)) div __den")))
+    scored.rollup(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("s_pm")).as("__s"),
+        min(col("s_pm")).as("min_s_pm"),
+        max(col("s_pm")).as("max_s_pm"))
+      .select(coalesce(col("cluster"), lit(-1L)).as("cluster"),
+        col("n_vecs"),
+        when(col("n_vecs") === 0L, 0L)
+          .otherwise(expr("(__s - pmod(__s, n_vecs)) div n_vecs"))
+          .as("mean_s_pm"),
+        col("min_s_pm"), col("max_s_pm"))
+      .orderBy(col("cluster"))
+  }
+
+  /** The x147 oracle: centroids, distances, per-mille scores, and the
+    * rollup respelled as DuckDB CTEs with the identical subtract-mod floor
+    * divisions. */
+  def silhouetteSql(table: String, idCol: String, vecCol: String,
+      clusterCol: String): String =
+    s"""WITH q AS (
+       |  SELECT CAST($idCol AS BIGINT) AS vec_id, CAST($clusterCol AS BIGINT) AS cluster,
+       |    list_transform($vecCol, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+       |  FROM $table),
+       |pos AS (
+       |  SELECT cluster, u.p AS pos, u.x AS qc FROM (
+       |    SELECT cluster, unnest(list_transform(qv, (x, i) -> struct_pack(p := i, x := x))) AS u
+       |    FROM q)),
+       |sagg AS (SELECT cluster, pos, CAST(sum(qc) AS BIGINT) AS s FROM pos GROUP BY 1, 2),
+       |nn AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY cluster),
+       |cent AS (
+       |  SELECT sagg.cluster,
+       |    list((s - ((s % n) + n) % n) // n ORDER BY pos) AS cv
+       |  FROM sagg JOIN nn ON sagg.cluster = nn.cluster GROUP BY sagg.cluster, n),
+       |d AS (
+       |  SELECT q.vec_id, q.cluster, c.cluster AS cj,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, len(q.qv) + 1),
+       |        i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))), (x, y) -> x + y) AS d
+       |  FROM q, cent c),
+       |ab AS (
+       |  SELECT vec_id, cluster,
+       |    min(CASE WHEN cj = cluster THEN d END) AS a,
+       |    min(CASE WHEN cj <> cluster THEN d END) AS b
+       |  FROM d GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT cluster,
+       |    CASE WHEN b IS NULL OR greatest(a, b) = 0 THEN 0
+       |         ELSE (((b - a) * 1000) - ((((b - a) * 1000) % greatest(a, b))
+       |                + greatest(a, b)) % greatest(a, b)) // greatest(a, b)
+       |    END AS s_pm
+       |  FROM ab)
+       |SELECT coalesce(cluster, -1) AS cluster,
+       |  CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(CASE WHEN count(*) = 0 THEN 0
+       |       ELSE (sum(s_pm) - ((sum(s_pm) % count(*)) + count(*)) % count(*)) // count(*)
+       |  END AS BIGINT) AS mean_s_pm,
+       |  CAST(min(s_pm) AS BIGINT) AS min_s_pm,
+       |  CAST(max(s_pm) AS BIGINT) AS max_s_pm
+       |FROM sc GROUP BY ROLLUP(cluster)
+       |ORDER BY cluster""".stripMargin
+
   /** The x122 oracle: the greedy loop unrolled — pick t is a scalar CTE,
     * round t's min-distance takes the LEAST over all prior picks (each a
     * 1-row cross join). */

@@ -524,6 +524,123 @@ object Curation {
       .limit(k)
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020's head/middle/tail
+    * split, the quality filter behind CCNet/RedPajama): train a per-language
+    * unigram LM on a REFERENCE corpus (the curated slice a wiki plays in
+    * CCNet), score every corpus document by its cross-entropy under that LM,
+    * and cut each language into terciles — head (lowest perplexity) to tail.
+    *
+    * Determinism discipline (x94's): the vocabulary is hashed into
+    * `numBuckets` md5 buckets so the LM is a bounded relation, every `ln`
+    * argument is an integer-derived double (c+1, N_lang+numBuckets), the
+    * per-doc sum folds bucket-sorted on both engines (terms for the same
+    * bucket are identical, so intra-bucket order cannot matter), and the
+    * emitted cross-entropy is e6-quantized before the tercile window.
+    *
+    * Scale shape: the LM is ONE aggregation bounded by |langs|·numBuckets
+    * rows, broadcast back; scoring shuffles (doc, bucket) pairs once for the
+    * doc-level fold; the per-language ntile is the only global-sort stage —
+    * at 100 TB the tercile cutpoints would come from an approx-quantile pass
+    * instead (same output contract), the exact window here keeps the op
+    * oracle-able. Output: (lang, tercile 1..3, n_docs, avg/min/max h_e6). */
+  def perplexityBuckets(corpus: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String, langCol: String, numBuckets: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def bucketed(df: DataFrame): DataFrame = {
+      val toks = TextAnalysis.toksOf(df, textCol)
+      df.withColumn("__toks", toks)
+        .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+          explode(col("__toks")).as("tok"))
+        .withColumn("b",
+          pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+            lit(numBuckets.toLong)))
+    }
+    val lm = bucketed(ref).groupBy(col("lang"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val langTotals = lm.groupBy(col("lang")).agg(sum(col("c")).as("n_ref"))
+    val terms = bucketed(corpus)
+      .join(broadcast(lm), Seq("lang", "b"), "left")
+      .join(broadcast(langTotals), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("b"),
+        (log(coalesce(col("c"), lit(0L)).cast("double") + 1.0) -
+          log(coalesce(col("n_ref"), lit(0L)).cast("double") + numBuckets)).as("term"))
+    val perDoc = terms.groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_toks"),
+        sort_array(collect_list(struct(col("b"), col("term")))).as("e"))
+      .select(col("doc_id"), col("lang"), col("n_toks"),
+        expr("aggregate(e, CAST(0.0 AS DOUBLE), (a, p) -> a + p.term)").as("s"))
+      .select(col("doc_id"), col("lang"), col("n_toks"),
+        floor((lit(0.0) - col("s")) / col("n_toks").cast("double") * 1e6)
+          .cast("long").as("h_e6"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("h_e6").asc, col("doc_id").asc)
+    perDoc.withColumn("tercile", ntile(3).over(w))
+      .groupBy(col("lang"), col("tercile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("h_e6")).as("__s"),
+        min(col("h_e6")).as("min_h_e6"),
+        max(col("h_e6")).as("max_h_e6"))
+      .select(col("lang"), col("tercile").cast("long").as("tercile"), col("n_docs"),
+        expr("(__s - pmod(__s, n_docs)) div n_docs").as("avg_h_e6"),
+        col("min_h_e6"), col("max_h_e6"))
+      .orderBy(col("lang"), col("tercile"))
+  }
+
+  /** The x146 oracle: LM, fold, quantized cross-entropy, and tercile window
+    * respelled in DuckDB. `refFrom` is the FROM/WHERE clause that selects
+    * the reference slice (e.g. a join against the curated labels). */
+  def perplexityBucketsSql(corpusTable: String, refSelect: String,
+      idCol: String, textCol: String, langCol: String,
+      numBuckets: Int = 4096): String =
+    s"""WITH ctoks AS (
+       |  SELECT $idCol AS doc_id, $langCol AS lang,
+       |    unnest(string_split_regex(lower($textCol), '\\s+')) AS tok
+       |  FROM $corpusTable),
+       |rtoks AS (
+       |  SELECT doc_id, lang,
+       |    unnest(string_split_regex(lower(text), '\\s+')) AS tok
+       |  FROM ($refSelect)),
+       |cb AS (
+       |  SELECT doc_id, lang,
+       |    CAST(list_sum(list_transform(range(1, 9), i ->
+       |      (strpos('0123456789abcdef', substr(md5(tok), CAST(i AS INT), 1)) - 1)
+       |        * power(16.0, 8 - i))) AS BIGINT) % $numBuckets AS b
+       |  FROM ctoks),
+       |rb AS (
+       |  SELECT lang,
+       |    CAST(list_sum(list_transform(range(1, 9), i ->
+       |      (strpos('0123456789abcdef', substr(md5(tok), CAST(i AS INT), 1)) - 1)
+       |        * power(16.0, 8 - i))) AS BIGINT) % $numBuckets AS b
+       |  FROM rtoks),
+       |lm AS (SELECT lang, b, CAST(count(*) AS BIGINT) AS c FROM rb GROUP BY 1, 2),
+       |lt AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_ref FROM lm GROUP BY 1),
+       |terms AS (
+       |  SELECT cb.doc_id, cb.lang, cb.b,
+       |    ln(CAST(coalesce(lm.c, 0) AS DOUBLE) + 1.0)
+       |      - ln(CAST(coalesce(lt.n_ref, 0) AS DOUBLE) + $numBuckets) AS term
+       |  FROM cb LEFT JOIN lm ON cb.lang = lm.lang AND cb.b = lm.b
+       |          LEFT JOIN lt ON cb.lang = lt.lang),
+       |pd AS (
+       |  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_toks,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(term ORDER BY b, term)), (a, x) -> a + x) AS s
+       |  FROM terms GROUP BY doc_id, lang),
+       |h AS (
+       |  SELECT doc_id, lang, n_toks,
+       |    CAST(floor((0.0 - s) / CAST(n_toks AS DOUBLE) * 1000000.0) AS BIGINT) AS h_e6
+       |  FROM pd),
+       |t AS (
+       |  SELECT lang, h_e6,
+       |    ntile(3) OVER (PARTITION BY lang ORDER BY h_e6 ASC, doc_id ASC) AS tercile
+       |  FROM h)
+       |SELECT lang, CAST(tercile AS BIGINT) AS tercile,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST((sum(h_e6) - ((sum(h_e6) % count(*)) + count(*)) % count(*)) // count(*)
+       |    AS BIGINT) AS avg_h_e6,
+       |  CAST(min(h_e6) AS BIGINT) AS min_h_e6,
+       |  CAST(max(h_e6) AS BIGINT) AS max_h_e6
+       |FROM t GROUP BY lang, tercile
+       |ORDER BY lang, tercile""".stripMargin
+
   /** Bloom-prefiltered decontamination — EXACTLY the same output as
     * [[decontaminate]], reached through the plan that survives an eval set
     * too large to broadcast as an exact hash set:

@@ -866,4 +866,135 @@ object Stats {
        |SELECT g AS $groupCol, CAST(min(v) AS BIGINT) AS weighted_median,
        |  CAST(max(tot) AS BIGINT) AS total_weight
        |FROM c WHERE cum * 2 >= tot GROUP BY g ORDER BY $groupCol""".stripMargin
+
+  /** Benford first-digit audit — the classic fabricated-numbers screen run
+    * over any positive integer measure (here: order totals in cents). One
+    * row per digit 1–9: observed count, observed frequency (ppm), Benford's
+    * expected log₁₀(1+1/d) frequency as a BAKED ppm constant (no runtime
+    * libm — the nine constants are mathematical, not data), and the signed
+    * deviation. Exact integers end to end; cnt·10⁶ stays int64 below ~9·10¹²
+    * rows per group, past which the obs_ppm leg moves to DECIMAL.
+    *
+    * Scale shape: first digit is a map-side substring of the cast value, the
+    * digit rollup is a 9-row partial-aggregable groupBy, and the digit grid
+    * joins broadcast — nothing here outgrows a single executor. */
+  private val benfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+
+  def benfordAudit(df: DataFrame, valueCents: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val obs = df.select(valueCents.cast("long").as("v"))
+      .filter(col("v") > 0L)
+      .select(substring(col("v").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val grid = benfordPpm.toDF("digit", "exp_ppm")
+    val n = obs.agg(sum(col("n_obs")).as("n_total"))
+    broadcast(grid).join(obs, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"), col("exp_ppm"))
+      .crossJoin(broadcast(n))
+      .select(col("digit").cast("long").as("digit"), col("n_obs"),
+        when(col("n_total").isNull || col("n_total") === 0L, 0L)
+          .otherwise(expr("(n_obs * 1000000) div n_total")).as("obs_ppm"),
+        col("exp_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  /** The Benford oracle: same digit extraction, grid join, and integer ppm. */
+  def benfordAuditSql(table: String, valueCentsSql: String): String = {
+    val grid = benfordPpm.map { case (d, p) => s"($d, ${p})" }.mkString(", ")
+    s"""WITH v AS (
+       |  SELECT CAST($valueCentsSql AS BIGINT) AS v FROM $table),
+       |obs AS (
+       |  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+       |    CAST(count(*) AS BIGINT) AS n_obs
+       |  FROM v WHERE v > 0 GROUP BY 1),
+       |grid(digit, exp_ppm) AS (VALUES $grid),
+       |n AS (SELECT sum(n_obs) AS n_total FROM obs)
+       |SELECT CAST(g.digit AS BIGINT) AS digit,
+       |  coalesce(o.n_obs, 0) AS n_obs,
+       |  CAST(CASE WHEN n.n_total IS NULL OR n.n_total = 0 THEN 0
+       |       ELSE (coalesce(o.n_obs, 0) * 1000000) // n.n_total END AS BIGINT) AS obs_ppm,
+       |  CAST(g.exp_ppm AS BIGINT) AS exp_ppm,
+       |  CAST(CASE WHEN n.n_total IS NULL OR n.n_total = 0 THEN 0
+       |       ELSE (coalesce(o.n_obs, 0) * 1000000) // n.n_total END - g.exp_ppm
+       |    AS BIGINT) AS dev_ppm
+       |FROM grid g LEFT JOIN obs o ON g.digit = o.digit, n
+       |ORDER BY digit""".stripMargin
+  }
+
+  /** Exact mutual information between two categorical columns, in nats —
+    * the dependence MAGNITUDE companion to [[chiSquare]]'s yes/no test
+    * (how much does knowing the source tell you about the language?).
+    * MI = Σ_cells (c/N)·ln(c·N/(r·s)), assembled as Σ c·(ln c + ln N −
+    * ln r − ln s) / N so every `ln` argument is an exact integer count
+    * (x94's discipline); cells fold in sorted (a, b) order on both engines
+    * and the result quantizes to e9. Output: one row per `a` value with its
+    * MI contribution, plus a TOTAL row (its own full fold, not a sum of
+    * floors).
+    *
+    * Scale shape: cells/margins are partial-aggregable groupBys bounded by
+    * the category cross product (catalog-sized); margins join broadcast. */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.select(col(aCol).cast("string").as("a"), col(bCol).cast("string").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    val ra = cells.groupBy(col("a")).agg(sum(col("c")).as("r"))
+    val sb = cells.groupBy(col("b")).agg(sum(col("c")).as("s"))
+    val n = cells.agg(sum(col("c")).as("n"))
+    val terms = cells
+      .join(broadcast(ra), Seq("a")).join(broadcast(sb), Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("c"), col("n"),
+        (col("c").cast("double") *
+          (log(col("c").cast("double")) + log(col("n").cast("double")) -
+            log(col("r").cast("double")) - log(col("s").cast("double")))).as("term"))
+    val perA = terms.groupBy(col("a"), col("n"))
+      .agg(count(lit(1)).as("n_cells"),
+        sort_array(collect_list(struct(col("b"), col("term")))).as("e"))
+      .select(col("a"), col("n_cells"),
+        floor(expr("aggregate(e, CAST(0.0 AS DOUBLE), (acc, p) -> acc + p.term)") /
+          col("n").cast("double") * 1e9).cast("long").as("mi_e9"))
+    val total = terms.groupBy(col("n"))
+      .agg(count(lit(1)).as("n_cells"),
+        sort_array(collect_list(struct(col("a"), col("b"), col("term")))).as("e"))
+      .select(lit("TOTAL").as("a"), col("n_cells"),
+        floor(expr("aggregate(e, CAST(0.0 AS DOUBLE), (acc, p) -> acc + p.term)") /
+          col("n").cast("double") * 1e9).cast("long").as("mi_e9"))
+    perA.unionByName(total).orderBy(col("a"))
+  }
+
+  /** The MI oracle over an arbitrary two-column relation `relSql`
+    * (columns `a`, `b`). */
+  def mutualInformationSql(relSql: String): String =
+    s"""WITH rel AS ($relSql),
+       |cells AS (
+       |  SELECT CAST(a AS VARCHAR) AS a, CAST(b AS VARCHAR) AS b,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM rel GROUP BY 1, 2),
+       |ra AS (SELECT a, CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY 1),
+       |sb AS (SELECT b, CAST(sum(c) AS BIGINT) AS s FROM cells GROUP BY 1),
+       |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+       |terms AS (
+       |  SELECT cells.a, cells.b, cells.c, n.n,
+       |    CAST(cells.c AS DOUBLE) *
+       |      (ln(CAST(cells.c AS DOUBLE)) + ln(CAST(n.n AS DOUBLE))
+       |        - ln(CAST(ra.r AS DOUBLE)) - ln(CAST(sb.s AS DOUBLE))) AS term
+       |  FROM cells JOIN ra USING (a) JOIN sb USING (b), n),
+       |pa AS (
+       |  SELECT a, CAST(count(*) AS BIGINT) AS n_cells,
+       |    CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(term ORDER BY b, term)), (acc, x) -> acc + x)
+       |      / CAST(any_value(n) AS DOUBLE) * 1000000000.0) AS BIGINT) AS mi_e9
+       |  FROM terms GROUP BY a),
+       |tot AS (
+       |  SELECT 'TOTAL' AS a, CAST(count(*) AS BIGINT) AS n_cells,
+       |    CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(term ORDER BY a, b, term)), (acc, x) -> acc + x)
+       |      / CAST(any_value(n) AS DOUBLE) * 1000000000.0) AS BIGINT) AS mi_e9
+       |  FROM terms)
+       |SELECT a, n_cells, mi_e9 FROM pa
+       |UNION ALL SELECT a, n_cells, mi_e9 FROM tot
+       |ORDER BY a""".stripMargin
 }

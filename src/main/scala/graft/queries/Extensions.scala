@@ -962,6 +962,59 @@ object Extensions {
        |FROM ex JOIN z USING (event_type) ORDER BY ex.event_type""".stripMargin
   }
 
+  // ------------------------------------------- x149 mutual information
+  /** [[graft.ops.Stats.mutualInformation]]: how much does a document's
+    * source tell you about its language? The dependence-magnitude companion
+    * to x143's chi-square yes/no — per-source contributions plus the TOTAL
+    * MI in e9-quantized nats, every ln argument an exact integer count. */
+  def x149MutualInfo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Stats.mutualInformation(docs(s, dir).select($"source", $"lang"), "source", "lang")
+  }
+  val x149Sql: String =
+    Stats.mutualInformationSql("SELECT source AS a, lang AS b FROM documents")
+
+  // ------------------------------------------- x148 Benford digit audit
+  /** [[graft.ops.Stats.benfordAudit]]: first-digit distribution of order
+    * totals (cents) against Benford's law — the fabricated-numbers screen.
+    * A synthetic uniform-ish price grid FAILS Benford loudly; the audit
+    * reporting that deviation faithfully is the product. */
+  def x148Benford(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Stats.benfordAudit(Tables.load(s, dir, "orders"),
+      floor($"o_totalprice" * 100 + 0.5).cast("long"))
+  }
+  val x148Sql: String =
+    Stats.benfordAuditSql("orders", "floor(o_totalprice * 100 + 0.5)")
+
+  // ------------------------------------------- x147 simplified silhouette
+  /** [[graft.ops.Clustering.simplifiedSilhouette]]: clustering-quality gate
+    * over the embedding labels — per-cluster and TOTAL mean of the O(n·k)
+    * centroid silhouette on an exact per-mille grid. */
+  def x147Silhouette(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Clustering.simplifiedSilhouette(emb(s, dir), "vec_id", "embedding", "label")
+  val x147Sql: String =
+    graft.ops.Clustering.silhouetteSql("embeddings", "vec_id", "embedding", "label")
+
+  // ------------------------------------------- x146 perplexity buckets
+  /** [[graft.ops.Curation.perplexityBuckets]]: CCNet's head/middle/tail
+    * quality split — per-language hashed-unigram LM trained on the curated
+    * slice (docs whose embedding label ≥ 5), cross-entropy per document,
+    * terciles per language. */
+  def x146PerplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ref = tokDocs(s, dir)
+      .join(emb(s, dir).select($"vec_id".as("doc_id"), $"label"), "doc_id")
+      .filter($"label" >= 5)
+      .select($"doc_id", $"lang", $"tokens")
+    Curation.perplexityBuckets(tokDocs(s, dir), ref, "doc_id", "tokens", "lang")
+  }
+  val x146Sql: String = Curation.perplexityBucketsSql(
+    "documents",
+    """SELECT d.doc_id, d.lang, d.text FROM documents d
+      |JOIN embeddings e ON d.doc_id = e.vec_id WHERE e.label >= 5""".stripMargin,
+    "doc_id", "text", "lang")
+
   // ------------------------------------------- x145 Wilson-ranked reorders
   /** Repeat-purchase strength per part, ranked by the WILSON SCORE LOWER
     * BOUND (95%) instead of the raw proportion — the rate that refuses to
@@ -4197,6 +4250,10 @@ object Extensions {
       |FROM t WHERE length(s) > 0 ORDER BY doc_id, sent_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x149_mutual_info" -> x149MutualInfo _,
+    "x148_benford" -> x148Benford _,
+    "x147_silhouette" -> x147Silhouette _,
+    "x146_perplexity_buckets" -> x146PerplexityBuckets _,
     "x145_wilson_reorder" -> x145WilsonReorder _,
     "x144_rfm_segments" -> x144RfmSegments _,
     "x143_chi_square" -> x143ChiSquare _,
@@ -4396,6 +4453,10 @@ object Extensions {
     "x86_quality_dup_curve" -> x86Sql,
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
+    "x149_mutual_info" -> x149Sql,
+    "x148_benford" -> x148Sql,
+    "x147_silhouette" -> x147Sql,
+    "x146_perplexity_buckets" -> x146Sql,
     "x145_wilson_reorder" -> x145Sql,
     "x144_rfm_segments" -> x144Sql,
     "x143_chi_square" -> x143Sql,

@@ -397,4 +397,32 @@ class ClusteringSketchSpec extends SparkSpec {
     val empty = Seq.empty[Seq[Float]].toDF("embedding")
     assert(Stats.dominantEigenvector(empty, "embedding").count() == 0L)
   }
+
+  // --------------------------------------------------- simplified silhouette
+  test("simplifiedSilhouette: hand-computed 1-d two-cluster scores") {
+    import spark.implicits._
+    // cluster 0: {0.0, 0.2} → centroid 100000 on the e6 grid;
+    // cluster 1: {1.0} → centroid 1000000.
+    // v1: a=1e10, b=1e12 → floor(9.9e14/1e12)  = 990
+    // v2: a=1e10, b=6.4e11 → floor(6.3e14/6.4e11) = 984
+    // v3: a=0,    b=8.1e11 → 1000
+    val df = Seq((1L, Seq(0.0f), 0), (2L, Seq(0.2f), 0), (3L, Seq(1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Clustering.simplifiedSilhouette(df, "vec_id", "embedding", "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (-1L, 3L, 991L, 984L, 1000L), // total: floor(2974/3)
+      (0L, 2L, 987L, 984L, 990L),
+      (1L, 1L, 1000L, 1000L, 1000L)))
+  }
+
+  test("simplifiedSilhouette: single cluster scores zero everywhere") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(0.1f, 0.9f), 7), (2L, Seq(0.4f, 0.2f), 7))
+      .toDF("vec_id", "embedding", "label")
+    val out = Clustering.simplifiedSilhouette(df, "vec_id", "embedding", "label")
+      .collect()
+    assert(out.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L && r.getLong(4) == 0L))
+    assert(out.map(_.getLong(0)).toSeq == Seq(-1L, 7L))
+  }
 }

@@ -540,4 +540,62 @@ class MiningSpec extends SparkSpec {
       "seg", "day", col("cents")).collect()(0).getAs[Long]("slope_e2")
     assert(s2 == -30L)
   }
+
+  // ---------------------------------------------------------------- Benford
+  test("benfordAudit: hand counts, all nine digits emitted, non-positives dropped") {
+    import spark.implicits._
+    val df = Seq(1L, 1L, 2L, 30L, 999L, -5L, 0L).toDF("cents")
+    val out = Stats.benfordAudit(df, col("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == 9)
+    val byDigit = out.map(r => r._1 -> r).toMap
+    assert(byDigit(1L) == (1L, 2L, 400000L, 301029L, 98971L))
+    assert(byDigit(2L) == (2L, 1L, 200000L, 176091L, 23909L))
+    assert(byDigit(3L) == (3L, 1L, 200000L, 124938L, 75062L))
+    assert(byDigit(9L) == (9L, 1L, 200000L, 45757L, 154243L))
+    assert(byDigit(4L)._2 == 0L && byDigit(4L)._3 == 0L &&
+      byDigit(4L)._5 == -96910L)
+  }
+
+  // ---------------------------------------------------- mutual information
+  test("mutualInformation: identity gives ln 2, independence gives exactly 0") {
+    import spark.implicits._
+    val ident = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b")).toDF("x", "y")
+    val mi = Stats.mutualInformation(ident, "x", "y")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(mi("TOTAL") == (2L, 693147180L)) // floor(ln 2 · 1e9)
+    assert(mi("a") == (1L, 346573590L))     // floor(ln 2 / 2 · 1e9)
+    val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")).toDF("x", "y")
+    val mi0 = Stats.mutualInformation(indep, "x", "y")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(mi0("TOTAL") == 0L)
+  }
+
+  // --------------------------------------------------- perplexity buckets
+  test("perplexityBuckets: in-vocab docs beat OOV docs; unseen language falls back to the uniform LM") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "en", "aa bb cc"), (2L, "en", "cc aa bb"), (3L, "en", "zz qq ww"),
+      (4L, "fr", "aa")).toDF("doc_id", "lang", "text")
+    val ref = Seq((1L, "en", "aa bb cc")).toDF("doc_id", "lang", "text")
+    val out = graft.ops.Curation.perplexityBuckets(corpus, ref, "doc_id", "text", "lang")
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // every en token in docs 1/2 has ref count 1 → term = ln 2 − ln 4099;
+    // every doc-3 token is OOV → term = ln 1 − ln 4099; fr has no ref →
+    // term = ln 1 − ln 4096. Expected h replays the exact fold shape:
+    // left fold from 0.0, then floor((0 − s) / n · 1e6).
+    def h(term: Double, n: Int): Long = {
+      val s = (1 to n).foldLeft(0.0)((a, _) => a + term)
+      math.floor((0.0 - s) / n.toDouble * 1e6).toLong
+    }
+    val hIn = h(math.log(2.0) - math.log(4099.0), 3)
+    val hOov = h(math.log(1.0) - math.log(4099.0), 3)
+    val hFr = h(math.log(1.0) - math.log(4096.0), 1)
+    assert(out(("en", 1L)) == (1L, hIn, hIn, hIn))   // doc 1 (tie → lowest id first)
+    assert(out(("en", 2L)) == (1L, hIn, hIn, hIn))   // doc 2
+    assert(out(("en", 3L)) == (1L, hOov, hOov, hOov)) // doc 3
+    assert(out(("fr", 1L)) == (1L, hFr, hFr, hFr))
+    assert(hOov > hIn)
+  }
 }
