@@ -641,6 +641,77 @@ object Curation {
        |FROM t GROUP BY lang, tercile
        |ORDER BY lang, tercile""".stripMargin
 
+  /** UCB1 adaptive mixture replay — bandit-guided data mixing (the online
+    * data-selection shape behind adaptive curricula: treat each SOURCE as an
+    * arm, its curated-slice quality as the reward, and let UCB1 allocate a
+    * pull budget between exploiting good sources and exploring undersampled
+    * ones). The environment here is deterministic (each pull of arm j pays
+    * its fixed mean reward), so the replay is an exact, replayable
+    * allocation schedule, not a stochastic simulation.
+    *
+    * Integer discipline: rewards arrive on the ppm grid; the exploration
+    * bonus replaces `ln t` with `⌊log₂ t⌋` (bit-length — both engines
+    * compute it without libm) and takes one IEEE sqrt of an integer-valued
+    * argument: bonus = ⌊√((2·⌊log₂t⌋·10¹²) div nⱼ)⌋, ties to the lowest
+    * arm name. Pull counts, and therefore every pick, match
+    * [[ucbMixtureReplaySql]] bit-for-bit.
+    *
+    * Scale shape: the arm-reward relation is ONE aggregation bounded by the
+    * source catalog; the replay itself is driver-side state of |arms| longs
+    * (like [[waterFill]] — decisions over catalog-sized state, never
+    * per-document). Output: (source, r_ppm, n_pulls, share_ppm). */
+  def ucbMixtureReplay(armRewards: DataFrame, rounds: Int): DataFrame = {
+    val spark = armRewards.sparkSession
+    import spark.implicits._
+    val arms = armRewards
+      .select(col("arm").cast("string").as("arm"), col("r_ppm").cast("long").as("r_ppm"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    if (arms.isEmpty)
+      return Seq.empty[(String, Long, Long, Long)]
+        .toDF("source", "r_ppm", "n_pulls", "share_ppm")
+    require(rounds >= arms.length, s"rounds=$rounds < ${arms.length} arms")
+    val nPulls = scala.collection.mutable.LinkedHashMap(arms.map(_._1 -> 1L): _*)
+    for (t <- arms.length + 1 to rounds) {
+      val l2 = 63 - java.lang.Long.numberOfLeadingZeros(t.toLong)
+      val pick = arms.map { case (a, r) =>
+        val bonus = math.floor(math.sqrt(
+          ((2L * l2 * 1000000000000L) / nPulls(a)).toDouble)).toLong
+        (r + bonus, a)
+      }.minBy { case (score, a) => (-score, a) }._2
+      nPulls(pick) += 1L
+    }
+    arms.toSeq.map { case (a, r) =>
+      (a, r, nPulls(a), nPulls(a) * 1000000L / rounds) }
+      .toDF("source", "r_ppm", "n_pulls", "share_ppm")
+      .orderBy(col("source"))
+  }
+
+  /** The x151 oracle: the replay unrolled — round t is a 1-row argmax CTE
+    * over the running pull counts, with t's ⌊log₂ t⌋ baked at generation
+    * time. `numArms` must equal the arm count the reward relation yields
+    * (the catalog is fixed per corpus; the Spark side derives it from
+    * data and the spec pins the agreement). */
+  def ucbMixtureReplaySql(armRewardsSql: String, rounds: Int, numArms: Int): String = {
+    val roundCtes = (numArms + 1 to rounds).map { t =>
+      val l2 = 63 - java.lang.Long.numberOfLeadingZeros(t.toLong)
+      val prev = if (t == numArms + 1) "n0" else s"n${t - 1}"
+      s"""p$t AS MATERIALIZED (
+         |  SELECT arm FROM $prev
+         |  ORDER BY r_ppm + CAST(floor(sqrt(CAST((2 * $l2 * 1000000000000) // n AS DOUBLE)))
+         |    AS BIGINT) DESC, arm LIMIT 1),
+         |n$t AS MATERIALIZED (
+         |  SELECT s.arm, s.r_ppm, s.n + CASE WHEN s.arm = p.arm THEN 1 ELSE 0 END AS n
+         |  FROM $prev s, p$t p)""".stripMargin
+    }.mkString(",\n")
+    val last = if (rounds > numArms) s"n$rounds" else "n0"
+    val roundsClause = if (roundCtes.isEmpty) "" else s",\n$roundCtes"
+    s"""WITH ar AS ($armRewardsSql),
+       |n0 AS MATERIALIZED (SELECT arm, r_ppm, CAST(1 AS BIGINT) AS n FROM ar)$roundsClause
+       |SELECT arm AS source, CAST(r_ppm AS BIGINT) AS r_ppm, CAST(n AS BIGINT) AS n_pulls,
+       |  CAST((n * 1000000) // $rounds AS BIGINT) AS share_ppm
+       |FROM $last ORDER BY source""".stripMargin
+  }
+
   /** Bloom-prefiltered decontamination — EXACTLY the same output as
     * [[decontaminate]], reached through the plan that survives an eval set
     * too large to broadcast as an exact hash set:

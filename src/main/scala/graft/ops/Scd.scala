@@ -74,4 +74,77 @@ object Scd {
       .unionByName(closedOut)
       .unionByName(newOpen)
   }
+
+  /** Snapshot diff — the "data diff" report between two versions of the
+    * same keyed table (yesterday's published snapshot vs today's): how many
+    * rows appeared, vanished, changed, stayed identical, and — for the
+    * changed set — WHICH columns drifted. The pre-publish gate that catches
+    * an upstream rewrite ("why did 40% of customer addresses change
+    * overnight?") before it ships.
+    *
+    * Output is a tall (metric, n) relation: the four status counts plus one
+    * `col:<name>` row per compared column counting rows where that column
+    * changed (null-safe `<=>` on both sides).
+    *
+    * Scale shape: ONE full-outer equi-join on the key (both sides shuffle
+    * once on the same key — with bucketed snapshots, zero shuffle), then a
+    * single map-side flag projection feeding one partial-aggregable global
+    * aggregate; the tall report is a literal-map explode of that 1-row
+    * aggregate. Column comparisons never leave the join row — no per-column
+    * passes over the data. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+      cols: Seq[String]): DataFrame = {
+    val o = oldDf.select(
+      (col(keyCol).as("__k") +: lit(1L).as("__op") +:
+        cols.map(c => col(c).as(s"__o_$c"))): _*)
+    val n = newDf.select(
+      (col(keyCol).as("__k") +: lit(1L).as("__np") +:
+        cols.map(c => col(c).as(s"__n_$c"))): _*)
+    val j = o.join(n, Seq("__k"), "full_outer")
+    val anyChanged = cols.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduce(_ || _)
+    val status = when(col("__op").isNull, "added")
+      .when(col("__np").isNull, "removed")
+      .when(anyChanged, "changed")
+      .otherwise("unchanged")
+    val statusAggs = Seq("added", "removed", "changed", "unchanged")
+      .map(st => coalesce(sum(when(status === st, 1L).otherwise(0L)), lit(0L)).as(st))
+    val colAggs = cols.map(c =>
+      coalesce(sum(when(col("__op").isNotNull && col("__np").isNotNull &&
+        !(col(s"__o_$c") <=> col(s"__n_$c")), 1L).otherwise(0L)), lit(0L)).as(s"col:$c"))
+    val one = j.agg(statusAggs.head, (statusAggs.tail ++ colAggs): _*)
+    val entries = (Seq("added", "removed", "changed", "unchanged") ++
+      cols.map(c => s"col:$c"))
+      .flatMap(m => Seq(lit(m), col(s"`$m`")))
+    one.select(explode(map(entries: _*)).as(Seq("metric", "n")))
+      .orderBy(col("metric"))
+  }
+
+  /** The snapshot-diff oracle: the same full-outer join and flag counts,
+    * unpivoted with UNION ALL. `oldSql`/`newSql` select `k` plus the
+    * compared columns under their own names. */
+  def snapshotDiffSql(oldSql: String, newSql: String, cols: Seq[String]): String = {
+    val anyChanged = cols.map(c => s"o.$c IS DISTINCT FROM n.$c").mkString(" OR ")
+    val colCounts = cols.map(c =>
+      s"""SELECT 'col:$c' AS metric, CAST(coalesce(sum(CASE WHEN o.k IS NOT NULL
+         |  AND n.k IS NOT NULL AND o.$c IS DISTINCT FROM n.$c THEN 1 ELSE 0 END), 0)
+         |  AS BIGINT) AS n
+         |FROM o FULL OUTER JOIN n ON o.k = n.k""".stripMargin)
+    s"""WITH o AS ($oldSql),
+       |n AS ($newSql),
+       |j AS (
+       |  SELECT CASE WHEN o.k IS NULL THEN 'added'
+       |              WHEN n.k IS NULL THEN 'removed'
+       |              WHEN $anyChanged THEN 'changed'
+       |              ELSE 'unchanged' END AS status
+       |  FROM o FULL OUTER JOIN n ON o.k = n.k),
+       |s AS (
+       |  SELECT st.metric,
+       |    CAST(coalesce(sum(CASE WHEN j.status = st.metric THEN 1 ELSE 0 END), 0) AS BIGINT) AS n
+       |  FROM (VALUES ('added'), ('removed'), ('changed'), ('unchanged')) st(metric)
+       |  LEFT JOIN j ON true GROUP BY st.metric)
+       |SELECT metric, n FROM s
+       |${colCounts.map(c => s"UNION ALL\n$c").mkString("\n")}
+       |ORDER BY metric""".stripMargin
+  }
 }

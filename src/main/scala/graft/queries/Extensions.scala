@@ -962,6 +962,62 @@ object Extensions {
        |FROM ex JOIN z USING (event_type) ORDER BY ex.event_type""".stripMargin
   }
 
+  // ------------------------------------------- x151 UCB mixture replay
+  /** [[graft.ops.Curation.ucbMixtureReplay]]: bandit-guided source mixing —
+    * arm = source, reward = mean curated label (ppm), 52 deterministic UCB1
+    * rounds (20 init + 32 adaptive with the ⌊log₂t⌋ bonus). The adaptive
+    * counterpart to x26's static token-budget mix and x128's temperature
+    * apportionment. */
+  def x151UcbMixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rewards = docs(s, dir)
+      .join(emb(s, dir).select($"vec_id".as("doc_id"), $"label"), "doc_id")
+      .groupBy($"source")
+      .agg(sum($"label".cast("long")).as("sl"), count(lit(1)).as("n"))
+      .select($"source".as("arm"), expr("(sl * 1000000) div n").as("r_ppm"))
+    Curation.ucbMixtureReplay(rewards, rounds = 52)
+  }
+  val x151Sql: String = Curation.ucbMixtureReplaySql(
+    """SELECT d.source AS arm,
+      |  (sum(CAST(e.label AS BIGINT)) * 1000000) // count(*) AS r_ppm
+      |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |GROUP BY 1""".stripMargin,
+    rounds = 52, numArms = 20)
+
+  // ------------------------------------------- x150 snapshot diff
+  /** [[graft.ops.Scd.snapshotDiff]]: data-diff report between the customer
+    * snapshot and a deterministically evolved next version (drop key%13,
+    * bump acct_cents by 100 on key%7, append key%17 re-keyed +10⁶) —
+    * status counts plus per-column drift counts from ONE full-outer join. */
+  def x150SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cols = Seq("c_name", "c_nationkey", "c_mktsegment", "acct_cents")
+    val base = Tables.load(s, dir, "customer")
+      .select($"c_custkey", $"c_name", $"c_nationkey", $"c_mktsegment",
+        floor($"c_acctbal" * 100 + 0.5).cast("long").as("acct_cents"))
+    val kept = base.filter($"c_custkey" % 13 =!= 0)
+      .withColumn("acct_cents",
+        when($"c_custkey" % 7 === 0, $"acct_cents" + 100L).otherwise($"acct_cents"))
+    val added = base.filter($"c_custkey" % 17 === 0)
+      .withColumn("c_custkey", $"c_custkey" + 1000000L)
+    graft.ops.Scd.snapshotDiff(base, kept.unionByName(added), "c_custkey", cols)
+  }
+  val x150Sql: String = {
+    val baseSel =
+      """SELECT c_custkey AS k, c_name, c_nationkey, c_mktsegment,
+        |  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acct_cents
+        |FROM customer""".stripMargin
+    graft.ops.Scd.snapshotDiffSql(
+      baseSel,
+      s"""SELECT k, c_name, c_nationkey, c_mktsegment,
+         |  CASE WHEN k % 7 = 0 THEN acct_cents + 100 ELSE acct_cents END AS acct_cents
+         |FROM ($baseSel) WHERE k % 13 <> 0
+         |UNION ALL
+         |SELECT k + 1000000, c_name, c_nationkey, c_mktsegment, acct_cents
+         |FROM ($baseSel) WHERE k % 17 = 0""".stripMargin,
+      Seq("c_name", "c_nationkey", "c_mktsegment", "acct_cents"))
+  }
+
   // ------------------------------------------- x149 mutual information
   /** [[graft.ops.Stats.mutualInformation]]: how much does a document's
     * source tell you about its language? The dependence-magnitude companion
@@ -4250,6 +4306,8 @@ object Extensions {
       |FROM t WHERE length(s) > 0 ORDER BY doc_id, sent_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x151_ucb_mixture" -> x151UcbMixture _,
+    "x150_snapshot_diff" -> x150SnapshotDiff _,
     "x149_mutual_info" -> x149MutualInfo _,
     "x148_benford" -> x148Benford _,
     "x147_silhouette" -> x147Silhouette _,
@@ -4453,6 +4511,8 @@ object Extensions {
     "x86_quality_dup_curve" -> x86Sql,
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
+    "x151_ucb_mixture" -> x151Sql,
+    "x150_snapshot_diff" -> x150Sql,
     "x149_mutual_info" -> x149Sql,
     "x148_benford" -> x148Sql,
     "x147_silhouette" -> x147Sql,

@@ -571,6 +571,28 @@ class MiningSpec extends SparkSpec {
     assert(mi0("TOTAL") == 0L)
   }
 
+  // ------------------------------------------------------ UCB mixture replay
+  test("ucbMixtureReplay: hand-traced 2-arm schedule, conservation, determinism") {
+    import spark.implicits._
+    val rewards = Seq(("a", 500000L), ("b", 400000L)).toDF("arm", "r_ppm")
+    val out = graft.ops.Curation.ucbMixtureReplay(rewards, rounds = 6)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // t=3 (L=1): equal bonuses → a (higher reward). t=4 (L=2): b's n=1 bonus
+    // 2e6 beats a's 1414213+Δr. t=5: equal n → a. t=6: a's √(4e12/3) bonus
+    // loses to b's √(4e12/2) by more than the 100k reward edge → b.
+    assert(out.toSeq == Seq(("a", 500000L, 3L, 500000L), ("b", 400000L, 3L, 500000L)))
+    assert(out.map(_._3).sum == 6L)
+  }
+
+  test("ucbMixtureReplay on real sources: pulls conserved, best arm never starved") {
+    val out = graft.queries.Extensions.x151UcbMixture(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.length == 20)
+    assert(out.map(_.getAs[Long]("n_pulls")).sum == 52L)
+    val best = out.maxBy(r => (r.getAs[Long]("r_ppm"), r.getAs[String]("source")))
+    assert(best.getAs[Long]("n_pulls") >= 52L / 20L)
+  }
+
   // --------------------------------------------------- perplexity buckets
   test("perplexityBuckets: in-vocab docs beat OOV docs; unseen language falls back to the uniform LM") {
     import spark.implicits._

@@ -86,4 +86,23 @@ class ScdSpec extends SparkSpec {
     val out = merge(cur, upd(Seq.empty))
     assert(out.size == 2 && out.count(_._6) == 1)
   }
+
+  // -------------------------------------------------------- snapshot diff
+  test("snapshotDiff: hand fixture — status counts and per-column drift, null-safe") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, Some("a"), Some(10L)), (2L, Some("b"), Some(20L)),
+      (3L, Some("c"), Some(30L)), (4L, Some("d"), None),
+      (5L, Some("e"), Some(50L))).toDF("k", "s", "v")
+    val neu = Seq(
+      (1L, Some("a"), Some(10L)),              // unchanged
+      (3L, Some("c"), Some(31L)),              // v changed
+      (4L, Some("d"), Some(40L)),              // v NULL → 40 (null-safe change)
+      (5L, Option.empty[String], Some(50L)),   // s e → NULL
+      (6L, Some("f"), Some(60L))).toDF("k", "s", "v") // added; 2 removed
+    val out = graft.ops.Scd.snapshotDiff(old, neu, "k", Seq("s", "v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("added" -> 1L, "removed" -> 1L, "changed" -> 3L,
+      "unchanged" -> 1L, "col:s" -> 1L, "col:v" -> 2L))
+  }
 }
