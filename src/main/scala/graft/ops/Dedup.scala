@@ -949,4 +949,118 @@ object Dedup {
        |FROM u WHERE id_b IS NOT NULL AND levenshtein(name_a, name_b) <= $maxDist
        |ORDER BY lev, id_a, id_b LIMIT $topK""".stripMargin
   }
+
+  /** Fellegi–Sunter probabilistic record linkage (1969 — the model behind
+    * Splink and every census-style matcher): score each
+    * [[sortedNeighborhoodPairs]]-shape candidate pair by the sum of
+    * per-field log Bayes factors. Agreement on field f is worth
+    * ln(m/u_f), disagreement ln((1−m)/(1−u_f)): m is the baked
+    * match-probability prior (ppm), u_f the DATA-ESTIMATED chance two
+    * random records agree on f — Σ c_v(c_v−1)/(N(N−1)) over the field's
+    * value counts. A rare shared brand therefore outscores a common one.
+    *
+    * Determinism: u_f stays a (num, den) integer pair all the way into the
+    * plan; every ln takes an integer-valued argument (x94's discipline) and
+    * the 4-field sum is spelled in one fixed order on both engines before
+    * the single e6 floor. Zero/degenerate frequencies clamp to 1 so no ln(0)
+    * leaks ±Infinity. N(N−1) and c(c−1) are int64-safe to ~3·10⁹ rows per
+    * table (beyond, the stats legs move to DECIMAL).
+    *
+    * Scale shape: candidates come from the SNM window (O(n·w), block-
+    * parallel, no all-pairs); each field's u-statistic is one
+    * partial-aggregable groupBy bounded by the field's value cardinality,
+    * folded to a 1-row relation that rides back as a broadcast cross join —
+    * the scoring itself is map-side on the candidate stream. */
+  def linkageScores(df: DataFrame, idCol: String, nameCol: String,
+      fields: Seq[String], mPpm: Long = 950000L, blockLen: Int = 4,
+      window: Int = 3, maxDist: Int = 4, topK: Int = 50): DataFrame = {
+    require(fields.nonEmpty && mPpm > 0 && mPpm < 1000000L)
+    val base = df
+      .select((col(idCol).as("id") +: lower(trim(col(nameCol))).as("key") +:
+        fields.map(f => col(f).cast("string").as(f))): _*)
+      .filter(col("key").isNotNull && length(col("key")) > 0)
+      .withColumn("blk", substring(col("key"), 1, blockLen))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("blk")).orderBy(col("key"), col("id"))
+    val neighbors = array((1 to window).map(i =>
+      struct((lead(col("id"), i).over(w).as("id_b") +:
+        lead(col("key"), i).over(w).as("key_b") +:
+        fields.map(f => lead(col(f), i).over(w).as(s"${f}_b"))): _*)): _*)
+    val cands = base
+      .withColumn("nb", neighbors)
+      .select((col("id").as("id_a") +: col("key").as("key_a") +:
+        fields.map(f => col(f).as(s"${f}_a")) :+ explode(col("nb")).as("p")): _*)
+      .filter(col("p.id_b").isNotNull &&
+        levenshtein(col("key_a"), col("p.key_b")) <= maxDist)
+    // one (num, den) u-statistic row per field, each bounded by the field's
+    // value cardinality; GREATEST(1, ·) clamps degenerate frequencies
+    val uStats = fields.map { f =>
+      df.groupBy(col(f).cast("string").as("v")).agg(count(lit(1)).as("c"))
+        .agg(greatest(lit(1L), sum(col("c") * (col("c") - 1L))).as(s"__un_$f"),
+          greatest(lit(1L), sum(col("c")) * (sum(col("c")) - 1L)).as(s"__ud_$f"))
+    }
+    val scored = uStats.foldLeft(cands)((acc, u) => acc.crossJoin(broadcast(u)))
+    val fieldTerms = fields.map { f =>
+      val un = col(s"__un_$f").cast("double")
+      val ud = col(s"__ud_$f").cast("double")
+      val agree = col(s"${f}_a") <=> col(s"p.${f}_b")
+      when(agree,
+        (log(lit(mPpm.toDouble)) - log(lit(1000000.0))) - (log(un) - log(ud)))
+        .otherwise(
+          (log(lit((1000000L - mPpm).toDouble)) - log(lit(1000000.0))) -
+            (log(greatest(lit(1L), col(s"__ud_$f") - col(s"__un_$f")).cast("double")) -
+              log(ud)))
+    }
+    val nAgree = fields.map(f =>
+      when(col(s"${f}_a") <=> col(s"p.${f}_b"), 1L).otherwise(0L)).reduce(_ + _)
+    scored
+      .select(col("id_a"), col("p.id_b").as("id_b"),
+        nAgree.as("n_agree"),
+        floor(fieldTerms.reduce(_ + _) * 1e6).cast("long").as("score_e6"))
+      .orderBy(col("score_e6").desc, col("id_a"), col("id_b"))
+      .limit(topK)
+  }
+
+  /** DuckDB respell of [[linkageScores]] — SNM legs, per-field u CTEs,
+    * the identical fixed-order log-Bayes sum, one e6 floor. */
+  def linkageScoresSql(table: String, idCol: String, nameCol: String,
+      fields: Seq[String], mPpm: Long = 950000L, blockLen: Int = 4,
+      window: Int = 3, maxDist: Int = 4, topK: Int = 50): String = {
+    val fieldSel = fields.map(f => s"CAST($f AS VARCHAR) AS $f").mkString(", ")
+    val legs = (1 to window).map { i =>
+      val fb = fields.map(f => s"lead($f, $i) OVER win$i AS ${f}_b").mkString(", ")
+      s"""SELECT id AS id_a, key AS key_a, ${fields.map(f => s"$f AS ${f}_a").mkString(", ")},
+         |  lead(id, $i) OVER win$i AS id_b, lead(key, $i) OVER win$i AS key_b, $fb
+         |FROM b WINDOW win$i AS (PARTITION BY blk ORDER BY key, id)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val uCtes = fields.map { f =>
+      s"""u_$f AS (
+         |  SELECT greatest(1, sum(c * (c - 1))) AS un, greatest(1, sum(c) * (sum(c) - 1)) AS ud
+         |  FROM (SELECT CAST($f AS VARCHAR) AS v, count(*) AS c FROM $table GROUP BY 1))""".stripMargin
+    }.mkString(",\n")
+    val terms = fields.map { f =>
+      s"""CASE WHEN ${f}_a IS NOT DISTINCT FROM ${f}_b
+         |  THEN (ln(CAST($mPpm AS DOUBLE)) - ln(1000000.0))
+         |    - (ln(CAST(u_$f.un AS DOUBLE)) - ln(CAST(u_$f.ud AS DOUBLE)))
+         |  ELSE (ln(CAST(${1000000L - mPpm} AS DOUBLE)) - ln(1000000.0))
+         |    - (ln(CAST(greatest(1, u_$f.ud - u_$f.un) AS DOUBLE)) - ln(CAST(u_$f.ud AS DOUBLE)))
+         |END""".stripMargin
+    }.mkString("\n + ")
+    val agrees = fields.map(f =>
+      s"CASE WHEN ${f}_a IS NOT DISTINCT FROM ${f}_b THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT $idCol AS id, lower(trim($nameCol)) AS key, $fieldSel,
+       |    substr(lower(trim($nameCol)), 1, $blockLen) AS blk
+       |  FROM $table
+       |  WHERE $nameCol IS NOT NULL AND length(lower(trim($nameCol))) > 0),
+       |$uCtes,
+       |cand AS (
+       |  SELECT * FROM ($legs)
+       |  WHERE id_b IS NOT NULL AND levenshtein(key_a, key_b) <= $maxDist)
+       |SELECT id_a, id_b,
+       |  CAST($agrees AS BIGINT) AS n_agree,
+       |  CAST(floor(($terms) * 1000000.0) AS BIGINT) AS score_e6
+       |FROM cand, ${fields.map(f => s"u_$f").mkString(", ")}
+       |ORDER BY score_e6 DESC, id_a, id_b LIMIT $topK""".stripMargin
+  }
 }

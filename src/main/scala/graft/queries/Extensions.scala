@@ -962,6 +962,18 @@ object Extensions {
        |FROM ex JOIN z USING (event_type) ORDER BY ex.event_type""".stripMargin
   }
 
+  // ------------------------------------------- x152 Fellegi-Sunter linkage
+  /** [[graft.ops.Dedup.linkageScores]]: probabilistic record linkage over
+    * the x119 SNM candidate pairs — per-field log Bayes factors with
+    * data-estimated u-probabilities, so agreeing on a RARE brand outscores
+    * agreeing on a common container. Top-50 by e6 match weight. */
+  def x152LinkageWeights(s: SparkSession, dir: String): DataFrame =
+    Dedup.linkageScores(Tables.load(s, dir, "part"), "p_partkey", "p_name",
+      Seq("p_brand", "p_type", "p_container", "p_size"))
+  val x152Sql: String =
+    Dedup.linkageScoresSql("part", "p_partkey", "p_name",
+      Seq("p_brand", "p_type", "p_container", "p_size"))
+
   // ------------------------------------------- x151 UCB mixture replay
   /** [[graft.ops.Curation.ucbMixtureReplay]]: bandit-guided source mixing —
     * arm = source, reward = mean curated label (ppm), 52 deterministic UCB1
@@ -4306,6 +4318,7 @@ object Extensions {
       |FROM t WHERE length(s) > 0 ORDER BY doc_id, sent_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x152_linkage_weights" -> x152LinkageWeights _,
     "x151_ucb_mixture" -> x151UcbMixture _,
     "x150_snapshot_diff" -> x150SnapshotDiff _,
     "x149_mutual_info" -> x149MutualInfo _,
@@ -4511,6 +4524,7 @@ object Extensions {
     "x86_quality_dup_curve" -> x86Sql,
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
+    "x152_linkage_weights" -> x152Sql,
     "x151_ucb_mixture" -> x151Sql,
     "x150_snapshot_diff" -> x150Sql,
     "x149_mutual_info" -> x149Sql,
