@@ -961,10 +961,13 @@ object Dedup {
     *
     * Determinism: u_f stays a (num, den) integer pair all the way into the
     * plan; every ln takes an integer-valued argument (x94's discipline) and
-    * the 4-field sum is spelled in one fixed order on both engines before
-    * the single e6 floor. Zero/degenerate frequencies clamp to 1 so no ln(0)
-    * leaks ±Infinity. N(N−1) and c(c−1) are int64-safe to ~3·10⁹ rows per
-    * table (beyond, the stats legs move to DECIMAL).
+    * — the x74/x63 grid contract — each ln is INDIVIDUALLY quantized to the
+    * e6 integer grid (`⌊ln(arg)·10⁶⌋` as int64) before any addition, so the
+    * score is a pure int64 sum of per-component grid points, never the floor
+    * of a multi-term double sum whose last ulp can differ across engines.
+    * Zero/degenerate frequencies clamp to 1 so no ln(0) leaks ±Infinity.
+    * N(N−1) and c(c−1) are int64-safe to ~3·10⁹ rows per table (beyond,
+    * the stats legs move to DECIMAL).
     *
     * Scale shape: candidates come from the SNM window (O(n·w), block-
     * parallel, no all-pairs); each field's u-statistic is one
@@ -1000,32 +1003,44 @@ object Dedup {
           greatest(lit(1L), sum(col("c")) * (sum(col("c")) - 1L)).as(s"__ud_$f"))
     }
     val scored = uStats.foldLeft(cands)((acc, u) => acc.crossJoin(broadcast(u)))
+    // ⌊ln(x)·10⁶⌋ as int64 — every log-Bayes component lands on the e6 grid
+    // BEFORE summation; the only float op per component is one ln of an
+    // integer-valued argument.
+    def lnE6(c: org.apache.spark.sql.Column) =
+      floor(log(c.cast("double")) * lit(1e6)).cast("long")
+    val lnM = math.floor(math.log(mPpm.toDouble) * 1e6).toLong
+    val ln1m = math.floor(math.log((1000000L - mPpm).toDouble) * 1e6).toLong
+    val lnMil = math.floor(math.log(1000000.0) * 1e6).toLong
     val fieldTerms = fields.map { f =>
-      val un = col(s"__un_$f").cast("double")
-      val ud = col(s"__ud_$f").cast("double")
       val agree = col(s"${f}_a") <=> col(s"p.${f}_b")
       when(agree,
-        (log(lit(mPpm.toDouble)) - log(lit(1000000.0))) - (log(un) - log(ud)))
+        lit(lnM - lnMil) - (lnE6(col(s"__un_$f")) - lnE6(col(s"__ud_$f"))))
         .otherwise(
-          (log(lit((1000000L - mPpm).toDouble)) - log(lit(1000000.0))) -
-            (log(greatest(lit(1L), col(s"__ud_$f") - col(s"__un_$f")).cast("double")) -
-              log(ud)))
+          lit(ln1m - lnMil) -
+            (lnE6(greatest(lit(1L), col(s"__ud_$f") - col(s"__un_$f"))) -
+              lnE6(col(s"__ud_$f"))))
     }
     val nAgree = fields.map(f =>
       when(col(s"${f}_a") <=> col(s"p.${f}_b"), 1L).otherwise(0L)).reduce(_ + _)
     scored
       .select(col("id_a"), col("p.id_b").as("id_b"),
         nAgree.as("n_agree"),
-        floor(fieldTerms.reduce(_ + _) * 1e6).cast("long").as("score_e6"))
+        fieldTerms.reduce(_ + _).as("score_e6"))
       .orderBy(col("score_e6").desc, col("id_a"), col("id_b"))
       .limit(topK)
   }
 
-  /** DuckDB respell of [[linkageScores]] — SNM legs, per-field u CTEs,
-    * the identical fixed-order log-Bayes sum, one e6 floor. */
+  /** DuckDB respell of [[linkageScores]] — SNM legs, per-field u CTEs, and
+    * the identical per-component e6 grid: each ⌊ln·10⁶⌋ lands on the int
+    * grid before summation, and the m-prior constants are baked as JVM-
+    * computed literals so only the data-dependent ln(un)/ln(ud) components
+    * are evaluated by DuckDB at all. */
   def linkageScoresSql(table: String, idCol: String, nameCol: String,
       fields: Seq[String], mPpm: Long = 950000L, blockLen: Int = 4,
       window: Int = 3, maxDist: Int = 4, topK: Int = 50): String = {
+    val lnM = math.floor(math.log(mPpm.toDouble) * 1e6).toLong
+    val ln1m = math.floor(math.log((1000000L - mPpm).toDouble) * 1e6).toLong
+    val lnMil = math.floor(math.log(1000000.0) * 1e6).toLong
     val fieldSel = fields.map(f => s"CAST($f AS VARCHAR) AS $f").mkString(", ")
     val legs = (1 to window).map { i =>
       val fb = fields.map(f => s"lead($f, $i) OVER win$i AS ${f}_b").mkString(", ")
@@ -1038,12 +1053,12 @@ object Dedup {
          |  SELECT greatest(1, sum(c * (c - 1))) AS un, greatest(1, sum(c) * (sum(c) - 1)) AS ud
          |  FROM (SELECT CAST($f AS VARCHAR) AS v, count(*) AS c FROM $table GROUP BY 1))""".stripMargin
     }.mkString(",\n")
+    def lnE6(x: String) = s"CAST(floor(ln(CAST($x AS DOUBLE)) * 1000000.0) AS BIGINT)"
     val terms = fields.map { f =>
       s"""CASE WHEN ${f}_a IS NOT DISTINCT FROM ${f}_b
-         |  THEN (ln(CAST($mPpm AS DOUBLE)) - ln(1000000.0))
-         |    - (ln(CAST(u_$f.un AS DOUBLE)) - ln(CAST(u_$f.ud AS DOUBLE)))
-         |  ELSE (ln(CAST(${1000000L - mPpm} AS DOUBLE)) - ln(1000000.0))
-         |    - (ln(CAST(greatest(1, u_$f.ud - u_$f.un) AS DOUBLE)) - ln(CAST(u_$f.ud AS DOUBLE)))
+         |  THEN ${lnM - lnMil} - (${lnE6(s"u_$f.un")} - ${lnE6(s"u_$f.ud")})
+         |  ELSE ${ln1m - lnMil}
+         |    - (${lnE6(s"greatest(1, u_$f.ud - u_$f.un)")} - ${lnE6(s"u_$f.ud")})
          |END""".stripMargin
     }.mkString("\n + ")
     val agrees = fields.map(f =>
@@ -1059,7 +1074,7 @@ object Dedup {
        |  WHERE id_b IS NOT NULL AND levenshtein(key_a, key_b) <= $maxDist)
        |SELECT id_a, id_b,
        |  CAST($agrees AS BIGINT) AS n_agree,
-       |  CAST(floor(($terms) * 1000000.0) AS BIGINT) AS score_e6
+       |  CAST(($terms) AS BIGINT) AS score_e6
        |FROM cand, ${fields.map(f => s"u_$f").mkString(", ")}
        |ORDER BY score_e6 DESC, id_a, id_b LIMIT $topK""".stripMargin
   }

@@ -969,10 +969,10 @@ object Extensions {
     * agreeing on a common container. Top-50 by e6 match weight. */
   def x152LinkageWeights(s: SparkSession, dir: String): DataFrame =
     Dedup.linkageScores(Tables.load(s, dir, "part"), "p_partkey", "p_name",
-      Seq("p_brand", "p_type", "p_container", "p_size"))
+      Seq("p_brand", "p_type", "p_size"))
   val x152Sql: String =
     Dedup.linkageScoresSql("part", "p_partkey", "p_name",
-      Seq("p_brand", "p_type", "p_container", "p_size"))
+      Seq("p_brand", "p_type", "p_size"))
 
   // ------------------------------------------- x151 UCB mixture replay
   /** [[graft.ops.Curation.ucbMixtureReplay]]: bandit-guided source mixing —

@@ -620,4 +620,46 @@ class MiningSpec extends SparkSpec {
     assert(out(("fr", 1L)) == (1L, hFr, hFr, hFr))
     assert(hOov > hIn)
   }
+
+  // ------------------------------------------- x152 Fellegi–Sunter linkage
+  test("linkageScores: hand-computed log-Bayes weights on the e6 grid, SNM candidates only") {
+    import spark.implicits._
+    // Block "appl": keys sort one < tre < two → SNM pairs (1,3),(1,2),(3,2);
+    // "zebr" is its own block with no neighbor. u-stats over ALL 4 rows:
+    //   f1: red=2,blu=1,grn=1 → un=2, ud=4·3=12
+    //   f2: big=2,sml=2      → un=4, ud=12
+    val df = Seq(
+      (1L, "apple one", "red", "big"),
+      (2L, "apple two", "red", "sml"),
+      (3L, "apple tre", "blu", "big"),
+      (4L, "zebra", "grn", "sml")).toDF("id", "name", "f1", "f2")
+    val out = graft.ops.Dedup.linkageScores(df, "id", "name", Seq("f1", "f2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independently re-derive the grid points with plain scalar math
+    def lnE6(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6).toLong
+    val base = lnE6(950000L) - lnE6(1000000L)      // agree m-prior
+    val base1m = lnE6(50000L) - lnE6(1000000L)     // disagree m-prior
+    val f1Agree = base - (lnE6(2L) - lnE6(12L))
+    val f1Dis = base1m - (lnE6(10L) - lnE6(12L))
+    val f2Agree = base - (lnE6(4L) - lnE6(12L))
+    val f2Dis = base1m - (lnE6(8L) - lnE6(12L))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, f1Agree + f2Dis),   // agree f1 only
+      (1L, 3L, 1L, f1Dis + f2Agree),   // agree f2 only
+      (3L, 2L, 0L, f1Dis + f2Dis)))    // agree neither
+    // rare agreement (f1, un=2) must outscore common agreement (f2, un=4)
+    assert(f1Agree > f2Agree)
+  }
+
+  test("linkageScores: null fields agree via null-safe equality; empty names dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "pair a", null.asInstanceOf[String], "x"),
+      (2L, "pair b", null.asInstanceOf[String], "x"),
+      (3L, "", "zz", "zz")).toDF("id", "name", "f1", "f2")
+    val out = graft.ops.Dedup.linkageScores(df, "id", "name", Seq("f1", "f2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // id 3 has an empty key → filtered; (1,2) agree on both (null <=> null)
+    assert(out.toSeq == Seq((1L, 2L, 2L)))
+  }
 }
