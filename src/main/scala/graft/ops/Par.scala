@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Parallelism repair for CPU-heavy map stages.
   *
@@ -29,5 +30,60 @@ private[graft] object Par {
   def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Distributed EXCLUSIVE prefix sum — the textbook two-pass scan that
+    * replaces `sum().over(Window.orderBy(...))`'s single-partition
+    * WindowExec (the r8 scale finding on x88/x100):
+    *
+    *  1. range-partition on `order` with an explicit partition count (an
+    *     un-numbered exchange would be AQE-coalesced back to one
+    *     partition) and pin ONE materialization via localCheckpoint so
+    *     the offsets pass and the window pass read identical pids;
+    *  2. per-partition totals → driver (bounded collect:
+    *     ≤ `spark.sql.shuffle.partitions` rows, by config not data),
+    *     scanned into exclusive per-partition offsets;
+    *  3. offsets broadcast back; the running sum is a pid-PARTITIONED
+    *     window — every partition scans in parallel.
+    *
+    * `order` must be a total order on the rows (a unique sort key): range
+    * partitioning routes equal keys to one partition, but rows tying on
+    * `order` would get an order-dependent in-partition prefix. For each
+    * `(src, out)` in `sums`, adds long column `out` = Σ src over rows
+    * strictly before this one in `order`. NULL srcs count as 0. */
+  def exclusivePrefix(df: DataFrame, order: Column,
+      sums: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(sums.nonEmpty)
+    val s = df.sparkSession
+    val nParts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val p = df.repartitionByRange(nParts, order)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val aggs = sums.map { case (src, _) =>
+      sum(coalesce(col(src).cast("long"), lit(0L))).as(src) }
+    val parts = p.groupBy(col("__pid")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => r.getInt(0) -> sums.indices.map(i => r.getLong(i + 1)))
+      .sortBy(_._1)
+    // exclusive scan over the (pid-sorted, possibly gappy) partition totals
+    val offs = parts.scanLeft(sums.map(_ => 0L)) { case (acc, (_, tot)) =>
+      acc.lazyZip(tot).map(_ + _) }
+      .zip(parts).map { case (off, (pid, _)) =>
+        org.apache.spark.sql.Row.fromSeq(pid +: off) }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__pid",
+        org.apache.spark.sql.types.IntegerType, nullable = false) +:
+        sums.map { case (_, out) => org.apache.spark.sql.types.StructField(
+          s"__off_$out", org.apache.spark.sql.types.LongType, nullable = false) })
+    val offsDf = s.createDataFrame(
+      s.sparkContext.parallelize(offs.toSeq, 1), schema)
+    val w = Window.partitionBy(col("__pid")).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sums.foldLeft(p.join(broadcast(offsDf), Seq("__pid"))) {
+      case (acc, (src, out)) =>
+        acc.withColumn(out, col(s"__off_$out") +
+          coalesce(sum(coalesce(col(src).cast("long"), lit(0L))).over(w), lit(0L)))
+    }.drop("__pid" +: sums.map { case (_, out) => s"__off_$out" }: _*)
   }
 }

@@ -259,11 +259,12 @@ object Stats {
     * Σ_s n_pos(s)·(2·n_neg(<s) + n_neg(=s)) — ties count half, kept
     * integer by the ×2 scaling. `auc_num` is exact; `auc_micro` =
     * ⌊10⁶·num/(2·P·N)⌋ is one int-derived double division, identical on
-    * both engines. The ordered cumulative runs over the tiny distinct-score
-    * relation (same bounded-window discipline as x50's deciles), not the
-    * corpus. NULL scores are excluded (undefined rank). */
+    * both engines. The running negative count is [[Par.exclusivePrefix]]'s
+    * distributed two-pass scan on sq asc (sq is the distinct-score group
+    * key, so the order is total) — at 100 TB the distinct-score relation
+    * is ≈n rows, and the r8 single-partition `Window.orderBy(sq)` was the
+    * scale bottleneck here. NULL scores are excluded (undefined rank). */
   def scoreAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val g = df
       .filter(col(scoreCol).isNotNull)
       .select(expr(s"CAST(FLOOR(CAST($scoreCol AS DOUBLE) * 1000000000.0D) AS BIGINT)").as("sq"),
@@ -271,8 +272,7 @@ object Stats {
       .groupBy(col("sq"))
       .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
         sum(when(col("pos"), 0L).otherwise(1L)).as("nn"))
-    val w = Window.orderBy(col("sq")).rowsBetween(Window.unboundedPreceding, -1)
-    g.withColumn("nn_below", coalesce(sum(col("nn")).over(w), lit(0L)))
+    Par.exclusivePrefix(g, col("sq").asc, Seq("nn" -> "nn_below"))
       .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
         sum(col("np") * (lit(2L) * col("nn_below") + col("nn"))).as("auc_num"))
       .select(col("n_pos"), col("n_neg"), col("auc_num"),
@@ -638,20 +638,20 @@ object Stats {
     * two correctly-rounded divisions, one sum — identical IEEE on both
     * engines), floored to an e9 grid; ties → smallest threshold. */
   def giniStump(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val g = df
       .filter(col(scoreCol).isNotNull)
       .select(expr(s"CAST(FLOOR(CAST($scoreCol AS DOUBLE) * 1000000000.0D) AS BIGINT)").as("sq"),
         col(labelCol).cast("boolean").as("pos"))
       .groupBy(col("sq"))
       .agg(count(lit(1)).as("n"), sum(when(col("pos"), 1L).otherwise(0L)).as("np"))
-    val wOrd = Window.orderBy(col("sq")).rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.partitionBy(lit(1))
-    val cand = g
-      .withColumn("nl", sum(col("n")).over(wOrd))
-      .withColumn("pl", sum(col("np")).over(wOrd))
-      .withColumn("nt", sum(col("n")).over(wAll))
-      .withColumn("pt", sum(col("np")).over(wAll))
+    // inclusive prefix = exclusive prefix + own bucket; totals read the
+    // prefix pass's checkpointed relation (scoreAuc's r9 de-globalization)
+    val pre = Par.exclusivePrefix(g, col("sq").asc, Seq("n" -> "nb", "np" -> "pb"))
+    val tots = pre.agg(sum(col("n")).as("nt"), sum(col("np")).as("pt"))
+    val cand = pre
+      .withColumn("nl", col("nb") + col("n"))
+      .withColumn("pl", col("pb") + col("np"))
+      .crossJoin(broadcast(tots))
       .filter(col("nl") < col("nt")) // a split must leave a right side
       .withColumn("gini_e9", expr(
         """CAST(FLOOR((

@@ -586,37 +586,56 @@ object TextAnalysis {
     * frequency — the OOV-rate curve that sizes a tokenizer's vocabulary
     * (coverage(V) flattens where added types stop paying for themselves).
     *
-    * All-integer sufficient statistics: type frequencies, a deterministic
-    * (freq desc, token asc) rank, and per-V covered-instance sums; the
-    * OOV rate is one exact division per output row.
+    * All-integer sufficient statistics: type frequencies, a frequency
+    * HISTOGRAM (one row per distinct count value), and an exact
+    * distributed prefix sum over that histogram; the OOV rate is one
+    * exact division per output row. Within the top-V boundary's count
+    * bucket every type ties on cnt, so the covered-instance sum equals
+    * the (freq desc, token asc) row_number spelling exactly — no
+    * per-type rank is ever materialized.
     *
-    * Scale shape: instance counts collapse map-side to the vocab-sized
-    * type relation; the rank window is over that relation (vocab-sized,
-    * partitionable by nothing — the same trade as x83, bounded by type
-    * count not corpus size); the per-V sums aggregate vocab×|sizes| rows
-    * down to |sizes|. The corpus is scanned once. */
+    * Scale shape (the r8 de-globalization): instance counts collapse
+    * map-side to the vocab-sized type relation, which collapses again to
+    * the histogram — bounded by DISTINCT COUNT VALUES, ≤ √(2·Σcnt)
+    * (≈4.5M rows even at 10¹³ corpus tokens, vs billions of types). The
+    * running rank is [[Par.exclusivePrefix]]'s distributed two-pass scan
+    * on cnt desc (cnt is unique in the histogram, so the order is total) —
+    * no single-partition WindowExec over any unbounded relation. The
+    * corpus is scanned once. */
   def vocabCoverage(docs: DataFrame, textCol: String,
       sizes: Seq[Int] = Seq(1000, 2000, 4000, 8000, 16000)): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(sizes.nonEmpty, "at least one vocab size")
-    val freq = docs
+    val s = docs.sparkSession
+    val hist = docs
       .select(explode(toksOf(docs, textCol)).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("cnt").desc, col("t"))))
-    val vs = docs.sparkSession.createDataFrame(
+      .groupBy(col("cnt")).agg(count(lit(1)).as("n_types"))
+      .withColumn("bucket_tokens", col("cnt") * col("n_types"))
+    val cum = Par.exclusivePrefix(hist, col("cnt").desc,
+      Seq("n_types" -> "types_above", "bucket_tokens" -> "tokens_above"))
+    // totals read the prefix pass's checkpointed histogram, not the corpus
+    val totals = cum.agg(sum(col("n_types")).as("total_types"),
+      sum(col("bucket_tokens")).as("total_tokens"))
+    val vs = s.createDataFrame(
       sizes.distinct.sorted.map(v => Tuple1(v))).toDF("vocab_size")
-    freq.crossJoin(broadcast(vs))
-      .groupBy(col("vocab_size"))
-      .agg(
-        sum(when(col("rank") <= col("vocab_size"), col("cnt")).otherwise(0L))
-          .as("covered_tokens"),
-        sum(col("cnt")).as("total_tokens"),
-        sum(when(col("rank") <= col("vocab_size"), 1L).otherwise(0L))
-          .as("n_types_used"))
-      .select(col("vocab_size"), col("n_types_used"), col("covered_tokens"),
+    // the top-V boundary falls in exactly one histogram bucket; types
+    // inside it all share cnt, so any (V − types_above) of them cover
+    // the same (V − types_above)·cnt instances
+    val boundary = cum.crossJoin(broadcast(vs))
+      .filter(col("types_above") < col("vocab_size") &&
+        col("vocab_size") <= col("types_above") + col("n_types"))
+      .select(col("vocab_size"),
+        (col("tokens_above") +
+          (col("vocab_size") - col("types_above")) * col("cnt")).as("__cov"))
+    vs.join(boundary, Seq("vocab_size"), "left")
+      .crossJoin(broadcast(totals))
+      .filter(col("total_tokens").isNotNull) // empty corpus → empty result
+      .select(col("vocab_size"),
+        least(col("vocab_size").cast("long"), col("total_types"))
+          .as("n_types_used"),
+        coalesce(col("__cov"), col("total_tokens")).as("covered_tokens"),
         col("total_tokens"),
-        (lit(1.0) - col("covered_tokens").cast("double") /
+        (lit(1.0) - coalesce(col("__cov"), col("total_tokens")).cast("double") /
           col("total_tokens").cast("double")).as("oov_rate"))
       .orderBy(col("vocab_size"))
   }

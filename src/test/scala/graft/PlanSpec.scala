@@ -308,4 +308,31 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "SortMergeJoin") == 0 && count(p, "BroadcastHashJoin") == 0,
       s"merge table must ride as constants, not a join:\n$p")
   }
+
+  // r9 de-globalizations: the running sums behind x88/x100/x129 moved to
+  // Par.exclusivePrefix's pid-partitioned two-pass scan. Every window spec
+  // in these plans must carry the __pid partition column — a regression
+  // back to sum().over(Window.orderBy(...)) shows up as a
+  // windowspecdefinition whose first argument is the order column, not
+  // __pid. (Blanket no-SinglePartition would misfire: the 1-row final
+  // merges of their global aggregates legitimately exchange to one
+  // partition.)
+  private def assertAllWindowsPidPartitioned(p: String): Unit = {
+    val specs = p.split("windowspecdefinition\\(").drop(1).map(_.take(60))
+    assert(specs.nonEmpty, s"expected the prefix-scan window in plan:\n$p")
+    specs.foreach(s => assert(s.contains("__pid"),
+      s"window not partitioned by __pid (global sort!): windowspecdefinition($s…\n$p"))
+  }
+
+  test("x88 vocab coverage: prefix rank is pid-partitioned, never a global window") {
+    assertAllWindowsPidPartitioned(plan(Extensions.x88VocabCoverage(spark, dir)))
+  }
+
+  test("x100 AUC: cumulative negatives are pid-partitioned, never a global window") {
+    assertAllWindowsPidPartitioned(plan(Extensions.x100ScoreAuc(spark, dir)))
+  }
+
+  test("x129 gini stump: prefix counts are pid-partitioned, never a global window") {
+    assertAllWindowsPidPartitioned(plan(Extensions.x129GiniStump(spark, dir)))
+  }
 }
