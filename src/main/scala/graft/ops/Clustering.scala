@@ -283,6 +283,7 @@ object Clustering {
        |  CAST(min(s_pm) AS BIGINT) AS min_s_pm,
        |  CAST(max(s_pm) AS BIGINT) AS max_s_pm
        |FROM sc GROUP BY ROLLUP(cluster)
+       |HAVING count(*) > 0 -- empty corpus: drop the rollup's 0-count total row (op returns no rows)
        |ORDER BY cluster""".stripMargin
 
   /** The x122 oracle: the greedy loop unrolled — pick t is a scalar CTE,

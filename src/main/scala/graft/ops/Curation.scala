@@ -586,8 +586,11 @@ object Curation {
   }
 
   /** The x146 oracle: LM, fold, quantized cross-entropy, and tercile window
-    * respelled in DuckDB. `refFrom` is the FROM/WHERE clause that selects
-    * the reference slice (e.g. a join against the curated labels). */
+    * respelled in DuckDB. `refSelect` is a query selecting the reference
+    * slice FROM THE SAME COLUMN NAMES as the corpus table — the id/text/
+    * lang parameters are interpolated into its projection too (the r8
+    * advice: the rtoks leg used to hardcode doc_id/lang/text, silently
+    * breaking any caller with different column names). */
   def perplexityBucketsSql(corpusTable: String, refSelect: String,
       idCol: String, textCol: String, langCol: String,
       numBuckets: Int = 4096): String =
@@ -596,8 +599,8 @@ object Curation {
        |    unnest(string_split_regex(lower($textCol), '\\s+')) AS tok
        |  FROM $corpusTable),
        |rtoks AS (
-       |  SELECT doc_id, lang,
-       |    unnest(string_split_regex(lower(text), '\\s+')) AS tok
+       |  SELECT $idCol AS doc_id, $langCol AS lang,
+       |    unnest(string_split_regex(lower($textCol), '\\s+')) AS tok
        |  FROM ($refSelect)),
        |cb AS (
        |  SELECT doc_id, lang,

@@ -125,16 +125,20 @@ object Scd {
     * compared columns under their own names. */
   def snapshotDiffSql(oldSql: String, newSql: String, cols: Seq[String]): String = {
     val anyChanged = cols.map(c => s"o.$c IS DISTINCT FROM n.$c").mkString(" OR ")
+    // presence is a literal marker (1 AS __op/__np), never key nullness —
+    // a NULL-key row is unmatched on BOTH engines (equi-join null
+    // semantics), and key-nullness tests would misread it as added AND
+    // removed at once (the r8 advice finding)
     val colCounts = cols.map(c =>
-      s"""SELECT 'col:$c' AS metric, CAST(coalesce(sum(CASE WHEN o.k IS NOT NULL
-         |  AND n.k IS NOT NULL AND o.$c IS DISTINCT FROM n.$c THEN 1 ELSE 0 END), 0)
+      s"""SELECT 'col:$c' AS metric, CAST(coalesce(sum(CASE WHEN o.__op IS NOT NULL
+         |  AND n.__np IS NOT NULL AND o.$c IS DISTINCT FROM n.$c THEN 1 ELSE 0 END), 0)
          |  AS BIGINT) AS n
          |FROM o FULL OUTER JOIN n ON o.k = n.k""".stripMargin)
-    s"""WITH o AS ($oldSql),
-       |n AS ($newSql),
+    s"""WITH o AS (SELECT *, 1 AS __op FROM ($oldSql)),
+       |n AS (SELECT *, 1 AS __np FROM ($newSql)),
        |j AS (
-       |  SELECT CASE WHEN o.k IS NULL THEN 'added'
-       |              WHEN n.k IS NULL THEN 'removed'
+       |  SELECT CASE WHEN o.__op IS NULL THEN 'added'
+       |              WHEN n.__np IS NULL THEN 'removed'
        |              WHEN $anyChanged THEN 'changed'
        |              ELSE 'unchanged' END AS status
        |  FROM o FULL OUTER JOIN n ON o.k = n.k),

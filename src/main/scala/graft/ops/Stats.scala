@@ -932,13 +932,18 @@ object Stats {
     * ln r − ln s) / N so every `ln` argument is an exact integer count
     * (x94's discipline); cells fold in sorted (a, b) order on both engines
     * and the result quantizes to e9. Output: one row per `a` value with its
-    * MI contribution, plus a TOTAL row (its own full fold, not a sum of
-    * floors).
+    * MI contribution, plus a grand-total row labeled a = NULL — a label no
+    * CAST-to-string data value can produce, so it cannot collide with a
+    * real category (the r8 advice: 'TOTAL' could). Rows with a NULL in
+    * either column are excluded up front — they'd otherwise inflate N
+    * while the margin equi-joins dropped their cells, silently biasing
+    * every probability (the r8 advice finding).
     *
     * Scale shape: cells/margins are partial-aggregable groupBys bounded by
     * the category cross product (catalog-sized); margins join broadcast. */
   def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val cells = df.select(col(aCol).cast("string").as("a"), col(bCol).cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
     val ra = cells.groupBy(col("a")).agg(sum(col("c")).as("r"))
     val sb = cells.groupBy(col("b")).agg(sum(col("c")).as("s"))
@@ -959,10 +964,10 @@ object Stats {
     val total = terms.groupBy(col("n"))
       .agg(count(lit(1)).as("n_cells"),
         sort_array(collect_list(struct(col("a"), col("b"), col("term")))).as("e"))
-      .select(lit("TOTAL").as("a"), col("n_cells"),
+      .select(lit(null).cast("string").as("a"), col("n_cells"),
         floor(expr("aggregate(e, CAST(0.0 AS DOUBLE), (acc, p) -> acc + p.term)") /
           col("n").cast("double") * 1e9).cast("long").as("mi_e9"))
-    perA.unionByName(total).orderBy(col("a"))
+    perA.unionByName(total).orderBy(col("a").asc_nulls_last)
   }
 
   /** The MI oracle over an arbitrary two-column relation `relSql`
@@ -972,7 +977,7 @@ object Stats {
        |cells AS (
        |  SELECT CAST(a AS VARCHAR) AS a, CAST(b AS VARCHAR) AS b,
        |    CAST(count(*) AS BIGINT) AS c
-       |  FROM rel GROUP BY 1, 2),
+       |  FROM rel WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY 1, 2),
        |ra AS (SELECT a, CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY 1),
        |sb AS (SELECT b, CAST(sum(c) AS BIGINT) AS s FROM cells GROUP BY 1),
        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
@@ -989,12 +994,12 @@ object Stats {
        |      / CAST(any_value(n) AS DOUBLE) * 1000000000.0) AS BIGINT) AS mi_e9
        |  FROM terms GROUP BY a),
        |tot AS (
-       |  SELECT 'TOTAL' AS a, CAST(count(*) AS BIGINT) AS n_cells,
+       |  SELECT CAST(NULL AS VARCHAR) AS a, CAST(count(*) AS BIGINT) AS n_cells,
        |    CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      list(term ORDER BY a, b, term)), (acc, x) -> acc + x)
        |      / CAST(any_value(n) AS DOUBLE) * 1000000000.0) AS BIGINT) AS mi_e9
        |  FROM terms)
        |SELECT a, n_cells, mi_e9 FROM pa
        |UNION ALL SELECT a, n_cells, mi_e9 FROM tot
-       |ORDER BY a""".stripMargin
+       |ORDER BY a NULLS LAST""".stripMargin
 }

@@ -525,9 +525,23 @@ object Extensions {
     val media = Multimodal.attachBinary(docs(s, dir), "doc_id", "text", "text/plain")
     val decoded = Multimodal.resize(Multimodal.decode(media), maxDim = 32)
     Multimodal.sampleFrames(decoded, stride = 2)
-      .join(media.select($"media_id", $"meta.n_bytes".as("n_bytes"), $"meta.checksum".as("checksum")), Seq("media_id"))
+      .join(media.select($"media_id", $"meta.n_bytes".as("n_bytes")), Seq("media_id"))
       .orderBy($"media_id", $"frame_idx")
   }
+  /** r9: the projected columns (frame count/indices from the documented
+    * stub formula 1 + n_bytes % 4, byte length) are pure byte arithmetic,
+    * so x15 carries a REAL DuckDB oracle now — the non-SQL stub outputs
+    * (width/height/features/xxhash checksum) stay pinned by
+    * MultimodalSpec's exact row-by-row replay instead of riding here. */
+  val x15Sql: String =
+    """WITH m AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |  FROM documents),
+      |f AS (SELECT media_id, 1 + CAST(n_bytes % 4 AS INT) AS n_frames, n_bytes FROM m)
+      |SELECT media_id, n_frames,
+      |  unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx, n_bytes
+      |FROM f ORDER BY media_id, frame_idx""".stripMargin
 
   // ------------------------------------------------------------ x22 reservoir sample
   // Rows-only (sampling is engine-specific): exact-k uniform sample through
@@ -4534,6 +4548,7 @@ object Extensions {
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
     "x152_linkage_weights" -> x152Sql,
+    "x15_multimodal" -> x15Sql,
     "x151_ucb_mixture" -> x151Sql,
     "x150_snapshot_diff" -> x150Sql,
     "x149_mutual_info" -> x149Sql,

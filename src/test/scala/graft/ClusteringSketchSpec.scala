@@ -425,4 +425,13 @@ class ClusteringSketchSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L && r.getLong(4) == 0L))
     assert(out.map(_.getLong(0)).toSeq == Seq(-1L, 7L))
   }
+
+  test("simplifiedSilhouette: empty corpus yields zero rows (oracle HAVING drops the rollup total)") {
+    import spark.implicits._
+    val df = Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")
+    assert(Clustering.simplifiedSilhouette(df, "vec_id", "embedding", "label").count() == 0L)
+    // the oracle must filter its grand-total row the same way
+    assert(Clustering.silhouetteSql("embeddings", "vec_id", "embedding", "label")
+      .contains("HAVING count(*) > 0"))
+  }
 }

@@ -560,15 +560,34 @@ class MiningSpec extends SparkSpec {
   // ---------------------------------------------------- mutual information
   test("mutualInformation: identity gives ln 2, independence gives exactly 0") {
     import spark.implicits._
+    // total row label is NULL (cannot collide with a real category)
+    def byA(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => Option(r.getString(0)).getOrElse("<total>") ->
+        (r.getLong(1), r.getLong(2))).toMap
     val ident = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b")).toDF("x", "y")
-    val mi = Stats.mutualInformation(ident, "x", "y")
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(mi("TOTAL") == (2L, 693147180L)) // floor(ln 2 · 1e9)
-    assert(mi("a") == (1L, 346573590L))     // floor(ln 2 / 2 · 1e9)
+    val mi = byA(Stats.mutualInformation(ident, "x", "y"))
+    assert(mi("<total>") == (2L, 693147180L)) // floor(ln 2 · 1e9)
+    assert(mi("a") == (1L, 346573590L))       // floor(ln 2 / 2 · 1e9)
     val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")).toDF("x", "y")
-    val mi0 = Stats.mutualInformation(indep, "x", "y")
-      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
-    assert(mi0("TOTAL") == 0L)
+    val mi0 = byA(Stats.mutualInformation(indep, "x", "y"))
+    assert(mi0("<total>")._2 == 0L)
+  }
+
+  test("mutualInformation: NULL categories are excluded from N, not silently dropped mid-way") {
+    import spark.implicits._
+    // 4 clean identity rows + 4 rows with a NULL on one side. If nulls
+    // leaked into N but not the cells (the r8 advice bug), the identity MI
+    // would read ln 2 over the WRONG N and every probability would shrink.
+    val df = Seq(
+      (Option("a"), Option("a")), (Option("a"), Option("a")),
+      (Option("b"), Option("b")), (Option("b"), Option("b")),
+      (Option.empty[String], Option("a")), (Option("a"), Option.empty[String]),
+      (Option.empty[String], Option.empty[String]), (Option.empty[String], Option("b")))
+      .toDF("x", "y")
+    val mi = Stats.mutualInformation(df, "x", "y")
+      .collect().map(r => Option(r.getString(0)).getOrElse("<total>") -> r.getLong(2)).toMap
+    assert(mi("<total>") == 693147180L) // exactly the clean-subset ln 2
+    assert(!mi.contains("null") && mi.keySet == Set("a", "b", "<total>"))
   }
 
   // ------------------------------------------------------ UCB mixture replay

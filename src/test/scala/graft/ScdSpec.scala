@@ -105,4 +105,30 @@ class ScdSpec extends SparkSpec {
     assert(out == Map("added" -> 1L, "removed" -> 1L, "changed" -> 3L,
       "unchanged" -> 1L, "col:s" -> 1L, "col:v" -> 2L))
   }
+
+  test("snapshotDiff: NULL-key rows never match — removed+added on op AND oracle alike") {
+    import spark.implicits._
+    // identical NULL-key rows on both sides: equi-join null semantics say
+    // they never match, so the old one is 'removed' and the new one
+    // 'added'. The r8 advice found the SQL's key-nullness test calling the
+    // OLD-side row 'added'; presence markers fixed it — pin op ≡ oracle.
+    val old = Seq((Option(1L), "a", 1L), (Option.empty[Long], "x", 9L))
+      .toDF("k", "s", "v")
+    val neu = Seq((Option(1L), "a", 1L), (Option.empty[Long], "x", 9L))
+      .toDF("k", "s", "v")
+    val expect = Map("added" -> 1L, "removed" -> 1L, "changed" -> 0L,
+      "unchanged" -> 1L, "col:s" -> 0L, "col:v" -> 0L)
+    val got = graft.ops.Scd.snapshotDiff(old, neu, "k", Seq("s", "v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // the generated oracle uses only ANSI constructs Spark SQL also runs —
+    // execute it verbatim against the same fixture
+    old.createOrReplaceTempView("sd_old")
+    neu.createOrReplaceTempView("sd_new")
+    val sql = graft.ops.Scd.snapshotDiffSql(
+      "SELECT k, s, v FROM sd_old", "SELECT k, s, v FROM sd_new", Seq("s", "v"))
+    val oracle = spark.sql(sql)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(oracle == expect)
+  }
 }
