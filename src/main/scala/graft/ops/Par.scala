@@ -86,4 +86,25 @@ private[graft] object Par {
           coalesce(sum(coalesce(col(src).cast("long"), lit(0L))).over(w), lit(0L)))
     }.drop("__pid" +: sums.map { case (_, out) => s"__off_$out" }: _*)
   }
+
+  /** Exact 1-based global row number by (`valueCol` asc/desc, `tieCol`
+    * asc) without a single-partition window: the per-VALUE counts run
+    * through [[exclusivePrefix]] (rows-strictly-before per distinct
+    * value), ride back on a value equi-join, and the within-value index
+    * is a window PARTITIONED by value — every stage is parallel, the only
+    * bounded structure is the per-partition offset row set. Ties on
+    * (value, tie) must be impossible for the rank to be total — pass a
+    * unique tie column. */
+  def globalRowNumber(df: DataFrame, valueCol: String, tieCol: String,
+      ascending: Boolean, out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))
+    val ord = if (ascending) col(valueCol).asc else col(valueCol).desc
+    val pre = exclusivePrefix(hist, ord, Seq("__c" -> "__before"))
+      .select(col(valueCol), col("__before"))
+    val w = Window.partitionBy(col(valueCol)).orderBy(col(tieCol))
+    df.join(pre, Seq(valueCol))
+      .withColumn(out, col("__before") + row_number().over(w).cast("long"))
+      .drop("__before")
+  }
 }

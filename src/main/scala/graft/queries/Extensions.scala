@@ -1172,9 +1172,17 @@ object Extensions {
   // ------------------------------------------- x144 RFM segmentation
   /** Classic RFM: per customer, recency (days since last order, vs the
     * corpus max date), frequency (orders), monetary (cents); quintile each
-    * with a (metric, custkey) total order so ntile is deterministic; count
-    * customers per RFM segment. The whole fact table collapses to one row
-    * per customer before any window touches it. */
+    * with a (metric, custkey) total order so the tiling is deterministic;
+    * count customers per RFM segment. The whole fact table collapses to
+    * one row per customer before any rank touches it.
+    *
+    * r9 de-globalization: the three quintiles were `ntile(5)` over
+    * unpartitioned windows — three single-partition sorts of the customer
+    * relation. Each metric's global rank now comes from
+    * [[graft.ops.Par.globalRowNumber]] (distributed prefix scan + per-value
+    * window), and the rank→quintile map is NTILE's exact integer formula
+    * (first n%5 tiles one row larger), so the output is bit-identical to
+    * the oracle's NTILE. */
   def x144RfmSegments(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val o = Tables.load(s, dir, "orders")
@@ -1185,13 +1193,25 @@ object Extensions {
         sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("cents"))
       .crossJoin(broadcast(anchor))
       .withColumn("recency", datediff($"maxd", $"lastd"))
-    val rW = Window.orderBy($"recency".asc, $"o_custkey") // low recency = best
-    val fW = Window.orderBy($"freq".desc, $"o_custkey")
-    val mW = Window.orderBy($"cents".desc, $"o_custkey")
-    per
-      .withColumn("r", ntile(5).over(rW))
-      .withColumn("f", ntile(5).over(fW))
-      .withColumn("m", ntile(5).over(mW))
+      .localCheckpoint() // feeds three rank passes + the row count
+    val ranked = graft.ops.Par.globalRowNumber(
+      graft.ops.Par.globalRowNumber(
+        graft.ops.Par.globalRowNumber(per,
+          "recency", "o_custkey", ascending = true, "rn_r"), // low recency = best
+        "freq", "o_custkey", ascending = false, "rn_f"),
+      "cents", "o_custkey", ascending = false, "rn_m")
+    // NTILE(5)'s exact bucket function of (rank, n): the first n%5 tiles
+    // hold ⌈n/5⌉ rows, the rest ⌊n/5⌋ — pure int64, engine-identical
+    def tile(rn: String): org.apache.spark.sql.Column = expr(
+      s"""CASE WHEN $rn <= (__n % 5) * (__n DIV 5 + 1)
+         |  THEN ($rn - 1) DIV (__n DIV 5 + 1) + 1
+         |  ELSE (__n % 5) + ($rn - (__n % 5) * (__n DIV 5 + 1) - 1) DIV (__n DIV 5) + 1
+         |END""".stripMargin)
+    ranked
+      .crossJoin(broadcast(per.agg(count(lit(1)).as("__n"))))
+      .withColumn("r", tile("rn_r"))
+      .withColumn("f", tile("rn_f"))
+      .withColumn("m", tile("rn_m"))
       .groupBy(concat($"r", lit("-"), $"f", lit("-"), $"m").as("segment"))
       .agg(count(lit(1)).as("n_customers"),
         expr("sum(cents) DIV count(1)").as("avg_cents"))

@@ -670,6 +670,54 @@ class MiningSpec extends SparkSpec {
     assert(f1Agree > f2Agree)
   }
 
+  test("linkage SNM blocking: sound and complete vs exact Levenshtein when blocks fit the window (200 deterministic records)") {
+    import spark.implicits._
+    // driver-side exact Levenshtein for the oracle side of the property
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // 200 records over 256 four-char block prefixes → block sizes mostly
+    // 1-3 ≤ window+1=4; suffixes 0-3 chars so many pairs land ≤ maxDist=4
+    val recs = (0 until 200).map { i =>
+      val h = graft.functions.Ops.splitmix64(i.toLong)
+      val prefix = f"p${(h & 0xff)}%03x"                 // exactly 4 chars = the block key
+      val suffix = ((h >>> 8) % 4).toInt match {
+        case 0 => ""
+        case k => (0 until k).map(j => ('a' + ((h >>> (16 + 8 * j)) % 26).toInt).toChar).mkString
+      }
+      (i.toLong, prefix + suffix, (h % 7).toString)
+    }
+    val df = recs.toDF("id", "name", "f1")
+    val got = graft.ops.Dedup.linkageScores(df, "id", "name", Seq("f1"), topK = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byKey = recs.map { case (id, nm, _) => (id, nm.toLowerCase.trim) }
+    val blocks = byKey.groupBy(_._2.take(4))
+    // soundness: every candidate shares a block and is within maxDist
+    val keyOf = byKey.toMap
+    got.foreach { case (a, b) =>
+      assert(keyOf(a).take(4) == keyOf(b).take(4), s"cross-block candidate ($a,$b)")
+      assert(lev(keyOf(a), keyOf(b)) <= 4, s"over-distance candidate ($a,$b)")
+    }
+    // completeness: in every block that fits the SNM window, ALL close
+    // pairs must be candidates (order within a pair is SNM sort order)
+    var checked = 0
+    blocks.values.filter(_.size <= 4).foreach { members =>
+      for {
+        Seq((ia, ka), (ib, kb)) <- members.combinations(2)
+        if lev(ka, kb) <= 4
+      } {
+        assert(got.contains((ia, ib)) || got.contains((ib, ia)),
+          s"missed in-window pair ($ia,$ib) keys ($ka,$kb)")
+        checked += 1
+      }
+    }
+    assert(checked >= 20, s"property exercised only $checked pairs — fixture too sparse")
+  }
+
   test("linkageScores: null fields agree via null-safe equality; empty names dropped") {
     import spark.implicits._
     val df = Seq(
