@@ -976,7 +976,16 @@ object Dedup {
     * the scoring itself is map-side on the candidate stream. */
   def linkageScores(df: DataFrame, idCol: String, nameCol: String,
       fields: Seq[String], mPpm: Long = 950000L, blockLen: Int = 4,
-      window: Int = 3, maxDist: Int = 4, topK: Int = 50): DataFrame = {
+      window: Int = 3, maxDist: Int = 4, topK: Int = 50): DataFrame =
+    linkageScored(df, idCol, nameCol, fields, mPpm, blockLen, window, maxDist)
+      .orderBy(col("score_e6").desc, col("id_a"), col("id_b"))
+      .limit(topK)
+
+  /** The scored SNM candidate relation behind [[linkageScores]] (top-k) and
+    * [[entityResolution]] (threshold): (id_a, id_b, n_agree, score_e6). */
+  private[graft] def linkageScored(df: DataFrame, idCol: String, nameCol: String,
+      fields: Seq[String], mPpm: Long = 950000L, blockLen: Int = 4,
+      window: Int = 3, maxDist: Int = 4): DataFrame = {
     require(fields.nonEmpty && mPpm > 0 && mPpm < 1000000L)
     val base = df
       .select((col(idCol).as("id") +: lower(trim(col(nameCol))).as("key") +:
@@ -1026,8 +1035,42 @@ object Dedup {
       .select(col("id_a"), col("p.id_b").as("id_b"),
         nAgree.as("n_agree"),
         fieldTerms.reduce(_ + _).as("score_e6"))
-      .orderBy(col("score_e6").desc, col("id_a"), col("id_b"))
-      .limit(topK)
+  }
+
+  /** End-to-end entity resolution: the [[linkageScored]] Fellegi–Sunter
+    * pairs at or above `minScoreE6` become edges, [[nearDupClusters]]'
+    * min-label propagation groups them into entities, and survivorship
+    * picks each entity's representative record by (longest normalized
+    * name, then lowest id) — the deterministic two-step argmax both
+    * engines can spell exactly (max length per entity, then min id among
+    * records at that length). Output: one row per MULTI-record entity —
+    * (entity_id = min member id, n_records, rep_id, rep_name_len).
+    *
+    * Scale shape: candidates are SNM-bounded (O(n·w)), the u-statistics
+    * broadcast, CC runs O(diameter) label rounds over only the MATCHED
+    * ids (a tiny set next to the input), and survivorship is two
+    * entity-keyed aggregates over that same matched set. The input
+    * relation never shuffles beyond the SNM window sort. */
+  def entityResolution(df: DataFrame, idCol: String, nameCol: String,
+      fields: Seq[String], minScoreE6: Long, mPpm: Long = 950000L,
+      blockLen: Int = 4, window: Int = 3, maxDist: Int = 4): DataFrame = {
+    val pairs = linkageScored(df, idCol, nameCol, fields, mPpm, blockLen,
+      window, maxDist)
+      .filter(col("score_e6") >= minScoreE6)
+      .select(col("id_a"), col("id_b"))
+    val labels = nearDupClusters(pairs, "id_a", "id_b")
+      .select(col("doc_id").as("id"), col("cluster_id").as("entity_id"))
+    val named = df.select(col(idCol).cast("long").as("id"),
+      length(lower(trim(col(nameCol)))).as("name_len"))
+    val members = labels.join(named, Seq("id"))
+    val lens = members.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_records"), max(col("name_len")).as("rep_name_len"))
+    members.join(lens, Seq("entity_id"))
+      .filter(col("name_len") === col("rep_name_len"))
+      .groupBy(col("entity_id"), col("n_records"), col("rep_name_len"))
+      .agg(min(col("id")).as("rep_id"))
+      .select(col("entity_id"), col("n_records"), col("rep_id"), col("rep_name_len"))
+      .orderBy(col("entity_id"))
   }
 
   /** DuckDB respell of [[linkageScores]] — SNM legs, per-field u CTEs, and
@@ -1035,9 +1078,11 @@ object Dedup {
     * grid before summation, and the m-prior constants are baked as JVM-
     * computed literals so only the data-dependent ln(un)/ln(ud) components
     * are evaluated by DuckDB at all. */
-  def linkageScoresSql(table: String, idCol: String, nameCol: String,
-      fields: Seq[String], mPpm: Long = 950000L, blockLen: Int = 4,
-      window: Int = 3, maxDist: Int = 4, topK: Int = 50): String = {
+  /** Shared CTE body + expressions for the linkage oracles: returns
+    * (ctes, termsExpr, agreesExpr, uJoinList). */
+  private def linkageCandSql(table: String, idCol: String, nameCol: String,
+      fields: Seq[String], mPpm: Long, blockLen: Int, window: Int,
+      maxDist: Int): (String, String, String, String) = {
     val lnM = math.floor(math.log(mPpm.toDouble) * 1e6).toLong
     val ln1m = math.floor(math.log((1000000L - mPpm).toDouble) * 1e6).toLong
     val lnMil = math.floor(math.log(1000000.0) * 1e6).toLong
@@ -1063,19 +1108,67 @@ object Dedup {
     }.mkString("\n + ")
     val agrees = fields.map(f =>
       s"CASE WHEN ${f}_a IS NOT DISTINCT FROM ${f}_b THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH b AS (
-       |  SELECT $idCol AS id, lower(trim($nameCol)) AS key, $fieldSel,
-       |    substr(lower(trim($nameCol)), 1, $blockLen) AS blk
-       |  FROM $table
-       |  WHERE $nameCol IS NOT NULL AND length(lower(trim($nameCol))) > 0),
-       |$uCtes,
-       |cand AS (
-       |  SELECT * FROM ($legs)
-       |  WHERE id_b IS NOT NULL AND levenshtein(key_a, key_b) <= $maxDist)
+    val ctes =
+      s"""b AS (
+         |  SELECT $idCol AS id, lower(trim($nameCol)) AS key, $fieldSel,
+         |    substr(lower(trim($nameCol)), 1, $blockLen) AS blk
+         |  FROM $table
+         |  WHERE $nameCol IS NOT NULL AND length(lower(trim($nameCol))) > 0),
+         |$uCtes,
+         |cand AS (
+         |  SELECT * FROM ($legs)
+         |  WHERE id_b IS NOT NULL AND levenshtein(key_a, key_b) <= $maxDist)""".stripMargin
+    (ctes, terms, agrees, fields.map(f => s"u_$f").mkString(", "))
+  }
+
+  def linkageScoresSql(table: String, idCol: String, nameCol: String,
+      fields: Seq[String], mPpm: Long = 950000L, blockLen: Int = 4,
+      window: Int = 3, maxDist: Int = 4, topK: Int = 50): String = {
+    val (ctes, terms, agrees, uJoin) =
+      linkageCandSql(table, idCol, nameCol, fields, mPpm, blockLen, window, maxDist)
+    s"""WITH $ctes
        |SELECT id_a, id_b,
        |  CAST($agrees AS BIGINT) AS n_agree,
        |  CAST(($terms) AS BIGINT) AS score_e6
-       |FROM cand, ${fields.map(f => s"u_$f").mkString(", ")}
+       |FROM cand, $uJoin
        |ORDER BY score_e6 DESC, id_a, id_b LIMIT $topK""".stripMargin
+  }
+
+  /** The [[entityResolution]] oracle: the identical scored-pair CTEs, a
+    * threshold filter, the x28-shape recursive transitive closure, and the
+    * two-step survivorship aggregates. */
+  def entityResolutionSql(table: String, idCol: String, nameCol: String,
+      fields: Seq[String], minScoreE6: Long, mPpm: Long = 950000L,
+      blockLen: Int = 4, window: Int = 3, maxDist: Int = 4): String = {
+    val (ctes, terms, _, uJoin) =
+      linkageCandSql(table, idCol, nameCol, fields, mPpm, blockLen, window, maxDist)
+    s"""WITH RECURSIVE $ctes,
+       |pairs AS (
+       |  SELECT id_a, id_b FROM cand, $uJoin
+       |  WHERE CAST(($terms) AS BIGINT) >= $minScoreE6),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |reach(x, y) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT r.x, e.b FROM reach r JOIN edges e ON e.a = r.y),
+       |comp AS (SELECT x AS id, min(y) AS entity_id FROM reach GROUP BY x),
+       |named AS (
+       |  SELECT CAST($idCol AS BIGINT) AS id,
+       |    CAST(length(lower(trim($nameCol))) AS BIGINT) AS name_len
+       |  FROM $table),
+       |members AS (SELECT comp.entity_id, comp.id, named.name_len
+       |            FROM comp JOIN named USING (id)),
+       |lens AS (
+       |  SELECT entity_id, CAST(count(*) AS BIGINT) AS n_records,
+       |    max(name_len) AS rep_name_len
+       |  FROM members GROUP BY entity_id)
+       |SELECT m.entity_id, l.n_records, min(m.id) AS rep_id, l.rep_name_len
+       |FROM members m JOIN lens l ON m.entity_id = l.entity_id
+       |  AND m.name_len = l.rep_name_len
+       |GROUP BY m.entity_id, l.n_records, l.rep_name_len
+       |ORDER BY m.entity_id""".stripMargin
   }
 }

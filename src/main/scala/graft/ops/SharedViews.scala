@@ -29,9 +29,23 @@ object SharedViews {
   /** Memoize `build` under `tag` for the lifetime of `spark`. The built
     * relation is eagerly materialized (`localCheckpoint`) so every consumer
     * — including the builder's own downstream stages — starts from stored
-    * blocks instead of re-running the mining lineage. */
-  def materialized(spark: SparkSession, tag: String)(build: => DataFrame): DataFrame =
-    cache.computeIfAbsent(
-      Key(System.identityHashCode(spark), spark.sparkContext.applicationId, tag),
-      _ => build.localCheckpoint())
+    * blocks instead of re-running the mining lineage.
+    *
+    * Deliberately get-then-putIfAbsent, NOT computeIfAbsent: builds NEST
+    * (the CC labels build reads the memoized pair graph; the co-purchase
+    * edges build reads the memoized baskets), and a computeIfAbsent
+    * re-entered for a different key can land in the same hash bin and
+    * throw ConcurrentHashMap's "Recursive update" — a bin-placement
+    * lottery. The worst case here is two racing threads each paying one
+    * redundant checkpoint; correctness is unaffected. */
+  def materialized(spark: SparkSession, tag: String)(build: => DataFrame): DataFrame = {
+    val key = Key(System.identityHashCode(spark), spark.sparkContext.applicationId, tag)
+    val existing = cache.get(key)
+    if (existing != null) existing
+    else {
+      val built = build.localCheckpoint()
+      val prev = cache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
 }

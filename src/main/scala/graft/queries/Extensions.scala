@@ -1014,6 +1014,93 @@ object Extensions {
     Dedup.linkageScoresSql("part", "p_partkey", "p_name",
       Seq("p_brand", "p_type", "p_size"))
 
+  // ------------------------------------------- x153 entity resolution
+  /** [[graft.ops.Dedup.entityResolution]]: the x152 Fellegi–Sunter pairs
+    * with net-positive evidence (score ≥ 0) closed into entities by
+    * min-label propagation, with deterministic survivorship (longest
+    * normalized name, then lowest id). The census-style "how many distinct
+    * parts does this catalog actually contain" rollup. */
+  def x153EntityResolution(s: SparkSession, dir: String): DataFrame =
+    Dedup.entityResolution(Tables.load(s, dir, "part"), "p_partkey", "p_name",
+      Seq("p_brand", "p_type", "p_size"), minScoreE6 = 0L)
+  val x153Sql: String =
+    Dedup.entityResolutionSql("part", "p_partkey", "p_name",
+      Seq("p_brand", "p_type", "p_size"), minScoreE6 = 0L)
+
+  // ------------------------------------------- x154 dup-cluster sizes
+  /** Duplicate-cluster SIZE distribution over the x28 components: how many
+    * near-dup clusters of each size the corpus holds and how many documents
+    * they absorb — the "is duplication a few mega-clusters or a long tail
+    * of pairs" diagnostic that decides between cluster-survivor dedup and
+    * pairwise suppression. Reads the shared CC labels; two catalog-sized
+    * aggregates, no corpus pass. */
+  def x154ClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ngramClusters(s, dir)
+      .groupBy($"cluster_id").agg(count(lit(1)).as("sz"))
+      .groupBy($"sz".as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum($"sz").as("n_docs"))
+      .orderBy($"cluster_size")
+  }
+  val x154Sql: String =
+    s"""WITH RECURSIVE $ngramPairCtes,
+      |pairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |reach(x, y) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT r.x, e.b FROM reach r JOIN edges e ON e.a = r.y),
+      |comp AS (SELECT x AS doc_id, min(y) AS cluster_id FROM reach GROUP BY x),
+      |cl AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz FROM comp GROUP BY 1)
+      |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+      |  CAST(sum(sz) AS BIGINT) AS n_docs
+      |FROM cl GROUP BY sz ORDER BY cluster_size""".stripMargin
+
+  // ------------------------------------------- x155 cross-source dup matrix
+  /** Cross-SOURCE duplication matrix: the x08 near-dup pairs rolled up by
+    * (source, source) — "which sources copy from each other", the
+    * provenance diagnostic that catches a crawl mirroring another crawl
+    * before both are sampled into the same mix. Pair endpoints join to
+    * their sources (document-keyed broadcast-size lookups next to the pair
+    * relation), the unordered source pair normalizes by (least, greatest),
+    * and the rollup is catalog² at most. */
+  def x155SourceDupMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = docs(s, dir).select($"doc_id", $"source")
+    ngramPairGraph(s, dir)
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")), Seq("doc_a"))
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("sb")), Seq("doc_b"))
+      .select(least($"sa", $"sb").as("source_a"),
+        greatest($"sa", $"sb").as("source_b"))
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"source_a", $"source_b")
+  }
+  val x155Sql: String =
+    s"""WITH $ngramPairCtes,
+      |pairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5)
+      |SELECT least(da.source, db.source) AS source_a,
+      |  greatest(da.source, db.source) AS source_b,
+      |  CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM pairs
+      |JOIN documents da ON da.doc_id = pairs.doc_a
+      |JOIN documents db ON db.doc_id = pairs.doc_b
+      |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
   // ------------------------------------------- x151 UCB mixture replay
   /** [[graft.ops.Curation.ucbMixtureReplay]]: bandit-guided source mixing —
     * arm = source, reward = mean curated label (ppm), 52 deterministic UCB1
@@ -2583,9 +2670,16 @@ object Extensions {
     * hash-match. The transitive-closure CTE is fine for an oracle (small
     * dense cliques); the Spark side is the O(diameter) propagation loop that
     * actually scales. */
+  /** CC labels over [[ngramPairGraph]] — materialized once per session/
+    * corpus (x28 report, x154 size distribution both read them). */
+  private def ngramClusters(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SharedViews.materialized(s, s"ngram_cc/$dir") {
+      Dedup.nearDupClusters(ngramPairGraph(s, dir))
+    }
+
   def x28NearDupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Dedup.nearDupClusters(ngramPairGraph(s, dir)).orderBy($"doc_id")
+    ngramClusters(s, dir).orderBy($"doc_id")
   }
   val x28Sql: String =
     s"""WITH RECURSIVE $ngramPairCtes,
@@ -4362,6 +4456,9 @@ object Extensions {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x152_linkage_weights" -> x152LinkageWeights _,
+    "x153_entity_resolution" -> x153EntityResolution _,
+    "x154_cluster_sizes" -> x154ClusterSizes _,
+    "x155_source_dup_matrix" -> x155SourceDupMatrix _,
     "x151_ucb_mixture" -> x151UcbMixture _,
     "x150_snapshot_diff" -> x150SnapshotDiff _,
     "x149_mutual_info" -> x149MutualInfo _,
@@ -4568,6 +4665,9 @@ object Extensions {
     "x87_waterfill_report" -> x87Sql,
     "x88_vocab_coverage" -> x88Sql,
     "x152_linkage_weights" -> x152Sql,
+    "x153_entity_resolution" -> x153Sql,
+    "x154_cluster_sizes" -> x154Sql,
+    "x155_source_dup_matrix" -> x155Sql,
     "x15_multimodal" -> x15Sql,
     "x151_ucb_mixture" -> x151Sql,
     "x150_snapshot_diff" -> x150Sql,

@@ -718,6 +718,25 @@ class MiningSpec extends SparkSpec {
     assert(checked >= 20, s"property exercised only $checked pairs — fixture too sparse")
   }
 
+  test("entityResolution: threshold → CC → survivorship on the apple fixture") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "apple one", "red", "big"),
+      (2L, "apple twoz", "red", "sml"), // longest name in the entity (lev 4 from "apple one")
+      (3L, "apple tre", "blu", "big"),
+      (4L, "zebra", "grn", "sml")).toDF("id", "name", "f1", "f2")
+    // pair scores from the linkage contract above: (1,2) ≈ −0.85e6,
+    // (1,3) ≈ −1.77e6, (3,2) ≈ −5.40e6 — a −2e6 threshold admits the
+    // first two, so {1,2,3} closes into one entity via node 1
+    val out = graft.ops.Dedup.entityResolution(df, "id", "name", Seq("f1", "f2"),
+      minScoreE6 = -2000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSeq == Seq((1L, 3L, 2L, 10))) // rep = longest name (id 2, 10 chars)
+    // a strict threshold admits nothing → no entities
+    assert(graft.ops.Dedup.entityResolution(df, "id", "name", Seq("f1", "f2"),
+      minScoreE6 = 10000000L).count() == 0L)
+  }
+
   test("linkageScores: null fields agree via null-safe equality; empty names dropped") {
     import spark.implicits._
     val df = Seq(
