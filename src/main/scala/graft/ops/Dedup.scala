@@ -923,8 +923,10 @@ object Dedup {
       .filter(col("p.id_b").isNotNull)
       .select(col("id_a"), col("p.id_b").as("id_b"),
         col("name_a"), col("p.name_b").as("name_b"),
-        levenshtein(col("name_a"), col("p.name_b")).cast("long").as("lev"))
-      .filter(col("lev") <= maxDist)
+        // thresholded levenshtein: banded DP with early exit (returns −1
+        // beyond maxDist) — O(maxDist·len) per pair instead of O(len²)
+        levenshtein(col("name_a"), col("p.name_b"), maxDist).cast("long").as("lev"))
+      .filter(col("lev") >= 0L)
       .orderBy(col("lev"), col("id_a"), col("id_b"))
       .limit(topK)
   }
@@ -1003,7 +1005,8 @@ object Dedup {
       .select((col("id").as("id_a") +: col("key").as("key_a") +:
         fields.map(f => col(f).as(s"${f}_a")) :+ explode(col("nb")).as("p")): _*)
       .filter(col("p.id_b").isNotNull &&
-        levenshtein(col("key_a"), col("p.key_b")) <= maxDist)
+        // thresholded: banded DP, early exit at maxDist (−1 = beyond)
+        levenshtein(col("key_a"), col("p.key_b"), maxDist) >= 0)
     // one (num, den) u-statistic row per field, each bounded by the field's
     // value cardinality; GREATEST(1, ·) clamps degenerate frequencies
     val uStats = fields.map { f =>

@@ -1101,6 +1101,60 @@ object Extensions {
       |JOIN documents db ON db.doc_id = pairs.doc_b
       |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
 
+  // ------------------------------------------- x156 gate ablation matrix
+  /** Quality-gate ABLATION matrix: every document evaluated against four
+    * independent curation gates (too short, low stopword ratio, language
+    * outside the allowlist, digit-heavy), rolled up by the exact
+    * combination of gates failed. The matrix answers the question a
+    * single pass/fail count can't: which gates fire alone (their removals
+    * are attributable) vs only alongside others (removing the gate
+    * changes nothing) — how curation thresholds actually get tuned.
+    *
+    * Scale shape: pure map-side flag projection fused into the scan (the
+    * x17 gate discipline), one 16-key-bounded rollup. No joins, no
+    * windows; the corpus shuffles nothing but partial aggregates. */
+  def x156GateAblation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = split(lower($"text"), "\\s+")
+    val nW = size(words).cast("double")
+    val nStop = size(filter(words,
+      w => w.isin(TextAnalysis.Stopwords.map(x => x: Any): _*))).cast("double")
+    val stopRatio = nStop / nullif(nW, lit(0.0))
+    val digitRatio = (length($"text") -
+      length(regexp_replace($"text", "[0-9]", ""))).cast("double") /
+      nullif(length($"text").cast("double"), lit(0.0))
+    docs(s, dir)
+      .select(
+        (size(words) < 30).as("fail_short"),
+        (coalesce(stopRatio, lit(0.0)) < 0.10).as("fail_stop"),
+        (!graft.functions.Exprs.lang_id($"text").isin("en", "zh")).as("fail_lang"),
+        coalesce(digitRatio > 0.2, lit(false)).as("fail_digit"))
+      .groupBy($"fail_short", $"fail_stop", $"fail_lang", $"fail_digit")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"fail_short", $"fail_stop", $"fail_lang", $"fail_digit")
+  }
+  val x156Sql: String = {
+    val stops = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    val toks = """regexp_split_to_array(lower(text), '\s+')"""
+    s"""WITH st AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS s FROM documents),
+       |sc AS (SELECT doc_id, text,
+       |  $langIdScoreCols
+       |FROM st),
+       |f AS (
+       |  SELECT
+       |    (len($toks) < 30) AS fail_short,
+       |    (coalesce(CAST(len(list_filter($toks, w -> w IN ($stops))) AS DOUBLE)
+       |       / NULLIF(CAST(len($toks) AS DOUBLE), 0.0), 0.0) < 0.10) AS fail_stop,
+       |    (($langIdCaseExpr) NOT IN ('en', 'zh')) AS fail_lang,
+       |    coalesce(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+       |       / NULLIF(CAST(length(text) AS DOUBLE), 0.0) > 0.2, false) AS fail_digit
+       |  FROM sc)
+       |SELECT fail_short, fail_stop, fail_lang, fail_digit,
+       |  CAST(count(*) AS BIGINT) AS n_docs
+       |FROM f GROUP BY 1, 2, 3, 4
+       |ORDER BY fail_short, fail_stop, fail_lang, fail_digit""".stripMargin
+  }
+
   // ------------------------------------------- x151 UCB mixture replay
   /** [[graft.ops.Curation.ucbMixtureReplay]]: bandit-guided source mixing —
     * arm = source, reward = mean curated label (ppm), 52 deterministic UCB1
@@ -4459,6 +4513,7 @@ object Extensions {
     "x153_entity_resolution" -> x153EntityResolution _,
     "x154_cluster_sizes" -> x154ClusterSizes _,
     "x155_source_dup_matrix" -> x155SourceDupMatrix _,
+    "x156_gate_ablation" -> x156GateAblation _,
     "x151_ucb_mixture" -> x151UcbMixture _,
     "x150_snapshot_diff" -> x150SnapshotDiff _,
     "x149_mutual_info" -> x149MutualInfo _,
@@ -4668,6 +4723,7 @@ object Extensions {
     "x153_entity_resolution" -> x153Sql,
     "x154_cluster_sizes" -> x154Sql,
     "x155_source_dup_matrix" -> x155Sql,
+    "x156_gate_ablation" -> x156Sql,
     "x15_multimodal" -> x15Sql,
     "x151_ucb_mixture" -> x151Sql,
     "x150_snapshot_diff" -> x150Sql,
