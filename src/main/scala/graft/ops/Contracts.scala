@@ -50,4 +50,46 @@ object Contracts {
     }.reduce(_ unionAll _)
       .withColumn("pass", col("n_violations") === 0L)
       .orderBy(col("check_name"))
+
+  /** Generic per-column table PROFILE — the "dataset card" every published
+    * snapshot carries: per column, row count, null count, exact distinct
+    * count, lexicographic min/max of a CANONICAL string form. `cols` maps
+    * column name → the canonical string expression; callers pick per-type
+    * spellings that format identically on every engine (ints cast direct,
+    * doubles through DECIMAL(18,2), timestamps through epoch micros) so
+    * min/max compare the same bytes everywhere.
+    *
+    * Scale shape: one positional explode (|cols| rows per input row,
+    * map-side) feeding one groupBy — the distinct count makes it an
+    * expand-style two-phase aggregate, still partial-aggregable per
+    * column. No joins, no windows; output is |cols| rows. */
+  def columnProfile(df: DataFrame, cols: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(cols.nonEmpty)
+    val entries = explode(array(cols.map { case (n, c) =>
+      struct(lit(n).as("cname"), c.cast("string").as("v")) }: _*)).as("e")
+    df.select(entries)
+      .select(col("e.cname").as("column_name"), col("e.v").as("v"))
+      .groupBy(col("column_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).as("min_val"),
+        max(col("v")).as("max_val"))
+      .orderBy(col("column_name"))
+  }
+
+  /** DuckDB respell of [[columnProfile]]: `cols` maps column name → the
+    * matching canonical VARCHAR SQL expression. */
+  def columnProfileSql(table: String, cols: Seq[(String, String)]): String = {
+    val legs = cols.map { case (n, e) =>
+      s"SELECT '$n' AS column_name, CAST(($e) AS VARCHAR) AS v FROM $table"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH u AS (
+       |$legs)
+       |SELECT column_name, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+       |  min(v) AS min_val, max(v) AS max_val
+       |FROM u GROUP BY column_name ORDER BY column_name""".stripMargin
+  }
 }

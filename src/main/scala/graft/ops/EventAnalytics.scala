@@ -369,4 +369,85 @@ object EventAnalytics {
        |SELECT event_type, n_events, n_kept,
        |  ((n_events - n_kept) * 1000000) // n_events AS drop_ppm
        |FROM d JOIN u USING (event_type) ORDER BY event_type""".stripMargin
+
+  /** Multi-model conversion ATTRIBUTION: for every `convType` event, the
+    * touchpoints the same user produced in the `lookbackUs` window before
+    * it, credited three ways at once — first-touch (1 credit to the
+    * earliest), last-touch (1 to the latest), and linear (10⁶ DIV n ppm to
+    * each of the n touches; integer division, so credits are exact and the
+    * remainder is deliberately dropped identically on both engines). Ties
+    * on timestamp break by event id. Output: one row per touch event type
+    * — (event_type, first_touch, last_touch, linear_ppm).
+    *
+    * Scale shape: the touch–conversion pairing is one user-keyed equi-join
+    * with a range predicate (per-user activity × per-user conversions —
+    * user-bounded fanout, the as-of-join family's shape, never a global
+    * cross); the credit windows are partitioned per CONVERSION (window
+    * size = touches in one lookback, bounded by user activity); the final
+    * rollups carry |event types| keys. */
+  def attributionReport(events: DataFrame, userCol: String, idCol: String,
+      typeCol: String, tsCol: String, convType: String,
+      lookbackUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events.select(col(userCol).as("u"), col(idCol).as("eid"),
+      col(typeCol).as("et"), unix_micros(col(tsCol)).as("us"))
+    val conv = base.filter(col("et") === convType)
+      .select(col("u"), col("eid").as("conv_id"), col("us").as("cus"))
+    val touch = base.filter(col("et") =!= convType)
+      .select(col("u"), col("eid").as("tid"), col("et").as("ttype"), col("us").as("tus"))
+    val j = touch.join(conv, Seq("u"))
+      .filter(col("tus") < col("cus") && col("tus") >= col("cus") - lookbackUs)
+    val wAsc = Window.partitionBy(col("conv_id")).orderBy(col("tus").asc, col("tid").asc)
+    val wDesc = Window.partitionBy(col("conv_id")).orderBy(col("tus").desc, col("tid").desc)
+    val wAll = Window.partitionBy(col("conv_id"))
+    val credited = j
+      .withColumn("rn_f", row_number().over(wAsc))
+      .withColumn("rn_l", row_number().over(wDesc))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val ft = credited.filter(col("rn_f") === 1)
+      .groupBy(col("ttype")).agg(count(lit(1)).as("first_touch"))
+    val lt = credited.filter(col("rn_l") === 1)
+      .groupBy(col("ttype")).agg(count(lit(1)).as("last_touch"))
+    val lin = credited.groupBy(col("ttype"))
+      .agg(sum(expr("1000000 DIV n")).as("linear_ppm"))
+    ft.join(lt, Seq("ttype"), "full_outer")
+      .join(lin, Seq("ttype"), "full_outer")
+      .select(col("ttype").as("event_type"),
+        coalesce(col("first_touch"), lit(0L)).as("first_touch"),
+        coalesce(col("last_touch"), lit(0L)).as("last_touch"),
+        coalesce(col("linear_ppm"), lit(0L)).as("linear_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB respell of [[attributionReport]]. */
+  def attributionReportSql(table: String, userCol: String, idCol: String,
+      typeCol: String, tsCol: String, convType: String,
+      lookbackUs: Long): String =
+    s"""WITH base AS (
+       |  SELECT $userCol AS u, $idCol AS eid, $typeCol AS et,
+       |    epoch_us(CAST($tsCol AS TIMESTAMP)) AS us
+       |  FROM $table),
+       |conv AS (SELECT u, eid AS conv_id, us AS cus FROM base WHERE et = '$convType'),
+       |touch AS (SELECT u, eid AS tid, et AS ttype, us AS tus FROM base WHERE et <> '$convType'),
+       |j AS (
+       |  SELECT touch.*, conv.conv_id FROM touch JOIN conv USING (u)
+       |  WHERE tus < cus AND tus >= cus - $lookbackUs),
+       |credited AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY conv_id ORDER BY tus ASC, tid ASC) AS rn_f,
+       |    row_number() OVER (PARTITION BY conv_id ORDER BY tus DESC, tid DESC) AS rn_l,
+       |    count(*) OVER (PARTITION BY conv_id) AS n
+       |  FROM j),
+       |ft AS (SELECT ttype, CAST(count(*) AS BIGINT) AS first_touch
+       |       FROM credited WHERE rn_f = 1 GROUP BY 1),
+       |lt AS (SELECT ttype, CAST(count(*) AS BIGINT) AS last_touch
+       |       FROM credited WHERE rn_l = 1 GROUP BY 1),
+       |lin AS (SELECT ttype, CAST(sum(1000000 // n) AS BIGINT) AS linear_ppm
+       |        FROM credited GROUP BY 1)
+       |SELECT ttype AS event_type,
+       |  coalesce(first_touch, 0) AS first_touch,
+       |  coalesce(last_touch, 0) AS last_touch,
+       |  coalesce(linear_ppm, 0) AS linear_ppm
+       |FROM ft FULL OUTER JOIN lt USING (ttype) FULL OUTER JOIN lin USING (ttype)
+       |ORDER BY event_type""".stripMargin
 }

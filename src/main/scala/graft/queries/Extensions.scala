@@ -1155,6 +1155,42 @@ object Extensions {
        |ORDER BY fail_short, fail_stop, fail_lang, fail_digit""".stripMargin
   }
 
+  // ------------------------------------------- x157 conversion attribution
+  /** [[graft.ops.EventAnalytics.attributionReport]]: purchases credited to
+    * the user's preceding touchpoints within a 7-day lookback — first,
+    * last, and linear models side by side. The "which channel drives
+    * conversions" rollup marketing analytics runs daily. */
+  def x157Attribution(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.attributionReport(Tables.events(s, dir),
+      "user_id", "event_id", "event_type", "ts",
+      convType = "purchase", lookbackUs = 7L * 86400L * 1000000L)
+  val x157Sql: String = graft.ops.EventAnalytics.attributionReportSql(
+    "events", "user_id", "event_id", "event_type", "ts",
+    convType = "purchase", lookbackUs = 7L * 86400L * 1000000L)
+
+  // ------------------------------------------- x158 column profile card
+  /** [[graft.ops.Contracts.columnProfile]] over `orders` — the dataset
+    * card: per column, rows / nulls / exact distincts / canonical min-max.
+    * Numeric, decimal, and timestamp columns go through engine-identical
+    * string forms (direct int cast, DECIMAL(18,2), epoch micros). */
+  def x158ColumnProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Contracts.columnProfile(Tables.load(s, dir, "orders"), Seq(
+      "o_orderkey" -> $"o_orderkey",
+      "o_custkey" -> $"o_custkey",
+      "o_orderstatus" -> $"o_orderstatus",
+      "o_totalprice" -> $"o_totalprice".cast("decimal(18,2)"),
+      "o_orderdate" -> unix_micros($"o_orderdate".cast("timestamp")),
+      "o_orderpriority" -> $"o_orderpriority"))
+  }
+  val x158Sql: String = graft.ops.Contracts.columnProfileSql("orders", Seq(
+    "o_orderkey" -> "o_orderkey",
+    "o_custkey" -> "o_custkey",
+    "o_orderstatus" -> "o_orderstatus",
+    "o_totalprice" -> "CAST(o_totalprice AS DECIMAL(18,2))",
+    "o_orderdate" -> "epoch_us(CAST(o_orderdate AS TIMESTAMP))",
+    "o_orderpriority" -> "o_orderpriority"))
+
   // ------------------------------------------- x151 UCB mixture replay
   /** [[graft.ops.Curation.ucbMixtureReplay]]: bandit-guided source mixing —
     * arm = source, reward = mean curated label (ppm), 52 deterministic UCB1
@@ -4514,6 +4550,8 @@ object Extensions {
     "x154_cluster_sizes" -> x154ClusterSizes _,
     "x155_source_dup_matrix" -> x155SourceDupMatrix _,
     "x156_gate_ablation" -> x156GateAblation _,
+    "x157_attribution" -> x157Attribution _,
+    "x158_column_profile" -> x158ColumnProfile _,
     "x151_ucb_mixture" -> x151UcbMixture _,
     "x150_snapshot_diff" -> x150SnapshotDiff _,
     "x149_mutual_info" -> x149MutualInfo _,
@@ -4724,6 +4762,8 @@ object Extensions {
     "x154_cluster_sizes" -> x154Sql,
     "x155_source_dup_matrix" -> x155Sql,
     "x156_gate_ablation" -> x156Sql,
+    "x157_attribution" -> x157Sql,
+    "x158_column_profile" -> x158Sql,
     "x15_multimodal" -> x15Sql,
     "x151_ucb_mixture" -> x151Sql,
     "x150_snapshot_diff" -> x150Sql,

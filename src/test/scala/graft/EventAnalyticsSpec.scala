@@ -157,4 +157,29 @@ class EventAnalyticsSpec extends SparkSpec {
       .select($"event_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(1L, 2L, 3L, 5L, 6L, 7L, 8L))
   }
+
+  test("attributionReport: first/last/linear credits, lookback exclusion, empty-touch conversions") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // u1: view then click then TWO purchases — both convs see the same
+      // two touches (no reset between conversions, by design): first=view,
+      // last=click, linear 500000 each, twice
+      (1L, 1L, "view", ts("2024-01-01 00:00:01")),
+      (2L, 1L, "click", ts("2024-01-01 00:00:02")),
+      (3L, 1L, "purchase", ts("2024-01-01 00:00:03")),
+      (4L, 1L, "purchase", ts("2024-01-01 00:00:05")),
+      (5L, 1L, "error", ts("2024-01-01 02:00:00")),   // after both convs → no credit
+      // u4: click a day before the purchase — outside the 1h lookback
+      (6L, 4L, "click", ts("2024-01-01 00:00:00")),
+      (7L, 4L, "purchase", ts("2024-01-02 00:00:00")),
+      // u5: conversion with no touches at all
+      (8L, 5L, "purchase", ts("2024-01-01 00:00:00"))).toDF("event_id", "user_id", "et", "ts")
+    val out = EventAnalytics.attributionReport(events, "user_id", "event_id",
+      "et", "ts", convType = "purchase", lookbackUs = 3600L * 1000000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("click", 0L, 2L, 1000000L),
+      ("view", 2L, 0L, 1000000L)))
+  }
 }
