@@ -1191,6 +1191,172 @@ object Extensions {
     "o_orderdate" -> "epoch_us(CAST(o_orderdate AS TIMESTAMP))",
     "o_orderpriority" -> "o_orderpriority"))
 
+  // ------------------------------------------- x159 source containment
+  /** SOURCE-level shingle containment matrix: for every ordered source
+    * pair (A, B), the fraction of A's distinct 3-gram shingles that also
+    * occur in B — the corpus-provenance complement to x155's doc-pair
+    * matrix (x155 counts near-dup PAIRS; this measures wholesale content
+    * overlap even when no single doc pair crosses the near-dup bar).
+    *
+    * Scale shape: the corpus collapses to the distinct (source, shingle)
+    * relation; the pair join is shingle-keyed with per-shingle fanout
+    * bounded by |sources|² (a shingle appears once per source after the
+    * distinct), and the rollup is catalog². Counts are exact integers;
+    * the ppm is integer floor division. */
+  def x159SourceContainment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = docs(s, dir)
+      .select($"source", explode(
+        graft.functions.Exprs.shingle_hashes(Dedup.tokens($"text"), 3)).as("h"))
+      .distinct()
+    val sizes = sh.groupBy($"source").agg(count(lit(1)).as("n_sh"))
+    sh.join(sh.select($"source".as("source_b"), $"h"), Seq("h"))
+      .filter($"source" =!= $"source_b")
+      .groupBy($"source".as("source_a"), $"source_b")
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select($"source".as("source_a"), $"n_sh")), Seq("source_a"))
+      .select($"source_a", $"source_b", $"n_common",
+        expr("(n_common * 1000000) DIV n_sh").as("containment_ppm"))
+      .orderBy($"source_a", $"source_b")
+  }
+  val x159Sql: String =
+    """WITH toks AS (
+      |  SELECT source, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT source, unnest(CASE WHEN len(w) >= 3
+      |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
+      |    ELSE [array_to_string(w, ' ')] END) AS shingle
+      |  FROM toks),
+      |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+      |common AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    CAST(count(*) AS BIGINT) AS n_common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source <> b.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b, n_common,
+      |  (n_common * 1000000) // s.n_sh AS containment_ppm
+      |FROM common JOIN sizes s ON s.source = source_a
+      |ORDER BY source_a, source_b""".stripMargin
+
+  // ------------------------------------------- x160 Heaps-law fit
+  /** Heaps'-law exponent: regress ln(cumulative vocabulary) on
+    * ln(cumulative tokens) over doc-id-ordered corpus prefixes (the x78
+    * bucket grid) — V ≈ K·nᵝ, the growth-rate constant that predicts how
+    * much NEW vocabulary another 10× of corpus will bring. β well below 1
+    * = diminishing novelty; β near 1 = the corpus keeps surprising you.
+    *
+    * Determinism: cumulative token/type counts are exact integers per
+    * bucket; both lns take integer-valued arguments; the OLS sums fold
+    * over the ≤`buckets` sorted points (x83's zipf discipline) so the
+    * slope double is bit-identical cross-engine. Scale shape: two
+    * partial-aggregable rollups to the bucket grid; everything after is
+    * arithmetic over ≤`buckets` rows. */
+  def x160HeapsFit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val buckets = 10
+    val maxId = docs(s, dir).agg(max($"doc_id")).head.getLong(0)
+    val bucketOf = expr(s"(doc_id * $buckets) div ${maxId + 1}").cast("long")
+    val toksPerBucket = docs(s, dir)
+      .select(bucketOf.as("bucket"),
+        size(split(lower($"text"), "\\s+")).cast("long").as("n"))
+      .groupBy($"bucket").agg(sum($"n").as("new_toks"))
+    val typesPerBucket = docs(s, dir)
+      .select($"doc_id", explode(array_distinct(split(lower($"text"), "\\s+"))).as("tok"))
+      .groupBy(xxhash64($"tok").as("h")).agg(min($"doc_id").as("first_doc"))
+      .groupBy(expr(s"(first_doc * $buckets) div ${maxId + 1}").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy($"bucket") // bounded: ≤`buckets` rows
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = toksPerBucket
+      .join(typesPerBucket, Seq("bucket"), "full_outer")
+      .select($"bucket", coalesce($"new_toks", lit(0L)).as("nt"),
+        coalesce($"new_types", lit(0L)).as("nv"))
+      .withColumn("cum_toks", sum($"nt").over(w))
+      .withColumn("cum_vocab", sum($"nv").over(w))
+      .filter($"cum_toks" > 0 && $"cum_vocab" > 0)
+      .select($"bucket", log($"cum_toks".cast("double")).as("x"),
+        log($"cum_vocab".cast("double")).as("y"))
+    pts
+      .agg(count(lit(1)).as("m"),
+        sort_array(collect_list(struct($"bucket", $"x", $"y"))).as("e"))
+      .select($"m".as("n_points"),
+        expr("""aggregate(e, named_struct('sx', 0.0D, 'sy', 0.0D, 'sxx', 0.0D, 'sxy', 0.0D),
+               |  (a, p) -> named_struct('sx', a.sx + p.x, 'sy', a.sy + p.y,
+               |    'sxx', a.sxx + p.x * p.x, 'sxy', a.sxy + p.x * p.y))""".stripMargin).as("s"),
+        $"m")
+      .select($"n_points",
+        (($"m".cast("double") * $"s.sxy" - $"s.sx" * $"s.sy") /
+          nullif($"m".cast("double") * $"s.sxx" - $"s.sx" * $"s.sx", lit(0.0)))
+          .as("heaps_beta"))
+  }
+  val x160Sql: String =
+    """WITH mx AS (SELECT max(doc_id) AS maxid FROM documents),
+      |tpb AS (
+      |  SELECT (doc_id * 10) // (maxid + 1) AS bucket,
+      |    CAST(sum(len(string_split_regex(lower(text), '\s+'))) AS BIGINT) AS new_toks
+      |  FROM documents, mx GROUP BY 1),
+      |firsts AS (
+      |  SELECT tok, min(doc_id) AS first_doc FROM (
+      |    SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |    FROM documents)
+      |  GROUP BY tok),
+      |vpb AS (
+      |  SELECT (first_doc * 10) // (maxid + 1) AS bucket,
+      |    CAST(count(*) AS BIGINT) AS new_types
+      |  FROM firsts, mx GROUP BY 1),
+      |cum AS (
+      |  SELECT bucket,
+      |    sum(coalesce(new_toks, 0)) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_toks,
+      |    sum(coalesce(new_types, 0)) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_vocab
+      |  FROM tpb FULL OUTER JOIN vpb USING (bucket)),
+      |pts AS (
+      |  SELECT bucket, ln(CAST(cum_toks AS DOUBLE)) AS x, ln(CAST(cum_vocab AS DOUBLE)) AS y
+      |  FROM cum WHERE cum_toks > 0 AND cum_vocab > 0),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS m,
+      |    list_reduce(list_prepend(struct_pack(sx := 0.0, sy := 0.0, sxx := 0.0, sxy := 0.0),
+      |      list(struct_pack(sx := x, sy := y, sxx := x * x, sxy := x * y) ORDER BY bucket)),
+      |      (a, p) -> struct_pack(sx := a.sx + p.sx, sy := a.sy + p.sy,
+      |        sxx := a.sxx + p.sxx, sxy := a.sxy + p.sxy)) AS t
+      |  FROM pts)
+      |SELECT m AS n_points,
+      |  (CAST(m AS DOUBLE) * t.sxy - t.sx * t.sy)
+      |    / NULLIF(CAST(m AS DOUBLE) * t.sxx - t.sx * t.sx, 0.0) AS heaps_beta
+      |FROM s""".stripMargin
+
+  // ------------------------------------------- x161 effective sample size
+  /** Effective sample size of the per-document mixture weights within each
+    * source: ESS = (Σw)²/Σw² in ppm of n — the importance-sampling
+    * diagnostic that catches a weighting scheme silently collapsing onto a
+    * few documents (ESS ≪ n means most weight sits on a handful of rows).
+    * Weight = quality-proxy token count, the x26 budget-mix weight.
+    * All-integer sufficient statistics (Σw, Σw², int64-safe at 10⁹-token
+    * sources), one partial-aggregable rollup, one ppm division per row. */
+  def x161EffectiveSampleSize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"source", size(split(lower($"text"), "\\s+")).cast("long").as("w"))
+      .filter($"w" > 0)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"w").as("sw"), sum($"w" * $"w").as("sww"))
+      .select($"source", $"n_docs",
+        expr("(sw * sw) DIV sww").as("ess"),
+        expr("((sw * sw) DIV sww) * 1000000 DIV n_docs").as("ess_ppm_of_n"))
+      .orderBy($"source")
+  }
+  val x161Sql: String =
+    """WITH w AS (
+      |  SELECT source, CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS w
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(w) AS BIGINT) AS sw, CAST(sum(w * w) AS BIGINT) AS sww
+      |  FROM w WHERE w > 0 GROUP BY source)
+      |SELECT source, n_docs,
+      |  (sw * sw) // sww AS ess,
+      |  ((sw * sw) // sww) * 1000000 // n_docs AS ess_ppm_of_n
+      |FROM g ORDER BY source""".stripMargin
+
   // ------------------------------------------- x151 UCB mixture replay
   /** [[graft.ops.Curation.ucbMixtureReplay]]: bandit-guided source mixing —
     * arm = source, reward = mean curated label (ppm), 52 deterministic UCB1
@@ -4552,6 +4718,9 @@ object Extensions {
     "x156_gate_ablation" -> x156GateAblation _,
     "x157_attribution" -> x157Attribution _,
     "x158_column_profile" -> x158ColumnProfile _,
+    "x159_source_containment" -> x159SourceContainment _,
+    "x160_heaps_fit" -> x160HeapsFit _,
+    "x161_effective_sample_size" -> x161EffectiveSampleSize _,
     "x151_ucb_mixture" -> x151UcbMixture _,
     "x150_snapshot_diff" -> x150SnapshotDiff _,
     "x149_mutual_info" -> x149MutualInfo _,
@@ -4764,6 +4933,9 @@ object Extensions {
     "x156_gate_ablation" -> x156Sql,
     "x157_attribution" -> x157Sql,
     "x158_column_profile" -> x158Sql,
+    "x159_source_containment" -> x159Sql,
+    "x160_heaps_fit" -> x160Sql,
+    "x161_effective_sample_size" -> x161Sql,
     "x15_multimodal" -> x15Sql,
     "x151_ucb_mixture" -> x151Sql,
     "x150_snapshot_diff" -> x150Sql,
