@@ -1357,6 +1357,109 @@ object Extensions {
       |  ((sw * sw) // sww) * 1000000 // n_docs AS ess_ppm_of_n
       |FROM g ORDER BY source""".stripMargin
 
+  // ------------------------------------------- x162 DAU/WAU stickiness
+  /** Product-analytics stickiness: per day, distinct active users (DAU),
+    * trailing-7-day distinct users (WAU), and DAU/WAU in ppm. The exact
+    * sliding distinct comes from fanning the distinct (user, day) relation
+    * across the 7 offsets it participates in (a ×7 map-side explode of the
+    * ALREADY-collapsed per-user-day relation — never the raw event
+    * stream) and re-counting distinct users per target day; days with no
+    * trailing activity window are absent on both engines.
+    *
+    * Scale: two shuffles (user-day collapse, per-day distinct), fanout
+    * bounded at 7×|user-days|; no windows, no self-joins. */
+  def x162Stickiness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ud = Tables.events(s, dir)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val dau = ud.groupBy($"day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select($"user_id", explode(sequence(lit(0), lit(6))).as("off"), $"day")
+      .select($"user_id", date_add($"day", $"off").as("day"))
+      .groupBy($"day").agg(countDistinct($"user_id").as("wau"))
+    dau.join(wau, Seq("day"))
+      .select($"day", $"dau", $"wau",
+        expr("(dau * 1000000) DIV wau").as("stickiness_ppm"))
+      .orderBy($"day")
+  }
+  val x162Sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+      |wau AS (
+      |  SELECT day + CAST(off AS INT) AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      |  FROM ud, (SELECT unnest(range(0, 7)) AS off)
+      |  GROUP BY 1)
+      |SELECT dau.day, dau.dau, wau.wau,
+      |  (dau.dau * 1000000) // wau.wau AS stickiness_ppm
+      |FROM dau JOIN wau ON dau.day = wau.day
+      |ORDER BY dau.day""".stripMargin
+
+  // ------------------------------------------- x163 skip-gram PMI
+  /** Windowed skip-gram PMI: top-k token pairs by pointwise mutual
+    * information over co-occurrences within a ±`window` token distance —
+    * the association signal behind word-vector objectives and multi-word
+    * vocab entries, where x79's adjacent-only collocations miss "new …
+    * york"-with-a-modifier shapes. PMI = ln(c_ab·N / (c_a·c_b)): every ln
+    * argument is an exact integer product, so the e6 value is the x74
+    * grid. Pairs below `minCount` co-occurrences are dropped (PMI's
+    * rare-pair pathology). Pair key is ORDERED (a < b lexically).
+    *
+    * Scale shape: the pair stream is a positional self-explode bounded by
+    * corpus_tokens × window (map-side, the skip-gram literature's cost),
+    * collapsing partial-aggregably; the unigram table joins broadcast at
+    * vocab scale or hash beyond. Top-k is TakeOrderedAndProject. */
+  def x163SkipgramPmi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val window = 3
+    val minCount = 5L
+    val toks = tokDocs(s, dir).select($"doc_id", $"tokens")
+    val pairs = toks
+      .select(posexplode($"tokens").as(Seq("i", "a")), $"tokens")
+      .select($"a", explode(expr(
+        s"slice(tokens, i + 2, $window)")).as("b"))
+      .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("cab"))
+      .filter($"cab" >= minCount)
+    val uni = toks.select(explode($"tokens").as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum($"c").as("n"))
+    pairs
+      .join(uni.select($"t".as("a"), $"c".as("ca")), Seq("a"))
+      .join(uni.select($"t".as("b"), $"c".as("cb")), Seq("b"))
+      .crossJoin(broadcast(n))
+      .select($"a", $"b", $"cab",
+        floor((log($"cab".cast("double") * $"n".cast("double")) -
+          log($"ca".cast("double") * $"cb".cast("double"))) * 1e6)
+          .cast("long").as("pmi_e6"))
+      .orderBy($"pmi_e6".desc, $"a", $"b")
+      .limit(40)
+  }
+  val x163Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |pos AS (
+      |  SELECT doc_id, w, u.p AS i, u.t AS a FROM (
+      |    SELECT doc_id, w, unnest(list_transform(w, (x, i) -> struct_pack(p := i, t := x))) AS u
+      |    FROM toks)),
+      |pr AS (
+      |  SELECT least(a, b) AS a, greatest(a, b) AS b FROM (
+      |    SELECT a, unnest(w[i + 1 : least(i + 3, len(w))]) AS b FROM pos)),
+      |pairs AS (
+      |  SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM pr GROUP BY 1, 2
+      |  HAVING count(*) >= 5),
+      |uni AS (
+      |  SELECT u.t, CAST(count(*) AS BIGINT) AS c FROM (
+      |    SELECT unnest(w) AS t FROM toks) u GROUP BY 1),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni)
+      |SELECT p.a, p.b, p.cab,
+      |  CAST(floor((ln(CAST(p.cab AS DOUBLE) * CAST(n.n AS DOUBLE))
+      |    - ln(CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))) * 1000000.0) AS BIGINT) AS pmi_e6
+      |FROM pairs p
+      |JOIN uni ua ON ua.t = p.a
+      |JOIN uni ub ON ub.t = p.b, n
+      |ORDER BY pmi_e6 DESC, p.a, p.b LIMIT 40""".stripMargin
+
   // ------------------------------------------- x151 UCB mixture replay
   /** [[graft.ops.Curation.ucbMixtureReplay]]: bandit-guided source mixing —
     * arm = source, reward = mean curated label (ppm), 52 deterministic UCB1
@@ -4721,6 +4824,8 @@ object Extensions {
     "x159_source_containment" -> x159SourceContainment _,
     "x160_heaps_fit" -> x160HeapsFit _,
     "x161_effective_sample_size" -> x161EffectiveSampleSize _,
+    "x162_stickiness" -> x162Stickiness _,
+    "x163_skipgram_pmi" -> x163SkipgramPmi _,
     "x151_ucb_mixture" -> x151UcbMixture _,
     "x150_snapshot_diff" -> x150SnapshotDiff _,
     "x149_mutual_info" -> x149MutualInfo _,
@@ -4936,6 +5041,8 @@ object Extensions {
     "x159_source_containment" -> x159Sql,
     "x160_heaps_fit" -> x160Sql,
     "x161_effective_sample_size" -> x161Sql,
+    "x162_stickiness" -> x162Sql,
+    "x163_skipgram_pmi" -> x163Sql,
     "x15_multimodal" -> x15Sql,
     "x151_ucb_mixture" -> x151Sql,
     "x150_snapshot_diff" -> x150Sql,
