@@ -776,25 +776,31 @@ object Stats {
     * at rank r of m maps to the TARGET distribution's value at rank
     * ⌈r·k/m⌉ — length-matched sampling across corpora without fitting any
     * parametric curve. Ranks order by (value, id) so ties are total; every
-    * step is integer arithmetic. The rank windows are per-relation global
-    * (the relations here are per-source subsets — bounded; at corpus scale
-    * the same mapping runs per group). */
+    * step is integer arithmetic.
+    *
+    * r9 de-globalization: the source rank is [[Par.globalRowNumber]]'s
+    * distributed prefix scan (no single-partition sort of the source
+    * relation), and the target's idx→value function is rebuilt from its
+    * VALUE HISTOGRAM — ties in target values map identically whatever
+    * their internal order, so exploding each distinct value across its
+    * rank range (below, below+cnt] reproduces row_number-by-value exactly
+    * — joined on idx as a plain shuffle equi-join. No global window on
+    * either side. */
   def quantileMap(source: DataFrame, target: DataFrame, idCol: String,
       valueCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val s = source
-      .select(col(idCol), col(valueCol).cast("long").as("v"))
-      .withColumn("r", row_number().over(Window.orderBy(col("v"), col(idCol))))
-      .withColumn("m", count(lit(1)).over(Window.partitionBy(lit(1))))
-    // ties in target VALUES map identically whatever their internal order,
-    // so rank-by-value alone is already a deterministic idx→value function
-    val t = target
-      .select(col(valueCol).cast("long").as("tv"))
-      .withColumn("idx", row_number().over(Window.orderBy(col("tv"))))
-      .withColumn("k", count(lit(1)).over(Window.partitionBy(lit(1))))
-    s.crossJoin(broadcast(t.agg(max(col("k")).as("k"))))
+    val s = source.select(col(idCol), col(valueCol).cast("long").as("v"))
+    val ranked = Par.globalRowNumber(s, "v", idCol, ascending = true, "r")
+    val m = s.agg(count(lit(1)).as("m"))
+    val tHist = target.select(col(valueCol).cast("long").as("tv"))
+      .groupBy(col("tv")).agg(count(lit(1)).as("cnt"))
+    val tPre = Par.exclusivePrefix(tHist, col("tv").asc, Seq("cnt" -> "below"))
+    val k = tPre.agg(sum(col("cnt")).as("k"))
+    val tIdx = tPre.select(col("tv"),
+      explode(sequence(col("below") + 1, col("below") + col("cnt"))).as("idx"))
+    ranked
+      .crossJoin(broadcast(m)).crossJoin(broadcast(k))
       .withColumn("idx", expr("(r * k + m - 1) DIV m"))
-      .join(broadcast(t.select(col("idx"), col("tv"))), Seq("idx"))
+      .join(tIdx, Seq("idx"))
       .select(col(idCol), col("v").as("value"), col("r").as("rank"),
         col("tv").as("mapped_value"))
       .orderBy(col(idCol))

@@ -336,13 +336,20 @@ class PlanSpec extends SparkSpec {
     assertAllWindowsPidPartitioned(plan(Extensions.x129GiniStump(spark, dir)))
   }
 
-  test("x144 RFM: every window is partitioned (rank via prefix scan, not global ntile)") {
-    val p = plan(Extensions.x144RfmSegments(spark, dir))
+  private def assertAllWindowsPartitioned(p: String): Unit = {
     // an unpartitioned window spec leads with a SORT ORDER (col ASC/DESC);
     // a partitioned one leads with the partition column
     val specs = p.split("windowspecdefinition\\(").drop(1).map(_.takeWhile(_ != ','))
     assert(specs.nonEmpty, s"expected rank windows in plan:\n$p")
     specs.foreach(s => assert(!s.contains(" ASC") && !s.contains(" DESC"),
       s"unpartitioned window (global sort!): windowspecdefinition($s…\n$p"))
+  }
+
+  test("x144 RFM: every window is partitioned (rank via prefix scan, not global ntile)") {
+    assertAllWindowsPartitioned(plan(Extensions.x144RfmSegments(spark, dir)))
+  }
+
+  test("x134 quantile map: every window is partitioned (rank via prefix scan)") {
+    assertAllWindowsPartitioned(plan(Extensions.x134QuantileMap(spark, dir)))
   }
 }
