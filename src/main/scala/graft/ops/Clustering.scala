@@ -312,4 +312,82 @@ object Clustering {
        |$unioned)
        |ORDER BY center_rank""".stripMargin
   }
+
+  /** Nearest-centroid classifier CONFUSION MATRIX: per-label centroids
+    * from the labeled vectors (the Rocchio classifier), every vector
+    * re-assigned to its nearest centroid (ties → lowest label), counts by
+    * (true, predicted). The domain-classifier sanity check run before a
+    * label column is trusted to route 100 TB.
+    *
+    * Same machinery as [[simplifiedSilhouette]]: one k-bounded centroid
+    * aggregate (VecSumAgg partials, floor-div quantization) rides back as
+    * broadcast literals; assignment is a map-side argmin over the literal
+    * array; the confusion rollup carries ≤k² keys. Integer throughout —
+    * e6 grid vectors, int64 squared distances. */
+  def centroidConfusion(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val base = emb.select(
+      col(idCol).cast("long").as("vec_id"),
+      col(labelCol).cast("long").as("label"),
+      expr(s"transform($vecCol, v -> cast(floor(cast(v as double) * 1000000.0) as bigint))")
+        .as("qv"))
+      .filter(col("label").isNotNull)
+    // bounded collect: one row per label
+    val centroids: Array[(Long, Array[Long])] = base
+      .groupBy(col("label"))
+      .agg(graft.functions.VecSumAgg.vec_sum(col("qv")).as("s"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Long](1).toArray.map(Math.floorDiv(_, r.getLong(2)))))
+      .sortBy(_._1)
+    if (centroids.isEmpty)
+      return emb.sparkSession.range(0)
+        .select(col("id").as("label_true"), col("id").as("label_pred"),
+          lit(0L).as("n"))
+    val arr = array(centroids.toIndexedSeq.map { case (cid, cv) =>
+      struct(
+        aggregate(
+          zip_with(col("qv"), typedlit(cv.toSeq), (x, c) => (x - c) * (x - c)),
+          lit(0L), (acc, v) => acc + v).as("d"),
+        lit(cid).as("j"))
+    }: _*)
+    base.withColumn("__arr", arr)
+      .withColumn("pred", expr("array_min(__arr).j")) // struct order: (d, j) — ties → lowest label
+      .groupBy(col("label").as("label_true"), col("pred").as("label_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label_true"), col("label_pred"))
+  }
+
+  /** The [[centroidConfusion]] oracle: per-label centroid CTEs with the
+    * identical floor-div quantization, per-vector argmin via a
+    * vec-partitioned rank window, k²-bounded rollup. */
+  def centroidConfusionSql(table: String, idCol: String, vecCol: String,
+      labelCol: String): String =
+    s"""WITH q AS (
+       |  SELECT CAST($idCol AS BIGINT) AS vec_id, CAST($labelCol AS BIGINT) AS label,
+       |    list_transform($vecCol, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+       |  FROM $table WHERE $labelCol IS NOT NULL),
+       |pos AS (
+       |  SELECT label, u.p AS pos, u.x AS qc FROM (
+       |    SELECT label, unnest(list_transform(qv, (x, i) -> struct_pack(p := i, x := x))) AS u
+       |    FROM q)),
+       |sagg AS (SELECT label, pos, CAST(sum(qc) AS BIGINT) AS s FROM pos GROUP BY 1, 2),
+       |nn AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY label),
+       |cent AS (
+       |  SELECT sagg.label AS clabel,
+       |    list((s - ((s % n) + n) % n) // n ORDER BY pos) AS cv
+       |  FROM sagg JOIN nn ON sagg.label = nn.label GROUP BY sagg.label, n),
+       |d AS (
+       |  SELECT q.vec_id, q.label, c.clabel,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, len(q.qv) + 1),
+       |        i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))), (x, y) -> x + y) AS dist
+       |  FROM q, cent c),
+       |pick AS (
+       |  SELECT vec_id, label, clabel AS pred,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rk
+       |  FROM d)
+       |SELECT label AS label_true, pred AS label_pred, CAST(count(*) AS BIGINT) AS n
+       |FROM pick WHERE rk = 1
+       |GROUP BY 1, 2 ORDER BY label_true, label_pred""".stripMargin
 }

@@ -1460,6 +1460,108 @@ object Extensions {
       |JOIN uni ub ON ub.t = p.b, n
       |ORDER BY pmi_e6 DESC, p.a, p.b LIMIT 40""".stripMargin
 
+  // ------------------------------------------- x164 Pareto concentration
+  /** Token-mass Pareto report: sources ranked by token count with share
+    * and cumulative share of the corpus — the 80/20 concentration view
+    * that decides whether mixture work should start with the head or the
+    * tail. The corpus collapses map-side to one row per source; the rank
+    * window runs on that CATALOG-sized relation (the waterfill/q12
+    * post-agg shape — dozens of rows, never documents). */
+  def x164ParetoReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = docs(s, dir)
+      .groupBy($"source")
+      .agg(sum(size(split(lower($"text"), "\\s+")).cast("long")).as("tokens"))
+    val tot = per.agg(sum($"tokens").as("tot"))
+    val w = Window.orderBy($"tokens".desc, $"source")
+    per.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens",
+        sum($"tokens").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"rank", $"source", $"tokens",
+        expr("(tokens * 1000000) DIV tot").as("share_ppm"),
+        expr("(cum_tokens * 1000000) DIV tot").as("cum_share_ppm"))
+      .orderBy($"rank")
+  }
+  val x164Sql: String =
+    """WITH per AS (
+      |  SELECT source,
+      |    CAST(sum(len(string_split_regex(lower(text), '\s+'))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS tot FROM per),
+      |r AS (
+      |  SELECT source, tokens,
+      |    CAST(row_number() OVER (ORDER BY tokens DESC, source) AS BIGINT) AS rank,
+      |    CAST(sum(tokens) OVER (ORDER BY tokens DESC, source ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      |  FROM per)
+      |SELECT rank, source, tokens,
+      |  (tokens * 1000000) // t.tot AS share_ppm,
+      |  (cum_tokens * 1000000) // t.tot AS cum_share_ppm
+      |FROM r, t ORDER BY rank""".stripMargin
+
+  // ------------------------------------------- x165 effective dimensionality
+  /** Embedding effective dimensionality — the participation ratio
+    * (Σλ)²/Σλ² over PER-DIMENSION variances (the cheap spectral-collapse
+    * diagnostic: d means isotropic use of the space, ≪d means the
+    * embedding collapsed onto a few axes and ANN recall will suffer).
+    * The per-dim variance numerators n·Σq²−(Σq)² are exact DECIMAL(38)
+    * integers (e6-grid q, x85's machinery), and the shared n² denominator
+    * CANCELS in the ratio, so the fold sums cast those exact integers to
+    * double in sorted dimension order — one pinned shape, one final e6
+    * floor. Scale: one partial-aggregable per-pos aggregate (d-bounded),
+    * then arithmetic over d rows. */
+  def x165EffectiveDim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = emb(s, dir).select(posexplode(expr(
+      "transform(embedding, v -> cast(floor(cast(v as double) * 1000000.0) as bigint))"))
+      .as(Seq("pos", "q")))
+    val perDim = q.groupBy($"pos")
+      .agg(count(lit(1)).as("n"),
+        sum($"q".cast("decimal(38,0)")).as("s"),
+        sum(($"q" * $"q").cast("decimal(38,0)")).as("s2"))
+      .select($"pos",
+        ($"n".cast("decimal(38,0)") * $"s2" - $"s" * $"s").cast("double").as("v"))
+    perDim
+      .agg(count(lit(1)).as("n_dims"),
+        sort_array(collect_list(struct($"pos", $"v"))).as("e"))
+      .select($"n_dims",
+        floor(expr(
+          """pow(aggregate(e, 0.0D, (a, p) -> a + p.v), 2.0D)
+            | / aggregate(e, 0.0D, (a, p) -> a + p.v * p.v)""".stripMargin) * 1e6)
+          .cast("long").as("pr_e6"))
+  }
+  val x165Sql: String =
+    """WITH q AS (
+      |  SELECT u.pos AS pos, u.q AS q FROM (
+      |    SELECT unnest(list_transform(range(1, len(embedding) + 1),
+      |      i -> struct_pack(pos := i,
+      |        q := CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)))) AS u
+      |    FROM embeddings)),
+      |pd AS (
+      |  SELECT pos,
+      |    CAST(CAST(count(*) AS DECIMAL(38,0)) * sum(CAST(q * q AS DECIMAL(38,0)))
+      |      - sum(CAST(q AS DECIMAL(38,0))) * sum(CAST(q AS DECIMAL(38,0))) AS DOUBLE) AS v
+      |  FROM q GROUP BY pos),
+      |f AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_dims,
+      |    list_reduce(list_prepend(struct_pack(s := 0.0, s2 := 0.0),
+      |      list(struct_pack(s := v, s2 := v * v) ORDER BY pos)),
+      |      (a, p) -> struct_pack(s := a.s + p.s, s2 := a.s2 + p.s2)) AS t
+      |  FROM pd)
+      |SELECT n_dims,
+      |  CAST(floor(pow(t.s, 2.0) / t.s2 * 1000000.0) AS BIGINT) AS pr_e6
+      |FROM f""".stripMargin
+
+  // ------------------------------------------- x166 centroid classifier
+  /** [[graft.ops.Clustering.centroidConfusion]]: Rocchio nearest-centroid
+    * classification of every embedding against its own label's centroids,
+    * rolled to a confusion matrix — the label-quality sanity check before
+    * a label column routes corpus-scale sampling. */
+  def x166CentroidConfusion(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Clustering.centroidConfusion(emb(s, dir), "vec_id", "embedding", "label")
+  val x166Sql: String = graft.ops.Clustering.centroidConfusionSql(
+    "embeddings", "vec_id", "embedding", "label")
+
   // ------------------------------------------- x151 UCB mixture replay
   /** [[graft.ops.Curation.ucbMixtureReplay]]: bandit-guided source mixing —
     * arm = source, reward = mean curated label (ppm), 52 deterministic UCB1
@@ -4826,6 +4928,9 @@ object Extensions {
     "x161_effective_sample_size" -> x161EffectiveSampleSize _,
     "x162_stickiness" -> x162Stickiness _,
     "x163_skipgram_pmi" -> x163SkipgramPmi _,
+    "x164_pareto_report" -> x164ParetoReport _,
+    "x165_effective_dim" -> x165EffectiveDim _,
+    "x166_centroid_confusion" -> x166CentroidConfusion _,
     "x151_ucb_mixture" -> x151UcbMixture _,
     "x150_snapshot_diff" -> x150SnapshotDiff _,
     "x149_mutual_info" -> x149MutualInfo _,
@@ -5043,6 +5148,9 @@ object Extensions {
     "x161_effective_sample_size" -> x161Sql,
     "x162_stickiness" -> x162Sql,
     "x163_skipgram_pmi" -> x163Sql,
+    "x164_pareto_report" -> x164Sql,
+    "x165_effective_dim" -> x165Sql,
+    "x166_centroid_confusion" -> x166Sql,
     "x15_multimodal" -> x15Sql,
     "x151_ucb_mixture" -> x151Sql,
     "x150_snapshot_diff" -> x150Sql,
