@@ -426,6 +426,34 @@ class ClusteringSketchSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == Seq(-1L, 7L))
   }
 
+  test("centroidConfusion: 1-d two-label fixture — separable labels diagonal, stray point crosses") {
+    import spark.implicits._
+    // label 1 at {0.0, 0.2} → centroid 0.1; label 2 at {1.0, 1.2, 0.15} →
+    // centroid ~0.783; the stray 0.15 sits nearer label 1's centroid
+    val df = Seq(
+      (1L, Seq(0.0f), 1), (2L, Seq(0.2f), 1),
+      (3L, Seq(1.0f), 2), (4L, Seq(1.2f), 2), (5L, Seq(0.15f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Clustering.centroidConfusion(df, "vec_id", "embedding", "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 1L) -> 2L, (2L, 2L) -> 2L, (2L, 1L) -> 1L))
+  }
+
+  test("centroidConfusion: null labels dropped; empty input yields zero rows") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(0.5f), Option.empty[Int])).toDF("vec_id", "embedding", "label")
+    assert(Clustering.centroidConfusion(df, "vec_id", "embedding", "label").count() == 0L)
+  }
+
+  test("x165 participation ratio math: equal variances → d, one dominant axis → near 1") {
+    // plain scalar replay of the PR formula over variance numerators
+    def pr(vs: Seq[Double]): Double = math.pow(vs.sum, 2) / vs.map(v => v * v).sum
+    assert(math.abs(pr(Seq(5.0, 5.0, 5.0, 5.0)) - 4.0) < 1e-12)
+    assert(pr(Seq(100.0, 0.001, 0.001)) < 1.01)
+    // scale invariance: the shared n² denominator cancelling is safe
+    assert(math.abs(pr(Seq(3.0, 7.0)) - pr(Seq(30.0, 70.0))) < 1e-12)
+  }
+
   test("simplifiedSilhouette: empty corpus yields zero rows (oracle HAVING drops the rollup total)") {
     import spark.implicits._
     val df = Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")
