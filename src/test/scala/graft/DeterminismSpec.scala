@@ -18,7 +18,12 @@ class DeterminismSpec extends SparkSpec {
     "x01_dedup_exact", "x06_minhash_neardup", "x08_ngram_jaccard",
     "x35_ngram_topk", "x98_kmeans", "x99_hll_distinct",
     "x113_frequent_pairs", "x117_priority_sample", "x122_kcenter",
-    "x130_tfidf_pairs", "x112_triangle_census", "x120_window_dedup")
+    "x130_tfidf_pairs", "x112_triangle_census", "x120_window_dedup",
+    // r9: the distributed-prefix-scan family MUST be invariant to the
+    // shuffle width its range partitioning is derived from, plus the new
+    // linkage/CC and association families
+    "x88_vocab_coverage", "x100_score_auc", "x134_quantile_map",
+    "x153_entity_resolution", "x163_skipgram_pmi")
 
   test("representative queries are invariant to shuffle width and AQE") {
     val fns = SparkEntry.queries
