@@ -282,6 +282,53 @@ object Stats {
                |END""".stripMargin).as("auc_micro"))
   }
 
+  /** Precision–recall curve of an INTEGER score against a boolean label at
+    * `grid`+1 evenly spaced thresholds over the observed score range —
+    * the threshold-picking companion to [[scoreAuc]] (AUC says the score
+    * ranks; this says what precision a concrete gate buys at what recall).
+    * Thresholds are integer arithmetic on broadcast min/max; all counts
+    * exact; precision/recall are integer ppm divisions (NULL when nothing
+    * is predicted positive). Scale shape: one min/max aggregate broadcast
+    * back, a ×(grid+1) map-side fan of per-row flags, one (grid+1)-key
+    * rollup — the corpus shuffles only partial aggregates. */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String,
+      grid: Int = 10): DataFrame = {
+    val q = df.filter(col(scoreCol).isNotNull)
+      .select(col(scoreCol).cast("long").as("sq"),
+        col(labelCol).cast("boolean").as("pos"))
+    val bounds = q.agg(min(col("sq")).as("mn"), max(col("sq")).as("mx"))
+    val ts = df.sparkSession.createDataFrame(
+      (0 to grid).map(i => Tuple1(i))).toDF("i")
+    q.crossJoin(broadcast(bounds)).crossJoin(broadcast(ts))
+      .withColumn("t", expr(s"mn + (i * (mx - mn + 1)) DIV $grid"))
+      .groupBy(col("i").cast("long").as("i"), col("t"))
+      .agg(sum(when(col("sq") >= col("t") && col("pos"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("sq") >= col("t") && !col("pos"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("sq") < col("t") && col("pos"), 1L).otherwise(0L)).as("fn"))
+      .select(col("i"), col("t").as("threshold"), col("tp"), col("fp"), col("fn"),
+        expr("(tp * 1000000) DIV nullif(tp + fp, 0)").as("precision_ppm"),
+        expr("(tp * 1000000) DIV nullif(tp + fn, 0)").as("recall_ppm"))
+      .orderBy(col("i"))
+  }
+
+  /** DuckDB respell of [[prCurve]] — `scoredRelSql` emits (sq, pos). */
+  def prCurveSql(scoredRelSql: String, grid: Int = 10): String =
+    s"""WITH sc AS ($scoredRelSql),
+       |b AS (SELECT CAST(min(sq) AS BIGINT) AS mn, CAST(max(sq) AS BIGINT) AS mx FROM sc),
+       |g AS (SELECT unnest(range(0, ${grid + 1})) AS i),
+       |f AS (
+       |  SELECT g.i, b.mn + (g.i * (b.mx - b.mn + 1)) // $grid AS t, sc.sq, sc.pos
+       |  FROM sc, b, g)
+       |SELECT CAST(i AS BIGINT) AS i, t AS threshold,
+       |  CAST(sum(CASE WHEN sq >= t AND pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(sum(CASE WHEN sq >= t AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |  CAST(sum(CASE WHEN sq < t AND pos THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |  CAST((CAST(sum(CASE WHEN sq >= t AND pos THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+       |    // nullif(sum(CASE WHEN sq >= t THEN 1 ELSE 0 END), 0) AS BIGINT) AS precision_ppm,
+       |  CAST((CAST(sum(CASE WHEN sq >= t AND pos THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+       |    // nullif(sum(CASE WHEN pos THEN 1 ELSE 0 END), 0) AS BIGINT) AS recall_ppm
+       |FROM f GROUP BY i, t ORDER BY i""".stripMargin
+
   /** Reliability diagram (calibration curve) of a score against a boolean
     * label — the companion eval to [[scoreAuc]]: AUC says the score RANKS,
     * calibration says whether its magnitude MEANS anything, which decides

@@ -1562,6 +1562,145 @@ object Extensions {
   val x166Sql: String = graft.ops.Clustering.centroidConfusionSql(
     "embeddings", "vec_id", "embedding", "label")
 
+  // ------------------------------------------- x167 Markov transitions
+  /** Behavioral next-event TRANSITION MATRIX: per user, each consecutive
+    * event pair (by ts, event-id tiebreak) counted as from→to, with the
+    * row-conditional probability in ppm — the first-order Markov view of
+    * the event stream that x133's fixed windows don't give (x133 counts
+    * whole 8-grams; this estimates the chain itself). One user-partitioned
+    * lag window, one |types|²-bounded rollup. */
+  def x167Transitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val trans = Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy($"from_type").agg(sum($"n").as("tot"))
+    trans.join(broadcast(totals), Seq("from_type"))
+      .select($"from_type", $"to_type", $"n",
+        expr("(n * 1000000) DIV tot").as("p_ppm"))
+      .orderBy($"from_type", $"to_type")
+  }
+  val x167Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |nx AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_type
+      |  FROM e),
+      |t AS (
+      |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM t GROUP BY 1)
+      |SELECT t.from_type, t.to_type, t.n, (t.n * 1000000) // tot.tot AS p_ppm
+      |FROM t JOIN tot USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
+  // ------------------------------------------- x168 readability grade
+  /** Flesch–Kincaid-shape readability per source: words = whitespace
+    * tokens, sentences = terminator runs (min 1), syllables ≈ vowel-group
+    * runs — the classic proxy trio, every count an exact integer from one
+    * regex pass. Per-doc grade_e3 = ⌊(390·w·syl-free shape)⌋… spelled as
+    * ONE pinned integer-argument double expression then e3-floored; the
+    * per-source mean is integer (Σ div n). Pure map-side + one rollup. */
+  def x168Readability(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = lower($"text")
+    val words = size(split(t, "\\s+")).cast("long")
+    val sents = greatest(expr("regexp_count(text, '[.!?]+')").cast("long"), lit(1L))
+    val sylls = greatest(expr("regexp_count(lower(text), '[aeiouy]+')").cast("long"), lit(1L))
+    docs(s, dir)
+      .select($"source", words.as("w"), sents.as("st"), sylls.as("sy"))
+      .withColumn("grade_e3", floor(
+        (lit(0.39) * ($"w".cast("double") / $"st".cast("double")) +
+          lit(11.8) * ($"sy".cast("double") / $"w".cast("double")) - lit(15.59)) * 1e3)
+        .cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(grade_e3) DIV count(1)").as("mean_grade_e3"),
+        min($"grade_e3").as("min_grade_e3"),
+        max($"grade_e3").as("max_grade_e3"))
+      .orderBy($"source")
+  }
+  val x168Sql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS w,
+      |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS st,
+      |    greatest(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT), 1) AS sy
+      |  FROM documents),
+      |g AS (
+      |  SELECT source,
+      |    CAST(floor((0.39 * (CAST(w AS DOUBLE) / CAST(st AS DOUBLE))
+      |      + 11.8 * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE)) - 15.59) * 1000.0) AS BIGINT) AS grade_e3
+      |  FROM d)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(grade_e3) // count(*) AS BIGINT) AS mean_grade_e3,
+      |  CAST(min(grade_e3) AS BIGINT) AS min_grade_e3,
+      |  CAST(max(grade_e3) AS BIGINT) AS max_grade_e3
+      |FROM g GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------- x169 character classes
+  /** Character-class composition per source: letter / digit / whitespace /
+    * other shares of all characters, in ppm — the script-mix fingerprint
+    * that catches a source flipping from prose to tables or code. Counts
+    * by subtractive regexp_replace (each class counted exactly once),
+    * integer ppm on the source rollup; single scan, zero joins. */
+  def x169CharClasses(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def cnt(re: String) = (length($"text") -
+      length(regexp_replace($"text", re, ""))).cast("long")
+    docs(s, dir)
+      .select($"source", length($"text").cast("long").as("n"),
+        cnt("[a-zA-Z]").as("alpha"), cnt("[0-9]").as("digit"),
+        cnt("\\s").as("ws"))
+      .groupBy($"source")
+      .agg(sum($"n").as("n_chars"), sum($"alpha").as("a"),
+        sum($"digit").as("d"), sum($"ws").as("w"))
+      .select($"source", $"n_chars",
+        expr("(a * 1000000) DIV nullif(n_chars, 0)").as("alpha_ppm"),
+        expr("(d * 1000000) DIV nullif(n_chars, 0)").as("digit_ppm"),
+        expr("(w * 1000000) DIV nullif(n_chars, 0)").as("ws_ppm"),
+        expr("((n_chars - a - d - w) * 1000000) DIV nullif(n_chars, 0)").as("other_ppm"))
+      .orderBy($"source")
+  }
+  val x169Sql: String =
+    """WITH d AS (
+      |  SELECT source, CAST(length(text) AS BIGINT) AS n,
+      |    CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS BIGINT) AS alpha,
+      |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digit,
+      |    CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, CAST(sum(n) AS BIGINT) AS n_chars, CAST(sum(alpha) AS BIGINT) AS a,
+      |    CAST(sum(digit) AS BIGINT) AS d, CAST(sum(ws) AS BIGINT) AS w
+      |  FROM d GROUP BY source)
+      |SELECT source, n_chars,
+      |  (a * 1000000) // nullif(n_chars, 0) AS alpha_ppm,
+      |  (d * 1000000) // nullif(n_chars, 0) AS digit_ppm,
+      |  (w * 1000000) // nullif(n_chars, 0) AS ws_ppm,
+      |  ((n_chars - a - d - w) * 1000000) // nullif(n_chars, 0) AS other_ppm
+      |FROM g ORDER BY source""".stripMargin
+
+  // ------------------------------------------- x170 precision-recall curve
+  /** [[graft.ops.Stats.prCurve]]: document length as the gate score
+    * against the curated label (embeddings label ≥ 5) at 11 thresholds —
+    * what precision a concrete length gate buys at what recall, the
+    * threshold-picking companion to x100's AUC. */
+  def x170PrCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = docs(s, dir).select($"doc_id", $"n_chars")
+      .join(emb(s, dir).select($"vec_id".as("doc_id"), ($"label" >= 5).as("pos")), "doc_id")
+    Stats.prCurve(scored, "n_chars", "pos")
+  }
+  val x170Sql: String = Stats.prCurveSql(
+    """SELECT CAST(d.n_chars AS BIGINT) AS sq, (e.label >= 5) AS pos
+      |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin)
+
   // ------------------------------------------- x151 UCB mixture replay
   /** [[graft.ops.Curation.ucbMixtureReplay]]: bandit-guided source mixing —
     * arm = source, reward = mean curated label (ppm), 52 deterministic UCB1
@@ -4931,6 +5070,10 @@ object Extensions {
     "x164_pareto_report" -> x164ParetoReport _,
     "x165_effective_dim" -> x165EffectiveDim _,
     "x166_centroid_confusion" -> x166CentroidConfusion _,
+    "x167_transitions" -> x167Transitions _,
+    "x168_readability" -> x168Readability _,
+    "x169_char_classes" -> x169CharClasses _,
+    "x170_pr_curve" -> x170PrCurve _,
     "x151_ucb_mixture" -> x151UcbMixture _,
     "x150_snapshot_diff" -> x150SnapshotDiff _,
     "x149_mutual_info" -> x149MutualInfo _,
@@ -5151,6 +5294,10 @@ object Extensions {
     "x164_pareto_report" -> x164Sql,
     "x165_effective_dim" -> x165Sql,
     "x166_centroid_confusion" -> x166Sql,
+    "x167_transitions" -> x167Sql,
+    "x168_readability" -> x168Sql,
+    "x169_char_classes" -> x169Sql,
+    "x170_pr_curve" -> x170Sql,
     "x15_multimodal" -> x15Sql,
     "x151_ucb_mixture" -> x151Sql,
     "x150_snapshot_diff" -> x150Sql,
