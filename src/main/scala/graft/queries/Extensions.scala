@@ -1701,6 +1701,134 @@ object Extensions {
     """SELECT CAST(d.n_chars AS BIGINT) AS sq, (e.label >= 5) AS pos
       |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin)
 
+  // ------------------------------------------- x171 boilerplate n-grams
+  /** Cross-source boilerplate 3-gram BLOCKLIST: shingles present in at
+    * least `minSources` distinct sources, ranked by the number of
+    * distinct DOCUMENTS carrying them — the corpus-wide template
+    * candidates x29's per-source line removal can't see (a footer that
+    * mutates per line but shares its 3-grams everywhere). Top-30 by
+    * (n_docs desc, shingle) with both breadth counts.
+    *
+    * Scale: the corpus collapses to distinct (shingle, source, in-docs)
+    * stats via two partial-aggregable rollups on the exploded relation;
+    * the global top-k is TakeOrderedAndProject. */
+  def x171BoilerplateNgrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = docs(s, dir).select($"doc_id", $"source",
+      explode(expr(
+        """CASE WHEN size(split(lower(text), '\\s+')) >= 3
+          |THEN transform(sequence(1, size(split(lower(text), '\\s+')) - 2),
+          |  i -> concat_ws(' ', slice(split(lower(text), '\\s+'), i, 3)))
+          |ELSE array(concat_ws(' ', split(lower(text), '\\s+'))) END""".stripMargin))
+        .as("shingle"))
+      .distinct()
+    sh.groupBy($"shingle")
+      .agg(countDistinct($"source").as("n_sources"),
+        countDistinct($"doc_id").as("n_docs"))
+      .filter($"n_sources" >= 10)
+      .orderBy($"n_docs".desc, $"shingle")
+      .limit(30)
+  }
+  val x171Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, source, unnest(CASE WHEN len(w) >= 3
+      |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
+      |    ELSE [array_to_string(w, ' ')] END) AS shingle
+      |  FROM toks)
+      |SELECT shingle,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM sh GROUP BY shingle
+      |HAVING count(DISTINCT source) >= 10
+      |ORDER BY n_docs DESC, shingle LIMIT 30""".stripMargin
+
+  // ------------------------------------------- x172 language consistency
+  /** Per-source LANGUAGE MIX entropy: the Shannon entropy (e6 nats) of
+    * each source's labeled-language distribution — 0 means monolingual,
+    * high means the source needs per-language routing before mixing.
+    * Entropy = ln N − (Σ c·ln c)/N with every ln argument an exact
+    * integer count (x149's discipline), folded in sorted language order.
+    * Two catalog-bounded rollups. */
+  def x172LangEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = docs(s, dir).groupBy($"source", $"lang").agg(count(lit(1)).as("c"))
+    c.groupBy($"source")
+      .agg(count(lit(1)).as("n_langs"), sum($"c").as("n"),
+        sort_array(collect_list(struct($"lang", $"c"))).as("e"))
+      .select($"source", $"n_langs", $"n",
+        floor((log($"n".cast("double")) -
+          expr("aggregate(e, 0.0D, (a, p) -> a + CAST(p.c AS DOUBLE) * ln(CAST(p.c AS DOUBLE)))") /
+            $"n".cast("double")) * 1e6).cast("long").as("entropy_e6"))
+      .orderBy($"source")
+  }
+  val x172Sql: String =
+    """WITH c AS (
+      |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |g AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_langs, CAST(sum(c) AS BIGINT) AS n,
+      |    list_reduce(list_prepend(0.0,
+      |      list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) ORDER BY lang, c)),
+      |      (a, x) -> a + x) AS s
+      |  FROM c GROUP BY source)
+      |SELECT source, n_langs, n,
+      |  CAST(floor((ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS entropy_e6
+      |FROM g ORDER BY source""".stripMargin
+
+  // ------------------------------------------- x173 inter-event burstiness
+  /** Inter-event-time BURSTINESS (Fano factor) per event type: the
+    * variance-to-mean ratio of consecutive same-type gaps (seconds) —
+    * ≈mean for Poisson arrivals, ≫ for bursty streams. Sufficient
+    * statistics are exact int64 (n, Σgap, Σgap²; seconds keep Σgap² under
+    * 2⁶³ for ~10⁹ events of month-scale gaps), and the ratio
+    * (n·Σg²−(Σg)²)·10⁶ ÷ (n·Σg) is one DECIMAL-exact integer division.
+    * One user-type-partitioned lag window + one rollup. */
+  def x173Burstiness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type", $"user_id").orderBy($"us", $"event_id")
+    Tables.events(s, dir)
+      // integer DIV — Column `/` would be double division and fractional gaps
+      .select($"event_type", $"user_id", $"event_id",
+        expr("unix_micros(ts) DIV 1000000").as("us"))
+      .withColumn("gap", $"us" - lag($"us", 1).over(w))
+      .filter($"gap".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum($"gap".cast("decimal(38,0)")).as("sg"),
+        sum(($"gap" * $"gap").cast("decimal(38,0)")).as("sg2"))
+      .select($"event_type", $"n_gaps",
+        // Σgap is int64-safe (month-scale gaps × 10⁹ events < 2⁶³); the
+        // Fano numerator is NOT, so it stays DECIMAL-exact and the final
+        // ratio is ONE pinned double division + floor (DuckDB's decimal
+        // `//` ROUNDS, so decimal integer division can't cross engines)
+        expr("CAST(sg AS BIGINT) DIV n_gaps").as("mean_gap_s"),
+        expr("""CAST(floor(CAST((CAST(n_gaps AS DECIMAL(38,0)) * sg2 - sg * sg) * 1000000 AS DOUBLE)
+               | / CAST(CAST(n_gaps AS DECIMAL(38,0)) * sg AS DOUBLE)) AS BIGINT)""".stripMargin)
+          .as("fano_e6"))
+      .orderBy($"event_type")
+  }
+  val x173Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, user_id, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS us
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type,
+      |    us - lag(us) OVER (PARTITION BY event_type, user_id ORDER BY us, event_id) AS gap
+      |  FROM e),
+      |a AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+      |    sum(CAST(gap AS DECIMAL(38,0))) AS sg,
+      |    sum(CAST(gap * gap AS DECIMAL(38,0))) AS sg2
+      |  FROM g WHERE gap IS NOT NULL GROUP BY event_type)
+      |SELECT event_type, n_gaps,
+      |  CAST(sg AS BIGINT) // n_gaps AS mean_gap_s,
+      |  CAST(floor(CAST((CAST(n_gaps AS DECIMAL(38,0)) * sg2 - sg * sg) * 1000000 AS DOUBLE)
+      |    / CAST(CAST(n_gaps AS DECIMAL(38,0)) * sg AS DOUBLE)) AS BIGINT) AS fano_e6
+      |FROM a ORDER BY event_type""".stripMargin
+
   // ------------------------------------------- x151 UCB mixture replay
   /** [[graft.ops.Curation.ucbMixtureReplay]]: bandit-guided source mixing —
     * arm = source, reward = mean curated label (ppm), 52 deterministic UCB1
@@ -5074,6 +5202,9 @@ object Extensions {
     "x168_readability" -> x168Readability _,
     "x169_char_classes" -> x169CharClasses _,
     "x170_pr_curve" -> x170PrCurve _,
+    "x171_boilerplate_ngrams" -> x171BoilerplateNgrams _,
+    "x172_lang_entropy" -> x172LangEntropy _,
+    "x173_burstiness" -> x173Burstiness _,
     "x151_ucb_mixture" -> x151UcbMixture _,
     "x150_snapshot_diff" -> x150SnapshotDiff _,
     "x149_mutual_info" -> x149MutualInfo _,
@@ -5298,6 +5429,9 @@ object Extensions {
     "x168_readability" -> x168Sql,
     "x169_char_classes" -> x169Sql,
     "x170_pr_curve" -> x170Sql,
+    "x171_boilerplate_ngrams" -> x171Sql,
+    "x172_lang_entropy" -> x172Sql,
+    "x173_burstiness" -> x173Sql,
     "x15_multimodal" -> x15Sql,
     "x151_ucb_mixture" -> x151Sql,
     "x150_snapshot_diff" -> x150Sql,
