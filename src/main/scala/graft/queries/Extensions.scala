@@ -1829,6 +1829,121 @@ object Extensions {
       |    / CAST(CAST(n_gaps AS DECIMAL(38,0)) * sg AS DOUBLE)) AS BIGINT) AS fano_e6
       |FROM a ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------- x174 incremental maintenance
+  /** Incremental view maintenance of a per-customer rollup: the
+    * pre-cutoff aggregate is MATERIALIZED (localCheckpoint — the stored
+    * summary a real lake keeps), the post-cutoff delta aggregates alone,
+    * and the two merge by full-outer coalesce-sum — the arriving batch
+    * never triggers a base rescan. The ORACLE recomputes the same rollup
+    * from scratch over all orders, so the hash match PROVES the
+    * incremental path equals the full recompute. Work at 100 TB is
+    * delta-sized + |touched keys|. */
+  def x174IvmRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.load(s, dir, "orders")
+      .select($"o_custkey", to_date($"o_orderdate").as("d"),
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+    val cutoff = lit("1996-01-01").cast("date")
+    val base = o.filter($"d" < cutoff)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+      .localCheckpoint() // the stored materialized summary
+    val delta = o.filter($"d" >= cutoff)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+    base.select($"o_custkey", $"n".as("nb"), $"cents".as("cb"))
+      .join(delta.select($"o_custkey", $"n".as("nd"), $"cents".as("cd")),
+        Seq("o_custkey"), "full_outer")
+      .select($"o_custkey",
+        (coalesce($"nb", lit(0L)) + coalesce($"nd", lit(0L))).as("n_orders"),
+        (coalesce($"cb", lit(0L)) + coalesce($"cd", lit(0L))).as("total_cents"))
+      .orderBy($"o_custkey")
+  }
+  val x174Sql: String =
+    """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  // ------------------------------------------- x175 Jaccard margin histogram
+  /** Threshold-sensitivity histogram of the near-dup pair graph: pairs
+    * bucketed by Jaccard percent decile above the 0.5 gate — how much of
+    * the dup mass sits AT the threshold (fragile to re-tuning) vs far
+    * above it. Reads the shared pair view; one 10-key rollup. */
+  def x175JaccardHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ngramPairGraph(s, dir)
+      .select(expr("CAST(floor(jaccard * 10.0D) AS BIGINT)").as("decile"))
+      .groupBy($"decile").agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"decile")
+  }
+  val x175Sql: String =
+    s"""WITH $ngramPairCtes,
+      |p AS (
+      |  SELECT CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) AS j
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5)
+      |SELECT CAST(floor(j * 10.0) AS BIGINT) AS decile,
+      |  CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM p GROUP BY 1 ORDER BY decile""".stripMargin
+
+  // ------------------------------------------- x176 two-proportion z-test
+  /** A/B lift with a two-proportion z-test: users split deterministically
+    * by id parity (the hash-split stand-in), conversion = "did the user
+    * purchase at least 14 times" (the corpus's median-ish purchase count —
+    * every user purchases at least once, so presence alone is degenerate);
+    * reports both rates, the lift, and z² in e6 — z² vs
+    * 3.84 is the 95% call, spelled squared so no sqrt leaves the pinned
+    * shape. All counts exact; the z² expression is one pinned double
+    * assembly. One user-collapse rollup + a 2-row fold. */
+  def x176AbTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(when(sum(when($"event_type" === "purchase", 1L).otherwise(0L)) >= 14L, 1L)
+        .otherwise(0L).as("conv"))
+      .select(($"user_id" % 2).as("arm"), $"conv")
+      .groupBy($"arm").agg(count(lit(1)).as("n"), sum($"conv").as("k"))
+    val a = per.filter($"arm" === 0).select($"n".as("na"), $"k".as("ka"))
+    val b = per.filter($"arm" === 1).select($"n".as("nb"), $"k".as("kb"))
+    a.crossJoin(b).select(
+      $"na", $"ka", $"nb", $"kb",
+      expr("(ka * 1000000) DIV na").as("rate_a_ppm"),
+      expr("(kb * 1000000) DIV nb").as("rate_b_ppm"),
+      expr("((kb * na - ka * nb) * 1000000) DIV nullif(ka * nb, 0)").as("lift_ppm"),
+      expr(
+        """CAST(floor(
+          |  (CAST(ka AS DOUBLE) / CAST(na AS DOUBLE) - CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE))
+          |  * (CAST(ka AS DOUBLE) / CAST(na AS DOUBLE) - CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE))
+          |  / nullif(CAST(ka + kb AS DOUBLE) / CAST(na + nb AS DOUBLE)
+          |     * (1.0D - CAST(ka + kb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+          |     * (1.0D / CAST(na AS DOUBLE) + 1.0D / CAST(nb AS DOUBLE)), 0.0D)
+          |  * 1000000.0D) AS BIGINT)""".stripMargin).as("z2_e6"))
+  }
+  val x176Sql: String =
+    """WITH per AS (
+      |  SELECT user_id, CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+      |    THEN 1 ELSE 0 END AS conv
+      |  FROM events GROUP BY user_id),
+      |arms AS (
+      |  SELECT user_id % 2 AS arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS k
+      |  FROM per GROUP BY 1),
+      |a AS (SELECT n AS na, k AS ka FROM arms WHERE arm = 0),
+      |b AS (SELECT n AS nb, k AS kb FROM arms WHERE arm = 1)
+      |SELECT na, ka, nb, kb,
+      |  (ka * 1000000) // na AS rate_a_ppm,
+      |  (kb * 1000000) // nb AS rate_b_ppm,
+      |  ((kb * na - ka * nb) * 1000000) // nullif(ka * nb, 0) AS lift_ppm,
+      |  CAST(floor(
+      |    (CAST(ka AS DOUBLE) / CAST(na AS DOUBLE) - CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE))
+      |    * (CAST(ka AS DOUBLE) / CAST(na AS DOUBLE) - CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE))
+      |    / nullif(CAST(ka + kb AS DOUBLE) / CAST(na + nb AS DOUBLE)
+      |       * (1.0 - CAST(ka + kb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+      |       * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)), 0.0)
+      |    * 1000000.0) AS BIGINT) AS z2_e6
+      |FROM a, b""".stripMargin
+
   // ------------------------------------------- x151 UCB mixture replay
   /** [[graft.ops.Curation.ucbMixtureReplay]]: bandit-guided source mixing —
     * arm = source, reward = mean curated label (ppm), 52 deterministic UCB1
@@ -5205,6 +5320,9 @@ object Extensions {
     "x171_boilerplate_ngrams" -> x171BoilerplateNgrams _,
     "x172_lang_entropy" -> x172LangEntropy _,
     "x173_burstiness" -> x173Burstiness _,
+    "x174_ivm_rollup" -> x174IvmRollup _,
+    "x175_jaccard_histogram" -> x175JaccardHistogram _,
+    "x176_ab_test" -> x176AbTest _,
     "x151_ucb_mixture" -> x151UcbMixture _,
     "x150_snapshot_diff" -> x150SnapshotDiff _,
     "x149_mutual_info" -> x149MutualInfo _,
@@ -5432,6 +5550,9 @@ object Extensions {
     "x171_boilerplate_ngrams" -> x171Sql,
     "x172_lang_entropy" -> x172Sql,
     "x173_burstiness" -> x173Sql,
+    "x174_ivm_rollup" -> x174Sql,
+    "x175_jaccard_histogram" -> x175Sql,
+    "x176_ab_test" -> x176Sql,
     "x15_multimodal" -> x15Sql,
     "x151_ucb_mixture" -> x151Sql,
     "x150_snapshot_diff" -> x150Sql,
