@@ -430,4 +430,50 @@ object EventStreams {
       .transformWithState(new IdleUserProcessor(idleUs),
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
   }
+
+  case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming twin of the x167 next-event transition matrix: per-user
+    * `ValueState` carries the LAST event (us, event_id, type) across
+    * micro-batches; each arriving batch sorts its rows by (us, event_id)
+    * — the same total order the batch lag window uses — chains them onto
+    * the carried state, and emits one [[Transition]] per consecutive
+    * pair. Counts aggregated over the emitted stream equal the batch
+    * twin EXACTLY when batches arrive in event-time order (the
+    * rateLimitStream/sessionize in-order contract; a real deployment
+    * puts a watermark-sort upstream). State per user is one event — the
+    * chain's memory is O(1), not the stream. */
+  class TransitionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Transition] {
+    @transient private var last: org.apache.spark.sql.streaming.ValueState[(Long, Long, String)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      last = getHandle.getValueState[(Long, Long, String)]("last_event",
+        org.apache.spark.sql.Encoders.product[(Long, Long, String)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Transition] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime * 1000L, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+      var prev = Option(last.get())
+      sorted.foreach { e =>
+        prev.foreach { case (_, _, fromType) =>
+          out += Transition(key, fromType, e.event_type)
+        }
+        prev = Some((e.ts.getTime * 1000L, e.event_id, e.event_type))
+      }
+      prev.foreach(last.update)
+      out.iterator
+    }
+  }
+
+  /** See [[TransitionProcessor]]; StreamingSpec pins the aggregated
+    * transition counts equal to the batch lag-window twin. */
+  def transitionStream(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TransitionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
 }

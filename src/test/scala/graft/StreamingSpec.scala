@@ -242,6 +242,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState transitions: chain carries across batches, counts equal the batch lag twin") {
+    import spark.implicits._
+    val evts = Seq(
+      Event(1, ts(0), 1, "view", 0.0),
+      Event(2, ts(1), 1, "click", 0.0),
+      Event(3, ts(2), 2, "view", 0.0),
+      Event(4, ts(3), 1, "purchase", 0.0), // batch 2: chains onto batch 1's click
+      Event(5, ts(4), 2, "view", 0.0))
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.transitionStream(input.toDS())
+      .writeStream.format("memory").queryName("trans_test")
+      .outputMode("append").start()
+    try {
+      input.addData(evts.take(3))
+      q.processAllAvailable()
+      input.addData(evts.drop(3))
+      q.processAllAvailable()
+      val streamed = spark.table("trans_test")
+        .groupBy($"from_type", $"to_type").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val batch = evts.toDS()
+        .withColumn("next_type", lead($"event_type", 1).over(w))
+        .filter($"next_type".isNotNull)
+        .groupBy($"event_type", $"next_type").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch)
+      assert(streamed == Map(("view", "click") -> 1L, ("click", "purchase") -> 1L,
+        ("view", "view") -> 1L))
+    } finally {
+      q.stop()
+      prior match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState event-time timers: idle alert fires when the watermark passes, re-arms on activity") {
     import spark.implicits._
     val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
