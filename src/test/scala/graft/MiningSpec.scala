@@ -748,4 +748,33 @@ class MiningSpec extends SparkSpec {
     // id 3 has an empty key → filtered; (1,2) agree on both (null <=> null)
     assert(out.toSeq == Seq((1L, 2L, 2L)))
   }
+
+  // ------------------------------------------------------------ entropy math
+  test("x172 language-entropy spelling: uniform = ln k, single class = 0 (exact grid points)") {
+    // plain scalar replay of the ln N − (Σ c·ln c)/N spelling on the e6 grid
+    def ent(cs: Seq[Long]): Long = {
+      val n = cs.sum.toDouble
+      math.floor((math.log(n) - cs.map(c => c * math.log(c.toDouble)).sum / n) * 1e6).toLong
+    }
+    assert(ent(Seq(7L)) == 0L)
+    // 4 equal classes → exactly ln 4 (the fold is c·ln c with c equal)
+    assert(ent(Seq(5L, 5L, 5L, 5L)) == math.floor(math.log(4.0) * 1e6).toLong)
+    // skew strictly reduces entropy
+    assert(ent(Seq(17L, 1L, 1L, 1L)) < ent(Seq(5L, 5L, 5L, 5L)))
+  }
+
+  // ------------------------------------------------- incremental maintenance
+  test("x174 IVM merge: keys only in base, only in delta, and in both all reconcile") {
+    import spark.implicits._
+    // replay the merge shape on a hand base/delta pair
+    val base = Seq((1L, 2L, 100L), (2L, 1L, 50L)).toDF("k", "n", "c")
+    val delta = Seq((2L, 3L, 70L), (3L, 1L, 10L)).toDF("k", "n", "c")
+    val merged = base.select($"k", $"n".as("nb"), $"c".as("cb"))
+      .join(delta.select($"k", $"n".as("nd"), $"c".as("cd")), Seq("k"), "full_outer")
+      .select($"k",
+        (coalesce($"nb", lit(0L)) + coalesce($"nd", lit(0L))).as("n"),
+        (coalesce($"cb", lit(0L)) + coalesce($"cd", lit(0L))).as("c"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(merged == Map(1L -> ((2L, 100L)), 2L -> ((4L, 120L)), 3L -> ((1L, 10L))))
+  }
 }
