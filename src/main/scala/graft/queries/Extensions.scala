@@ -1944,6 +1944,97 @@ object Extensions {
       |    * 1000000.0) AS BIGINT) AS z2_e6
       |FROM a, b""".stripMargin
 
+  // ------------------------------------------- x177 k-fold stratification
+  /** 5-fold assignment audit: folds cut on md5(doc_id) hex-prefix ranges
+    * (x31's content-independent split family — membership survives any
+    * reshuffle or re-partition of the corpus), then per (fold, lang)
+    * counts with the share within each fold — the stratification check
+    * that catches a language piling into one validation fold. Map-side
+    * fold flags, two catalog-bounded rollups. */
+  def x177FoldStratification(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fold = expr(
+      """CASE WHEN substr(md5(CAST(doc_id AS STRING)), 1, 4) < '3333' THEN 0L
+        |     WHEN substr(md5(CAST(doc_id AS STRING)), 1, 4) < '6666' THEN 1L
+        |     WHEN substr(md5(CAST(doc_id AS STRING)), 1, 4) < '9999' THEN 2L
+        |     WHEN substr(md5(CAST(doc_id AS STRING)), 1, 4) < 'cccc' THEN 3L
+        |     ELSE 4L END""".stripMargin)
+    val cells = docs(s, dir)
+      .select(fold.as("fold"), $"lang")
+      .groupBy($"fold", $"lang").agg(count(lit(1)).as("n_docs"))
+    val tot = cells.groupBy($"fold").agg(sum($"n_docs").as("fold_n"))
+    cells.join(broadcast(tot), Seq("fold"))
+      .select($"fold", $"lang", $"n_docs", $"fold_n",
+        expr("(n_docs * 1000000) DIV fold_n").as("share_ppm"))
+      .orderBy($"fold", $"lang")
+  }
+  val x177Sql: String =
+    """WITH f AS (
+      |  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333' THEN 0
+      |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '6666' THEN 1
+      |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '9999' THEN 2
+      |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 3
+      |              ELSE 4 END AS fold, lang
+      |  FROM documents),
+      |cells AS (
+      |  SELECT CAST(fold AS BIGINT) AS fold, lang, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM f GROUP BY 1, 2),
+      |tot AS (SELECT fold, CAST(sum(n_docs) AS BIGINT) AS fold_n FROM cells GROUP BY 1)
+      |SELECT cells.fold, lang, n_docs, fold_n,
+      |  (n_docs * 1000000) // fold_n AS share_ppm
+      |FROM cells JOIN tot ON cells.fold = tot.fold
+      |ORDER BY cells.fold, lang""".stripMargin
+
+  // ------------------------------------------- x178 shipping-delay report
+  /** Order-to-ship delay per priority: mean (integer days) and the exact
+    * LOWER MEDIAN via [[graft.ops.Stats.weightedMedian]] with unit
+    * weights (the per-group value-collapsed cumsum — distinct delay
+    * values are calendar-bounded, so the per-group window is small by
+    * construction). One fact⋈dim join on the order key feeds both
+    * aggregates. */
+  def x178ShipDelay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val j = Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey", to_date($"l_shipdate").as("sd"))
+      .join(Tables.load(s, dir, "orders")
+        .select($"o_orderkey".as("l_orderkey"), to_date($"o_orderdate").as("od"),
+          $"o_orderpriority"),
+        Seq("l_orderkey"))
+      .select($"o_orderpriority", datediff($"sd", $"od").cast("long").as("delay"))
+      .withColumn("w", lit(1L))
+    val med = Stats.weightedMedian(j, "o_orderpriority", "delay", "w")
+      .select($"o_orderpriority", $"weighted_median".as("median_delay_days"),
+        $"total_weight".as("n_lines"))
+    val mean = j.groupBy($"o_orderpriority")
+      .agg(expr("sum(delay) DIV count(1)").as("mean_delay_days"))
+    med.join(mean, Seq("o_orderpriority"))
+      .select($"o_orderpriority", $"n_lines", $"mean_delay_days", $"median_delay_days")
+      .orderBy($"o_orderpriority")
+  }
+  val x178Sql: String =
+    """WITH j AS (
+      |  SELECT o.o_orderpriority,
+      |    CAST(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS BIGINT) AS delay
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |byv AS (
+      |  SELECT o_orderpriority, delay, CAST(count(*) AS BIGINT) AS wv
+      |  FROM j GROUP BY 1, 2),
+      |c AS (
+      |  SELECT o_orderpriority, delay, wv,
+      |    sum(wv) OVER (PARTITION BY o_orderpriority ORDER BY delay ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(wv) OVER (PARTITION BY o_orderpriority) AS tot
+      |  FROM byv),
+      |med AS (
+      |  SELECT o_orderpriority, CAST(min(delay) AS BIGINT) AS median_delay_days,
+      |    CAST(max(tot) AS BIGINT) AS n_lines
+      |  FROM c WHERE cum * 2 >= tot GROUP BY 1),
+      |mn AS (
+      |  SELECT o_orderpriority, CAST(sum(delay) // count(*) AS BIGINT) AS mean_delay_days
+      |  FROM j GROUP BY 1)
+      |SELECT med.o_orderpriority, med.n_lines, mn.mean_delay_days, med.median_delay_days
+      |FROM med JOIN mn USING (o_orderpriority)
+      |ORDER BY o_orderpriority""".stripMargin
+
   // ------------------------------------------- x151 UCB mixture replay
   /** [[graft.ops.Curation.ucbMixtureReplay]]: bandit-guided source mixing —
     * arm = source, reward = mean curated label (ppm), 52 deterministic UCB1
@@ -5323,6 +5414,8 @@ object Extensions {
     "x174_ivm_rollup" -> x174IvmRollup _,
     "x175_jaccard_histogram" -> x175JaccardHistogram _,
     "x176_ab_test" -> x176AbTest _,
+    "x177_fold_stratification" -> x177FoldStratification _,
+    "x178_ship_delay" -> x178ShipDelay _,
     "x151_ucb_mixture" -> x151UcbMixture _,
     "x150_snapshot_diff" -> x150SnapshotDiff _,
     "x149_mutual_info" -> x149MutualInfo _,
@@ -5553,6 +5646,8 @@ object Extensions {
     "x174_ivm_rollup" -> x174Sql,
     "x175_jaccard_histogram" -> x175Sql,
     "x176_ab_test" -> x176Sql,
+    "x177_fold_stratification" -> x177Sql,
+    "x178_ship_delay" -> x178Sql,
     "x15_multimodal" -> x15Sql,
     "x151_ucb_mixture" -> x151Sql,
     "x150_snapshot_diff" -> x150Sql,
