@@ -453,14 +453,17 @@ object EventStreams {
         org.apache.spark.sql.streaming.TTLConfig.NONE)
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Transition] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime * 1000L, e.event_id))
+      // true microseconds via the shared micros() helper — getTime*1000
+      // would truncate to ms and diverge from the batch twin's
+      // unix_micros ordering on same-millisecond events
+      val sorted = rows.toSeq.sortBy(e => (micros(e), e.event_id))
       val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
       var prev = Option(last.get())
       sorted.foreach { e =>
         prev.foreach { case (_, _, fromType) =>
           out += Transition(key, fromType, e.event_type)
         }
-        prev = Some((e.ts.getTime * 1000L, e.event_id, e.event_type))
+        prev = Some((micros(e), e.event_id, e.event_type))
       }
       prev.foreach(last.update)
       out.iterator
