@@ -1076,11 +1076,6 @@ object Dedup {
       .orderBy(col("entity_id"))
   }
 
-  /** DuckDB respell of [[linkageScores]] — SNM legs, per-field u CTEs, and
-    * the identical per-component e6 grid: each ⌊ln·10⁶⌋ lands on the int
-    * grid before summation, and the m-prior constants are baked as JVM-
-    * computed literals so only the data-dependent ln(un)/ln(ud) components
-    * are evaluated by DuckDB at all. */
   /** Shared CTE body + expressions for the linkage oracles: returns
     * (ctes, termsExpr, agreesExpr, uJoinList). */
   private def linkageCandSql(table: String, idCol: String, nameCol: String,
@@ -1124,6 +1119,11 @@ object Dedup {
     (ctes, terms, agrees, fields.map(f => s"u_$f").mkString(", "))
   }
 
+  /** DuckDB respell of [[linkageScores]] — SNM legs, per-field u CTEs, and
+    * the identical per-component e6 grid: each ⌊ln·10⁶⌋ lands on the int
+    * grid before summation, and the m-prior constants are baked as JVM-
+    * computed literals so only the data-dependent ln(un)/ln(ud) components
+    * are evaluated by DuckDB at all. */
   def linkageScoresSql(table: String, idCol: String, nameCol: String,
       fields: Seq[String], mPpm: Long = 950000L, blockLen: Int = 4,
       window: Int = 3, maxDist: Int = 4, topK: Int = 50): String = {

@@ -34,17 +34,9 @@ private[graft] object Par {
 
   /** Distributed EXCLUSIVE prefix sum — the textbook two-pass scan that
     * replaces `sum().over(Window.orderBy(...))`'s single-partition
-    * WindowExec (the r8 scale finding on x88/x100):
-    *
-    *  1. range-partition on `order` with an explicit partition count (an
-    *     un-numbered exchange would be AQE-coalesced back to one
-    *     partition) and pin ONE materialization via localCheckpoint so
-    *     the offsets pass and the window pass read identical pids;
-    *  2. per-partition totals → driver (bounded collect:
-    *     ≤ `spark.sql.shuffle.partitions` rows, by config not data),
-    *     scanned into exclusive per-partition offsets;
-    *  3. offsets broadcast back; the running sum is a pid-PARTITIONED
-    *     window — every partition scans in parallel.
+    * WindowExec (the r8 scale finding on x88/x100). Delegates to
+    * [[exclusivePrefixBy]] with a constant key: one scan group spanning
+    * the whole relation.
     *
     * `order` must be a total order on the rows (a unique sort key): range
     * partitioning routes equal keys to one partition, but rows tying on
@@ -52,35 +44,68 @@ private[graft] object Par {
     * `(src, out)` in `sums`, adds long column `out` = Σ src over rows
     * strictly before this one in `order`. NULL srcs count as 0. */
   def exclusivePrefix(df: DataFrame, order: Column,
+      sums: Seq[(String, String)]): DataFrame =
+    exclusivePrefixBy(df.withColumn("__grp", lit(0)), "__grp", order, sums)
+      .drop("__grp")
+
+  /** Keyed distributed exclusive prefix sum: within each distinct value of
+    * `keyCol` (ordered by `order`), `out` = Σ src over rows strictly
+    * before this one IN THE SAME KEY GROUP. The point of the keyed form is
+    * amortization — N independent prefix scans (one histogram per ranked
+    * metric, a source and a target distribution, …) union into ONE
+    * relation tagged by key and pay ONE range exchange + ONE checkpoint +
+    * ONE bounded driver collect, where N separate [[exclusivePrefix]]
+    * calls would pay N of each (the per-job fixed cost dominated x134/x144
+    * at small scale — 4-7 eager jobs collapsed to 2 here).
+    *
+    * Mechanics, scan-group-aware throughout:
+    *  1. range-partition on `(keyCol, order)` with an explicit partition
+    *     count (an un-numbered exchange would be AQE-coalesced back to one
+    *     partition) and pin ONE materialization via localCheckpoint so the
+    *     offsets pass and the window pass read identical pids;
+    *  2. per-(partition, key) totals → driver. Bounded collect: each
+    *     partition holds a contiguous `(key, order)` range, so the row
+    *     count is ≤ nPartitions + nKeys − 1 — by config and by the key
+    *     catalog, not by data. `keyCol` must therefore be driver-bounded
+    *     (metric ids, source tags — NOT data values) and non-null;
+    *  3. per-key exclusive scan over its pid-ordered totals; offsets
+    *     broadcast back; the running sum is a window PARTITIONED by
+    *     (pid, key) — every partition scans in parallel. */
+  def exclusivePrefixBy(df: DataFrame, keyCol: String, order: Column,
       sums: Seq[(String, String)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(sums.nonEmpty)
     val s = df.sparkSession
     val nParts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val p = df.repartitionByRange(nParts, order)
+    val p = df.repartitionByRange(nParts, col(keyCol), order)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
     val aggs = sums.map { case (src, _) =>
       sum(coalesce(col(src).cast("long"), lit(0L))).as(src) }
-    val parts = p.groupBy(col("__pid")).agg(aggs.head, aggs.tail: _*)
+    val rows = p.groupBy(col("__pid"), col(keyCol)).agg(aggs.head, aggs.tail: _*)
       .collect()
-      .map(r => r.getInt(0) -> sums.indices.map(i => r.getLong(i + 1)))
-      .sortBy(_._1)
-    // exclusive scan over the (pid-sorted, possibly gappy) partition totals
-    val offs = parts.scanLeft(sums.map(_ => 0L)) { case (acc, (_, tot)) =>
-      acc.lazyZip(tot).map(_ + _) }
-      .zip(parts).map { case (off, (pid, _)) =>
-        org.apache.spark.sql.Row.fromSeq(pid +: off) }
+      .map(r => (r.getInt(0), r.get(1), sums.indices.map(i => r.getLong(i + 2))))
+    // per-key exclusive scan over that key's (pid-sorted, possibly gappy)
+    // partition totals — pids order by (key, order) range, so within a key
+    // ascending pid IS scan order
+    val offs = rows.groupBy(_._2).toSeq.flatMap { case (key, grp) =>
+      val sorted = grp.sortBy(_._1)
+      sorted.map(_._3).scanLeft(sums.map(_ => 0L)) { (acc, tot) =>
+        acc.lazyZip(tot).map(_ + _) }
+        .zip(sorted).map { case (off, (pid, _, _)) =>
+          org.apache.spark.sql.Row.fromSeq(pid +: key +: off) }
+    }
     val schema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("__pid",
         org.apache.spark.sql.types.IntegerType, nullable = false) +:
+        df.schema(keyCol).copy(name = keyCol) +:
         sums.map { case (_, out) => org.apache.spark.sql.types.StructField(
           s"__off_$out", org.apache.spark.sql.types.LongType, nullable = false) })
     val offsDf = s.createDataFrame(
-      s.sparkContext.parallelize(offs.toSeq, 1), schema)
-    val w = Window.partitionBy(col("__pid")).orderBy(order)
+      s.sparkContext.parallelize(offs, 1), schema)
+    val w = Window.partitionBy(col("__pid"), col(keyCol)).orderBy(order)
       .rowsBetween(Window.unboundedPreceding, -1)
-    sums.foldLeft(p.join(broadcast(offsDf), Seq("__pid"))) {
+    sums.foldLeft(p.join(broadcast(offsDf), Seq("__pid", keyCol))) {
       case (acc, (src, out)) =>
         acc.withColumn(out, col(s"__off_$out") +
           coalesce(sum(coalesce(col(src).cast("long"), lit(0L))).over(w), lit(0L)))
@@ -94,17 +119,68 @@ private[graft] object Par {
     * is a window PARTITIONED by value — every stage is parallel, the only
     * bounded structure is the per-partition offset row set. Ties on
     * (value, tie) must be impossible for the rank to be total — pass a
-    * unique tie column. */
+    * unique tie column.
+    *
+    * NULL `valueCol` rows are KEPT (null-safe value join), ranked where
+    * Spark's default ordering places NULL: FIRST ascending, LAST
+    * descending. A SQL oracle must spell that explicitly (DuckDB defaults
+    * to NULLS LAST ascending) — or guarantee non-null values, as every
+    * current caller does. */
   def globalRowNumber(df: DataFrame, valueCol: String, tieCol: String,
       ascending: Boolean, out: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))
     val ord = if (ascending) col(valueCol).asc else col(valueCol).desc
     val pre = exclusivePrefix(hist, ord, Seq("__c" -> "__before"))
-      .select(col(valueCol), col("__before"))
+      .select(col(valueCol).as("__prev"), col("__before"))
     val w = Window.partitionBy(col(valueCol)).orderBy(col(tieCol))
-    df.join(pre, Seq(valueCol))
+    df.join(pre, col(valueCol) <=> col("__prev"))
       .withColumn(out, col("__before") + row_number().over(w).cast("long"))
-      .drop("__before")
+      .drop("__prev", "__before")
+  }
+
+  /** Rank spec for [[globalRowNumbers]]: 1-based global row number by
+    * (`valueCol` asc/desc, tie asc) lands in long column `out`. */
+  final case class RankSpec(valueCol: String, ascending: Boolean, out: String)
+
+  /** N exact global row numbers over the SAME relation in ONE kernel pass
+    * — the amortized form of N [[globalRowNumber]] calls (x144's three RFM
+    * quintile ranks, x132's two layout sorts). All N per-value histograms
+    * explode into one key-tagged relation and share a single
+    * [[exclusivePrefixBy]] scan (one exchange + checkpoint + bounded
+    * collect instead of N of each); the within-value index is a window
+    * partitioned by (metric, value); the N ranks fold back onto `tieCol`
+    * in one pivot-style aggregate and rejoin the input.
+    *
+    * Every `valueCol` must be numeric and non-null: descending metrics
+    * ride the scan as their NEGATION so one ascending range order serves
+    * all N (exact for longs except the unreachable Long.MinValue).
+    * `tieCol` must be unique. Output ranks are bit-identical to
+    * `row_number() OVER (ORDER BY value [DESC], tie)`. */
+  def globalRowNumbers(df: DataFrame, tieCol: String,
+      specs: Seq[RankSpec]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(specs.nonEmpty)
+    val tagged = specs.zipWithIndex.map { case (sp, i) =>
+      val v = col(sp.valueCol).cast("long")
+      struct(lit(i).as("m"), (if (sp.ascending) v else -v).as("av"))
+    }
+    val hist = df
+      .select(explode(array(tagged: _*)).as("e"))
+      .select(col("e.m").as("m"), col("e.av").as("av"))
+      .groupBy(col("m"), col("av")).agg(count(lit(1)).as("__c"))
+    val pre = exclusivePrefixBy(hist, "m", col("av").asc, Seq("__c" -> "__before"))
+      .select(col("m"), col("av"), col("__before"))
+    val exploded = df
+      .select(col(tieCol), explode(array(tagged: _*)).as("e"))
+      .select(col(tieCol), col("e.m").as("m"), col("e.av").as("av"))
+    val w = Window.partitionBy(col("m"), col("av")).orderBy(col(tieCol))
+    val ranked = exploded.join(pre, Seq("m", "av"))
+      .withColumn("__rn", col("__before") + row_number().over(w).cast("long"))
+    val firstAgg = max(when(col("m") === 0, col("__rn"))).as(specs.head.out)
+    val restAggs = specs.zipWithIndex.tail.map { case (sp, i) =>
+      max(when(col("m") === i, col("__rn"))).as(sp.out) }
+    val wide = ranked.groupBy(col(tieCol)).agg(firstAgg, restAggs: _*)
+    df.join(wide, Seq(tieCol))
   }
 }

@@ -825,24 +825,41 @@ object Stats {
     * parametric curve. Ranks order by (value, id) so ties are total; every
     * step is integer arithmetic.
     *
-    * r9 de-globalization: the source rank is [[Par.globalRowNumber]]'s
-    * distributed prefix scan (no single-partition sort of the source
-    * relation), and the target's idx→value function is rebuilt from its
-    * VALUE HISTOGRAM — ties in target values map identically whatever
-    * their internal order, so exploding each distinct value across its
-    * rank range (below, below+cnt] reproduces row_number-by-value exactly
-    * — joined on idx as a plain shuffle equi-join. No global window on
-    * either side. */
+    * r9 de-globalization: the source rank is a distributed prefix scan
+    * (no single-partition sort of the source relation), and the target's
+    * idx→value function is rebuilt from its VALUE HISTOGRAM — ties in
+    * target values map identically whatever their internal order, so
+    * exploding each distinct value across its rank range
+    * (below, below+cnt] reproduces row_number-by-value exactly — joined
+    * on idx as a plain shuffle equi-join. No global window on either
+    * side. r10 amortization: the source-rank and target-index scans are
+    * BOTH per-value count prefixes ordered by value, so they union into
+    * one side-tagged histogram and share a single
+    * [[Par.exclusivePrefixBy]] pass (one exchange + checkpoint + driver
+    * collect instead of two of each — the fixed job cost was 170× DuckDB
+    * at sf0.1); the totals m and k read the checkpointed scan output, not
+    * the corpora. */
   def quantileMap(source: DataFrame, target: DataFrame, idCol: String,
       valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val s = source.select(col(idCol), col(valueCol).cast("long").as("v"))
-    val ranked = Par.globalRowNumber(s, "v", idCol, ascending = true, "r")
-    val m = s.agg(count(lit(1)).as("m"))
-    val tHist = target.select(col(valueCol).cast("long").as("tv"))
-      .groupBy(col("tv")).agg(count(lit(1)).as("cnt"))
-    val tPre = Par.exclusivePrefix(tHist, col("tv").asc, Seq("cnt" -> "below"))
+    val sHist = s.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("side", lit(0))
+    val tHist = target.select(col(valueCol).cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("side", lit(1))
+    val pre = Par.exclusivePrefixBy(
+      sHist.unionByName(tHist), "side", col("v").asc, Seq("cnt" -> "below"))
+    val sPre = pre.filter(col("side") === 0)
+      .select(col("v").as("__prev"), col("below"))
+    val ranked = s.join(sPre, col("v") <=> col("__prev"))
+      .withColumn("r", col("below") + row_number()
+        .over(Window.partitionBy(col("v")).orderBy(col(idCol))).cast("long"))
+      .drop("__prev", "below")
+    val m = pre.filter(col("side") === 0).agg(sum(col("cnt")).as("m"))
+    val tPre = pre.filter(col("side") === 1)
     val k = tPre.agg(sum(col("cnt")).as("k"))
-    val tIdx = tPre.select(col("tv"),
+    val tIdx = tPre.select(col("v").as("tv"),
       explode(sequence(col("below") + 1, col("below") + col("cnt"))).as("idx"))
     ranked
       .crossJoin(broadcast(m)).crossJoin(broadcast(k))

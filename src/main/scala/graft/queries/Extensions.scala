@@ -1260,9 +1260,12 @@ object Extensions {
       .select(bucketOf.as("bucket"),
         size(split(lower($"text"), "\\s+")).cast("long").as("n"))
       .groupBy($"bucket").agg(sum($"n").as("new_toks"))
+    // group on the token STRING, as the oracle does — an xxhash64 key
+    // (the r9 spelling) silently merges 64-bit-colliding types and their
+    // min first_doc at large vocabularies, for no shuffle saving (ADVICE r9)
     val typesPerBucket = docs(s, dir)
       .select($"doc_id", explode(array_distinct(split(lower($"text"), "\\s+"))).as("tok"))
-      .groupBy(xxhash64($"tok").as("h")).agg(min($"doc_id").as("first_doc"))
+      .groupBy($"tok").agg(min($"doc_id").as("first_doc"))
       .groupBy(expr(s"(first_doc * $buckets) div ${maxId + 1}").cast("long").as("bucket"))
       .agg(count(lit(1)).as("new_types"))
     val w = Window.orderBy($"bucket") // bounded: ≤`buckets` rows
@@ -1509,7 +1512,11 @@ object Extensions {
     * CANCELS in the ratio, so the fold sums cast those exact integers to
     * double in sorted dimension order — one pinned shape, one final e6
     * floor. Scale: one partial-aggregable per-pos aggregate (d-bounded),
-    * then arithmetic over d rows. */
+    * then arithmetic over d rows. Degenerate input (every per-dim
+    * variance zero, e.g. constant embeddings) makes both sums 0; the
+    * denominator is nullif-guarded on BOTH engines so 0/0 yields NULL
+    * identically instead of Spark's non-ANSI floor(NaN)=0 vs DuckDB's
+    * cast error (ADVICE r9). */
   def x165EffectiveDim(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val q = emb(s, dir).select(posexplode(expr(
@@ -1527,7 +1534,7 @@ object Extensions {
       .select($"n_dims",
         floor(expr(
           """pow(aggregate(e, 0.0D, (a, p) -> a + p.v), 2.0D)
-            | / aggregate(e, 0.0D, (a, p) -> a + p.v * p.v)""".stripMargin) * 1e6)
+            | / nullif(aggregate(e, 0.0D, (a, p) -> a + p.v * p.v), 0.0D)""".stripMargin) * 1e6)
           .cast("long").as("pr_e6"))
   }
   val x165Sql: String =
@@ -1549,7 +1556,7 @@ object Extensions {
       |      (a, p) -> struct_pack(s := a.s + p.s, s2 := a.s2 + p.s2)) AS t
       |  FROM pd)
       |SELECT n_dims,
-      |  CAST(floor(pow(t.s, 2.0) / t.s2 * 1000000.0) AS BIGINT) AS pr_e6
+      |  CAST(floor(pow(t.s, 2.0) / nullif(t.s2, 0.0) * 1000000.0) AS BIGINT) AS pr_e6
       |FROM f""".stripMargin
 
   // ------------------------------------------- x166 centroid classifier
@@ -2199,11 +2206,13 @@ object Extensions {
     *
     * r9 de-globalization: the three quintiles were `ntile(5)` over
     * unpartitioned windows — three single-partition sorts of the customer
-    * relation. Each metric's global rank now comes from
-    * [[graft.ops.Par.globalRowNumber]] (distributed prefix scan + per-value
-    * window), and the rank→quintile map is NTILE's exact integer formula
-    * (first n%5 tiles one row larger), so the output is bit-identical to
-    * the oracle's NTILE. */
+    * relation. The three global ranks come from ONE
+    * [[graft.ops.Par.globalRowNumbers]] pass (r10: the r9 spelling ran
+    * three separate prefix scans — 3 checkpoints + 3 driver collects of
+    * fixed job overhead; the keyed kernel unions the three metric
+    * histograms and pays one of each), and the rank→quintile map is
+    * NTILE's exact integer formula (first n%5 tiles one row larger), so
+    * the output is bit-identical to the oracle's NTILE. */
   def x144RfmSegments(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val o = Tables.load(s, dir, "orders")
@@ -2215,12 +2224,10 @@ object Extensions {
       .crossJoin(broadcast(anchor))
       .withColumn("recency", datediff($"maxd", $"lastd"))
       .localCheckpoint() // feeds three rank passes + the row count
-    val ranked = graft.ops.Par.globalRowNumber(
-      graft.ops.Par.globalRowNumber(
-        graft.ops.Par.globalRowNumber(per,
-          "recency", "o_custkey", ascending = true, "rn_r"), // low recency = best
-        "freq", "o_custkey", ascending = false, "rn_f"),
-      "cents", "o_custkey", ascending = false, "rn_m")
+    val ranked = graft.ops.Par.globalRowNumbers(per, "o_custkey", Seq(
+      graft.ops.Par.RankSpec("recency", ascending = true, "rn_r"), // low recency = best
+      graft.ops.Par.RankSpec("freq", ascending = false, "rn_f"),
+      graft.ops.Par.RankSpec("cents", ascending = false, "rn_m")))
     // NTILE(5)'s exact bucket function of (rank, n): the first n%5 tiles
     // hold ⌈n/5⌉ rows, the rest ⌊n/5⌋ — pure int64, engine-identical
     def tile(rn: String): org.apache.spark.sql.Column = expr(
@@ -2588,10 +2595,17 @@ object Extensions {
     * bits keep per-file custkey ranges narrow, so a `o_custkey = ?` scan
     * prunes most files; date-sort leaves every file covering the whole
     * custkey range. scan_ppm is the fraction of (file, probe) hits — the
-    * number a lake optimizer would gate a re-layout decision on. The
-    * global rank windows are the audit's sort simulation (file listings
-    * are catalog-sized; the real layout job is [[graft.io.Lake.zorderWrite]]'s
-    * repartitionByRange). */
+    * number a lake optimizer would gate a re-layout decision on.
+    *
+    * r10 de-globalization: the audit's sort simulation was two
+    * `row_number()` windows over the FULL orders table — single-partition
+    * sorts, the exact shape [[graft.ops.Par.globalRowNumbers]] exists to
+    * kill. Both layout ranks now come from one keyed prefix-scan pass
+    * (dates ride as days-since-epoch, order-preserving; o_orderkey breaks
+    * ties, so each rank is bit-identical to the oracle's row_number), and
+    * the row count rides a broadcast scalar instead of a
+    * `count() OVER ()` single-partition window. The ranked relation is
+    * checkpointed once and feeds both layouts' zone maps. */
   def x132LayoutAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val nFiles = 32
@@ -2600,15 +2614,15 @@ object Extensions {
       .select($"o_orderkey", $"o_custkey",
         graft.io.Lake.mortonCode($"o_custkey",
           datediff(to_date($"o_orderdate"), lit("1992-01-01"))).as("zval"),
-        to_date($"o_orderdate").as("od"))
-    def audit(layout: String,
-        ordCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
-      val wOrd = Window.orderBy(ordCols: _*)
-      val wAll = Window.partitionBy(lit(1))
-      val zones = o
-        .withColumn("rn", row_number().over(wOrd))
-        .withColumn("n", count(lit(1)).over(wAll))
-        .withColumn("f", expr(s"((rn - 1) * $nFiles) DIV n"))
+        datediff(to_date($"o_orderdate"), lit("1970-01-01")).as("odd"))
+    val ranked = graft.ops.Par.globalRowNumbers(o, "o_orderkey", Seq(
+        graft.ops.Par.RankSpec("odd", ascending = true, "rn_d"),
+        graft.ops.Par.RankSpec("zval", ascending = true, "rn_z")))
+      .localCheckpoint() // feeds both layouts' zone maps + the row count
+    val n = broadcast(ranked.agg(count(lit(1)).as("n")))
+    def audit(layout: String, rnCol: String): DataFrame = {
+      val zones = ranked.crossJoin(n)
+        .withColumn("f", expr(s"(($rnCol - 1) * $nFiles) DIV n"))
         .groupBy($"f")
         .agg(min($"o_custkey").as("lo"), max($"o_custkey").as("hi"))
       val probes = s.range(nProbes).select(($"id" * 7).as("probe")) // spread probes
@@ -2619,8 +2633,8 @@ object Extensions {
           lit(nProbes.toLong).as("n_probes"), $"files_scanned",
           expr(s"(files_scanned * 1000000) DIV ${nFiles * nProbes}").as("scan_ppm"))
     }
-    audit("date_sorted", Seq($"od", $"o_orderkey"))
-      .unionAll(audit("z_ordered", Seq($"zval", $"o_orderkey")))
+    audit("date_sorted", "rn_d")
+      .unionAll(audit("z_ordered", "rn_z"))
       .orderBy($"layout")
   }
   val x132Sql: String = {
@@ -5156,21 +5170,31 @@ object Extensions {
     * score and the SHARED materialized pair graph (marginal cost here is
     * one decile window + one membership join).
     *
-    * The global ntile window is a deliberate report-shape: it sorts only
-    * (doc_id, q) scalar pairs, not documents. At 100 TB the same curve
-    * would come from distributed quantile cut points (x45's gate spelling)
-    * — this entry keeps exact ntile semantics so the decile boundaries
-    * hash-match the oracle's NTILE. */
+    * r10 de-globalization: the decile was `ntile(10)` over an
+    * unpartitioned window — a single-partition sort of every (doc_id, q)
+    * pair. The global rank now comes from
+    * [[graft.ops.Par.globalRowNumber]]'s distributed prefix scan (q is a
+    * double; the generic per-value histogram kernel needs no integer
+    * cast), and rank→decile is NTILE's exact integer bucket function of
+    * (rank, n) — the first n%10 tiles hold one extra row — so the decile
+    * boundaries stay bit-identical to the oracle's NTILE while every
+    * stage parallelizes. */
   def x86QualityDupCurve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val scored = docs(s, dir).select($"doc_id",
       TextAnalysis.qualityScoreCol("text").as("q"))
+      .localCheckpoint() // feeds the rank kernel's histogram + value join + count
     val paired = ngramPairGraph(s, dir)
       .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
       .withColumn("__p", lit(1))
-    scored
-      .withColumn("decile", ntile(10).over(Window.orderBy($"q", $"doc_id")))
+    graft.ops.Par.globalRowNumber(scored, "q", "doc_id", ascending = true, "rn")
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("__n"))))
+      .withColumn("decile", expr(
+        """CASE WHEN rn <= (__n % 10) * (__n DIV 10 + 1)
+          |  THEN (rn - 1) DIV (__n DIV 10 + 1) + 1
+          |  ELSE (__n % 10) + (rn - (__n % 10) * (__n DIV 10 + 1) - 1) DIV (__n DIV 10) + 1
+          |END""".stripMargin))
+      .drop("rn", "__n")
       .join(paired, Seq("doc_id"), "left")
       .groupBy($"decile")
       .agg(count(lit(1)).as("n_docs"),

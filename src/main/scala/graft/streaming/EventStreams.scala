@@ -479,4 +479,81 @@ object EventStreams {
       .transformWithState(new TransitionProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
+
+  /** Out-of-order-tolerant twin of [[TransitionProcessor]] (the r9 twin's
+    * documented in-order caveat, closed): per-user `ListState` BUFFERS
+    * events until the event-time watermark passes them, then finalizes in
+    * (us, event_id) order, chaining onto the last FINALIZED event carried
+    * in `ValueState`. An event is finalized only while `us <
+    * watermark` — the watermark contract says nothing older can still
+    * arrive, and a tie at exactly the watermark stays buffered so a
+    * same-microsecond straggler with a smaller event_id can still slot in
+    * before it. A timer at (max buffered us)+1ms guarantees the buffer
+    * drains once the watermark passes it even if this user never speaks
+    * again.
+    *
+    * Equality contract: aggregated transitions equal the batch lag-window
+    * twin EXACTLY for any arrival order whose lateness stays within the
+    * watermark delay (later stragglers are dropped by `withWatermark`
+    * upstream, the standard discipline — same as sessionize). State per
+    * user is one chain tail plus the ≤ watermark-delay window of
+    * unfinalized events — bounded by the user's event rate × delay, not
+    * the stream. Use [[transitionStream]] when arrival order is known
+    * in-order (O(1) state, no emission latency). */
+  class OooTransitionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Transition] {
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[(Long, Long, String)] = _
+    @transient private var tail: org.apache.spark.sql.streaming.ValueState[(Long, Long, String)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      buf = getHandle.getListState[(Long, Long, String)]("pending",
+        org.apache.spark.sql.Encoders.product[(Long, Long, String)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      tail = getHandle.getValueState[(Long, Long, String)]("chain_tail",
+        org.apache.spark.sql.Encoders.product[(Long, Long, String)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    /** Emit every buffered transition the watermark has sealed; re-arm
+      * the drain timer if anything is still pending. */
+    private def finalizeReady(key: Long, wmUs: Long): Iterator[Transition] = {
+      val all = buf.get().toSeq
+      val (ready, hold) = all.partition(_._1 < wmUs)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+      var prev = Option(tail.get())
+      ready.sortBy(t => (t._1, t._2)).foreach { e =>
+        prev.foreach { case (_, _, fromType) => out += Transition(key, fromType, e._3) }
+        prev = Some(e)
+      }
+      prev.foreach(tail.update)
+      buf.clear()
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      if (hold.nonEmpty) {
+        buf.put(hold.toArray)
+        getHandle.registerTimer(hold.map(_._1).max / 1000L + 1L) // timers are ms
+      }
+      out.iterator
+    }
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Transition] = {
+      buf.appendList(rows.map(e => (micros(e), e.event_id, e.event_type)).toArray)
+      finalizeReady(key, timerValues.getCurrentWatermarkInMs() * 1000L)
+    }
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Transition] = {
+      finalizeReady(key, timerValues.getCurrentWatermarkInMs() * 1000L)
+    }
+  }
+
+  /** See [[OooTransitionProcessor]]; StreamingSpec pins stream ≡ batch
+    * with a late same-user event arriving in a LATER micro-batch. */
+  def transitionStreamOoo(events: Dataset[Event],
+      watermarkDelay: String = "10 minutes"): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new OooTransitionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -352,4 +352,28 @@ class PlanSpec extends SparkSpec {
   test("x134 quantile map: every window is partitioned (rank via prefix scan)") {
     assertAllWindowsPartitioned(plan(Extensions.x134QuantileMap(spark, dir)))
   }
+
+  test("x86 quality-dup curve: every window is partitioned (decile via prefix scan, not global ntile)") {
+    assertAllWindowsPartitioned(plan(Extensions.x86QualityDupCurve(spark, dir)))
+  }
+
+  test("x132 layout audit: both layout ranks via one checkpointed prefix scan, no global sort window") {
+    // the ranked relation is localCheckpointed inside the query, so the
+    // healthy final plan reads ExistingRDD and carries NO window at all;
+    // a regression back to row_number().over(Window.orderBy(...)) in the
+    // zone-map legs would surface as an unpartitioned spec here
+    val p = plan(Extensions.x132LayoutAudit(spark, dir))
+    assert(p.contains("ExistingRDD"), s"expected checkpointed rank scan:\n$p")
+    val specs = p.split("windowspecdefinition\\(").drop(1).map(_.takeWhile(_ != ','))
+    specs.foreach(s => assert(!s.contains(" ASC") && !s.contains(" DESC"),
+      s"unpartitioned window (global sort!): windowspecdefinition($s…\n$p"))
+    // and the rank kernel itself plans fully partitioned
+    import org.apache.spark.sql.functions._
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("odd"))
+    assertAllWindowsPartitioned(plan(graft.ops.Par.globalRowNumbers(o, "o_orderkey",
+      Seq(graft.ops.Par.RankSpec("odd", ascending = true, "rn_d"),
+        graft.ops.Par.RankSpec("o_custkey", ascending = true, "rn_c")))))
+  }
 }

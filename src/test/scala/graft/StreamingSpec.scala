@@ -284,6 +284,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("out-of-order transitions: late same-user event in a later batch still yields stream ≡ batch") {
+    import spark.implicits._
+    // u1's addcart has ts BETWEEN its batch-1 events but arrives in batch 2
+    // — the in-order twin would chain view→click→addcart; the batch lag
+    // window (and the ooo twin) must order view→addcart→click.
+    val b1 = Seq(Event(1, ts(0), 1, "view", 0.0), Event(2, ts(20), 1, "click", 0.0))
+    val b2 = Seq(Event(3, ts(15), 1, "addcart", 0.0), // late: wm after b1 = t10 < t15
+      Event(4, ts(40), 2, "view", 0.0))
+    val b3 = Seq(Event(5, ts(60), 3, "view", 0.0))
+    val b4 = Seq(Event(6, ts(80), 3, "view", 0.0))
+    val b5 = Seq(Event(7, ts(200), 4, "view", 0.0)) // pushes wm past everything above
+    val all = b1 ++ b2 ++ b3 ++ b4 ++ b5
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.transitionStreamOoo(input.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("trans_ooo_test")
+      .outputMode("append").start()
+    try {
+      Seq(b1, b2, b3, b4, b5).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      // one extra empty-progress cycle so the final watermark's timers fire
+      input.addData(Seq(Event(8, ts(210), 4, "view", 0.0))); q.processAllAvailable()
+      val streamed = spark.table("trans_ooo_test")
+        .groupBy($"from_type", $"to_type").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val batch = all.toDS()
+        .withColumn("next_type", lead($"event_type", 1).over(w))
+        .filter($"next_type".isNotNull)
+        .groupBy($"event_type", $"next_type").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch)
+      // the recovered u1 chain is the EVENT-TIME order, not arrival order
+      assert(streamed == Map(("view", "addcart") -> 1L, ("addcart", "click") -> 1L,
+        ("view", "view") -> 1L))
+    } finally {
+      q.stop()
+      prior match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState event-time timers: idle alert fires when the watermark passes, re-arms on activity") {
     import spark.implicits._
     val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
