@@ -37,8 +37,15 @@ object Bench {
     // the first run pays one-time plan+codegen compilation (~0.3-0.6s/query
     // here, amortized to nothing in steady-state deployment), the second
     // measures execution. Asymmetric cold-vs-warm was flattering DuckDB.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to 2).map { _ =>
+    // optional local-iteration knobs (the driver passes neither): args are
+    // query names to run exclusively; SPARK_GRAFT_REPEATS overrides the
+    // best-of-2 protocol for variance hunting on an individual query
+    val only = args.toSet
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "2").toInt
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
+      val runs = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9

@@ -13,8 +13,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Per-(session, path) memo of the ANALYZED DataFrame. `spark.read.parquet`
+  // lists the path and reads footers for schema inference on every call;
+  // 200+ registered queries × 1-4 table loads each re-paid that for the
+  // same ten immutable files. Reusing the analyzed relation is plan-neutral
+  // — the logical plan is still the parquet scan, so pushdown/pruning and
+  // every PlanSpec guard are unaffected. Keyed like SharedViews so distinct
+  // test sessions never alias; the star-schema inputs are read-only by
+  // contract (TESTDATA.md), so staleness cannot arise.
+  private val loaded =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    loaded.computeIfAbsent(
+      (System.identityHashCode(spark), s"$sfDir/$name.parquet"),
+      key => spark.read.parquet(key._2))
 
   /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) (which Spark's
     * vectorized reader rejects outright — read as raw long nanos via the

@@ -77,9 +77,19 @@ private[graft] object Par {
     require(sums.nonEmpty)
     val s = df.sparkSession
     val nParts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val p = df.repartitionByRange(nParts, col(keyCol), order)
+    // LAZY checkpoints, two of them. Pre-shuffle: repartitionByRange runs
+    // an internal SAMPLING job over its child before the real exchange —
+    // without a pin the upstream lineage (a corpus tokenize for x88, two
+    // table scans + groupBys for x134) executes TWICE; the sampling job
+    // materializes the blocks once and the exchange replays them.
+    // Post-shuffle: pins the pids so the offsets pass and the window pass
+    // read identical partitions. Lazy (not eager) so the offsets collect
+    // below is the FIRST action — blocks materialize inside that job
+    // instead of paying a separate checkpoint job per call.
+    val p = df.localCheckpoint(eager = false)
+      .repartitionByRange(nParts, col(keyCol), order)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val aggs = sums.map { case (src, _) =>
       sum(coalesce(col(src).cast("long"), lit(0L))).as(src) }
     val rows = p.groupBy(col("__pid"), col(keyCol)).agg(aggs.head, aggs.tail: _*)

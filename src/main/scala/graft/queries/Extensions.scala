@@ -2223,7 +2223,7 @@ object Extensions {
         sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("cents"))
       .crossJoin(broadcast(anchor))
       .withColumn("recency", datediff($"maxd", $"lastd"))
-      .localCheckpoint() // feeds three rank passes + the row count
+      .localCheckpoint(eager = false) // feeds the rank kernel + the row count
     val ranked = graft.ops.Par.globalRowNumbers(per, "o_custkey", Seq(
       graft.ops.Par.RankSpec("recency", ascending = true, "rn_r"), // low recency = best
       graft.ops.Par.RankSpec("freq", ascending = false, "rn_f"),
@@ -2599,13 +2599,15 @@ object Extensions {
     *
     * r10 de-globalization: the audit's sort simulation was two
     * `row_number()` windows over the FULL orders table — single-partition
-    * sorts, the exact shape [[graft.ops.Par.globalRowNumbers]] exists to
-    * kill. Both layout ranks now come from one keyed prefix-scan pass
-    * (dates ride as days-since-epoch, order-preserving; o_orderkey breaks
-    * ties, so each rank is bit-identical to the oracle's row_number), and
-    * the row count rides a broadcast scalar instead of a
-    * `count() OVER ()` single-partition window. The ranked relation is
-    * checkpointed once and feeds both layouts' zone maps. */
+    * sorts, the exact shape the [[graft.ops.Par]] prefix-scan kernel
+    * exists to kill. Both layouts ride ONE [[graft.ops.Par.exclusivePrefixBy]]
+    * pass as layout-tagged per-value histograms (dates as days-since-epoch,
+    * order-preserving); each row's rank is offset + a window partitioned
+    * by (layout, value) with o_orderkey tiebreak — bit-identical to the
+    * oracle's row_number — and o_custkey rides the exploded relation so
+    * the zone maps fold directly from it, with no pivot back to the
+    * orders row. The row count is a broadcast scalar instead of a
+    * `count() OVER ()` single-partition window. */
   def x132LayoutAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val nFiles = 32
@@ -2615,26 +2617,35 @@ object Extensions {
         graft.io.Lake.mortonCode($"o_custkey",
           datediff(to_date($"o_orderdate"), lit("1992-01-01"))).as("zval"),
         datediff(to_date($"o_orderdate"), lit("1970-01-01")).as("odd"))
-    val ranked = graft.ops.Par.globalRowNumbers(o, "o_orderkey", Seq(
-        graft.ops.Par.RankSpec("odd", ascending = true, "rn_d"),
-        graft.ops.Par.RankSpec("zval", ascending = true, "rn_z")))
-      .localCheckpoint() // feeds both layouts' zone maps + the row count
-    val n = broadcast(ranked.agg(count(lit(1)).as("n")))
-    def audit(layout: String, rnCol: String): DataFrame = {
-      val zones = ranked.crossJoin(n)
-        .withColumn("f", expr(s"(($rnCol - 1) * $nFiles) DIV n"))
-        .groupBy($"f")
-        .agg(min($"o_custkey").as("lo"), max($"o_custkey").as("hi"))
-      val probes = s.range(nProbes).select(($"id" * 7).as("probe")) // spread probes
-      zones.crossJoin(broadcast(probes))
-        .agg(sum(when($"probe" >= $"lo" && $"probe" <= $"hi", 1L).otherwise(0L))
-          .as("files_scanned"))
-        .select(lit(layout).as("layout"), lit(nFiles.toLong).as("n_files"),
-          lit(nProbes.toLong).as("n_probes"), $"files_scanned",
-          expr(s"(files_scanned * 1000000) DIV ${nFiles * nProbes}").as("scan_ppm"))
-    }
-    audit("date_sorted", "rn_d")
-      .unionAll(audit("z_ordered", "rn_z"))
+    val tagged = o.select($"o_orderkey", $"o_custkey",
+      explode(array(
+        struct(lit(0).as("m"), $"odd".cast("long").as("av")),
+        struct(lit(1).as("m"), $"zval".cast("long").as("av")))).as("e"))
+      .select($"o_orderkey", $"o_custkey", $"e.m".as("m"), $"e.av".as("av"))
+      .localCheckpoint(eager = false) // feeds the histogram pass + the rank join
+    val hist = tagged.groupBy($"m", $"av").agg(count(lit(1)).as("__c"))
+    val pre = graft.ops.Par
+      .exclusivePrefixBy(hist, "m", $"av".asc, Seq("__c" -> "__before"))
+      .select($"m", $"av", $"__c", $"__before")
+    val w = Window.partitionBy($"m", $"av").orderBy($"o_orderkey")
+    val ranked = tagged.join(pre.drop("__c"), Seq("m", "av"))
+      .withColumn("rn", $"__before" + row_number().over(w).cast("long"))
+    // row count from the pinned histogram blocks, not a third orders scan
+    val n = broadcast(pre.filter($"m" === 0).agg(sum($"__c").as("n")))
+    val probes = s.range(nProbes).select(($"id" * 7).as("probe")) // spread probes
+    ranked.crossJoin(n)
+      .withColumn("f", expr(s"((rn - 1) * $nFiles) DIV n"))
+      .groupBy($"m", $"f")
+      .agg(min($"o_custkey").as("lo"), max($"o_custkey").as("hi"))
+      .crossJoin(broadcast(probes))
+      .groupBy($"m")
+      .agg(sum(when($"probe" >= $"lo" && $"probe" <= $"hi", 1L).otherwise(0L))
+        .as("files_scanned"))
+      .select(
+        when($"m" === 0, "date_sorted").otherwise("z_ordered").as("layout"),
+        lit(nFiles.toLong).as("n_files"), lit(nProbes.toLong).as("n_probes"),
+        $"files_scanned",
+        expr(s"(files_scanned * 1000000) DIV ${nFiles * nProbes}").as("scan_ppm"))
       .orderBy($"layout")
   }
   val x132Sql: String = {
@@ -5183,7 +5194,7 @@ object Extensions {
     import s.implicits._
     val scored = docs(s, dir).select($"doc_id",
       TextAnalysis.qualityScoreCol("text").as("q"))
-      .localCheckpoint() // feeds the rank kernel's histogram + value join + count
+      .localCheckpoint(eager = false) // feeds the rank kernel's histogram + value join + count
     val paired = ngramPairGraph(s, dir)
       .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
       .withColumn("__p", lit(1))

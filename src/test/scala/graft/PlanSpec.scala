@@ -357,17 +357,14 @@ class PlanSpec extends SparkSpec {
     assertAllWindowsPartitioned(plan(Extensions.x86QualityDupCurve(spark, dir)))
   }
 
-  test("x132 layout audit: both layout ranks via one checkpointed prefix scan, no global sort window") {
-    // the ranked relation is localCheckpointed inside the query, so the
-    // healthy final plan reads ExistingRDD and carries NO window at all;
-    // a regression back to row_number().over(Window.orderBy(...)) in the
-    // zone-map legs would surface as an unpartitioned spec here
+  test("x132 layout audit: every window is partitioned (both layout ranks via one prefix scan)") {
     val p = plan(Extensions.x132LayoutAudit(spark, dir))
-    assert(p.contains("ExistingRDD"), s"expected checkpointed rank scan:\n$p")
-    val specs = p.split("windowspecdefinition\\(").drop(1).map(_.takeWhile(_ != ','))
-    specs.foreach(s => assert(!s.contains(" ASC") && !s.contains(" DESC"),
-      s"unpartitioned window (global sort!): windowspecdefinition($s…\n$p"))
-    // and the rank kernel itself plans fully partitioned
+    assertAllWindowsPartitioned(p)
+    // both scan passes read the pinned exchange, not a re-run lineage
+    assert(p.contains("ExistingRDD"), s"expected checkpointed prefix scan:\n$p")
+  }
+
+  test("globalRowNumbers kernel: N ranks in one pass, every window partitioned") {
     import org.apache.spark.sql.functions._
     val o = spark.read.parquet(s"$dir/orders.parquet")
       .select(col("o_orderkey"), col("o_custkey"),
