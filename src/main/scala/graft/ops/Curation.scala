@@ -1008,4 +1008,26 @@ object Curation {
       .select(col(idCol), col("weight"), col("priority_q"))
       .orderBy(col("priority_q").asc, col(idCol).asc)
       .limit(k)
+
+  /** Seeded exact-k UNIFORM sample by hash priority — the deterministic,
+    * cross-engine-replayable counterpart of the RNG reservoir
+    * ([[graft.plans.Reservoir]], x22): priority = SplitMix64(id ⊕ seed)
+    * masked to 63 bits, keep the k smallest by (priority, id). Changing
+    * `seed` redraws the whole sample; any engine that can replay the
+    * mixer (the x117 HUGEINT spelling does, in DuckDB) reproduces the
+    * identical row set, which is what makes this the AUDITABLE uniform
+    * sampler: an eval-set draw can be re-derived years later from (seed,
+    * id column) alone, no RNG state. Plans as TakeOrderedAndProject —
+    * a bounded per-partition heap + driver merge of k rows, the corpus
+    * never sorts or shuffles. */
+  def uniformHashSample(df: DataFrame, idCol: String, k: Int,
+      seed: Long): DataFrame =
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol))
+      .withColumn("priority_q",
+        graft.functions.Exprs.smix64(
+          col(idCol).cast("long").bitwiseXOR(lit(seed)))
+          .bitwiseAND(lit(Long.MaxValue)))
+      .orderBy(col("priority_q").asc, col(idCol).asc)
+      .limit(k)
 }

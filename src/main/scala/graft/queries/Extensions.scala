@@ -546,6 +546,10 @@ object Extensions {
   // ------------------------------------------------------------ x22 reservoir sample
   // Rows-only (sampling is engine-specific): exact-k uniform sample through
   // the custom ReservoirSample operator stack; always exactly 100 rows.
+  // The deterministic seeded draw with a full cross-engine oracle is
+  // x179_seeded_sample (hash-priority, x117's mixer spelling); only this
+  // RNG merge stays rows-only, pinned by ReservoirSpec's 200-seed
+  // uniformity sweep.
   def x22ReservoirSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.plans.Reservoir.sample(docs(s, dir), k = 100, seed = 7L)
@@ -2041,6 +2045,34 @@ object Extensions {
       |SELECT med.o_orderpriority, med.n_lines, mn.mean_delay_days, med.median_delay_days
       |FROM med JOIN mn USING (o_orderpriority)
       |ORDER BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------- x179 seeded uniform sample
+  /** [[graft.ops.Curation.uniformHashSample]]: the deterministic seeded
+    * exact-k uniform draw — SplitMix64(doc_id ⊕ seed) priority, k
+    * smallest. This is the AUDITABLE counterpart of x22's RNG reservoir
+    * (the r9 stretch ask): the draw replays bit-for-bit from (seed, id)
+    * in any engine with 64-bit integer arithmetic — the oracle respells
+    * the mixer in HUGEINT, the x117 discipline — so only the reservoir's
+    * JVM-RNG merge stays rows-only, by documented necessity. */
+  def x179SeededSample(s: SparkSession, dir: String): DataFrame =
+    Curation.uniformHashSample(docs(s, dir), "doc_id", k = 100, seed = 7L)
+  val x179Sql: String = {
+    val m2 = mulmodSql("xor(x, x // 1073741824::HUGEINT)", "13787848793156543929::HUGEINT")
+    val m3 = mulmodSql("xor(x, x // 134217728::HUGEINT)", "10723151780598845931::HUGEINT")
+    s"""WITH m1 AS (
+       |  SELECT doc_id,
+       |    (CAST(xor(CAST(doc_id AS BIGINT), 7) AS HUGEINT)
+       |      + 11400714819323198485::HUGEINT)
+       |      % 18446744073709551616::HUGEINT AS x
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |m2 AS (SELECT doc_id, $m2 AS x FROM m1),
+       |m3 AS (SELECT doc_id, $m3 AS x FROM m2),
+       |hh AS (SELECT doc_id, xor(x, x // 2147483648::HUGEINT) AS h FROM m3)
+       |SELECT doc_id,
+       |  CAST(h % 9223372036854775808::HUGEINT AS BIGINT) AS priority_q
+       |FROM hh
+       |ORDER BY priority_q, doc_id LIMIT 100""".stripMargin
+  }
 
   // ------------------------------------------- x151 UCB mixture replay
   /** [[graft.ops.Curation.ucbMixtureReplay]]: bandit-guided source mixing —
@@ -4263,7 +4295,13 @@ object Extensions {
     * match DuckDB computing the same aggregate from the PARQUET ground
     * truth, proving the ORC write/read path is lossless for the value and
     * date types crossing it. Deliberately round-trips through a real
-    * on-disk ORC dataset, not an in-memory frame. */
+    * on-disk ORC dataset, not an in-memory frame.
+    *
+    * Cost floor (r9 task 9, measured r10): the cycle is irreducibly two
+    * actions — a write job, then a read+aggregate job on files that did
+    * not exist at plan time. Isolated best-of-5 at sf0.1: 0.35 s (was
+    * 1.5 s in r9 before the input-scan memoization); the remaining gap
+    * to DuckDB's 0.03 s COPY is the two-job launch floor, accepted. */
   def x55OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_x55_orc"
@@ -5451,6 +5489,7 @@ object Extensions {
     "x176_ab_test" -> x176AbTest _,
     "x177_fold_stratification" -> x177FoldStratification _,
     "x178_ship_delay" -> x178ShipDelay _,
+    "x179_seeded_sample" -> x179SeededSample _,
     "x151_ucb_mixture" -> x151UcbMixture _,
     "x150_snapshot_diff" -> x150SnapshotDiff _,
     "x149_mutual_info" -> x149MutualInfo _,
@@ -5683,6 +5722,7 @@ object Extensions {
     "x176_ab_test" -> x176Sql,
     "x177_fold_stratification" -> x177Sql,
     "x178_ship_delay" -> x178Sql,
+    "x179_seeded_sample" -> x179Sql,
     "x15_multimodal" -> x15Sql,
     "x151_ucb_mixture" -> x151Sql,
     "x150_snapshot_diff" -> x150Sql,

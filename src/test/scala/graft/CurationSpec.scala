@@ -18,6 +18,19 @@ class CurationSpec extends SparkSpec {
     assert(frac > 0.15 && frac < 0.45, s"fraction $frac")
   }
 
+  test("uniformHashSample equals a driver-side SplitMix64 replay; seed redraws it") {
+    import spark.implicits._
+    val ids = docs.select($"doc_id").collect().map(_.getLong(0))
+    def want(seed: Long) = ids
+      .map(id => (graft.functions.Ops.splitmix64(id ^ seed) & Long.MaxValue, id))
+      .sorted.take(100).map { case (p, id) => id -> p }.toMap
+    def got(seed: Long) = Curation.uniformHashSample(docs, "doc_id", 100, seed)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(7L) == want(7L))
+    assert(got(13L) == want(13L))
+    assert(got(7L) != got(13L), "different seeds must redraw the sample")
+  }
+
   test("stratified sample respects per-stratum fractions") {
     import spark.implicits._
     val sampled = Curation.stratifiedSample(docs, "lang",
