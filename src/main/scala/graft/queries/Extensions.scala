@@ -1962,14 +1962,24 @@ object Extensions {
     * counts with the share within each fold — the stratification check
     * that catches a language piling into one validation fold. Map-side
     * fold flags, two catalog-bounded rollups. */
+  /** The 5-fold md5-prefix assignment shared by x177 (stratification) and
+    * x180 (contamination): content-independent, id-stable, engine-portable. */
+  private def foldExpr(idCol: String) = expr(
+    s"""CASE WHEN substr(md5(CAST($idCol AS STRING)), 1, 4) < '3333' THEN 0L
+       |     WHEN substr(md5(CAST($idCol AS STRING)), 1, 4) < '6666' THEN 1L
+       |     WHEN substr(md5(CAST($idCol AS STRING)), 1, 4) < '9999' THEN 2L
+       |     WHEN substr(md5(CAST($idCol AS STRING)), 1, 4) < 'cccc' THEN 3L
+       |     ELSE 4L END""".stripMargin)
+  private def foldSqlCase(idCol: String): String =
+    s"""CASE WHEN substr(md5(CAST($idCol AS VARCHAR)), 1, 4) < '3333' THEN 0
+       |     WHEN substr(md5(CAST($idCol AS VARCHAR)), 1, 4) < '6666' THEN 1
+       |     WHEN substr(md5(CAST($idCol AS VARCHAR)), 1, 4) < '9999' THEN 2
+       |     WHEN substr(md5(CAST($idCol AS VARCHAR)), 1, 4) < 'cccc' THEN 3
+       |     ELSE 4 END""".stripMargin
+
   def x177FoldStratification(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val fold = expr(
-      """CASE WHEN substr(md5(CAST(doc_id AS STRING)), 1, 4) < '3333' THEN 0L
-        |     WHEN substr(md5(CAST(doc_id AS STRING)), 1, 4) < '6666' THEN 1L
-        |     WHEN substr(md5(CAST(doc_id AS STRING)), 1, 4) < '9999' THEN 2L
-        |     WHEN substr(md5(CAST(doc_id AS STRING)), 1, 4) < 'cccc' THEN 3L
-        |     ELSE 4L END""".stripMargin)
+    val fold = foldExpr("doc_id")
     val cells = docs(s, dir)
       .select(fold.as("fold"), $"lang")
       .groupBy($"fold", $"lang").agg(count(lit(1)).as("n_docs"))
@@ -2073,6 +2083,149 @@ object Extensions {
        |FROM hh
        |ORDER BY priority_q, doc_id LIMIT 100""".stripMargin
   }
+
+  // ------------------------------------------- x180 cross-fold contamination
+  /** Train/test leakage audit: the near-dup pair graph (J ≥ 0.5, the
+    * SHARED x08 relation) crossed with x177's 5 md5-prefix folds — how
+    * many near-duplicate pairs SPAN fold boundaries. Random id-hash
+    * splits leak near-dups across train/eval by construction (the
+    * contamination every benchmark paper warns about); this matrix is
+    * the number a split design is judged on, and the reason production
+    * splits assign whole dup-CLUSTERS to folds. Marginal cost over the
+    * memoized pair graph: one map-side fold tag + a ≤15-cell rollup. */
+  def x180FoldContamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = ngramPairGraph(s, dir)
+      .select(foldExpr("doc_a").as("fa"), foldExpr("doc_b").as("fb"))
+      .select(least($"fa", $"fb").as("fold_a"), greatest($"fa", $"fb").as("fold_b"))
+      .groupBy($"fold_a", $"fold_b").agg(count(lit(1)).as("n_pairs"))
+    cells
+      .crossJoin(broadcast(cells.agg(sum($"n_pairs").as("tot"))))
+      .select($"fold_a", $"fold_b", $"n_pairs",
+        ($"fold_a" =!= $"fold_b").as("cross_fold"),
+        expr("(n_pairs * 1000000) DIV tot").as("share_ppm"))
+      .orderBy($"fold_a", $"fold_b")
+  }
+  val x180Sql: String =
+    s"""WITH $ngramPairCtes,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5),
+       |ff AS (
+       |  SELECT ${foldSqlCase("doc_a")} AS fa,
+       |         ${foldSqlCase("doc_b")} AS fb
+       |  FROM pairs),
+       |cells AS (
+       |  SELECT CAST(least(fa, fb) AS BIGINT) AS fold_a,
+       |         CAST(greatest(fa, fb) AS BIGINT) AS fold_b,
+       |         CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM ff GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tot FROM cells)
+       |SELECT fold_a, fold_b, n_pairs, (fold_a <> fold_b) AS cross_fold,
+       |  (n_pairs * 1000000) // tot.tot AS share_ppm
+       |FROM cells, tot ORDER BY fold_a, fold_b""".stripMargin
+
+  // ------------------------------------------- x181 packing efficiency curve
+  /** Context-length ablation for sequence packing: greedy in-order
+    * packing ([[graft.ops.Curation.packSequences]], the x30 kernel) at
+    * capacities 64/128/256/512 tokens, reporting per-(capacity, source)
+    * bin counts, utilization ppm, and the ⌈Σtok/L⌉ ideal — the table a
+    * training run reads to pick its context length (short contexts waste
+    * bins on fragmentation; long ones waste tail padding). Each capacity
+    * is an independent per-source sequential fold (sorted-group
+    * iterator, no window over the corpus); the oracle replays all four
+    * greedy chains as recursive CTEs. */
+  def x181PackingCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    PackingCaps.map { cap =>
+      Curation.packSequences(d, "doc_id", "text", "source", cap)
+        .groupBy($"source")
+        .agg((max($"bin_id") + 1L).as("n_bins"), sum($"n_tok").as("total_tok"))
+        .select(lit(cap).as("capacity"), $"source", $"n_bins", $"total_tok",
+          expr(s"(total_tok * 1000000) DIV (n_bins * $cap)").as("util_ppm"),
+          expr(s"(total_tok + $cap - 1) DIV $cap").as("ideal_bins"))
+    }.reduce(_ unionAll _).orderBy($"capacity", $"source")
+  }
+  private val PackingCaps = Seq(64L, 128L, 256L, 512L)
+  val x181Sql: String = {
+    def leg(cap: Long): String =
+      s"""pack$cap(source, rn, doc_id, n_tok, bin, binsum) AS (
+         |  SELECT source, rn, doc_id, n_tok, CAST(0 AS BIGINT), n_tok FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.source, d.rn, d.doc_id, d.n_tok,
+         |    CASE WHEN p.binsum + d.n_tok > $cap THEN p.bin + 1 ELSE p.bin END,
+         |    CASE WHEN p.binsum + d.n_tok > $cap THEN d.n_tok ELSE p.binsum + d.n_tok END
+         |  FROM pack$cap p JOIN d ON d.source = p.source AND d.rn = p.rn + 1),
+         |agg$cap AS (
+         |  SELECT CAST($cap AS BIGINT) AS capacity, source,
+         |    CAST(max(bin) + 1 AS BIGINT) AS n_bins,
+         |    CAST(sum(n_tok) AS BIGINT) AS total_tok
+         |  FROM pack$cap GROUP BY source)""".stripMargin
+    s"""WITH RECURSIVE d AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tok,
+       |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |${PackingCaps.map(leg).mkString(",\n")}
+       |SELECT capacity, source, n_bins, total_tok,
+       |  (total_tok * 1000000) // (n_bins * capacity) AS util_ppm,
+       |  (total_tok + capacity - 1) // capacity AS ideal_bins
+       |FROM (${PackingCaps.map(c => s"SELECT * FROM agg$c").mkString(" UNION ALL ")})
+       |ORDER BY capacity, source""".stripMargin
+  }
+
+  // ------------------------------------------- x182 cluster-coherent split
+  /** The FIX x180's leakage matrix motivates: fold assignment that routes
+    * every near-dup CLUSTER wholly to one fold — fold(doc) =
+    * md5-fold(cluster_id) for clustered docs (the memoized x28 CC
+    * labels), md5-fold(doc_id) for singletons. Cross-fold near-dup pairs
+    * are structurally zero under this map (both endpoints share a
+    * cluster_id, hence a fold); what the report shows is the PRICE: how
+    * many docs each fold gained/lost vs the naive id-hash split, i.e.
+    * the balance distortion cluster-coherence costs. Marginal cost over
+    * the shared relations: one left join + a 5-row rollup. */
+  def x182ClusterSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assigned = docs(s, dir).select($"doc_id")
+      .join(ngramClusters(s, dir), Seq("doc_id"), "left")
+      .select($"doc_id", $"cluster_id",
+        foldExpr("coalesce(cluster_id, doc_id)").as("fold"),
+        foldExpr("doc_id").as("naive_fold"))
+    assigned
+      .groupBy($"fold")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"cluster_id".isNotNull, 1L).otherwise(0L)).as("n_clustered"),
+        sum(when($"fold" =!= $"naive_fold", 1L).otherwise(0L)).as("n_moved"))
+      .orderBy($"fold")
+  }
+  val x182Sql: String =
+    s"""WITH RECURSIVE $ngramPairCtes,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |reach(x, y) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT r.x, e.b FROM reach r JOIN edges e ON e.a = r.y),
+       |cc AS (SELECT x AS doc_id, min(y) AS cluster_id FROM reach GROUP BY x),
+       |assigned AS (
+       |  SELECT d.doc_id, cc.cluster_id,
+       |    ${foldSqlCase("coalesce(cc.cluster_id, d.doc_id)")} AS fold,
+       |    ${foldSqlCase("d.doc_id")} AS naive_fold
+       |  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id)
+       |SELECT CAST(fold AS BIGINT) AS fold, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+       |  CAST(sum(CASE WHEN fold <> naive_fold THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+       |FROM assigned GROUP BY fold ORDER BY fold""".stripMargin
 
   // ------------------------------------------- x151 UCB mixture replay
   /** [[graft.ops.Curation.ucbMixtureReplay]]: bandit-guided source mixing —
@@ -5490,6 +5643,9 @@ object Extensions {
     "x177_fold_stratification" -> x177FoldStratification _,
     "x178_ship_delay" -> x178ShipDelay _,
     "x179_seeded_sample" -> x179SeededSample _,
+    "x180_fold_contamination" -> x180FoldContamination _,
+    "x181_packing_curve" -> x181PackingCurve _,
+    "x182_cluster_split" -> x182ClusterSplit _,
     "x151_ucb_mixture" -> x151UcbMixture _,
     "x150_snapshot_diff" -> x150SnapshotDiff _,
     "x149_mutual_info" -> x149MutualInfo _,
@@ -5723,6 +5879,9 @@ object Extensions {
     "x177_fold_stratification" -> x177Sql,
     "x178_ship_delay" -> x178Sql,
     "x179_seeded_sample" -> x179Sql,
+    "x180_fold_contamination" -> x180Sql,
+    "x181_packing_curve" -> x181Sql,
+    "x182_cluster_split" -> x182Sql,
     "x15_multimodal" -> x15Sql,
     "x151_ucb_mixture" -> x151Sql,
     "x150_snapshot_diff" -> x150Sql,
