@@ -2227,6 +2227,94 @@ object Extensions {
        |  CAST(sum(CASE WHEN fold <> naive_fold THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
        |FROM assigned GROUP BY fold ORDER BY fold""".stripMargin
 
+  // ------------------------------------------- x183 retrieval eval (nDCG/MRR)
+  /** Retrieval quality metrics for the x74 BM25 leg: graded relevance =
+    * how many of the query terms a document contains (0–3, derivable by
+    * both engines from the text alone), nDCG@10 and MRR over the top-20
+    * ranking. The log2 discount weights ⌊10⁹/log₂(r+1)⌋ are JVM-computed
+    * constants baked into BOTH spellings (the linkage-constant
+    * discipline), so DCG, ideal DCG (global top-10 grades — a bounded
+    * TakeOrdered, not a sort), and both ppm ratios are exact integer
+    * arithmetic end to end. The 20-row ranking window is k-bounded; the
+    * corpus contributes one grade projection and the BM25 scan. */
+  def x183RetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val terms = Seq("spark", "join", "vector")
+    val graded = docs(s, dir).select($"doc_id",
+      terms.map(t => array_contains(split(lower($"text"), "\\s+"), t)
+        .cast("long")).reduce(_ + _).as("grade"))
+    val wRank = Window.orderBy($"score_e9".desc, $"doc_id") // 20 rows — k-bounded
+    val ranked = Similarity.bm25Search(docs(s, dir), "doc_id", "text", terms, k = 20)
+      .select($"doc_id", floor($"score" * lit(1e9)).cast("long").as("score_e9"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+    val top = broadcast(ranked).join(graded, Seq("doc_id"))
+    def wOf(rankCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      DcgWeights.foldLeft(lit(0L)) { case (acc, (r, w)) =>
+        when(rankCol === r, lit(w)).otherwise(acc) }
+    val dcg = top.filter($"rank" <= 10)
+      .agg(sum($"grade" * wOf($"rank")).as("dcg_e9"))
+    val mrr = top.filter($"grade" > 0)
+      .agg(expr("1000000 DIV min(rank)").as("mrr_ppm"))
+    val wIdeal = Window.orderBy($"grade".desc, $"doc_id") // 10 rows — k-bounded
+    val idcg = graded.orderBy($"grade".desc, $"doc_id").limit(10)
+      .withColumn("irank", row_number().over(wIdeal).cast("long"))
+      .agg(sum($"grade" * wOf($"irank")).as("idcg_e9"))
+    dcg.crossJoin(idcg).crossJoin(mrr)
+      .select(coalesce($"dcg_e9", lit(0L)).as("dcg_e9"), $"idcg_e9",
+        expr("(coalesce(dcg_e9, 0) * 1000000) DIV nullif(idcg_e9, 0)").as("ndcg_ppm"),
+        $"mrr_ppm")
+  }
+  /** ⌊10⁹ / log₂(r+1)⌋ for ranks 1–10 — computed once on the JVM and
+    * baked into both engines' spellings as integer literals. */
+  private val DcgWeights: Seq[(Int, Long)] = (1 to 10).map(r =>
+    r -> math.floor(1e9 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+  val x183Sql: String = {
+    val wCase = (col: String) => "CASE " + DcgWeights.map { case (r, w) =>
+      s"WHEN $col = $r THEN $w" }.mkString(" ") + " ELSE 0 END"
+    s"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+       |st AS (SELECT count(*) AS n_docs, CAST(sum(len(w)) AS BIGINT) AS sum_len FROM t),
+       |tf AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS len, u AS term, count(*) AS tf
+       |  FROM (SELECT doc_id, w, unnest(list_filter(w, x -> x IN ('spark', 'join', 'vector'))) AS u FROM t)
+       |  GROUP BY 1, 2, 3),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |c AS (
+       |  SELECT doc_id, term,
+       |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+       |      / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(len AS DOUBLE)
+       |           / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS c
+       |  FROM tf JOIN dfq USING (term), st),
+       |sc AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(0.0, list(c ORDER BY term)), (a, b) -> a + b) AS score
+       |  FROM c GROUP BY doc_id),
+       |topk AS (
+       |  SELECT doc_id, CAST(floor(score * 1000000000.0) AS BIGINT) AS score_e9
+       |  FROM sc ORDER BY score DESC, doc_id LIMIT 20),
+       |ranked AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score_e9 DESC, doc_id) AS BIGINT) AS rank
+       |  FROM topk),
+       |grades AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END
+       |       + CASE WHEN list_contains(w, 'join') THEN 1 ELSE 0 END
+       |       + CASE WHEN list_contains(w, 'vector') THEN 1 ELSE 0 END AS BIGINT) AS grade
+       |  FROM t),
+       |top AS (SELECT ranked.doc_id, rank, grade FROM ranked JOIN grades USING (doc_id)),
+       |dcg AS (
+       |  SELECT CAST(sum(grade * (${wCase("rank")})) AS BIGINT) AS dcg_e9
+       |  FROM top WHERE rank <= 10),
+       |mrr AS (SELECT 1000000 // min(rank) AS mrr_ppm FROM top WHERE grade > 0),
+       |ideal AS (
+       |  SELECT grade, CAST(row_number() OVER (ORDER BY grade DESC, doc_id) AS BIGINT) AS irank
+       |  FROM grades ORDER BY grade DESC, doc_id LIMIT 10),
+       |idcg AS (SELECT CAST(sum(grade * (${wCase("irank")})) AS BIGINT) AS idcg_e9 FROM ideal)
+       |SELECT coalesce(dcg_e9, 0) AS dcg_e9, idcg_e9,
+       |  (coalesce(dcg_e9, 0) * 1000000) // nullif(idcg_e9, 0) AS ndcg_ppm, mrr_ppm
+       |FROM dcg, idcg, mrr""".stripMargin
+  }
+
   // ------------------------------------------- x151 UCB mixture replay
   /** [[graft.ops.Curation.ucbMixtureReplay]]: bandit-guided source mixing —
     * arm = source, reward = mean curated label (ppm), 52 deterministic UCB1
@@ -5646,6 +5734,7 @@ object Extensions {
     "x180_fold_contamination" -> x180FoldContamination _,
     "x181_packing_curve" -> x181PackingCurve _,
     "x182_cluster_split" -> x182ClusterSplit _,
+    "x183_retrieval_eval" -> x183RetrievalEval _,
     "x151_ucb_mixture" -> x151UcbMixture _,
     "x150_snapshot_diff" -> x150SnapshotDiff _,
     "x149_mutual_info" -> x149MutualInfo _,
@@ -5882,6 +5971,7 @@ object Extensions {
     "x180_fold_contamination" -> x180Sql,
     "x181_packing_curve" -> x181Sql,
     "x182_cluster_split" -> x182Sql,
+    "x183_retrieval_eval" -> x183Sql,
     "x15_multimodal" -> x15Sql,
     "x151_ucb_mixture" -> x151Sql,
     "x150_snapshot_diff" -> x150Sql,
