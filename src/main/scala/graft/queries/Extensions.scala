@@ -2315,6 +2315,103 @@ object Extensions {
        |FROM dcg, idcg, mrr""".stripMargin
   }
 
+  // ------------------------------------------- x185 hapax ratio per source
+  /** Hapax legomena share per source — the fraction of a source's token
+    * instances that occur EXACTLY ONCE in the whole corpus. High hapax =
+    * genuinely novel vocabulary (or OCR noise); near-zero = templated
+    * text — the quick split between the two failure modes a per-source
+    * quality triage needs. A hapax's single instance pins its source, so
+    * `min(source)` on the count-1 group IS the source and the corpus
+    * never joins back: tokens collapse to (token → count, min source)
+    * map-side, hapaxes roll up to the source catalog. Tokens group by
+    * STRING (the x160/ADVICE discipline — no hash-collision drift vs the
+    * oracle). */
+  def x185HapaxRatio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = docs(s, dir)
+      .select($"source", explode(split(lower($"text"), "\\s+")).as("tok"))
+    val hapax = toks
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"), min($"source").as("src"))
+      .filter($"cnt" === 1L)
+      .groupBy($"src".as("source")).agg(count(lit(1)).as("n_hapax"))
+    toks.groupBy($"source").agg(count(lit(1)).as("total_tokens"))
+      .join(hapax, Seq("source"), "left")
+      .select($"source", $"total_tokens",
+        coalesce($"n_hapax", lit(0L)).as("n_hapax"),
+        expr("(coalesce(n_hapax, 0) * 1000000) DIV total_tokens").as("hapax_ppm"))
+      .orderBy($"source")
+  }
+  val x185Sql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |  FROM documents),
+      |cnts AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt, min(source) AS src
+      |  FROM toks GROUP BY tok),
+      |hap AS (
+      |  SELECT src AS source, CAST(count(*) AS BIGINT) AS n_hapax
+      |  FROM cnts WHERE cnt = 1 GROUP BY src),
+      |tot AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS total_tokens
+      |  FROM toks GROUP BY source)
+      |SELECT tot.source, total_tokens,
+      |  CAST(coalesce(n_hapax, 0) AS BIGINT) AS n_hapax,
+      |  (coalesce(n_hapax, 0) * 1000000) // total_tokens AS hapax_ppm
+      |FROM tot LEFT JOIN hap ON hap.source = tot.source
+      |ORDER BY tot.source""".stripMargin
+
+  // ------------------------------------------- x186 conversion-lag survival
+  /** View→purchase conversion survival table: per user, the delay from
+    * FIRST view to FIRST subsequent purchase; at each horizon (0/1/3/7/
+    * 14/30 days) the share of viewers who converted within it. The
+    * funnel-lag curve a retention decision reads — x53's cohort matrix
+    * gives the calendar view, this gives the per-user clock. The event
+    * stream collapses to one row per user before the 6-row horizon grid
+    * broadcast-fans it; all-integer microsecond arithmetic. */
+  def x186ConversionSurvival(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val per = e.groupBy($"user_id")
+      .agg(min(when($"event_type" === "view", $"us")).as("v"),
+        min(when($"event_type" === "purchase", $"us")).as("p"))
+      .filter($"v".isNotNull)
+      .select($"user_id",
+        when($"p".isNotNull && $"p" >= $"v",
+          expr("(p - v) DIV 86400000000")).as("delay_days"))
+    val grid = s.createDataFrame(Seq(0L, 1L, 3L, 7L, 14L, 30L)
+      .map(Tuple1(_))).toDF("horizon_days")
+    per.crossJoin(broadcast(grid))
+      .groupBy($"horizon_days")
+      .agg(count(lit(1)).as("n_viewers"),
+        sum(when($"delay_days".isNotNull && $"delay_days" <= $"horizon_days", 1L)
+          .otherwise(0L)).as("n_converted"))
+      .select($"horizon_days", $"n_viewers", $"n_converted",
+        expr("(n_converted * 1000000) DIV n_viewers").as("converted_ppm"))
+      .orderBy($"horizon_days")
+  }
+  val x186Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |per AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN us END) AS v,
+      |    min(CASE WHEN event_type = 'purchase' THEN us END) AS p
+      |  FROM e GROUP BY user_id),
+      |d AS (
+      |  SELECT user_id,
+      |    CASE WHEN p IS NOT NULL AND p >= v THEN (p - v) // 86400000000 END AS delay_days
+      |  FROM per WHERE v IS NOT NULL),
+      |grid AS (SELECT unnest([0, 1, 3, 7, 14, 30]) AS horizon_days)
+      |SELECT CAST(horizon_days AS BIGINT) AS horizon_days,
+      |  CAST(count(*) AS BIGINT) AS n_viewers,
+      |  CAST(sum(CASE WHEN delay_days IS NOT NULL AND delay_days <= horizon_days
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+      |  (CAST(sum(CASE WHEN delay_days IS NOT NULL AND delay_days <= horizon_days
+      |    THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS converted_ppm
+      |FROM d CROSS JOIN grid
+      |GROUP BY horizon_days ORDER BY horizon_days""".stripMargin
+
   // ------------------------------------------- x151 UCB mixture replay
   /** [[graft.ops.Curation.ucbMixtureReplay]]: bandit-guided source mixing —
     * arm = source, reward = mean curated label (ppm), 52 deterministic UCB1
@@ -5735,6 +5832,8 @@ object Extensions {
     "x181_packing_curve" -> x181PackingCurve _,
     "x182_cluster_split" -> x182ClusterSplit _,
     "x183_retrieval_eval" -> x183RetrievalEval _,
+    "x185_hapax_ratio" -> x185HapaxRatio _,
+    "x186_conversion_survival" -> x186ConversionSurvival _,
     "x151_ucb_mixture" -> x151UcbMixture _,
     "x150_snapshot_diff" -> x150SnapshotDiff _,
     "x149_mutual_info" -> x149MutualInfo _,
@@ -5972,6 +6071,8 @@ object Extensions {
     "x181_packing_curve" -> x181Sql,
     "x182_cluster_split" -> x182Sql,
     "x183_retrieval_eval" -> x183Sql,
+    "x185_hapax_ratio" -> x185Sql,
+    "x186_conversion_survival" -> x186Sql,
     "x15_multimodal" -> x15Sql,
     "x151_ucb_mixture" -> x151Sql,
     "x150_snapshot_diff" -> x150Sql,
