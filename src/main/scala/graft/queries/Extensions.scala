@@ -2315,6 +2315,55 @@ object Extensions {
        |FROM dcg, idcg, mrr""".stripMargin
   }
 
+  // ------------------------------------------- x184 next-event entropy
+  /** Conditional next-event entropy per from-type — how PREDICTABLE the
+    * event chain is after each event type, the uncertainty companion to
+    * x167's transition matrix (x167 gives the distribution, this its
+    * one-number summary; 0 = deterministic funnel step, ln(k) = uniform
+    * chaos). Transition counts are x167's exact lag-window rollup; the
+    * entropy ln(n) − Σc·ln(c)/n takes only INTEGER-valued arguments,
+    * summed in sorted to-type order (the x172 fold discipline) so the
+    * double is bit-identical cross-engine, floored to e6 nats. */
+  def x184TransitionEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val trans = Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("c"))
+    trans.groupBy($"from_type")
+      .agg(count(lit(1)).as("n_next_types"), sum($"c").as("n"),
+        sort_array(collect_list(struct($"to_type", $"c"))).as("e"))
+      .select($"from_type", $"n_next_types", $"n",
+        floor((log($"n".cast("double")) -
+          expr("aggregate(e, 0.0D, (a, p) -> a + CAST(p.c AS DOUBLE) * ln(CAST(p.c AS DOUBLE)))") /
+            $"n".cast("double")) * 1e6).cast("long").as("entropy_e6"))
+      .orderBy($"from_type")
+  }
+  val x184Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |nx AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_type
+      |  FROM e),
+      |t AS (
+      |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS c
+      |  FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |g AS (
+      |  SELECT from_type, CAST(count(*) AS BIGINT) AS n_next_types,
+      |    CAST(sum(c) AS BIGINT) AS n,
+      |    list_reduce(list_prepend(0.0,
+      |      list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) ORDER BY to_type, c)),
+      |      (a, x) -> a + x) AS s
+      |  FROM t GROUP BY from_type)
+      |SELECT from_type, n_next_types, n,
+      |  CAST(floor((ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS entropy_e6
+      |FROM g ORDER BY from_type""".stripMargin
+
   // ------------------------------------------- x185 hapax ratio per source
   /** Hapax legomena share per source — the fraction of a source's token
     * instances that occur EXACTLY ONCE in the whole corpus. High hapax =
@@ -5832,6 +5881,7 @@ object Extensions {
     "x181_packing_curve" -> x181PackingCurve _,
     "x182_cluster_split" -> x182ClusterSplit _,
     "x183_retrieval_eval" -> x183RetrievalEval _,
+    "x184_transition_entropy" -> x184TransitionEntropy _,
     "x185_hapax_ratio" -> x185HapaxRatio _,
     "x186_conversion_survival" -> x186ConversionSurvival _,
     "x151_ucb_mixture" -> x151UcbMixture _,
@@ -6071,6 +6121,7 @@ object Extensions {
     "x181_packing_curve" -> x181Sql,
     "x182_cluster_split" -> x182Sql,
     "x183_retrieval_eval" -> x183Sql,
+    "x184_transition_entropy" -> x184Sql,
     "x185_hapax_ratio" -> x185Sql,
     "x186_conversion_survival" -> x186Sql,
     "x15_multimodal" -> x15Sql,
