@@ -29,7 +29,10 @@ class DeterminismSpec extends SparkSpec {
     // fit (bucketed prefix + OLS fold), boilerplate n-grams (shingle
     // rollup), incremental view maintenance (merge ≡ recompute)
     "x157_attribution", "x159_source_containment", "x160_heaps_fit",
-    "x171_boilerplate_ngrams", "x174_ivm_rollup")
+    "x171_boilerplate_ngrams", "x174_ivm_rollup",
+    // r10 additions: greedy sorted-group packing, fold-tagged pair rollup,
+    // corpus-wide string-keyed hapax grouping
+    "x181_packing_curve", "x180_fold_contamination", "x185_hapax_ratio")
 
   test("representative queries are invariant to shuffle width and AQE") {
     val fns = SparkEntry.queries
