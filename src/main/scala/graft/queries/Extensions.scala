@@ -1720,23 +1720,55 @@ object Extensions {
     * mutates per line but shares its 3-grams everywhere). Top-30 by
     * (n_docs desc, shingle) with both breadth counts.
     *
-    * Scale: the corpus collapses to distinct (shingle, source, in-docs)
-    * stats via two partial-aggregable rollups on the exploded relation;
-    * the global top-k is TakeOrderedAndProject. */
+    * Scale: the wide shingle STRINGS never enter a shuffle — the
+    * [[graft.ops.Curation.removeBoilerplateLines]] discipline. The corpus
+    * tokenizes ONCE into a named array column, the distinct and both
+    * breadth counts run on 8-byte `xxhash64(shingle)` keys, the top-30
+    * candidate set is cut by the 30th-largest n_docs (a 30-row
+    * TakeOrdered reduced to a 1-row broadcast threshold — a superset of
+    * the true top-30 under any shingle tie-break), and only the winning
+    * hashes join back to a second tokenize pass to recover exact shingle
+    * text (a broadcast semi-join, so the recovery shuffle carries only
+    * winner occurrences). A 64-bit collision could only merge two
+    * shingles' counts — the same negligible-odds trade
+    * `removeBoilerplateLines` documents. Two streaming passes over the
+    * corpus: pass 1 hashes INSIDE the shingle array (only longs ever
+    * explode) and its small filtered output is lazily checkpointed so the
+    * cut probe and the candidate join share one materialization; pass 2
+    * is the only place shingle strings exist, gated to winner hashes. */
   def x171BoilerplateNgrams(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = docs(s, dir).select($"doc_id", $"source",
-      explode(expr(
-        """CASE WHEN size(split(lower(text), '\\s+')) >= 3
-          |THEN transform(sequence(1, size(split(lower(text), '\\s+')) - 2),
-          |  i -> concat_ws(' ', slice(split(lower(text), '\\s+'), i, 3)))
-          |ELSE array(concat_ws(' ', split(lower(text), '\\s+'))) END""".stripMargin))
-        .as("shingle"))
+    def tokens: DataFrame = docs(s, dir)
+      .select($"doc_id", $"source", split(lower($"text"), "\\s+").as("w"))
+    def shingles: DataFrame = tokens
+      .select($"doc_id", $"source",
+        explode(when(size($"w") >= 3,
+          expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))"))
+          .otherwise(array(concat_ws(" ", $"w")))).as("shingle"))
+    val counts = tokens
+      .select($"doc_id", $"source",
+        explode(when(size($"w") >= 3,
+          expr("transform(sequence(1, size(w) - 2), i -> xxhash64(concat_ws(' ', slice(w, i, 3))))"))
+          .otherwise(array(xxhash64(concat_ws(" ", $"w"))))).as("h"))
       .distinct()
-    sh.groupBy($"shingle")
+      .groupBy($"h")
       .agg(countDistinct($"source").as("n_sources"),
         countDistinct($"doc_id").as("n_docs"))
       .filter($"n_sources" >= 10)
+      // bounded relation (shingles recurring across >=10 sources — the
+      // boilerplate set itself); lazily checkpointed so the cut probe and
+      // the candidate join share ONE corpus pass instead of re-tokenizing
+      .localCheckpoint(false)
+    // 30th-largest n_docs (ties included downstream) → every true top-30
+    // row has n_docs ≥ cut, so the filtered set is a superset of the answer
+    val cut = counts.orderBy($"n_docs".desc).limit(30)
+      .agg(min($"n_docs").as("cut"))
+    val cand = counts.crossJoin(broadcast(cut)).filter($"n_docs" >= $"cut")
+    shingles.select(xxhash64($"shingle").as("h"), $"shingle")
+      .join(broadcast(cand), "h")
+      .groupBy($"h", $"n_sources", $"n_docs")
+      .agg(min($"shingle").as("shingle"))
+      .select($"shingle", $"n_sources", $"n_docs")
       .orderBy($"n_docs".desc, $"shingle")
       .limit(30)
   }
