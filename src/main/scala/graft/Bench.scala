@@ -41,7 +41,11 @@ object Bench {
     // query names to run exclusively; SPARK_GRAFT_REPEATS overrides the
     // best-of-2 protocol for variance hunting on an individual query
     val only = args.toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "2").toInt
+    require(repeats >= 1, s"SPARK_GRAFT_REPEATS must be >= 1, got $repeats")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>

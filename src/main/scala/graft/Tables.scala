@@ -18,16 +18,21 @@ object Tables {
   // 200+ registered queries × 1-4 table loads each re-paid that for the
   // same ten immutable files. Reusing the analyzed relation is plan-neutral
   // — the logical plan is still the parquet scan, so pushdown/pruning and
-  // every PlanSpec guard are unaffected. Keyed like SharedViews so distinct
-  // test sessions never alias; the star-schema inputs are read-only by
-  // contract (TESTDATA.md), so staleness cannot arise.
+  // every PlanSpec guard are unaffected. Keyed on the SESSION REFERENCE
+  // itself (SparkSession uses identity equality), never a hash that a
+  // GC'd-then-reallocated session object could collide with; entries whose
+  // session has stopped are evicted on the next load so plans bound to dead
+  // sessions are neither returned nor retained for the JVM lifetime. The
+  // star-schema inputs are read-only by contract (TESTDATA.md), so
+  // staleness cannot arise.
   private val loaded =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    loaded.computeIfAbsent(
-      (System.identityHashCode(spark), s"$sfDir/$name.parquet"),
-      key => spark.read.parquet(key._2))
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    loaded.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    loaded.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      key => key._1.read.parquet(key._2))
+  }
 
   /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) (which Spark's
     * vectorized reader rejects outright — read as raw long nanos via the

@@ -162,18 +162,33 @@ private[graft] object Par {
     * partitioned by (metric, value); the N ranks fold back onto `tieCol`
     * in one pivot-style aggregate and rejoin the input.
     *
-    * Every `valueCol` must be numeric and non-null: descending metrics
-    * ride the scan as their NEGATION so one ascending range order serves
-    * all N (exact for longs except the unreachable Long.MinValue).
+    * Every `valueCol` must be INTEGRAL (byte/short/int/long — enforced;
+    * a fractional type would be silently truncated by the long cast,
+    * ranking differently from the raw values) and non-null: descending
+    * metrics ride the scan as their NEGATION so one ascending range order
+    * serves all N. `Long.MinValue` negates to itself, so a descending
+    * metric containing it fails loudly at runtime rather than mis-rank.
     * `tieCol` must be unique. Output ranks are bit-identical to
     * `row_number() OVER (ORDER BY value [DESC], tie)`. */
   def globalRowNumbers(df: DataFrame, tieCol: String,
       specs: Seq[RankSpec]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
     require(specs.nonEmpty)
+    val integral = Set[DataType](ByteType, ShortType, IntegerType, LongType)
+    specs.foreach { sp =>
+      val dt = df.schema(sp.valueCol).dataType
+      require(integral(dt),
+        s"globalRowNumbers needs integral value columns; ${sp.valueCol} is $dt")
+    }
     val tagged = specs.zipWithIndex.map { case (sp, i) =>
       val v = col(sp.valueCol).cast("long")
-      struct(lit(i).as("m"), (if (sp.ascending) v else -v).as("av"))
+      val av =
+        if (sp.ascending) v
+        else when(v === lit(Long.MinValue), raise_error(lit(
+          s"globalRowNumbers: Long.MinValue in ${sp.valueCol} cannot be negated")))
+          .otherwise(-v)
+      struct(lit(i).as("m"), av.as("av"))
     }
     val hist = df
       .select(explode(array(tagged: _*)).as("e"))

@@ -535,8 +535,17 @@ object EventStreams {
     }
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Transition] = {
-      buf.appendList(rows.map(e => (micros(e), e.event_id, e.event_type)).toArray)
-      finalizeReady(key, timerValues.getCurrentWatermarkInMs() * 1000L)
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      // Defensively drop rows already older than the watermark. The
+      // `withWatermark` contract drops them upstream, but whether
+      // transformWithState filters late rows before handleInputRows is
+      // version-dependent; a leaked one would finalize immediately AFTER
+      // the later-timestamped tail and then REPLACE it with an earlier
+      // event, corrupting every subsequent transition for this user. The
+      // documented semantics ("later stragglers are dropped") stay exact.
+      buf.appendList(rows.map(e => (micros(e), e.event_id, e.event_type))
+        .filter(_._1 >= wmUs).toArray)
+      finalizeReady(key, wmUs)
     }
     override def handleExpiredTimer(key: Long,
         timerValues: org.apache.spark.sql.streaming.TimerValues,
