@@ -30,7 +30,29 @@ object Bpe {
 
   /** Train `merges` BPE merges; returns (merge_rank, lhs, rhs, pair_count)
     * — the learned merge table, most-frequent-first. Stops early if the
-    * corpus runs out of adjacent pairs. */
+    * corpus runs out of adjacent pairs.
+    *
+    * Merge rounds are BATCHED where provably equivalent to the sequential
+    * algorithm: each pair-count job collects the top (want+1) pairs and
+    * applies the longest rank-contiguous prefix p₁..pₘ that is
+    * (a) pairwise symbol-disjoint, (b) free of self-pairs (lhs == rhs),
+    * and (c) strictly more frequent than the first excluded pair
+    * (cₘ > cₘ₊₁; absent pair counts as 0). Under (a)+(b), merging pⱼ
+    * leaves every other accepted pair's occurrences untouched (l ≠ r
+    * makes all pⱼ occurrences non-overlapping, so its count drops to 0,
+    * and disjointness means no accepted pair's tokens are consumed), so
+    * the recorded counts equal the sequential ones; every pair a merge
+    * CREATES (x·lⱼrⱼ / lⱼrⱼ·y / lⱼrⱼ·lⱼrⱼ) is count-bounded by an old
+    * pair sharing a symbol with pⱼ — necessarily OUTSIDE the disjoint
+    * prefix, hence ranked ≤ cₘ₊₁ < cᵢ by (c) — and every pair a merge
+    * touches otherwise only loses count. So at each intermediate step i
+    * the (c desc, lhs, rhs)-max of the rewritten corpus is exactly pᵢ,
+    * i.e. the batch replays the sequential trajectory. When the prefix
+    * collapses (m = 0: top pair is a self-pair or ties into an
+    * interaction), the round falls back to the always-correct single
+    * merge. One rewrite projection chains the batch's codegen'd
+    * [[graft.functions.Exprs.BpeMergePair]] constants, so a batch of m
+    * costs one job + one checkpoint instead of m of each. */
   def bpeMerges(docs: DataFrame, textCol: String, merges: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -39,6 +61,7 @@ object Bpe {
     var t = 1
     var exhausted = false
     while (t <= merges && !exhausted) {
+      val want = merges - t + 1
       val top = cur
         .filter(size(col("toks")) >= 2)
         .select(explode(expr(
@@ -47,16 +70,32 @@ object Bpe {
         .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
         .agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("lhs"), col("rhs"))
-        .limit(1)
+        .limit(want + 1)
         .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (top.isEmpty) exhausted = true
       else {
-        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        learned += ((t.toLong, l, r, c))
+        // longest disjoint self-pair-free rank prefix …
+        var m = 0
+        val used = scala.collection.mutable.Set.empty[String]
+        var ok = true
+        while (ok && m < math.min(want, top.length)) {
+          val (l, r, _) = top(m)
+          if (l == r || used(l) || used(r)) ok = false
+          else { used += l; used += r; m += 1 }
+        }
+        // … shrunk until strictly above the first excluded count (ties
+        // could let a merge-created pair win a lex tie-break mid-batch)
+        while (m > 1 && m < top.length && top(m - 1)._3 <= top(m)._3) m -= 1
+        if (m == 0) m = 1 // single merge is sequentially exact regardless
+        val batch = top.take(m)
+        batch.zipWithIndex.foreach { case ((l, r, c), j) =>
+          learned += (((t + j).toLong, l, r, c)) }
         cur = cur
-          .withColumn("toks", graft.functions.Exprs.bpe_merge_pair(col("toks"), l, r))
+          .withColumn("toks", batch.foldLeft(col("toks")) { case (acc, (l, r, _)) =>
+            graft.functions.Exprs.bpe_merge_pair(acc, l, r) })
           .localCheckpoint()
-        t += 1
+        t += m
       }
     }
     learned.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")

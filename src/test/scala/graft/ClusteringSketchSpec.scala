@@ -271,6 +271,58 @@ class ClusteringSketchSpec extends SparkSpec {
     assert(graft.ops.Bpe.bpeMerges(df, "text", merges = 5).collect().isEmpty)
   }
 
+  test("bpeMerges batched rounds replay the strictly-sequential trajectory") {
+    import spark.implicits._
+    // Driver-side reference: one merge per round, leftmost non-overlapping
+    // rewrite, (count desc, lhs, rhs) tie-break — the semantics the batch
+    // prefix rule (disjoint, self-pair-free, strict count gap) must
+    // preserve exactly. Tiny alphabet forces the interacting/tied shapes
+    // that make batching collapse to the single-merge fallback.
+    def mergeOnce(toks: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+          out += s"${l}_$r"; i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.result()
+    }
+    def seqBpe(corpus0: Seq[Vector[String]], merges: Int): Seq[(Long, String, String, Long)] = {
+      var corpus = corpus0
+      val learned = Seq.newBuilder[(Long, String, String, Long)]
+      var t = 1
+      var stop = false
+      while (t <= merges && !stop) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        corpus.foreach(_.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + 1
+          case _         => ()
+        })
+        if (counts.isEmpty) stop = true
+        else {
+          val ((l, r), c) = counts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.head
+          learned += ((t.toLong, l, r, c))
+          corpus = corpus.map(mergeOnce(_, l, r))
+          t += 1
+        }
+      }
+      learned.result()
+    }
+    (0 until 6).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val syms = Vector("a", "b", "c", "d")
+      val corpus = Seq.fill(12)(
+        Vector.fill(1 + rnd.nextInt(8))(syms(rnd.nextInt(syms.length))))
+      val got = graft.ops.Bpe.bpeMerges(
+        corpus.map(_.mkString(" ")).toDF("text"), "text", merges = 6)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      assert(got == seqBpe(corpus, 6), s"trajectory diverged for seed $seed")
+    }
+  }
+
   test("x104 on the real corpus: top-pair counts are non-increasing") {
     // standard BPE property: a merged symbol's new adjacencies can never
     // outnumber the occurrences of the merge that created it
