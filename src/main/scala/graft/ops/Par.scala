@@ -95,6 +95,16 @@ private[graft] object Par {
     val rows = p.groupBy(col("__pid"), col(keyCol)).agg(aggs.head, aggs.tail: _*)
       .collect()
       .map(r => (r.getInt(0), r.get(1), sums.indices.map(i => r.getLong(i + 2))))
+    // The bounded-collect contract, ENFORCED: each partition holds a
+    // contiguous (key, order) range, so consecutive partitions share at
+    // most one key and the per-(partition, key) group count is
+    // ≤ nPartitions + nKeys − 1. If range partitioning ever stops being
+    // contiguous (an AQE/planner regression), this fails loudly instead of
+    // letting the driver collect silently grow with the data.
+    val nKeys = rows.iterator.map(_._2).distinct.size
+    require(rows.length <= nParts + nKeys - 1,
+      s"exclusivePrefixBy offsets collect broke the contiguity bound: " +
+        s"${rows.length} rows > $nParts partitions + $nKeys keys - 1")
     // per-key exclusive scan over that key's (pid-sorted, possibly gappy)
     // partition totals — pids order by (key, order) range, so within a key
     // ascending pid IS scan order

@@ -32,7 +32,12 @@ class DeterminismSpec extends SparkSpec {
     "x171_boilerplate_ngrams", "x174_ivm_rollup",
     // r10 additions: greedy sorted-group packing, fold-tagged pair rollup,
     // corpus-wide string-keyed hapax grouping
-    "x181_packing_curve", "x180_fold_contamination", "x185_hapax_ratio")
+    "x181_packing_curve", "x180_fold_contamination", "x185_hapax_ratio",
+    // r11: the remaining r10 additions — CC-keyed fold map, k-bounded
+    // retrieval ranking, sorted transition-entropy fold, per-user
+    // conversion-lag collapse
+    "x182_cluster_split", "x183_retrieval_eval", "x184_transition_entropy",
+    "x186_conversion_survival")
 
   test("representative queries are invariant to shuffle width and AQE") {
     val fns = SparkEntry.queries

@@ -108,6 +108,43 @@ class ParSpec extends SparkSpec {
     }
   }
 
+  test("exclusivePrefixBy offsets collect stays within nPartitions + nKeys − 1") {
+    // The kernel now REQUIRES the contiguity bound internally (Par.scala),
+    // so this sweep's job is to exercise it across adversarial shapes —
+    // many more keys than partitions, one key, skewed key sizes, wide and
+    // narrow shuffle configs, AQE on and off — and to assert the bound
+    // independently on a replica of the kernel's own partitioning recipe,
+    // so a regression shows up as THIS test failing even if someone
+    // deletes the in-kernel require.
+    val rnd = new Random(426)
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      for (iter <- 1 to 10) {
+        spark.conf.set("spark.sql.adaptive.enabled", (iter % 2 == 0).toString)
+        val n = rnd.nextInt(300) + 2
+        val nKeys = Seq(1, 2, 7, 25, 60)(rnd.nextInt(5))
+        val shufParts = Seq(1, 2, 7, 40)(rnd.nextInt(4))
+        val rows = randomRel(rnd, n, nKeys)
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, rnd.nextInt(5) + 1), schema)
+        withShufflePartitions(shufParts) {
+          // runs the real kernel — its internal require is the assertion
+          Par.exclusivePrefixBy(df, "k", col("ord").asc, Seq("w2" -> "p2")).count()
+          // independent replica of the partitioning recipe + explicit bound
+          val offsets = df.localCheckpoint(eager = false)
+            .repartitionByRange(shufParts, col("k"), col("ord").asc)
+            .withColumn("__pid", spark_partition_id())
+            .groupBy(col("__pid"), col("k")).count()
+            .collect()
+          val distinctKeys = offsets.map(_.get(1)).distinct.length
+          assert(offsets.length <= shufParts + distinctKeys - 1,
+            s"iter $iter (n=$n, nKeys=$nKeys, shufParts=$shufParts): " +
+              s"${offsets.length} offset rows")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
+
   test("globalRowNumber ≡ row_number over (value asc/desc, tie) with duplicate values") {
     val rnd = new Random(424)
     for (iter <- 1 to 10) {
