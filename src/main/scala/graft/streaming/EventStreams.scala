@@ -194,19 +194,25 @@ object EventStreams {
     * state keeps its sessionSeq, and a gap against the CARRIED lastUs closes
     * the prior session and increments the seq. */
   private def foldSessions(userId: Long, sorted: Seq[Event],
+      start: Option[SessionState], gapUs: Long): (Seq[SessionAgg], Option[SessionState]) =
+    foldSessionsUs(userId, sorted.map(e => (micros(e), e.value)), start, gapUs)
+
+  /** Tuple core of the gap fold — `(us, value)` pairs already in scan
+    * order — shared by the in-order, batch, and watermark-buffered
+    * sessionizers so all three run the identical automaton. */
+  private def foldSessionsUs(userId: Long, sorted: Seq[(Long, Double)],
       start: Option[SessionState], gapUs: Long): (Seq[SessionAgg], Option[SessionState]) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
     var st = start
-    sorted.foreach { e =>
-      val us = micros(e)
+    sorted.foreach { case (us, value) =>
       st match {
         case None =>
-          st = Some(SessionState(1L, us, us, 1L, e.value))
+          st = Some(SessionState(1L, us, us, 1L, value))
         case Some(s) if us - s.lastUs > gapUs =>
           out += SessionAgg(userId, s.sessionSeq, s.n, s.startUs, s.lastUs, s.total)
-          st = Some(SessionState(s.sessionSeq + 1, us, us, 1L, e.value))
+          st = Some(SessionState(s.sessionSeq + 1, us, us, 1L, value))
         case Some(s) =>
-          st = Some(s.copy(lastUs = us, n = s.n + 1, total = s.total + e.value))
+          st = Some(s.copy(lastUs = us, n = s.n + 1, total = s.total + value))
       }
     }
     (out.toSeq, st)
@@ -232,7 +238,13 @@ object EventStreams {
     * watermark bound that keeps state proportional to ACTIVE users.
     *
     * For complete batch input use [[sessionizeBatch]], which also emits the
-    * trailing open sessions. */
+    * trailing open sessions.
+    *
+    * IN-ORDER contract (audited r11): a late same-user event arriving in a
+    * later micro-batch folds AFTER the carried state and regresses
+    * `lastUs` — use [[sessionizeOoo]] when upstream arrival order is not
+    * guaranteed; it buffers to the watermark and replays event-time
+    * order. */
   def sessionize(events: Dataset[Event], gapUs: Long = 1800L * 1000000L,
       watermarkDelay: String = "1 hour"): Dataset[SessionAgg] = {
     import events.sparkSession.implicits._
@@ -563,6 +575,100 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .transformWithState(new OooTransitionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Out-of-order-tolerant sessionizer — the [[OooTransitionProcessor]]
+    * discipline applied to [[sessionize]]'s gap fold (whose in-order twin
+    * REGRESSES its carried `lastUs` if a late same-user event arrives in a
+    * later micro-batch: the fold sees `us < lastUs`, treats it as the same
+    * session, and moves the session end backwards — the r11 audit finding).
+    * Events buffer in `ListState` until the event-time watermark passes
+    * them, then fold through the shared automaton ([[foldSessionsUs]]) in
+    * exact (us, event_id) order against the carried open session.
+    *
+    * Close rules, each safe by the watermark contract (arrivals and held
+    * rows are all ≥ wm):
+    *  - GAP close happens inside the fold, exactly as in batch;
+    *  - IDLE close (emit the trailing session, drop all state) fires only
+    *    when the buffer is EMPTY and wm > lastUs + gap. If held events
+    *    exist they are ≥ wm > lastUs + gap, so the open session is certain
+    *    to gap-close when they finalize — waiting for the drain timer
+    *    preserves sessionSeq continuity instead of resetting the lifetime.
+    * Timers: a drain timer at (min held us)+1ms when the buffer is
+    * non-empty, else an idle timer at (lastUs + gap)+1ms.
+    *
+    * Equality contract: for any arrival order whose lateness stays within
+    * the watermark delay, emitted sessions equal [[sessionizeBatch]]
+    * (including `session_id`, as long as a user's bursts don't straddle an
+    * idle eviction — the same state-lifetime caveat [[sessionize]]
+    * documents). State per user: one open session + the ≤ delay window of
+    * unfinalized events. */
+  class OooSessionProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SessionAgg] {
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[(Long, Long, Double)] = _
+    @transient private var open: org.apache.spark.sql.streaming.ValueState[SessionState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      buf = getHandle.getListState[(Long, Long, Double)]("pending",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Double)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      open = getHandle.getValueState[SessionState]("open_session",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    private def advance(key: Long, wmUs: Long): Iterator[SessionAgg] = {
+      val all = buf.get().toSeq
+      val (ready, hold) = all.partition(_._1 < wmUs)
+      val sorted = ready.sortBy(t => (t._1, t._2))
+      val (closed, newOpen) = foldSessionsUs(key,
+        sorted.map(t => (t._1, t._3)), Option(open.get()), gapUs)
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
+      out ++= closed
+      buf.clear()
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      newOpen match {
+        case Some(s) if hold.isEmpty && wmUs > s.lastUs + gapUs =>
+          // trailing session can never extend — flush it, end the lifetime
+          out += SessionAgg(key, s.sessionSeq, s.n, s.startUs, s.lastUs, s.total)
+          open.clear()
+        case Some(s) =>
+          open.update(s)
+          if (hold.isEmpty)
+            getHandle.registerTimer((s.lastUs + gapUs) / 1000L + 1L)
+        case None =>
+          open.clear()
+      }
+      if (hold.nonEmpty) {
+        buf.put(hold.toArray)
+        getHandle.registerTimer(hold.map(_._1).min / 1000L + 1L)
+      }
+      out.iterator
+    }
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionAgg] = {
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      // same defensive too-late drop as OooTransitionProcessor
+      buf.appendList(rows.map(e => (micros(e), e.event_id, e.value))
+        .filter(_._1 >= wmUs).toArray)
+      advance(key, wmUs)
+    }
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionAgg] =
+      advance(key, timerValues.getCurrentWatermarkInMs() * 1000L)
+  }
+
+  /** See [[OooSessionProcessor]]; StreamingSpec pins stream ≡
+    * [[sessionizeBatch]] with a late mid-session event arriving in a
+    * LATER micro-batch. */
+  def sessionizeOoo(events: Dataset[Event], gapUs: Long = 1800L * 1000000L,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new OooSessionProcessor(gapUs),
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
   }
 }

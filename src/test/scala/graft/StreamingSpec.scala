@@ -517,6 +517,80 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeOoo: late mid-session event in a later batch still yields stream ≡ sessionizeBatch") {
+    import spark.implicits._
+    // u1's t15 event has ts BETWEEN its batch-1 events but arrives in
+    // batch 2 — the in-order sessionize would fold it after t20 and
+    // REGRESS the session end to t15; the ooo twin must replay event-time
+    // order: session 1 = t0..t20 (n=3), then a gap >30min, session 2 =
+    // t120 (n=1). u2 exercises the pure idle close (no held events).
+    val b1 = Seq(Event(1, ts(0), 1, "view", 1.0), Event(2, ts(20), 1, "click", 2.0),
+      Event(3, ts(0), 2, "view", 5.0))
+    val b2 = Seq(Event(4, ts(15), 1, "addcart", 4.0), // late: wm after b1 = t10 < t15
+      Event(5, ts(120), 1, "view", 8.0))
+    val b3 = Seq(Event(6, ts(400), 3, "view", 0.0)) // pushes wm past t120+gap
+    val b4 = Seq(Event(7, ts(900), 3, "view", 0.0)) // drains u3's own session
+    val b5 = Seq(Event(8, ts(1500), 4, "view", 0.0))
+    val all = b1 ++ b2 ++ b3 ++ b4 ++ b5
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.sessionizeOoo(input.toDS(), watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sess_ooo_test")
+      .outputMode("append").start()
+    try {
+      Seq(b1, b2, b3, b4, b5).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      val streamed = spark.table("sess_ooo_test")
+        .as[EventStreams.SessionAgg].collect().toSet
+      val batch = EventStreams.sessionizeBatch(all.toDS())
+        // u4's trailing session is still open in the stream (wm never
+        // passes it) — compare on the sessions the watermark has sealed
+        .filter($"user_id" =!= 4L)
+        .as[EventStreams.SessionAgg].collect().toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      val u1 = streamed.filter(_.user_id == 1L).toSeq.sortBy(_.session_id)
+      assert(u1.map(s => (s.session_id, s.n_events, s.total_value)) ==
+        Seq((1L, 3L, 7.0), (2L, 1L, 8.0)), s"u1=$u1")
+    } finally {
+      q.stop()
+      prior match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("rateLimitStream: late event in a later batch gets first-seen admission (documented causal trade)") {
+    import spark.implicits._
+    // cap 2. u1's t5 event arrives AFTER t0,t10 already consumed the hour's
+    // budget: the batch twin would admit (t0,t5) and drop t10, but a
+    // streaming limiter cannot recall the already-emitted t10 — the
+    // documented contract is first-seen-within-cap, pinned here so the
+    // divergence stays a CHOICE, not an accident.
+    val b1 = Seq(Event(1, ts(0), 1, "click", 0.0), Event(2, ts(10), 1, "click", 0.0))
+    val b2 = Seq(Event(3, ts(5), 1, "click", 0.0), // late: within the 1h delay
+      Event(4, ts(30), 2, "view", 0.0))
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.rateLimitStream(input.toDS(), maxPerHour = 2)
+      .writeStream.format("memory").queryName("rate_limit_late_test")
+      .outputMode("append").start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val streamed = spark.table("rate_limit_late_test")
+        .select($"event_id").as[Long].collect().sorted.toSeq
+      assert(streamed == Seq(1L, 2L, 4L), s"first-seen admission, got $streamed")
+      // and the batch twin on the same data picks the event-time-first set
+      val batch = graft.ops.EventAnalytics
+        .rateLimit((b1 ++ b2).toDF(), "user_id", "ts", "event_id", maxPerHour = 2)
+        .select($"event_id").as[Long].collect().sorted.toSeq
+      assert(batch == Seq(1L, 3L, 4L))
+    } finally q.stop()
+  }
+
   test("rateLimitStream: cap counts span micro-batches and equal the batch twin in order") {
     import spark.implicits._
     // user 1: five events in hour 0 split 3+2 across batches → only first 3 admitted;
