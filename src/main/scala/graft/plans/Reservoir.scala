@@ -37,6 +37,24 @@ object Reservoir {
     GraftBridge.installOptimizerRule(spark, ReservoirColumnPruning)
     GraftBridge.ofRows(spark, ReservoirSample(k, seed, GraftBridge.logicalPlan(df)))
   }
+
+  /** DETERMINISTIC k-smallest-by-priority sample through the same operator
+    * stack — the auditable counterpart of [[sample]]: `priorityCol` must be
+    * a non-null LONG column with distinct values (callers derive it with
+    * seeded integer hashing, e.g. `Exprs.smix64`; ties make the selection
+    * partitioning-dependent, and NULL-priority rows are skipped). Same
+    * physical shape — one streaming pass per partition with O(k) state
+    * (a bounded max-heap), then a single-task merge — but zero RNG: the
+    * result replays bit-for-bit in any engine with 64-bit arithmetic,
+    * which is what lets the driver's DuckDB gate hash-verify this stack's
+    * strategy installation, column-pruning rule, partition pass, and merge
+    * (x187), leaving only [[sample]]'s JVM-RNG draw rows-only. */
+  def samplePq(df: DataFrame, k: Int, priorityCol: String): DataFrame = {
+    val spark = df.sparkSession
+    GraftBridge.installStrategy(spark, ReservoirSampleStrategy)
+    GraftBridge.installOptimizerRule(spark, ReservoirColumnPruning)
+    GraftBridge.ofRows(spark, PrioritySample(k, priorityCol, GraftBridge.logicalPlan(df)))
+  }
 }
 
 /** Logical node: exactly min(k, |child|) uniformly sampled rows. */
@@ -75,6 +93,16 @@ object ReservoirColumnPruning
       if (kept.length < r.child.output.length)
         p.copy(child = r.copy(child = Project(kept, r.child)))
       else p
+    case p @ Project(projList, r: PrioritySample) =>
+      // unlike the RNG reservoir, the priority sample READS one column —
+      // the pruned projection must keep it even when the outer projection
+      // drops it
+      val needed = AttributeSet(projList.flatMap(_.references))
+      val kept = r.child.output.filter(a =>
+        needed.contains(a) || a.name == r.priorityCol)
+      if (kept.length < r.child.output.length)
+        p.copy(child = r.copy(child = Project(kept, r.child)))
+      else p
   }
 }
 
@@ -83,7 +111,78 @@ object ReservoirSampleStrategy extends org.apache.spark.sql.execution.SparkStrat
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case ReservoirSample(k, seed, child) =>
       ReservoirSampleExec(k, seed, planLater(child)) :: Nil
+    case PrioritySample(k, priorityCol, child) =>
+      PrioritySampleExec(k, priorityCol, planLater(child)) :: Nil
     case _ => Nil
+  }
+}
+
+/** Logical node: the min(k, |child|) rows with the SMALLEST values of
+  * `priorityCol` (a long column; see [[Reservoir.samplePq]]). */
+case class PrioritySample(k: Int, priorityCol: String, child: LogicalPlan)
+  extends UnaryNode {
+  require(k > 0, "priority sample: k must be positive")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = Some(k.toLong)
+  // Unlike the RNG reservoir this node READS a column; declaring it keeps
+  // Catalyst's generic UnaryNode column pruning from stripping the
+  // priority column out from underneath the exec.
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      child.output.filter(_.name == priorityCol))
+  override protected def withNewChildInternal(newChild: LogicalPlan): PrioritySample =
+    copy(child = newChild)
+}
+
+/** Physical operator: per-partition bounded MAX-heap of the k smallest
+  * priorities (single pass, O(k) state, deterministic integer comparisons
+  * only), then a single-task merge of ≤ numPartitions × k candidates.
+  * Output is sorted ascending by priority — a deterministic total order
+  * whenever priorities are distinct. */
+case class PrioritySampleExec(k: Int, priorityCol: String, child: SparkPlan)
+  extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = SinglePartition
+  override protected def withNewChildInternal(newChild: SparkPlan): PrioritySampleExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kk = k
+    val ord = child.output.indexWhere(_.name == priorityCol)
+    require(ord >= 0, s"priority sample: column $priorityCol not in child output")
+    // Bounded max-heap of the k smallest priorities; rows are copied only
+    // on ADMISSION (the stream reuses unsafe rows), and the merge stage
+    // skips the copy — its inputs are the already-materialized candidates.
+    // Returned ascending by priority (max-heap polls largest-first; fill
+    // backwards).
+    def topK(it: Iterator[InternalRow], copyOnAdmit: Boolean): Array[(Long, InternalRow)] = {
+      val heap = new java.util.PriorityQueue[(Long, InternalRow)](
+        math.max(kk, 1),
+        new java.util.Comparator[(Long, InternalRow)] {
+          override def compare(a: (Long, InternalRow), b: (Long, InternalRow)): Int =
+            java.lang.Long.compare(b._1, a._1)
+        })
+      it.foreach { row =>
+        if (!row.isNullAt(ord)) {
+          val pri = row.getLong(ord)
+          if (heap.size < kk) {
+            heap.offer((pri, if (copyOnAdmit) row.copy() else row))
+          } else if (pri < heap.peek()._1) {
+            heap.poll()
+            heap.offer((pri, if (copyOnAdmit) row.copy() else row))
+          }
+        }
+      }
+      val arr = new Array[(Long, InternalRow)](heap.size)
+      var i = arr.length - 1
+      while (i >= 0) { arr(i) = heap.poll(); i -= 1 }
+      arr
+    }
+    val partials = child.execute()
+      .mapPartitions(it => topK(it, copyOnAdmit = true).iterator.map(_._2))
+    partials.coalesce(1)
+      .mapPartitions(it => topK(it, copyOnAdmit = false).iterator.map(_._2))
   }
 }
 

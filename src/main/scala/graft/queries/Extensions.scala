@@ -547,9 +547,10 @@ object Extensions {
   // Rows-only (sampling is engine-specific): exact-k uniform sample through
   // the custom ReservoirSample operator stack; always exactly 100 rows.
   // The deterministic seeded draw with a full cross-engine oracle is
-  // x179_seeded_sample (hash-priority, x117's mixer spelling); only this
-  // RNG merge stays rows-only, pinned by ReservoirSpec's 200-seed
-  // uniformity sweep.
+  // x179_seeded_sample (hash-priority, x117's mixer spelling), and the
+  // operator STACK's deterministic priority-queue leg is hash-oracled by
+  // x187_reservoir_pq — so only this JVM-RNG merge stays rows-only, pinned
+  // by ReservoirSpec's 200-seed uniformity sweep.
   def x22ReservoirSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.plans.Reservoir.sample(docs(s, dir), k = 100, seed = 7L)
@@ -2492,6 +2493,45 @@ object Extensions {
       |    THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS converted_ppm
       |FROM d CROSS JOIN grid
       |GROUP BY horizon_days ORDER BY horizon_days""".stripMargin
+
+  // ------------------------------------------- x187 priority-queue sample
+  /** [[graft.plans.Reservoir.samplePq]]: the DETERMINISTIC priority-queue
+    * leg of x22's custom sampler stack — priorities are
+    * SplitMix64(doc_id ⊕ 23) & Long.MaxValue (x179's mixer, a different
+    * seed) and selection runs through the custom PhysicalPlan (bounded
+    * max-heap per partition, single-task merge). Hash-verifying this query
+    * gives the driver's DuckDB gate leverage over the whole Reservoir
+    * operator stack — strategy installation, the column-pruning rule, the
+    * partition pass, the merge — so only x22's JVM-RNG draw remains
+    * rows-only. The oracle respells the mixer in HUGEINT (the x117/x179
+    * discipline) and takes the k smallest. */
+  def x187ReservoirPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prioritized = docs(s, dir).filter($"doc_id".isNotNull)
+      .select($"doc_id", $"source",
+        graft.functions.Exprs.smix64($"doc_id".cast("long").bitwiseXOR(lit(23L)))
+          .bitwiseAND(lit(Long.MaxValue)).as("priority_q"))
+    graft.plans.Reservoir.samplePq(prioritized, k = 100, priorityCol = "priority_q")
+      .orderBy($"doc_id")
+  }
+  val x187Sql: String = {
+    val m2 = mulmodSql("xor(x, x // 1073741824::HUGEINT)", "13787848793156543929::HUGEINT")
+    val m3 = mulmodSql("xor(x, x // 134217728::HUGEINT)", "10723151780598845931::HUGEINT")
+    s"""WITH m1 AS (
+       |  SELECT doc_id, source,
+       |    (CAST(xor(CAST(doc_id AS BIGINT), 23) AS HUGEINT)
+       |      + 11400714819323198485::HUGEINT)
+       |      % 18446744073709551616::HUGEINT AS x
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |m2 AS (SELECT doc_id, source, $m2 AS x FROM m1),
+       |m3 AS (SELECT doc_id, source, $m3 AS x FROM m2),
+       |hh AS (SELECT doc_id, source, xor(x, x // 2147483648::HUGEINT) AS h FROM m3),
+       |top AS (
+       |  SELECT doc_id, source,
+       |    CAST(h % 9223372036854775808::HUGEINT AS BIGINT) AS priority_q
+       |  FROM hh ORDER BY priority_q, doc_id LIMIT 100)
+       |SELECT doc_id, source, priority_q FROM top ORDER BY doc_id""".stripMargin
+  }
 
   // ------------------------------------------- x151 UCB mixture replay
   /** [[graft.ops.Curation.ucbMixtureReplay]]: bandit-guided source mixing —
@@ -5916,6 +5956,7 @@ object Extensions {
     "x184_transition_entropy" -> x184TransitionEntropy _,
     "x185_hapax_ratio" -> x185HapaxRatio _,
     "x186_conversion_survival" -> x186ConversionSurvival _,
+    "x187_reservoir_pq" -> x187ReservoirPq _,
     "x151_ucb_mixture" -> x151UcbMixture _,
     "x150_snapshot_diff" -> x150SnapshotDiff _,
     "x149_mutual_info" -> x149MutualInfo _,
@@ -6156,6 +6197,7 @@ object Extensions {
     "x184_transition_entropy" -> x184Sql,
     "x185_hapax_ratio" -> x185Sql,
     "x186_conversion_survival" -> x186Sql,
+    "x187_reservoir_pq" -> x187Sql,
     "x15_multimodal" -> x15Sql,
     "x151_ucb_mixture" -> x151Sql,
     "x150_snapshot_diff" -> x150Sql,

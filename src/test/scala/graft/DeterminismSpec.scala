@@ -37,7 +37,10 @@ class DeterminismSpec extends SparkSpec {
     // retrieval ranking, sorted transition-entropy fold, per-user
     // conversion-lag collapse
     "x182_cluster_split", "x183_retrieval_eval", "x184_transition_entropy",
-    "x186_conversion_survival")
+    "x186_conversion_survival",
+    // r11: the custom priority-queue sampler exec (distinct priorities ⇒
+    // partition-layout-invariant selection)
+    "x187_reservoir_pq")
 
   test("representative queries are invariant to shuffle width and AQE") {
     val fns = SparkEntry.queries

@@ -29,7 +29,10 @@ class RegistrationGateSpec extends AnyFunSuite {
 
   test("rows-only allowlist stays small and justified") {
     // growing this set requires a documented necessity in SparkEntry.rowsOnly's
-    // Scaladoc AND an exact ScalaTest oracle — review before raising the bound
-    assert(SparkEntry.rowsOnly.size <= 3)
+    // Scaladoc AND an exact ScalaTest oracle — review before raising the bound.
+    // r11: dropped 3 → 2 after x187 hash-oracled the Reservoir stack's
+    // deterministic priority-queue leg, leaving only x22's JVM-RNG draw and
+    // x141's Deflater replay as genuinely un-oraclable logic.
+    assert(SparkEntry.rowsOnly.size <= 2)
   }
 }

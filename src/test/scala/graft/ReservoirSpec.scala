@@ -72,6 +72,52 @@ class ReservoirSpec extends SparkSpec {
     assert(planned.count() == 5)
   }
 
+  test("samplePq: k smallest by priority, ≡ orderBy-limit, under-k passthrough, null skip") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1L to 500L).map(i => (i, (i * 2654435761L) % 1000003L))
+      .toDF("id", "pri").repartition(7)
+    val got = Reservoir.samplePq(df, 30, "pri")
+      .select($"id").as[Long].collect().sorted.toSeq
+    val want = df.orderBy($"pri".asc).limit(30)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(got == want)
+    // custom exec planned, not TakeOrderedAndProject (exchange-free input so
+    // the plan isn't hidden inside an AdaptiveSparkPlan wrapper)
+    val flat = (1L to 100L).map(i => (i, i * 3L)).toDF("id", "pri")
+    val exec = Reservoir.samplePq(flat, 30, "pri").queryExecution.executedPlan
+    assert(exec.collect { case e: graft.plans.PrioritySampleExec => e }.nonEmpty,
+      s"custom exec expected:\n$exec")
+    assert(!exec.toString.contains("TakeOrderedAndProject"), exec.toString)
+    // under-k input passes through whole
+    val small = (1L to 9L).map(i => (i, i * 10L)).toDF("id", "pri")
+    assert(Reservoir.samplePq(small, 100, "pri").count() == 9)
+    // NULL-priority rows are skipped
+    val withNulls = spark.sql(
+      "SELECT id, IF(id % 2 = 0, CAST(NULL AS BIGINT), id) AS pri FROM range(1, 21) t(id)")
+    val sel = Reservoir.samplePq(withNulls, 5, "pri")
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(sel == Seq(1L, 3L, 5L, 7L, 9L), s"odd ids only: $sel")
+  }
+
+  test("samplePq pruning keeps the priority column below the sample, prunes the rest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqp").toString + "/t"
+    (1L to 1000L).map(i => (i, s"text_$i", (i * 2654435761L) % 1000003L, s"src${i % 5}"))
+      .toDF("id", "text", "pri", "source")
+      .write.parquet(dir)
+    val wide = spark.read.parquet(dir)
+    val narrow = Reservoir.samplePq(wide, 20, "pri").select($"id")
+    val scan = narrow.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("ReadSchema: struct<id:bigint,pri:bigint>"),
+      s"scan must read the projected column AND the priority column only:\n$scan")
+    val idsNarrow = narrow.as[Long].collect().sorted.toSeq
+    val idsWide = Reservoir.samplePq(wide, 20, "pri")
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(idsNarrow == idsWide)
+  }
+
   test("ReservoirColumnPruning pushes projection below the sample, into the scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-rcp").toString + "/t"
