@@ -378,7 +378,13 @@ object Curation {
     * (no in-group buffering), the scan is a single O(n) fold per source,
     * and only (source, id, n_tok) METADATA ever moves; document text never
     * enters the shuffle. Returns (source, doc_id, n_tok, bin_id); callers
-    * join assignments back by id when they need the text. */
+    * join assignments back by id when they need the text.
+    *
+    * Scale bound, stated plainly: the fold is one task PER SOURCE, so one
+    * giant source means one long task no matter how many executors exist.
+    * When any source exceeds a task-size budget use
+    * [[packSequencesStriped]], which parallelizes inside a source at the
+    * cost of at most one extra bin per stripe. */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, capacity: Long): DataFrame = {
     val s = docs.sparkSession
@@ -401,6 +407,62 @@ object Curation {
         }
       }
       .toDF("source", "doc_id", "n_tok", "bin_id")
+  }
+
+  /** [[packSequences]] with BOUNDED task length — the scale valve for the
+    * one-giant-source shape (greedy packing is inherently sequential within
+    * a source, so one source with billions of documents means one
+    * arbitrarily long task in the plain spelling; that bound is documented
+    * there). Each source's doc-id axis is pre-split into deterministic
+    * contiguous stripes (`stripe = doc_id / stripeSpan`), every stripe
+    * packs independently in parallel with the SAME next-fit fold, and
+    * stripe-local bin ids are made globally sequential per source by an
+    * [[graft.ops.Par.exclusivePrefixBy]] scan over per-stripe bin counts
+    * (key = source — a driver-bounded catalog; the stripe-count relation
+    * itself stays distributed).
+    *
+    * Exactness trade, by construction: within a stripe the assignment
+    * equals next-fit; across a boundary the current bin is force-closed,
+    * costing AT MOST one extra (under-full) bin per stripe versus the
+    * serial packing — the parity CurationSpec property pins both the exact
+    * striped replay and that bin-count bound. Use the plain spelling when
+    * sources are task-sized; this one when any source exceeds what one
+    * task should scan. */
+  def packSequencesStriped(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, capacity: Long, stripeSpan: Long): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(stripeSpan > 0, "stripeSpan must be positive")
+    val local = docs
+      .select(col(sourceCol).cast("string").as("source"),
+        col(idCol).cast("long").as("doc_id"),
+        size(Dedup.tokens(col(textCol))).cast("long").as("n_tok"))
+      .as[(String, Long, Long)]
+      .groupByKey(t => (t._1, t._2 / stripeSpan))
+      .flatMapSortedGroups(col("doc_id").asc) { (key, it) =>
+        var bin = 0L
+        var sum = 0L
+        var first = true
+        it.map { case (src, id, n) =>
+          if (first) { sum = n; first = false }
+          else if (sum + n > capacity) { bin += 1L; sum = n }
+          else sum += n
+          (src, key._2, id, n, bin)
+        }
+      }
+      .toDF("source", "stripe", "doc_id", "n_tok", "local_bin")
+      // both the bin-count rollup and the final join read this relation —
+      // pin one materialization or the corpus tokenizes twice
+      .localCheckpoint(false)
+    val stripeBins = local.groupBy($"source", $"stripe")
+      .agg((max($"local_bin") + 1L).as("n_bins"))
+    val offsets = graft.ops.Par
+      .exclusivePrefixBy(stripeBins, "source", $"stripe".asc,
+        Seq("n_bins" -> "bin_offset"))
+      .select($"source", $"stripe", $"bin_offset")
+    local.join(offsets, Seq("source", "stripe"))
+      .select($"source", $"doc_id", $"n_tok",
+        ($"bin_offset" + $"local_bin").as("bin_id"))
   }
 
   /** Boilerplate line removal: delete every line that appears in at least

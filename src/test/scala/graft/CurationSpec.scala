@@ -146,6 +146,56 @@ class CurationSpec extends SparkSpec {
     assert(sums.forall { case (_, (s, n)) => n == 1 || s <= 10L })
   }
 
+  test("packSequencesStriped: exact striped replay, ≤1 extra bin per stripe, ≡ plain when one stripe") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(427)
+    for (iter <- 1 to 4) {
+      val capacity = 8L + rnd.nextInt(8)
+      val stripeSpan = 4L + rnd.nextInt(6)
+      val docsSeq = (1 to 60).map { i =>
+        val id = i * (1 + rnd.nextInt(3)) + iter * 200 // gappy, deterministic ids
+        (id.toLong, ("w " * (1 + rnd.nextInt(12))).trim, s"s${rnd.nextInt(3)}")
+      }.distinctBy(_._1)
+      val docs = docsSeq.toDF("doc_id", "text", "source")
+      val got = Curation.packSequencesStriped(
+        docs, "doc_id", "text", "source", capacity, stripeSpan)
+        .as[(String, Long, Long, Long)].collect().toSeq.sortBy(t => (t._1, t._2))
+      // driver oracle: per source in doc_id order, next-fit RESTARTED at
+      // every stripe boundary, bins numbered sequentially per source
+      val want = docsSeq.map { case (id, text, src) =>
+        (src, id, text.split("\\s+").length.toLong) }
+        .groupBy(_._1).toSeq.flatMap { case (src, grp) =>
+          var bin = -1L; var sum = 0L; var stripe = Long.MinValue
+          grp.sortBy(_._2).map { case (_, id, n) =>
+            val st = id / stripeSpan
+            if (st != stripe || sum + n > capacity) { bin += 1L; sum = n; stripe = st }
+            else sum += n
+            (src, id, n, bin)
+          }
+        }.sortBy(t => (t._1, t._2))
+      assert(got == want, s"iter $iter (cap=$capacity span=$stripeSpan)")
+      // bin-count bound: ≤ plain packing + (stripes − 1) per source
+      val plain = Curation.packSequences(docs, "doc_id", "text", "source", capacity)
+        .as[(String, Long, Long, Long)].collect().toSeq
+      docsSeq.map(_._3).distinct.foreach { src =>
+        val nStriped = got.filter(_._1 == src).map(_._4).distinct.size
+        val nPlain = plain.filter(_._1 == src).map(_._4).distinct.size
+        val nStripes = got.filter(_._1 == src).map(_._2 / stripeSpan).distinct.size
+        assert(nStriped <= nPlain + nStripes - 1,
+          s"iter $iter $src: $nStriped bins vs plain $nPlain + ${nStripes - 1}")
+      }
+    }
+    // degenerate stripe (everything in one stripe) ≡ the plain spelling
+    val docs = Seq((1L, "w w w", "A"), (2L, "w w", "A"), (3L, "w w w w", "A"),
+      (9L, "w", "B")).toDF("doc_id", "text", "source")
+    val one = Curation.packSequencesStriped(docs, "doc_id", "text", "source",
+      capacity = 5L, stripeSpan = 1000000L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val ref = Curation.packSequences(docs, "doc_id", "text", "source", 5L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(one == ref)
+  }
+
   test("dataCard derives ratios exactly from its own integer numerators") {
     import spark.implicits._
     val docs = Seq(
