@@ -30,6 +30,17 @@ object Bench {
     // already keeps the files hot after the warmup pass). Measured, not
     // guessed: 57.2s uncached vs 73.8s cached on an idle host.
     Tables.names.foreach(n => spark.read.parquet(s"$sfDir/$n.parquet").count())
+    // ALSO warm the job-submission path itself: scheduler, task serializer,
+    // result fetch, and the codegen cache lookups live in JVM code that C2
+    // only compiles after ~dozens of job submissions. Measured (FloorProbe,
+    // r11): in a session that has run ~100 tiny jobs, q01 costs 93 ms; in a
+    // session that has run only the ~12 warmup jobs above, the SAME query
+    // costs 230 ms — a 2.5× phantom tax on every short query, paid by
+    // whichever queries run first (alphabetically q01–q34, exactly the
+    // relational core the DuckDB comparison reads). ~60 empty-range jobs
+    // cost ~4 s once and take the submission path to steady state — the
+    // state any real deployment (thousands of jobs per day) lives in.
+    (1 to 60).foreach(_ => spark.range(1).count())
     // sorted by name: Map iteration order would vary run-to-run, shifting
     // which queries absorb residual warmup — stable order, comparable rounds.
     // Best of 2 runs per query, matching the DuckDB comparator's protocol
