@@ -41,6 +41,23 @@ object Bench {
     // cost ~4 s once and take the submission path to steady state — the
     // state any real deployment (thousands of jobs per day) lives in.
     (1 to 60).foreach(_ => spark.range(1).count())
+    // Calibration sentinels (r11 verdict: the driver's round-11 numbers read
+    // +18% on UNTOUCHED code purely from host load, while a clean rerun read
+    // -4.5% — host noise can fake regressions). Two fixed-cost probes are
+    // measured in the SAME session and emitted beside the query times, so a
+    // round-over-round comparison can detect (and normalize by) host drift:
+    //   floor_launch_ms — pure job-launch floor, min of 20 no-IO jobs;
+    //   floor_q13_ms    — the smallest real core shape (scan+agg), warm.
+    // If these drift N% between rounds, an N%-uniform shift in untouched
+    // queries is the host, not the code. Protocol documented in NOTES_r12.md.
+    def minOf(n: Int)(body: => Unit): Double =
+      (1 to n).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }.min
+    val floorLaunchMs = minOf(20)(spark.range(1).count()) * 1000
+    val floorQ13Ms = SparkEntry.queries.get("q13_count")
+      .map(fn => minOf(5)(fn(spark, sfDir).count()) * 1000)
+      .getOrElse(-1.0)
     // sorted by name: Map iteration order would vary run-to-run, shifting
     // which queries absorb residual warmup — stable order, comparable rounds.
     // Best of 2 runs per query, matching the DuckDB comparator's protocol
@@ -60,12 +77,16 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
-      val runs = (1 to repeats).map { _ =>
+      // A failed run must NOT contribute its elapsed time to the min (a
+      // query that fails fast would under-report); failures map to a -1.0
+      // sentinel that survives to the output so a broken query is visible.
+      val runs = (1 to repeats).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      name -> runs.min
+      name -> (if (runs.nonEmpty) runs.min else -1.0)
     }
     // The driver captures only the TAIL of the output: round 6's
     // full-precision 76-query line outgrew that window (BENCH_r06.json
@@ -85,26 +106,31 @@ object Bench {
     val hot = results.sortBy(-_._2).take(10).map(_._1).toSet
     val fns = SparkEntry.queries
     val finalResults = results.map { case (name, best) =>
-      if (!hot(name) || hotExtra == 0) name -> best
+      if (!hot(name) || hotExtra == 0 || best < 0) name -> best
       else {
-        val extra = (1 to hotExtra).map { _ =>
+        // same rule as the first pass: failed extra runs are EXCLUDED from
+        // the min — a query that starts failing fast here must not report
+        // an artificially small time.
+        val extra = (1 to hotExtra).flatMap { _ =>
           val t0 = System.nanoTime()
-          try { fns(name)(spark, sfDir).count() } catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
+          val ok = try { fns(name)(spark, sfDir).count(); true }
+                   catch { case _: Throwable => false }
+          if (ok) Some((System.nanoTime() - t0) / 1e9) else None
         }
-        name -> math.min(best, extra.min)
+        name -> (best +: extra).min
       }
     }
     def f(v: Double): String = "%.3f".format(v)
     def dict(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val total = finalResults.map(_._2).sum
+    val cal = s""""floor_launch_ms":${f(floorLaunchMs)},"floor_q13_ms":${f(floorQ13Ms)}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_QUERIES.json"),
-      s"""{"total":${f(total)},"sf":"$sfDir","queries":${dict(finalResults)}}""")
+      s"""{"total":${f(total)},"sf":"$sfDir",$cal,"queries":${dict(finalResults)}}""")
     catch { case _: Throwable => () } // detail file is best-effort
     val slowest = finalResults.sortBy(-_._2).take(25)
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"queries":${dict(slowest)},"detail":"BENCH_QUERIES.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},$cal,"queries":${dict(slowest)},"detail":"BENCH_QUERIES.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -260,6 +260,45 @@ object Similarity {
       k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame =
     ivfSearch(buildIvfIndex(corpus, idCol, vecCol, nlist), queries, idCol, vecCol, k, nprobe)
 
+  /** Per-`nprobe` IVF RECALL report — the [[graft.ops.Dedup.lshTuningReport]]
+    * discipline applied to the ANN leg: for each nprobe value, search the
+    * same built index against the same query set and score the k results
+    * per query against an EXACT top-k truth relation (`truth` must carry
+    * (query_id, item_id) — produce it with [[bruteForceTopK]]). Output is
+    * one row per nprobe with exact integers: distinct queries answered,
+    * total results returned, total truth hits, and recall in ppm — the
+    * table a user reads before committing a 100 TB corpus to one point on
+    * the nprobe/latency curve.
+    *
+    * Scale shape: the truth and each per-nprobe result set are k-bounded
+    * per query (|queries|·k rows); the index's cell relation is scanned
+    * once per nprobe through [[ivfSearch]]'s probed-cell join (no corpus
+    * shuffle); the truth relation localCheckpoints once and joins
+    * broadcast into every sweep leg. */
+  def ivfRecallReport(index: IvfIndex, queries: DataFrame, truth: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10,
+      nprobes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    require(nprobes.nonEmpty, "ivfRecallReport: need at least one nprobe")
+    val t = truth.select(col("query_id"), col("item_id")).localCheckpoint(false)
+    val nTruth = t.agg(count(lit(1)).as("n_truth"))
+    nprobes.map { np =>
+      val got = ivfSearch(index, queries, idCol, vecCol, k, np)
+        .select(col("query_id"), col("item_id"))
+      got
+        .join(broadcast(t.withColumn("is_hit", lit(1L))),
+          Seq("query_id", "item_id"), "left")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_results"),
+          coalesce(sum(col("is_hit")), lit(0L)).as("n_hits"))
+        .crossJoin(broadcast(nTruth))
+        .select(lit(np.toLong).as("nprobe"), col("n_queries"),
+          col("n_results"), col("n_truth"), col("n_hits"),
+          expr("CASE WHEN n_truth = 0 THEN NULL ELSE " +
+            "CAST(FLOOR(CAST(n_hits AS DOUBLE) * 1000000.0D / CAST(n_truth AS DOUBLE)) AS BIGINT) END")
+            .as("recall_ppm"))
+    }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
+  }
+
   /** Per-label embedding centroid + each vector's cosine similarity to its
     * OWN label's centroid, with an outlier flag — the standard embedding-
     * space screen for mislabeled / noise vectors in a training set (a

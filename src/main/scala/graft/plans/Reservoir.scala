@@ -50,6 +50,13 @@ object Reservoir {
     * strategy installation, column-pruning rule, partition pass, and merge
     * (x187), leaving only [[sample]]'s JVM-RNG draw rows-only. */
   def samplePq(df: DataFrame, k: Int, priorityCol: String): DataFrame = {
+    // Fail at plan time, not silently mis-rank: doExecute reads the column
+    // with getLong, which on a non-long column would read a zero-extended
+    // 8-byte slot (negative ints become huge positives) instead of erroring.
+    require(df.schema(priorityCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"priority sample: column $priorityCol must be LONG, " +
+        s"got ${df.schema(priorityCol).dataType.simpleString}")
     val spark = df.sparkSession
     GraftBridge.installStrategy(spark, ReservoirSampleStrategy)
     GraftBridge.installOptimizerRule(spark, ReservoirColumnPruning)
@@ -151,12 +158,13 @@ case class PrioritySampleExec(k: Int, priorityCol: String, child: SparkPlan)
     val kk = k
     val ord = child.output.indexWhere(_.name == priorityCol)
     require(ord >= 0, s"priority sample: column $priorityCol not in child output")
+    val fieldTypes = child.output.map(_.dataType).toArray
     // Bounded max-heap of the k smallest priorities; rows are copied only
     // on ADMISSION (the stream reuses unsafe rows), and the merge stage
     // skips the copy — its inputs are the already-materialized candidates.
     // Returned ascending by priority (max-heap polls largest-first; fill
     // backwards).
-    def topK(it: Iterator[InternalRow], copyOnAdmit: Boolean): Array[(Long, InternalRow)] = {
+    def topK(it: Iterator[InternalRow], admit: InternalRow => InternalRow): Array[(Long, InternalRow)] = {
       val heap = new java.util.PriorityQueue[(Long, InternalRow)](
         math.max(kk, 1),
         new java.util.Comparator[(Long, InternalRow)] {
@@ -167,10 +175,10 @@ case class PrioritySampleExec(k: Int, priorityCol: String, child: SparkPlan)
         if (!row.isNullAt(ord)) {
           val pri = row.getLong(ord)
           if (heap.size < kk) {
-            heap.offer((pri, if (copyOnAdmit) row.copy() else row))
+            heap.offer((pri, admit(row)))
           } else if (pri < heap.peek()._1) {
             heap.poll()
-            heap.offer((pri, if (copyOnAdmit) row.copy() else row))
+            heap.offer((pri, admit(row)))
           }
         }
       }
@@ -179,10 +187,24 @@ case class PrioritySampleExec(k: Int, priorityCol: String, child: SparkPlan)
       while (i >= 0) { arr(i) = heap.poll(); i -= 1 }
       arr
     }
-    val partials = child.execute()
-      .mapPartitions(it => topK(it, copyOnAdmit = true).iterator.map(_._2))
-    partials.coalesce(1)
-      .mapPartitions(it => topK(it, copyOnAdmit = false).iterator.map(_._2))
+    // Admission materializes an UnsafeRow copy (the stream reuses rows, and
+    // the candidates cross a REAL stage boundary below, so they must be
+    // serializable regardless of what row class the child emits).
+    val partials = child.execute().mapPartitions { it =>
+      val proj = org.apache.spark.sql.catalyst.expressions
+        .UnsafeProjection.create(fieldTypes)
+      topK(it, row => proj(row).copy()).iterator.map(_._2)
+    }
+    // shuffle = true: with the narrow coalesce(1) the single merge task
+    // computed every upstream partition ITSELF whenever the child had no
+    // shuffle boundary — the "per-partition pass" ran serially in one task.
+    // The shuffle moves only the already-reduced ≤ numPartitions × k
+    // candidate rows (negligible), and stage 1 genuinely runs one task per
+    // input partition. Merge order doesn't matter: the heap re-ranks by
+    // priority, so arrival order can't change the selected set (priorities
+    // are distinct by contract) or the ascending output order.
+    partials.coalesce(1, shuffle = true)
+      .mapPartitions(it => topK(it, identity).iterator.map(_._2))
   }
 }
 
@@ -205,32 +227,44 @@ case class ReservoirSampleExec(k: Int, seed: Long, child: SparkPlan)
     // correlated merge keys with partition-0 acceptance draws — a real,
     // test-caught uniformity bias.
     def scrambled(tag: Long): Long = graft.functions.Ops.splitmix64(s + tag)
-    // stage 1: Algorithm R per partition; emit (rows seen, reservoir)
-    val partials: RDD[(Long, Array[InternalRow])] =
+    val fieldTypes = child.output.map(_.dataType).toArray
+    // stage 1: Algorithm R per partition; emit (partition idx, rows seen,
+    // reservoir). Rows are materialized as UnsafeRow copies because the
+    // partials cross a real stage boundary below.
+    val partials: RDD[(Int, Long, Array[InternalRow])] =
       child.execute().mapPartitionsWithIndex { (idx, it) =>
+        val proj = org.apache.spark.sql.catalyst.expressions
+          .UnsafeProjection.create(fieldTypes)
         val rng = new java.util.Random(scrambled(idx.toLong + 1L))
         val buf = new Array[InternalRow](kk)
         var n = 0L
         while (it.hasNext) {
           val row = it.next()
           if (n < kk) {
-            buf(n.toInt) = row.copy() // unsafe rows are reused by the iterator
+            buf(n.toInt) = proj(row).copy() // unsafe rows are reused by the iterator
           } else {
             val j = (rng.nextDouble() * (n + 1)).toLong
-            if (j < kk) buf(j.toInt) = row.copy()
+            if (j < kk) buf(j.toInt) = proj(row).copy()
           }
           n += 1
         }
         val res = if (n >= kk) buf else java.util.Arrays.copyOf(buf, n.toInt)
-        Iterator.single((n, res))
+        Iterator.single((idx, n, res))
       }
     // stage 2: weighted merge in one task. Each reservoir item stands for
     // n_i / |res_i| stream rows; Efraimidis–Spirakis assigns key
     // u^(1/weight) and keeps the k largest — uniform over the union.
-    partials.coalesce(1).mapPartitions { it =>
-      val parts = it.filter(_._1 > 0L).toArray
+    // shuffle = true so stage 1 actually runs one task per input partition
+    // (the narrow coalesce(1) made the merge task compute every upstream
+    // partition serially itself); only numPartitions × k reduced rows move.
+    // The shuffle's arrival order is nondeterministic, so the merge sorts
+    // partials back into partition order before drawing — the RNG stream
+    // consumption is then identical to the old narrow-coalesce order and
+    // the sample replays bit-for-bit for a fixed seed + partitioning.
+    partials.coalesce(1, shuffle = true).mapPartitions { it =>
+      val parts = it.filter(_._2 > 0L).toArray.sortBy(_._1)
       val rng = new java.util.Random(scrambled(0L))
-      val keyed = parts.flatMap { case (n, res) =>
+      val keyed = parts.flatMap { case (_, n, res) =>
         val w = n.toDouble / res.length
         res.map(row => (math.pow(rng.nextDouble(), 1.0 / w), row))
       }

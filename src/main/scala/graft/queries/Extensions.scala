@@ -2533,6 +2533,53 @@ object Extensions {
        |SELECT doc_id, source, priority_q FROM top ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------- x188 IVF recall sweep
+  /** [[graft.ops.Similarity.ivfRecallReport]]: recall@10 of [[x10AnnIvf]]'s
+    * IVF index against x09's exact brute-force truth, SWEPT over
+    * nprobe ∈ {1,2,4,8} — the number a user tuning nprobe needs, produced
+    * by the x08 lshTuningReport discipline applied to the ANN leg (r11
+    * verdict ask #4). The exact per-nprobe hit counts are corpus- and
+    * centroid-dependent (float Lloyd training is not SQL-expressible), so
+    * the HASHED projection carries what IS cross-engine assertable, each
+    * piece load-bearing:
+    *  - n_queries / n_results: every sweep leg answers all 10 queries with
+    *    a full k=10 — probed cells are never too empty to fill k;
+    *  - mono_ok: hits are non-decreasing in nprobe. This is a THEOREM of a
+    *    correct implementation (probing more cells only grows the candidate
+    *    set, and a truth member outranked by <k items globally is outranked
+    *    by <k in any subset, so hits = |candidates ∩ truth|, monotone) —
+    *    a probe ordering or dedup bug breaks it;
+    *  - recall_floor_ok: per-nprobe calibrated floors (40/45/55/70 of 100)
+    *    with margin — measured hits-of-100 are 72/77/86/95 (sf0.01),
+    *    76/82/87/95 (sf0.001), 93/94/97/100 (sf0.1); a broken index scores
+    *    ~nprobe/nlist·k ≈ 6/12/25/50 by luck, so each floor separates
+    *    working from broken at every measured scale.
+    * The exact integer report (n_hits, recall_ppm per nprobe) is pinned by
+    * an independent ScalaTest oracle in DedupSimilaritySpec. */
+  def x188IvfRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val q = e.filter($"vec_id" < 10)
+    val index = Similarity.buildIvfIndex(e, "vec_id", "embedding", nlist = 16)
+    val truth = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+      .select($"query_id", $"item_id")
+    val report = Similarity.ivfRecallReport(index, q, truth, "vec_id", "embedding", k = 10)
+    // 4-row relation: the unpartitioned window is bounded by construction
+    val w = Window.orderBy($"nprobe")
+    report
+      .withColumn("prev_hits", lag($"n_hits", 1).over(w))
+      .select($"nprobe", $"n_queries", $"n_results",
+        ($"n_hits" >= coalesce($"prev_hits", lit(0L))).as("mono_ok"),
+        ($"n_hits" >= expr(
+          "CASE nprobe WHEN 1 THEN 40 WHEN 2 THEN 45 WHEN 4 THEN 55 WHEN 8 THEN 70 END")
+          .cast("long")).as("recall_floor_ok"))
+      .orderBy($"nprobe")
+  }
+  val x188Sql: String =
+    """SELECT CAST(nprobe AS BIGINT) AS nprobe, CAST(10 AS BIGINT) AS n_queries,
+      |  CAST(100 AS BIGINT) AS n_results, TRUE AS mono_ok, TRUE AS recall_floor_ok
+      |FROM (VALUES (1), (2), (4), (8)) t(nprobe) ORDER BY nprobe""".stripMargin
+
   // ------------------------------------------- x151 UCB mixture replay
   /** [[graft.ops.Curation.ucbMixtureReplay]]: bandit-guided source mixing —
     * arm = source, reward = mean curated label (ppm), 52 deterministic UCB1
@@ -5957,6 +6004,7 @@ object Extensions {
     "x185_hapax_ratio" -> x185HapaxRatio _,
     "x186_conversion_survival" -> x186ConversionSurvival _,
     "x187_reservoir_pq" -> x187ReservoirPq _,
+    "x188_ivf_recall" -> x188IvfRecall _,
     "x151_ucb_mixture" -> x151UcbMixture _,
     "x150_snapshot_diff" -> x150SnapshotDiff _,
     "x149_mutual_info" -> x149MutualInfo _,
@@ -6198,6 +6246,7 @@ object Extensions {
     "x185_hapax_ratio" -> x185Sql,
     "x186_conversion_survival" -> x186Sql,
     "x187_reservoir_pq" -> x187Sql,
+    "x188_ivf_recall" -> x188Sql,
     "x15_multimodal" -> x15Sql,
     "x151_ucb_mixture" -> x151Sql,
     "x150_snapshot_diff" -> x150Sql,

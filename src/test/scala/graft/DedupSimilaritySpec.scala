@@ -294,6 +294,66 @@ class DedupSimilaritySpec extends SparkSpec {
     index.cells.unpersist(); appended.cells.unpersist()
   }
 
+  test("ivfRecallReport: exact integers replayed by a plain-Scala local oracle") {
+    // the x188 SQL oracle asserts structure and floors; THIS is the exact
+    // oracle for the integers it cannot assert — given the index's trained
+    // centroids, a straightforward local replay (assign cells, probe the
+    // nprobe best cells, hits = |candidates ∩ exact top-10|) must produce
+    // the same n_results / n_hits / recall_ppm per nprobe.
+    import spark.implicits._
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter($"vec_id" < 10)
+    val index = Similarity.buildIvfIndex(e, "vec_id", "embedding", nlist = 16)
+    val truth = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+      .select($"query_id", $"item_id")
+    val got = Similarity
+      .ivfRecallReport(index, q, truth, "vec_id", "embedding", k = 10)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+
+    // ---- local replay, plain Scala double math ----
+    val vecs = e.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // best (cos desc, centroid id asc) — mirror nearestCell's tie-break
+    def rankedCells(v: Array[Float]): Seq[Int] =
+      index.centroids.toSeq.map { case (cid, cv) => (cos(v, cv), cid) }
+        .sortBy { case (s, cid) => (-s, cid) }.map(_._2)
+    val cells: Map[Long, Int] = vecs.map { case (id, v) => id -> rankedCells(v).head }
+    val queries = vecs.keys.filter(_ < 10).toSeq.sorted
+    def topTruth(qid: Long): Set[Long] =
+      vecs.keys.filter(_ != qid).toSeq
+        .map(id => (cos(vecs(qid), vecs(id)), id))
+        .sortBy { case (s, id) => (-s, id) }.take(10).map(_._2).toSet
+    val truthLocal = queries.map(qid => qid -> topTruth(qid)).toMap
+    Seq(1, 2, 4, 8).foreach { np =>
+      var nResults = 0L; var nHits = 0L
+      queries.foreach { qid =>
+        val probed = rankedCells(vecs(qid)).take(np).toSet
+        val cand = vecs.keys.filter(id => id != qid && probed(cells(id))).toSeq
+          .map(id => (cos(vecs(qid), vecs(id)), id))
+          .sortBy { case (s, id) => (-s, id) }.take(10).map(_._2)
+        nResults += cand.length
+        nHits += cand.count(truthLocal(qid))
+      }
+      val nTruth = queries.map(truthLocal(_).size).sum.toLong
+      val recallPpm = math.floor(nHits.toDouble * 1e6 / nTruth).toLong
+      assert(got(np.toLong) == ((queries.length.toLong, nResults, nTruth, nHits, recallPpm)),
+        s"nprobe=$np: got ${got(np.toLong)}, local replay " +
+          s"(${queries.length}, $nResults, $nTruth, $nHits, $recallPpm)")
+    }
+    // and the report is genuinely a SWEEP: strictly more hits by nprobe=8
+    assert(got(8L)._4 > got(1L)._4, s"recall should improve across the sweep: $got")
+    index.cells.unpersist()
+  }
+
   test("semanticDedup: drops the centroid-nearer side of each qualifying pair, per cluster") {
     import spark.implicits._
     // cluster "c": 1=(1,0) and 2=(0.9,0.05) are near-parallel (cos ≈ 0.998

@@ -139,4 +139,58 @@ class ReservoirSpec extends SparkSpec {
     assert(idsNarrow == idsWide,
       "same seed+partitioning must select identical rows with or without pruning")
   }
+
+  test("samplePq rejects a non-LONG priority column at plan time") {
+    // ADVICE r11: doExecute reads the column with getLong, which on e.g. an
+    // INT column silently reads a zero-extended 8-byte slot and mis-ranks
+    // (negative ints become huge positives). The guard must fail loudly.
+    import spark.implicits._
+    val intPri = (1 to 50).map(i => (i.toLong, i)).toDF("id", "pri")
+    val e = intercept[IllegalArgumentException] {
+      Reservoir.samplePq(intPri, 5, "pri")
+    }
+    assert(e.getMessage.contains("must be LONG"), e.getMessage)
+  }
+
+  test("per-partition pass runs one task per input partition (real stage boundary before merge)") {
+    // ADVICE r11: the narrow coalesce(1) merge computed every upstream
+    // partition inside the single merge task whenever the child had no
+    // shuffle boundary — the "parallel per-partition pass" was serial.
+    // With the shuffle boundary, a job over an 8-partition exchange-free
+    // child must run a stage with 8 tasks before the 1-task merge.
+    import spark.implicits._
+    import scala.collection.mutable
+    import scala.concurrent.duration._
+    val stageTasks = mutable.ArrayBuffer.empty[Int]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        stageTasks.synchronized { stageTasks += sc.stageInfo.numTasks }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = (1L to 800L).map(i => (i, i * 7L)).toDF("id", "pri")
+        .repartition(8).localCheckpoint() // pin an 8-partition, exchange-free child
+      // the listener bus is async; poll (bounded) for the expected stage
+      def sawStageWith(n: Int): Boolean = {
+        val deadline = System.nanoTime() + 10.seconds.toNanos
+        while (System.nanoTime() < deadline) {
+          if (stageTasks.synchronized(stageTasks.contains(n))) return true
+          Thread.sleep(50)
+        }
+        false
+      }
+      stageTasks.synchronized(stageTasks.clear())
+      Reservoir.samplePq(df, 10, "pri").collect()
+      assert(sawStageWith(8),
+        s"expected an 8-task per-partition stage, saw stages with tasks: " +
+          stageTasks.synchronized(stageTasks.toList))
+      // same property for the RNG reservoir
+      stageTasks.synchronized(stageTasks.clear())
+      Reservoir.sample(df, 10, seed = 5L).collect()
+      assert(sawStageWith(8),
+        s"expected an 8-task per-partition stage, saw stages with tasks: " +
+          stageTasks.synchronized(stageTasks.toList))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

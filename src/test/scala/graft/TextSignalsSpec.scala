@@ -167,4 +167,63 @@ class TextSignalsSpec extends SparkSpec {
     assert(rows(TextAnalysis.tokenDriftTV(raw, "doc_id", "text", "lang")) ==
       rows(TextAnalysis.tokenDriftTV(tok, "doc_id", "tokens", "lang")))
   }
+
+  test("x171 hash-keyed spelling ≡ string-keyed spelling on a corpus that crosses the threshold") {
+    // ADVICE r11: the sf0.001/sf0.01 gate corpora yield ZERO shingles with
+    // n_sources >= 10, so the DuckDB oracle verified x171 only vacuously.
+    // This corpus crosses the threshold on purpose AND stresses every piece
+    // the rewrite added: 12 sources × 5 docs; template A (40 words → 38
+    // qualifying 3-grams, n_sources=12, n_docs=60 — MORE than 30 rows tie
+    // at the cut, so the 30th-largest-n_docs threshold admits a strict
+    // superset and the final (n_docs desc, shingle) tie-break must pick the
+    // 30 lexicographically-smallest); template B in 10 sources (just at the
+    // >= 10 gate, below the cut); template C in 9 sources (must be dropped);
+    // per-doc unique noise (n_sources=1).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val words = (0 until 40).map(i => f"wa$i%02d")
+    val tA = words.mkString(" ")                             // all 60 docs
+    val tB = (0 until 12).map(i => f"wb$i%02d").mkString(" ") // sources 0-9
+    val tC = (0 until 12).map(i => f"wc$i%02d").mkString(" ") // sources 0-8
+    val rows = for {
+      s <- 0 until 12; d <- 0 until 5
+    } yield {
+      val id = s * 5 + d
+      val parts = Seq(tA) ++
+        (if (s < 10) Seq(tB) else Nil) ++
+        (if (s < 9) Seq(tC) else Nil) ++
+        Seq(s"noise$id only here $id")
+      (id.toLong, parts.mkString(" "), f"s$s%02d")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("x171eq").toString
+    rows.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // the straightforward string-keyed spelling (the pre-r11 implementation)
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"source", split(lower($"text"), "\\s+").as("w"))
+    val expected = toks
+      .select($"doc_id", $"source",
+        explode(when(size($"w") >= 3,
+          expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))"))
+          .otherwise(array(concat_ws(" ", $"w")))).as("shingle"))
+      .distinct()
+      .groupBy($"shingle")
+      .agg(countDistinct($"source").as("n_sources"),
+        countDistinct($"doc_id").as("n_docs"))
+      .filter($"n_sources" >= 10)
+      .orderBy($"n_docs".desc, $"shingle")
+      .limit(30)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
+    val got = graft.queries.Extensions.x171BoilerplateNgrams(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // sanity: the corpus really crosses the gate and really overflows the cut
+    assert(expected.size == 30, s"corpus must saturate the top-30 (got ${expected.size})")
+    assert(expected.forall(_._2 >= 10))
+    assert(expected.forall(_._3 == 60L), "top-30 should be template-A shingles tied at n_docs=60")
+    assert(got == expected,
+      s"hash-keyed x171 diverges from string-keyed spelling:\n got=$got\n exp=$expected")
+  }
 }

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Spark-vs-DuckDB single-node throughput comparison on the oracled queries.
 
-Usage: python3 tools/benchcmp.py <sfDir> <bench_json> [oracle_sql.json] [out.json]
+Usage: python3 tools/benchcmp.py <sfDir> <bench_json> [oracle_sql.json] [out.json] [prev_benchcmp.json]
 
 Times each oracle SQL in DuckDB (warm, best of 2) and prints it beside the
 Spark per-query seconds from a graft.Bench JSON line. Driver-side tooling
@@ -21,6 +21,12 @@ there so the raw run can be checked in alongside any claim derived from it.
 import sys, json, time
 import duckdb
 
+
+def _time_once(con, sql):
+    t0 = time.time()
+    con.execute(sql).fetchall()
+    return time.time() - t0
+
 TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]
 
@@ -32,6 +38,28 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    # Host-drift sentinel (r11: the driver's bench read +18% on untouched
+    # code from host load alone). A fixed scan+agg is timed warm best-of-5
+    # in THIS session; round-over-round comparison reads the drift of this
+    # number (and the Spark-side floor_* fields in the bench json) before
+    # believing any per-query delta. Protocol: NOTES_r12.md.
+    SENTINEL_SQL = "SELECT count(*), sum(l_quantity) FROM lineitem WHERE l_discount > 0.02"
+    con.execute(SENTINEL_SQL).fetchall()  # warm
+    duck_sentinel = min(_time_once(con, SENTINEL_SQL) for _ in range(5))
+    spark_floor = {k: bench[k] for k in ("floor_launch_ms", "floor_q13_ms")
+                   if k in bench}
+    print(f"calibration: duck_sentinel_s={duck_sentinel:.4f} spark_floor={spark_floor}")
+    prev_path = sys.argv[5] if len(sys.argv) > 5 else None
+    if prev_path:
+        try:
+            prev = json.load(open(prev_path))
+            ps = prev.get("calibration", {}).get("duck_sentinel_s")
+            if ps:
+                print(f"calibration drift vs {prev_path}: duck sentinel "
+                      f"{ps:.4f} -> {duck_sentinel:.4f} s "
+                      f"({(duck_sentinel/ps - 1)*100:+.1f}%)")
+        except Exception as e:
+            print(f"(no prior calibration: {e})")
     rows = []
     for name, sql in sorted(oracle.items()):
         best = None
@@ -65,6 +93,8 @@ def main():
     if len(sys.argv) > 4:
         out = {
             "sf_dir": sf_dir, "bench_json": sys.argv[2],
+            "calibration": {"duck_sentinel_s": round(duck_sentinel, 4),
+                            **spark_floor},
             "queries": [{"name": n, "spark_s": s, "duck_s": round(d, 4),
                          "spark_over_duck": round(r, 3)} for n, s, d, r in rows],
             "subtotals": subs,
