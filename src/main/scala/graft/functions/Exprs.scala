@@ -42,6 +42,18 @@ object Exprs {
       copy(left = l, right = r)
   }
 
+  /** dot(array<bigint>, array<bigint>) → bigint, exact int64. */
+  case class DotL(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Ops.dotL(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Ops.dotL($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** minhash_sig(array<string> tokens) → array<bigint>, k-token shingles. */
   case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int)
       extends UnaryExpression {
@@ -325,6 +337,7 @@ object Exprs {
 
   def cosine_sim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
   def dot_f(a: Column, b: Column): Column = col(DotF(ex(a), ex(b)))
+  def dot_l(a: Column, b: Column): Column = col(DotL(ex(a), ex(b)))
   def minhash_sig(tokens: Column, shingleK: Int = 3, numHashes: Int = 128): Column =
     col(MinHashSig(ex(tokens), shingleK, numHashes))
   def band_hashes(sig: Column, bands: Int = 16): Column = col(BandHashes(ex(sig), bands))
@@ -365,6 +378,7 @@ object Exprs {
       reg.createOrReplaceTempFunction(name, f, "scala_udf")
     register("cosine_sim", es => CosineSim(es(0), es(1)))
     register("dot_f", es => DotF(es(0), es(1)))
+    register("dot_l", es => DotL(es(0), es(1)))
     register("simhash64", es => SimHash64(es(0)))
     register("lang_id", es => LangId(es(0)))
     register("shingle_hashes", es => ShingleHashes(es(0), 3))

@@ -333,6 +333,20 @@ object Ops {
     dot
   }
 
+  /** Exact dot product of two long vectors (wrapping int64 arithmetic —
+    * callers bound magnitudes so overflow cannot occur; identical semantics
+    * to the SQL `aggregate(zip_with(a, b, (x, y) -> x * y), 0L, +)` fold it
+    * replaces, minus the per-element boxing of the interpreted HOF path). */
+  def dotL(a: ArrayData, b: ArrayData): Long = {
+    val la = a.toLongArray()
+    val lb = b.toLongArray()
+    val n = math.min(la.length, lb.length)
+    var dot = 0L
+    var i = 0
+    while (i < n) { dot += la(i) * lb(i); i += 1 }
+    dot
+  }
+
   /** L2 norm of a float vector. */
   def normF(a: ArrayData): Double = {
     val fa = a.toFloatArray()

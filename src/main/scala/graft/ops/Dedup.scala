@@ -601,10 +601,65 @@ object Dedup {
     * "Connected Components in MapReduce and Beyond", SoCC'14 — public
     * knowledge] drops in here if a corpus ever produces long chains).
     * Throws if `maxIters` rounds don't converge rather than returning
-    * silently-partial clusters. */
+    * silently-partial clusters.
+    *
+    * Hybrid execution: the EDGE set of a near-dup graph is the near-dup
+    * population itself — orders of magnitude smaller than the corpus that
+    * produced it (it is already the output of a capped LSH / SNM candidate
+    * stage). When the edges fit under `driverEdgeCap` (default 2²⁰ ≈ 16 MB
+    * of longs) and ids are LONG, the components are computed by a
+    * driver-local union–find in ONE collect job instead of O(diameter)
+    * join+agg rounds each paying the fixed per-job cost — identical output
+    * (min member id per component) by construction. Over the cap, or for
+    * non-long ids, the distributed loop runs unchanged; the cap probe is a
+    * CollectLimit (cap+1 rows max cross the wire, never the full relation),
+    * so the probe itself is scale-safe. */
   def nearDupClusters(pairs: DataFrame, aCol: String = "doc_a",
-      bCol: String = "doc_b", maxIters: Int = 25): DataFrame = {
+      bCol: String = "doc_b", maxIters: Int = 25,
+      driverEdgeCap: Int = 1 << 20): DataFrame = {
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val longIds = fwd.schema("src").dataType ==
+      org.apache.spark.sql.types.LongType &&
+      fwd.schema("dst").dataType == org.apache.spark.sql.types.LongType
+    if (longIds) {
+      val probe = fwd.limit(driverEdgeCap + 1).collect()
+      if (probe.length <= driverEdgeCap) {
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+          // path compression
+          var c = x
+          while (parent.getOrDefault(c, c) != c) {
+            val n = parent.get(c); parent.put(c, r); c = n
+          }
+          r
+        }
+        probe.foreach { row =>
+          val a = row.getLong(0); val b = row.getLong(1)
+          val ra = find(a); val rb = find(b)
+          // union by MIN id — the root is always the smallest member seen,
+          // so the final root IS the component's min label
+          if (ra != rb) {
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          } else { parent.putIfAbsent(a, ra); parent.putIfAbsent(b, rb) }
+        }
+        val nodes = scala.collection.mutable.LinkedHashSet.empty[Long]
+        probe.foreach { row => nodes += row.getLong(0); nodes += row.getLong(1) }
+        val out: java.util.List[org.apache.spark.sql.Row] =
+          new java.util.ArrayList[org.apache.spark.sql.Row](nodes.size)
+        nodes.foreach(id => out.add(org.apache.spark.sql.Row(id, find(id))))
+        val spark = pairs.sparkSession
+        // LocalRelation (not parallelize): downstream joins against the
+        // label table plan as broadcasts with zero extra jobs
+        return spark.createDataFrame(out,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("cluster_id",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+      }
+    }
     // Eager localCheckpoint per round, NOT persist: each round's plan nests
     // the previous round's inside a join+union+agg, so without lineage
     // TRUNCATION Catalyst re-analyzes a plan that grows superlinearly and

@@ -75,8 +75,9 @@ object Similarity {
       .select(col("query_id"), col("__q").as("query_q"))
     val scored = c.join(broadcast(q), col("item_id") =!= col("query_id"))
       .select(col("query_id"), col("item_id"),
-        aggregate(zip_with(col("query_q"), col("item_q"), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x).as("qdot"))
+        // codegen'd int64 dot kernel — same fold as the interpreted
+        // aggregate(zip_with(...)) spelling, minus per-element boxing
+        dot_l(col("query_q"), col("item_q")).as("qdot"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("qdot").desc, col("item_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -401,7 +402,10 @@ object Similarity {
     val q = emb.select(col(idCol).as("vec_id"), col(clusterCol).as("cluster"),
       expr(s"transform($vecCol, v -> cast(floor(cast(v as double) * 1000000.0) as bigint))")
         .as("qv"))
-      .withColumn("na2", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
+      // dot_l: codegen'd int64 kernel — identical fold semantics to
+      // aggregate(zip_with(...)) but no per-element boxing (the interpreted
+      // HOF path was the x95 hot spot at 2000 vectors × 64 dims)
+      .withColumn("na2", dot_l(col("qv"), col("qv")))
     val stats = q
       .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "qc")))
       .groupBy("cluster", "pos")
@@ -430,8 +434,8 @@ object Similarity {
       col("qv").as("qv_b"), col("na2").as("na2_b"), col("d").as("d_b"))
     val losers = a.join(b, Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(qv_a, qv_b, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      // the O(pairs·dim) hot loop: codegen'd int64 dot, not interpreted HOFs
+      .withColumn("dot", dot_l(col("qv_a"), col("qv_b")))
       .withColumn("dot_d", col("dot").cast("decimal(38,0)"))
       .filter(col("dot") > 0 &&
         lit(thetaDen.toLong * thetaDen) * col("dot_d") * col("dot_d") >=

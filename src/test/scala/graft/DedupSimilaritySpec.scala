@@ -190,10 +190,16 @@ class DedupSimilaritySpec extends SparkSpec {
       (30L to 39L).map(_ -> 30L).toMap
     assert(got == want)
     // insufficient iteration budget must throw, not return partial labels
+    // (driverEdgeCap = 0 forces the distributed loop the budget applies to)
     intercept[IllegalArgumentException] {
       Dedup.nearDupClusters((30L until 39L).map(i => (i, i + 1)).toDF("doc_a", "doc_b"),
-        maxIters = 2).collect()
+        maxIters = 2, driverEdgeCap = 0).collect()
     }
+    // hybrid: the driver union-find fast path and the distributed loop are
+    // the same function — identical labels on the same graph
+    val viaLoop = Dedup.nearDupClusters(pairs, driverEdgeCap = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(viaLoop == want, "distributed loop diverged from union-find fast path")
   }
 
   test("cost-based embedding near-dup: exact and LSH paths agree; planner picks by geometry") {
