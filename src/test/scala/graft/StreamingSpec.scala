@@ -620,4 +620,114 @@ class StreamingSpec extends SparkSpec {
       assert(batch == streamed)
     } finally q.stop()
   }
+
+  // ------------------------------------------------ crash recovery (r11 #8)
+  // The other half of production streaming correctness: late-arrival
+  // tolerance is pinned above; these pin CHECKPOINT RESTART — the query is
+  // stopped with sessions/chains OPEN in state, a new query resumes from
+  // the checkpoint, and the final output must equal the batch twin with no
+  // session/transition lost (state recovered) and none duplicated (offsets
+  // recovered). A fault-tolerant parquet sink accumulates output across
+  // both query incarnations, unlike the memory sink which forgets on stop.
+
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prior match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("sessionizeOoo: checkpoint restart mid-session loses nothing, duplicates nothing") {
+    import spark.implicits._
+    withRocksDb {
+      val tmp = java.nio.file.Files.createTempDirectory("sess-restart").toString
+      val input = MemoryStream[Event](spark)
+      def start() = EventStreams.sessionizeOoo(input.toDS(), watermarkDelay = "10 minutes")
+        .writeStream.format("parquet").option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append").start()
+      // identical corpus to the late-arrival test: u1's session is OPEN at
+      // the kill point and its LATE mid-session event (t15) arrives only
+      // after the restart — recovery must fold it into recovered state
+      val b1 = Seq(Event(1, ts(0), 1, "view", 1.0), Event(2, ts(20), 1, "click", 2.0),
+        Event(3, ts(0), 2, "view", 5.0))
+      val b2 = Seq(Event(4, ts(15), 1, "addcart", 4.0),
+        Event(5, ts(120), 1, "view", 8.0))
+      val b3 = Seq(Event(6, ts(400), 3, "view", 0.0))
+      val b4 = Seq(Event(7, ts(900), 3, "view", 0.0))
+      val b5 = Seq(Event(8, ts(1500), 4, "view", 0.0))
+      val all = b1 ++ b2 ++ b3 ++ b4 ++ b5
+      val q1 = start()
+      try { input.addData(b1); q1.processAllAvailable() } finally q1.stop()
+      val q2 = start() // resumes from the checkpoint, same source, same sink
+      try {
+        Seq(b2, b3, b4, b5).foreach { b => input.addData(b); q2.processAllAvailable() }
+        val streamed = spark.read.parquet(s"$tmp/out")
+          .as[EventStreams.SessionAgg].collect().toSeq
+        assert(streamed.size == streamed.toSet.size,
+          s"restart DUPLICATED a session: $streamed")
+        val batch = EventStreams.sessionizeBatch(all.toDS())
+          .filter($"user_id" =!= 4L) // trailing session never sealed by the wm
+          .as[EventStreams.SessionAgg].collect().toSet
+        assert(streamed.toSet == batch, s"streamed=${streamed.toSet} batch=$batch")
+        // the session SPANNING the restart: opened in batch 1, late event
+        // folded after recovery, sealed later — exactly once, correct agg
+        val u1 = streamed.filter(_.user_id == 1L).sortBy(_.session_id)
+        assert(u1.map(s => (s.session_id, s.n_events, s.total_value)) ==
+          Seq((1L, 3L, 7.0), (2L, 1L, 8.0)), s"u1=$u1")
+      } finally q2.stop()
+    }
+  }
+
+  test("transitionStreamOoo: checkpoint restart mid-chain loses nothing, duplicates nothing") {
+    import spark.implicits._
+    withRocksDb {
+      val tmp = java.nio.file.Files.createTempDirectory("trans-restart").toString
+      val input = MemoryStream[Event](spark)
+      def start() = EventStreams.transitionStreamOoo(input.toDS(), "10 minutes")
+        .writeStream.format("parquet").option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append").start()
+      // u1's chain is open at the kill; the late addcart (t15, event-time
+      // BETWEEN the two batch-1 events) arrives only after restart — the
+      // recovered buffer must still yield the event-time order
+      val b1 = Seq(Event(1, ts(0), 1, "view", 0.0), Event(2, ts(20), 1, "click", 0.0))
+      val b2 = Seq(Event(3, ts(15), 1, "addcart", 0.0), Event(4, ts(40), 2, "view", 0.0))
+      val b3 = Seq(Event(5, ts(60), 3, "view", 0.0))
+      val b4 = Seq(Event(6, ts(80), 3, "view", 0.0))
+      val b5 = Seq(Event(7, ts(200), 4, "view", 0.0)) // wm past everything above
+      val b6 = Seq(Event(8, ts(210), 4, "view", 0.0)) // final timers fire
+      // b6 only advances the watermark; u4's own chain is never sealed, so
+      // the batch twin compares the sealed prefix (b1..b5), like the
+      // late-arrival test above
+      val all = b1 ++ b2 ++ b3 ++ b4 ++ b5
+      val q1 = start()
+      try { input.addData(b1); q1.processAllAvailable() } finally q1.stop()
+      val q2 = start()
+      try {
+        Seq(b2, b3, b4, b5, b6).foreach { b => input.addData(b); q2.processAllAvailable() }
+        val streamed = spark.read.parquet(s"$tmp/out")
+          .select($"user_id", $"from_type", $"to_type").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+        assert(streamed.size == streamed.toSet.size,
+          s"restart DUPLICATED a transition: $streamed")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val batch = all.toDS()
+          .withColumn("next_type", lead($"event_type", 1).over(w))
+          .filter($"next_type".isNotNull)
+          .select($"user_id", $"event_type", $"next_type").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+        assert(streamed.toSet == batch, s"streamed=${streamed.toSet} batch=$batch")
+        // the chain spanning the restart recovered in EVENT-TIME order
+        assert(streamed.toSet.filter(_._1 == 1L) ==
+          Set((1L, "view", "addcart"), (1L, "addcart", "click")), s"$streamed")
+      } finally q2.stop()
+    }
+  }
 }
