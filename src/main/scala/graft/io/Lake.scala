@@ -17,9 +17,23 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   */
 object Lake {
 
-  /** `base/layer/dataset/ingest_date=DATE` — the reference's path scheme. */
-  def path(base: String, layer: String, dataset: String, ingestDate: String): String =
+  /** `base/layer/dataset/ingest_date=DATE` — the reference's path scheme.
+    * Path-traversal hardened: `layer`/`dataset` must be single plain path
+    * segments and `ingestDate` a literal `YYYY-MM-DD` — a value like
+    * `../../etc` (or a URI-scheme smuggle) would otherwise resolve OUTSIDE
+    * the lake root and turn every writer below into an arbitrary-path
+    * writer. */
+  def path(base: String, layer: String, dataset: String, ingestDate: String): String = {
+    def segment(what: String, v: String): Unit = require(
+      v.nonEmpty && !v.contains('/') && !v.contains('\\') && v != "." &&
+        v != ".." && !v.contains(':'),
+      s"$what must be a plain path segment, got '$v'")
+    segment("layer", layer)
+    segment("dataset", dataset)
+    require(ingestDate.matches("\\d{4}-\\d{2}-\\d{2}"),
+      s"ingestDate must be YYYY-MM-DD, got '$ingestDate'")
     s"$base/$layer/$dataset/ingest_date=$ingestDate"
+  }
 
   /** S5 — parquet write, overwrite, single output file. The single-file
     * coalesce matches the reference's one-file-per-dataset layout and is for

@@ -18,12 +18,32 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Xlsx {
 
-  private def reader(zip: ZipFile, name: String): Option[XMLStreamReader] =
+  /** Zip-bomb guard: a crafted archive can declare a tiny compressed entry
+    * that inflates without bound (the central-directory size field is
+    * attacker-controlled and therefore NOT trusted) — so the DECOMPRESSED
+    * stream itself is metered and the parse aborts past `cap` bytes
+    * instead of exhausting driver memory. */
+  private def bounded(in: java.io.InputStream, cap: Long, what: String): java.io.InputStream =
+    new java.io.FilterInputStream(in) {
+      private var n = 0L
+      private def bump(k: Long): Unit = if (k > 0) {
+        n += k
+        if (n > cap) throw new IllegalArgumentException(
+          s"$what inflates past $cap bytes — refusing to parse (zip-bomb guard)")
+      }
+      override def read(): Int = { val b = super.read(); if (b >= 0) bump(1); b }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val k = super.read(b, off, len); bump(k.toLong); k
+      }
+      override def skip(k: Long): Long = { val s = super.skip(k); bump(s); s }
+    }
+
+  private def reader(zip: ZipFile, name: String, cap: Long): Option[XMLStreamReader] =
     Option(zip.getEntry(name)).map { e =>
       val f = XMLInputFactory.newInstance()
       f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
       f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
-      f.createXMLStreamReader(zip.getInputStream(e))
+      f.createXMLStreamReader(bounded(zip.getInputStream(e), cap, name))
     }
 
   /** Column letter(s) of an A1-style cell ref → 0-based column index. */
@@ -37,9 +57,9 @@ object Xlsx {
     acc - 1
   }
 
-  private def sharedStrings(zip: ZipFile): IndexedSeq[String] = {
+  private def sharedStrings(zip: ZipFile, cap: Long): IndexedSeq[String] = {
     val out = ArrayBuffer.empty[String]
-    reader(zip, "xl/sharedStrings.xml").foreach { r =>
+    reader(zip, "xl/sharedStrings.xml", cap).foreach { r =>
       var inSi = false
       val sb = new StringBuilder
       while (r.hasNext) {
@@ -60,12 +80,16 @@ object Xlsx {
     out.toIndexedSeq
   }
 
-  /** First worksheet (sheet1) as rows of nullable cell strings. */
-  def readSheet(file: File): Seq[Array[String]] = {
+  /** First worksheet (sheet1) as rows of nullable cell strings.
+    * `maxEntryBytes` caps each zip entry's DECOMPRESSED size (default
+    * 64 MiB — far above any legitimate single-sheet workbook this reader
+    * targets); a crafted archive that inflates past it fails loudly
+    * instead of exhausting driver memory. */
+  def readSheet(file: File, maxEntryBytes: Long = 1L << 26): Seq[Array[String]] = {
     val zip = new ZipFile(file)
     try {
-      val shared = sharedStrings(zip)
-      val r = reader(zip, "xl/worksheets/sheet1.xml")
+      val shared = sharedStrings(zip, maxEntryBytes)
+      val r = reader(zip, "xl/worksheets/sheet1.xml", maxEntryBytes)
         .getOrElse(throw new IllegalArgumentException(s"$file: no xl/worksheets/sheet1.xml"))
       val rows = ArrayBuffer.empty[ArrayBuffer[(Int, String)]]
       var row: ArrayBuffer[(Int, String)] = null

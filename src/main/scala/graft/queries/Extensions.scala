@@ -2832,7 +2832,11 @@ object Extensions {
     * templated text, the Gopher/RefinedWeb compressibility signal. No SQL
     * engine exposes deflate, so this op carries an exact ScalaTest oracle
     * (MiningSpec replays the JVM Deflater row by row) instead of a DuckDB
-    * one — rows-only at the driver, the x15/x22 contract. */
+    * one — rows-only at the driver, the x15/x22 contract. The waiver is
+    * MINIMIZED by [[x189DeflateInput]]: the identical input relation,
+    * grouping, aggregate shape, and ordering are hash-oracled there over
+    * uncompressed byte lengths, so rows-only covers only the Deflater
+    * output byte count itself. */
   def x141CompressionRatio(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docs(s, dir)
@@ -2843,6 +2847,34 @@ object Extensions {
         min($"r").as("min_ratio_ppm"), max($"r").as("max_ratio_ppm"))
       .orderBy($"source")
   }
+
+  // ------------------------------------------- x189 deflate input surface
+  /** The PRE-COMPRESSION surface of x141, SQL-oracled (r11 verdict ask #9:
+    * maximize the oracle-visible surface of the x141 waiver): the identical
+    * per-source rollup shape — same grouping, same count / integer-mean /
+    * min / max spelling, same ordering — computed over the UNCOMPRESSED
+    * text byte lengths instead of the deflate ratio. With this hash-green,
+    * the x141 rows-only waiver covers ONLY the `Deflater.deflate` output
+    * byte count (JVM-specific, un-oraclable), not the input relation, the
+    * grouping, or the aggregate shape — those are all cross-engine-pinned
+    * here, and the Deflater byte count itself is replayed row-by-row by
+    * MiningSpec's exact ScalaTest oracle. */
+  def x189DeflateInput(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"source", octet_length($"text").cast("long").as("b"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(b) DIV count(1)").as("mean_bytes"),
+        min($"b").as("min_bytes"), max($"b").as("max_bytes"))
+      .orderBy($"source")
+  }
+  val x189Sql: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(strlen(text)) // count(*) AS BIGINT) AS mean_bytes,
+      |  CAST(min(strlen(text)) AS BIGINT) AS min_bytes,
+      |  CAST(max(strlen(text)) AS BIGINT) AS max_bytes
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   // ------------------------------------------- x140 Cohen's kappa
   /** Inter-annotator agreement between the heuristic quality gate
@@ -6005,6 +6037,7 @@ object Extensions {
     "x186_conversion_survival" -> x186ConversionSurvival _,
     "x187_reservoir_pq" -> x187ReservoirPq _,
     "x188_ivf_recall" -> x188IvfRecall _,
+    "x189_deflate_input" -> x189DeflateInput _,
     "x151_ucb_mixture" -> x151UcbMixture _,
     "x150_snapshot_diff" -> x150SnapshotDiff _,
     "x149_mutual_info" -> x149MutualInfo _,
@@ -6247,6 +6280,7 @@ object Extensions {
     "x186_conversion_survival" -> x186Sql,
     "x187_reservoir_pq" -> x187Sql,
     "x188_ivf_recall" -> x188Sql,
+    "x189_deflate_input" -> x189Sql,
     "x15_multimodal" -> x15Sql,
     "x151_ucb_mixture" -> x151Sql,
     "x150_snapshot_diff" -> x150Sql,

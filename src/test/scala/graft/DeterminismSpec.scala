@@ -40,7 +40,11 @@ class DeterminismSpec extends SparkSpec {
     "x186_conversion_survival",
     // r11: the custom priority-queue sampler exec (distinct priorities ⇒
     // partition-layout-invariant selection)
-    "x187_reservoir_pq")
+    "x187_reservoir_pq",
+    // r12: IVF recall sweep (driver-local training over a TakeOrdered
+    // sample + map-side assignment must be layout-invariant) and the
+    // deflate-input rollup
+    "x188_ivf_recall", "x189_deflate_input")
 
   test("representative queries are invariant to shuffle width and AQE") {
     val fns = SparkEntry.queries

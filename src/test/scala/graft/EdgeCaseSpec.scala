@@ -268,4 +268,35 @@ class EdgeCaseSpec extends SparkSpec {
     assert(sk.getLong(sk.fieldIndex("n_rows")) == 0L)
     assert(sk.getLong(sk.fieldIndex("skew_ratio_micro")) == 0L)
   }
+
+  test("io layer rejects adversarial inputs loudly (r11 ask #10)") {
+    // XLSX zip-bomb guard: the DECOMPRESSED stream is metered, so a sheet
+    // that inflates past the cap aborts instead of exhausting driver
+    // memory — the central-directory size field is untrusted by design
+    val bomb = java.nio.file.Files.createTempFile("bomb", ".xlsx").toFile
+    TestXlsx.write(bomb, (1 to 2000).map(i => Seq(s"#${"x" * 100}$i")))
+    val e1 = intercept[IllegalArgumentException] {
+      io.Xlsx.readSheet(bomb, maxEntryBytes = 4096)
+    }
+    assert(e1.getMessage.contains("zip-bomb guard"), e1.getMessage)
+    // same file parses whole under the default cap
+    assert(io.Xlsx.readSheet(bomb).size == 2000)
+
+    // csvWithHeaderOffset: file shorter than the promised header row
+    val shortCsv = java.nio.file.Files.createTempFile("short", ".csv")
+    java.nio.file.Files.writeString(shortCsv, "only\ntwo lines\n")
+    val e2 = intercept[IllegalArgumentException] {
+      io.Readers.csvWithHeaderOffset(spark, shortCsv.toString, headerRow = 4)
+    }
+    assert(e2.getMessage.contains("fewer than 5 lines"), e2.getMessage)
+
+    // Lake path builder: traversal and scheme-smuggling segments refused
+    intercept[IllegalArgumentException] { io.Lake.path("/base", "silver", "d", "../../etc") }
+    intercept[IllegalArgumentException] { io.Lake.path("/base", "..", "d", "2024-01-01") }
+    intercept[IllegalArgumentException] { io.Lake.path("/base", "silver", "a/b", "2024-01-01") }
+    intercept[IllegalArgumentException] { io.Lake.path("/base", "silver", "s3a:", "2024-01-01") }
+    intercept[IllegalArgumentException] { io.Lake.path("/base", "silver", "d", "2024-1-1") }
+    assert(io.Lake.path("/base", "silver", "housing", "2024-01-01")
+      == "/base/silver/housing/ingest_date=2024-01-01")
+  }
 }
