@@ -116,10 +116,110 @@ object Graph {
     * quadratic — and the argmax is a bounded per-node window. At 100 TB
     * this is the standard BSP formulation: state lives in the cluster,
     * the driver holds nothing but the round counter. */
-  def labelPropagation(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame =
+    labelPropagation(edges, seeds, rounds, driverEdgeCap = 1 << 20)
+
+  /** As [[labelPropagation]]; `driverEdgeCap` picks the execution strategy.
+    *
+    * Hybrid execution (the [[graft.ops.Dedup.nearDupClusters]] discipline):
+    * each synchronous round of the distributed loop is ~4 jobs of joins +
+    * an eager localCheckpoint, so a 3-round run pays ~12× the fixed per-job
+    * cost — on a co-occurrence graph whose EDGE LIST fits a driver array,
+    * that fixed cost dwarfs the data. When the distinct edge set fits under
+    * `driverEdgeCap` (≤16 MB of id pairs), seeds fit the same bound, all
+    * ids are LONG, and seed keys are unique, the identical synchronous
+    * schedule (clamped seeds, majority vote, lowest-label ties, no-labeled-
+    * neighbor keeps) runs driver-local in TWO collect jobs, emitting a
+    * LocalRelation. Over the cap — the 100 TB path — the BSP loop below
+    * runs unchanged; both cap probes are CollectLimit (≤cap+1 rows cross
+    * the wire), so probing is scale-safe. Fast path ≡ loop is spec-pinned
+    * (MiningSpec), and x114's oracle replays the loop's algebra in SQL. */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame, rounds: Int,
+      driverEdgeCap: Int): DataFrame = {
     val e = edges.toDF("a", "b")
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .distinct()
+    val seed0 = seeds.toDF("v", "seed_label")
+    val longT = org.apache.spark.sql.types.LongType
+    val longIds = e.schema("a").dataType == longT &&
+      e.schema("b").dataType == longT && seed0.schema("v").dataType == longT &&
+      seed0.schema("seed_label").dataType == longT
+    if (longIds && driverEdgeCap > 0) {
+      val eProbe = e.limit(driverEdgeCap + 1).collect()
+      if (eProbe.length <= driverEdgeCap) {
+        val sProbe = seed0.limit(driverEdgeCap + 1).collect()
+        // seed map; a null v never joins (SQL null-key semantics), a null
+        // seed_label clamps nothing (coalesce falls through). Duplicate seed
+        // keys would fan out the distributed join's label rows — degenerate
+        // input — so the fast path declines and the loop's semantics stand.
+        val seedMap = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        val seenSeedKeys = new java.util.HashSet[java.lang.Long]()
+        var seedDup = sProbe.length > driverEdgeCap
+        sProbe.foreach { r =>
+          if (!seedDup && !r.isNullAt(0)) {
+            val v = java.lang.Long.valueOf(r.getLong(0))
+            if (!seenSeedKeys.add(v)) seedDup = true
+            else if (!r.isNullAt(1)) seedMap.put(v, r.getLong(1))
+          }
+        }
+        if (!seedDup) {
+          // directed messages = both orientations of every distinct edge,
+          // kept as a LIST ((a,b) and (b,a) both surviving distinct each
+          // contribute two messages), exactly like the unionAll below
+          val msgs = new Array[Long](eProbe.length * 4)
+          var i = 0
+          eProbe.foreach { r =>
+            val a = r.getLong(0); val b = r.getLong(1)
+            msgs(i) = a; msgs(i + 1) = b; msgs(i + 2) = b; msgs(i + 3) = a
+            i += 4
+          }
+          val nodes = new java.util.LinkedHashSet[java.lang.Long]()
+          var j = 0
+          while (j < msgs.length) { nodes.add(msgs(j)); j += 1 }
+          // labels: absent key = NULL label (unseeded, never yet voted at)
+          var labels = new java.util.HashMap[java.lang.Long, java.lang.Long](seedMap)
+          for (_ <- 1 to rounds) {
+            val votes = new java.util.HashMap[java.lang.Long,
+              java.util.HashMap[java.lang.Long, Array[Long]]]()
+            var k = 0
+            while (k < msgs.length) {
+              val lv = labels.get(msgs(k))
+              if (lv != null) {
+                val m = votes.computeIfAbsent(msgs(k + 1),
+                  _ => new java.util.HashMap[java.lang.Long, Array[Long]]())
+                m.computeIfAbsent(lv, _ => Array(0L))(0) += 1L
+              }
+              k += 2
+            }
+            val next = new java.util.HashMap[java.lang.Long, java.lang.Long](labels)
+            votes.forEach { (dst, m) =>
+              if (!seedMap.containsKey(dst)) {
+                var bestLabel = 0L; var bestN = -1L
+                m.forEach { (label, n) =>
+                  if (n(0) > bestN || (n(0) == bestN && label < bestLabel)) {
+                    bestLabel = label; bestN = n(0)
+                  }
+                }
+                next.put(dst, bestLabel)
+              }
+            }
+            labels = next
+          }
+          val out: java.util.List[org.apache.spark.sql.Row] =
+            new java.util.ArrayList[org.apache.spark.sql.Row](nodes.size)
+          val finalLabels = labels
+          nodes.forEach { v =>
+            val l = finalLabels.get(v)
+            out.add(org.apache.spark.sql.Row(v.longValue,
+              if (l == null) -1L else l.longValue))
+          }
+          return edges.sparkSession.createDataFrame(out,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("v", longT, nullable = false),
+              org.apache.spark.sql.types.StructField("label", longT, nullable = false))))
+        }
+      }
+    }
     // bidirectional message edges, built once
     val msgs = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
       .toDF("src", "dst").localCheckpoint()

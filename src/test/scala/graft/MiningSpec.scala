@@ -49,6 +49,41 @@ class MiningSpec extends SparkSpec {
     assert(out(5L) == -1L && out(6L) == -1L) // unreachable from any seed
   }
 
+  test("labelPropagation: driver fast path ≡ distributed loop; degenerate seeds fall back") {
+    import spark.implicits._
+    // richer shape than the contract test: a 4-cycle with competing seeds,
+    // a star whose center hears 3 equal votes (tie → lowest), a 7-chain
+    // (3 rounds can't cover it — partial reach), plus reversed-duplicate
+    // edges (1,2)+(2,1) that double those votes identically on both paths
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L), (24L, 25L), (25L, 26L))
+      .toDF("a", "b")
+    val seeds = Seq((1L, 5L), (3L, 7L), (11L, 9L), (12L, 4L), (13L, 4L),
+      (20L, 1L)).toDF("v", "seed_label")
+    def run(cap: Int) = Graph.labelPropagation(edges, seeds, rounds = 3, cap)
+      .as[(Long, Long)].collect().toMap
+    val fast = run(1 << 20)
+    val loop = run(0)
+    assert(fast == loop, "driver fast path diverged from the distributed loop")
+    assert(fast(10L) == 4L) // 2 votes for 4 beat 1 vote for 9
+    assert(fast(26L) == -1L) // 3 rounds reach only 20..23
+    // duplicate seed key (degenerate input): fast path must decline; both
+    // spellings then come from the loop and still agree
+    val dupSeeds = seeds.unionAll(Seq((1L, 6L)).toDF("v", "seed_label"))
+    val a = Graph.labelPropagation(edges, dupSeeds, rounds = 2, 1 << 20)
+      .groupBy("v").count().filter($"count" > 1).count()
+    val b = Graph.labelPropagation(edges, dupSeeds, rounds = 2, 0)
+      .groupBy("v").count().filter($"count" > 1).count()
+    assert(a == b) // identical (degenerate) fan-out either way
+    // non-long ids: fast path structurally unavailable, loop still correct
+    val sEdges = Seq(("a", "b"), ("b", "c")).toDF("a", "b")
+    val sSeeds = Seq(("a", 3L)).toDF("v", "seed_label")
+    val sOut = Graph.labelPropagation(sEdges, sSeeds, rounds = 2, 1 << 20)
+      .as[(String, Long)].collect().toMap
+    assert(sOut == Map("a" -> 3L, "b" -> 3L, "c" -> 3L))
+  }
+
   // ----------------------------------------------------------- changepoint
   test("meanSplitChangepoint finds an exact step and its segment means") {
     import spark.implicits._
