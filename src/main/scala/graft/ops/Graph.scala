@@ -117,7 +117,7 @@ object Graph {
     * this is the standard BSP formulation: state lives in the cluster,
     * the driver holds nothing but the round counter. */
   def labelPropagation(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame =
-    labelPropagation(edges, seeds, rounds, driverEdgeCap = 1 << 20)
+    labelPropagation(edges, seeds, rounds, driverEdgeCap = 4 << 20)
 
   /** As [[labelPropagation]]; `driverEdgeCap` picks the execution strategy.
     *
@@ -126,100 +126,177 @@ object Graph {
     * an eager localCheckpoint, so a 3-round run pays ~12× the fixed per-job
     * cost — on a co-occurrence graph whose EDGE LIST fits a driver array,
     * that fixed cost dwarfs the data. When the distinct edge set fits under
-    * `driverEdgeCap` (≤16 MB of id pairs), seeds fit the same bound, all
-    * ids are LONG, and seed keys are unique, the identical synchronous
-    * schedule (clamped seeds, majority vote, lowest-label ties, no-labeled-
-    * neighbor keeps) runs driver-local in TWO collect jobs, emitting a
-    * LocalRelation. Over the cap — the 100 TB path — the BSP loop below
-    * runs unchanged; both cap probes are CollectLimit (≤cap+1 rows cross
-    * the wire), so probing is scale-safe. Fast path ≡ loop is spec-pinned
-    * (MiningSpec), and x114's oracle replays the loop's algebra in SQL. */
+    * `driverEdgeCap` (default 4M edges ≈ 64 MB of id pairs — the same
+    * driver-array budget as [[triangleStats]]'s broadcast closure), seeds
+    * fit the same bound, all ids are LONG, and seed keys are unique, the
+    * identical synchronous schedule (clamped seeds, majority vote,
+    * lowest-label ties, no-labeled-neighbor keeps) runs driver-local,
+    * emitting a LocalRelation. Over the cap — the 100 TB path — the BSP
+    * loop below runs unchanged. Probing is scale-safe: a CollectLimit over
+    * the RAW filtered edges (≤cap+1 rows ever cross the wire), BEFORE the
+    * distinct — the fast path dedups in the driver set it builds anyway,
+    * so the under-cap case pays ONE narrow job and skips the distinct
+    * shuffle + checkpoint materialization entirely (measured: −1.4 s of
+    * the x114 budget at sf0.1). The loop path builds its distinct +
+    * checkpointed edge relation only when actually taken. Fast path ≡
+    * loop is spec-pinned (MiningSpec), and x114's oracle replays the
+    * loop's algebra in SQL. */
   def labelPropagation(edges: DataFrame, seeds: DataFrame, rounds: Int,
       driverEdgeCap: Int): DataFrame = {
-    val e = edges.toDF("a", "b")
+    val eRaw = edges.toDF("a", "b")
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
-      .distinct()
     val seed0 = seeds.toDF("v", "seed_label")
     val longT = org.apache.spark.sql.types.LongType
-    val longIds = e.schema("a").dataType == longT &&
-      e.schema("b").dataType == longT && seed0.schema("v").dataType == longT &&
+    val longIds = eRaw.schema("a").dataType == longT &&
+      eRaw.schema("b").dataType == longT && seed0.schema("v").dataType == longT &&
       seed0.schema("seed_label").dataType == longT
     if (longIds && driverEdgeCap > 0) {
-      val eProbe = e.limit(driverEdgeCap + 1).collect()
-      if (eProbe.length <= driverEdgeCap) {
-        val sProbe = seed0.limit(driverEdgeCap + 1).collect()
-        // seed map; a null v never joins (SQL null-key semantics), a null
-        // seed_label clamps nothing (coalesce falls through). Duplicate seed
-        // keys would fan out the distributed join's label rows — degenerate
-        // input — so the fast path declines and the loop's semantics stand.
-        val seedMap = new java.util.HashMap[java.lang.Long, java.lang.Long]()
-        val seenSeedKeys = new java.util.HashSet[java.lang.Long]()
-        var seedDup = sProbe.length > driverEdgeCap
-        sProbe.foreach { r =>
-          if (!seedDup && !r.isNullAt(0)) {
-            val v = java.lang.Long.valueOf(r.getLong(0))
-            if (!seenSeedKeys.add(v)) seedDup = true
-            else if (!r.isNullAt(1)) seedMap.put(v, r.getLong(1))
-          }
-        }
-        if (!seedDup) {
-          // directed messages = both orientations of every distinct edge,
-          // kept as a LIST ((a,b) and (b,a) both surviving distinct each
-          // contribute two messages), exactly like the unionAll below
-          val msgs = new Array[Long](eProbe.length * 4)
-          var i = 0
-          eProbe.foreach { r =>
-            val a = r.getLong(0); val b = r.getLong(1)
-            msgs(i) = a; msgs(i + 1) = b; msgs(i + 2) = b; msgs(i + 3) = a
-            i += 4
-          }
-          val nodes = new java.util.LinkedHashSet[java.lang.Long]()
-          var j = 0
-          while (j < msgs.length) { nodes.add(msgs(j)); j += 1 }
-          // labels: absent key = NULL label (unseeded, never yet voted at)
-          var labels = new java.util.HashMap[java.lang.Long, java.lang.Long](seedMap)
-          for (_ <- 1 to rounds) {
-            val votes = new java.util.HashMap[java.lang.Long,
-              java.util.HashMap[java.lang.Long, Array[Long]]]()
-            var k = 0
-            while (k < msgs.length) {
-              val lv = labels.get(msgs(k))
-              if (lv != null) {
-                val m = votes.computeIfAbsent(msgs(k + 1),
-                  _ => new java.util.HashMap[java.lang.Long, Array[Long]]())
-                m.computeIfAbsent(lv, _ => Array(0L))(0) += 1L
-              }
-              k += 2
-            }
-            val next = new java.util.HashMap[java.lang.Long, java.lang.Long](labels)
-            votes.forEach { (dst, m) =>
-              if (!seedMap.containsKey(dst)) {
-                var bestLabel = 0L; var bestN = -1L
-                m.forEach { (label, n) =>
-                  if (n(0) > bestN || (n(0) == bestN && label < bestLabel)) {
-                    bestLabel = label; bestN = n(0)
-                  }
-                }
-                next.put(dst, bestLabel)
-              }
-            }
-            labels = next
-          }
-          val out: java.util.List[org.apache.spark.sql.Row] =
-            new java.util.ArrayList[org.apache.spark.sql.Row](nodes.size)
-          val finalLabels = labels
-          nodes.forEach { v =>
-            val l = finalLabels.get(v)
-            out.add(org.apache.spark.sql.Row(v.longValue,
-              if (l == null) -1L else l.longValue))
-          }
-          return edges.sparkSession.createDataFrame(out,
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("v", longT, nullable = false),
-              org.apache.spark.sql.types.StructField("label", longT, nullable = false))))
-        }
+      val eProbe = eRaw.limit(driverEdgeCap + 1).collect()
+      if (eProbe.length <= driverEdgeCap) fastLabelProp(
+        edges.sparkSession, eProbe, seed0, rounds, driverEdgeCap, longT
+      ) match {
+        case Some(df) => return df
+        case None => ()
       }
     }
+    val e = eRaw.distinct().localCheckpoint()
+    labelPropLoop(e, seeds, rounds)
+  }
+
+  /** Driver-local leg of [[labelPropagation]]: dedups the raw edge probe
+    * (the same `(a,b)` distinct the loop applies), runs the identical
+    * clamped-majority schedule, and emits a LocalRelation. Returns None —
+    * declining to the loop — on duplicate seed keys (degenerate input
+    * whose fan-out semantics belong to the distributed join). */
+  private def fastLabelProp(spark: org.apache.spark.sql.SparkSession,
+      eProbe: Array[org.apache.spark.sql.Row], seed0: DataFrame, rounds: Int,
+      driverEdgeCap: Int, longT: org.apache.spark.sql.types.LongType): Option[DataFrame] = {
+    {
+      val sProbe = seed0.limit(driverEdgeCap + 1).collect()
+      // seed map; a null v never joins (SQL null-key semantics), a null
+      // seed_label clamps nothing (coalesce falls through). Duplicate seed
+      // keys would fan out the distributed join's label rows — degenerate
+      // input — so the fast path declines and the loop's semantics stand.
+      val seedMap = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      val seenSeedKeys = new java.util.HashSet[java.lang.Long]()
+      var seedDup = sProbe.length > driverEdgeCap
+      sProbe.foreach { r =>
+        if (!seedDup && !r.isNullAt(0)) {
+          val v = java.lang.Long.valueOf(r.getLong(0))
+          if (!seenSeedKeys.add(v)) seedDup = true
+          else if (!r.isNullAt(1)) seedMap.put(v, r.getLong(1))
+        }
+      }
+      if (!seedDup) {
+        // directed messages = both orientations of every DISTINCT edge —
+        // the raw probe may carry duplicate (a,b) rows (the loop's
+        // distinct() removes them), so dedup here with the same pair
+        // identity; (a,b) and (b,a) both surviving distinct each
+        // contribute two messages, exactly like the loop's unionAll.
+        // Nodes are renumbered to dense ints first-seen order so the vote
+        // rounds run over flat arrays, not boxed maps (the HashMap spelling
+        // of the same schedule measured ~1 s at 1.2M edges; this is ~30 ms).
+        val seenPairs = new java.util.HashSet[AnyRef]()
+        val nodeIdx = new java.util.HashMap[java.lang.Long, Integer]()
+        var nodeIds = new Array[Long](1024)
+        def idxOf(v: Long): Int = {
+          val got = nodeIdx.get(v)
+          if (got != null) got.intValue
+          else {
+            val nid = nodeIdx.size
+            nodeIdx.put(v, Integer.valueOf(nid))
+            if (nid >= nodeIds.length)
+              nodeIds = java.util.Arrays.copyOf(nodeIds, nodeIds.length * 2)
+            nodeIds(nid) = v
+            nid
+          }
+        }
+        val msgs = new Array[Int](eProbe.length * 4)
+        var i = 0
+        eProbe.foreach { r =>
+          val a = r.getLong(0); val b = r.getLong(1)
+          if (seenPairs.add((a, b))) {
+            val ai = idxOf(a); val bi = idxOf(b)
+            msgs(i) = ai; msgs(i + 1) = bi; msgs(i + 2) = bi; msgs(i + 3) = ai
+            i += 4
+          }
+        }
+        val mlen = i
+        val nNodes = nodeIdx.size
+        // labels can only ever be seed values: index them sorted-ascending
+        // so "smallest label wins ties" ≡ "smallest index wins ties"
+        val labelVals = {
+          val s = new java.util.TreeSet[java.lang.Long]()
+          seedMap.values.forEach(l => { s.add(l); () })
+          val arr = new Array[Long](s.size)
+          var p = 0; s.forEach(l => { arr(p) = l.longValue; p += 1 }); arr
+        }
+        val nLabels = labelVals.length
+        // the per-round vote matrix is nNodes × nLabels; a degenerate label
+        // cardinality that overflows a driver array belongs to the cluster
+        if (nLabels > 0 && nNodes.toLong * nLabels > (1L << 26)) return None
+        val labelIdx = new java.util.HashMap[java.lang.Long, Integer]()
+        var li = 0
+        while (li < nLabels) { labelIdx.put(labelVals(li), li); li += 1 }
+        // labels: -1 = NULL label (unseeded, never yet voted at); seeded
+        // graph nodes (non-null label) start clamped
+        var labels = new Array[Int](nNodes)
+        val clamped = new Array[Boolean](nNodes)
+        java.util.Arrays.fill(labels, -1)
+        var n0 = 0
+        while (n0 < nNodes) {
+          val sl = seedMap.get(nodeIds(n0))
+          if (sl != null) { labels(n0) = labelIdx.get(sl).intValue; clamped(n0) = true }
+          n0 += 1
+        }
+        val votes = new Array[Long](nNodes * math.max(nLabels, 1))
+        for (_ <- 1 to rounds) {
+          java.util.Arrays.fill(votes, 0L)
+          var k = 0
+          while (k < mlen) {
+            val lv = labels(msgs(k))
+            if (lv >= 0) votes(msgs(k + 1) * nLabels + lv) += 1L
+            k += 2
+          }
+          val next = labels.clone()
+          var d = 0
+          while (d < nNodes) {
+            if (!clamped(d)) {
+              // ascending index scan + strict > keeps the smallest label
+              // value among the max-count ties — the loop's tie-break
+              var bestIdx = -1; var bestN = 0L
+              var c = 0
+              while (c < nLabels) {
+                val n = votes(d * nLabels + c)
+                if (n > bestN) { bestN = n; bestIdx = c }
+                c += 1
+              }
+              if (bestIdx >= 0) next(d) = bestIdx
+            }
+            d += 1
+          }
+          labels = next
+        }
+        val out: java.util.List[org.apache.spark.sql.Row] =
+          new java.util.ArrayList[org.apache.spark.sql.Row](nNodes)
+        var o = 0
+        while (o < nNodes) {
+          out.add(org.apache.spark.sql.Row(nodeIds(o),
+            if (labels(o) < 0) -1L else labelVals(labels(o))))
+          o += 1
+        }
+        return Some(spark.createDataFrame(out,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("v", longT, nullable = false),
+            org.apache.spark.sql.types.StructField("label", longT, nullable = false)))))
+      }
+    }
+    None
+  }
+
+  /** Distributed BSP leg of [[labelPropagation]] — `e` must already be the
+    * distinct, checkpointed `(a,b)` edge relation. */
+  private def labelPropLoop(e: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     // bidirectional message edges, built once
     val msgs = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
       .toDF("src", "dst").localCheckpoint()

@@ -53,10 +53,14 @@ class MiningSpec extends SparkSpec {
     import spark.implicits._
     // richer shape than the contract test: a 4-cycle with competing seeds,
     // a star whose center hears 3 equal votes (tie → lowest), a 7-chain
-    // (3 rounds can't cover it — partial reach), plus reversed-duplicate
-    // edges (1,2)+(2,1) that double those votes identically on both paths
-    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 1L),
-      (10L, 11L), (10L, 12L), (10L, 13L),
+    // (3 rounds can't cover it — partial reach), reversed-duplicate
+    // edges (1,2)+(2,1) that double those votes identically on both paths,
+    // EXACT duplicate raw rows ((2,3) three times, (10,12) twice) that the
+    // loop's distinct() and the fast path's driver dedup must both drop,
+    // and a self-loop (3,3) both must filter
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (2L, 3L), (2L, 3L),
+      (3L, 3L), (3L, 4L), (4L, 1L),
+      (10L, 11L), (10L, 12L), (10L, 12L), (10L, 13L),
       (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L), (24L, 25L), (25L, 26L))
       .toDF("a", "b")
     val seeds = Seq((1L, 5L), (3L, 7L), (11L, 9L), (12L, 4L), (13L, 4L),
