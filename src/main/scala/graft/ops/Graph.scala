@@ -42,12 +42,32 @@ object Graph {
     * shuffle join runs instead — identical counts either way (spec-pinned). */
   def triangleStats(edges: DataFrame, aCol: String, bCol: String,
       broadcastClosureMaxEdges: Long): DataFrame = {
+    val eNorm = edges
+      .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+    // Driver-local leg (the [[labelPropagation]] hybrid discipline): when
+    // the RAW normalized edge list fits the same driver-array budget the
+    // set-probe closure already trusts, the whole census — dedup, degrees,
+    // (deg, id) orientation, and merge-intersection of sorted out-lists —
+    // runs off ONE CollectLimit job. The forward algorithm's work is
+    // Σ_(u→v) (|out(u)|+|out(v)|) ≤ O(m^1.5), but WITHOUT materializing
+    // the wedge stream the distributed plan probes (148M rows at sf0.1 —
+    // ~20 binary-search levels each); measured ~2.3 s → ~0.9 s on the
+    // co-purchase graph. Over the cap, or with non-LONG ids, the
+    // distributed plan below runs unchanged; the probe is a CollectLimit,
+    // so an over-cap graph moves ≤ cap+1 rows. Fast ≡ distributed is
+    // spec-pinned (GraphSpec) including the dirty-input normalization.
+    val longT = org.apache.spark.sql.types.LongType
+    if (broadcastClosureMaxEdges > 0 && broadcastClosureMaxEdges <= (Int.MaxValue - 8).toLong &&
+        eNorm.schema("a").dataType == longT && eNorm.schema("b").dataType == longT) {
+      val probe = eNorm.limit(broadcastClosureMaxEdges.toInt + 1).collect()
+      if (probe.nonEmpty && probe.length <= broadcastClosureMaxEdges)
+        return driverCensus(edges.sparkSession, probe)
+    }
     // e feeds three consumers (degrees, orientation, edge count) and
     // oriented feeds three (both wedge sides, closure) — materialize each
     // once rather than re-running the upstream joins per consumer
-    val e = edges
-      .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
-      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+    val e = eNorm
       .distinct()
       .localCheckpoint()
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
@@ -99,6 +119,99 @@ object Graph {
       when(col("n_wedges") === 0L, lit(0L)).otherwise(
         floor(col("n_triangles").cast("double") * lit(3000000.0) /
           col("n_wedges").cast("double")).cast("long")).as("clustering_ppm"))
+  }
+
+  /** Driver-local leg of [[triangleStats]]: the forward algorithm over the
+    * collected raw probe (nodes renumbered dense, out-lists CSR-sorted,
+    * triangles = Σ merge-intersections of oriented out-lists). Emits the
+    * identical one-row census the distributed plan produces. `probe` must
+    * be non-empty, LONG-typed, already normalized (a < b, no nulls or
+    * self-loops) but NOT deduped — the driver set replays the loop's
+    * distinct(). */
+  private def driverCensus(spark: org.apache.spark.sql.SparkSession,
+      probe: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val seen = new java.util.HashSet[AnyRef]()
+    val nodeIdx = new java.util.HashMap[java.lang.Long, Integer]()
+    var nodeIds = new Array[Long](1024)
+    def idxOf(v: Long): Int = {
+      val got = nodeIdx.get(v)
+      if (got != null) got.intValue
+      else {
+        val nid = nodeIdx.size
+        nodeIdx.put(v, Integer.valueOf(nid))
+        if (nid >= nodeIds.length)
+          nodeIds = java.util.Arrays.copyOf(nodeIds, nodeIds.length * 2)
+        nodeIds(nid) = v
+        nid
+      }
+    }
+    var ea = new Array[Int](1024); var eb = new Array[Int](1024); var m = 0
+    probe.foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      if (seen.add((a, b))) {
+        if (m >= ea.length) {
+          ea = java.util.Arrays.copyOf(ea, ea.length * 2)
+          eb = java.util.Arrays.copyOf(eb, eb.length * 2)
+        }
+        ea(m) = idxOf(a); eb(m) = idxOf(b); m += 1
+      }
+    }
+    val n = nodeIdx.size
+    val deg = new Array[Int](n)
+    var i = 0
+    while (i < m) { deg(ea(i)) += 1; deg(eb(i)) += 1; i += 1 }
+    var wedges = 0L
+    var v0 = 0
+    while (v0 < n) { wedges += deg(v0).toLong * (deg(v0) - 1) / 2; v0 += 1 }
+    // (deg, original id) orientation — the distributed plan's comparator
+    def before(u: Int, v: Int): Boolean =
+      deg(u) < deg(v) || (deg(u) == deg(v) && nodeIds(u) < nodeIds(v))
+    val osrc = new Array[Int](m); val odst = new Array[Int](m)
+    val outCnt = new Array[Int](n)
+    i = 0
+    while (i < m) {
+      val s = if (before(ea(i), eb(i))) ea(i) else eb(i)
+      val d = if (s == ea(i)) eb(i) else ea(i)
+      osrc(i) = s; odst(i) = d; outCnt(s) += 1
+      i += 1
+    }
+    val off = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { off(i + 1) = off(i) + outCnt(i); i += 1 }
+    val adj = new Array[Int](m)
+    val fill = java.util.Arrays.copyOf(off, n)
+    i = 0
+    while (i < m) { adj(fill(osrc(i))) = odst(i); fill(osrc(i)) += 1; i += 1 }
+    i = 0
+    while (i < n) { java.util.Arrays.sort(adj, off(i), off(i + 1)); i += 1 }
+    // per-edge intersections are independent and the sum is associative,
+    // so the dominant pass (Σ out-list lengths ≈ 300M element reads on the
+    // sf0.1 co-purchase graph) fans out over driver cores deterministically
+    val tri = java.util.stream.IntStream.range(0, m).parallel().mapToLong { e =>
+      var p = off(osrc(e)); val pEnd = off(osrc(e) + 1)
+      var q = off(odst(e)); val qEnd = off(odst(e) + 1)
+      var c = 0L
+      while (p < pEnd && q < qEnd) {
+        val x = adj(p); val y = adj(q)
+        if (x == y) { c += 1; p += 1; q += 1 }
+        else if (x < y) p += 1
+        else q += 1
+      }
+      c
+    }.sum()
+    val ppm =
+      if (wedges == 0L) 0L
+      else math.floor(tri.toDouble * 3000000.0 / wedges.toDouble).toLong
+    val longT = org.apache.spark.sql.types.LongType
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](1)
+    out.add(org.apache.spark.sql.Row(n.toLong, m.toLong, wedges, tri, ppm))
+    spark.createDataFrame(out,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_nodes", longT, nullable = false),
+        org.apache.spark.sql.types.StructField("n_edges", longT, nullable = false),
+        org.apache.spark.sql.types.StructField("n_wedges", longT, nullable = false),
+        org.apache.spark.sql.types.StructField("n_triangles", longT, nullable = false),
+        org.apache.spark.sql.types.StructField("clustering_ppm", longT, nullable = false))))
   }
 
   /** Semi-supervised label propagation (Zhu & Ghahramani'02 shape, hard

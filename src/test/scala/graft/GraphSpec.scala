@@ -50,22 +50,38 @@ class GraphSpec extends SparkSpec {
     assert(got._3 == expWedges && got._4 == expTri)
   }
 
-  test("set-probe closure and shuffle-join closure agree (and with big ids the join path runs)") {
+  test("driver census, set-probe closure, and shuffle-join closure all agree") {
     import spark.implicits._
     val n = 25
     val edges = (for {
       i <- 0 until n; j <- (i + 1) until n
       if graft.functions.Ops.splitmix64(i.toLong * n + j + 7) % 4 == 0
     } yield (i.toLong, j.toLong)).toSeq
+    val m = edges.size
     val df = edges.toDF("pa", "pb")
-    val viaSet = Graph.triangleStats(df, "pa", "pb").collect()(0).toSeq
+    // default cap admits the raw probe → driver-local census
+    val viaDriver = Graph.triangleStats(df, "pa", "pb").collect()(0).toSeq
+    // raw rows (4×duplicated) overflow a cap the DISTINCT set fits under →
+    // the driver leg declines, the distributed set-probe closure runs
+    val dup = df.unionAll(df).unionAll(df).unionAll(df)
+    val viaSet = Graph.triangleStats(dup, "pa", "pb",
+      broadcastClosureMaxEdges = 2L * m).collect()(0).toSeq
+    // cap 0 disables both bounded strategies → exact shuffle join
     val viaJoin = Graph.triangleStats(df, "pa", "pb",
-      broadcastClosureMaxEdges = 0L).collect()(0).toSeq // force the join path
-    assert(viaSet == viaJoin)
-    // ids beyond 2^32 cannot pack — must fall back to the join, same counts
+      broadcastClosureMaxEdges = 0L).collect()(0).toSeq
+    assert(viaDriver == viaJoin, "driver census diverged from the join closure")
+    assert(viaSet == viaJoin, "set-probe closure diverged from the join closure")
+    // ids beyond 2^32: fine for the driver leg (dense renumber)…
     val big = edges.map { case (a, b) => (a + (1L << 40), b + (1L << 40)) }
-    val viaBig = Graph.triangleStats(big.toDF("pa", "pb"), "pa", "pb")
+    val viaBigDriver = Graph.triangleStats(big.toDF("pa", "pb"), "pa", "pb")
       .collect()(0).toSeq
-    assert(viaBig == viaSet)
+    assert(viaBigDriver == viaDriver)
+    // …but they cannot pack for the set probe — over-cap big ids must land
+    // on the join path with the same counts
+    val bigDup = big.toDF("pa", "pb")
+    val viaBigJoin = Graph.triangleStats(
+      bigDup.unionAll(bigDup).unionAll(bigDup).unionAll(bigDup), "pa", "pb",
+      broadcastClosureMaxEdges = 2L * m).collect()(0).toSeq
+    assert(viaBigJoin == viaDriver)
   }
 }
