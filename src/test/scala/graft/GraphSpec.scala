@@ -50,6 +50,26 @@ class GraphSpec extends SparkSpec {
     assert(got._3 == expWedges && got._4 == expTri)
   }
 
+  test("driver census ≡ shuffle-join closure on 10 seeded pseudo-random multigraphs") {
+    import spark.implicits._
+    for (seed <- 0 until 10) {
+      val n = 6 + seed * 2
+      // raw MULTIgraph rows: duplicates, reversals, and self-loops included
+      // (splitmix-driven, so the sweep is reproducible), exercising the
+      // driver leg's dedup/normalization against the distributed distinct
+      val raw = (for {
+        i <- 0 until n; j <- 0 until n
+        r = graft.functions.Ops.splitmix64(seed.toLong * 10007 + i * n + j)
+        if r % 3 == 0
+      } yield (i.toLong, j.toLong)) ++ Seq((0L, 0L), (1L, 0L), (0L, 1L))
+      val df = raw.toDF("pa", "pb")
+      val fast = Graph.triangleStats(df, "pa", "pb").collect()(0).toSeq
+      val join = Graph.triangleStats(df, "pa", "pb",
+        broadcastClosureMaxEdges = 0L).collect()(0).toSeq
+      assert(fast == join, s"seed=$seed: driver census $fast != join closure $join")
+    }
+  }
+
   test("driver census, set-probe closure, and shuffle-join closure all agree") {
     import spark.implicits._
     val n = 25

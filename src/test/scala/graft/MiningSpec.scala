@@ -88,6 +88,32 @@ class MiningSpec extends SparkSpec {
     assert(sOut == Map("a" -> 3L, "b" -> 3L, "c" -> 3L))
   }
 
+  test("labelPropagation: fast path ≡ loop on 6 seeded pseudo-random multigraphs") {
+    import spark.implicits._
+    for (seed <- 0 until 6) {
+      val n = 5 + seed * 3
+      val raw = (for {
+        i <- 0 until n; j <- 0 until n
+        r = graft.functions.Ops.splitmix64(seed.toLong * 7919 + i * n + j)
+        if r % 4 == 0
+      } yield (i.toLong, j.toLong)) ++ Seq((0L, 0L), (1L, 0L), (0L, 1L))
+      // ~half the nodes seeded; labels collide on purpose (majority + tie
+      // paths), one NULL seed label (clamps nothing, joins nothing)
+      val seeds = (0 until n by 2).map(v =>
+        (v.toLong, Some(graft.functions.Ops.splitmix64(seed + v.toLong) % 3))) :+
+        (3L, None: Option[Long])
+      val sdf = seeds.toDF("v", "seed_label")
+      val edf = raw.toDF("a", "b")
+      for (rounds <- Seq(1, 3)) {
+        val fast = Graph.labelPropagation(edf, sdf, rounds, 1 << 20)
+          .as[(Long, Long)].collect().toMap
+        val loop = Graph.labelPropagation(edf, sdf, rounds, 0)
+          .as[(Long, Long)].collect().toMap
+        assert(fast == loop, s"seed=$seed rounds=$rounds: fast $fast != loop $loop")
+      }
+    }
+  }
+
   // ----------------------------------------------------------- changepoint
   test("meanSplitChangepoint finds an exact step and its segment means") {
     import spark.implicits._
