@@ -299,6 +299,64 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** SimHash pigeonhole-geometry RECALL report — the [[lshTuningReport]] /
+    * IVF-recall (x188) discipline applied to the SimHash leg: how much of
+    * the true hamming-≤h pair set does the PRODUCTION 4×16-bit chunk
+    * pigeonhole actually surface, per threshold h? For h ≤ 3 the pigeonhole
+    * is provably exhaustive (3 flipped bits cannot touch all 4 chunks);
+    * beyond that recall decays — this table is what you read before
+    * trusting a looser threshold to the same geometry.
+    *
+    * The TRUTH leg is itself a pigeonhole, just finer: 8×8-bit chunks are
+    * exhaustive for every h ≤ 7 (7 flips cannot touch all 8 chunks), so
+    * ground truth costs one more pass of the same capped one-shuffle bucket
+    * kernel — never an all-pairs join, which keeps the audit 100 TB-shaped
+    * exactly like the production path it grades. Counts are cumulative per
+    * threshold; `recall_micro = (n_candidates·10⁶) DIV n_truth` is exact
+    * integer math both engines reproduce bit-for-bit. */
+  def simhashRecallReport(docs: DataFrame, idCol: String, textCol: String,
+      maxHammings: Seq[Int] = Seq(1, 2, 3, 4, 5, 6, 7),
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(maxHammings.nonEmpty && maxHammings.forall(h => h >= 0 && h <= 7),
+      s"simhash recall: thresholds must be in [0, 7] (8-chunk truth bound), got $maxHammings")
+    val spark = docs.sparkSession
+    val sigs = docs
+      .select(col(idCol).as("doc_id"), simhash64(tokens(col(textCol))).as("sig"))
+      .localCheckpoint()
+    def hammingPairs(chunks: Int): DataFrame = {
+      val bits = 64 / chunks
+      val chunked = sigs.select(
+        col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(chunks - 1))).as("chunk_idx"))
+        .withColumn("chunk_val",
+          expr(s"(sig >> (chunk_idx * $bits)) & ${(1L << bits) - 1}"))
+        .select("doc_id", "chunk_idx", "chunk_val")
+      bucketCandidatePairs(chunked, "chunk_idx", "chunk_val", maxBucketSize)
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+        .select(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+    }
+    // per-hamming-distance histograms: ≤ 8 rows each, so the per-threshold
+    // cumulative counts are a driver-free broadcast-sized crossJoin away
+    val candHist = hammingPairs(4).filter(col("hamming") <= maxHammings.max)
+      .groupBy(col("hamming")).agg(count(lit(1)).as("c"))
+    val truthHist = hammingPairs(8).filter(col("hamming") <= maxHammings.max)
+      .groupBy(col("hamming")).agg(count(lit(1)).as("c"))
+    import spark.implicits._
+    val hs = maxHammings.distinct.sorted.toDF("max_hamming")
+    def cumul(hist: DataFrame, as: String): DataFrame = hs
+      .join(broadcast(hist), col("hamming") <= col("max_hamming"), "left")
+      .groupBy(col("max_hamming"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as(as))
+    cumul(candHist, "n_candidates")
+      .join(cumul(truthHist, "n_truth"), Seq("max_hamming"))
+      .select(col("max_hamming").cast("long").as("max_hamming"),
+        col("n_candidates"), col("n_truth"),
+        expr("CASE WHEN n_truth = 0 THEN NULL ELSE (n_candidates * 1000000) DIV n_truth END")
+          .as("recall_micro"))
+      .orderBy(col("max_hamming"))
+  }
+
   // ----------------------------------------------------------- n-gram jaccard
   /** Per-doc DISTINCT shingle-hash sets, built entirely map-side: the shingle
     * array (64-bit xxhash of each k-token window; whole-token-list hash when

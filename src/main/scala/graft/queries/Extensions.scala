@@ -276,12 +276,13 @@ object Extensions {
     Dedup.simhashNearDupPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
       .orderBy($"doc_a", $"doc_b")
   }
-  /** Rebuilds the 64-bit SimHash per doc in SQL: token hash = first 16 hex
-    * chars of md5(token) (== Ops.md5Hash64's big-endian first 8 bytes); bit
-    * j of the hash is bit (j mod 4) of hex nibble 16 - j/4; signature bit j
-    * is sign(Σ tokens ±1); the signed-64 reassembly special-cases bit 63. */
-  val x07Sql: String =
-    """WITH toks AS (
+  /** Shared CTE block rebuilding the 64-bit SimHash per doc in SQL: token
+    * hash = first 16 hex chars of md5(token) (== Ops.md5Hash64's big-endian
+    * first 8 bytes); bit j of the hash is bit (j mod 4) of hex nibble
+    * 16 - j/4; signature bit j is sign(Σ tokens ±1); the signed-64
+    * reassembly special-cases bit 63. Body of the x07 and x190 oracles. */
+  private val simhashSigCtes: String =
+    """toks AS (
       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t FROM documents),
       |th AS (SELECT doc_id, substr(md5(t), 1, 16) AS hx FROM toks),
       |bits AS (
@@ -295,12 +296,44 @@ object Extensions {
       |sig AS (
       |  SELECT doc_id, CAST(sum(CASE WHEN j = 63 THEN b * (-9223372036854775807 - 1)
       |    ELSE b * (CAST(1 AS BIGINT) << CAST(j AS INT)) END) AS BIGINT) AS sig
-      |  FROM sigbit GROUP BY doc_id)
+      |  FROM sigbit GROUP BY doc_id)""".stripMargin
+  val x07Sql: String =
+    s"""WITH $simhashSigCtes
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  bit_count(xor(a.sig, b.sig)) AS hamming
       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------- x190 simhash recall sweep
+  /** [[graft.ops.Dedup.simhashRecallReport]]: recall of the production
+    * 4×16-bit SimHash pigeonhole per hamming threshold 1..7, against exact
+    * truth from the 8×8-bit pigeonhole (exhaustive for h ≤ 7) — the x101 /
+    * x188 tuning-report discipline applied to the SimHash leg, the last
+    * near-dup family whose QUALITY (not just output determinism) was
+    * unasserted. The oracle brute-forces truth and replays the 16-bit
+    * chunk-share candidate test per pair; Spark never joins all pairs —
+    * both its legs ride the capped one-shuffle bucket kernel. */
+  def x190SimhashRecall(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashRecallReport(docs(s, dir), "doc_id", "text")
+  val x190Sql: String =
+    s"""WITH $simhashSigCtes,
+      |p AS (
+      |  SELECT bit_count(xor(a.sig, b.sig)) AS hamming,
+      |    CASE WHEN ((a.sig >> 0) & 65535) = ((b.sig >> 0) & 65535)
+      |      OR ((a.sig >> 16) & 65535) = ((b.sig >> 16) & 65535)
+      |      OR ((a.sig >> 32) & 65535) = ((b.sig >> 32) & 65535)
+      |      OR ((a.sig >> 48) & 65535) = ((b.sig >> 48) & 65535)
+      |      THEN 1 ELSE 0 END AS cand4
+      |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id),
+      |hs AS (SELECT unnest(range(1, 8)) AS max_hamming)
+      |SELECT CAST(h.max_hamming AS BIGINT) AS max_hamming,
+      |  CAST(sum(CASE WHEN p.hamming <= h.max_hamming AND p.cand4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+      |  CAST(sum(CASE WHEN p.hamming <= h.max_hamming THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+      |  CASE WHEN sum(CASE WHEN p.hamming <= h.max_hamming THEN 1 ELSE 0 END) = 0 THEN NULL
+      |    ELSE (CAST(sum(CASE WHEN p.hamming <= h.max_hamming AND p.cand4 = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+      |      // CAST(sum(CASE WHEN p.hamming <= h.max_hamming THEN 1 ELSE 0 END) AS BIGINT) END AS recall_micro
+      |FROM hs h CROSS JOIN p GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ------------------------------------------------------------ x08 n-gram jaccard
   // Exact relational shingle-join Jaccard — the one near-dup path with a
@@ -6038,6 +6071,7 @@ object Extensions {
     "x187_reservoir_pq" -> x187ReservoirPq _,
     "x188_ivf_recall" -> x188IvfRecall _,
     "x189_deflate_input" -> x189DeflateInput _,
+    "x190_simhash_recall" -> x190SimhashRecall _,
     "x151_ucb_mixture" -> x151UcbMixture _,
     "x150_snapshot_diff" -> x150SnapshotDiff _,
     "x149_mutual_info" -> x149MutualInfo _,
@@ -6281,6 +6315,7 @@ object Extensions {
     "x187_reservoir_pq" -> x187Sql,
     "x188_ivf_recall" -> x188Sql,
     "x189_deflate_input" -> x189Sql,
+    "x190_simhash_recall" -> x190Sql,
     "x15_multimodal" -> x15Sql,
     "x151_ucb_mixture" -> x151Sql,
     "x150_snapshot_diff" -> x150Sql,

@@ -563,6 +563,57 @@ class DedupSimilaritySpec extends SparkSpec {
       (3L, 2L, 2L, "short doc")))
   }
 
+  test("simhashRecallReport: counts replayed by a plain-Scala brute-force oracle") {
+    import spark.implicits._
+    import graft.functions.Exprs.simhash64
+    import graft.ops.Dedup.tokens
+    // Corpus engineered for hamming DIVERSITY (the r11 x171 lesson: a gate
+    // corpus that yields zero qualifying rows verifies nothing): 8 groups
+    // of a 301-token base doc plus append-1/2/3-token variants — each
+    // append shifts every bit-sum by ±1, so variants land a few hamming
+    // bits from their base (truth pairs in 1..7) — plus 4 exact copies
+    // (hamming 0) and 16 unrelated word salads (far pairs, no truth).
+    val rows = (for (g <- 0 until 8) yield {
+      val base = (0 until 301).map(j => s"g${g}w${
+        (graft.functions.Ops.splitmix64(g * 1009 + j) % 60 + 60) % 60}").mkString(" ")
+      Seq((g * 10L, base), (g * 10L + 1, s"$base xa$g"),
+        (g * 10L + 2, s"$base xa$g xb$g"), (g * 10L + 3, s"$base xa$g xb$g xc$g"))
+    }).flatten ++ (0 until 4).map(i => (200L + i, "same exact copy of this doc")) ++
+      (0 until 16).map { i =>
+        (300L + i, (0 until 9).map(j => s"r${
+          (graft.functions.Ops.splitmix64(i * 131 + j) % 997 + 997) % 997}").mkString(" "))
+      }
+    val df = rows.toDF("doc_id", "text")
+    val rep = Dedup.simhashRecallReport(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+
+    // ---- brute-force replay over the SAME signatures ----
+    val sig = df.select($"doc_id", simhash64(tokens($"text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val ids = sig.keys.toSeq.sorted
+    val pairs = for { i <- ids.indices; j <- (i + 1) until ids.length }
+      yield (sig(ids(i)), sig(ids(j)))
+    def ham(p: (Long, Long)): Int = java.lang.Long.bitCount(p._1 ^ p._2)
+    def share16(p: (Long, Long)): Boolean = (0 until 4).exists(c =>
+      ((p._1 >>> (c * 16)) & 0xFFFFL) == ((p._2 >>> (c * 16)) & 0xFFFFL))
+    for (h <- 1 to 7) {
+      val truth = pairs.count(p => ham(p) <= h).toLong
+      val cand = pairs.count(p => ham(p) <= h && share16(p)).toLong
+      val recall = if (truth == 0) -1L else cand * 1000000L / truth
+      assert(rep(h.toLong) == ((cand, truth, recall)),
+        s"h=$h: report ${rep(h.toLong)}, brute force ($cand, $truth, $recall)")
+    }
+    // the sweep is non-vacuous: exact copies pair up at every h, and the
+    // appended-token variants land strictly more truth pairs by h=7
+    assert(rep(1L)._2 >= 6L, s"exact-copy pairs missing: $rep")
+    assert(rep(7L)._2 > rep(1L)._2, s"no variant pairs in 2..7: $rep")
+    // pigeonhole guarantee: 4 chunks are exhaustive through h=3
+    for (h <- 1 to 3)
+      assert(rep(h.toLong)._1 == rep(h.toLong)._2, s"h=$h recall must be total: $rep")
+  }
+
   test("exactSubstrStrip is consistent with duplicateSpanStats on the real corpus") {
     import spark.implicits._
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -44,7 +44,10 @@ class DeterminismSpec extends SparkSpec {
     // r12: IVF recall sweep (driver-local training over a TakeOrdered
     // sample + map-side assignment must be layout-invariant) and the
     // deflate-input rollup
-    "x188_ivf_recall", "x189_deflate_input")
+    "x188_ivf_recall", "x189_deflate_input",
+    // r12: simhash pigeonhole recall sweep (two bucket-kernel passes +
+    // cumulative histogram join must be layout-invariant)
+    "x190_simhash_recall")
 
   test("representative queries are invariant to shuffle width and AQE") {
     val fns = SparkEntry.queries
