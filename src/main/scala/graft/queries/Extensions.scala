@@ -2088,12 +2088,18 @@ object Extensions {
           $"o_orderpriority"),
         Seq("l_orderkey"))
       .select($"o_orderpriority", datediff($"sd", $"od").cast("long").as("delay"))
-      .withColumn("w", lit(1L))
-    val med = Stats.weightedMedian(j, "o_orderpriority", "delay", "w")
+    // One corpus pass: both legs read the (priority, delay) histogram —
+    // weightedMedian's own first step — instead of re-joining lineitem
+    // twice. NULL delays stay histogram rows, so the mean's denominator
+    // sum(w) ≡ count(1) over raw rows, exactly the oracle's count(*).
+    val h = j.groupBy($"o_orderpriority", $"delay")
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint(eager = false)
+    val med = Stats.weightedMedian(h, "o_orderpriority", "delay", "w")
       .select($"o_orderpriority", $"weighted_median".as("median_delay_days"),
         $"total_weight".as("n_lines"))
-    val mean = j.groupBy($"o_orderpriority")
-      .agg(expr("sum(delay) DIV count(1)").as("mean_delay_days"))
+    val mean = h.groupBy($"o_orderpriority")
+      .agg(expr("sum(delay * w) DIV sum(w)").as("mean_delay_days"))
     med.join(mean, Seq("o_orderpriority"))
       .select($"o_orderpriority", $"n_lines", $"mean_delay_days", $"median_delay_days")
       .orderBy($"o_orderpriority")
