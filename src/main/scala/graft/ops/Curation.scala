@@ -560,6 +560,14 @@ object Curation {
       .withColumn("b",
         pmod(conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"),
           lit(numBuckets.toLong)))
+      // both consumers (the LM rollup and the per-doc fold) feed different
+      // exchanges, so without pinning this the explode+md5 pass — the
+      // query's dominant map work — runs twice; the pinned projection is
+      // 3 fixed-width columns (the gram string is dropped), so the lazy
+      // checkpoint trades the second hash pass for a ~17-byte/row block
+      // write of the same relation the downstream shuffles move anyway
+      .select(col("doc_id"), col("__t"), col("b"))
+      .localCheckpoint(eager = false)
     val lm = grams.groupBy("b").agg(
       sum(when(col("__t"), 1L).otherwise(0L)).as("c_t"),
       sum(when(col("__t"), 0L).otherwise(1L)).as("c_r"))
