@@ -525,11 +525,18 @@ object Similarity {
     require(terms.nonEmpty, "query must have at least one term")
     val q = array(terms.map(t => lit(t.toLowerCase)): _*)
     val toks = Dedup.tokens(col(textCol))
-    val stats = docs.select(size(toks).cast("long").as("__l"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("__l")).as("sum_len"))
-    val tf = docs
+    // one tokenize pass: the corpus-stats leg and the tf leg previously
+    // each re-split the full text (separate subtrees share no scan); the
+    // pinned projection is doc-count-sized — id, length, and ONLY the
+    // query-matched tokens, never the full token array
+    val base = docs
       .select(col(idCol).as("doc_id"), size(toks).cast("long").as("len"),
-        explode(filter(toks, t => array_contains(q, t))).as("term"))
+        filter(toks, t => array_contains(q, t)).as("__m"))
+      .localCheckpoint(eager = false)
+    val stats = base
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+    val tf = base
+      .select(col("doc_id"), col("len"), explode(col("__m")).as("term"))
       .groupBy(col("doc_id"), col("len"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
