@@ -50,6 +50,24 @@ class GraphSpec extends SparkSpec {
     assert(got._3 == expWedges && got._4 == expTri)
   }
 
+  test("census boundaries: single edge, all-self-loops, and empty input agree across strategies") {
+    import spark.implicits._
+    // single edge: 2 nodes, 1 edge, 0 wedges, 0 triangles, ppm 0
+    assert(census(Seq((7L, 9L))) == ((2L, 1L, 0L, 0L, 0L)))
+    // self-loops only: normalized away entirely — the driver leg must
+    // decline (empty probe) and the distributed plan owns the degenerate
+    // output shape, on BOTH strategy spellings
+    val loops = Seq((1L, 1L), (2L, 2L)).toDF("pa", "pb")
+    val viaDefault = Graph.triangleStats(loops, "pa", "pb").collect()(0)
+    val viaJoin = Graph.triangleStats(loops, "pa", "pb", 0L).collect()(0)
+    assert(viaDefault.toSeq == viaJoin.toSeq)
+    assert(viaDefault.getLong(0) == 0L && viaDefault.getLong(1) == 0L)
+    // fully empty input: same contract
+    val empty = Seq.empty[(Long, Long)].toDF("pa", "pb")
+    assert(Graph.triangleStats(empty, "pa", "pb").collect()(0).toSeq ==
+      Graph.triangleStats(empty, "pa", "pb", 0L).collect()(0).toSeq)
+  }
+
   test("driver census ≡ shuffle-join closure on 10 seeded pseudo-random multigraphs") {
     import spark.implicits._
     for (seed <- 0 until 10) {

@@ -88,6 +88,26 @@ class MiningSpec extends SparkSpec {
     assert(sOut == Map("a" -> 3L, "b" -> 3L, "c" -> 3L))
   }
 
+  test("labelPropagation boundaries: empty edges, self-loops only, empty seeds") {
+    import spark.implicits._
+    val seeds = Seq((1L, 10L)).toDF("v", "seed_label")
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    for (cap <- Seq(1 << 20, 0)) {
+      // no edges → no graph nodes → empty output (seeds outside the graph
+      // never appear), identically on both strategies
+      assert(Graph.labelPropagation(empty, seeds, 2, cap).count() == 0L)
+      // self-loops are filtered before anything else → same as empty
+      val loops = Seq((5L, 5L)).toDF("a", "b")
+      assert(Graph.labelPropagation(loops, seeds, 2, cap).count() == 0L)
+      // empty seeds → every node present but unreached (-1)
+      val e = Seq((1L, 2L)).toDF("a", "b")
+      val out = Graph.labelPropagation(e,
+        Seq.empty[(Long, Long)].toDF("v", "seed_label"), 2, cap)
+        .as[(Long, Long)].collect().toMap
+      assert(out == Map(1L -> -1L, 2L -> -1L), s"cap=$cap: $out")
+    }
+  }
+
   test("labelPropagation: fast path ≡ loop on 6 seeded pseudo-random multigraphs") {
     import spark.implicits._
     for (seed <- 0 until 6) {
