@@ -28,12 +28,27 @@ object Itemsets {
     * every row bit-for-bit. Deterministic order: co DESC, item_a, item_b.
     */
   def frequentPairs(baskets: DataFrame, basketCol: String, itemCol: String,
-                    minSupport: Long, topK: Int): DataFrame = {
-    val b = baskets
+                    minSupport: Long, topK: Int): DataFrame =
+    frequentPairs(baskets, basketCol, itemCol, minSupport, topK,
+      assumeDistinct = false)
+
+  /** As [[frequentPairs]]; `assumeDistinct = true` is a CALLER CONTRACT
+    * that the non-null `(basket, item)` rows are already distinct AND the
+    * input relation is already materialized (e.g. a checkpointed shared
+    * view) — the op then skips its defensive distinct-shuffle +
+    * checkpoint, which on an already-clean input is pure duplicated work
+    * (one full shuffle + block write). A caller that lies gets inflated
+    * counts: the contract is on the caller, exactly like feeding
+    * pre-bucketed tables to a bucketed join. */
+  def frequentPairs(baskets: DataFrame, basketCol: String, itemCol: String,
+                    minSupport: Long, topK: Int,
+                    assumeDistinct: Boolean): DataFrame = {
+    val b0 = baskets
       .select(col(basketCol).as("bk"), col(itemCol).as("it"))
       .filter(col("bk").isNotNull && col("it").isNotNull)
-      .distinct()
-      .localCheckpoint() // feeds item counts, both pair sides, basket total
+    val b = if (assumeDistinct) b0
+      else b0.distinct()
+        .localCheckpoint() // feeds item counts, both pair sides, basket total
     val itemCnt = b.groupBy(col("it")).agg(count(lit(1)).as("cnt"))
     val freq = itemCnt.filter(col("cnt") >= minSupport)
     // Map-side basket pruning: broadcast the support-bounded frequent set.

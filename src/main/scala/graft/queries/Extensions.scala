@@ -3694,8 +3694,10 @@ object Extensions {
     * single-item table broadcasts, so basket pruning is map-side; the one
     * shuffle is the pair count itself. */
   def x113FrequentPairs(s: SparkSession, dir: String): DataFrame =
+    // the shared basket view is distinct by construction and checkpointed,
+    // so the op's defensive dedup shuffle is waived by caller contract
     Itemsets.frequentPairs(coPurchaseBaskets(s, dir),
-      "o", "p", minSupport = 2L, topK = 40)
+      "o", "p", minSupport = 2L, topK = 40, assumeDistinct = true)
   val x113Sql: String =
     Itemsets.frequentPairsSql("lineitem", "l_orderkey", "l_partkey",
       minSupport = 2L, topK = 40)

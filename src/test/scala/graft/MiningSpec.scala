@@ -24,6 +24,13 @@ class MiningSpec extends SparkSpec {
     // co(a,b)=2 lift=2*4*1e6/(3*3); co(a,c)=1 < 2 dropped; co(b,c)=1 dropped;
     // every pair with d dropped by pass-1 pruning
     assert(out.toSeq == Seq(("a", "b", 2L, 2L * 4L * 1000000L / 9L)))
+    // caller-contract path: on an input that IS distinct, waiving the
+    // defensive dedup shuffle must change nothing
+    val distinctIn = baskets.distinct().localCheckpoint()
+    val viaContract = Itemsets
+      .frequentPairs(distinctIn, "bk", "it", 2L, 10, assumeDistinct = true)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(5)))
+    assert(viaContract.toSeq == out.toSeq)
   }
 
   test("frequentPairs: empty when nothing reaches support") {
