@@ -454,8 +454,19 @@ object Graph {
     * over the WHOLE graph (the center is unrestricted). Existing edges
     * drop via an anti-join; degrees join back from the full degree table. */
   def linkPrediction(edges: DataFrame, aCol: String, bCol: String,
-      seedMax: Long, topK: Int): DataFrame = {
-    val e = edges
+      seedMax: Long, topK: Int): DataFrame =
+    linkPrediction(edges, aCol, bCol, seedMax, topK, assumeNormalized = false)
+
+  /** As [[linkPrediction]]; `assumeNormalized = true` is a CALLER CONTRACT
+    * (the [[graft.ops.Itemsets.frequentPairs]] discipline) that the input
+    * is already the distinct `a < b` non-null edge SET and already
+    * materialized (e.g. a checkpointed shared view) — the op then skips
+    * its defensive normalize + distinct shuffle + checkpoint. A caller
+    * that lies gets inflated common-neighbor counts. */
+  def linkPrediction(edges: DataFrame, aCol: String, bCol: String,
+      seedMax: Long, topK: Int, assumeNormalized: Boolean): DataFrame = {
+    val e = if (assumeNormalized) edges.select(col(aCol).as("a"), col(bCol).as("b"))
+    else edges
       .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .distinct()

@@ -63,10 +63,15 @@ object Extensions {
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
     }
 
-  /** The co-purchase EDGE relation (parts sharing an order, a < b) —
-    * materialized once per (session, corpus): the within-order self-join
-    * is the expensive step all three graph consumers (x112/x114/x127)
-    * repeated independently in r8 (19% of the bench suite together). */
+  /** The co-purchase EDGE relation (parts sharing an order, a < b,
+    * DISTINCT) — materialized once per (session, corpus): the within-order
+    * self-join is the expensive step all three graph consumers
+    * (x112/x114/x127) repeated independently in r8 (19% of the bench suite
+    * together). The distinct lives HERE, not in the consumers, for the
+    * same reason: each graph op dedups defensively, so pairs recurring
+    * across orders would otherwise be re-shuffled away three times
+    * (x127 opts into [[graft.ops.Graph.linkPrediction]]'s normalized-input
+    * contract; x112/x114's driver legs dedup in their probe sets). */
   private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
     graft.ops.SharedViews.materialized(s, s"copurchase_edges/$dir") {
       import org.apache.spark.sql.functions.col
@@ -74,6 +79,7 @@ object Extensions {
       li.as("x").join(li.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("a"), col("y.p").as("b"))
+        .distinct()
     }
 
   private def sumDecSql(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
@@ -3370,8 +3376,10 @@ object Extensions {
     * the WHOLE co-purchase graph, wedge legs seed-filtered BEFORE the
     * self-join so the Σdeg² blowup never materializes. */
   def x127LinkPrediction(s: SparkSession, dir: String): DataFrame =
+    // the shared edge view is the distinct a<b set, checkpointed — the
+    // op's defensive normalize+distinct is waived by caller contract
     graft.ops.Graph.linkPrediction(coPurchaseEdges(s, dir), "a", "b",
-      seedMax = 200L, topK = 20)
+      seedMax = 200L, topK = 20, assumeNormalized = true)
   val x127Sql: String = graft.ops.Graph.linkPredictionSql(
     """SELECT x.p AS a, y.p AS b
       |FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) x

@@ -367,6 +367,15 @@ class MiningSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
     assert(out.contains((1L, 2L, 2L, 2L * 1000000L / 3L)))
     assert(!out.exists(p => p._1 == 1L && p._2 == 3L)) // existing edge
+    // caller-contract path: on the already-normalized distinct edge set,
+    // waiving the defensive normalize+distinct must change nothing
+    val normalized = edges
+      .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"))
+      .distinct().localCheckpoint()
+    val viaContract = graft.ops.Graph
+      .linkPrediction(normalized, "a", "b", 5L, 10, assumeNormalized = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(viaContract.toSeq == out.toSeq)
   }
 
   // ------------------------------------------------------------ apportionment
