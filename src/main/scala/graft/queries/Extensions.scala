@@ -1778,8 +1778,12 @@ object Extensions {
     * is the only place shingle strings exist, gated to winner hashes. */
   def x171BoilerplateNgrams(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def tokens: DataFrame = docs(s, dir)
-      .select($"doc_id", $"source", split(lower($"text"), "\\s+").as("w"))
+    // both corpus passes (hash counts; winner-string recovery) read the
+    // session-shared tokenized view — the regex split runs once per
+    // (session, corpus), not twice per x171 call; Dedup.tokens is the
+    // identical split(lower, \s+) the oracle respells
+    def tokens: DataFrame = tokDocs(s, dir)
+      .select($"doc_id", $"source", $"tokens".as("w"))
     def shingles: DataFrame = tokens
       .select($"doc_id", $"source",
         explode(when(size($"w") >= 3,

@@ -197,6 +197,8 @@ class TextSignalsSpec extends SparkSpec {
     }
     val dir = java.nio.file.Files.createTempDirectory("x171eq").toString
     rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")) // x171 reads the shared tokenized view,
+      // which carries the documents schema's lang column
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
     // the straightforward string-keyed spelling (the pre-r11 implementation)
