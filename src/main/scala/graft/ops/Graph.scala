@@ -49,7 +49,10 @@ object Graph {
     // the RAW normalized edge list fits the same driver-array budget the
     // set-probe closure already trusts, the whole census — dedup, degrees,
     // (deg, id) orientation, and merge-intersection of sorted out-lists —
-    // runs off ONE CollectLimit job. The forward algorithm's work is
+    // runs off ONE CollectLimit job (transient driver footprint at the
+    // full 4M-row default cap: ~0.5–1 GB of boxed Rows + the dedup set,
+    // ~10× the packed payload — the same honest price labelPropagation's
+    // scaladoc quotes for this budget). The forward algorithm's work is
     // Σ_(u→v) (|out(u)|+|out(v)|) ≤ O(m^1.5), but WITHOUT materializing
     // the wedge stream the distributed plan probes (148M rows at sf0.1 —
     // ~20 binary-search levels each); measured ~2.3 s → ~0.9 s on the
@@ -239,8 +242,10 @@ object Graph {
     * an eager localCheckpoint, so a 3-round run pays ~12× the fixed per-job
     * cost — on a co-occurrence graph whose EDGE LIST fits a driver array,
     * that fixed cost dwarfs the data. When the distinct edge set fits under
-    * `driverEdgeCap` (default 4M edges ≈ 64 MB of id pairs — the same
-    * driver-array budget as [[triangleStats]]'s broadcast closure), seeds
+    * `driverEdgeCap` (default 4M edges ≈ 64 MB of packed id pairs; the
+    * transient collect+dedup footprint is ~10× that in boxed Row/set
+    * overhead — ~0.5–1 GB at the full cap, inside any realistic driver,
+    * and the same budget as [[triangleStats]]'s broadcast closure), seeds
     * fit the same bound, all ids are LONG, and seed keys are unique, the
     * identical synchronous schedule (clamped seeds, majority vote,
     * lowest-label ties, no-labeled-neighbor keeps) runs driver-local,

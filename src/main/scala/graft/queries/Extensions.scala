@@ -319,7 +319,11 @@ object Extensions {
     * near-dup family whose QUALITY (not just output determinism) was
     * unasserted. The oracle brute-forces truth and replays the 16-bit
     * chunk-share candidate test per pair; Spark never joins all pairs —
-    * both its legs ride the capped one-shuffle bucket kernel. */
+    * both its legs ride the capped one-shuffle bucket kernel. Corpus
+    * contract: ≥2 documents (on a pairless corpus the Spark side still
+    * emits its 7 threshold rows with zero counts while the oracle's pair
+    * relation is empty — degenerate inputs belong to the unit spec, which
+    * replays every count brute-force). */
   def x190SimhashRecall(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashRecallReport(docs(s, dir), "doc_id", "text")
   val x190Sql: String =
