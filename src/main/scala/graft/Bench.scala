@@ -74,9 +74,25 @@ object Bench {
       s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "2").toInt
     require(repeats >= 1, s"SPARK_GRAFT_REPEATS must be >= 1, got $repeats")
+    // MID-RUN floor timeline (r12 lesson: the checked-in BENCH_r12 read
+    // x112 at 12.85 s — 12× its idle-box time — while the START-of-run
+    // floors sat at normal values, because host contention arrived mid-run
+    // where the one-shot floor probes can't see it). Re-probe the pure
+    // job-launch floor every `floorEvery` queries during the loop itself;
+    // the timeline makes a polluted SEGMENT attributable: a query reading
+    // far above its history while its neighboring floor samples are also
+    // elevated is the host, not the code.
+    val floorEvery = 25
+    val floorTimeline = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    var queryIdx = 0
+    def sampleFloor(): Unit = {
+      floorTimeline += ((queryIdx, minOf(3)(spark.range(1).count()) * 1000))
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
+      if (queryIdx % floorEvery == 0) sampleFloor()
+      queryIdx += 1
       // A failed run must NOT contribute its elapsed time to the min (a
       // query that fails fast would under-report); failures map to a -1.0
       // sentinel that survives to the output so a broken query is visible.
@@ -103,6 +119,7 @@ object Bench {
     // seconds, only where variance actually matters.
     val hotExtra = sys.env.getOrElse("SPARK_GRAFT_HOT_REPEATS", "2").toInt
     require(hotExtra >= 0, s"SPARK_GRAFT_HOT_REPEATS must be >= 0, got $hotExtra")
+    sampleFloor() // close the timeline: one sample after the last query
     val hot = results.sortBy(-_._2).take(10).map(_._1).toSet
     val fns = SparkEntry.queries
     val finalResults = results.map { case (name, best) =>
@@ -123,11 +140,22 @@ object Bench {
     def f(v: Double): String = "%.3f".format(v)
     def dict(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
-    val total = finalResults.map(_._2).sum
-    val cal = s""""floor_launch_ms":${f(floorLaunchMs)},"floor_q13_ms":${f(floorQ13Ms)}"""
+    // failed queries carry the -1.0 sentinel in the per-query map (visible),
+    // but must NOT be summed into the headline total — each failure would
+    // SUBTRACT a second from the cross-round comparison. Their count is
+    // reported separately so a broken round can't read as a fast round.
+    val total = finalResults.map(_._2).filter(_ >= 0).sum
+    val nFailed = finalResults.count(_._2 < 0)
+    // the stdout line carries only the timeline's worst sample (a clean run
+    // stays near floor_launch_ms); the full timeline goes to the detail file
+    val floorMidMax = if (floorTimeline.isEmpty) -1.0 else floorTimeline.map(_._2).max
+    val cal = s""""floor_launch_ms":${f(floorLaunchMs)},"floor_q13_ms":${f(floorQ13Ms)},"floor_mid_max_ms":${f(floorMidMax)},"n_failed":$nFailed"""
+    val timelineJson = floorTimeline
+      .map { case (at, ms) => s"""{"after_query":$at,"ms":${f(ms)}}""" }
+      .mkString("[", ",", "]")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_QUERIES.json"),
-      s"""{"total":${f(total)},"sf":"$sfDir",$cal,"queries":${dict(finalResults)}}""")
+      s"""{"total":${f(total)},"sf":"$sfDir",$cal,"floor_timeline":$timelineJson,"queries":${dict(finalResults)}}""")
     catch { case _: Throwable => () } // detail file is best-effort
     val slowest = finalResults.sortBy(-_._2).take(25)
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},$cal,"queries":${dict(slowest)},"detail":"BENCH_QUERIES.json","sf":"$sfDir"}""")

@@ -334,9 +334,15 @@ object Ops {
   }
 
   /** Exact dot product of two long vectors (wrapping int64 arithmetic —
-    * callers bound magnitudes so overflow cannot occur; identical semantics
-    * to the SQL `aggregate(zip_with(a, b, (x, y) -> x * y), 0L, +)` fold it
-    * replaces, minus the per-element boxing of the interpreted HOF path). */
+    * callers bound magnitudes so overflow cannot occur). MIN-LENGTH
+    * CONTRACT, same as [[dotF]]: ragged inputs are truncated to the shorter
+    * array. This DIFFERS from the SQL
+    * `aggregate(zip_with(a, b, (x, y) -> x * y), 0L, +)` fold it replaced,
+    * which NULL-pads the shorter side and so returns NULL on any length
+    * mismatch — on the equal-length quantized vectors every call site
+    * feeds it the two spellings coincide (minus the per-element boxing of
+    * the interpreted HOF path); a caller with ragged arrays must not rely
+    * on that equivalence. */
   def dotL(a: ArrayData, b: ArrayData): Long = {
     val la = a.toLongArray()
     val lb = b.toLongArray()

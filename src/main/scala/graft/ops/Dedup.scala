@@ -108,9 +108,24 @@ object Dedup {
     * aggregate or the shuffle. */
   private[graft] def bucketCandidatePairs(banded: DataFrame, idxCol: String,
       hashCol: String, maxBucketSize: Int): DataFrame =
+    pairsFromBuckets(boundedBuckets(banded, idxCol, hashCol, maxBucketSize))
+
+  /** The capped bucket aggregation half of [[bucketCandidatePairs]]: one row
+    * per (idx, hash) bucket with its id list, NULL where the bucket
+    * saturated past `maxBucketSize`. Split out so audit paths that must
+    * DETECT saturation (rather than silently skip — [[simhashRecallReport]]'s
+    * truth leg) can inspect the bucket table before exploding it. */
+  private[graft] def boundedBuckets(banded: DataFrame, idxCol: String,
+      hashCol: String, maxBucketSize: Int): DataFrame =
     banded
       .groupBy(col(idxCol), col(hashCol))
       .agg(graft.functions.BoundedLongSet.bounded_collect_set(col("doc_id"), maxBucketSize).as("ids"))
+
+  /** The pair-explosion half of [[bucketCandidatePairs]]: saturated (NULL)
+    * and singleton buckets drop, surviving lists explode to their i<j pairs
+    * map-side. */
+  private[graft] def pairsFromBuckets(buckets: DataFrame): DataFrame =
+    buckets
       .filter(col("ids").isNotNull && size(col("ids")) >= 2)
       .select(explode(expr(
         // all i<j index pairs of the bucket's id list, generated in-place
@@ -313,34 +328,61 @@ object Dedup {
     * kernel — never an all-pairs join, which keeps the audit 100 TB-shaped
     * exactly like the production path it grades. Counts are cumulative per
     * threshold; `recall_micro = (n_candidates·10⁶) DIV n_truth` is exact
-    * integer math both engines reproduce bit-for-bit. */
+    * integer math both engines reproduce bit-for-bit.
+    *
+    * Truth-leg honesty: the 8-bit chunk key space is only 8×256 buckets, so
+    * truth-bucket sizes grow LINEARLY with corpus size (≈ n/256 per chunk on
+    * random signatures) — exhaustive hamming truth is inherently quadratic
+    * per bucket and belongs on a sampled corpus, not the full 100 TB run.
+    * The truth leg therefore carries its OWN cap (`truthBucketCap`,
+    * independent of the production-geometry `maxBucketSize`) and FAILS
+    * LOUDLY if any truth bucket saturates: a silently-NULLed truth bucket
+    * would drop truth pairs, break the "exhaustive for h ≤ 7" claim, and let
+    * recall_micro drift past 10⁶ with no visible symptom. */
   def simhashRecallReport(docs: DataFrame, idCol: String, textCol: String,
       maxHammings: Seq[Int] = Seq(1, 2, 3, 4, 5, 6, 7),
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      truthBucketCap: Int = 8192): DataFrame = {
     require(maxHammings.nonEmpty && maxHammings.forall(h => h >= 0 && h <= 7),
       s"simhash recall: thresholds must be in [0, 7] (8-chunk truth bound), got $maxHammings")
     val spark = docs.sparkSession
     val sigs = docs
       .select(col(idCol).as("doc_id"), simhash64(tokens(col(textCol))).as("sig"))
       .localCheckpoint()
-    def hammingPairs(chunks: Int): DataFrame = {
+    def chunkRel(chunks: Int): DataFrame = {
       val bits = 64 / chunks
-      val chunked = sigs.select(
+      sigs.select(
         col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(chunks - 1))).as("chunk_idx"))
         .withColumn("chunk_val",
           expr(s"(sig >> (chunk_idx * $bits)) & ${(1L << bits) - 1}"))
         .select("doc_id", "chunk_idx", "chunk_val")
-      bucketCandidatePairs(chunked, "chunk_idx", "chunk_val", maxBucketSize)
-        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
-        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
-        .select(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
     }
+    def verified(pairs: DataFrame): DataFrame = pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+    // CANDIDATE leg: the production 4×16-bit geometry, production cap —
+    // saturation here is exactly the production behavior being graded.
+    val candPairs = bucketCandidatePairs(chunkRel(4), "chunk_idx", "chunk_val", maxBucketSize)
+    // TRUTH leg: 8×8-bit pigeonhole under its own cap, saturation = error.
+    // The bucket table is ≤ 2048 rows; materializing it for the check is
+    // one tiny job, and the pair explosion below reuses the stored blocks.
+    val truthBuckets = boundedBuckets(chunkRel(8), "chunk_idx", "chunk_val", truthBucketCap)
+      .localCheckpoint()
+    val nSaturated = truthBuckets.filter(col("ids").isNull).count()
+    require(nSaturated == 0L,
+      s"simhash recall: $nSaturated truth bucket(s) exceeded truthBucketCap=$truthBucketCap — " +
+        "the 8×8-bit truth leg would silently drop pairs and the report's " +
+        "'exhaustive for h ≤ 7' guarantee would break. Raise truthBucketCap " +
+        "or run the audit on a sampled corpus (exhaustive hamming truth is " +
+        "inherently quadratic per bucket).")
+    val truthPairs = pairsFromBuckets(truthBuckets)
     // per-hamming-distance histograms: ≤ 8 rows each, so the per-threshold
     // cumulative counts are a driver-free broadcast-sized crossJoin away
-    val candHist = hammingPairs(4).filter(col("hamming") <= maxHammings.max)
+    val candHist = verified(candPairs).filter(col("hamming") <= maxHammings.max)
       .groupBy(col("hamming")).agg(count(lit(1)).as("c"))
-    val truthHist = hammingPairs(8).filter(col("hamming") <= maxHammings.max)
+    val truthHist = verified(truthPairs).filter(col("hamming") <= maxHammings.max)
       .groupBy(col("hamming")).agg(count(lit(1)).as("c"))
     import spark.implicits._
     val hs = maxHammings.distinct.sorted.toDF("max_hamming")
@@ -664,8 +706,10 @@ object Dedup {
     * Hybrid execution: the EDGE set of a near-dup graph is the near-dup
     * population itself — orders of magnitude smaller than the corpus that
     * produced it (it is already the output of a capped LSH / SNM candidate
-    * stage). When the edges fit under `driverEdgeCap` (default 2²⁰ ≈ 16 MB
-    * of longs) and ids are LONG, the components are computed by a
+    * stage). When the edges fit under `driverEdgeCap` (default 2²⁰ edges
+    * ≈ 16 MB of packed longs, scaled DOWN on small drivers by
+    * [[graft.ops.Graph.memoryScaledCap]]'s ~2 KiB-per-edge transient
+    * budget) and ids are LONG, the components are computed by a
     * driver-local union–find in ONE collect job instead of O(diameter)
     * join+agg rounds each paying the fixed per-job cost — identical output
     * (min member id per component) by construction. Over the cap, or for
@@ -674,7 +718,7 @@ object Dedup {
     * so the probe itself is scale-safe. */
   def nearDupClusters(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIters: Int = 25,
-      driverEdgeCap: Int = 1 << 20): DataFrame = {
+      driverEdgeCap: Int = graft.ops.Graph.memoryScaledCap(1 << 20)): DataFrame = {
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val longIds = fwd.schema("src").dataType ==
       org.apache.spark.sql.types.LongType &&

@@ -9,6 +9,17 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Default cap for the hybrid driver-local fast paths, derived from the
+    * DRIVER's heap rather than fixed: the probe collect's transient
+    * footprint (boxed Rows + the dedup set, ~10× the packed payload) is
+    * budgeted at ~2 KiB of heap per edge, so a 1 GiB driver defaults to
+    * ~512k edges and the `ceiling` (4M for the graph ops) is only reached
+    * at ≥ 8 GiB — a GB-scale collect is never the default on a driver that
+    * can't absorb it, while callers can still opt in explicitly via the
+    * cap-taking overloads. */
+  private[graft] def memoryScaledCap(ceiling: Int): Int =
+    math.min(ceiling.toLong, Runtime.getRuntime.maxMemory() / 2048L).toInt
+
   /** Global triangle census of an undirected graph given as an edge
     * relation (dupes, reversals, and self-loops tolerated): node/edge
     * counts, wedge count Σ_v C(deg v, 2), triangle count, and the global
@@ -27,7 +38,8 @@ object Graph {
     * (AQE broadcasts the degree table when small); nothing is quadratic in
     * nodes or collected to the driver. */
   def triangleStats(edges: DataFrame, aCol: String, bCol: String): DataFrame =
-    triangleStats(edges, aCol, bCol, broadcastClosureMaxEdges = 4000000L)
+    triangleStats(edges, aCol, bCol,
+      broadcastClosureMaxEdges = memoryScaledCap(4 << 20).toLong)
 
   /** As [[triangleStats]]; `broadcastClosureMaxEdges` picks the wedge-
     * CLOSURE strategy. The wedge stream (m^1.5 rows worst case) dwarfs the
@@ -233,7 +245,7 @@ object Graph {
     * this is the standard BSP formulation: state lives in the cluster,
     * the driver holds nothing but the round counter. */
   def labelPropagation(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame =
-    labelPropagation(edges, seeds, rounds, driverEdgeCap = 4 << 20)
+    labelPropagation(edges, seeds, rounds, driverEdgeCap = memoryScaledCap(4 << 20))
 
   /** As [[labelPropagation]]; `driverEdgeCap` picks the execution strategy.
     *
@@ -242,10 +254,12 @@ object Graph {
     * an eager localCheckpoint, so a 3-round run pays ~12× the fixed per-job
     * cost — on a co-occurrence graph whose EDGE LIST fits a driver array,
     * that fixed cost dwarfs the data. When the distinct edge set fits under
-    * `driverEdgeCap` (default 4M edges ≈ 64 MB of packed id pairs; the
+    * `driverEdgeCap` (default [[memoryScaledCap]](4M): the 4M-edge ceiling
+    * ≈ 64 MB of packed id pairs applies only on a ≥ 8 GiB driver — the
     * transient collect+dedup footprint is ~10× that in boxed Row/set
-    * overhead — ~0.5–1 GB at the full cap, inside any realistic driver,
-    * and the same budget as [[triangleStats]]'s broadcast closure), seeds
+    * overhead, ~0.5–1 GB at the full ceiling, and smaller drivers get a
+    * proportionally smaller default; same budget as [[triangleStats]]'s
+    * broadcast closure), seeds
     * fit the same bound, all ids are LONG, and seed keys are unique, the
     * identical synchronous schedule (clamped seeds, majority vote,
     * lowest-label ties, no-labeled-neighbor keeps) runs driver-local,

@@ -41,8 +41,11 @@ object Reservoir {
   /** DETERMINISTIC k-smallest-by-priority sample through the same operator
     * stack — the auditable counterpart of [[sample]]: `priorityCol` must be
     * a non-null LONG column with distinct values (callers derive it with
-    * seeded integer hashing, e.g. `Exprs.smix64`; ties make the selection
-    * partitioning-dependent, and NULL-priority rows are skipped). Same
+    * seeded integer hashing, e.g. `Exprs.smix64`; NULL-priority rows are
+    * skipped). Duplicate priorities — a broken contract — degrade safely:
+    * ties are broken by the row's serialized bytes, a content-derived
+    * order, so even then identical runs select identically (the selection
+    * is merely no longer priority-meaningful). Same
     * physical shape — one streaming pass per partition with O(k) state
     * (a bounded max-heap), then a single-task merge — but zero RNG: the
     * result replays bit-for-bit in any engine with 64-bit arithmetic,
@@ -159,52 +162,83 @@ case class PrioritySampleExec(k: Int, priorityCol: String, child: SparkPlan)
     val ord = child.output.indexWhere(_.name == priorityCol)
     require(ord >= 0, s"priority sample: column $priorityCol not in child output")
     val fieldTypes = child.output.map(_.dataType).toArray
-    // Bounded max-heap of the k smallest priorities; rows are copied only
-    // on ADMISSION (the stream reuses unsafe rows), and the merge stage
-    // skips the copy — its inputs are the already-materialized candidates.
-    // Returned ascending by priority (max-heap polls largest-first; fill
-    // backwards).
-    def topK(it: Iterator[InternalRow], admit: InternalRow => InternalRow): Array[(Long, InternalRow)] = {
-      val heap = new java.util.PriorityQueue[(Long, InternalRow)](
+    import org.apache.spark.sql.catalyst.expressions.UnsafeRow
+    // Priority ties (a broken caller contract — see [[Reservoir.samplePq]])
+    // are broken by the row's OWN serialized bytes: a content-derived,
+    // partitioning- and arrival-order-independent total order, evaluated
+    // only when two priorities actually collide. Without it, the
+    // coalesce(1, shuffle = true) merge below would make tie selection
+    // depend on run-to-run shuffle arrival order.
+    def cmpBytes(x: UnsafeRow, y: UnsafeRow): Int = {
+      val xb = x.getBytes; val yb = y.getBytes
+      val n = math.min(xb.length, yb.length)
+      var i = 0
+      while (i < n) {
+        val c = java.lang.Integer.compare(xb(i) & 0xff, yb(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      java.lang.Integer.compare(xb.length, yb.length)
+    }
+    // Bounded max-heap of the k smallest (priority, bytes) entries; rows are
+    // materialized (copied) only on ADMISSION — `toUnsafe` may return a
+    // reused row (the stage-1 projection), `materialize` makes it heap-safe.
+    // Returned ascending (max-heap polls largest-first; fill backwards).
+    def topK(it: Iterator[InternalRow], toUnsafe: InternalRow => UnsafeRow,
+        materialize: UnsafeRow => UnsafeRow): Array[(Long, UnsafeRow)] = {
+      val heap = new java.util.PriorityQueue[(Long, UnsafeRow)](
         math.max(kk, 1),
-        new java.util.Comparator[(Long, InternalRow)] {
-          override def compare(a: (Long, InternalRow), b: (Long, InternalRow)): Int =
-            java.lang.Long.compare(b._1, a._1)
+        new java.util.Comparator[(Long, UnsafeRow)] {
+          override def compare(a: (Long, UnsafeRow), b: (Long, UnsafeRow)): Int = {
+            val c = java.lang.Long.compare(b._1, a._1)
+            if (c != 0) c else cmpBytes(b._2, a._2)
+          }
         })
       it.foreach { row =>
         if (!row.isNullAt(ord)) {
           val pri = row.getLong(ord)
           if (heap.size < kk) {
-            heap.offer((pri, admit(row)))
-          } else if (pri < heap.peek()._1) {
-            heap.poll()
-            heap.offer((pri, admit(row)))
+            heap.offer((pri, materialize(toUnsafe(row))))
+          } else {
+            val top = heap.peek()
+            if (pri < top._1) {
+              heap.poll()
+              heap.offer((pri, materialize(toUnsafe(row))))
+            } else if (pri == top._1) {
+              val u = toUnsafe(row)
+              if (cmpBytes(u, top._2) < 0) {
+                heap.poll()
+                heap.offer((pri, materialize(u)))
+              }
+            }
           }
         }
       }
-      val arr = new Array[(Long, InternalRow)](heap.size)
+      val arr = new Array[(Long, UnsafeRow)](heap.size)
       var i = arr.length - 1
       while (i >= 0) { arr(i) = heap.poll(); i -= 1 }
       arr
     }
     // Admission materializes an UnsafeRow copy (the stream reuses rows, and
     // the candidates cross a REAL stage boundary below, so they must be
-    // serializable regardless of what row class the child emits).
+    // serializable regardless of what row class the child emits). The merge
+    // stage skips the copy — its inputs are the already-materialized,
+    // individually-deserialized candidates.
     val partials = child.execute().mapPartitions { it =>
       val proj = org.apache.spark.sql.catalyst.expressions
         .UnsafeProjection.create(fieldTypes)
-      topK(it, row => proj(row).copy()).iterator.map(_._2)
+      topK(it, row => proj(row), _.copy()).iterator.map(_._2): Iterator[InternalRow]
     }
     // shuffle = true: with the narrow coalesce(1) the single merge task
     // computed every upstream partition ITSELF whenever the child had no
     // shuffle boundary — the "per-partition pass" ran serially in one task.
     // The shuffle moves only the already-reduced ≤ numPartitions × k
     // candidate rows (negligible), and stage 1 genuinely runs one task per
-    // input partition. Merge order doesn't matter: the heap re-ranks by
-    // priority, so arrival order can't change the selected set (priorities
-    // are distinct by contract) or the ascending output order.
+    // input partition. Merge arrival order cannot change the result: the
+    // heap re-ranks by (priority, bytes), a total order over distinct rows.
     partials.coalesce(1, shuffle = true)
-      .mapPartitions(it => topK(it, identity).iterator.map(_._2))
+      .mapPartitions(it => topK(it, _.asInstanceOf[UnsafeRow], identity)
+        .iterator.map(_._2): Iterator[InternalRow])
   }
 }
 

@@ -614,6 +614,29 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(rep(h.toLong)._1 == rep(h.toLong)._2, s"h=$h recall must be total: $rep")
   }
 
+  test("simhashRecallReport FAILS LOUDLY when a truth bucket saturates (no silent undercount)") {
+    // ADVICE r12 (medium): the 8×8-bit truth leg has only 2048 buckets, so
+    // a skewed corpus can push one past the cap — bounded_collect_set would
+    // NULL it and the report would silently DROP truth pairs, breaking the
+    // "exhaustive for h ≤ 7" claim and letting recall_micro exceed 10⁶.
+    // Saturation must now throw, naming the knob.
+    import spark.implicits._
+    // 9 exact copies → identical signatures → one truth bucket of size 9
+    // per chunk; truthBucketCap = 8 saturates all of them
+    val df = (1L to 9L).map(i => (i, "nine exact copies of this document"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashRecallReport(df, "doc_id", "text", truthBucketCap = 8)
+    }
+    assert(e.getMessage.contains("truthBucketCap"), e.getMessage)
+    // and the same corpus under a sufficient cap reports exhaustively:
+    // C(9,2) = 36 hamming-0 pairs, total recall at every threshold
+    val ok = Dedup.simhashRecallReport(df, "doc_id", "text", truthBucketCap = 9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ok(1L) == ((36L, 36L)), s"exact copies must pair exhaustively: $ok")
+    assert(ok(7L) == ((36L, 36L)), s"cumulative counts must hold at h=7: $ok")
+  }
+
   test("exactSubstrStrip is consistent with duplicateSpanStats on the real corpus") {
     import spark.implicits._
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

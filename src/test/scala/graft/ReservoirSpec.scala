@@ -152,6 +152,28 @@ class ReservoirSpec extends SparkSpec {
     assert(e.getMessage.contains("must be LONG"), e.getMessage)
   }
 
+  test("samplePq with DUPLICATE priorities selects deterministically (byte tie-break)") {
+    // ADVICE r12: the coalesce(1, shuffle = true) merge made tie selection
+    // depend on run-to-run shuffle arrival order when the caller broke the
+    // distinct-priority contract. Ties now break on the row's serialized
+    // bytes — content-derived, so identical runs (and re-partitionings)
+    // select identically even with massive priority collisions.
+    import spark.implicits._
+    // 400 rows, only 5 distinct priorities → k=12 forces tie decisions at
+    // the boundary both in the partials and the merge
+    val dup = (1L to 400L).map(i => (i, i % 5)).toDF("id", "pri")
+    def run(parts: Int): Seq[(Long, Long)] =
+      Reservoir.samplePq(dup.repartition(parts), 12, "pri")
+        .as[(Long, Long)].collect().toSeq
+    val a = run(8); val b = run(8); val c = run(8)
+    assert(a == b && b == c, s"tie selection must be run-stable:\n$a\n$b\n$c")
+    // all selected rows must still carry the smallest priority present
+    assert(a.forall(_._2 == 0L), s"k=12 from 80 pri-0 rows must all be pri 0: $a")
+    // and the same rows must be selected under a DIFFERENT partitioning —
+    // the byte order is content-derived, not arrival-derived
+    assert(run(3).toSet == a.toSet, "selection must not depend on partitioning")
+  }
+
   test("per-partition pass runs one task per input partition (real stage boundary before merge)") {
     // ADVICE r11: the narrow coalesce(1) merge computed every upstream
     // partition inside the single merge task whenever the child had no
