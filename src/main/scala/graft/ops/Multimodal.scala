@@ -11,9 +11,11 @@ import org.apache.spark.sql.types._
   * The Spark-side design is real and tested — schema, partition-preserving
   * batched processing via `mapPartitions` (the Scala twin of mapInPandas:
   * one iterator per partition, no per-row JVM boundary), deterministic
-  * output shapes. The actual codec work is STUBBED (this container has no
-  * image/audio libraries): `decodeStub` derives a deterministic fake
-  * "decode" from the bytes. Swapping in a real codec changes only the
+  * output shapes. IMAGE pixel decode is REAL: the container's JRE ships
+  * `java.desktop`, so [[decodePixels]] runs the JDK's bundled ImageIO
+  * codecs (PNG/JPEG/GIF/BMP/TIFF) — no external library. Audio/video codec
+  * work remains STUBBED (`decodeStub` derives a deterministic fake "decode"
+  * from the bytes); swapping in a real codec there changes only the
   * function body, none of the dataflow.
   *
   * Scale notes: all stages are map-side (no shuffle); binary payloads never
@@ -21,6 +23,11 @@ import org.apache.spark.sql.types._
   * drops the heavy bytes column whenever a stage doesn't need it.
   */
 object Multimodal {
+
+  // ImageIO's stream decode path uses a DISK-backed cache file per image by
+  // default — per-row temp-file churn on every executor thread. Pixels this
+  // small belong in memory; flip it once per JVM before any codec call.
+  private lazy val imageIoInit: Unit = javax.imageio.ImageIO.setUseCache(false)
 
   /** Typed metadata carried beside every binary payload. */
   val mediaMetaType: StructType = StructType(Seq(
@@ -136,6 +143,115 @@ object Multimodal {
         }
       })
       .toDF("media_id", "format", "width", "height")
+  }
+
+  /** Exact integer pixel statistics of one decoded image: dimensions FROM
+    * THE PIXEL GRID (not the header), per-channel sums, and the integer
+    * Rec.601 luma sum `Σ (299·r + 587·g + 114·b)` (the /1000 left to the
+    * consumer so every engine reproduces the number bit-for-bit). */
+  case class PixelStats(width: Int, height: Int,
+      sumR: Long, sumG: Long, sumB: Long, sumLuma: Long)
+
+  /** REAL pixel decode via the JDK's bundled ImageIO readers (PNG, JPEG,
+    * GIF, BMP, TIFF — `java.desktop` is part of this JRE, probed r13; no
+    * external codec library). Returns None for payloads ImageIO cannot
+    * decode — corrupt bytes are data, not exceptions, same contract as
+    * [[imageDims]]. Unlike [[imageDims]] (header arithmetic) this runs the
+    * actual codec: dimensions come from the decoded raster and the channel
+    * sums from every pixel, converted through the image's own color model
+    * to sRGB (`getRGB`). */
+  def decodePixels(payload: Array[Byte]): Option[PixelStats] = {
+    imageIoInit
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >>> 16) & 0xff
+            sg += (rgb >>> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        Some(PixelStats(w, h, sr, sg, sb, 299L * sr + 587L * sg + 114L * sb))
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Pixel-statistics stage over a media table `(media_id, payload, …)`:
+    * one real codec decode per row, mapPartitions-batched, undecodable
+    * payloads surface as NULL stats (never dropped — a curation gate
+    * decides). All-BIGINT output so the stats hash identically across
+    * engines: `media_id, width, height, sum_r, sum_g, sum_b, sum_luma,
+    * mean_luma_milli` (= sum_luma DIV n_pixels — integer milli-luma). */
+  def pixelStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        decodePixels(payload) match {
+          case Some(s) => (id, Option(s.width.toLong), Option(s.height.toLong),
+            Option(s.sumR), Option(s.sumG), Option(s.sumB), Option(s.sumLuma),
+            Option(s.sumLuma / (s.width.toLong * s.height)))
+          case None => (id, None: Option[Long], None: Option[Long],
+            None: Option[Long], None: Option[Long], None: Option[Long],
+            None: Option[Long], None: Option[Long])
+        }
+      })
+      .toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b",
+        "sum_luma", "mean_luma_milli")
+  }
+
+  /** Deterministic planted PNG: a `w`×`h` RGB image whose channel values
+    * are closed-form in (x, y, id) —
+    * `r = (3x + 5y + id) mod 256`, `g = (11x + y + 2·id) mod 256`,
+    * `b = (x + 13y + 3·id) mod 256` — encoded through the REAL ImageIO PNG
+    * writer. PNG is lossless, so [[decodePixels]] over these bytes must
+    * reproduce the formula exactly: that closed form is what lets a plain
+    * SQL engine with no codec oracle the whole encode→decode round trip
+    * (the x191 gate). */
+  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    imageIoInit
+    require(w > 0 && h > 0, s"syntheticPng: degenerate dims ${w}x$h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((3L * x + 5L * y + id) % 256).toInt
+        val g = ((11L * x + y + 2L * id) % 256).toInt
+        val b = ((x + 13L * y + 3L * id) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(256)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Plant a synthetic PNG per id — `(media_id, payload)` with dims
+    * `w = 8 + id mod 9`, `h = 8 + 7·id mod 9` (8–16 px, co-prime strides so
+    * the dim pair varies). Map-side, one encoder call per row. */
+  def plantSyntheticPngs(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (8 + id % 9).toInt
+        val h = (8 + (id * 7) % 9).toInt
+        (id, syntheticPng(id, w, h))
+      })
+      .toDF("media_id", "payload")
   }
 
   /** Resize stage: pure metadata+feature transform on decoded media. */

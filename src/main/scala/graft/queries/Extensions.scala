@@ -345,6 +345,48 @@ object Extensions {
       |      // CAST(sum(CASE WHEN p.hamming <= h.max_hamming THEN 1 ELSE 0 END) AS BIGINT) END AS recall_micro
       |FROM hs h CROSS JOIN p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------- x191 real pixel decode
+  /** [[graft.ops.Multimodal.pixelStats]] over planted synthetic PNGs — the
+    * REAL-codec gate x15's stubbed decode could not provide (r12 verdict
+    * item #3, closed r13 once the JRE's `java.desktop`/ImageIO was probed
+    * present): one PNG is ENCODED per document through the JDK's actual
+    * PNG writer with closed-form channel values
+    * ([[graft.ops.Multimodal.syntheticPng]]), then DECODED back through the
+    * actual PNG reader, and the exact integer pixel statistics (dims from
+    * the raster, per-channel sums, Rec.601 integer luma) are oracled
+    * against DuckDB evaluating the closed form directly — no codec in the
+    * oracle, yet any decode defect (wrong pixel order, color model, row
+    * stride, off-by-one dims) breaks the hash. Both legs are map-side
+    * (encode+decode fused in one pass per row; no shuffle until the final
+    * presentation sort). */
+  def x191PixelStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.pixelStats(
+      Multimodal.plantSyntheticPngs(docs(s, dir), "doc_id"))
+      .orderBy($"media_id")
+  }
+  val x191Sql: String =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |                  CAST(8 + doc_id % 9 AS BIGINT) AS w,
+      |                  CAST(8 + (doc_id * 7) % 9 AS BIGINT) AS h
+      |           FROM documents),
+      |px AS (
+      |  SELECT d.media_id, d.w, d.h, xs.x, ys.y
+      |  FROM d, LATERAL (SELECT unnest(range(0, d.w)) AS x) xs,
+      |          LATERAL (SELECT unnest(range(0, d.h)) AS y) ys),
+      |c AS (
+      |  SELECT media_id, w, h,
+      |    (3*x + 5*y + media_id) % 256 AS r,
+      |    (11*x + y + 2*media_id) % 256 AS g,
+      |    (x + 13*y + 3*media_id) % 256 AS b
+      |  FROM px)
+      |SELECT media_id, w AS width, h AS height,
+      |  CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+      |  CAST(SUM(b) AS BIGINT) AS sum_b,
+      |  CAST(SUM(299*r + 587*g + 114*b) AS BIGINT) AS sum_luma,
+      |  CAST(SUM(299*r + 587*g + 114*b) // (w*h) AS BIGINT) AS mean_luma_milli
+      |FROM c GROUP BY 1,2,3 ORDER BY media_id""".stripMargin
+
   // ------------------------------------------------------------ x08 n-gram jaccard
   // Exact relational shingle-join Jaccard — the one near-dup path with a
   // full DuckDB oracle (same explode+join shape both engines).
@@ -560,9 +602,11 @@ object Extensions {
       |FROM events ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------ x15 multimodal
-  // Rows-only: binary-column plumbing — attach payload+metadata, batched
-  // decode (stubbed codec), resize, frame-sample; asserts nothing about
-  // pixels, everything about schema/batch/partition behavior.
+  // Binary-column plumbing — attach payload+metadata, batched decode
+  // (stubbed codec: text payloads aren't images), resize, frame-sample;
+  // asserts nothing about pixels, everything about schema/batch/partition
+  // behavior. REAL pixel decode is gated separately by x191 (ImageIO
+  // round-trip vs closed-form oracle).
   def x15Multimodal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Multimodal.attachBinary(docs(s, dir), "doc_id", "text", "text/plain")
@@ -6095,6 +6139,7 @@ object Extensions {
     "x187_reservoir_pq" -> x187ReservoirPq _,
     "x188_ivf_recall" -> x188IvfRecall _,
     "x189_deflate_input" -> x189DeflateInput _,
+    "x191_pixel_stats" -> x191PixelStats _,
     "x190_simhash_recall" -> x190SimhashRecall _,
     "x151_ucb_mixture" -> x151UcbMixture _,
     "x150_snapshot_diff" -> x150SnapshotDiff _,
@@ -6339,6 +6384,7 @@ object Extensions {
     "x187_reservoir_pq" -> x187Sql,
     "x188_ivf_recall" -> x188Sql,
     "x189_deflate_input" -> x189Sql,
+    "x191_pixel_stats" -> x191Sql,
     "x190_simhash_recall" -> x190Sql,
     "x15_multimodal" -> x15Sql,
     "x151_ucb_mixture" -> x151Sql,

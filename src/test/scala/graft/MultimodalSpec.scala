@@ -82,6 +82,54 @@ class MultimodalSpec extends SparkSpec {
       (1L, Some("png"), Some(8)), (2L, Some("gif"), Some(3)), (3L, None, None)))
   }
 
+  test("decodePixels: REAL codec round-trip reproduces the planted closed form exactly") {
+    // r12 verdict item #3: pixel decode is no longer stubbed — the JRE
+    // ships java.desktop, so syntheticPng runs the actual PNG WRITER and
+    // decodePixels the actual PNG READER. PNG is lossless, so the decoded
+    // stats must equal the generation formula bit-for-bit; any defect in
+    // pixel order, color model, stride, or dims breaks the equality.
+    for (id <- Seq(0L, 1L, 7L, 123L, 4999L)) {
+      val w = (8 + id % 9).toInt; val h = (8 + (id * 7) % 9).toInt
+      val stats = Multimodal.decodePixels(Multimodal.syntheticPng(id, w, h))
+        .getOrElse(fail(s"decode failed for id=$id"))
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += (3L * x + 5L * y + id) % 256
+        sg += (11L * x + y + 2L * id) % 256
+        sb += (x + 13L * y + 3L * id) % 256
+      }
+      assert(stats == Multimodal.PixelStats(w, h, sr, sg, sb,
+        299L * sr + 587L * sg + 114L * sb), s"id=$id")
+    }
+    // undecodable payloads are data, not exceptions
+    assert(Multimodal.decodePixels("junk, not an image".getBytes) == None)
+    assert(Multimodal.decodePixels(Array[Byte]()) == None)
+    // a TRUNCATED png must not throw either (covers the IOException path)
+    val whole = Multimodal.syntheticPng(3L, 9, 9)
+    assert(Multimodal.decodePixels(whole.take(whole.length / 2)).isEmpty)
+  }
+
+  test("pixelStats stage: decoded dims agree with header parsing; NULLs for junk") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.syntheticPng(1L, 9, 15)),
+      (2L, Multimodal.syntheticPng(2L, 10, 13)),
+      (3L, "junk".getBytes)
+    ).toDF("media_id", "payload")
+    val out = Multimodal.pixelStats(rows).orderBy("media_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(out == Seq((1L, 9L, 15L), (2L, 10L, 13L), (3L, -1L, -1L)))
+    // the raster dims and the header-arithmetic dims must agree — two
+    // independent implementations of "how big is this image"
+    val hdr = Multimodal.imageDimensions(rows).orderBy("media_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) -1L else r.getInt(2).toLong,
+        if (r.isNullAt(3)) -1L else r.getInt(3).toLong)).toSeq
+    assert(hdr == out, s"header dims $hdr != raster dims $out")
+  }
+
   test("sampleFrames: stride-2 generator over n_frames") {
     import spark.implicits._
     val decoded = Multimodal.decode(media)
