@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off measurement main for the graph hybrids' TWO execution legs
+  * (r12 verdict ask #2): at sf0.1 the bench suite always takes the
+  * driver-local fast paths (the graphs fit the cap), so the distributed
+  * legs' correctness is spec-pinned but their PERFORMANCE had no measured
+  * number. This main times both legs of each hybrid on the same
+  * co-purchase graph — cap=default (driver leg) vs cap=0 (the forced
+  * over-cap route every 100 TB graph takes) — plus linkPrediction, which
+  * has no driver leg, for context. Results land in NOTES_r13.md.
+  *
+  * Emits one JSON line: {"queries": {leg: seconds…}, "edges": m}.
+  */
+object GraphLegBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // the same co-purchase edge relation the x112/x114/x127 quartet shares,
+    // materialized once so every timed leg reads stored blocks
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+      .distinct()
+      .localCheckpoint()
+    val m = edges.count()
+    val seeds = Tables.load(spark, sfDir, "part")
+      .filter($"p_size" <= 4)
+      .select($"p_partkey".as("v"),
+        regexp_extract($"p_brand", "(\\d+)", 1).cast("long").as("seed_label"))
+      .localCheckpoint()
+    (1 to 40).foreach(_ => spark.range(1).count()) // warm the submission path
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
+    def time(body: => Long): Double =
+      (1 to repeats).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }.min
+    val legs = Seq[(String, () => Long)](
+      "x112_driver" -> (() =>
+        graft.ops.Graph.triangleStats(edges, "a", "b").count()),
+      "x112_distributed" -> (() =>
+        graft.ops.Graph.triangleStats(edges, "a", "b", 0L).count()),
+      "x114_driver" -> (() =>
+        graft.ops.Graph.labelPropagation(edges, seeds, 3).count()),
+      "x114_distributed" -> (() =>
+        graft.ops.Graph.labelPropagation(edges, seeds, 3, driverEdgeCap = 0).count()),
+      "cc_driver" -> (() =>
+        graft.ops.Dedup.nearDupClusters(edges, "a", "b").count()),
+      "cc_distributed" -> (() =>
+        graft.ops.Dedup.nearDupClusters(edges, "a", "b", driverEdgeCap = 0).count()),
+      "x127_distributed_only" -> (() =>
+        graft.ops.Graph.linkPrediction(edges, "a", "b",
+          seedMax = 2000L, topK = 50, assumeNormalized = true).count())
+    )
+    // equality gate first (cheap: counts + census row), then timing
+    val censusA = graft.ops.Graph.triangleStats(edges, "a", "b").collect()(0).toSeq
+    val censusB = graft.ops.Graph.triangleStats(edges, "a", "b", 0L).collect()(0).toSeq
+    require(censusA == censusB, s"leg mismatch: $censusA vs $censusB")
+    val results = legs.map { case (name, fn) => name -> time(fn()) }
+    def f(v: Double) = "%.3f".format(v)
+    println(s"""{"edges":$m,"cpus":$cpus,"sf":"$sfDir","queries":${
+      results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")}}""")
+    spark.stop()
+  }
+}

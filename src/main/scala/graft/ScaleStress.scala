@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale/saturation stress for the three near-dup kernels (r12 verdict ask
+  * #6): the per-round gate runs them at sf0.1, where no LSH bucket comes
+  * near the cap — so the capped-bucket code paths' behavior at saturation
+  * had measurements only from unit specs. Two legs:
+  *
+  * 1. **10× corpus ("sf1")**: the sf0.1 documents replicated ×10 with a
+  *    per-replica suffix token (replicas are J≈0.99 near-dups of their
+  *    base, so the near-dup population scales superlinearly — clusters of
+  *    ≥10). x06/x07/x08 run timed, outputs dumped in graft.Verify's layout
+  *    so `tools/selfcheck.py` replays the SAME exact-pair DuckDB oracles
+  *    at the new scale. No bucket saturates here (bucket sizes scale ~10×,
+  *    far under the 1000 cap), so exact equality must still hold.
+  *
+  * 2. **Saturation plant**: the sf0.1 corpus plus 3000 EXACT copies of one
+  *    synthetic document. Identical docs share every MinHash band hash and
+  *    every SimHash chunk, so all their buckets blow past the cap and
+  *    `bounded_collect_set` saturates them to NULL / O(1) state — the
+  *    documented mega-bucket semantics: the cluster contributes ZERO pairs
+  *    while every pair between ordinary documents is untouched. Asserted
+  *    by equality: pairs(sat corpus) == pairs(base corpus), which can only
+  *    hold if saturation engaged (3000 identical docs would otherwise add
+  *    C(3000,2) ≈ 4.5M pairs). Timing shows the shuffle stays bounded —
+  *    the run costs base-corpus money, not 4.5M-pair money.
+  *
+  * Emits one JSON line with timings; outputs under args(1).
+  */
+object ScaleStress {
+  private val Names = Seq("x06_minhash_neardup", "x07_simhash_neardup", "x08_ngram_jaccard")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "target/stress"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    new java.io.File(s"$outDir/sf1/").mkdirs()
+    val base = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id".cast("long").as("doc_id"), $"text")
+    val nBase = base.agg(max($"doc_id")).as[Long].collect()(0) + 1
+    // ---- leg 1: 10× corpus, written out so DuckDB can read the same rows
+    val big = (0 until 10).map { k =>
+      base.select(($"doc_id" + lit(k * nBase)).as("doc_id"),
+        concat($"text", lit(s" rep$k")).as("text"))
+    }.reduce(_ unionAll _)
+    // single FILE (not a Spark part-dir) so DuckDB's read_parquet sees the
+    // same layout as the driver-generated testdata
+    big.coalesce(1).write.mode("overwrite").parquet(s"$outDir/sf1_tmp")
+    val part = new java.io.File(s"$outDir/sf1_tmp").listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error("no part file written"))
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$outDir/sf1/documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val corpus = spark.read.parquet(s"$outDir/sf1/documents.parquet")
+    corpus.count() // warm
+    (1 to 40).foreach(_ => spark.range(1).count())
+    def timed(body: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val n = body
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    def pairsOf(name: String, docs: DataFrame): DataFrame = name match {
+      case "x06_minhash_neardup" => graft.ops.Dedup.minhashNearDupPairs(
+        docs, "doc_id", "text", shingleK = 3, numHashes = 128, bands = 64, threshold = 0.5)
+        .orderBy($"doc_a", $"doc_b")
+      case "x07_simhash_neardup" => graft.ops.Dedup.simhashNearDupPairs(
+        docs, "doc_id", "text", maxHamming = 3).orderBy($"doc_a", $"doc_b")
+      case "x08_ngram_jaccard" => graft.ops.Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", shingleK = 3, threshold = 0.5)
+        .orderBy($"doc_a", $"doc_b")
+    }
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    Names.foreach { name =>
+      val (sec, n) = timed {
+        val df = pairsOf(name, corpus)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/verify/$name")
+        spark.read.parquet(s"$outDir/verify/$name").count()
+      }
+      results(s"${name}_10x") = sec
+      results(s"${name}_10x_pairs") = n.toDouble
+    }
+    // Verify-layout sidecars so tools/selfcheck.py replays the oracles
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/verify/oracle_sql.json"),
+      Names.map(n => s"${jq(n)}: ${jq(SparkEntry.oracleSql(n))}")
+        .mkString("{", ",", "}"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/verify/manifest.json"),
+      Names.map(jq).mkString("[", ",", "]"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/verify/errors.json"), "{}")
+    // ---- leg 2: saturation plant (x06/x07; x08 is exact/uncapped by design)
+    val planted = (0 until 3000).map { i =>
+      (200000L + i, "saturation cluster boilerplate document with enough " +
+        "distinct tokens zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10 zq11 zq12")
+    }.toDF("doc_id", "text")
+    val sat = base.unionAll(planted).localCheckpoint()
+    val baseCk = base.localCheckpoint()
+    Seq("x06_minhash_neardup", "x07_simhash_neardup").foreach { name =>
+      val basePairs = pairsOf(name, baseCk).collect().map(_.toSeq.take(2)).toSet
+      val (sec, _) = timed(pairsOf(name, sat).count())
+      val satPairs = pairsOf(name, sat).collect().map(_.toSeq.take(2)).toSet
+      require(satPairs == basePairs,
+        s"$name: saturation semantics broke — the 3000-copy cluster must " +
+          s"contribute zero pairs (saturated buckets) and base pairs must " +
+          s"be untouched; diff=${(satPairs diff basePairs).take(5)} / " +
+          s"${(basePairs diff satPairs).take(5)}")
+      results(s"${name}_sat") = sec
+    }
+    def f(v: Double) = "%.3f".format(v)
+    println(s"""{"sf_base":"$sfDir","cpus":$cpus,"queries":${
+      results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")}}""")
+    spark.stop()
+  }
+}

@@ -285,26 +285,91 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- simhash
-  /** SimHash near-duplicate pairs: 64-bit signature, pigeonhole-banded into
-    * `chunks` 16-bit keys (hamming ≤ chunks-1 ⇒ some chunk equal), verified
-    * with bit_count(xor) ≤ maxHamming. */
+  /** Near-equal contiguous block layout of the 64-bit signature: `blocks`
+    * bit ranges as (offset, width), the wider ones first. */
+  private def blockLayout(blocks: Int): Seq[(Int, Int)] = {
+    require(blocks >= 2 && blocks <= 64, s"simhash blocks must be in [2, 64], got $blocks")
+    val base = 64 / blocks
+    val extra = 64 % blocks
+    val widths = Seq.tabulate(blocks)(i => base + (if (i < extra) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths) // (offset, width) per block
+  }
+
+  /** The block-combination bucket family over a `(doc_id, sig)` relation —
+    * Manku/Jain/Das Sarma, WWW'07 "Detecting Near-Duplicates for Web
+    * Crawling" (public knowledge): split the signature into `blocks`
+    * near-equal bit blocks and key one table on EACH `keyBlocks`-subset's
+    * concatenated bits, C(blocks, keyBlocks) tables total. Any pair within
+    * hamming h ≤ blocks − keyBlocks flips at most h blocks, leaving a
+    * fully-untouched key subset ⇒ candidacy is GUARANTEED (pigeonhole),
+    * while the key space is 2^(keyBlocks·64/blocks) — the knob that keeps
+    * bucket occupancy from crowding as the corpus grows. The r13 sf1 stress
+    * made this concrete: single 16-bit chunks (blocks=4, keyBlocks=1,
+    * 262k buckets total) saturated organically at a mere 50k docs and
+    * silently cost ~1% of qualifying pairs; the (6,3) family's ~2³³ key
+    * space held max occupancy at 140. Emits `(doc_id, chunk_idx,
+    * chunk_val)` — the [[bucketCandidatePairs]] input shape. */
+  private[graft] def simhashBandRel(sigs: DataFrame, blocks: Int, keyBlocks: Int): DataFrame = {
+    val layout = blockLayout(blocks)
+    require(keyBlocks >= 1 && keyBlocks <= blocks,
+      s"simhash keyBlocks must be in [1, blocks], got $keyBlocks of $blocks")
+    val combos = layout.indices.combinations(keyBlocks).toSeq
+    require(combos.forall(_.map(layout(_)._2).sum <= 63),
+      s"simhash key of $keyBlocks×${64 / blocks}-bit blocks overflows a signed long")
+    val keyExprs = combos.map { combo =>
+      var shift = 0
+      combo.map { b =>
+        val (off, w) = layout(b)
+        val e = s"((sig >> $off) & ${(1L << w) - 1}L)"
+        val shifted = if (shift == 0) e else s"($e << $shift)"
+        shift += w
+        shifted
+      }.mkString(" | ")
+    }
+    sigs.select(col("doc_id"),
+      posexplode(array(keyExprs.map(expr): _*)).as(Seq("chunk_idx", "chunk_val")))
+  }
+
+  /** The same block-combination candidacy test as [[simhashBandRel]], as a
+    * SQL predicate over two signature expressions — what lets a plain SQL
+    * engine replay a given geometry's candidate stage exactly (the x192
+    * oracle). */
+  def simhashShareSql(aSig: String, bSig: String, blocks: Int, keyBlocks: Int): String = {
+    val layout = blockLayout(blocks)
+    layout.indices.combinations(keyBlocks).map { combo =>
+      combo.map { b =>
+        val (off, w) = layout(b)
+        val m = (1L << w) - 1
+        s"((($aSig >> $off) & $m) = (($bSig >> $off) & $m))"
+      }.mkString("(", " AND ", ")")
+    }.mkString("(", " OR ", ")")
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit signature, bucketed by the
+    * [[simhashBandRel]] block-combination family (default 6 blocks keyed in
+    * triples — exhaustive for hamming ≤ 6−3 by pigeonhole, ~2³³-value keys
+    * so buckets don't crowd with corpus size; `blocks = 4, keyBlocks = 1`
+    * reproduces the classic 4×16-bit single-chunk geometry, whose recall
+    * BEYOND its exhaustive range is actually higher — fewer clean blocks
+    * required — at the price of a 2¹⁶ key space that saturates early),
+    * verified with bit_count(xor) ≤ maxHamming. Exhaustive iff
+    * `maxHamming ≤ blocks − keyBlocks`; beyond that the output is the
+    * partial-recall candidate∩threshold set ([[simhashRecallReport]]
+    * quantifies the decay). */
   def simhashNearDupPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      maxBucketSize: Int = 1000): DataFrame = {
-    val chunks = 4 // 4 × 16-bit chunks of the 64-bit signature
+      maxBucketSize: Int = 1000,
+      blocks: Int = 6,
+      keyBlocks: Int = 3): DataFrame = {
     // (id, sig) is 16 bytes/doc; materialize it once or all three consumers
     // (chunk explode + both verify sides) re-scan the corpus and re-MD5
     // every token.
     val sigs = docs.select(col(idCol).as("doc_id"), simhash64(tokens(col(textCol))).as("sig"))
       .localCheckpoint()
-    val chunked = sigs.select(
-      col("doc_id"), col("sig"),
-      explode(sequence(lit(0), lit(chunks - 1))).as("chunk_idx"))
-      .withColumn("chunk_val", expr("(sig >> (chunk_idx * 16)) & 65535"))
-      .select("doc_id", "chunk_idx", "chunk_val")
+    val chunked = simhashBandRel(sigs, blocks, keyBlocks)
     val candidates = bucketCandidatePairs(chunked, "chunk_idx", "chunk_val", maxBucketSize)
     candidates
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
@@ -316,11 +381,13 @@ object Dedup {
 
   /** SimHash pigeonhole-geometry RECALL report — the [[lshTuningReport]] /
     * IVF-recall (x188) discipline applied to the SimHash leg: how much of
-    * the true hamming-≤h pair set does the PRODUCTION 4×16-bit chunk
-    * pigeonhole actually surface, per threshold h? For h ≤ 3 the pigeonhole
-    * is provably exhaustive (3 flipped bits cannot touch all 4 chunks);
+    * the true hamming-≤h pair set does a given block-combination geometry
+    * (`blocks` keyed in `keyBlocks`-subsets; default the classic 4×16-bit
+    * single-chunk family, the production geometry until r13) actually
+    * surface, per threshold h? For h ≤ blocks − keyBlocks the pigeonhole is
+    * provably exhaustive (h flipped bits cannot touch enough blocks);
     * beyond that recall decays — this table is what you read before
-    * trusting a looser threshold to the same geometry.
+    * trusting a looser threshold to a geometry.
     *
     * The TRUTH leg is itself a pigeonhole, just finer: 8×8-bit chunks are
     * exhaustive for every h ≤ 7 (7 flips cannot touch all 8 chunks), so
@@ -342,33 +409,28 @@ object Dedup {
   def simhashRecallReport(docs: DataFrame, idCol: String, textCol: String,
       maxHammings: Seq[Int] = Seq(1, 2, 3, 4, 5, 6, 7),
       maxBucketSize: Int = 1000,
-      truthBucketCap: Int = 8192): DataFrame = {
+      truthBucketCap: Int = 8192,
+      blocks: Int = 4,
+      keyBlocks: Int = 1): DataFrame = {
     require(maxHammings.nonEmpty && maxHammings.forall(h => h >= 0 && h <= 7),
       s"simhash recall: thresholds must be in [0, 7] (8-chunk truth bound), got $maxHammings")
     val spark = docs.sparkSession
     val sigs = docs
       .select(col(idCol).as("doc_id"), simhash64(tokens(col(textCol))).as("sig"))
       .localCheckpoint()
-    def chunkRel(chunks: Int): DataFrame = {
-      val bits = 64 / chunks
-      sigs.select(
-        col("doc_id"), col("sig"),
-        explode(sequence(lit(0), lit(chunks - 1))).as("chunk_idx"))
-        .withColumn("chunk_val",
-          expr(s"(sig >> (chunk_idx * $bits)) & ${(1L << bits) - 1}"))
-        .select("doc_id", "chunk_idx", "chunk_val")
-    }
     def verified(pairs: DataFrame): DataFrame = pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .select(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-    // CANDIDATE leg: the production 4×16-bit geometry, production cap —
+    // CANDIDATE leg: the graded geometry under the production cap —
     // saturation here is exactly the production behavior being graded.
-    val candPairs = bucketCandidatePairs(chunkRel(4), "chunk_idx", "chunk_val", maxBucketSize)
+    val candPairs = bucketCandidatePairs(
+      simhashBandRel(sigs, blocks, keyBlocks), "chunk_idx", "chunk_val", maxBucketSize)
     // TRUTH leg: 8×8-bit pigeonhole under its own cap, saturation = error.
     // The bucket table is ≤ 2048 rows; materializing it for the check is
     // one tiny job, and the pair explosion below reuses the stored blocks.
-    val truthBuckets = boundedBuckets(chunkRel(8), "chunk_idx", "chunk_val", truthBucketCap)
+    val truthBuckets = boundedBuckets(
+      simhashBandRel(sigs, 8, 1), "chunk_idx", "chunk_val", truthBucketCap)
       .localCheckpoint()
     val nSaturated = truthBuckets.filter(col("ids").isNull).count()
     require(nSaturated == 0L,

@@ -269,11 +269,15 @@ object Extensions {
   def x06Sql: String = x08Sql
 
   // ------------------------------------------------------------ x07 simhash
-  /** SimHash near-dup pairs. ORACLED: with maxHamming=3 and 4 pigeonhole
-    * chunks, recall is DETERMINISTIC (3 differing bits cannot touch all 4
-    * 16-bit chunks, so every qualifying pair shares an exact chunk and
-    * becomes a candidate) — the output is exactly the set of pairs with
-    * signature hamming ≤ 3. The signature itself is md5-derived
+  /** SimHash near-dup pairs. ORACLED: with maxHamming=3 and the default
+    * Manku block-combination family (6 blocks keyed in C(6,3)=20 triples —
+    * adopted r13 after the sf1 stress showed the old 4×16-bit single-chunk
+    * keys saturating organically at 50k docs and silently costing ~1% of
+    * qualifying pairs), recall is DETERMINISTIC: 3 differing bits touch at
+    * most 3 of the 6 blocks, leaving an untouched key triple, so every
+    * qualifying pair becomes a candidate — the output is exactly the set
+    * of pairs with signature hamming ≤ 3, now with ~2³³-value keys that
+    * don't crowd as the corpus grows. The signature itself is md5-derived
     * (Ops.md5Hash64), so the oracle below rebuilds every signature bit in
     * DuckDB SQL from `md5(token)` hex and verifies hamming via xor +
     * bit_count. */
@@ -312,8 +316,11 @@ object Extensions {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------- x190 simhash recall sweep
-  /** [[graft.ops.Dedup.simhashRecallReport]]: recall of the production
-    * 4×16-bit SimHash pigeonhole per hamming threshold 1..7, against exact
+  /** [[graft.ops.Dedup.simhashRecallReport]]: recall of the classic
+    * 4×16-bit single-chunk SimHash pigeonhole (the production geometry
+    * until r13 — x192 sweeps what production runs now; this family remains
+    * the better heuristic BEYOND its exhaustive range, needing only one
+    * clean chunk per pair) per hamming threshold 1..7, against exact
     * truth from the 8×8-bit pigeonhole (exhaustive for h ≤ 7) — the x101 /
     * x188 tuning-report discipline applied to the SimHash leg, the last
     * near-dup family whose QUALITY (not just output determinism) was
@@ -342,6 +349,35 @@ object Extensions {
       |  CAST(sum(CASE WHEN p.hamming <= h.max_hamming THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
       |  CASE WHEN sum(CASE WHEN p.hamming <= h.max_hamming THEN 1 ELSE 0 END) = 0 THEN NULL
       |    ELSE (CAST(sum(CASE WHEN p.hamming <= h.max_hamming AND p.cand4 = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+      |      // CAST(sum(CASE WHEN p.hamming <= h.max_hamming THEN 1 ELSE 0 END) AS BIGINT) END AS recall_micro
+      |FROM hs h CROSS JOIN p GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------- x192 manku-geometry recall
+  /** [[graft.ops.Dedup.simhashRecallReport]] for the geometry production
+    * x07 ACTUALLY runs since r13 — the Manku C(6,3) block-combination
+    * family. Same truth leg and report algebra as x190; the candidate test
+    * in the oracle is GENERATED from the identical block layout the engine
+    * banded on ([[graft.ops.Dedup.simhashShareSql]]), so the 20-table
+    * pigeonhole is replayed term-for-term in SQL. Expected shape: recall
+    * 10⁶ through h = 3 (the exhaustive range), decaying FASTER than x190's
+    * single-chunk family beyond it (three clean blocks required instead of
+    * one) — the trade both sweeps exist to make legible. */
+  def x192MankuRecall(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashRecallReport(docs(s, dir), "doc_id", "text",
+      blocks = 6, keyBlocks = 3)
+  val x192Sql: String =
+    s"""WITH $simhashSigCtes,
+      |p AS (
+      |  SELECT bit_count(xor(a.sig, b.sig)) AS hamming,
+      |    CASE WHEN ${Dedup.simhashShareSql("a.sig", "b.sig", 6, 3)}
+      |      THEN 1 ELSE 0 END AS cand
+      |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id),
+      |hs AS (SELECT unnest(range(1, 8)) AS max_hamming)
+      |SELECT CAST(h.max_hamming AS BIGINT) AS max_hamming,
+      |  CAST(sum(CASE WHEN p.hamming <= h.max_hamming AND p.cand = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+      |  CAST(sum(CASE WHEN p.hamming <= h.max_hamming THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+      |  CASE WHEN sum(CASE WHEN p.hamming <= h.max_hamming THEN 1 ELSE 0 END) = 0 THEN NULL
+      |    ELSE (CAST(sum(CASE WHEN p.hamming <= h.max_hamming AND p.cand = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
       |      // CAST(sum(CASE WHEN p.hamming <= h.max_hamming THEN 1 ELSE 0 END) AS BIGINT) END AS recall_micro
       |FROM hs h CROSS JOIN p GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -6139,6 +6175,7 @@ object Extensions {
     "x187_reservoir_pq" -> x187ReservoirPq _,
     "x188_ivf_recall" -> x188IvfRecall _,
     "x189_deflate_input" -> x189DeflateInput _,
+    "x192_manku_recall" -> x192MankuRecall _,
     "x191_pixel_stats" -> x191PixelStats _,
     "x190_simhash_recall" -> x190SimhashRecall _,
     "x151_ucb_mixture" -> x151UcbMixture _,
@@ -6384,6 +6421,7 @@ object Extensions {
     "x187_reservoir_pq" -> x187Sql,
     "x188_ivf_recall" -> x188Sql,
     "x189_deflate_input" -> x189Sql,
+    "x192_manku_recall" -> x192Sql,
     "x191_pixel_stats" -> x191Sql,
     "x190_simhash_recall" -> x190Sql,
     "x15_multimodal" -> x15Sql,

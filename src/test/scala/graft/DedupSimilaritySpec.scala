@@ -55,8 +55,10 @@ class DedupSimilaritySpec extends SparkSpec {
     // lands at hamming ~0–8, so recall at a hamming-6 cut hovers near (not
     // at) 1.0 — the bound asserts the signature separates planted dups from
     // noise, not that the cut is exact (x07's DuckDB oracle pins exactness
-    // of the hamming≤3 set itself).
-    val sim = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 6)
+    // of the hamming≤3 set itself). Geometry (8,1) keeps the h=6 cut inside
+    // the exhaustive range (6 ≤ 8−1), so candidacy never costs recall here.
+    val sim = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 6,
+      blocks = 8, keyBlocks = 1)
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
     val high = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.9)
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
@@ -612,6 +614,26 @@ class DedupSimilaritySpec extends SparkSpec {
     // pigeonhole guarantee: 4 chunks are exhaustive through h=3
     for (h <- 1 to 3)
       assert(rep(h.toLong)._1 == rep(h.toLong)._2, s"h=$h recall must be total: $rep")
+  }
+
+  test("simhash block geometries agree inside their exhaustive range") {
+    // The Manku C(6,3) family (production since r13) and the classic 4×16
+    // single-chunk family are BOTH provably exhaustive for hamming ≤ 3, so
+    // absent bucket saturation they must emit the identical pair set — the
+    // geometry changes candidate generation cost and key-space crowding,
+    // never the h≤3 answer. Run on the sf0.001 corpus (real text, planted
+    // near-dups, no saturation at this scale).
+    import spark.implicits._
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def pairs(b: Int, k: Int) = Dedup.simhashNearDupPairs(
+      corpus, "doc_id", "text", maxHamming = 3, blocks = b, keyBlocks = k)
+      .select($"doc_a", $"doc_b", $"hamming").as[(Long, Long, Int)].collect().toSet
+    val manku = pairs(6, 3)
+    val classic = pairs(4, 1)
+    assert(manku == classic,
+      s"exhaustive geometries disagree: only-manku=${(manku diff classic).take(5)} " +
+        s"only-classic=${(classic diff manku).take(5)}")
+    assert(manku.nonEmpty, "vacuous corpus: no hamming<=3 pairs at sf0.001")
   }
 
   test("simhashRecallReport FAILS LOUDLY when a truth bucket saturates (no silent undercount)") {

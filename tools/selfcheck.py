@@ -39,7 +39,11 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # tolerate partial table dirs (e.g. the ScaleStress corpus carries
+        # only documents.parquet); a query whose oracle needs a missing
+        # table still fails loudly at execution
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     import pyarrow.parquet as pq
     import pyarrow as pa
