@@ -254,6 +254,128 @@ object Multimodal {
       .toDF("media_id", "payload")
   }
 
+  /** REAL nearest-neighbor pixel resize: decode via ImageIO, remap with the
+    * integer index convention `src = (dst · srcDim) DIV dstDim` (exactly
+    * replayable in any engine's integer math — the x193 oracle's hook),
+    * re-encode through the real PNG writer (lossless, so downstream decodes
+    * see precisely the mapped pixels). None when the payload doesn't decode
+    * or the target is degenerate. */
+  def resizePixels(payload: Array[Byte], dstW: Int, dstH: Int): Option[Array[Byte]] = {
+    imageIoInit
+    if (dstW <= 0 || dstH <= 0) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(
+          dstW, dstH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val sw = img.getWidth; val sh = img.getHeight
+        var y = 0
+        while (y < dstH) {
+          val sy = (y.toLong * sh / dstH).toInt
+          var x = 0
+          while (x < dstW) {
+            out.setRGB(x, y, img.getRGB((x.toLong * sw / dstW).toInt, sy) & 0xffffff)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream(256)
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Real-pixel resize stage: every payload scaled so max(w, h) == `maxDim`
+    * (aspect preserved via the same integer formula the metadata-level
+    * [[resize]] uses: `dst = max(1, dim·maxDim DIV max(w, h))`; images
+    * already within budget pass through unchanged). Output is media-shaped
+    * `(media_id, payload)`; undecodable payloads surface as NULL payloads. */
+  def resizeImages(media: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim > 0, s"resizeImages: maxDim must be positive, got $maxDim")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val resized = decodePixels(payload).flatMap { s =>
+          val mx = math.max(s.width, s.height)
+          if (mx <= maxDim) Some(payload)
+          else resizePixels(payload,
+            math.max(1, s.width * maxDim / mx), math.max(1, s.height * maxDim / mx))
+        }
+        (id, resized.orNull)
+      })
+      .toDF("media_id", "payload")
+  }
+
+  /** REAL frame count via the format's own ImageIO reader (GIF is the
+    * multi-frame container the JDK decodes): None when no reader claims the
+    * payload. `getNumImages(true)` walks the whole stream, so the count is
+    * the decoded truth, not a header claim. */
+  def frameCount(payload: Array[Byte]): Option[Int] = {
+    imageIoInit
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try { r.setInput(iis, false); Some(r.getNumImages(true)) }
+        finally r.dispose()
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Frame-count stage over a media table: `(media_id, n_frames)`, NULL for
+    * payloads no reader decodes. */
+  def frameCounts(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        (id, frameCount(payload).map(_.toLong))
+      })
+      .toDF("media_id", "n_frames")
+  }
+
+  /** Deterministic planted multi-frame GIF: `frames` 4×4 frames whose
+    * pixels vary by frame index — the x194 fixture. GIF palette
+    * quantization may perturb pixel VALUES (unlike the lossless PNG plant),
+    * so only structure (frame count, dims) is closed-form here. */
+  def syntheticGif(id: Long, frames: Int): Array[Byte] = {
+    imageIoInit
+    require(frames > 0, s"syntheticGif: frames must be positive, got $frames")
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream(256)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new java.awt.image.BufferedImage(
+          4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            val r = ((37L * x + 11L * f + id) % 256).toInt
+            val g = ((53L * y + 7L * f) % 256).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | ((40 * f) % 256))
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
   /** Resize stage: pure metadata+feature transform on decoded media. */
   def resize(decoded: Dataset[DecodedMedia], maxDim: Int): Dataset[DecodedMedia] = {
     val spark = decoded.sparkSession

@@ -423,6 +423,73 @@ object Extensions {
       |  CAST(SUM(299*r + 587*g + 114*b) // (w*h) AS BIGINT) AS mean_luma_milli
       |FROM c GROUP BY 1,2,3 ORDER BY media_id""".stripMargin
 
+  // ------------------------------------------- x193 real pixel resize
+  /** [[graft.ops.Multimodal.resizeImages]] round trip — the resize stage's
+    * REAL-pixel counterpart of x191: planted closed-form PNGs are resized
+    * through the actual decode → nearest-neighbor remap (integer index
+    * convention `src = dst·srcDim DIV dstDim`) → re-encode path, decoded
+    * AGAIN, and the stats oracled against DuckDB evaluating the formula at
+    * the remapped indices. One hash covers the decoder, the index math,
+    * aspect-preserving target dims, and the encoder — twice. */
+  def x193PixelResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.pixelStats(
+      Multimodal.resizeImages(
+        Multimodal.plantSyntheticPngs(docs(s, dir), "doc_id"), maxDim = 5))
+      .orderBy($"media_id")
+  }
+  val x193Sql: String =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |                  CAST(8 + doc_id % 9 AS BIGINT) AS w,
+      |                  CAST(8 + (doc_id * 7) % 9 AS BIGINT) AS h
+      |           FROM documents),
+      |dd AS (SELECT media_id, w, h,
+      |              greatest(1, (w*5) // greatest(w, h)) AS w2,
+      |              greatest(1, (h*5) // greatest(w, h)) AS h2 FROM d),
+      |px AS (
+      |  SELECT dd.media_id, dd.w, dd.h, dd.w2, dd.h2, xs.x, ys.y
+      |  FROM dd, LATERAL (SELECT unnest(range(0, dd.w2)) AS x) xs,
+      |          LATERAL (SELECT unnest(range(0, dd.h2)) AS y) ys),
+      |c AS (
+      |  SELECT media_id, w2, h2,
+      |    (3*((x*w)//w2) + 5*((y*h)//h2) + media_id) % 256 AS r,
+      |    (11*((x*w)//w2) + ((y*h)//h2) + 2*media_id) % 256 AS g,
+      |    (((x*w)//w2) + 13*((y*h)//h2) + 3*media_id) % 256 AS b
+      |  FROM px)
+      |SELECT media_id, w2 AS width, h2 AS height,
+      |  CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+      |  CAST(SUM(b) AS BIGINT) AS sum_b,
+      |  CAST(SUM(299*r + 587*g + 114*b) AS BIGINT) AS sum_luma,
+      |  CAST(SUM(299*r + 587*g + 114*b) // (w2*h2) AS BIGINT) AS mean_luma_milli
+      |FROM c GROUP BY 1,2,3 ORDER BY media_id""".stripMargin
+
+  // ------------------------------------------- x194 real GIF frame count
+  /** [[graft.ops.Multimodal.frameCounts]] over planted multi-frame GIFs —
+    * frame-sampling on DECODED-TRUTH counts (the reader walks every frame;
+    * `getNumImages(true)`), where x15's stub derived counts from byte
+    * arithmetic. Each document plants a GIF of `1 + id mod 4` frames
+    * through the JDK's own sequence writer; the sampled stride-2 frame
+    * indices are pure integer generation both engines replay. */
+  def x194GifFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, Multimodal.syntheticGif(id, (1 + id % 4).toInt))
+      })
+      .toDF("media_id", "payload")
+    Multimodal.frameCounts(media)
+      .select($"media_id", $"n_frames",
+        explode(sequence(lit(0L), $"n_frames" - 1, lit(2L))).as("frame_idx"))
+      .orderBy($"media_id", $"frame_idx")
+  }
+  val x194Sql: String =
+    """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |                  CAST(1 + doc_id % 4 AS BIGINT) AS n_frames
+      |           FROM documents)
+      |SELECT media_id, n_frames,
+      |  unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx
+      |FROM f ORDER BY media_id, frame_idx""".stripMargin
+
   // ------------------------------------------------------------ x08 n-gram jaccard
   // Exact relational shingle-join Jaccard — the one near-dup path with a
   // full DuckDB oracle (same explode+join shape both engines).
@@ -6175,6 +6242,8 @@ object Extensions {
     "x187_reservoir_pq" -> x187ReservoirPq _,
     "x188_ivf_recall" -> x188IvfRecall _,
     "x189_deflate_input" -> x189DeflateInput _,
+    "x194_gif_frames" -> x194GifFrames _,
+    "x193_pixel_resize" -> x193PixelResize _,
     "x192_manku_recall" -> x192MankuRecall _,
     "x191_pixel_stats" -> x191PixelStats _,
     "x190_simhash_recall" -> x190SimhashRecall _,
@@ -6421,6 +6490,8 @@ object Extensions {
     "x187_reservoir_pq" -> x187Sql,
     "x188_ivf_recall" -> x188Sql,
     "x189_deflate_input" -> x189Sql,
+    "x194_gif_frames" -> x194Sql,
+    "x193_pixel_resize" -> x193Sql,
     "x192_manku_recall" -> x192Sql,
     "x191_pixel_stats" -> x191Sql,
     "x190_simhash_recall" -> x190Sql,

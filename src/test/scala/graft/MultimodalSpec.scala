@@ -130,6 +130,50 @@ class MultimodalSpec extends SparkSpec {
     assert(hdr == out, s"header dims $hdr != raster dims $out")
   }
 
+  test("resizePixels: nearest-neighbor index map replayed exactly; degenerate inputs → None") {
+    // resize(planted png) decoded again must equal the plant formula at
+    // src = dst·srcDim DIV dstDim — the same closed form x193's DuckDB
+    // oracle evaluates
+    val id = 42L; val w = 14; val h = 9
+    val resized = Multimodal.resizePixels(Multimodal.syntheticPng(id, w, h), 5, 3)
+      .getOrElse(fail("resize failed"))
+    val stats = Multimodal.decodePixels(resized).getOrElse(fail("re-decode failed"))
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until 3; x <- 0 until 5) {
+      val sx = x * w / 5; val sy = y * h / 3
+      sr += (3L * sx + 5L * sy + id) % 256
+      sg += (11L * sx + sy + 2L * id) % 256
+      sb += (sx + 13L * sy + 3L * id) % 256
+    }
+    assert(stats == Multimodal.PixelStats(5, 3, sr, sg, sb,
+      299L * sr + 587L * sg + 114L * sb))
+    assert(Multimodal.resizePixels("junk".getBytes, 5, 3).isEmpty)
+    assert(Multimodal.resizePixels(Multimodal.syntheticPng(1L, 8, 8), 0, 3).isEmpty)
+    // within-budget images pass through the STAGE unchanged (no re-encode)
+    import spark.implicits._
+    val small = Multimodal.syntheticPng(7L, 4, 4)
+    val out = Multimodal.resizeImages(
+      Seq((7L, small)).toDF("media_id", "payload"), maxDim = 5).collect()(0)
+    assert(java.util.Arrays.equals(out.getAs[Array[Byte]]("payload"), small))
+  }
+
+  test("frameCount: decoded-truth GIF frame counts; non-media → NULL") {
+    for (n <- Seq(1, 2, 4, 7))
+      assert(Multimodal.frameCount(Multimodal.syntheticGif(n.toLong, n)) == Some(n),
+        s"n=$n")
+    // single-frame formats count as 1; junk counts as None
+    assert(Multimodal.frameCount(Multimodal.syntheticPng(1L, 8, 8)) == Some(1))
+    assert(Multimodal.frameCount("not media".getBytes) == None)
+    import spark.implicits._
+    val media = Seq(
+      (1L, Multimodal.syntheticGif(1L, 3)),
+      (2L, "junk".getBytes)
+    ).toDF("media_id", "payload")
+    val rows = Multimodal.frameCounts(media).orderBy("media_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 3L), (2L, -1L)))
+  }
+
   test("sampleFrames: stride-2 generator over n_frames") {
     import spark.implicits._
     val decoded = Multimodal.decode(media)
