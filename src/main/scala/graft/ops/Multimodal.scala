@@ -376,6 +376,93 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Exact integer statistics of one decoded audio payload: channel count
+    * and sample rate from the REAL container header, sample count and
+    * amplitude sums from the decoded PCM stream (interleaved channels
+    * aggregated together). */
+  case class AudioStats(channels: Int, sampleRateHz: Int, nSamples: Long,
+      sumSample: Long, sumAbs: Long, maxAbs: Long)
+
+  /** REAL audio decode via the JDK's bundled `javax.sound.sampled` readers
+    * (WAV/AIFF/AU PCM — `java.desktop`, same zero-dependency probe as
+    * [[decodePixels]], r13). Supports signed 16-bit PCM either endianness;
+    * anything else — junk bytes, truncated streams, exotic encodings —
+    * returns None (corrupt inputs are data, not exceptions). The WAV write
+    * → read round trip is bit-exact (probed), which is what lets x195
+    * oracle the decoded sample stream against a closed form with no codec
+    * in the SQL engine. */
+  def decodeAudio(payload: Array[Byte]): Option[AudioStats] = {
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val f = ais.getFormat
+      if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          f.getSampleSizeInBits != 16) None
+      else {
+        val data = ais.readAllBytes()
+        val n = data.length / 2
+        var sum = 0L; var sumAbs = 0L; var maxAbs = 0L
+        var i = 0
+        while (i < n) {
+          val s =
+            if (f.isBigEndian) (data(2 * i) << 8) | (data(2 * i + 1) & 0xff)
+            else (data(2 * i) & 0xff) | (data(2 * i + 1) << 8)
+          val a = math.abs(s.toLong)
+          sum += s; sumAbs += a
+          if (a > maxAbs) maxAbs = a
+          i += 1
+        }
+        Some(AudioStats(f.getChannels, f.getSampleRate.toInt, n, sum, sumAbs, maxAbs))
+      }
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** Audio-statistics stage over a media table: all-BIGINT
+    * `(media_id, channels, sample_rate_hz, n_samples, sum_sample, sum_abs,
+    * max_abs)`, NULLs for undecodable payloads. Map-side, one decoder call
+    * per row. */
+  def audioStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        decodeAudio(payload) match {
+          case Some(s) => (id, Option(s.channels.toLong), Option(s.sampleRateHz.toLong),
+            Option(s.nSamples), Option(s.sumSample), Option(s.sumAbs), Option(s.maxAbs))
+          case None => (id, None: Option[Long], None: Option[Long], None: Option[Long],
+            None: Option[Long], None: Option[Long], None: Option[Long])
+        }
+      })
+      .toDF("media_id", "channels", "sample_rate_hz", "n_samples",
+        "sum_sample", "sum_abs", "max_abs")
+  }
+
+  /** Deterministic planted WAV: `n` mono 16-bit PCM samples at 8 kHz with
+    * the closed form `s(i) = ((31·i + 17·id) mod 65536) − 32768`, encoded
+    * through the REAL JDK WAV writer — the x195 fixture (lossless PCM, so
+    * [[decodeAudio]] must reproduce the formula exactly). */
+  def syntheticWav(id: Long, n: Int): Array[Byte] = {
+    require(n > 0, s"syntheticWav: n must be positive, got $n")
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (((31L * i + 17L * id) % 65536) - 32768).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream(n * 2 + 64)
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Resize stage: pure metadata+feature transform on decoded media. */
   def resize(decoded: Dataset[DecodedMedia], maxDim: Int): Dataset[DecodedMedia] = {
     val spark = decoded.sparkSession

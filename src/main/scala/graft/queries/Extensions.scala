@@ -490,6 +490,40 @@ object Extensions {
       |  unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx
       |FROM f ORDER BY media_id, frame_idx""".stripMargin
 
+  // ------------------------------------------- x195 real WAV audio decode
+  /** [[graft.ops.Multimodal.audioStats]] over planted closed-form WAVs —
+    * the audio counterpart of x191 (r13: `javax.sound.sampled` ships in
+    * this JRE too, so WAV/AIFF/AU PCM decode is a REAL codec path; only
+    * compressed audio/video remain stubbed). One mono 16-bit 8 kHz WAV per
+    * document, samples `s(i) = ((31·i + 17·id) mod 65536) − 32768`, written
+    * by the JDK's actual WAV encoder and decoded by its actual reader —
+    * PCM is lossless, so the DuckDB oracle evaluates the closed form and
+    * any defect in framing, endianness, or sign handling breaks the hash.
+    * Header-derived fields (channels, rate) come from the real container. */
+  def x195WavStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, Multimodal.syntheticWav(id, (500 + id % 300).toInt))
+      })
+      .toDF("media_id", "payload")
+    Multimodal.audioStats(media).orderBy($"media_id")
+  }
+  val x195Sql: String =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |                  CAST(500 + doc_id % 300 AS BIGINT) AS n
+      |           FROM documents),
+      |s AS (
+      |  SELECT d.media_id, ((31*i.i + 17*d.media_id) % 65536) - 32768 AS v
+      |  FROM d, LATERAL (SELECT unnest(range(0, d.n)) AS i) i)
+      |SELECT media_id, CAST(1 AS BIGINT) AS channels,
+      |  CAST(8000 AS BIGINT) AS sample_rate_hz,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(SUM(v) AS BIGINT) AS sum_sample,
+      |  CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+      |  CAST(MAX(abs(v)) AS BIGINT) AS max_abs
+      |FROM s GROUP BY 1 ORDER BY media_id""".stripMargin
+
   // ------------------------------------------------------------ x08 n-gram jaccard
   // Exact relational shingle-join Jaccard — the one near-dup path with a
   // full DuckDB oracle (same explode+join shape both engines).
@@ -6242,6 +6276,7 @@ object Extensions {
     "x187_reservoir_pq" -> x187ReservoirPq _,
     "x188_ivf_recall" -> x188IvfRecall _,
     "x189_deflate_input" -> x189DeflateInput _,
+    "x195_wav_stats" -> x195WavStats _,
     "x194_gif_frames" -> x194GifFrames _,
     "x193_pixel_resize" -> x193PixelResize _,
     "x192_manku_recall" -> x192MankuRecall _,
@@ -6490,6 +6525,7 @@ object Extensions {
     "x187_reservoir_pq" -> x187Sql,
     "x188_ivf_recall" -> x188Sql,
     "x189_deflate_input" -> x189Sql,
+    "x195_wav_stats" -> x195Sql,
     "x194_gif_frames" -> x194Sql,
     "x193_pixel_resize" -> x193Sql,
     "x192_manku_recall" -> x192Sql,

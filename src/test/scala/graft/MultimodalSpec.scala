@@ -174,6 +174,34 @@ class MultimodalSpec extends SparkSpec {
     assert(rows == Seq((1L, 3L), (2L, -1L)))
   }
 
+  test("decodeAudio: WAV PCM round trip reproduces the planted closed form; junk → None") {
+    for (id <- Seq(0L, 7L, 4999L)) {
+      val n = (500 + id % 300).toInt
+      val stats = Multimodal.decodeAudio(Multimodal.syntheticWav(id, n))
+        .getOrElse(fail(s"decode failed id=$id"))
+      var sum = 0L; var sumAbs = 0L; var maxAbs = 0L
+      for (i <- 0 until n) {
+        val s = ((31L * i + 17L * id) % 65536) - 32768
+        sum += s; sumAbs += math.abs(s); maxAbs = math.max(maxAbs, math.abs(s))
+      }
+      assert(stats == Multimodal.AudioStats(1, 8000, n, sum, sumAbs, maxAbs), s"id=$id")
+    }
+    assert(Multimodal.decodeAudio("not audio".getBytes) == None)
+    assert(Multimodal.decodeAudio(Array[Byte]()) == None)
+    val whole = Multimodal.syntheticWav(3L, 600)
+    // truncating INSIDE the data chunk must not throw (reader returns what
+    // framing allows; the stage's contract is no-exceptions, stats-or-NULL)
+    Multimodal.decodeAudio(whole.take(50)) // must simply not throw
+    import spark.implicits._
+    val media = Seq(
+      (1L, Multimodal.syntheticWav(1L, 100)),
+      (2L, "junk".getBytes)
+    ).toDF("media_id", "payload")
+    val out = Multimodal.audioStats(media).orderBy("media_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(out == Seq((1L, 100L), (2L, -1L)))
+  }
+
   test("sampleFrames: stride-2 generator over n_frames") {
     import spark.implicits._
     val decoded = Multimodal.decode(media)
