@@ -636,6 +636,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(manku.nonEmpty, "vacuous corpus: no hamming<=3 pairs at sf0.001")
   }
 
+  test("block-combination pigeonhole property: h ≤ blocks−keyBlocks pairs ALWAYS share a key") {
+    // The exhaustiveness claim, brute-forced over randomized signatures:
+    // flip up to (blocks − keyBlocks) random bits and assert some key
+    // combination is untouched — for the production (6,3) family and the
+    // classic (4,1). Key extraction here is independent test code (plain
+    // bit slicing over the same near-equal layout), not the SQL expressions
+    // under test.
+    val rnd = new scala.util.Random(20260815L)
+    def layout(blocks: Int): Seq[(Int, Int)] = {
+      val base = 64 / blocks; val extra = 64 % blocks
+      val widths = Seq.tabulate(blocks)(i => base + (if (i < extra) 1 else 0))
+      widths.scanLeft(0)(_ + _).zip(widths)
+    }
+    def keys(sig: Long, blocks: Int, keyBlocks: Int): Seq[Long] = {
+      val lay = layout(blocks)
+      lay.indices.combinations(keyBlocks).map { combo =>
+        var acc = 0L; var shift = 0
+        combo.foreach { b =>
+          val (off, w) = lay(b)
+          acc |= ((sig >>> off) & ((1L << w) - 1)) << shift
+          shift += w
+        }
+        acc
+      }.toSeq
+    }
+    for (_ <- 1 to 2000; (b, k) <- Seq((6, 3), (4, 1), (8, 1))) {
+      val sig = rnd.nextLong()
+      val flips = rnd.nextInt(b - k + 1) // 0..exhaustive bound
+      var other = sig
+      (1 to flips).foreach(_ => other ^= 1L << rnd.nextInt(64))
+      val shared = keys(sig, b, k).zip(keys(other, b, k)).exists { case (x, y) => x == y }
+      assert(shared,
+        s"($b,$k): sig=$sig flips=$flips other=$other — qualifying pair shares no key")
+    }
+  }
+
   test("simhashRecallReport FAILS LOUDLY when a truth bucket saturates (no silent undercount)") {
     // ADVICE r12 (medium): the 8×8-bit truth leg has only 2048 buckets, so
     // a skewed corpus can push one past the cap — bounded_collect_set would
