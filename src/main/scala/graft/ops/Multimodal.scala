@@ -55,10 +55,11 @@ object Multimodal {
   case class DecodedMedia(media_id: Long, width: Int, height: Int,
       n_frames: Int, features: Array[Float])
 
-  /** STUB decode: a real implementation would hand `payload` to a codec
-    * (JPEG/PNG/opus/h264). Here dimensions and features derive
-    * deterministically from the bytes so every downstream stage (schema,
-    * batching, feature consumers) is exercised for real. */
+  /** STUB decode — the fallback for payloads no bundled codec reads
+    * (compressed audio/video, or the text stand-ins x15 feeds): dimensions
+    * and features derive deterministically from the bytes so every
+    * downstream stage (schema, batching, feature consumers) is exercised
+    * for real even without a codec. */
   def decodeStub(payload: Array[Byte], featureDim: Int = 16): (Int, Int, Int, Array[Float]) = {
     val n = payload.length
     val width = 16 + (math.abs(java.util.Arrays.hashCode(payload)) % 64)
@@ -73,16 +74,47 @@ object Multimodal {
     (width, height, nFrames, features)
   }
 
+  /** Real-codec decode of one image payload into the [[DecodedMedia]]
+    * shape (r13): raster dims, REAL frame count, and a `featureDim`-bin
+    * luma histogram (fractions summing to ~1 — a deterministic, compact
+    * pixel feature). None → the caller falls back to [[decodeStub]]. */
+  private def decodeReal(payload: Array[Byte], featureDim: Int): Option[(Int, Int, Int, Array[Float])] =
+    decodePixels(payload).map { s =>
+      // histogram needs the pixels again; one more decode keeps decodePixels'
+      // public shape stable while this private path stays self-contained
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      val features = new Array[Float](featureDim)
+      val nPx = s.width * s.height
+      var y = 0
+      while (y < s.height) {
+        var x = 0
+        while (x < s.width) {
+          val rgb = img.getRGB(x, y)
+          val luma = 299 * ((rgb >>> 16) & 0xff) + 587 * ((rgb >>> 8) & 0xff) +
+            114 * (rgb & 0xff) // 0 .. 254745
+          features((luma * featureDim / 255000).min(featureDim - 1)) += 1.0f / nPx
+          x += 1
+        }
+        y += 1
+      }
+      (s.width, s.height, frameCount(payload).getOrElse(1), features)
+    }
+
   /** Batched decode stage — mapPartitions so any per-partition setup (codec
-    * context, model session) is paid once per partition, not per row. */
+    * context, model session) is paid once per partition, not per row.
+    * CODEC-FIRST since r13: payloads the bundled ImageIO readers decode get
+    * REAL raster dims, real frame counts, and a luma-histogram feature
+    * vector; everything else (text stand-ins, compressed media) falls back
+    * to the documented deterministic stub — same schema either way. */
   def decode(media: DataFrame, featureDim: Int = 16): Dataset[DecodedMedia] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition init of the (stub) codec happens here
+        // per-partition init of the codec happens here
         it.map { case (id, payload) =>
-          val (w, h, f, feats) = decodeStub(payload, featureDim)
+          val (w, h, f, feats) = decodeReal(payload, featureDim)
+            .getOrElse(decodeStub(payload, featureDim))
           DecodedMedia(id, w, h, f, feats)
         }
       }

@@ -636,6 +636,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(manku.nonEmpty, "vacuous corpus: no hamming<=3 pairs at sf0.001")
   }
 
+  test("pipeline composition: exact dedup upstream makes mega-bucket saturation lossless") {
+    // The saturation contract drops pairs WITHIN an identical-text
+    // mega-cluster (r13 ScaleStress plant) — which would be the worst
+    // possible miss for a dedup pipeline if near-dup ran on raw text. The
+    // production composition never does: exact dedup (md5 keep-first)
+    // collapses identical copies FIRST, so the near-dup stage sees one
+    // representative per distinct text and saturation has nothing left to
+    // drop. Pin that end-to-end: composed survivors == the survivors you
+    // get with no mega-cluster present at all.
+    import spark.implicits._
+    val cluster = (0 until 50).map(i => (1000L + i, "identical boilerplate copy zz1 zz2 zz3"))
+    val sat = docs.select($"doc_id", $"text")
+      .unionAll(cluster.toDF("doc_id", "text"))
+    // tiny cap so the 50-copy cluster saturates its buckets even here
+    def survivors(corpus: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val uniq = Dedup.exactDedup(corpus, "doc_id", "text")
+      val losers = Dedup.minhashNearDupPairs(uniq, "doc_id", "text",
+        threshold = 0.5, maxBucketSize = 10)
+        .select($"doc_b").as[Long].collect().toSet
+      uniq.select($"doc_id").as[Long].collect().toSet -- losers
+    }
+    val composed = survivors(sat)
+    // the cluster collapses to its keep-first representative, which (being
+    // textually unrelated to the base corpus) must survive near-dup intact
+    assert(composed.contains(1000L), "keep-first representative must survive")
+    assert((1001L to 1049L).forall(id => !composed.contains(id)),
+      "exact dedup must have removed every non-representative copy")
+    // and the base corpus's survivor set is unperturbed by the plant
+    assert(composed - 1000L == survivors(docs.select($"doc_id", $"text")),
+      "mega-cluster must not change which ordinary docs survive")
+  }
+
   test("block-combination pigeonhole property: h ≤ blocks−keyBlocks pairs ALWAYS share a key") {
     // The exhaustiveness claim, brute-forced over randomized signatures:
     // flip up to (blocks − keyBlocks) random bits and assert some key

@@ -202,6 +202,27 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Seq((1L, 100L), (2L, -1L)))
   }
 
+  test("decode stage is codec-first: real dims/frames/histogram for images, stub otherwise") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.syntheticPng(5L, 9, 12)),
+      (2L, Multimodal.syntheticGif(2L, 3)),
+      (3L, "plain text payload, no codec reads this".getBytes)
+    ).toDF("media_id", "payload")
+    val out = Multimodal.decode(rows, featureDim = 8).collect()
+      .map(d => d.media_id -> d).toMap
+    assert(out(1L).width == 9 && out(1L).height == 12 && out(1L).n_frames == 1)
+    assert(out(2L).width == 4 && out(2L).height == 4 && out(2L).n_frames == 3,
+      s"gif: ${out(2L)}")
+    // image features are a luma histogram: fractions summing to ~1
+    assert(math.abs(out(1L).features.sum - 1.0f) < 1e-3, out(1L).features.toSeq.toString)
+    // non-media payloads replay the documented stub exactly
+    val payload3 = "plain text payload, no codec reads this".getBytes
+    val (w, h, f, feats) = Multimodal.decodeStub(payload3, 8)
+    assert(out(3L).width == w && out(3L).height == h && out(3L).n_frames == f &&
+      out(3L).features.toSeq == feats.toSeq)
+  }
+
   test("sampleFrames: stride-2 generator over n_frames") {
     import spark.implicits._
     val decoded = Multimodal.decode(media)
