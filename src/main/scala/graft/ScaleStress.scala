@@ -30,7 +30,8 @@ import org.apache.spark.sql.functions._
   * Emits one JSON line with timings; outputs under args(1).
   */
 object ScaleStress {
-  private val Names = Seq("x06_minhash_neardup", "x07_simhash_neardup", "x08_ngram_jaccard")
+  private val Names = Seq("x06_minhash_neardup", "x07_simhash_neardup",
+    "x08_ngram_jaccard", "x196_minhash_oph")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -74,6 +75,9 @@ object ScaleStress {
     def pairsOf(name: String, docs: DataFrame): DataFrame = name match {
       case "x06_minhash_neardup" => graft.ops.Dedup.minhashNearDupPairs(
         docs, "doc_id", "text", shingleK = 3, numHashes = 128, bands = 64, threshold = 0.5)
+        .orderBy($"doc_a", $"doc_b")
+      case "x196_minhash_oph" => graft.ops.Dedup.minhashNearDupPairsOph(
+        docs, "doc_id", "text", shingleK = 3, numBins = 128, bands = 64, threshold = 0.5)
         .orderBy($"doc_a", $"doc_b")
       case "x07_simhash_neardup" => graft.ops.Dedup.simhashNearDupPairs(
         docs, "doc_id", "text", maxHamming = 3).orderBy($"doc_a", $"doc_b")

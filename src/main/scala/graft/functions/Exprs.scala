@@ -65,6 +65,19 @@ object Exprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** oph_sig(array<string> tokens) → array<bigint>: one-permutation-hashing
+    * MinHash with rotation densification ([[Ops.ophSig]]) — one hash per
+    * shingle instead of `numBins`, the corpus-scale signature path. */
+  case class OphSig(child: Expression, shingleK: Int, numBins: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      Ops.ophSig(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], shingleK, numBins)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Ops.ophSig($c, $shingleK, $numBins)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** band_hashes(array<bigint> sig) → array<bigint> of length `bands`. */
   case class BandHashes(child: Expression, bands: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -340,6 +353,8 @@ object Exprs {
   def dot_l(a: Column, b: Column): Column = col(DotL(ex(a), ex(b)))
   def minhash_sig(tokens: Column, shingleK: Int = 3, numHashes: Int = 128): Column =
     col(MinHashSig(ex(tokens), shingleK, numHashes))
+  def oph_sig(tokens: Column, shingleK: Int = 3, numBins: Int = 128): Column =
+    col(OphSig(ex(tokens), shingleK, numBins))
   def band_hashes(sig: Column, bands: Int = 16): Column = col(BandHashes(ex(sig), bands))
   def jaccard_shingles(a: Column, b: Column, shingleK: Int = 3): Column =
     col(JaccardShingles(ex(a), ex(b), shingleK))

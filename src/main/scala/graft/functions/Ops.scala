@@ -184,6 +184,48 @@ object Ops {
     new GenericArrayData(sig)
   }
 
+  /** One-Permutation-Hashing MinHash signature (Li/Owen/Zhang, NIPS'12)
+    * with densification via rotation (Shrivastava & Li, ICML'14 — public
+    * knowledge): ONE hash evaluation per shingle instead of `numBins`.
+    * The scrambled 64-bit shingle hash is the permutation rank; its
+    * unsigned residue picks the bin, the per-bin minimum rank is the
+    * sketch value, and an empty bin borrows from the next occupied bin
+    * cyclically, offset by walk distance × a large odd constant so
+    * borrowed values collide only when the SOURCE values collide at the
+    * same distance — exactly the densified-equality semantics the
+    * estimator needs. A pure function of the shingle SET (order and
+    * multiplicity already removed by [[shingleHashes]]). For documents
+    * with ≥ numBins shingles this matches `numBins` classic minhashes
+    * statistically at 1/numBins the hashing cost — the map-side term that
+    * dominates MinHash at corpus scale ([[minhashSig]] is
+    * O(shingles × hashes); this is O(shingles)). */
+  def ophSig(tokens: ArrayData, shingleK: Int, numBins: Int): ArrayData = {
+    val sh = shingleHashes(tokens, shingleK)
+    val sig = new Array[Long](numBins)
+    java.util.Arrays.fill(sig, Long.MaxValue) // empty-bin marker
+    var i = 0
+    while (i < sh.length) {
+      val h = splitmix64(sh(i))
+      val bin = java.lang.Long.remainderUnsigned(h, numBins.toLong).toInt
+      if (h < sig(bin)) sig(bin) = h
+      i += 1
+    }
+    val out = new Array[Long](numBins)
+    var b = 0
+    while (b < numBins) {
+      if (sig(b) != Long.MaxValue) out(b) = sig(b)
+      else {
+        var d = 1
+        while (d < numBins && sig((b + d) % numBins) == Long.MaxValue) d += 1
+        out(b) =
+          if (d == numBins) splitmix64(b.toLong) // unreachable for ≥1 shingle; deterministic anyway
+          else sig((b + d) % numBins) + d.toLong * 0x9E3779B97F4A7C15L
+      }
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Hash each of `bands` contiguous signature slices to one long (LSH
     * banding: equal band hash ⇒ candidate pair). */
   def bandHashes(sig: ArrayData, bands: Int): ArrayData = {

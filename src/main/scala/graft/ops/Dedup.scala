@@ -64,16 +64,50 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 16,
       threshold: Double = 0.7,
-      maxBucketSize: Int = 1000): DataFrame = {
-    // Signature AND sorted shingle-hash array in ONE map-side projection
-    // over the scan, materialized once (three consumers: the banded
-    // pipeline and both verify sides). Verification is then a merge walk
-    // over the two precomputed arrays — the earlier spelling carried raw
-    // token arrays to the verify join and re-shingled BOTH docs PER PAIR
-    // (a doc in p pairs paid p re-hashings of its whole text).
+      maxBucketSize: Int = 1000): DataFrame =
+    bandedJaccardPairs(docs, idCol, textCol, shingleK,
+      toks => minhash_sig(toks, shingleK, numHashes), bands, threshold, maxBucketSize)
+
+  /** As [[minhashNearDupPairs]] with the ONE-PERMUTATION-HASHING signature
+    * ([[graft.functions.Ops.ophSig]] — Li/Owen/Zhang NIPS'12, densification
+    * Shrivastava & Li ICML'14): one hash evaluation per shingle instead of
+    * `numBins`, so the map-side signature pass — the term that dominates
+    * MinHash cost at corpus scale — drops ~numBins×. Statistically the
+    * aligned-bin collision probability is the same J the classic rows
+    * estimate, so the banded S-curve (and the verify stage, which computes
+    * EXACT Jaccard either way) is unchanged for documents with ≥ numBins
+    * shingles; short documents occupy few bins and densification correlates
+    * the rest, so boundary-threshold recall on very short near-dup pairs is
+    * weaker than the classic signature's — the x196 gate validates the
+    * output against the exact pair set on this corpus family, and callers
+    * with short-doc-heavy corpora at loose thresholds should prefer
+    * [[minhashNearDupPairs]]. */
+  def minhashNearDupPairsOph(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numBins: Int = 128,
+      bands: Int = 16,
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 1000): DataFrame =
+    bandedJaccardPairs(docs, idCol, textCol, shingleK,
+      toks => graft.functions.Exprs.oph_sig(toks, shingleK, numBins),
+      bands, threshold, maxBucketSize)
+
+  /** Shared banded-signature pipeline: signature AND sorted shingle-hash
+    * array in ONE map-side projection over the scan, materialized once
+    * (three consumers: the banded pipeline and both verify sides).
+    * Verification is a merge walk over the two precomputed arrays — the
+    * earlier spelling carried raw token arrays to the verify join and
+    * re-shingled BOTH docs PER PAIR (a doc in p pairs paid p re-hashings
+    * of its whole text). */
+  private def bandedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, sigOf: Column => Column, bands: Int,
+      threshold: Double, maxBucketSize: Int): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .select(col("doc_id"),
-        minhash_sig(col("toks"), shingleK, numHashes).as("sig"),
+        sigOf(col("toks")).as("sig"),
         shingle_hashes(col("toks"), shingleK).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .localCheckpoint()

@@ -268,6 +268,24 @@ object Extensions {
   }
   def x06Sql: String = x08Sql
 
+  // ------------------------------------------- x196 one-permutation minhash
+  /** [[graft.ops.Dedup.minhashNearDupPairsOph]] at x06's geometry — the
+    * corpus-scale signature path: ONE hash per shingle (Li/Owen/Zhang
+    * NIPS'12; rotation densification Shrivastava & Li ICML'14) instead of
+    * 128, so the map-side signature pass that dominates MinHash at 100 TB
+    * drops ~128×. Verification computes the same exact Jaccard, so the
+    * oracle is the same exact-pair SQL as x06/x08 — the gate holds the
+    * cheap signature to the identical answer the expensive one gives
+    * (validated at sf0.01, sf0.1, and the 10× stress corpus; the
+    * short-doc caveat is documented on the operator). */
+  def x196MinhashOph(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.minhashNearDupPairsOph(docs(s, dir), "doc_id", "text",
+      shingleK = 3, numBins = 128, bands = 64, threshold = 0.5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+  def x196Sql: String = x08Sql
+
   // ------------------------------------------------------------ x07 simhash
   /** SimHash near-dup pairs. ORACLED: with maxHamming=3 and the default
     * Manku block-combination family (6 blocks keyed in C(6,3)=20 triples —
@@ -6276,6 +6294,7 @@ object Extensions {
     "x187_reservoir_pq" -> x187ReservoirPq _,
     "x188_ivf_recall" -> x188IvfRecall _,
     "x189_deflate_input" -> x189DeflateInput _,
+    "x196_minhash_oph" -> x196MinhashOph _,
     "x195_wav_stats" -> x195WavStats _,
     "x194_gif_frames" -> x194GifFrames _,
     "x193_pixel_resize" -> x193PixelResize _,
@@ -6525,6 +6544,7 @@ object Extensions {
     "x187_reservoir_pq" -> x187Sql,
     "x188_ivf_recall" -> x188Sql,
     "x189_deflate_input" -> x189Sql,
+    "x196_minhash_oph" -> x196Sql,
     "x195_wav_stats" -> x195Sql,
     "x194_gif_frames" -> x194Sql,
     "x193_pixel_resize" -> x193Sql,

@@ -636,6 +636,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(manku.nonEmpty, "vacuous corpus: no hamming<=3 pairs at sf0.001")
   }
 
+  test("one-permutation hashing: OPH pairs == classic minhash pairs == planted truth") {
+    // The cheap signature (one hash per shingle, rotation densification)
+    // must land the identical verified pair set the 128-pass classic
+    // signature lands at the same band geometry — the verify stage computes
+    // exact Jaccard either way, so only candidate RECALL could differ, and
+    // at this geometry both are deterministic on planted J≥0.5 structure.
+    import spark.implicits._
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val oph = pairs(Dedup.minhashNearDupPairsOph(docs, "doc_id", "text",
+      shingleK = 3, numBins = 128, bands = 64, threshold = 0.5))
+    val classic = pairs(Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      shingleK = 3, numHashes = 128, bands = 64, threshold = 0.5))
+    assert(oph == classic, s"only-classic=${(classic diff oph).take(5)} " +
+      s"only-oph=${(oph diff classic).take(5)}")
+    assert(oph.nonEmpty, "vacuous corpus")
+    // signature determinism: a pure function of the shingle SET — token
+    // order and duplication must not change it
+    val sigs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "completely different words here now")
+    ).toDF("doc_id", "text")
+      .select($"doc_id", graft.functions.Exprs.oph_sig(Dedup.tokens($"text")).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(2L), "identical docs must sign identically")
+    assert(sigs(1L) != sigs(3L), "different docs must not")
+    assert(sigs(1L).length == 128)
+  }
+
   test("pipeline composition: exact dedup upstream makes mega-bucket saturation lossless") {
     // The saturation contract drops pairs WITHIN an identical-text
     // mega-cluster (r13 ScaleStress plant) — which would be the worst

@@ -56,6 +56,7 @@ class ExprsSpec extends SparkSpec {
       Exprs.dot_f(col("veca"), col("vecb")).as("dotf"),
       Exprs.dot_l(col("la"), col("lb")).as("dotl"),
       Exprs.minhash_sig(col("toks"), 3, 8).as("sig"),
+      Exprs.oph_sig(col("toks"), 3, 8).as("ophsig"),
       Exprs.band_hashes(Exprs.minhash_sig(col("toks"), 3, 8), 4).as("bands"),
       sh.as("sh"),
       Exprs.ngram_hashes(col("toks"), 2).as("ngrams"),
