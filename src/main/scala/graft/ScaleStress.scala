@@ -114,6 +114,47 @@ object ScaleStress {
       Names.map(jq).mkString("[", ",", "]"))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/verify/errors.json"), "{}")
+    // ---- leg 1b: ANN at 10× — 20k vectors, brute-force truth, IVF recall
+    // sweep (the x188 discipline at stress scale). Replicas are perturbed
+    // per copy so the truth ranking isn't a wall of exact ties; the recall
+    // floor asserts the probed-cell search still finds the neighborhood
+    // when cells are 10× fuller.
+    locally {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val nEmb = emb.agg(max($"vec_id")).as[Long].collect()(0) + 1
+      val emb10 = (0 until 10).map { k =>
+        emb.select(($"vec_id" + lit(k * nEmb)).as("vec_id"),
+          transform($"embedding", x => x + lit((k - 4) * 0.001f)).as("embedding"))
+      }.reduce(_ unionAll _).localCheckpoint()
+      val annQueries = emb10.filter($"vec_id" % 199 === 0).localCheckpoint()
+      val (tTruth, nTruth) = timed {
+        graft.ops.Similarity.bruteForceTopK(emb10, annQueries, "vec_id", "embedding", k = 10)
+          .select($"query_id", $"item_id").localCheckpoint().count()
+      }
+      val truth = graft.ops.Similarity
+        .bruteForceTopK(emb10, annQueries, "vec_id", "embedding", k = 10)
+        .select($"query_id", $"item_id")
+      val (tIvf, _) = timed {
+        val index = graft.ops.Similarity.buildIvfIndex(
+          emb10, "vec_id", "embedding", nlist = 64)
+        val report = graft.ops.Similarity.ivfRecallReport(index, annQueries, truth,
+          "vec_id", "embedding", k = 10, nprobes = Seq(1, 2, 4, 8, 16))
+          .collect()
+        report.foreach { r =>
+          results(s"ann_ivf_recall_ppm_np${r.getLong(0)}") =
+            (if (r.isNullAt(5)) -1L else r.getLong(5)).toDouble
+        }
+        val best = report.last
+        require(!best.isNullAt(5) && best.getLong(5) >= 500000L,
+          s"IVF recall@10 collapsed at 10× scale: ${best.getLong(5)} ppm at " +
+            s"nprobe=${best.getLong(0)} (floor 500000)")
+        report.length.toLong
+      }
+      results("ann_bruteforce_10x") = tTruth
+      results("ann_ivf_sweep_10x") = tIvf
+      results("ann_truth_rows") = nTruth.toDouble
+    }
+
     // ---- leg 2: saturation plant (x06/x07; x08 is exact/uncapped by design)
     val planted = (0 until 3000).map { i =>
       (200000L + i, "saturation cluster boilerplate document with enough " +
