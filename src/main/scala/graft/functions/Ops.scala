@@ -200,6 +200,7 @@ object Ops {
     * dominates MinHash at corpus scale ([[minhashSig]] is
     * O(shingles × hashes); this is O(shingles)). */
   def ophSig(tokens: ArrayData, shingleK: Int, numBins: Int): ArrayData = {
+    require(numBins > 0, s"ophSig: numBins must be positive, got $numBins")
     val sh = shingleHashes(tokens, shingleK)
     val sig = new Array[Long](numBins)
     java.util.Arrays.fill(sig, Long.MaxValue) // empty-bin marker
