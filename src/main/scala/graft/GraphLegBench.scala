@@ -49,15 +49,27 @@ object GraphLegBench {
       (1 to repeats).map { _ =>
         val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
       }.min
+    // EXPLICIT caps for the driver legs — the production defaults scale
+    // with driver heap (Graph.memoryScaledCap), so on a small-heap JVM the
+    // default-capped calls would silently take the distributed route and
+    // this tool's whole comparison would mislabel two identical legs.
+    val driverCap = 4 << 20
+    require(m < driverCap,
+      s"graph has $m edges ≥ explicit driver cap $driverCap — the 'driver' " +
+        "legs would silently measure the distributed path; raise the cap")
     val legs = Seq[(String, () => Long)](
       "x112_driver" -> (() =>
-        graft.ops.Graph.triangleStats(edges, "a", "b").count()),
+        graft.ops.Graph.triangleStats(edges, "a", "b", driverCap.toLong).count()),
       "x112_distributed" -> (() =>
         graft.ops.Graph.triangleStats(edges, "a", "b", 0L).count()),
       "x114_driver" -> (() =>
-        graft.ops.Graph.labelPropagation(edges, seeds, 3).count()),
+        graft.ops.Graph.labelPropagation(edges, seeds, 3, driverEdgeCap = driverCap).count()),
       "x114_distributed" -> (() =>
         graft.ops.Graph.labelPropagation(edges, seeds, 3, driverEdgeCap = 0).count()),
+      // NOTE: nearDupClusters' production ceiling is 1M edges — BELOW this
+      // graph (1.196M), so its "driver" leg deliberately measures the
+      // documented over-cap behavior: distributed loop + the ≤cap+1-row
+      // probe overhead. Label kept honest in NOTES.
       "cc_driver" -> (() =>
         graft.ops.Dedup.nearDupClusters(edges, "a", "b").count()),
       "cc_distributed" -> (() =>
@@ -67,7 +79,7 @@ object GraphLegBench {
           seedMax = 2000L, topK = 50, assumeNormalized = true).count())
     )
     // equality gate first (cheap: counts + census row), then timing
-    val censusA = graft.ops.Graph.triangleStats(edges, "a", "b").collect()(0).toSeq
+    val censusA = graft.ops.Graph.triangleStats(edges, "a", "b", driverCap.toLong).collect()(0).toSeq
     val censusB = graft.ops.Graph.triangleStats(edges, "a", "b", 0L).collect()(0).toSeq
     require(censusA == censusB, s"leg mismatch: $censusA vs $censusB")
     val results = legs.map { case (name, fn) => name -> time(fn()) }

@@ -96,15 +96,7 @@ object ScaleStress {
       results(s"${name}_10x_pairs") = n.toDouble
     }
     // Verify-layout sidecars so tools/selfcheck.py replays the oracles
-    def jq(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def jq(s: String): String = Jsons.quote(s)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/verify/oracle_sql.json"),
       Names.map(n => s"${jq(n)}: ${jq(SparkEntry.oracleSql(n))}")
@@ -122,18 +114,20 @@ object ScaleStress {
     locally {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val nEmb = emb.agg(max($"vec_id")).as[Long].collect()(0) + 1
+      // every replica gets a NONZERO perturbation ((k+1)·0.001) so the
+      // truth ranking is decided by geometry, never by id tie-breaks
       val emb10 = (0 until 10).map { k =>
         emb.select(($"vec_id" + lit(k * nEmb)).as("vec_id"),
-          transform($"embedding", x => x + lit((k - 4) * 0.001f)).as("embedding"))
+          transform($"embedding", x => x + lit((k + 1) * 0.001f)).as("embedding"))
       }.reduce(_ unionAll _).localCheckpoint()
       val annQueries = emb10.filter($"vec_id" % 199 === 0).localCheckpoint()
+      var truth: DataFrame = null
       val (tTruth, nTruth) = timed {
-        graft.ops.Similarity.bruteForceTopK(emb10, annQueries, "vec_id", "embedding", k = 10)
-          .select($"query_id", $"item_id").localCheckpoint().count()
+        truth = graft.ops.Similarity
+          .bruteForceTopK(emb10, annQueries, "vec_id", "embedding", k = 10)
+          .select($"query_id", $"item_id").localCheckpoint()
+        truth.count()
       }
-      val truth = graft.ops.Similarity
-        .bruteForceTopK(emb10, annQueries, "vec_id", "embedding", k = 10)
-        .select($"query_id", $"item_id")
       val (tIvf, _) = timed {
         val index = graft.ops.Similarity.buildIvfIndex(
           emb10, "vec_id", "embedding", nlist = 64)
@@ -164,8 +158,14 @@ object ScaleStress {
     val baseCk = base.localCheckpoint()
     Seq("x06_minhash_neardup", "x07_simhash_neardup").foreach { name =>
       val basePairs = pairsOf(name, baseCk).collect().map(_.toSeq.take(2)).toSet
-      val (sec, _) = timed(pairsOf(name, sat).count())
-      val satPairs = pairsOf(name, sat).collect().map(_.toSeq.take(2)).toSet
+      // one timed run materializes the pipeline; the equality check reads
+      // the SAME checkpointed result instead of re-running it
+      var satDf: DataFrame = null
+      val (sec, _) = timed {
+        satDf = pairsOf(name, sat).localCheckpoint()
+        satDf.count()
+      }
+      val satPairs = satDf.collect().map(_.toSeq.take(2)).toSet
       require(satPairs == basePairs,
         s"$name: saturation semantics broke — the 3000-copy cluster must " +
           s"contribute zero pairs (saturated buckets) and base pairs must " +

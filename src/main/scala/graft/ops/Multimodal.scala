@@ -77,28 +77,40 @@ object Multimodal {
   /** Real-codec decode of one image payload into the [[DecodedMedia]]
     * shape (r13): raster dims, REAL frame count, and a `featureDim`-bin
     * luma histogram (fractions summing to ~1 — a deterministic, compact
-    * pixel feature). None → the caller falls back to [[decodeStub]]. */
-  private def decodeReal(payload: Array[Byte], featureDim: Int): Option[(Int, Int, Int, Array[Float])] =
-    decodePixels(payload).map { s =>
-      // histogram needs the pixels again; one more decode keeps decodePixels'
-      // public shape stable while this private path stays self-contained
+    * pixel feature). ONE codec pass computes dims and histogram together,
+    * and the full-stream frame walk (`getNumImages(true)` re-parses every
+    * frame) runs only for GIF — the one multi-frame container the JDK
+    * reads; still images are 1 by definition. None → the caller falls
+    * back to [[decodeStub]]. */
+  private def decodeReal(payload: Array[Byte], featureDim: Int): Option[(Int, Int, Int, Array[Float])] = {
+    imageIoInit
+    if (payload == null) return None
+    try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      val features = new Array[Float](featureDim)
-      val nPx = s.width * s.height
-      var y = 0
-      while (y < s.height) {
-        var x = 0
-        while (x < s.width) {
-          val rgb = img.getRGB(x, y)
-          val luma = 299 * ((rgb >>> 16) & 0xff) + 587 * ((rgb >>> 8) & 0xff) +
-            114 * (rgb & 0xff) // 0 .. 254745
-          features((luma * featureDim / 255000).min(featureDim - 1)) += 1.0f / nPx
-          x += 1
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val features = new Array[Float](featureDim)
+        val nPx = w * h
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val luma = 299 * ((rgb >>> 16) & 0xff) + 587 * ((rgb >>> 8) & 0xff) +
+              114 * (rgb & 0xff) // 0 .. 254745
+            features((luma * featureDim / 255000).min(featureDim - 1)) += 1.0f / nPx
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        val isGif = payload.length >= 6 &&
+          payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F'
+        val frames = if (isGif) frameCount(payload).getOrElse(1) else 1
+        Some((w, h, frames, features))
       }
-      (s.width, s.height, frameCount(payload).getOrElse(1), features)
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** Batched decode stage — mapPartitions so any per-partition setup (codec
     * context, model session) is paid once per partition, not per row.
@@ -194,6 +206,12 @@ object Multimodal {
     * to sRGB (`getRGB`). */
   def decodePixels(payload: Array[Byte]): Option[PixelStats] = {
     imageIoInit
+    // NULL payloads are data (an upstream stage's undecodable marker —
+    // resizeImages emits them), and JDK codecs throw RUNTIME exceptions on
+    // malformed-but-recognized bodies (JPEG huffman AIOOBE, bogus-dims
+    // NegativeArraySize, GIF IOOBE) — so the guard is NonFatal, not just
+    // IOException: corrupt bytes are data, not exceptions, always.
+    if (payload == null) return None
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null) None
@@ -214,7 +232,7 @@ object Multimodal {
         }
         Some(PixelStats(w, h, sr, sg, sb, 299L * sr + 587L * sg + 114L * sb))
       }
-    } catch { case _: java.io.IOException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Pixel-statistics stage over a media table `(media_id, payload, …)`:
@@ -294,7 +312,7 @@ object Multimodal {
     * or the target is degenerate. */
   def resizePixels(payload: Array[Byte], dstW: Int, dstH: Int): Option[Array[Byte]] = {
     imageIoInit
-    if (dstW <= 0 || dstH <= 0) return None
+    if (payload == null || dstW <= 0 || dstH <= 0) return None
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null) None
@@ -316,7 +334,7 @@ object Multimodal {
         javax.imageio.ImageIO.write(out, "png", bos)
         Some(bos.toByteArray)
       }
-    } catch { case _: java.io.IOException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Real-pixel resize stage: every payload scaled so max(w, h) == `maxDim`
@@ -347,6 +365,7 @@ object Multimodal {
     * the decoded truth, not a header claim. */
   def frameCount(payload: Array[Byte]): Option[Int] = {
     imageIoInit
+    if (payload == null) return None
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
@@ -357,7 +376,7 @@ object Multimodal {
         try { r.setInput(iis, false); Some(r.getNumImages(true)) }
         finally r.dispose()
       }
-    } catch { case _: java.io.IOException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Frame-count stage over a media table: `(media_id, n_frames)`, NULL for
@@ -424,6 +443,7 @@ object Multimodal {
     * oracle the decoded sample stream against a closed form with no codec
     * in the SQL engine. */
   def decodeAudio(payload: Array[Byte]): Option[AudioStats] = {
+    if (payload == null) return None
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
@@ -446,10 +466,7 @@ object Multimodal {
         }
         Some(AudioStats(f.getChannels, f.getSampleRate.toInt, n, sum, sumAbs, maxAbs))
       }
-    } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Audio-statistics stage over a media table: all-BIGINT

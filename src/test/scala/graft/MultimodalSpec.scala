@@ -174,6 +174,27 @@ class MultimodalSpec extends SparkSpec {
     assert(rows == Seq((1L, 3L), (2L, -1L)))
   }
 
+  test("NULL payloads flow through every codec stage as data (the resize→stats composition)") {
+    // r13 review finding: resizeImages documents emitting NULL payloads for
+    // undecodable inputs, so every downstream kernel must treat NULL as
+    // data — the composition x193 makes must not NPE on one junk row.
+    assert(Multimodal.decodePixels(null) == None)
+    assert(Multimodal.resizePixels(null, 4, 4) == None)
+    assert(Multimodal.frameCount(null) == None)
+    assert(Multimodal.decodeAudio(null) == None)
+    import spark.implicits._
+    val mixed = Seq(
+      (1L, Multimodal.syntheticPng(1L, 12, 8)),
+      (2L, "junk that decodes to a NULL payload in resize".getBytes)
+    ).toDF("media_id", "payload")
+    val out = Multimodal.pixelStats(Multimodal.resizeImages(mixed, maxDim = 5))
+      .orderBy("media_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(out == Seq((1L, 5L, 3L), (2L, -1L, -1L)), out.toString)
+  }
+
   test("decodeAudio: WAV PCM round trip reproduces the planted closed form; junk → None") {
     for (id <- Seq(0L, 7L, 4999L)) {
       val n = (500 + id % 300).toInt
