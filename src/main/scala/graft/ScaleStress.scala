@@ -36,6 +36,12 @@ object ScaleStress {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "target/stress"
+    // optional leg filter: comma-separated query names (args(2)); "ann" and
+    // "sat" select the ANN / saturation legs. Empty = everything.
+    val only: Set[String] =
+      if (args.length > 2) args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty
+    def wanted(leg: String): Boolean = only.isEmpty || only.contains(leg)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -86,7 +92,8 @@ object ScaleStress {
         .orderBy($"doc_a", $"doc_b")
     }
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    Names.foreach { name =>
+    val ranNames = Names.filter(wanted)
+    ranNames.foreach { name =>
       val (sec, n) = timed {
         val df = pairsOf(name, corpus)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/verify/$name")
@@ -99,11 +106,11 @@ object ScaleStress {
     def jq(s: String): String = Jsons.quote(s)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/verify/oracle_sql.json"),
-      Names.map(n => s"${jq(n)}: ${jq(SparkEntry.oracleSql(n))}")
+      ranNames.map(n => s"${jq(n)}: ${jq(SparkEntry.oracleSql(n))}")
         .mkString("{", ",", "}"))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/verify/manifest.json"),
-      Names.map(jq).mkString("[", ",", "]"))
+      ranNames.map(jq).mkString("[", ",", "]"))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/verify/errors.json"), "{}")
     // ---- leg 1b: ANN at 10× — 20k vectors, brute-force truth, IVF recall
@@ -111,7 +118,7 @@ object ScaleStress {
     // per copy so the truth ranking isn't a wall of exact ties; the recall
     // floor asserts the probed-cell search still finds the neighborhood
     // when cells are 10× fuller.
-    locally {
+    if (wanted("ann")) {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val nEmb = emb.agg(max($"vec_id")).as[Long].collect()(0) + 1
       // every replica gets a NONZERO perturbation ((k+1)·0.001) so the
@@ -150,6 +157,7 @@ object ScaleStress {
     }
 
     // ---- leg 2: saturation plant (x06/x07; x08 is exact/uncapped by design)
+    if (wanted("sat")) {
     val planted = (0 until 3000).map { i =>
       (200000L + i, "saturation cluster boilerplate document with enough " +
         "distinct tokens zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10 zq11 zq12")
@@ -172,6 +180,7 @@ object ScaleStress {
           s"be untouched; diff=${(satPairs diff basePairs).take(5)} / " +
           s"${(basePairs diff satPairs).take(5)}")
       results(s"${name}_sat") = sec
+    }
     }
     def f(v: Double) = "%.3f".format(v)
     println(s"""{"sf_base":"$sfDir","cpus":$cpus,"queries":${

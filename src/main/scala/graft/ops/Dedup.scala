@@ -389,21 +389,34 @@ object Dedup {
     * verified with bit_count(xor) ≤ maxHamming. Exhaustive iff
     * `maxHamming ≤ blocks − keyBlocks`; beyond that the output is the
     * partial-recall candidate∩threshold set ([[simhashRecallReport]]
-    * quantifies the decay). */
+    * quantifies the decay). The non-exhaustive regime is OPT-IN: with the
+    * geometry left at its default (pass `blocks`/`keyBlocks` < 0), a
+    * `maxHamming` beyond the default's exhaustive range (6 − 3 = 3) throws
+    * instead of silently returning a smaller pair set — the r13 geometry
+    * change ((4,1) chunks → Manku (6,3)) shrank exactly that regime, and a
+    * caller must see it, not inherit it. */
   def simhashNearDupPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000,
-      blocks: Int = 6,
-      keyBlocks: Int = 3): DataFrame = {
+      blocks: Int = -1,
+      keyBlocks: Int = -1): DataFrame = {
+    val geometryDefaulted = blocks < 0 || keyBlocks < 0
+    val b = if (blocks < 0) 6 else blocks
+    val kb = if (keyBlocks < 0) 3 else keyBlocks
+    require(!(geometryDefaulted && maxHamming > b - kb),
+      s"simhash: maxHamming=$maxHamming exceeds the default (6,3) geometry's " +
+        s"exhaustive range (h <= 3); recall beyond it is partial and " +
+        s"geometry-dependent — pass blocks/keyBlocks explicitly to opt in " +
+        s"(e.g. blocks=8, keyBlocks=1 is exhaustive through h=7)")
     // (id, sig) is 16 bytes/doc; materialize it once or all three consumers
     // (chunk explode + both verify sides) re-scan the corpus and re-MD5
     // every token.
     val sigs = docs.select(col(idCol).as("doc_id"), simhash64(tokens(col(textCol))).as("sig"))
       .localCheckpoint()
-    val chunked = simhashBandRel(sigs, blocks, keyBlocks)
+    val chunked = simhashBandRel(sigs, b, kb)
     val candidates = bucketCandidatePairs(chunked, "chunk_idx", "chunk_val", maxBucketSize)
     candidates
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
@@ -556,14 +569,16 @@ object Dedup {
   }
 
   /** Explode each doc's length-`n - ceil(t*n) + 1` prefix under the given
-    * rank order: (doc_id, n_shingles, shingle) rows, map-side. */
+    * rank order: (doc_id, n_shingles, pos, shingle) rows, map-side. `pos`
+    * is the shingle's 0-based index in the ranked array — the positional
+    * filter's input. */
   private def prefixRows(perDoc: DataFrame, prefixExpr: Column,
       threshold: Double): DataFrame =
     perDoc
       .withColumn("__ranked", prefixExpr)
-      .select(col("doc_id"), col("n_shingles"), explode(expr(
+      .select(col("doc_id"), col("n_shingles"), posexplode(expr(
         s"slice(__ranked, 1, cast(n_shingles - ceil($threshold * n_shingles) + 1 as int))"))
-        .as("shingle"))
+        .as(Seq("pos", "shingle")))
 
   private[graft] def prefixCandidates(perDoc: DataFrame, threshold: Double): DataFrame = {
     val prefixes = prefixRows(perDoc, hotPrefixExpr(perDoc), threshold)
@@ -580,14 +595,42 @@ object Dedup {
     // self-join it prunes candidates before they ever reach the verify
     // join (measured: 409k → fewer candidate rows at t=0.5, sf0.1).
     val a = prefixes.select(col("doc_id").as("doc_a"), col("shingle"),
-      col("n_shingles").as("n_a"))
+      col("n_shingles").as("n_a"), col("pos").as("pos_a"))
     val b = prefixes.select(col("doc_id").as("doc_b"), col("shingle"),
-      col("n_shingles").as("n_b"))
+      col("n_shingles").as("n_b"), col("pos").as("pos_b"))
+    // PPJoin's THIRD filter: the POSITIONAL filter. J ≥ t ⟺ overlap ≥
+    // α = ceil(t/(1+t)·(n_a+n_b)); a match row at 0-based ranked positions
+    // (pos_a, pos_b) bounds the overlap by 1 + min(n_a−pos_a−1,
+    // n_b−pos_b−1). Exact as a per-row prune even though only the FIRST
+    // shared shingle's bound is tight: shared shingles appear in the same
+    // relative order in both ranked arrays (one global order), so the first
+    // shared one minimizes BOTH positions — if its row fails, every later
+    // row's bound is smaller and the pair genuinely cannot reach α; if it
+    // passes, the pair survives through that row. Net effect at 10× scale:
+    // near-dup pairs stop emitting one candidate row per shared LATE prefix
+    // shingle — the duplicated volume the distinct below must chew through.
+    // The 1e-9 keeps double rounding of t/(1+t)·(n) from ever rounding the
+    // ceil UP past the true integer α (over-pruning would cost true pairs;
+    // under-pruning only keeps a few extra rows for the verify join).
+    val alpha = ceil((col("n_a") + col("n_b")) * lit(threshold / (1.0 + threshold)) - lit(1e-9))
     a.join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b") &&
         col("n_a") * lit(threshold) <= col("n_b") &&
-        col("n_b") * lit(threshold) <= col("n_a"))
+        col("n_b") * lit(threshold) <= col("n_a") &&
+        lit(1) + least(col("n_a") - col("pos_a") - 1, col("n_b") - col("pos_b") - 1) >= alpha)
       .select(col("doc_a"), col("doc_b"))
+      // Explicit-count repartition by the pair key BEFORE the distinct: the
+      // r13 10× stress read 77–184 s run-to-run because the join stage's
+      // (AQE-coalesced, few, fat) tasks ran the distinct's partial hash
+      // aggregate over the full duplicated candidate stream — per-task maps
+      // of millions of entries, spill/GC-bound in an 8 GiB JVM. With the
+      // exchange first, the join stage only STREAMS rows into shuffle
+      // writers (bounded buffers), duplicates of a pair co-locate, and each
+      // dedup task holds exactly its hash range — distinct_pairs/P entries,
+      // deterministic memory. The explicit count keeps AQE from coalescing
+      // the dedup side back into fat tasks.
+      .repartition(perDoc.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_a"), col("doc_b"))
       .distinct()
   }
 

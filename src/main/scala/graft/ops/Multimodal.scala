@@ -91,7 +91,11 @@ object Multimodal {
       else {
         val w = img.getWidth; val h = img.getHeight
         val features = new Array[Float](featureDim)
-        val nPx = w * h
+        // Long math throughout: luma*featureDim overflows Int past
+        // featureDim ~8400, and w*h overflows past 2^31 px — either would
+        // turn into a negative index whose AIOOBE the NonFatal guard
+        // silently converts to a stub fallback.
+        val nPx = w.toLong * h
         var y = 0
         while (y < h) {
           var x = 0
@@ -99,7 +103,7 @@ object Multimodal {
             val rgb = img.getRGB(x, y)
             val luma = 299 * ((rgb >>> 16) & 0xff) + 587 * ((rgb >>> 8) & 0xff) +
               114 * (rgb & 0xff) // 0 .. 254745
-            features((luma * featureDim / 255000).min(featureDim - 1)) += 1.0f / nPx
+            features((luma.toLong * featureDim / 255000L).toInt.min(featureDim - 1)) += 1.0f / nPx
             x += 1
           }
           y += 1
@@ -351,8 +355,11 @@ object Multimodal {
         val resized = decodePixels(payload).flatMap { s =>
           val mx = math.max(s.width, s.height)
           if (mx <= maxDim) Some(payload)
+          // Long math: width*maxDim overflows Int for large rasters, and a
+          // negative dim would make resizePixels NULL the payload silently.
           else resizePixels(payload,
-            math.max(1, s.width * maxDim / mx), math.max(1, s.height * maxDim / mx))
+            math.max(1, (s.width.toLong * maxDim / mx).toInt),
+            math.max(1, (s.height.toLong * maxDim / mx).toInt))
         }
         (id, resized.orNull)
       })
@@ -369,13 +376,15 @@ object Multimodal {
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) None
-      else {
-        val r = readers.next()
-        try { r.setInput(iis, false); Some(r.getNumImages(true)) }
-        finally r.dispose()
-      }
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try { r.setInput(iis, false); Some(r.getNumImages(true)) }
+          finally r.dispose()
+        }
+      } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 

@@ -169,16 +169,22 @@ case class PrioritySampleExec(k: Int, priorityCol: String, child: SparkPlan)
     // only when two priorities actually collide. Without it, the
     // coalesce(1, shuffle = true) merge below would make tie selection
     // depend on run-to-run shuffle arrival order.
+    // Compares in place via the rows' base object/offset — getBytes would
+    // copy each row's byte region per comparison, two allocations per
+    // heap-comparator call on heavily tied priorities.
     def cmpBytes(x: UnsafeRow, y: UnsafeRow): Int = {
-      val xb = x.getBytes; val yb = y.getBytes
-      val n = math.min(xb.length, yb.length)
+      import org.apache.spark.unsafe.Platform
+      val xo = x.getBaseObject; val xOff = x.getBaseOffset; val xn = x.getSizeInBytes
+      val yo = y.getBaseObject; val yOff = y.getBaseOffset; val yn = y.getSizeInBytes
+      val n = math.min(xn, yn)
       var i = 0
       while (i < n) {
-        val c = java.lang.Integer.compare(xb(i) & 0xff, yb(i) & 0xff)
+        val c = java.lang.Integer.compare(
+          Platform.getByte(xo, xOff + i) & 0xff, Platform.getByte(yo, yOff + i) & 0xff)
         if (c != 0) return c
         i += 1
       }
-      java.lang.Integer.compare(xb.length, yb.length)
+      java.lang.Integer.compare(xn, yn)
     }
     // Bounded max-heap of the k smallest (priority, bytes) entries; rows are
     // materialized (copied) only on ADMISSION — `toUnsafe` may return a

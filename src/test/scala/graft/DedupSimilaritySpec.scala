@@ -100,6 +100,46 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs == Set((100L, 101L)), s"exact output: $pairs")
   }
 
+  test("positional filter: pair set identical to brute-force all-pairs jaccard") {
+    import spark.implicits._
+    // The r14 positional filter (1 + min(n_a−pos_a−1, n_b−pos_b−1) ≥ α)
+    // prunes candidate ROWS; exactness demands it never prunes a true PAIR.
+    // Brute-force truth over every doc pair, several thresholds so α lands
+    // on and off integer boundaries (the ceil-rounding edge the 1e-9 guards).
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
+      .select($"doc_id", $"shingles").as[(Long, Array[Long])].collect()
+    for (t <- Seq(0.3, 0.5, 2.0 / 3.0, 0.75, 0.9)) {
+      val truth = (for {
+        (ia, sa) <- sets.iterator
+        (ib, sb) <- sets.iterator
+        if ia < ib
+        inter = sa.toSet.intersect(sb.toSet).size
+        j = inter.toDouble / (sa.length + sb.length - inter)
+        if j >= t
+      } yield (ia, ib)).toSet
+      val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = t)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      assert(got == truth,
+        s"t=$t: missing=${(truth diff got).take(5)} extra=${(got diff truth).take(5)}")
+    }
+  }
+
+  test("simhash: non-exhaustive maxHamming with default geometry is opt-in") {
+    import spark.implicits._
+    val two = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma epsilon"))
+      .toDF("doc_id", "text")
+    // default (6,3) geometry is exhaustive only through h=3: beyond it the
+    // caller must pass geometry explicitly (the r13 default change shrank
+    // this regime — silence would hand old callers a smaller pair set)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(two, "doc_id", "text", maxHamming = 4)
+    }
+    assert(e.getMessage.contains("exhaustive range"))
+    // explicit geometry opts in — and an exhaustive explicit one still works
+    assert(Dedup.simhashNearDupPairs(two, "doc_id", "text", maxHamming = 6,
+      blocks = 8, keyBlocks = 1).count() >= 0)
+  }
+
   test("brute-force ANN: top-k is exactly the naive driver-side answer") {
     import spark.implicits._
     val result = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3), "vec_id", "embedding", k = 5)
