@@ -521,6 +521,66 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Container format sniffed from magic bytes — the contract surface's
+    * format axis. Pure byte arithmetic on public container signatures
+    * (PNG/JPEG/GIF as in [[imageDims]]; RIFF/WAVE; ID3 or MPEG frame sync
+    * for MP3; ISO-BMFF `ftyp` for MP4); "unknown" for everything else
+    * (text stand-ins, junk, truncation below 12 bytes). */
+  def sniffFormat(p: Array[Byte]): String = {
+    if (p == null || p.length < 12) "unknown"
+    else if ((p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') "png"
+    else if ((p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) "jpeg"
+    else if (p(0) == 'G' && p(1) == 'I' && p(2) == 'F') "gif"
+    else if (p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') "wav"
+    else if (p(0) == 'I' && p(1) == 'D' && p(2) == '3') "mp3"
+    else if ((p(0) & 0xff) == 0xff && (p(1) & 0xe0) == 0xe0) "mp3"
+    else if (p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p') "mp4"
+    else "unknown"
+  }
+
+  /** The decode mode the pipeline will ACTUALLY take for one payload —
+    * determined by attempting the real decoders, not by trusting the
+    * format label:
+    *  - `real`        — a bundled JDK codec fully decodes it
+    *                    ([[decodePixels]] or [[decodeAudio]]);
+    *  - `header_only` — the container header parses ([[imageDims]]) but no
+    *                    codec decodes the body (truncated/corrupt stream);
+    *  - `stub`        — nothing decodes it; [[decode]] falls back to the
+    *                    documented deterministic stub (compressed
+    *                    audio/video — MP3/AAC/H.264 have no JDK decoder —
+    *                    and text stand-ins land here);
+    *  - `null`        — NULL payload (an upstream stage's undecodable
+    *                    marker). */
+  def decodeMode(p: Array[Byte]): String =
+    if (p == null) "null"
+    else if (decodePixels(p).isDefined || decodeAudio(p).isDefined) "real"
+    else if (imageDims(p).isDefined) "header_only"
+    else "stub"
+
+  /** Codec-support CONTRACT surface (r13 verdict ask #5): per media row,
+    * the sniffed container format and the decode mode the pipeline will
+    * take — so "compressed audio/video route to the stub" is a queryable
+    * fact a pipeline user can join against, not a doc comment. Map-side,
+    * one decode attempt per row. */
+  def codecSupport(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        (id, sniffFormat(payload), decodeMode(payload))
+      })
+      .toDF("media_id", "format", "decode_mode")
+  }
+
+  /** Aggregated contract table: `(format, decode_mode, n_media)` — the
+    * boundary of real codec support over a corpus at a glance. */
+  def codecSupportReport(media: DataFrame): DataFrame =
+    codecSupport(media)
+      .groupBy(col("format"), col("decode_mode"))
+      .agg(count(lit(1)).as("n_media"))
+      .orderBy(col("format"), col("decode_mode"))
+
   /** Resize stage: pure metadata+feature transform on decoded media. */
   def resize(decoded: Dataset[DecodedMedia], maxDim: Int): Dataset[DecodedMedia] = {
     val spark = decoded.sparkSession

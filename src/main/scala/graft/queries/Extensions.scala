@@ -542,6 +542,50 @@ object Extensions {
       |  CAST(MAX(abs(v)) AS BIGINT) AS max_abs
       |FROM s GROUP BY 1 ORDER BY media_id""".stripMargin
 
+  // ------------------------------------------- x197 codec-support contract
+  /** [[graft.ops.Multimodal.codecSupportReport]] over a planted MIXED media
+    * table — the codec-support boundary as a queryable table (r13 verdict
+    * ask #5: compressed audio/video route to the stub silently from a
+    * user's viewpoint). Six payload families by `doc_id mod 6`: real PNG /
+    * GIF / WAV (JDK codecs decode them), an ID3-tagged MP3 and an
+    * ISO-BMFF MP4 (no JDK decoder — the documented stub route), and a
+    * TRUNCATED PNG (header arithmetic parses, the codec cannot). The Spark
+    * side must earn each row by actually sniffing magic bytes and running
+    * the real decoders; the oracle replays the plant's closed form. */
+  def x197CodecContract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val payload: Array[Byte] = (id % 6) match {
+          case 0 => Multimodal.syntheticPng(id, 8, 8)
+          case 1 => Multimodal.syntheticGif(id, (1 + id % 4).toInt)
+          case 2 => Multimodal.syntheticWav(id, 100)
+          case 3 => // ID3v2 tag header + deterministic junk: a format the
+            // JDK ships no decoder for — must land on the stub route
+            "ID3".getBytes("US-ASCII") ++
+              Array.tabulate(64)(i => ((id + i) % 251).toByte)
+          case 4 => // ISO-BMFF: 4-byte box size + "ftypisom" + junk
+            Array[Byte](0, 0, 0, 40) ++ "ftypisom".getBytes("US-ASCII") ++
+              Array.tabulate(32)(i => ((3 * id + i) % 249).toByte)
+          case _ => // PNG truncated after IHDR: header parses, codec can't
+            Multimodal.syntheticPng(id, 8, 8).take(26)
+        }
+        (id, payload)
+      }).toDF("media_id", "payload")
+    Multimodal.codecSupportReport(media)
+  }
+  val x197Sql: String =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) % 6 AS m FROM documents),
+      |c AS (SELECT
+      |  CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'wav'
+      |         WHEN 3 THEN 'mp3' WHEN 4 THEN 'mp4' ELSE 'png' END AS format,
+      |  CASE WHEN m IN (0, 1, 2) THEN 'real'
+      |       WHEN m IN (3, 4) THEN 'stub'
+      |       ELSE 'header_only' END AS decode_mode
+      |  FROM d)
+      |SELECT format, decode_mode, CAST(count(*) AS BIGINT) AS n_media
+      |FROM c GROUP BY 1, 2 ORDER BY format, decode_mode""".stripMargin
+
   // ------------------------------------------------------------ x08 n-gram jaccard
   // Exact relational shingle-join Jaccard — the one near-dup path with a
   // full DuckDB oracle (same explode+join shape both engines).
@@ -6296,6 +6340,7 @@ object Extensions {
     "x189_deflate_input" -> x189DeflateInput _,
     "x196_minhash_oph" -> x196MinhashOph _,
     "x195_wav_stats" -> x195WavStats _,
+    "x197_codec_contract" -> x197CodecContract _,
     "x194_gif_frames" -> x194GifFrames _,
     "x193_pixel_resize" -> x193PixelResize _,
     "x192_manku_recall" -> x192MankuRecall _,
@@ -6546,6 +6591,7 @@ object Extensions {
     "x189_deflate_input" -> x189Sql,
     "x196_minhash_oph" -> x196Sql,
     "x195_wav_stats" -> x195Sql,
+    "x197_codec_contract" -> x197Sql,
     "x194_gif_frames" -> x194Sql,
     "x193_pixel_resize" -> x193Sql,
     "x192_manku_recall" -> x192Sql,

@@ -244,6 +244,33 @@ class MultimodalSpec extends SparkSpec {
       out(3L).features.toSeq == feats.toSeq)
   }
 
+  test("codecSupport: format sniff + decode mode earned by the real decoders") {
+    import spark.implicits._
+    // one payload per contract row: real codecs, no-JDK-decoder formats,
+    // a truncated stream, a NULL marker, and a text stand-in
+    val png = Multimodal.syntheticPng(7L, 8, 8)
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      1L -> png,
+      2L -> Multimodal.syntheticGif(2L, 3),
+      3L -> Multimodal.syntheticWav(3L, 50),
+      4L -> ("ID3".getBytes("US-ASCII") ++ Array.fill[Byte](32)(9)),
+      5L -> (Array[Byte](0, 0, 0, 40) ++ "ftypisom".getBytes("US-ASCII") ++
+        Array.fill[Byte](16)(3)),
+      6L -> png.take(26),
+      7L -> null,
+      8L -> "plain text payload".getBytes("US-ASCII"))
+    val got = Multimodal.codecSupport(rows.toDF("media_id", "payload"))
+      .as[(Long, String, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == ("png", "real"))
+    assert(got(2L) == ("gif", "real"))
+    assert(got(3L) == ("wav", "real"))
+    assert(got(4L) == ("mp3", "stub"), s"mp3: ${got(4L)}")
+    assert(got(5L) == ("mp4", "stub"), s"mp4: ${got(5L)}")
+    assert(got(6L) == ("png", "header_only"), s"truncated png: ${got(6L)}")
+    assert(got(7L) == ("unknown", "null"))
+    assert(got(8L) == ("unknown", "stub"))
+  }
+
   test("sampleFrames: stride-2 generator over n_frames") {
     import spark.implicits._
     val decoded = Multimodal.decode(media)
