@@ -95,6 +95,108 @@ object Dedup {
       toks => graft.functions.Exprs.oph_sig(toks, shingleK, numBins),
       bands, threshold, maxBucketSize)
 
+  /** OPH-vs-classic candidate recall AND precision per document-length
+    * bucket and band geometry — the numbers behind
+    * [[minhashNearDupPairsOph]]'s short-doc caveat (r13 verdict ask #2: the
+    * caveat was documented but no gate measured it). For every TRUE pair
+    * (exact shingle Jaccard ≥ `threshold`), did each signature's banding
+    * surface it — and how many candidates did each signature pay to do so?
+    * Bucketed by the SHORTER side's shingle count, the axis the caveat
+    * lives on: a doc with far fewer shingles than `numBins` leaves most OPH
+    * bins empty, and rotation densification CORRELATES the borrowed values,
+    * breaking the per-band independence the S-curve assumes. Measured
+    * consequence (x198, sf0.01 short-doc family, J spread around 0.5):
+    * correlation cuts toward OVER-collision, not misses — at the production
+    * 64×2 geometry both signatures recall 10⁶ in every bucket, but OPH
+    * surfaces 3–12× the candidates (precision 0.07–0.20 vs classic's
+    * 0.37–0.83 — wasted verify work), and at tighter 16×8 OPH recall stays
+    * 10⁶ where classic drops to 0.48 on sub-8-shingle pairs, again paid in
+    * spurious candidates. So the practical short-doc rule: OPH is safe on
+    * RECALL at production geometry; budget its verify stage for the extra
+    * candidate volume, and prefer [[minhashNearDupPairs]] when short-doc
+    * candidate cost dominates.
+    *
+    * Methodology mirrors [[lshTuningReport]] / [[simhashRecallReport]]:
+    * banding keys are the signature SLICES themselves (SQL-replayable — no
+    * band-hash collision term), truth is the exact pair set, and the
+    * `*_micro = floor(n·10⁶ / d)` ratios are math both engines reproduce
+    * bit-for-bit ([[ophRecallSql]] replays BOTH signatures in SQL). Both
+    * signatures are `numBins` longs, so per geometry the delta is PURELY
+    * the signature family. Scale shape: one map-side projection computes
+    * both signatures and the shingle count; candidates ride the capped
+    * one-shuffle bucket kernel; truth rides the exact PPJoin path. */
+  def ophRecallReport(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numBins: Int = 128, bandConfigs: Seq[Int] = Seq(64, 16),
+      threshold: Double = 0.5, bucketEdges: Seq[Int] = Seq(8, 16, 32, 64, 128),
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(bandConfigs.nonEmpty && bandConfigs.forall(b => b > 0 && numBins % b == 0),
+      s"every bands value must divide numBins=$numBins, got $bandConfigs")
+    require(bucketEdges.nonEmpty && bucketEdges.forall(_ > 0), s"bad edges $bucketEdges")
+    val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        minhash_sig(col("toks"), shingleK, numBins).as("sig_c"),
+        graft.functions.Exprs.oph_sig(col("toks"), shingleK, numBins).as("sig_o"),
+        size(shingle_hashes(col("toks"), shingleK)).as("n_sh"))
+      .localCheckpoint()
+    val na = base.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
+    val nb = base.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
+    // lower edge of the bucket holding least(n_a, n_b); 0 below every edge
+    val m = least(col("n_a"), col("n_b"))
+    val bucketExpr = bucketEdges.sorted.foldLeft(lit(0L): Column)(
+      (acc, e) => when(m >= e, lit(e.toLong)).otherwise(acc))
+    def bucketed(pairs: DataFrame): DataFrame = pairs
+      .join(na, Seq("doc_a")).join(nb, Seq("doc_b"))
+      .withColumn("bucket_lo", bucketExpr)
+    val truth = bucketed(
+      ngramJaccardPairs(docs, idCol, textCol, shingleK, threshold)
+        .select(col("doc_a"), col("doc_b")))
+      .localCheckpoint()
+    def slicedCands(sigCol: String, bands: Int): DataFrame = {
+      val r = numBins / bands
+      val banded = base.select(col("doc_id"), posexplode(
+        expr(s"transform(sequence(0, ${bands - 1}), b -> slice($sigCol, b * $r + 1, $r))")))
+        .toDF("doc_id", "band_idx", "band_key")
+      bucketCandidatePairs(banded, "band_idx", "band_key", maxBucketSize)
+    }
+    val perConfig = bandConfigs.map { bands =>
+      val candC = bucketed(slicedCands("sig_c", bands)).localCheckpoint()
+      val candO = bucketed(slicedCands("sig_o", bands)).localCheckpoint()
+      val truthAgg = truth
+        .join(candC.select(col("doc_a"), col("doc_b"), lit(1L).as("is_c")),
+          Seq("doc_a", "doc_b"), "left")
+        .join(candO.select(col("doc_a"), col("doc_b"), lit(1L).as("is_o")),
+          Seq("doc_a", "doc_b"), "left")
+        .groupBy(col("bucket_lo"))
+        .agg(count(lit(1)).as("n_truth"),
+          coalesce(sum(col("is_c")), lit(0L)).as("n_tp_classic"),
+          coalesce(sum(col("is_o")), lit(0L)).as("n_tp_oph"))
+      val candCAgg = candC.groupBy(col("bucket_lo")).agg(count(lit(1)).as("n_cand_classic"))
+      val candOAgg = candO.groupBy(col("bucket_lo")).agg(count(lit(1)).as("n_cand_oph"))
+      truthAgg
+        .join(candCAgg, Seq("bucket_lo"), "full_outer")
+        .join(candOAgg, Seq("bucket_lo"), "full_outer")
+        .select(lit(bands.toLong).as("bands"), lit((numBins / bands).toLong).as("rows_per_band"),
+          col("bucket_lo"),
+          coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+          coalesce(col("n_cand_classic"), lit(0L)).as("n_cand_classic"),
+          coalesce(col("n_tp_classic"), lit(0L)).as("n_tp_classic"),
+          coalesce(col("n_cand_oph"), lit(0L)).as("n_cand_oph"),
+          coalesce(col("n_tp_oph"), lit(0L)).as("n_tp_oph"))
+    }
+    def ratioMicro(num: String, den: String): String =
+      s"CASE WHEN $den = 0 THEN NULL ELSE " +
+        s"CAST(FLOOR(CAST($num AS DOUBLE) * 1000000.0D / CAST($den AS DOUBLE)) AS BIGINT) END"
+    perConfig.reduce(_.unionByName(_))
+      .select(col("bands"), col("rows_per_band"), col("bucket_lo"),
+        col("n_truth"), col("n_cand_classic"), col("n_tp_classic"),
+        col("n_cand_oph"), col("n_tp_oph"),
+        expr(ratioMicro("n_tp_classic", "n_truth")).as("recall_classic_micro"),
+        expr(ratioMicro("n_tp_oph", "n_truth")).as("recall_oph_micro"),
+        expr(ratioMicro("n_tp_classic", "n_cand_classic")).as("precision_classic_micro"),
+        expr(ratioMicro("n_tp_oph", "n_cand_oph")).as("precision_oph_micro"))
+      .orderBy(col("bands").desc, col("bucket_lo"))
+  }
+
   /** Shared banded-signature pipeline: signature AND sorted shingle-hash
     * array in ONE map-side projection over the scan, materialized once
     * (three consumers: the banded pipeline and both verify sides).
@@ -302,6 +404,169 @@ object Dedup {
        |FROM cfg LEFT JOIN stats s ON s.bands = cfg.bands, nt
        |ORDER BY bands DESC""".stripMargin
   }
+
+  /** DuckDB replay of [[ophRecallReport]] — generated from the same
+    * parameters so the layouts cannot drift (the [[simhashShareSql]]
+    * discipline). `corpusCtes` must end by defining a relation
+    * `pl(doc_id BIGINT, text)` — the planted corpus both engines score.
+    * Replays: shingle hashing (the [[lshTuningSql]] FNV spelling), the
+    * classic `numBins`-permutation signature (baked splitmix64 constants,
+    * 32-bit-split mulmod), the FULL OPH signature — per-shingle splitmix64
+    * in HUGEINT-mod-2⁶⁴ arithmetic (the x99 spelling), unsigned bin pick,
+    * SIGNED per-bin min, and the cyclic rotation-densification walk with
+    * the distance-scaled offset — slice banding for both legs, exact
+    * Jaccard truth, and the per-bucket recall algebra. */
+  def ophRecallSql(corpusCtes: String, shingleK: Int, numBins: Int,
+      bandConfigs: Seq[Int], threshold: Double, bucketEdges: Seq[Int]): String = {
+    require(bandConfigs.nonEmpty && bandConfigs.forall(b => b > 0 && numBins % b == 0),
+      s"every bands value must divide numBins=$numBins, got $bandConfigs")
+    val U = "18446744073709551616::HUGEINT" // 2^64
+    val S = "9223372036854775808::HUGEINT" // 2^63
+    def toSigned(v: String): String =
+      s"CAST(CASE WHEN $v >= $S THEN $v - $U ELSE $v END AS BIGINT)"
+    def toUnsigned(v: String): String =
+      s"(CASE WHEN $v < 0 THEN CAST($v AS HUGEINT) + $U ELSE CAST($v AS HUGEINT) END)"
+    val perms = (0 until numBins).map { p =>
+      val a = java.lang.Long.toUnsignedString(graft.functions.Ops.splitmix64(2L * p) | 1L)
+      val b = java.lang.Long.toUnsignedString(graft.functions.Ops.splitmix64(2L * p + 1))
+      s"($p, $a::HUGEINT, $b::HUGEINT)"
+    }.mkString(", ")
+    val fnvFold = (items: String) =>
+      s"""list_reduce(list_prepend(14695981039346656037::HUGEINT, $items),
+         |  (a, b) -> (xor(a, b) * 1099511628211::HUGEINT) % $U)""".stripMargin
+    // splitmix64 over an unsigned HUGEINT h — the x99Sql chain verbatim
+    val sm1 = s"(h + 11400714819323198485::HUGEINT) % $U"
+    val sm2 = mulmodSql("xor(x, x // 1073741824::HUGEINT)", "13787848793156543929::HUGEINT")
+    val sm3 = mulmodSql("xor(x, x // 134217728::HUGEINT)", "10723151780598845931::HUGEINT")
+    val bucketCase = bucketEdges.sorted.reverse
+      .map(e => s"WHEN least(sa.n_sh, sb.n_sh) >= $e THEN ${e}")
+      .mkString("CASE ", " ", " ELSE 0 END")
+    s"""WITH $corpusCtes,
+       |tw AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM pl),
+       |tth AS (
+       |  SELECT doc_id, list_transform(w, t ->
+       |    ${fnvFold("list_transform(range(1, length(t) + 1), i -> unicode(substr(t, i, 1))::HUGEINT)")}) AS th
+       |  FROM tw),
+       |shd AS (
+       |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(th) >= $shingleK
+       |    THEN list_transform(range(1, len(th) - ${shingleK - 2}), i ->
+       |      ${fnvFold(s"th[i:i+${shingleK - 1}]")})
+       |    ELSE [${fnvFold("th")}] END) AS h
+       |  FROM tth),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+       |perms(p, a, b) AS (VALUES $perms),
+       |csig AS (
+       |  SELECT doc_id, p, min(${toSigned("v")}) AS s
+       |  FROM (SELECT doc_id, pm.p AS p,
+       |          (${mulmodSql("pm.a", "shd.h")} + pm.b) % $U AS v
+       |        FROM shd, perms pm)
+       |  GROUP BY doc_id, p),
+       |csigv AS (SELECT doc_id, list(s ORDER BY p) AS sig FROM csig GROUP BY doc_id),
+       |om1 AS (SELECT doc_id, $sm1 AS x FROM shd),
+       |om2 AS (SELECT doc_id, $sm2 AS x FROM om1),
+       |om3 AS (SELECT doc_id, $sm3 AS x FROM om2),
+       |ohh AS (SELECT doc_id, xor(x, x // 2147483648::HUGEINT) AS oh FROM om3),
+       |obin AS (
+       |  SELECT doc_id, CAST(oh % $numBins AS BIGINT) AS bin,
+       |    min(${toSigned("oh")}) AS m
+       |  FROM ohh GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT d.doc_id, gs.b
+       |  FROM (SELECT DISTINCT doc_id FROM pl) d,
+       |       (SELECT unnest(range($numBins)) AS b) gs),
+       |walk AS (
+       |  SELECT g.doc_id, g.b,
+       |    min(CASE WHEN o.bin >= g.b THEN o.bin - g.b
+       |        ELSE o.bin - g.b + $numBins END) AS d
+       |  FROM grid g JOIN obin o ON o.doc_id = g.doc_id
+       |  GROUP BY 1, 2),
+       |oval AS (
+       |  SELECT w.doc_id, w.b,
+       |    CASE WHEN w.d = 0 THEN o.m
+       |    ELSE ${toSigned(s"((${toUnsigned("o.m")} + CAST(w.d AS HUGEINT) * 11400714819323198485::HUGEINT) % $U)")}
+       |    END AS s
+       |  FROM walk w JOIN obin o
+       |    ON o.doc_id = w.doc_id AND o.bin = (w.b + w.d) % $numBins),
+       |osigv AS (SELECT doc_id, list(s ORDER BY b) AS sig FROM oval GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM shd a JOIN shd b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT i.doc_a, i.doc_b, $bucketCase AS bucket_lo
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.doc_a
+       |  JOIN sizes sb ON sb.doc_id = i.doc_b
+       |  WHERE CAST(i.n_inter AS DOUBLE)
+       |    / (sa.n_sh + sb.n_sh - i.n_inter) >= $threshold),
+       |${bandConfigs.map { b => configCtes(b, numBins / b, bucketCase) }.mkString(",\n")}
+       |SELECT CAST(bands AS BIGINT) AS bands,
+       |  CAST(rows_per_band AS BIGINT) AS rows_per_band,
+       |  CAST(bucket_lo AS BIGINT) AS bucket_lo,
+       |  CAST(n_truth AS BIGINT) AS n_truth,
+       |  CAST(n_cand_classic AS BIGINT) AS n_cand_classic,
+       |  CAST(n_tp_classic AS BIGINT) AS n_tp_classic,
+       |  CAST(n_cand_oph AS BIGINT) AS n_cand_oph,
+       |  CAST(n_tp_oph AS BIGINT) AS n_tp_oph,
+       |  ${ratioMicroSql("n_tp_classic", "n_truth")} AS recall_classic_micro,
+       |  ${ratioMicroSql("n_tp_oph", "n_truth")} AS recall_oph_micro,
+       |  ${ratioMicroSql("n_tp_classic", "n_cand_classic")} AS precision_classic_micro,
+       |  ${ratioMicroSql("n_tp_oph", "n_cand_oph")} AS precision_oph_micro
+       |FROM (${bandConfigs.map(b => s"SELECT * FROM rep$b").mkString(" UNION ALL ")})
+       |ORDER BY bands DESC, bucket_lo""".stripMargin
+  }
+
+  private def ratioMicroSql(num: String, den: String): String =
+    s"CASE WHEN $den = 0 THEN NULL ELSE " +
+      s"CAST(FLOOR(CAST($num AS DOUBLE) * 1000000.0 / CAST($den AS DOUBLE)) AS BIGINT) END"
+
+  /** Per-band-geometry CTE block of [[ophRecallSql]]: slice banding for
+    * both signature legs, DISTINCT candidate pairs, bucketed truth/candidate
+    * aggregates, and the full-outer assembly row `rep$bands`. */
+  private def configCtes(bands: Int, r: Int, bucketCase: String): String =
+    s"""bi$bands AS (SELECT unnest(range($bands)) AS b),
+       |cband$bands AS (SELECT doc_id, bi$bands.b AS band_idx,
+       |  sig[bi$bands.b * $r + 1 : bi$bands.b * $r + $r] AS key FROM csigv, bi$bands),
+       |oband$bands AS (SELECT doc_id, bi$bands.b AS band_idx,
+       |  sig[bi$bands.b * $r + 1 : bi$bands.b * $r + $r] AS key FROM osigv, bi$bands),
+       |ccand$bands AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM cband$bands x JOIN cband$bands y
+       |    ON x.band_idx = y.band_idx AND x.key = y.key AND x.doc_id < y.doc_id),
+       |ocand$bands AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM oband$bands x JOIN oband$bands y
+       |    ON x.band_idx = y.band_idx AND x.key = y.key AND x.doc_id < y.doc_id),
+       |ta$bands AS (
+       |  SELECT t.bucket_lo, count(*) AS n_truth,
+       |    sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS n_tp_classic,
+       |    sum(CASE WHEN o.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS n_tp_oph
+       |  FROM truth t
+       |  LEFT JOIN ccand$bands c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+       |  LEFT JOIN ocand$bands o ON o.doc_a = t.doc_a AND o.doc_b = t.doc_b
+       |  GROUP BY 1),
+       |ca$bands AS (
+       |  SELECT $bucketCase AS bucket_lo, count(*) AS n_cand_classic
+       |  FROM ccand$bands c
+       |  JOIN sizes sa ON sa.doc_id = c.doc_a
+       |  JOIN sizes sb ON sb.doc_id = c.doc_b GROUP BY 1),
+       |oa$bands AS (
+       |  SELECT $bucketCase AS bucket_lo, count(*) AS n_cand_oph
+       |  FROM ocand$bands c
+       |  JOIN sizes sa ON sa.doc_id = c.doc_a
+       |  JOIN sizes sb ON sb.doc_id = c.doc_b GROUP BY 1),
+       |rep$bands AS (
+       |  SELECT $bands AS bands, $r AS rows_per_band,
+       |    coalesce(ta.bucket_lo, ca.bucket_lo, oa.bucket_lo) AS bucket_lo,
+       |    coalesce(ta.n_truth, 0) AS n_truth,
+       |    coalesce(ca.n_cand_classic, 0) AS n_cand_classic,
+       |    coalesce(ta.n_tp_classic, 0) AS n_tp_classic,
+       |    coalesce(oa.n_cand_oph, 0) AS n_cand_oph,
+       |    coalesce(ta.n_tp_oph, 0) AS n_tp_oph
+       |  FROM ta$bands ta
+       |  FULL OUTER JOIN ca$bands ca ON ca.bucket_lo = ta.bucket_lo
+       |  FULL OUTER JOIN oa$bands oa
+       |    ON oa.bucket_lo = coalesce(ta.bucket_lo, ca.bucket_lo))""".stripMargin
 
   /** Corpus minus the lower-id-loses side of every verified near-dup pair.
     * LSH parameters pass through to [[minhashNearDupPairs]]; callers that

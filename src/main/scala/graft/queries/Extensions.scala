@@ -286,6 +286,51 @@ object Extensions {
   }
   def x196Sql: String = x08Sql
 
+  // ------------------------------------------- x198 OPH short-doc recall
+  /** [[graft.ops.Dedup.ophRecallReport]] on a planted SHORT-document
+    * family (r13 verdict ask #2: the OPH short-doc caveat was documented
+    * on the operator but no gate measured it). Each source document yields
+    * a truncated prefix A of `5 + id mod 120` tokens and a near-dup
+    * partner B a few tokens shorter — shingle counts land 3..~120, all
+    * under the 128 OPH bins, with exact Jaccard spread around the 0.5
+    * threshold (J = (n_b−k+1)/(n_a−k+1), B's shingles ⊂ A's). The report
+    * quantifies, per shorter-side shingle-count bucket and band geometry
+    * (the x06/x196 production 64×2 plus a tighter 16×8), recall AND
+    * precision of each signature's banding against the exact pair set.
+    * The measured answer to the caveat: densification correlation cuts
+    * toward OVER-collision — at 64×2 both signatures recall 10⁶ while OPH
+    * pays 3–12× the candidate volume on short buckets; at 16×8 classic
+    * recall decays to 0.48 on sub-8-shingle pairs while OPH holds 10⁶,
+    * again bought with spurious candidates (full table on
+    * [[graft.ops.Dedup.ophRecallReport]]). The oracle replays BOTH
+    * signatures bit-for-bit in SQL ([[graft.ops.Dedup.ophRecallSql]],
+    * generated from the same parameters), so every count is pinned, not
+    * merely plausible. */
+  def x198OphShortRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tw = docs(s, dir)
+      .selectExpr("CAST(doc_id AS BIGINT) AS id", "split(lower(text), '\\\\s+') AS w")
+      .selectExpr("id", "w", "CAST(least(5 + id % 120, size(w)) AS INT) AS na")
+    val a = tw.selectExpr("id * 2 AS doc_id", "array_join(slice(w, 1, na), ' ') AS text")
+    val b = tw.selectExpr("id * 2 + 1 AS doc_id",
+      "array_join(slice(w, 1, CAST(greatest(na - (1 + CAST(id % 7 AS INT)), 3) AS INT)), ' ') AS text")
+    Dedup.ophRecallReport(a.unionByName(b), "doc_id", "text",
+      shingleK = 3, numBins = 128, bandConfigs = Seq(64, 16), threshold = 0.5)
+  }
+  val x198Sql: String = Dedup.ophRecallSql(
+    corpusCtes =
+      """tw0 AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |               string_split_regex(lower(text), '\s+') AS w0 FROM documents),
+        |twn AS (SELECT id, w0, CAST(least(5 + id % 120, len(w0)) AS INT) AS na FROM tw0),
+        |pl AS (
+        |  SELECT id * 2 AS doc_id, array_to_string(w0[1:na], ' ') AS text FROM twn
+        |  UNION ALL
+        |  SELECT id * 2 + 1 AS doc_id,
+        |    array_to_string(w0[1:greatest(na - (1 + CAST(id % 7 AS INT)), 3)], ' ') AS text
+        |  FROM twn)""".stripMargin,
+    shingleK = 3, numBins = 128, bandConfigs = Seq(64, 16), threshold = 0.5,
+    bucketEdges = Seq(8, 16, 32, 64, 128))
+
   // ------------------------------------------------------------ x07 simhash
   /** SimHash near-dup pairs. ORACLED: with maxHamming=3 and the default
     * Manku block-combination family (6 blocks keyed in C(6,3)=20 triples —
@@ -6341,6 +6386,7 @@ object Extensions {
     "x196_minhash_oph" -> x196MinhashOph _,
     "x195_wav_stats" -> x195WavStats _,
     "x197_codec_contract" -> x197CodecContract _,
+    "x198_oph_short_recall" -> x198OphShortRecall _,
     "x194_gif_frames" -> x194GifFrames _,
     "x193_pixel_resize" -> x193PixelResize _,
     "x192_manku_recall" -> x192MankuRecall _,
@@ -6592,6 +6638,7 @@ object Extensions {
     "x196_minhash_oph" -> x196Sql,
     "x195_wav_stats" -> x195Sql,
     "x197_codec_contract" -> x197Sql,
+    "x198_oph_short_recall" -> x198Sql,
     "x194_gif_frames" -> x194Sql,
     "x193_pixel_resize" -> x193Sql,
     "x192_manku_recall" -> x192Sql,

@@ -605,6 +605,67 @@ class DedupSimilaritySpec extends SparkSpec {
       (3L, 2L, 2L, "short doc")))
   }
 
+  test("ophRecallReport: every count replayed by a plain-Scala brute-force oracle") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    // short-doc family: base docs of 4..43 tokens, each with a truncated
+    // near-dup partner — J spread around the 0.5 threshold, shingle counts
+    // under numBins (the regime the report exists to measure)
+    val docsRows = (0 until 30).flatMap { i =>
+      val n = 4 + i % 40
+      val ws = (0 until n).map(j => s"t${(i * 31 + j * 7) % 90}")
+      Seq((2L * i, ws.mkString(" ")),
+        (2L * i + 1, ws.take(math.max(2, n - 1 - i % 5)).mkString(" ")))
+    }
+    val (numBins, configs, t, edges) = (32, Seq(16, 8), 0.5, Seq(4, 8, 16))
+    val report = Dedup.ophRecallReport(docsRows.toDF("doc_id", "text"),
+      "doc_id", "text", shingleK = 3, numBins = numBins, bandConfigs = configs,
+      threshold = t, bucketEdges = edges)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // ---- brute force over the same kernels ----
+    def arr(s: String) = new GenericArrayData(
+      s.toLowerCase.split("\\s+").map(x => UTF8String.fromString(x): Any))
+    val perDoc = docsRows.map { case (id, s) =>
+      val sh = graft.functions.Ops.shingleHashes(arr(s), 3)
+      def longs(a: org.apache.spark.sql.catalyst.util.ArrayData) =
+        (0 until a.numElements()).map(a.getLong).toVector
+      (id, sh.toSet, sh.length,
+        longs(graft.functions.Ops.minhashSig(arr(s), 3, numBins)),
+        longs(graft.functions.Ops.ophSig(arr(s), 3, numBins)))
+    }
+    def bucketOf(m: Int): Long = edges.sorted.reverse.find(m >= _).map(_.toLong).getOrElse(0L)
+    val pairs = for {
+      (ia, sa, na, ca, oa) <- perDoc; (ib, sb, nb, cb, ob) <- perDoc if ia < ib
+    } yield {
+      val inter = sa.intersect(sb).size
+      val bkt = bucketOf(math.min(na, nb))
+      (bkt, inter.toDouble / (na + nb - inter) >= t, ca, cb, oa, ob)
+    }
+    for (bands <- configs) {
+      val r = numBins / bands
+      def cand(x: Vector[Long], y: Vector[Long]) =
+        (0 until bands).exists(b => x.slice(b * r, b * r + r) == y.slice(b * r, b * r + r))
+      val byB = pairs.groupBy(_._1)
+      for ((bkt, ps) <- byB) {
+        val truth = ps.filter(_._2)
+        val candC = ps.filter(p => cand(p._3, p._4))
+        val candO = ps.filter(p => cand(p._5, p._6))
+        val expected = (truth.size.toLong, candC.size.toLong,
+          candC.count(_._2).toLong, candO.size.toLong, candO.count(_._2).toLong)
+        // a bucket with pairs but zero truth AND zero candidates emits no row
+        if (expected != ((0L, 0L, 0L, 0L, 0L)))
+          assert(report.get((bands.toLong, bkt)).contains(expected),
+            s"bands=$bands bucket=$bkt: got ${report.get((bands.toLong, bkt))}, want $expected")
+        else assert(!report.contains((bands.toLong, bkt)),
+          s"bands=$bands bucket=$bkt: unexpected row for an empty bucket")
+      }
+    }
+    // the family must actually exercise the short regime: some truth below 16
+    assert(pairs.exists(p => p._2 && p._1 < 16), "vacuous corpus: no short truth pairs")
+  }
+
   test("simhashRecallReport: counts replayed by a plain-Scala brute-force oracle") {
     import spark.implicits._
     import graft.functions.Exprs.simhash64
