@@ -104,6 +104,7 @@ object ScaleStress {
     }
     // Verify-layout sidecars so tools/selfcheck.py replays the oracles
     def jq(s: String): String = Jsons.quote(s)
+    new java.io.File(s"$outDir/verify").mkdirs() // pair legs may be filtered out
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/verify/oracle_sql.json"),
       ranNames.map(n => s"${jq(n)}: ${jq(SparkEntry.oracleSql(n))}")
@@ -154,6 +155,134 @@ object ScaleStress {
       results("ann_bruteforce_10x") = tTruth
       results("ann_ivf_sweep_10x") = tIvf
       results("ann_truth_rows") = nTruth.toDouble
+    }
+
+    // ---- leg 1b': IVF under SKEW (r13 verdict ask #7) — the x188/1b
+    // sweeps used near-uniform perturbations, so every cell filled evenly.
+    // Real embedding lakes skew: boilerplate/template content collapses
+    // onto one direction. Plant: half of the 10× corpus (even ids) is
+    // replaced by one hot direction plus a per-id drift, so ONE k-means
+    // cell ends up holding ~50% of all vectors; queries sample both
+    // populations. Asserted: the plant actually skewed (hot cell ≥ 40%),
+    // and recall@10 still climbs the nprobe curve (≥ 0.5 at nprobe=16) —
+    // cold queries must not lose their neighborhoods because the training
+    // sample over-represents the hot direction, and hot queries' truth
+    // lives inside the hot cell they probe first.
+    if (wanted("annskew")) {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val nEmb = emb.agg(max($"vec_id")).as[Long].collect()(0) + 1
+      val hot = emb.filter($"vec_id" === 0)
+        .select($"embedding").as[Array[Float]].collect()(0).toSeq
+      val emb10 = (0 until 10).map { k =>
+        emb.select(($"vec_id" + lit(k * nEmb)).as("vec_id"),
+          transform($"embedding", x => x + lit((k + 1) * 0.001f)).as("embedding"))
+      }.reduce(_ unionAll _)
+      val skewed = emb10.select($"vec_id",
+        when($"vec_id" % 2 === 0,
+          transform(typedLit(hot), x => x + $"vec_id".cast("float") * lit(1e-6f)))
+          .otherwise($"embedding").as("embedding"))
+        .localCheckpoint()
+      val queries = skewed.filter($"vec_id" % 199 === 0).localCheckpoint()
+      var truth: DataFrame = null
+      val (tTruth, _) = timed {
+        truth = graft.ops.Similarity
+          .bruteForceTopK(skewed, queries, "vec_id", "embedding", k = 10)
+          .select($"query_id", $"item_id").localCheckpoint()
+        truth.count()
+      }
+      val index = graft.ops.Similarity.buildIvfIndex(
+        skewed, "vec_id", "embedding", nlist = 64)
+      // How the index absorbed the skew: k-means allocates centroid
+      // RESOLUTION to dense regions, so the hot direction (50% of mass)
+      // splits across a handful of cells rather than one mega-cell — the
+      // probe-cost-sane outcome (a hot query probes hot sub-cells, never a
+      // forced half-corpus scan). Measured shares are the receipt.
+      val shares = index.cells.groupBy($"centroid_id").count()
+        .orderBy($"count".desc).select($"count").as[Long].collect()
+      val total = shares.sum.toDouble
+      val hotShare = shares.head / total
+      val top4Share = shares.take(4).sum / total
+      val nHotCells = index.cells.filter($"item_id" % 2 === 0)
+        .select($"centroid_id").distinct().count()
+      require(hotShare >= 0.1,
+        f"skew plant failed: hottest cell holds only ${hotShare * 100}%.1f%% " +
+          "of vectors (uniform would be ~1.6%)")
+      val (tIvf, _) = timed {
+        val report = graft.ops.Similarity.ivfRecallReport(index, queries, truth,
+          "vec_id", "embedding", k = 10, nprobes = Seq(1, 2, 4, 8, 16))
+          .collect()
+        report.foreach { r =>
+          results(s"ann_skew_recall_ppm_np${r.getLong(0)}") =
+            (if (r.isNullAt(5)) -1L else r.getLong(5)).toDouble
+        }
+        val best = report.last
+        require(!best.isNullAt(5) && best.getLong(5) >= 500000L,
+          s"IVF recall@10 collapsed under skew: ${best.getLong(5)} ppm at " +
+            s"nprobe=${best.getLong(0)} (floor 500000)")
+        report.length.toLong
+      }
+      results("ann_skew_hot_cell_share_pct") = hotShare * 100
+      results("ann_skew_top4_share_pct") = top4Share * 100
+      results("ann_skew_n_cells_holding_hot_mass") = nHotCells.toDouble
+      results("ann_skew_bruteforce") = tTruth
+      results("ann_skew_ivf_sweep") = tIvf
+    }
+
+    // ---- leg 1c: LONG-document signature cost — classic vs OPH (r13
+    // verdict ask #3). The per-round corpora are verify/shuffle-bound, so
+    // OPH's ~numBins× cheaper signature pass never showed in end-to-end
+    // numbers. This leg makes the signature term dominant: each doc becomes
+    // the concatenation of 20 consecutive docs' texts (~1100 tokens,
+    // ~1050 distinct shingles — 20× the per-round corpus), then times the
+    // SIGNATURE PASS ALONE for both families (same tokenize+shingle work,
+    // the delta is purely the hashing term: classic pays
+    // |shingles|×numBins multiply-adds, OPH pays |shingles| splitmix calls).
+    if (wanted("ophlong")) {
+      val repeat = 20
+      val withText = base.localCheckpoint()
+      val longDocs = (0 until repeat).map { j =>
+        withText.select($"doc_id", (($"doc_id" + j) % nBase).as("src_id"))
+          .join(withText.select($"doc_id".as("src_id"), $"text".as("t")), "src_id")
+          .select($"doc_id", lit(j).as("j"), $"t")
+      }.reduce(_ unionAll _)
+        .groupBy($"doc_id")
+        .agg(concat_ws(" ", array_sort(collect_list(struct($"j", $"t")))
+          .getField("t")).as("text"))
+        // ×10 row replication so the timed pass is compute-bound, not
+        // job-floor-bound (5k long docs finish in one ~75 ms floor)
+        .select(explode(sequence(lit(0), lit(9))).as("rep"), col("doc_id"), col("text"))
+        .localCheckpoint()
+      val nTok = longDocs.select(size(split($"text", "\\s+")).cast("long").as("n"))
+        .agg(sum($"n")).as[Long].collect()(0)
+      def timeSig(name: String, sig: org.apache.spark.sql.Column): Unit = {
+        val runs = (1 to 3).map { _ =>
+          timed {
+            // pmod keeps the forced fold inside long range (raw signature
+            // values are full-range longs — a straight sum overflows ANSI)
+            longDocs.select(sig.as("sig"))
+              .agg(sum(pmod(element_at($"sig", 1), lit(1000000L)))).collect()
+            1L
+          }._1
+        }
+        results(s"oph_longdoc_$name") = runs.min
+      }
+      import graft.functions.Exprs
+      // the tokenize+shingle baseline BOTH signatures pay — timing it
+      // separately decomposes the pass into shared work vs hashing term
+      val runsBase = (1 to 3).map { _ =>
+        timed {
+          longDocs.select(Exprs.shingle_hashes(
+            graft.ops.Dedup.tokens($"text"), 3).as("sh"))
+            .agg(sum(pmod(element_at($"sh", 1), lit(1000000L)))).collect()
+          1L
+        }._1
+      }
+      results("oph_longdoc_shingle_only") = runsBase.min
+      timeSig("sig_classic",
+        Exprs.minhash_sig(graft.ops.Dedup.tokens($"text"), 3, 128))
+      timeSig("sig_oph",
+        Exprs.oph_sig(graft.ops.Dedup.tokens($"text"), 3, 128))
+      results("oph_longdoc_total_tokens") = nTok.toDouble
     }
 
     // ---- leg 2: saturation plant (x06/x07; x08 is exact/uncapped by design)
