@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming THROUGHPUT measurement (r13 verdict ask #6): the processors in
+  * [[graft.streaming.EventStreams]] carry stream==batch and
+  * checkpoint-restart correctness specs, but no performance number — this
+  * main puts sustained events/s and state-store size on the two stateful
+  * shapes a deployment actually sizes:
+  *
+  *  - **sessionize** — flatMapGroupsWithState over a FIXED key population
+  *    (`--users`, default 100k): state rows converge to the active-user
+  *    count, so the measured rate is the steady-state per-event cost of
+  *    the keyed-state path (groupByKey shuffle + state store get/put).
+  *  - **sliding** — watermarked 1h/15min sliding-window counts: the
+  *    aggregation path (each row folds into 4 open panes map-side).
+  *
+  * Method: a `rate` source OFFERS more than the pipeline can absorb
+  * (default 2M rows/s); micro-batches then grow until processing time
+  * equals batch interval, and `processedRowsPerSecond` of the settled
+  * batches IS the sustained capacity — the standard back-pressure way to
+  * measure a streaming engine without guessing a rate. The first batches
+  * (warmup, state ramp) are excluded; the median of the rest is reported
+  * beside the final state rows/bytes from the progress metrics.
+  *
+  * Emits ONE JSON line: `{"leg":{"rows_per_s":…,"state_rows":…,
+  * "state_bytes":…,"n_batches":…},…}`. Driver-side measurement only —
+  * the library never depends on this.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val offeredRps = args.headOption.map(_.toInt).getOrElse(2000000)
+    val runSeconds = if (args.length > 1) args(1).toInt else 45
+    val nUsers = if (args.length > 2) args(2).toInt else 100000
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val outRoot = s"target/streambench/${System.nanoTime()}"
+
+    def measure(name: String, build: DataFrame => DataFrame, mode: String): String = {
+      val rate = spark.readStream.format("rate")
+        .option("rowsPerSecond", offeredRps)
+        .option("numPartitions", cpus.toInt)
+        .load()
+      val q = build(rate).writeStream
+        .format("noop")
+        .outputMode(mode)
+        .option("checkpointLocation", s"$outRoot/$name")
+        .start()
+      Thread.sleep(runSeconds * 1000L)
+      val progress = q.recentProgress.toSeq
+      q.stop()
+      // settled batches: drop warmup (JIT, state ramp, source catch-up) —
+      // the first third, at least one batch. Throughput = total rows /
+      // total trigger time over the rest, which stays meaningful in BOTH
+      // regimes this method produces: many small settled batches (offer
+      // near capacity) and a few giant catch-up batches (offer far above
+      // capacity, where a per-batch median has too few samples)
+      // a single giant catch-up batch is still a real measurement — only
+      // drop warmup when there is something after it to measure
+      val warmup = if (progress.size >= 4) progress.size / 3
+                   else if (progress.size >= 2) 1 else 0
+      val settled = progress.drop(warmup)
+        .filter(p => p.numInputRows > 0 &&
+          p.durationMs.getOrDefault("triggerExecution", 0L) > 0L)
+      val totalRows = settled.map(_.numInputRows).sum
+      val totalSec = settled.map(_.durationMs.get("triggerExecution").toLong).sum / 1000.0
+      val sustained = if (settled.isEmpty || totalSec == 0.0) -1.0 else totalRows / totalSec
+      val lastState = progress.lastOption.flatMap(p =>
+        Option(p.stateOperators).filter(_.nonEmpty).map(_.head))
+      val stateRows = lastState.map(_.numRowsTotal).getOrElse(-1L)
+      val stateBytes = lastState.map(_.memoryUsedBytes).getOrElse(-1L)
+      f""""$name":{"rows_per_s":$sustained%.0f,"state_rows":$stateRows,"state_bytes":$stateBytes,"n_batches":${progress.size}}"""
+    }
+
+    // rate rows → Event: a fixed user population so sessionize state is
+    // bounded and convergent; event times are the source's processing-time
+    // stamps (monotone per partition — the sessionizer's in-order contract)
+    def toEvents(rate: DataFrame): Dataset[graft.streaming.EventStreams.Event] =
+      rate.select(
+        col("value").as("event_id"),
+        col("timestamp").as("ts"),
+        (col("value") % nUsers).as("user_id"),
+        concat(lit("t"), col("value") % 5).as("event_type"),
+        (col("value") % 100).cast("double").as("value"))
+        .as[graft.streaming.EventStreams.Event]
+
+    val legs = Seq(
+      measure("sessionize",
+        rate => graft.streaming.EventStreams.sessionize(
+          toEvents(rate), watermarkDelay = "10 seconds").toDF(),
+        "append"),
+      measure("sliding",
+        rate => graft.streaming.EventStreams.slidingCounts(
+          rate.select(col("timestamp").as("ts"),
+            concat(lit("t"), col("value") % 5).as("event_type"))),
+        "update"))
+    println(s"""{"offered_rows_per_s":$offeredRps,"run_seconds":$runSeconds,"n_users":$nUsers,"cpus":$cpus,${legs.mkString(",")}}""")
+    spark.stop()
+  }
+}
