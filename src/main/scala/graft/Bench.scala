@@ -168,9 +168,13 @@ object Bench {
         math.max(if (before.isEmpty) 0.0 else before.last,
           if (after.isEmpty) 0.0 else after.head)
       }
+    // 3×: the r12 pathology read 5–12× the launch floor; a marginal ~2×
+    // blip on a 50 ms floor flagged 50 queries in testing — noise, not
+    // signal. The raw per-query floor context stays in the detail file for
+    // anyone who wants a different cut.
     val queryFloors = timed.map { case (name, _, idx) => name -> bracketFloorMs(idx) }
     val polluted = queryFloors.collect {
-      case (name, fl) if fl > 2.0 * floorLaunchMs && floorLaunchMs > 0 => name
+      case (name, fl) if fl > 3.0 * floorLaunchMs && floorLaunchMs > 0 => name
     }
     val pollutedJson = polluted.map(n => "\"" + n + "\"").mkString("[", ",", "]")
     val cal = s""""floor_launch_ms":${f(floorLaunchMs)},"floor_q13_ms":${f(floorQ13Ms)},"floor_mid_max_ms":${f(floorMidMax)},"n_failed":$nFailed,"n_polluted":${polluted.size},"polluted":$pollutedJson"""
