@@ -158,30 +158,34 @@ object Dedup {
         .toDF("doc_id", "band_idx", "band_key")
       bucketCandidatePairs(banded, "band_idx", "band_key", maxBucketSize)
     }
+    // ONE pair-level full-outer assembly per config: each candidate
+    // pipeline has a single consumer (no checkpoint, no recompute), and
+    // one aggregate produces every count. (Equal wall-clock to the
+    // three-aggregate + per-leg-checkpoint spelling at audit scale — the
+    // truth leg dominates — but one pass over each candidate relation is
+    // the right shape if the audit ever runs on a real corpus slice.)
     val perConfig = bandConfigs.map { bands =>
-      val candC = bucketed(slicedCands("sig_c", bands)).localCheckpoint()
-      val candO = bucketed(slicedCands("sig_o", bands)).localCheckpoint()
-      val truthAgg = truth
-        .join(candC.select(col("doc_a"), col("doc_b"), lit(1L).as("is_c")),
-          Seq("doc_a", "doc_b"), "left")
-        .join(candO.select(col("doc_a"), col("doc_b"), lit(1L).as("is_o")),
-          Seq("doc_a", "doc_b"), "left")
+      val candC = bucketed(slicedCands("sig_c", bands))
+        .select(col("doc_a"), col("doc_b"), col("bucket_lo").as("bkt_c"), lit(1L).as("is_c"))
+      val candO = bucketed(slicedCands("sig_o", bands))
+        .select(col("doc_a"), col("doc_b"), col("bucket_lo").as("bkt_o"), lit(1L).as("is_o"))
+      truth
+        .select(col("doc_a"), col("doc_b"), col("bucket_lo").as("bkt_t"), lit(1L).as("is_t"))
+        .join(candC, Seq("doc_a", "doc_b"), "full_outer")
+        .join(candO, Seq("doc_a", "doc_b"), "full_outer")
+        .select(coalesce(col("bkt_t"), col("bkt_c"), col("bkt_o")).as("bucket_lo"),
+          coalesce(col("is_t"), lit(0L)).as("is_t"),
+          coalesce(col("is_c"), lit(0L)).as("is_c"),
+          coalesce(col("is_o"), lit(0L)).as("is_o"))
         .groupBy(col("bucket_lo"))
-        .agg(count(lit(1)).as("n_truth"),
-          coalesce(sum(col("is_c")), lit(0L)).as("n_tp_classic"),
-          coalesce(sum(col("is_o")), lit(0L)).as("n_tp_oph"))
-      val candCAgg = candC.groupBy(col("bucket_lo")).agg(count(lit(1)).as("n_cand_classic"))
-      val candOAgg = candO.groupBy(col("bucket_lo")).agg(count(lit(1)).as("n_cand_oph"))
-      truthAgg
-        .join(candCAgg, Seq("bucket_lo"), "full_outer")
-        .join(candOAgg, Seq("bucket_lo"), "full_outer")
+        .agg(sum(col("is_t")).as("n_truth"),
+          sum(col("is_c")).as("n_cand_classic"),
+          sum(col("is_t") * col("is_c")).as("n_tp_classic"),
+          sum(col("is_o")).as("n_cand_oph"),
+          sum(col("is_t") * col("is_o")).as("n_tp_oph"))
         .select(lit(bands.toLong).as("bands"), lit((numBins / bands).toLong).as("rows_per_band"),
-          col("bucket_lo"),
-          coalesce(col("n_truth"), lit(0L)).as("n_truth"),
-          coalesce(col("n_cand_classic"), lit(0L)).as("n_cand_classic"),
-          coalesce(col("n_tp_classic"), lit(0L)).as("n_tp_classic"),
-          coalesce(col("n_cand_oph"), lit(0L)).as("n_cand_oph"),
-          coalesce(col("n_tp_oph"), lit(0L)).as("n_tp_oph"))
+          col("bucket_lo"), col("n_truth"), col("n_cand_classic"), col("n_tp_classic"),
+          col("n_cand_oph"), col("n_tp_oph"))
     }
     def ratioMicro(num: String, den: String): String =
       s"CASE WHEN $den = 0 THEN NULL ELSE " +

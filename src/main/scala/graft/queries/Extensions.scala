@@ -308,7 +308,15 @@ object Extensions {
     * merely plausible. */
   def x198OphShortRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // first 1000 source docs only (identical bound in the oracle): the
+    // oracle replays 128 HUGEINT permutations per shingle, so its DuckDB
+    // cost scales hard with corpus size — unbounded it ran >10 min at
+    // sf0.1, which would swamp the whole benchcmp pass. 1000 docs (2000
+    // planted) keeps every length bucket populated at any sf while the
+    // recall audit stays a fixed-cost gate; sf0.01's 500 docs are under
+    // the bound, so the correctness corpus is unchanged.
     val tw = docs(s, dir)
+      .filter(col("doc_id") < 1000)
       .selectExpr("CAST(doc_id AS BIGINT) AS id", "split(lower(text), '\\\\s+') AS w")
       .selectExpr("id", "w", "CAST(least(5 + id % 120, size(w)) AS INT) AS na")
     val a = tw.selectExpr("id * 2 AS doc_id", "array_join(slice(w, 1, na), ' ') AS text")
@@ -320,7 +328,8 @@ object Extensions {
   val x198Sql: String = Dedup.ophRecallSql(
     corpusCtes =
       """tw0 AS (SELECT CAST(doc_id AS BIGINT) AS id,
-        |               string_split_regex(lower(text), '\s+') AS w0 FROM documents),
+        |               string_split_regex(lower(text), '\s+') AS w0
+        |        FROM documents WHERE doc_id < 1000),
         |twn AS (SELECT id, w0, CAST(least(5 + id % 120, len(w0)) AS INT) AS na FROM tw0),
         |pl AS (
         |  SELECT id * 2 AS doc_id, array_to_string(w0[1:na], ' ') AS text FROM twn
