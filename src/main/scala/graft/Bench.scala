@@ -154,7 +154,7 @@ object Bench {
     // Per-query POLLUTION attribution (r13 verdict ask #4: three rounds of
     // driver-window totals needed a hand repro to explain). Each query's
     // floor context = the worse of the two timeline samples bracketing its
-    // position in the main pass; when that exceeds 2× the start-of-run
+    // position in the main pass; when that exceeds 3× the start-of-run
     // launch floor, the host was visibly loaded around the query and its
     // number is flagged polluted — the BENCH file self-annotates instead of
     // requiring a clean-window rerun to explain an outlier. (Hot-set extra

@@ -36,8 +36,10 @@ object ScaleStress {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "target/stress"
-    // optional leg filter: comma-separated query names (args(2)); "ann" and
-    // "sat" select the ANN / saturation legs. Empty = everything.
+    // optional leg filter (args(2), comma-separated): any pair-query name
+    // from Names (x06/x07/x08/x196), plus "ann" (10× IVF recall sweep),
+    // "annskew" (skewed-corpus IVF), "ophlong" (long-doc signature cost),
+    // "sat" (saturation plant). Empty = everything.
     val only: Set[String] =
       if (args.length > 2) args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet
       else Set.empty
@@ -53,11 +55,33 @@ object ScaleStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    new java.io.File(s"$outDir/sf1/").mkdirs()
     val base = Tables.load(spark, sfDir, "documents")
       .select($"doc_id".cast("long").as("doc_id"), $"text")
     val nBase = base.agg(max($"doc_id")).as[Long].collect()(0) + 1
-    // ---- leg 1: 10× corpus, written out so DuckDB can read the same rows
+    def timed(body: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val n = body
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val ranNames = Names.filter(wanted)
+    def pairsOf(name: String, docs: DataFrame): DataFrame = name match {
+      case "x06_minhash_neardup" => graft.ops.Dedup.minhashNearDupPairs(
+        docs, "doc_id", "text", shingleK = 3, numHashes = 128, bands = 64, threshold = 0.5)
+        .orderBy($"doc_a", $"doc_b")
+      case "x196_minhash_oph" => graft.ops.Dedup.minhashNearDupPairsOph(
+        docs, "doc_id", "text", shingleK = 3, numBins = 128, bands = 64, threshold = 0.5)
+        .orderBy($"doc_a", $"doc_b")
+      case "x07_simhash_neardup" => graft.ops.Dedup.simhashNearDupPairs(
+        docs, "doc_id", "text", maxHamming = 3).orderBy($"doc_a", $"doc_b")
+      case "x08_ngram_jaccard" => graft.ops.Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", shingleK = 3, threshold = 0.5)
+        .orderBy($"doc_a", $"doc_b")
+    }
+    // ---- leg 1: 10× corpus, written out so DuckDB can read the same
+    // rows — built only when a pair leg actually reads it (single-leg
+    // iteration on ann/annskew/ophlong must not pay the corpus write)
+    if (ranNames.nonEmpty) {
+    new java.io.File(s"$outDir/sf1/").mkdirs()
     val big = (0 until 10).map { k =>
       base.select(($"doc_id" + lit(k * nBase)).as("doc_id"),
         concat($"text", lit(s" rep$k")).as("text"))
@@ -74,25 +98,19 @@ object ScaleStress {
     val corpus = spark.read.parquet(s"$outDir/sf1/documents.parquet")
     corpus.count() // warm
     (1 to 40).foreach(_ => spark.range(1).count())
-    def timed(body: => Long): (Double, Long) = {
-      val t0 = System.nanoTime(); val n = body
-      ((System.nanoTime() - t0) / 1e9, n)
+    // A FILTERED pair run must not clobber a prior full run's sidecars in
+    // the same outDir: overwriting manifest/oracle_sql with the subset
+    // would silently downgrade the still-present other pair dirs to
+    // rows-only in selfcheck. Refuse loudly; fresh outDir per subset run.
+    val manifestPath = java.nio.file.Paths.get(s"$outDir/verify/manifest.json")
+    if (only.nonEmpty && java.nio.file.Files.exists(manifestPath)) {
+      val prior = java.nio.file.Files.readString(manifestPath)
+      val missing = Names.filterNot(ranNames.contains).filter(prior.contains)
+      require(missing.isEmpty,
+        s"$outDir/verify already holds a manifest covering ${missing.mkString(", ")} — " +
+          "a filtered rerun would overwrite it and weaken their oracle check; " +
+          "use a fresh outDir for subset runs")
     }
-    def pairsOf(name: String, docs: DataFrame): DataFrame = name match {
-      case "x06_minhash_neardup" => graft.ops.Dedup.minhashNearDupPairs(
-        docs, "doc_id", "text", shingleK = 3, numHashes = 128, bands = 64, threshold = 0.5)
-        .orderBy($"doc_a", $"doc_b")
-      case "x196_minhash_oph" => graft.ops.Dedup.minhashNearDupPairsOph(
-        docs, "doc_id", "text", shingleK = 3, numBins = 128, bands = 64, threshold = 0.5)
-        .orderBy($"doc_a", $"doc_b")
-      case "x07_simhash_neardup" => graft.ops.Dedup.simhashNearDupPairs(
-        docs, "doc_id", "text", maxHamming = 3).orderBy($"doc_a", $"doc_b")
-      case "x08_ngram_jaccard" => graft.ops.Dedup.ngramJaccardPairs(
-        docs, "doc_id", "text", shingleK = 3, threshold = 0.5)
-        .orderBy($"doc_a", $"doc_b")
-    }
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val ranNames = Names.filter(wanted)
     ranNames.foreach { name =>
       val (sec, n) = timed {
         val df = pairsOf(name, corpus)
@@ -104,16 +122,16 @@ object ScaleStress {
     }
     // Verify-layout sidecars so tools/selfcheck.py replays the oracles
     def jq(s: String): String = Jsons.quote(s)
-    new java.io.File(s"$outDir/verify").mkdirs() // pair legs may be filtered out
+    new java.io.File(s"$outDir/verify").mkdirs()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/verify/oracle_sql.json"),
       ranNames.map(n => s"${jq(n)}: ${jq(SparkEntry.oracleSql(n))}")
         .mkString("{", ",", "}"))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/verify/manifest.json"),
+    java.nio.file.Files.writeString(manifestPath,
       ranNames.map(jq).mkString("[", ",", "]"))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/verify/errors.json"), "{}")
+    }
     // ---- leg 1b: ANN at 10× — 20k vectors, brute-force truth, IVF recall
     // sweep (the x188 discipline at stress scale). Replicas are perturbed
     // per copy so the truth ranking isn't a wall of exact ties; the recall
@@ -162,8 +180,10 @@ object ScaleStress {
     // Real embedding lakes skew: boilerplate/template content collapses
     // onto one direction. Plant: half of the 10× corpus (even ids) is
     // replaced by one hot direction plus a per-id drift, so ONE k-means
-    // cell ends up holding ~50% of all vectors; queries sample both
-    // populations. Asserted: the plant actually skewed (hot cell ≥ 40%),
+    // direction carries ~50% of all mass; queries sample both
+    // populations. Asserted: the plant actually skewed (hottest cell ≥ 10%
+    // of vectors — uniform would be ~1.6%; measured 27%, because k-means
+    // gives the dense region MORE centroids and splits it, see NOTES_r14),
     // and recall@10 still climbs the nprobe curve (≥ 0.5 at nprobe=16) —
     // cold queries must not lose their neighborhoods because the training
     // sample over-represents the hot direction, and hot queries' truth

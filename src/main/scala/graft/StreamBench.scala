@@ -38,6 +38,10 @@ object StreamBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // recentProgress keeps only the last N batches (default 100); a 60 s
+      // run at sub-second triggers produces hundreds, and losing the early
+      // ones silently shifts the warmup cut and caps n_batches at 100
+      .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

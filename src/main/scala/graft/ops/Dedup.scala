@@ -421,7 +421,8 @@ object Dedup {
     * the distance-scaled offset — slice banding for both legs, exact
     * Jaccard truth, and the per-bucket recall algebra. */
   def ophRecallSql(corpusCtes: String, shingleK: Int, numBins: Int,
-      bandConfigs: Seq[Int], threshold: Double, bucketEdges: Seq[Int]): String = {
+      bandConfigs: Seq[Int], threshold: Double, bucketEdges: Seq[Int],
+      maxBucketSize: Int = 1000): String = {
     require(bandConfigs.nonEmpty && bandConfigs.forall(b => b > 0 && numBins % b == 0),
       s"every bands value must divide numBins=$numBins, got $bandConfigs")
     val U = "18446744073709551616::HUGEINT" // 2^64
@@ -503,7 +504,7 @@ object Dedup {
        |  JOIN sizes sb ON sb.doc_id = i.doc_b
        |  WHERE CAST(i.n_inter AS DOUBLE)
        |    / (sa.n_sh + sb.n_sh - i.n_inter) >= $threshold),
-       |${bandConfigs.map { b => configCtes(b, numBins / b, bucketCase) }.mkString(",\n")}
+       |${bandConfigs.map { b => configCtes(b, numBins / b, bucketCase, maxBucketSize) }.mkString(",\n")}
        |SELECT CAST(bands AS BIGINT) AS bands,
        |  CAST(rows_per_band AS BIGINT) AS rows_per_band,
        |  CAST(bucket_lo AS BIGINT) AS bucket_lo,
@@ -525,22 +526,33 @@ object Dedup {
       s"CAST(FLOOR(CAST($num AS DOUBLE) * 1000000.0 / CAST($den AS DOUBLE)) AS BIGINT) END"
 
   /** Per-band-geometry CTE block of [[ophRecallSql]]: slice banding for
-    * both signature legs, DISTINCT candidate pairs, bucketed truth/candidate
-    * aggregates, and the full-outer assembly row `rep$bands`. */
-  private def configCtes(bands: Int, r: Int, bucketCase: String): String =
+    * both signature legs, DISTINCT candidate pairs under the SAME bucket
+    * cap the engine's `bounded_collect_set` applies (a bucket past
+    * `maxBucketSize` contributes zero pairs — without the HAVING replay,
+    * a saturated bucket would silently diverge the two engines), bucketed
+    * truth/candidate aggregates, and the full-outer assembly `rep$bands`. */
+  private def configCtes(bands: Int, r: Int, bucketCase: String, cap: Int): String =
     s"""bi$bands AS (SELECT unnest(range($bands)) AS b),
        |cband$bands AS (SELECT doc_id, bi$bands.b AS band_idx,
        |  sig[bi$bands.b * $r + 1 : bi$bands.b * $r + $r] AS key FROM csigv, bi$bands),
        |oband$bands AS (SELECT doc_id, bi$bands.b AS band_idx,
        |  sig[bi$bands.b * $r + 1 : bi$bands.b * $r + $r] AS key FROM osigv, bi$bands),
+       |cbk$bands AS (SELECT band_idx, key FROM cband$bands
+       |  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $cap),
+       |obk$bands AS (SELECT band_idx, key FROM oband$bands
+       |  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $cap),
        |ccand$bands AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM cband$bands x JOIN cband$bands y
-       |    ON x.band_idx = y.band_idx AND x.key = y.key AND x.doc_id < y.doc_id),
+       |  FROM cbk$bands k
+       |  JOIN cband$bands x ON x.band_idx = k.band_idx AND x.key = k.key
+       |  JOIN cband$bands y ON y.band_idx = k.band_idx AND y.key = k.key
+       |    AND x.doc_id < y.doc_id),
        |ocand$bands AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM oband$bands x JOIN oband$bands y
-       |    ON x.band_idx = y.band_idx AND x.key = y.key AND x.doc_id < y.doc_id),
+       |  FROM obk$bands k
+       |  JOIN oband$bands x ON x.band_idx = k.band_idx AND x.key = k.key
+       |  JOIN oband$bands y ON y.band_idx = k.band_idx AND y.key = k.key
+       |    AND x.doc_id < y.doc_id),
        |ta$bands AS (
        |  SELECT t.bucket_lo, count(*) AS n_truth,
        |    sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS n_tp_classic,
@@ -878,10 +890,16 @@ object Dedup {
     // passes, the pair survives through that row. Net effect at 10× scale:
     // near-dup pairs stop emitting one candidate row per shared LATE prefix
     // shingle — the duplicated volume the distinct below must chew through.
-    // The 1e-9 keeps double rounding of t/(1+t)·(n) from ever rounding the
-    // ceil UP past the true integer α (over-pruning would cost true pairs;
-    // under-pruning only keeps a few extra rows for the verify join).
-    val alpha = ceil((col("n_a") + col("n_b")) * lit(threshold / (1.0 + threshold)) - lit(1e-9))
+    // The slack keeps double rounding of t/(1+t)·(n) from ever rounding
+    // the ceil UP past the true integer α (over-pruning would cost true
+    // pairs; under-pruning only keeps a few extra rows for the verify
+    // join). It must scale with the product: a fixed 1e-9 stops covering
+    // the ~(n_a+n_b)·2⁻⁵² rounding error once n_a+n_b exceeds ~10⁷
+    // shingles, so the factor carries a 1e-12 RELATIVE slack (≫ the few-ulp
+    // real error, and under-pruning stays < 1 for any corpus with
+    // n_a+n_b < 10¹²) plus the absolute 1e-9 for small products.
+    val alpha = ceil((col("n_a") + col("n_b"))
+      * lit((threshold / (1.0 + threshold)) * (1.0 - 1e-12)) - lit(1e-9))
     a.join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b") &&
         col("n_a") * lit(threshold) <= col("n_b") &&
