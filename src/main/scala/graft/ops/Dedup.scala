@@ -974,12 +974,21 @@ object Dedup {
     val pdCor = shingleSets(corpus, idCol, textCol, shingleK).localCheckpoint()
     val prefixExpr = hotPrefixExpr(pdCor)
     val pa = prefixRows(pdNew, prefixExpr, threshold)
-      .select(col("doc_id").as("new_id"), col("shingle"), col("n_shingles").as("n_a"))
+      .select(col("doc_id").as("new_id"), col("shingle"),
+        col("n_shingles").as("n_a"), col("pos").as("pos_a"))
     val pb = prefixRows(pdCor, prefixExpr, threshold)
-      .select(col("doc_id").as("cor_id"), col("shingle"), col("n_shingles").as("n_b"))
+      .select(col("doc_id").as("cor_id"), col("shingle"),
+        col("n_shingles").as("n_b"), col("pos").as("pos_b"))
+    // same positional filter as [[prefixCandidates]] (r14) — exact by the
+    // identical first-shared-shingle argument, since BOTH sides rank under
+    // the one corpus-derived global order; it prunes the duplicated
+    // candidate rows the per-batch distinct would otherwise chew through
+    val alpha = ceil((col("n_a") + col("n_b"))
+      * lit((threshold / (1.0 + threshold)) * (1.0 - 1e-12)) - lit(1e-9))
     val candidates = pa.join(pb, Seq("shingle"))
       .filter(col("n_a") * lit(threshold) <= col("n_b") &&
-        col("n_b") * lit(threshold) <= col("n_a"))
+        col("n_b") * lit(threshold) <= col("n_a") &&
+        lit(1) + least(col("n_a") - col("pos_a") - 1, col("n_b") - col("pos_b") - 1) >= alpha)
       .select(col("new_id"), col("cor_id"))
       .distinct()
     val a = pdNew.select(col("doc_id").as("new_id"), col("shingles").as("sh_a"),
