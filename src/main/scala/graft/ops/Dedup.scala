@@ -537,22 +537,20 @@ object Dedup {
        |  sig[bi$bands.b * $r + 1 : bi$bands.b * $r + $r] AS key FROM csigv, bi$bands),
        |oband$bands AS (SELECT doc_id, bi$bands.b AS band_idx,
        |  sig[bi$bands.b * $r + 1 : bi$bands.b * $r + $r] AS key FROM osigv, bi$bands),
-       |cbk$bands AS (SELECT band_idx, key FROM cband$bands
-       |  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $cap),
-       |obk$bands AS (SELECT band_idx, key FROM oband$bands
-       |  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $cap),
+       |cbsz$bands AS (SELECT doc_id, band_idx, key,
+       |  count(*) OVER (PARTITION BY band_idx, key) AS bsz FROM cband$bands),
+       |obsz$bands AS (SELECT doc_id, band_idx, key,
+       |  count(*) OVER (PARTITION BY band_idx, key) AS bsz FROM oband$bands),
        |ccand$bands AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM cbk$bands k
-       |  JOIN cband$bands x ON x.band_idx = k.band_idx AND x.key = k.key
-       |  JOIN cband$bands y ON y.band_idx = k.band_idx AND y.key = k.key
-       |    AND x.doc_id < y.doc_id),
+       |  FROM cbsz$bands x JOIN cbsz$bands y
+       |    ON x.band_idx = y.band_idx AND x.key = y.key AND x.doc_id < y.doc_id
+       |  WHERE x.bsz <= $cap),
        |ocand$bands AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM obk$bands k
-       |  JOIN oband$bands x ON x.band_idx = k.band_idx AND x.key = k.key
-       |  JOIN oband$bands y ON y.band_idx = k.band_idx AND y.key = k.key
-       |    AND x.doc_id < y.doc_id),
+       |  FROM obsz$bands x JOIN obsz$bands y
+       |    ON x.band_idx = y.band_idx AND x.key = y.key AND x.doc_id < y.doc_id
+       |  WHERE x.bsz <= $cap),
        |ta$bands AS (
        |  SELECT t.bucket_lo, count(*) AS n_truth,
        |    sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS n_tp_classic,
