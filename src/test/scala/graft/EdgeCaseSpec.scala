@@ -299,4 +299,32 @@ class EdgeCaseSpec extends SparkSpec {
     assert(io.Lake.path("/base", "silver", "housing", "2024-01-01")
       == "/base/silver/housing/ingest_date=2024-01-01")
   }
+
+  test("round-14 operators on empty and degenerate inputs") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    // codec contract: empty media table -> empty report; tiny (< 12-byte)
+    // and empty payloads sniff as unknown/stub, never throw
+    val emptyMedia = spark.createDataFrame(
+      new java.util.ArrayList[Row](),
+      StructType(Seq(StructField("media_id", LongType),
+        StructField("payload", BinaryType))))
+    assert(Multimodal.codecSupportReport(emptyMedia).count() == 0)
+    val tiny = Seq((1L, Array[Byte](0x42)), (2L, Array.emptyByteArray))
+      .toDF("media_id", "payload")
+    val modes = Multimodal.codecSupport(tiny)
+      .as[(Long, String, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(modes(1L) == (("unknown", "stub")) && modes(2L) == (("unknown", "stub")))
+    // OPH recall report: empty corpus -> empty report (no div-zero, no
+    // empty-reduce error); single doc -> no pairs on either leg
+    assert(Dedup.ophRecallReport(emptyDocs, "doc_id", "text",
+      numBins = 16, bandConfigs = Seq(8)).count() == 0)
+    val one = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    assert(Dedup.ophRecallReport(one, "doc_id", "text",
+      numBins = 16, bandConfigs = Seq(8)).count() == 0)
+    // bad geometry fails loudly, not with a downstream shape error
+    intercept[IllegalArgumentException] {
+      Dedup.ophRecallReport(one, "doc_id", "text", numBins = 16, bandConfigs = Seq(7))
+    }
+  }
 }
