@@ -851,7 +851,7 @@ object Dedup {
     * rank order: (doc_id, n_shingles, pos, shingle) rows, map-side. `pos`
     * is the shingle's 0-based index in the ranked array — the positional
     * filter's input. */
-  private def prefixRows(perDoc: DataFrame, prefixExpr: Column,
+  private[graft] def prefixRows(perDoc: DataFrame, prefixExpr: Column,
       threshold: Double): DataFrame =
     perDoc
       .withColumn("__ranked", prefixExpr)

@@ -730,4 +730,95 @@ class StreamingSpec extends SparkSpec {
       } finally q2.stop()
     }
   }
+
+  test("streaming near-dup admission equals the batch incremental report") {
+    import spark.implicits._
+    import graft.streaming.DedupStreams
+    // static lake: two near-dup docs (101/103) and one unrelated (102)
+    val corpus = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"),
+      (102L, "completely different corpus content entirely unrelated words here"),
+      (103L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    // arrivals across two micro-batches: a near-dup of the 101/103 family,
+    // an exact copy of 102, and two novel documents
+    val arrivals = Seq(
+      DedupStreams.Arrival(1L, ts(0), "the quick brown fox jumps over the lazy dog again"),
+      DedupStreams.Arrival(2L, ts(1), "novel arrival text with words never seen before anywhere"),
+      DedupStreams.Arrival(3L, ts(2), "completely different corpus content entirely unrelated words here"),
+      DedupStreams.Arrival(4L, ts(3), "another fresh document absent from the lake wholly"))
+    val input = MemoryStream[DedupStreams.Arrival](spark)
+    val q = DedupStreams.nearDupAdmission(input.toDF(), corpus,
+      "doc_id", "ts", "text", watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("admission_stream_test")
+      .outputMode("append").start()
+    try {
+      input.addData(arrivals.take(2)); q.processAllAvailable()
+      input.addData(arrivals.drop(2)); q.processAllAvailable()
+      // far-future flushers advance the watermark past every real arrival;
+      // two batches so the dedup→aggregate watermark propagation completes
+      // (the flushers themselves stay held — excluded below)
+      input.addData(Seq(DedupStreams.Arrival(99L, ts(500), "flusher doc zq1 zq2 zq3")))
+      q.processAllAvailable()
+      input.addData(Seq(DedupStreams.Arrival(98L, ts(501), "flusher doc zq4 zq5 zq6")))
+      q.processAllAvailable()
+      val got = spark.table("admission_stream_test")
+        .filter($"doc_id" <= 4)
+        .select($"doc_id", $"n_matches", $"admitted")
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+      val batch = graft.ops.Dedup.incrementalDedupReport(
+        arrivals.toDF().select($"doc_id", $"text"), corpus, "doc_id", "text")
+        .select($"doc_id", $"n_matches", $"admitted")
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+      assert(got == batch, s"stream=$got batch=$batch")
+      // the family exercises both outcomes, and n_matches counts are real
+      assert(got == Seq((1L, 2L, false), (2L, 0L, true), (3L, 1L, false), (4L, 0L, true)),
+        s"expected admissions: $got")
+      // exactly one emission per arriving document
+      assert(got.map(_._1).distinct.size == got.size, s"duplicate emissions: $got")
+    } finally q.stop()
+  }
+
+  test("near-dup admission survives a checkpoint restart without duplicate or lost verdicts") {
+    import spark.implicits._
+    import graft.streaming.DedupStreams
+    val corpus = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"),
+      (102L, "completely different corpus content entirely unrelated words here"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("admission-restart").toString
+    val input = MemoryStream[DedupStreams.Arrival](spark)
+    def start() = DedupStreams.nearDupAdmission(input.toDF(), corpus,
+      "doc_id", "ts", "text", watermarkDelay = "0 seconds")
+      .writeStream.format("parquet").option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append").start()
+    val q1 = start()
+    // batch 1 lands, then the query is killed mid-stream (its verdicts are
+    // still held in state — the watermark hasn't passed them)
+    try {
+      input.addData(Seq(
+        DedupStreams.Arrival(1L, ts(0), "the quick brown fox jumps over the lazy dog again"),
+        DedupStreams.Arrival(2L, ts(1), "novel arrival text with words never seen before anywhere")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the checkpoint: held state recovers, later batches both
+    // extend it and flush it
+    val q2 = start()
+    try {
+      input.addData(Seq(
+        DedupStreams.Arrival(3L, ts(2), "completely different corpus content entirely unrelated words here")))
+      q2.processAllAvailable()
+      input.addData(Seq(DedupStreams.Arrival(99L, ts(500), "flusher zq1 zq2 zq3")))
+      q2.processAllAvailable()
+      input.addData(Seq(DedupStreams.Arrival(98L, ts(501), "flusher zq4 zq5 zq6")))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(s"$tmp/out")
+        .filter($"doc_id" <= 4)
+        .select($"doc_id", $"n_matches", $"admitted")
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+      assert(got == Seq((1L, 1L, false), (2L, 0L, true), (3L, 1L, false)),
+        s"restart must neither lose nor duplicate a verdict: $got")
+    } finally q2.stop()
+  }
 }
