@@ -97,6 +97,14 @@ object StreamBench {
         (col("value") % 100).cast("double").as("value"))
         .as[graft.streaming.EventStreams.Event]
 
+    // near-dup admission corpus: the sf documents table (static side,
+    // indexed once at plan time); arriving texts are synthesized 30-token
+    // documents from a 5k-word vocabulary — mostly novel, the admission
+    // workload's common case, so the measured cost is the shingle +
+    // stream-static probe path rather than match bookkeeping
+    val corpusDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val corpus = spark.read.parquet(s"$corpusDir/documents.parquet")
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text")
     val legs = Seq(
       measure("sessionize",
         rate => graft.streaming.EventStreams.sessionize(
@@ -106,7 +114,14 @@ object StreamBench {
         rate => graft.streaming.EventStreams.slidingCounts(
           rate.select(col("timestamp").as("ts"),
             concat(lit("t"), col("value") % 5).as("event_type"))),
-        "update"))
+        "update"),
+      measure("admission",
+        rate => graft.streaming.DedupStreams.nearDupAdmission(
+          rate.select(col("value").as("doc_id"), col("timestamp").as("ts"),
+            expr("concat_ws(' ', transform(sequence(0, 29), " +
+              "i -> concat('w', pmod(hash(value * 31 + i), 5000))))").as("text")),
+          corpus, "doc_id", "ts", "text", watermarkDelay = "10 seconds"),
+        "append"))
     println(s"""{"offered_rows_per_s":$offeredRps,"run_seconds":$runSeconds,"n_users":$nUsers,"cpus":$cpus,${legs.mkString(",")}}""")
     spark.stop()
   }
