@@ -682,12 +682,20 @@ object Dedup {
       maxBucketSize: Int = 1000,
       blocks: Int = -1,
       keyBlocks: Int = -1): DataFrame = {
-    val geometryDefaulted = blocks < 0 || keyBlocks < 0
+    // geometry is all-or-nothing: a half-specified call (blocks given,
+    // keyBlocks defaulted, or vice versa) would resolve to a MIXED geometry
+    // the caller never named, and the guard below would then report the
+    // wrong exhaustive range for it (r14 ADVICE) — reject it outright
+    require((blocks < 0) == (keyBlocks < 0),
+      s"simhash: blocks and keyBlocks must be passed together or both left " +
+        s"defaulted — got blocks=$blocks, keyBlocks=$keyBlocks (a mixed " +
+        s"explicit/default geometry has no documented exhaustive range)")
+    val geometryDefaulted = blocks < 0
     val b = if (blocks < 0) 6 else blocks
     val kb = if (keyBlocks < 0) 3 else keyBlocks
     require(!(geometryDefaulted && maxHamming > b - kb),
-      s"simhash: maxHamming=$maxHamming exceeds the default (6,3) geometry's " +
-        s"exhaustive range (h <= 3); recall beyond it is partial and " +
+      s"simhash: maxHamming=$maxHamming exceeds the default ($b,$kb) geometry's " +
+        s"exhaustive range (h <= ${b - kb}); recall beyond it is partial and " +
         s"geometry-dependent — pass blocks/keyBlocks explicitly to opt in " +
         s"(e.g. blocks=8, keyBlocks=1 is exhaustive through h=7)")
     // (id, sig) is 16 bytes/doc; materialize it once or all three consumers
@@ -835,17 +843,29 @@ object Dedup {
     * shingles of `perDoc` and bake them into a [[graft.functions.Exprs.PrefixRankSort]].
     * Any single expression applied to every participating relation defines
     * one consistent global order — the exactness precondition. */
-  private[graft] def hotPrefixExpr(perDoc: DataFrame): Column = {
-    val hot = perDoc.select(explode(col("shingles")).as("shingle"))
+  private[graft] def hotPrefixExpr(perDoc: DataFrame): Column =
+    prefixExprOf(hotShingles(perDoc))
+
+  /** The (shingle, df) hot table behind [[hotPrefixExpr]], as driver-side
+    * rows — split out so a persisted index ([[graft.streaming.DedupStreams]])
+    * can write it once and rebuild the identical order expression from disk
+    * on any later session. */
+  private[graft] def hotShingles(perDoc: DataFrame): Array[(Long, Long)] =
+    perDoc.select(explode(col("shingles")).as("shingle"))
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
       .orderBy(col("df").desc, col("shingle"))
       .limit(MaxHotShingles)
       .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+
+  /** The prefix ORDER expression for a given hot table. The comparator
+    * ranks by df VALUE (hash-map lookup), so any hot array holding the same
+    * (shingle, df) pairs defines the same total order — persisting the
+    * pairs and rebuilding later is exact. */
+  private[graft] def prefixExprOf(hot: Array[(Long, Long)]): Column =
     if (hot.isEmpty) col("shingles")
-    else prefix_rank_sort(col("shingles"),
-      hot.map(_.getLong(0)), hot.map(_.getLong(1)))
-  }
+    else prefix_rank_sort(col("shingles"), hot.map(_._1), hot.map(_._2))
 
   /** Explode each doc's length-`n - ceil(t*n) + 1` prefix under the given
     * rank order: (doc_id, n_shingles, pos, shingle) rows, map-side. `pos`

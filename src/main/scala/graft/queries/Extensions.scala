@@ -5755,6 +5755,64 @@ object Extensions {
       |WHERE d.doc_id % 10 >= 8
       |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------- x199 streaming-admission batch twin
+  /** The on-disk-index admission verdict (r14 verdict ask #5): the same 20%
+    * arriving batch as x73 scored through
+    * [[graft.streaming.DedupStreams.nearDupAdmissionBatch]] — the IDENTICAL
+    * plan the streaming operator runs per micro-batch (persisted bucketed
+    * prefix index, stream-side prefix explode, candidate dedup before the
+    * exact verify), with the event-time column carried through. x73 pins
+    * `incrementalDedupReport`; this pins the streaming operator's semantics
+    * (`admitted ⟺ n_matches = 0` over the corpus join) with a DuckDB
+    * oracle instead of only ScalaTest specs. The index is built once per
+    * (session, corpus) — the production amortization shape, same as
+    * [[ngramPairGraph]] — so the timed marginal cost is the per-batch scoring. */
+  private val x199Indexes = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.streaming.DedupStreams.AdmissionIndex]()
+  def x199AdmissionTwin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val idx = x199Indexes.computeIfAbsent(
+      System.identityHashCode(s) + "/" + dir, _ => {
+        val idxDir = java.nio.file.Files.createTempDirectory("x199idx").toString
+        graft.streaming.DedupStreams.buildAdmissionIndex(
+          d.filter($"doc_id" % 10 < 8), "doc_id", "text", idxDir,
+          shingleK = 3, threshold = 0.5)
+      })
+    val arrivals = d.filter($"doc_id" % 10 >= 8)
+      .select($"doc_id", timestamp_seconds($"doc_id" % 86400).as("ts"), $"text")
+    graft.streaming.DedupStreams.nearDupAdmissionBatch(
+      arrivals, idx, "doc_id", "ts", "text")
+      .select($"doc_id", unix_timestamp($"ts").as("ts_s"), $"n_matches", $"admitted")
+      .orderBy($"doc_id")
+  }
+  val x199Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 3
+      |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
+      |    ELSE [array_to_string(w, ' ')] END) AS shingle
+      |  FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS new_id, b.doc_id AS cor_id, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+      |  WHERE a.doc_id % 10 >= 8 AND b.doc_id % 10 < 8
+      |  GROUP BY 1, 2),
+      |m AS (
+      |  SELECT new_id, count(*) AS n_matches FROM inter
+      |  JOIN sizes sa ON sa.doc_id = new_id
+      |  JOIN sizes sb ON sb.doc_id = cor_id
+      |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5
+      |  GROUP BY 1)
+      |SELECT d.doc_id, CAST(d.doc_id % 86400 AS BIGINT) AS ts_s,
+      |  coalesce(m.n_matches, 0) AS n_matches,
+      |  m.new_id IS NULL AS admitted
+      |FROM documents d LEFT JOIN m ON d.doc_id = m.new_id
+      |WHERE d.doc_id % 10 >= 8
+      |ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------------------------- x74 BM25
   /** BM25 ranked retrieval for a 3-term query, top-20. The oracle contract
     * is the score quantized to nano-precision (floor(score·1e9) as BIGINT):
@@ -6396,6 +6454,7 @@ object Extensions {
     "x195_wav_stats" -> x195WavStats _,
     "x197_codec_contract" -> x197CodecContract _,
     "x198_oph_short_recall" -> x198OphShortRecall _,
+    "x199_admission_twin" -> x199AdmissionTwin _,
     "x194_gif_frames" -> x194GifFrames _,
     "x193_pixel_resize" -> x193PixelResize _,
     "x192_manku_recall" -> x192MankuRecall _,
@@ -6648,6 +6707,7 @@ object Extensions {
     "x195_wav_stats" -> x195Sql,
     "x197_codec_contract" -> x197Sql,
     "x198_oph_short_recall" -> x198Sql,
+    "x199_admission_twin" -> x199Sql,
     "x194_gif_frames" -> x194Sql,
     "x193_pixel_resize" -> x193Sql,
     "x192_manku_recall" -> x192Sql,

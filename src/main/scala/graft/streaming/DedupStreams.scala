@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Dedup
@@ -13,88 +13,215 @@ import graft.functions.Exprs.{shingle_hashes, sorted_intersect_count}
   * near-duplicates nothing the lake already holds. The daily-ingest shape
   * made continuous: dedup-at-the-door instead of dedup-after-landing.
   *
-  * Scale design — what each side pays:
-  *  - The CORPUS side is indexed ONCE at plan-build time: shingle sets, the
-  *    hot-shingle prefix order (a driver-side top-k baked into a literal
-  *    map-side expression — [[graft.ops.Dedup.hotPrefixExpr]]), and the
-  *    PPJoin prefix relation. Every micro-batch reuses the same static
-  *    plans; the 100 TB lake is never re-scanned per batch, exactly like
-  *    the batch operator.
-  *  - The STREAM side is map-side per batch: tokenize → shingle →
-  *    prefix-explode under the SAME global order (one order across both
-  *    relations = the PPJoin exactness precondition), then a STREAM-STATIC
-  *    left join (no stream state) with the length and positional filters.
-  *  - Statefulness is bounded to the watermark: one dropDuplicates row per
-  *    surviving (doc, ts, corpus-match) and one aggregation row per
-  *    arriving doc, both evicted once the event-time watermark passes —
-  *    state is proportional to in-flight documents, never the corpus.
+  * Scale design — the corpus index is ON DISK, not pinned in executors
+  * (r14 verdict: the first cut `localCheckpoint()`ed the full shingle-set
+  * relation into block-manager storage — O(corpus) executor memory and one
+  * lost executor killed the long-running stream). [[buildAdmissionIndex]]
+  * spends the one corpus pass a static index always costs and writes THREE
+  * things under `dir`:
+  *
+  *  - `prefix/` — the PPJoin prefix relation `(shingle, cor_id, n_b,
+  *    pos_b)` as a parquet table BUCKETED AND SORTED ON `shingle`: the
+  *    stream-static join's static side reads it bucket-pruned and
+  *    pre-partitioned, so a micro-batch shuffles only ITS OWN rows — the
+  *    lake-sized side never moves, never re-sorts, and a lost executor
+  *    just re-reads its buckets from disk.
+  *  - `sets/` — the full shingle-set relation `(doc_id, shingles,
+  *    n_shingles)` bucketed on `doc_id`: the exact-verify side, touched
+  *    once per DISTINCT candidate pair.
+  *  - `hot/` + `meta/` — the global prefix ORDER (top hot shingles by df)
+  *    and the index parameters. [[openAdmissionIndex]] rebuilds the exact
+  *    order expression from these after a driver bounce — restart never
+  *    re-indexes the corpus.
+  *
+  * Per micro-batch the STREAM side is map-side (tokenize → shingle →
+  * prefix-explode under the SAME persisted global order — the PPJoin
+  * exactness precondition), then a stream-static left join against the
+  * bucketed prefix table. Statefulness is bounded to the watermark: one
+  * dedup row per surviving (doc, ts, candidate) and one aggregation row
+  * per arriving doc — state is proportional to in-flight documents, never
+  * the corpus.
   *
   * Exactness: candidates ride the same prefix + length + positional
-  * filters as the batch path; verification is the same exact shingle
-  * Jaccard. A candidate that FAILS verification is converted to a NULL
+  * filters as the batch path, then are DEDUPLICATED per (doc, ts,
+  * candidate) BEFORE the verify join (r14 ADVICE: verifying per candidate
+  * ROW re-ran the most expensive kernel once per shared prefix shingle),
+  * so the exact shingle-Jaccard kernel runs once per candidate pair. A
+  * candidate that fails a filter or verification is converted to a NULL
   * match (not filtered) so a document whose every candidate fails still
   * surfaces with n_matches = 0 — matching the batch operator's left-join
-  * semantics. Emission is append-mode: a document's row becomes final when
-  * the watermark passes its event time.
+  * semantics. Emission is append-mode: a document's row becomes final
+  * when the watermark passes its event time.
   */
 object DedupStreams {
 
   /** One arriving document — the typed stream row for tests and callers. */
   case class Arrival(doc_id: Long, ts: java.sql.Timestamp, text: String)
 
-  /** @param arrivals streaming relation with (`idCol`, `tsCol`, `textCol`)
-    * @param corpus   STATIC relation with (`idCol`, `textCol`)
-    * @return streaming `(doc_id, ts, n_matches, admitted)` in append mode */
-  def nearDupAdmission(arrivals: DataFrame, corpus: DataFrame,
-      idCol: String, tsCol: String, textCol: String,
-      shingleK: Int = 3, threshold: Double = 0.5,
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+  /** Handle over a built-or-opened on-disk admission index. `prefix` and
+    * `sets` are catalog-backed bucketed tables (shuffle-free static join
+    * sides); `prefixExpr` is the global PPJoin order rebuilt from the
+    * persisted hot table. */
+  final case class AdmissionIndex(
+      dir: String, shingleK: Int, threshold: Double, buckets: Int,
+      prefix: DataFrame, sets: DataFrame, prefixExpr: Column)
+
+  /** Catalog names are derived from the index LOCATION, so re-opening the
+    * same directory reuses the registration and two different indexes
+    * never collide. */
+  private def tableName(kind: String, dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    s"graft_adm_${kind}_$md5"
+  }
+
+  /** Index a static corpus for admission: ONE corpus pass, persisted as
+    * bucketed parquet under `dir` (layout in the class doc). Building is
+    * the same work the old in-memory pinning did — shingle sets, hot-table
+    * aggregate, prefix explode — except the results land on disk where
+    * they are fault-tolerant and reopenable. Returns the live handle. */
+  def buildAdmissionIndex(corpus: DataFrame, idCol: String, textCol: String,
+      dir: String, shingleK: Int = 3, threshold: Double = 0.5,
+      buckets: Int = -1): AdmissionIndex = {
     require(!corpus.isStreaming, "corpus must be a static relation (the indexed lake)")
-    // ---- static corpus index, built once at plan time
-    val pdCor = Dedup.shingleSets(corpus, idCol, textCol, shingleK)
-      .localCheckpoint() // one corpus pass; every micro-batch reuses it
-    val prefixExpr = Dedup.hotPrefixExpr(pdCor)
-    val pb = Dedup.prefixRows(pdCor, prefixExpr, threshold)
-      .select(col("doc_id").as("cor_id"), col("shingle"),
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val b = if (buckets > 0) buckets
+            else spark.sessionState.conf.numShufflePartitions
+    // the verify side: full shingle sets, bucketed on doc_id. Repartition
+    // on the bucket column first so each bucket is ONE file — the sorted
+    // bucketed scan then needs no per-batch sort.
+    Dedup.shingleSets(corpus, idCol, textCol, shingleK)
+      .repartition(b, col("doc_id"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(b, "doc_id").sortBy("doc_id")
+      .option("path", s"$dir/sets")
+      .saveAsTable(tableName("sets", dir))
+    val sets = spark.table(tableName("sets", dir))
+    // the global prefix order, from the ON-DISK sets (no second corpus
+    // scan), persisted so reopen is a k-sized read, not a corpus pass
+    val hot = Dedup.hotShingles(sets)
+    hot.zipWithIndex.map { case ((sh, df), i) => (i, sh, df) }.toSeq
+      .toDF("rank", "shingle", "df")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/hot")
+    val prefixExpr = Dedup.prefixExprOf(hot)
+    // the candidate side: PPJoin prefix rows, bucketed on the join key
+    Dedup.prefixRows(sets, prefixExpr, threshold)
+      .select(col("shingle"), col("doc_id").as("cor_id"),
         col("n_shingles").as("n_b"), col("pos").as("pos_b"))
-    val full = pdCor.select(col("doc_id").as("cor_id"),
-      col("shingles").as("sh_b"), col("n_shingles").as("n_b"))
-    // ---- stream side: map-side shingle + prefix explode under the SAME
-    // order (the baked expression reads a column named `shingles`, the
-    // shingleSets convention — keep that name until ranking is applied)
-    val arr = arrivals.select(
+      .repartition(b, col("shingle"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(b, "shingle").sortBy("shingle")
+      .option("path", s"$dir/prefix")
+      .saveAsTable(tableName("prefix", dir))
+    Seq((shingleK, threshold, b)).toDF("shingle_k", "threshold", "buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    AdmissionIndex(dir, shingleK, threshold, b,
+      spark.table(tableName("prefix", dir)), sets, prefixExpr)
+  }
+
+  /** Reopen a persisted index — e.g. after a driver bounce, when the
+    * in-memory catalog lost the table registrations. Re-registers the
+    * bucketed tables over the existing files (schema read from the parquet
+    * footers, bucket spec from `meta/`) and rebuilds the prefix order from
+    * `hot/`. No corpus work. */
+  def openAdmissionIndex(spark: SparkSession, dir: String): AdmissionIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (shingleK, threshold, b) =
+      (meta.getInt(0), meta.getDouble(1), meta.getInt(2))
+    def register(kind: String, bucketCol: String): DataFrame = {
+      val name = tableName(kind, dir)
+      if (!spark.catalog.tableExists(name)) {
+        val schemaDdl = spark.read.parquet(s"$dir/$kind").schema.toDDL
+        spark.sql(
+          s"""CREATE TABLE $name ($schemaDdl) USING PARQUET
+             |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $b BUCKETS
+             |LOCATION '$dir/$kind'""".stripMargin)
+      }
+      spark.table(name)
+    }
+    val sets = register("sets", "doc_id")
+    val prefix = register("prefix", "shingle")
+    val hot = spark.read.parquet(s"$dir/hot")
+      .orderBy(col("rank"))
+      .select(col("shingle"), col("df"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    AdmissionIndex(dir, shingleK, threshold, b, prefix, sets,
+      Dedup.prefixExprOf(hot))
+  }
+
+  /** @param arrivals streaming relation with (`idCol`, `tsCol`, `textCol`)
+    * @param index    a built or reopened on-disk corpus index
+    * @return streaming `(doc_id, ts, n_matches, admitted)` in append mode */
+  def nearDupAdmission(arrivals: DataFrame, index: AdmissionIndex,
+      idCol: String, tsCol: String, textCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(arrivals.isStreaming,
+      "arrivals must be a streaming relation; use nearDupAdmissionBatch for a batch twin")
+    admissionPlan(arrivals, index, idCol, tsCol, textCol, Some(watermarkDelay))
+  }
+
+  /** The BATCH twin: the identical plan over a batch `arrivals` relation —
+    * what the streaming specs assert equality against, and the x199
+    * oracle's DataFrame side. Semantically `incrementalDedupReport` with
+    * the event-time column carried through. */
+  def nearDupAdmissionBatch(arrivals: DataFrame, index: AdmissionIndex,
+      idCol: String, tsCol: String, textCol: String): DataFrame = {
+    require(!arrivals.isStreaming, "batch twin takes a batch relation")
+    admissionPlan(arrivals, index, idCol, tsCol, textCol, None)
+  }
+
+  private def admissionPlan(arrivals: DataFrame, index: AdmissionIndex,
+      idCol: String, tsCol: String, textCol: String,
+      watermarkDelay: Option[String]): DataFrame = {
+    val threshold = index.threshold
+    val pb = index.prefix // (shingle, cor_id, n_b, pos_b), bucketed on shingle
+    val full = index.sets.select(col("doc_id").as("cand_id"),
+      col("shingles").as("sh_b"), col("n_shingles").as("__vn"))
+    // stream side: map-side shingle + prefix explode under the SAME
+    // persisted order (the baked expression reads a column named
+    // `shingles`, the shingleSets convention — keep that name until
+    // ranking is applied)
+    val base = arrivals.select(
       col(idCol).cast("long").as("doc_id"),
       col(tsCol).as("ts"),
-      shingle_hashes(Dedup.tokens(col(textCol)), shingleK).as("shingles"))
+      shingle_hashes(Dedup.tokens(col(textCol)), index.shingleK).as("shingles"))
       .withColumn("n_a", size(col("shingles")))
-      .withWatermark("ts", watermarkDelay)
+    val arr = watermarkDelay.fold(base)(base.withWatermark("ts", _))
     val pa = arr
-      .withColumn("__ranked", prefixExpr)
+      .withColumn("__ranked", index.prefixExpr)
       .select(col("doc_id"), col("ts"), col("shingles").as("sh_a"), col("n_a"),
         posexplode(expr(
           s"slice(__ranked, 1, cast(n_a - ceil($threshold * n_a) + 1 as int))"))
           .as(Seq("pos_a", "shingle")))
-    // ---- stream-static LEFT join + PPJoin filters; failed length/position/
-    // verify checks become NULL matches so every doc reaches the aggregate
+    // stream-static LEFT join + PPJoin length/positional filters; a failed
+    // filter becomes a NULL candidate (not a dropped row) so every doc
+    // reaches the aggregate. Same alpha slack as the batch path
+    // (prefixCandidates — exactness argument there).
     val alpha = ceil((col("n_a") + col("n_b"))
       * lit((threshold / (1.0 + threshold)) * (1.0 - 1e-12)) - lit(1e-9))
-    val joined = pa.join(pb, Seq("shingle"), "left_outer")
-      .join(full.withColumnRenamed("cor_id", "__vc")
-          .withColumnRenamed("n_b", "__vn"),
-        col("cor_id") === col("__vc"), "left_outer")
-      .select(col("doc_id"), col("ts"),
+    val candidates = pa.join(pb, Seq("shingle"), "left_outer")
+      .select(col("doc_id"), col("ts"), col("sh_a"), col("n_a"),
         when(col("cor_id").isNotNull
             && col("n_a") * lit(threshold) <= col("n_b")
             && col("n_b") * lit(threshold) <= col("n_a")
             && lit(1) + least(col("n_a") - col("pos_a") - 1,
-              col("n_b") - col("pos_b") - 1) >= alpha
-            && sorted_intersect_count(col("sh_a"), col("sh_b")).cast("double")
-              / (col("n_a") + col("__vn")
-                - sorted_intersect_count(col("sh_a"), col("sh_b"))) >= threshold,
-          col("cor_id")).as("match_id"))
-    // one row per (doc, ts, matched corpus doc); NULL match_id collapses to
-    // one row per doc — watermark-bounded dedup state
-    joined.dropDuplicates("doc_id", "ts", "match_id")
+              col("n_b") - col("pos_b") - 1) >= alpha,
+          col("cor_id")).as("cand_id"))
+      // ONE row per (doc, ts, candidate) BEFORE the verify join — the
+      // exact kernel below runs once per candidate pair, not once per
+      // shared prefix shingle (r14 ADVICE). Watermark-bounded dedup state;
+      // the NULLed candidates of a doc collapse to a single row here.
+      .dropDuplicates("doc_id", "ts", "cand_id")
+    candidates
+      .join(full, Seq("cand_id"), "left_outer")
+      .withColumn("__inter", sorted_intersect_count(col("sh_a"), col("sh_b")))
+      .select(col("doc_id"), col("ts"),
+        when(col("cand_id").isNotNull
+            && col("__inter").cast("double")
+              / (col("n_a") + col("__vn") - col("__inter")) >= threshold,
+          col("cand_id")).as("match_id"))
       .groupBy(col("doc_id"), col("ts"))
       .agg(count(col("match_id")).as("n_matches"))
       .select(col("doc_id"), col("ts"), col("n_matches"),

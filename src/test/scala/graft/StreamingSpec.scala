@@ -740,6 +740,8 @@ class StreamingSpec extends SparkSpec {
       (102L, "completely different corpus content entirely unrelated words here"),
       (103L, "the quick brown fox jumps over the lazy dog today"))
       .toDF("doc_id", "text")
+    val idxDir = java.nio.file.Files.createTempDirectory("admission-idx").toString
+    val index = DedupStreams.buildAdmissionIndex(corpus, "doc_id", "text", idxDir)
     // arrivals across two micro-batches: a near-dup of the 101/103 family,
     // an exact copy of 102, and two novel documents
     val arrivals = Seq(
@@ -748,7 +750,7 @@ class StreamingSpec extends SparkSpec {
       DedupStreams.Arrival(3L, ts(2), "completely different corpus content entirely unrelated words here"),
       DedupStreams.Arrival(4L, ts(3), "another fresh document absent from the lake wholly"))
     val input = MemoryStream[DedupStreams.Arrival](spark)
-    val q = DedupStreams.nearDupAdmission(input.toDF(), corpus,
+    val q = DedupStreams.nearDupAdmission(input.toDF(), index,
       "doc_id", "ts", "text", watermarkDelay = "0 seconds")
       .writeStream.format("memory").queryName("admission_stream_test")
       .outputMode("append").start()
@@ -771,12 +773,53 @@ class StreamingSpec extends SparkSpec {
         .select($"doc_id", $"n_matches", $"admitted")
         .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
       assert(got == batch, s"stream=$got batch=$batch")
+      // the BATCH TWIN (the x199 surface) runs the identical plan over the
+      // same on-disk index and must agree row-for-row, ts included
+      val twin = DedupStreams.nearDupAdmissionBatch(
+        arrivals.toDF(), index, "doc_id", "ts", "text")
+        .select($"doc_id", $"n_matches", $"admitted")
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+      assert(got == twin, s"stream=$got batchTwin=$twin")
       // the family exercises both outcomes, and n_matches counts are real
       assert(got == Seq((1L, 2L, false), (2L, 0L, true), (3L, 1L, false), (4L, 0L, true)),
         s"expected admissions: $got")
       // exactly one emission per arriving document
       assert(got.map(_._1).distinct.size == got.size, s"duplicate emissions: $got")
     } finally q.stop()
+  }
+
+  test("admission index reopens from disk after catalog loss — no re-index, same verdicts") {
+    import spark.implicits._
+    import graft.streaming.DedupStreams
+    val corpus = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"),
+      (102L, "completely different corpus content entirely unrelated words here"),
+      (103L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val idxDir = java.nio.file.Files.createTempDirectory("admission-reopen").toString
+    val built = DedupStreams.buildAdmissionIndex(corpus, "doc_id", "text", idxDir)
+    val arrivals = Seq(
+      DedupStreams.Arrival(1L, ts(0), "the quick brown fox jumps over the lazy dog again"),
+      DedupStreams.Arrival(2L, ts(1), "novel arrival text with words never seen before anywhere"))
+      .toDF()
+    def verdicts(idx: DedupStreams.AdmissionIndex) =
+      DedupStreams.nearDupAdmissionBatch(arrivals, idx, "doc_id", "ts", "text")
+        .select($"doc_id", $"n_matches", $"admitted")
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val before = verdicts(built)
+    assert(before == Seq((1L, 2L, false), (2L, 0L, true)), s"built-index verdicts: $before")
+    // simulate a driver bounce: the in-memory catalog loses both table
+    // registrations; only the files under idxDir survive
+    Seq("sets", "prefix").foreach { kind =>
+      val t = spark.catalog.listTables().collect()
+        .map(_.name).filter(n => n.startsWith(s"graft_adm_${kind}_"))
+      t.foreach(n => spark.sql(s"DROP TABLE $n"))
+    }
+    val reopened = DedupStreams.openAdmissionIndex(spark, idxDir)
+    assert(reopened.shingleK == built.shingleK
+      && reopened.threshold == built.threshold
+      && reopened.buckets == built.buckets, "meta round-trip")
+    assert(verdicts(reopened) == before, "reopened index must score identically")
   }
 
   test("near-dup admission survives a checkpoint restart without duplicate or lost verdicts") {
@@ -787,8 +830,13 @@ class StreamingSpec extends SparkSpec {
       (102L, "completely different corpus content entirely unrelated words here"))
       .toDF("doc_id", "text")
     val tmp = java.nio.file.Files.createTempDirectory("admission-restart").toString
+    DedupStreams.buildAdmissionIndex(corpus, "doc_id", "text", s"$tmp/idx")
     val input = MemoryStream[DedupStreams.Arrival](spark)
-    def start() = DedupStreams.nearDupAdmission(input.toDF(), corpus,
+    // each start() REOPENS the index from disk — the restart path a real
+    // deployment takes (the catalog may or may not still hold the tables;
+    // openAdmissionIndex handles both)
+    def start() = DedupStreams.nearDupAdmission(input.toDF(),
+      DedupStreams.openAdmissionIndex(spark, s"$tmp/idx"),
       "doc_id", "ts", "text", watermarkDelay = "0 seconds")
       .writeStream.format("parquet").option("path", s"$tmp/out")
       .option("checkpointLocation", s"$tmp/ckpt")
