@@ -246,8 +246,9 @@ class MultimodalSpec extends SparkSpec {
 
   test("codecSupport: format sniff + decode mode earned by the real decoders") {
     import spark.implicits._
-    // one payload per contract row: real codecs, no-JDK-decoder formats,
-    // a truncated stream, a NULL marker, and a text stand-in
+    // one payload per contract row: real codecs, compressed formats with
+    // VALID headers (duration from pure header arithmetic) and with junk
+    // bodies (stub), a truncated stream, a NULL marker, a text stand-in
     val png = Multimodal.syntheticPng(7L, 8, 8)
     val rows: Seq[(Long, Array[Byte])] = Seq(
       1L -> png,
@@ -258,17 +259,80 @@ class MultimodalSpec extends SparkSpec {
         Array.fill[Byte](16)(3)),
       6L -> png.take(26),
       7L -> null,
-      8L -> "plain text payload".getBytes("US-ASCII"))
+      8L -> "plain text payload".getBytes("US-ASCII"),
+      9L -> Multimodal.syntheticMp3(9L, 4),
+      10L -> Multimodal.syntheticMp4(10L, 1234L))
     val got = Multimodal.codecSupport(rows.toDF("media_id", "payload"))
-      .as[(Long, String, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
-    assert(got(1L) == ("png", "real"))
-    assert(got(2L) == ("gif", "real"))
-    assert(got(3L) == ("wav", "real"))
-    assert(got(4L) == ("mp3", "stub"), s"mp3: ${got(4L)}")
-    assert(got(5L) == ("mp4", "stub"), s"mp4: ${got(5L)}")
-    assert(got(6L) == ("png", "header_only"), s"truncated png: ${got(6L)}")
-    assert(got(7L) == ("unknown", "null"))
-    assert(got(8L) == ("unknown", "stub"))
+      .as[(Long, String, String, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ("png", "real", None))
+    assert(got(2L) == ("gif", "real", None))
+    // 50 mono samples at 8 kHz — duration from the REAL decode: 6.25 → 6 ms
+    assert(got(3L) == ("wav", "real", Some(6L)))
+    // ID3 magic with no parseable frame / ftyp with no mvhd: still stubs
+    assert(got(4L) == ("mp3", "stub", None), s"mp3 junk: ${got(4L)}")
+    assert(got(5L) == ("mp4", "stub", None), s"mp4 junk: ${got(5L)}")
+    assert(got(6L) == ("png", "header_only", None), s"truncated png: ${got(6L)}")
+    assert(got(7L) == ("unknown", "null", None))
+    assert(got(8L) == ("unknown", "stub", None))
+    // valid compressed headers: no JDK codec, but the duration IS header math
+    assert(got(9L) == ("mp3", "header_only", Some(96L)), s"valid mp3: ${got(9L)}")
+    assert(got(10L) == ("mp4", "header_only", Some(1234L)), s"valid mp4: ${got(10L)}")
+  }
+
+  test("mp3 header walk: frame counting, truncation, and corrupt-header edges") {
+    // the plant: 26-byte ID3 tag + n 384-byte frames of 1152 samples @48kHz
+    val full = Multimodal.syntheticMp3(3L, 5)
+    val info = Multimodal.mp3HeaderInfo(full).get
+    assert(info == Multimodal.Mp3Info(48000, 5, 120L), s"$info")
+    // truncation mid-frame: only COMPLETE frames count
+    val cut = full.take(full.length - 100)
+    assert(Multimodal.mp3HeaderInfo(cut).contains(Multimodal.Mp3Info(48000, 4, 96L)))
+    // truncation inside the FIRST frame: no complete frame → None
+    assert(Multimodal.mp3HeaderInfo(full.take(26 + 100)).isEmpty)
+    // corrupt first header: bad bitrate index (0xF) → None
+    val bad = full.clone(); bad(28) = 0xf4.toByte
+    assert(Multimodal.mp3HeaderInfo(bad).isEmpty)
+    // malformed syncsafe tag size (high bit set) → None, not a crash
+    val badTag = full.clone(); badTag(6) = 0x80.toByte
+    assert(Multimodal.mp3HeaderInfo(badTag).isEmpty)
+    // a bare frame train with NO ID3 tag parses too
+    assert(Multimodal.mp3HeaderInfo(full.drop(26))
+      .contains(Multimodal.Mp3Info(48000, 5, 120L)))
+    // trailing junk after the last full frame is tolerated
+    assert(Multimodal.mp3HeaderInfo(full ++ Array[Byte](1, 2, 3))
+      .contains(Multimodal.Mp3Info(48000, 5, 120L)))
+    assert(Multimodal.mp3HeaderInfo(null).isEmpty)
+    assert(Multimodal.mp3HeaderInfo(Array[Byte]('I', 'D', '3')).isEmpty)
+  }
+
+  test("mp4 header walk: mvhd v0/v1, truncation, and malformed boxes") {
+    val full = Multimodal.syntheticMp4(5L, 2500L)
+    assert(Multimodal.mp4HeaderInfo(full)
+      .contains(Multimodal.Mp4Info(1000L, 2500L, 2500L)))
+    // a version-1 mvhd (64-bit times/duration) built by hand: timescale
+    // 90000, duration 180000 ticks → 2000 ms
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val mvhd1 = be32(8 + 4 + 8 + 8 + 4 + 8 + 80) ++ "mvhd".getBytes("US-ASCII") ++
+      Array[Byte](1, 0, 0, 0) ++ new Array[Byte](16) ++
+      be32(90000L) ++ be32(0L) ++ be32(180000L) ++ new Array[Byte](80)
+    val v1 = be32(16) ++ "ftypisom".getBytes("US-ASCII") ++ be32(0) ++
+      be32(8 + mvhd1.length) ++ "moov".getBytes("US-ASCII") ++ mvhd1
+    assert(Multimodal.mp4HeaderInfo(v1)
+      .contains(Multimodal.Mp4Info(90000L, 180000L, 2000L)), s"${Multimodal.mp4HeaderInfo(v1)}")
+    // truncated inside moov (mvhd cut short) → None, not a crash
+    assert(Multimodal.mp4HeaderInfo(full.take(full.length - 60)).isEmpty)
+    // box size pointing past the buffer → None
+    val overflow = full.clone(); overflow(16) = 0x7f.toByte
+    assert(Multimodal.mp4HeaderInfo(overflow).isEmpty)
+    // zero timescale → None (no division). Offset 44 = ftyp(16) +
+    // moov header(8) + mvhd header(8) + version/flags+times(12).
+    val zeroTs = full.clone()
+    var i = 0
+    while (i < 4) { zeroTs(44 + i) = 0; i += 1 }
+    assert(Multimodal.mp4HeaderInfo(zeroTs).isEmpty)
+    assert(Multimodal.mp4HeaderInfo(null).isEmpty)
   }
 
   test("sampleFrames: stride-2 generator over n_frames") {
