@@ -146,8 +146,7 @@ object Bench {
     // but must NOT be summed into the headline total — each failure would
     // SUBTRACT a second from the cross-round comparison. Their count is
     // reported separately so a broken round can't read as a fast round.
-    val total = finalResults.map(_._2).filter(_ >= 0).sum
-    val nFailed = finalResults.count(_._2 < 0)
+    // (Both computed AFTER the re-time pass below, over healedResults.)
     // the stdout line carries only the timeline's worst sample (a clean run
     // stays near floor_launch_ms); the full timeline goes to the detail file
     val floorMidMax = if (floorTimeline.isEmpty) -1.0 else floorTimeline.map(_._2).max
@@ -176,17 +175,66 @@ object Bench {
     val polluted = queryFloors.collect {
       case (name, fl) if fl > 3.0 * floorLaunchMs && floorLaunchMs > 0 => name
     }
-    val pollutedJson = polluted.map(n => "\"" + n + "\"").mkString("[", ",", "]")
-    val cal = s""""floor_launch_ms":${f(floorLaunchMs)},"floor_q13_ms":${f(floorQ13Ms)},"floor_mid_max_ms":${f(floorMidMax)},"n_failed":$nFailed,"n_polluted":${polluted.size},"polluted":$pollutedJson"""
+    // ---- QUIET-TAIL RE-TIME (r14 verdict ask #2: three rounds of checked-in
+    // driver windows carried polluted numbers that only a hand rerun could
+    // explain — self-diagnosing, not self-healing). Each flagged query gets
+    // one more timed attempt AFTER the host settles: wait (bounded) until the
+    // launch floor drops back under the 3× flag line, time the query
+    // bracketed by its own floor probes, and substitute the re-timed value
+    // only when BOTH brackets are clean — a still-loaded host degrades to
+    // the annotated main-pass numbers instead of laundering them. The
+    // substituted value is min(main, retime): both are real runs; pollution
+    // only ever inflates.
+    val retimed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val retimeFloors = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val unresolved = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (polluted.nonEmpty && floorLaunchMs > 0) {
+      // total quiet-wait budget across the whole tail, not per query: a
+      // loaded host costs at most ~2 min extra, and the per-query re-runs
+      // themselves are bounded by the flagged queries' own runtimes
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      def floorNow(): Double = minOf(3)(spark.range(1).count()) * 1000
+      polluted.foreach { name =>
+        var fl = floorNow()
+        while (fl > 3.0 * floorLaunchMs && System.nanoTime() < deadline) {
+          Thread.sleep(2000); fl = floorNow()
+        }
+        val runs = (1 to repeats).flatMap { _ =>
+          val t0 = System.nanoTime()
+          val ok = try { fns(name)(spark, sfDir).count(); true }
+                   catch { case _: Throwable => false }
+          if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        }
+        val bracket = math.max(fl, floorNow())
+        retimeFloors(name) = bracket
+        if (runs.nonEmpty && bracket <= 3.0 * floorLaunchMs) retimed(name) = runs.min
+        else unresolved += name
+      }
+    }
+    val healedResults = finalResults.map { case (name, v) =>
+      name -> (retimed.get(name) match {
+        case Some(r) if v < 0 => r
+        case Some(r) => math.min(v, r)
+        case None => v
+      })
+    }
+    val totalHealed = healedResults.map(_._2).filter(_ >= 0).sum
+    val nFailedFinal = healedResults.count(_._2 < 0)
+    // stdout carries COUNTS plus only the first few names (r14 ADVICE: the
+    // full flagged-name list can outgrow the ~3KB driver tail window that
+    // broke round 6); the complete lists live in BENCH_QUERIES.json
+    def names(xs: Seq[String], cap: Int): String =
+      xs.take(cap).map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    val cal = s""""floor_launch_ms":${f(floorLaunchMs)},"floor_q13_ms":${f(floorQ13Ms)},"floor_mid_max_ms":${f(floorMidMax)},"n_failed":$nFailedFinal,"n_polluted":${polluted.size},"n_polluted_final":${unresolved.size},"polluted":${names(polluted, 10)},"unresolved":${names(unresolved.toSeq, 10)}"""
     val timelineJson = floorTimeline
       .map { case (at, ms) => s"""{"after_query":$at,"ms":${f(ms)}}""" }
       .mkString("[", ",", "]")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_QUERIES.json"),
-      s"""{"total":${f(total)},"sf":"$sfDir",$cal,"floor_timeline":$timelineJson,"query_floor_ms":${dict(queryFloors)},"queries":${dict(finalResults)}}""")
+      s"""{"total":${f(totalHealed)},"sf":"$sfDir",$cal,"polluted_all":${names(polluted, Int.MaxValue)},"unresolved_all":${names(unresolved.toSeq, Int.MaxValue)},"floor_timeline":$timelineJson,"query_floor_ms":${dict(queryFloors)},"retime_floor_ms":${dict(retimeFloors.toSeq)},"queries_main_pass":${dict(finalResults)},"retimed":${dict(retimed.toSeq)},"queries":${dict(healedResults)}}""")
     catch { case _: Throwable => () } // detail file is best-effort
-    val slowest = finalResults.sortBy(-_._2).take(25)
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},$cal,"queries":${dict(slowest)},"detail":"BENCH_QUERIES.json","sf":"$sfDir"}""")
+    val slowest = healedResults.sortBy(-_._2).take(25)
+    println(s"""{"metric":"total","value":${f(totalHealed)},"unit":"sec","n_queries":${results.size},$cal,"queries":${dict(slowest)},"detail":"BENCH_QUERIES.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

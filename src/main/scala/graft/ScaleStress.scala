@@ -39,11 +39,16 @@ object ScaleStress {
     // optional leg filter (args(2), comma-separated): any pair-query name
     // from Names (x06/x07/x08/x196), plus "ann" (10× IVF recall sweep),
     // "annskew" (skewed-corpus IVF), "ophlong" (long-doc signature cost),
-    // "sat" (saturation plant). Empty = everything.
+    // "sat" (saturation plant), "lsh40x" (x06 candidate-volume linearity at
+    // 10/20/40× with a 40× pair dump for the DuckDB replay). Empty =
+    // everything EXCEPT lsh40x (the 40× oracle replay is a deliberate
+    // opt-in — it multiplies the DuckDB-side cost ~16×).
     val only: Set[String] =
       if (args.length > 2) args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet
       else Set.empty
-    def wanted(leg: String): Boolean = only.isEmpty || only.contains(leg)
+    def wanted(leg: String): Boolean =
+      if (leg == "lsh40x") only.contains(leg) // opt-in, never implicit
+      else only.isEmpty || only.contains(leg)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -303,6 +308,82 @@ object ScaleStress {
       timeSig("sig_oph",
         Exprs.oph_sig(graft.ops.Dedup.tokens($"text"), 3, 128))
       results("oph_longdoc_total_tokens") = nTok.toDouble
+    }
+
+    // ---- leg 1d: x06 LSH CANDIDATE-VOLUME linearity past 10× (r14 verdict
+    // ask #6: x08 holds at 10×; the production LSH path's next credibility
+    // step is 30–50×). At 10/20/40× replica corpora (50k/100k/200k docs) the
+    // leg measures the capped-bucket kernel's candidate count, the end-to-end
+    // x06 time, and the verified pair count. With R replicas per base doc the
+    // TRUE pair set itself grows ~R² (each base doc's replicas form a
+    // C(R,2) clique), so "linear" means candidates TRACK output: the
+    // candidates-per-true-pair ratio must stay flat as R quadruples — a
+    // superlinear kernel (bucket crowding, band-hash saturation) would blow
+    // that ratio up long before it OOMs. Asserted ≤ 2× drift from the 10×
+    // ratio. The 40× pair set is ALSO dumped in verify layout (outDir/
+    // verify40 against outDir/sf40) so tools/selfcheck.py can replay the
+    // SAME exact-Jaccard DuckDB oracle at 200k docs — pair-exactness at 4×
+    // the previously proven scale.
+    if (wanted("lsh40x")) {
+      import graft.functions.Exprs
+      val ratios = scala.collection.mutable.LinkedHashMap.empty[Int, Double]
+      Seq(10, 20, 40).foreach { r =>
+        val corpus = (0 until r).map { k =>
+          base.select(($"doc_id" + lit(k * nBase)).as("doc_id"),
+            concat($"text", lit(s" rep$k")).as("text"))
+        }.reduce(_ unionAll _).localCheckpoint()
+        // candidate volume of the SAME kernel x06 runs (128 hashes, 64
+        // bands, cap 1000), counted before the verify join
+        val bandedSig = corpus.select($"doc_id",
+          Exprs.minhash_sig(graft.ops.Dedup.tokens($"text"), 3, 128).as("sig"))
+        val banded = bandedSig
+          .select($"doc_id", posexplode(Exprs.band_hashes($"sig", 64)))
+          .toDF("doc_id", "band_idx", "band_hash")
+        val (tCand, nCand) = timed {
+          graft.ops.Dedup.bucketCandidatePairs(banded, "band_idx", "band_hash", 1000).count()
+        }
+        var pairs: DataFrame = null
+        val (tFull, nPairs) = timed {
+          pairs = graft.ops.Dedup.minhashNearDupPairs(
+            corpus, "doc_id", "text", shingleK = 3, numHashes = 128,
+            bands = 64, threshold = 0.5).localCheckpoint()
+          pairs.count()
+        }
+        results(s"lsh_${r}x_candidates") = nCand.toDouble
+        results(s"lsh_${r}x_pairs") = nPairs.toDouble
+        results(s"lsh_${r}x_cand_time_s") = tCand
+        results(s"lsh_${r}x_full_time_s") = tFull
+        ratios(r) = nCand.toDouble / math.max(1L, nPairs)
+        if (r == 40) {
+          // verify-layout dump for the DuckDB exact-pair replay at 200k docs
+          new java.io.File(s"$outDir/sf40").mkdirs()
+          corpus.coalesce(1).write.mode("overwrite").parquet(s"$outDir/sf40_tmp")
+          val part40 = new java.io.File(s"$outDir/sf40_tmp").listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error("no part file written"))
+          java.nio.file.Files.copy(part40.toPath,
+            java.nio.file.Paths.get(s"$outDir/sf40/documents.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          pairs.orderBy($"doc_a", $"doc_b").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/verify40/x06_minhash_neardup")
+          def jq(s: String): String = Jsons.quote(s)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$outDir/verify40/oracle_sql.json"),
+            s"""{${jq("x06_minhash_neardup")}: ${jq(SparkEntry.oracleSql("x06_minhash_neardup"))}}""")
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$outDir/verify40/manifest.json"),
+            s"""[${jq("x06_minhash_neardup")}]""")
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$outDir/verify40/errors.json"), "{}")
+        }
+        corpus.unpersist()
+      }
+      val drift = ratios(40) / ratios(10)
+      results("lsh_cand_per_pair_10x") = ratios(10)
+      results("lsh_cand_per_pair_40x") = ratios(40)
+      require(drift <= 2.0 && drift >= 0.5,
+        f"LSH candidate volume stopped tracking output between 10x and 40x: " +
+          f"cand/pair ${ratios(10)}%.3f -> ${ratios(40)}%.3f (drift $drift%.2fx)")
     }
 
     // ---- leg 2: saturation plant (x06/x07; x08 is exact/uncapped by design)

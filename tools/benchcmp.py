@@ -60,6 +60,13 @@ def main():
                       f"({(duck_sentinel/ps - 1)*100:+.1f}%)")
         except Exception as e:
             print(f"(no prior calibration: {e})")
+    # Floor-subtracted Spark seconds (r14 verdict ask #3): sub-second queries
+    # sit on a fixed per-job launch floor (~60-90 ms measured in the SAME
+    # bench run) that a long-lived deployment pays once, not per query — at
+    # 34 relational-core queries the floors alone are ~40% of that subtotal.
+    # Report both spellings so the core-ratio gate is a number, not a
+    # paragraph: raw (what a cold job pays) and minus-floor (steady-state).
+    floor_s = bench.get("floor_launch_ms", 0.0) / 1000.0
     rows = []
     for name, sql in sorted(oracle.items()):
         best = None
@@ -70,21 +77,29 @@ def main():
             best = el if best is None else min(best, el)
         spark_s = bench["queries"].get(name)
         ratio = (spark_s / best) if (spark_s and best > 0) else float("nan")
-        rows.append((name, spark_s, best, ratio))
-    print(f"{'query':28} {'spark_s':>8} {'duck_s':>8} {'spark/duck':>10}")
-    for name, s, d, r in rows:
+        minus_floor = max(0.0, spark_s - floor_s) if spark_s is not None else None
+        rows.append((name, spark_s, best, ratio, minus_floor))
+    print(f"{'query':28} {'spark_s':>8} {'-floor':>8} {'duck_s':>8} {'spark/duck':>10}")
+    for name, s, d, r, mf in rows:
         ss = f"{s:8.2f}" if s is not None else "       -"
-        print(f"{name:28} {ss} {d:8.2f} {r:10.1f}")
+        mfs = f"{mf:8.2f}" if mf is not None else "       -"
+        print(f"{name:28} {ss} {mfs} {d:8.2f} {r:10.1f}")
 
     def subtotal(label, pred):
         sub = [r for r in rows if pred(r[0])]
         ts = sum(r[1] for r in sub if r[1])
+        tmf = sum(r[4] for r in sub if r[4] is not None)
         td = sum(r[2] for r in sub)
-        print(f"{label:28} {ts:8.2f} {td:8.2f} {ts/td if td else float('nan'):10.2f}"
-              f"   ({len(sub)} queries)")
+        print(f"{label:28} {ts:8.2f} {tmf:8.2f} {td:8.2f} "
+              f"{ts/td if td else float('nan'):10.2f}"
+              f"   (minus-floor ratio {tmf/td if td else float('nan'):.2f}, "
+              f"{len(sub)} queries)")
         return {"label": label, "n": len(sub), "spark_s": round(ts, 3),
+                "spark_s_minus_floor": round(tmf, 3),
                 "duck_s": round(td, 3),
-                "spark_over_duck": round(ts / td, 3) if td else None}
+                "spark_over_duck": round(ts / td, 3) if td else None,
+                "spark_over_duck_minus_floor":
+                    round(tmf / td, 3) if td else None}
     subs = [
         subtotal("SUBTOTAL relational-core q*", lambda n: n.startswith("q")),
         subtotal("SUBTOTAL extension x*", lambda n: n.startswith("x")),
@@ -95,8 +110,12 @@ def main():
             "sf_dir": sf_dir, "bench_json": sys.argv[2],
             "calibration": {"duck_sentinel_s": round(duck_sentinel, 4),
                             **spark_floor},
-            "queries": [{"name": n, "spark_s": s, "duck_s": round(d, 4),
-                         "spark_over_duck": round(r, 3)} for n, s, d, r in rows],
+            "queries": [{"name": n, "spark_s": s,
+                         "spark_s_minus_floor":
+                             round(mf, 4) if mf is not None else None,
+                         "duck_s": round(d, 4),
+                         "spark_over_duck": round(r, 3)}
+                        for n, s, d, r, mf in rows],
             "subtotals": subs,
             "note": ("DuckDB side runs the ORACLE SQL — deliberately exact "
                      "spellings (recursive CTEs, all-pairs verify) for x*; "
