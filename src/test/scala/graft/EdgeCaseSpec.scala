@@ -313,8 +313,10 @@ class EdgeCaseSpec extends SparkSpec {
     val tiny = Seq((1L, Array[Byte](0x42)), (2L, Array.emptyByteArray))
       .toDF("media_id", "payload")
     val modes = Multimodal.codecSupport(tiny)
-      .as[(Long, String, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
-    assert(modes(1L) == (("unknown", "stub")) && modes(2L) == (("unknown", "stub")))
+      .as[(Long, String, String, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(modes(1L) == (("unknown", "stub", None)) &&
+      modes(2L) == (("unknown", "stub", None)))
     // OPH recall report: empty corpus -> empty report (no div-zero, no
     // empty-reduce error); single doc -> no pairs on either leg
     assert(Dedup.ophRecallReport(emptyDocs, "doc_id", "text",
