@@ -34,6 +34,11 @@ object StreamBench {
     val offeredRps = args.headOption.map(_.toInt).getOrElse(2000000)
     val runSeconds = if (args.length > 1) args(1).toInt else 45
     val nUsers = if (args.length > 2) args(2).toInt else 100000
+    // leg filter (4th arg, comma-separated) — rerun one leg without paying
+    // for the others; admission batch size (5th arg, rows per micro-batch)
+    val only = if (args.length > 3) args(3).split(",").toSet else Set.empty[String]
+    def wanted(leg: String): Boolean = only.isEmpty || only.contains(leg)
+    val admRowsPerBatch = if (args.length > 4) args(4).toInt else 250000
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -49,9 +54,26 @@ object StreamBench {
 
     val outRoot = s"target/streambench/${System.nanoTime()}"
 
-    def measure(name: String, build: DataFrame => DataFrame, mode: String): String = {
-      val rate = spark.readStream.format("rate")
-        .option("rowsPerSecond", offeredRps)
+    def measure(name: String, build: DataFrame => DataFrame, mode: String,
+        rowsPerBatch: Int = -1): String = {
+      // rowsPerBatch > 0 switches to the rate-micro-batch source: FIXED
+      // batch sizes instead of offer-above-capacity catch-up batches. For a
+      // processor whose capacity is far below any realistic offer (the
+      // admission legs: heavy per-document work), the back-pressure method
+      // degenerates — the first real batch covers the whole elapsed backlog
+      // and may not settle inside the window at all (observed: 0 settled
+      // batches in 45 s). Fixed batches measure the same quantity
+      // (rows / trigger time at saturation) deterministically.
+      val rate = (if (rowsPerBatch > 0)
+        spark.readStream.format("rate-micro-batch")
+          .option("rowsPerBatch", rowsPerBatch)
+          // event time advances 5 s per batch, so a 10 s watermark keeps
+          // only ~3 batches of state in flight — the steady-state regime,
+          // not an ever-growing pre-eviction ramp
+          .option("advanceMillisPerBatch", 5000)
+      else
+        spark.readStream.format("rate")
+          .option("rowsPerSecond", offeredRps))
         .option("numPartitions", cpus.toInt)
         .load()
       val q = build(rate).writeStream
@@ -112,42 +134,46 @@ object StreamBench {
     val corpusDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val corpus = spark.read.parquet(s"$corpusDir/documents.parquet")
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text")
-    val nCorpus = corpus.count()
-    // 10× corpus: replicas with a per-replica suffix token, the ScaleStress
-    // construction — the r14 verdict's asked-for admission leg at 50k docs
-    val corpus10 = (0 until 10).map { k =>
-      corpus.select((col("doc_id") + lit(k * nCorpus)).as("doc_id"),
-        concat(col("text"), lit(s" rep$k")).as("text"))
-    }.reduce(_ unionAll _)
+    lazy val nCorpus = corpus.count()
     def buildIndex(name: String, c: DataFrame): (graft.streaming.DedupStreams.AdmissionIndex, Double) = {
       val t0 = System.nanoTime()
       val idx = graft.streaming.DedupStreams.buildAdmissionIndex(
         c, "doc_id", "text", s"$outRoot/$name")
       (idx, (System.nanoTime() - t0) / 1e9)
     }
-    val (idx1, idx1Sec) = buildIndex("admidx", corpus)
-    val (idx10, idx10Sec) = buildIndex("admidx10", corpus10)
-    def admissionLeg(name: String, idx: graft.streaming.DedupStreams.AdmissionIndex): String =
-      measure(name,
-        rate => graft.streaming.DedupStreams.nearDupAdmission(
-          rate.select(col("value").as("doc_id"), col("timestamp").as("ts"),
-            expr("concat_ws(' ', transform(sequence(0, 29), " +
-              "i -> concat('w', pmod(hash(value * 31 + i), 5000))))").as("text")),
-          idx, "doc_id", "ts", "text", watermarkDelay = "10 seconds"),
-        "append")
-    val legs = Seq(
-      measure("sessionize",
+    def admissionLeg(name: String, idxName: String, replicas: Int): Seq[String] =
+      if (!wanted(name)) Seq.empty else {
+        // replicated corpus: per-replica suffix token, the ScaleStress
+        // construction — the r14 verdict asked for the admission leg at the
+        // 10× corpus (50k docs)
+        val c = if (replicas <= 1) corpus else (0 until replicas).map { k =>
+          corpus.select((col("doc_id") + lit(k * nCorpus)).as("doc_id"),
+            concat(col("text"), lit(s" rep$k")).as("text"))
+        }.reduce(_ unionAll _)
+        val (idx, idxSec) = buildIndex(idxName, c)
+        Seq(
+          measure(name,
+            rate => graft.streaming.DedupStreams.nearDupAdmission(
+              rate.select(col("value").as("doc_id"), col("timestamp").as("ts"),
+                expr("concat_ws(' ', transform(sequence(0, 29), " +
+                  "i -> concat('w', pmod(hash(value * 31 + i), 5000))))").as("text")),
+              idx, "doc_id", "ts", "text", watermarkDelay = "10 seconds"),
+            "append", rowsPerBatch = admRowsPerBatch),
+          s""""${name}_index_build_s":${"%.1f".format(idxSec)}""")
+      }
+    val legs =
+      (if (wanted("sessionize")) Seq(measure("sessionize",
         rate => graft.streaming.EventStreams.sessionize(
           toEvents(rate), watermarkDelay = "10 seconds").toDF(),
-        "append"),
-      measure("sliding",
+        "append")) else Seq.empty) ++
+      (if (wanted("sliding")) Seq(measure("sliding",
         rate => graft.streaming.EventStreams.slidingCounts(
           rate.select(col("timestamp").as("ts"),
             concat(lit("t"), col("value") % 5).as("event_type"))),
-        "update"),
-      admissionLeg("admission", idx1),
-      admissionLeg("admission_10x", idx10))
-    println(s"""{"offered_rows_per_s":$offeredRps,"run_seconds":$runSeconds,"n_users":$nUsers,"cpus":$cpus,"corpus_docs":$nCorpus,"index_build_s":${"%.1f".format(idx1Sec)},"index10_build_s":${"%.1f".format(idx10Sec)},${legs.mkString(",")}}""")
+        "update")) else Seq.empty) ++
+      admissionLeg("admission", "admidx", 1) ++
+      admissionLeg("admission_10x", "admidx10", 10)
+    println(s"""{"offered_rows_per_s":$offeredRps,"run_seconds":$runSeconds,"n_users":$nUsers,"adm_rows_per_batch":$admRowsPerBatch,"cpus":$cpus,"corpus_docs":$nCorpus,${legs.mkString(",")}}""")
     spark.stop()
   }
 }

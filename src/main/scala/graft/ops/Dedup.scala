@@ -681,28 +681,48 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000,
       blocks: Int = -1,
+      keyBlocks: Int = -1): DataFrame =
+    hammingNearDupPairs(
+      docs.select(col(idCol).as("doc_id"), simhash64(tokens(col(textCol))).as("sig")),
+      maxHamming, maxBucketSize, blocks, keyBlocks)
+
+  /** Exact Hamming-≤h pairs over an ARBITRARY `(doc_id, sig)` 64-bit
+    * signature relation — the banded pigeonhole kernel behind
+    * [[simhashNearDupPairs]], factored out because the guarantee is a
+    * property of 64-bit signatures, not of text: any perceptual signature
+    * with the "near-duplicates land within a few bits" contract (text
+    * SimHash, image dHash — [[graft.ops.Multimodal.imageNearDupPairs]])
+    * rides the same capped one-shuffle bucket family. Exhaustive iff
+    * `maxHamming ≤ blocks − keyBlocks` (pigeonhole); the default (6,3)
+    * geometry covers h ≤ 3 and a defaulted-geometry call beyond that
+    * throws rather than silently under-returning. */
+  def hammingNearDupPairs(
+      sigRel: DataFrame,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000,
+      blocks: Int = -1,
       keyBlocks: Int = -1): DataFrame = {
     // geometry is all-or-nothing: a half-specified call (blocks given,
     // keyBlocks defaulted, or vice versa) would resolve to a MIXED geometry
     // the caller never named, and the guard below would then report the
     // wrong exhaustive range for it (r14 ADVICE) — reject it outright
     require((blocks < 0) == (keyBlocks < 0),
-      s"simhash: blocks and keyBlocks must be passed together or both left " +
-        s"defaulted — got blocks=$blocks, keyBlocks=$keyBlocks (a mixed " +
+      s"hamming pairs: blocks and keyBlocks must be passed together or both " +
+        s"left defaulted — got blocks=$blocks, keyBlocks=$keyBlocks (a mixed " +
         s"explicit/default geometry has no documented exhaustive range)")
     val geometryDefaulted = blocks < 0
     val b = if (blocks < 0) 6 else blocks
     val kb = if (keyBlocks < 0) 3 else keyBlocks
     require(!(geometryDefaulted && maxHamming > b - kb),
-      s"simhash: maxHamming=$maxHamming exceeds the default ($b,$kb) geometry's " +
+      s"hamming pairs: maxHamming=$maxHamming exceeds the default ($b,$kb) geometry's " +
         s"exhaustive range (h <= ${b - kb}); recall beyond it is partial and " +
         s"geometry-dependent — pass blocks/keyBlocks explicitly to opt in " +
         s"(e.g. blocks=8, keyBlocks=1 is exhaustive through h=7)")
     // (id, sig) is 16 bytes/doc; materialize it once or all three consumers
-    // (chunk explode + both verify sides) re-scan the corpus and re-MD5
-    // every token.
-    val sigs = docs.select(col(idCol).as("doc_id"), simhash64(tokens(col(textCol))).as("sig"))
-      .localCheckpoint()
+    // (chunk explode + both verify sides) re-run the upstream signature
+    // computation (for text: a full corpus re-scan and re-MD5 of every
+    // token; for images: a full re-decode).
+    val sigs = sigRel.select(col("doc_id"), col("sig")).localCheckpoint()
     val chunked = simhashBandRel(sigs, b, kb)
     val candidates = bucketCandidatePairs(chunked, "chunk_idx", "chunk_val", maxBucketSize)
     candidates

@@ -308,6 +308,134 @@ object Multimodal {
       .toDF("media_id", "payload")
   }
 
+  /** NN-sampled dHash — the difference-hash family of perceptual image
+    * fingerprints (public knowledge: gradient-sign hashing, the dHash
+    * variant popularized by the pHash/imagehash lineage), with one
+    * deliberate deviation: the 9×8 luma grid is NEAREST-NEIGHBOR SAMPLED
+    * with the same integer index convention as [[resizePixels]]
+    * (`src = dst·srcDim DIV dstDim`) instead of box-averaged. Classic
+    * dHash's mean-pooling needs floating-point or rounding conventions a
+    * second engine can disagree with; NN sampling keeps every step integer
+    * (Rec.601 milli-luma `299r + 587g + 114b` on sampled pixels, strict
+    * `>` comparisons), so a plain SQL engine replays the hash bit-for-bit
+    * (the x200 oracle) while preserving the property that matters: the
+    * bits encode horizontal gradient SIGNS, invariant to global brightness
+    * shifts and stable under small edits. Bit `y·8 + x` (x ∈ 0..7,
+    * y ∈ 0..7) is set iff `luma(x+1, y) > luma(x, y)` on the grid. None
+    * for undecodable payloads — corrupt bytes are data, not exceptions. */
+  def dhash64(payload: Array[Byte]): Option[Long] = {
+    imageIoInit
+    if (payload == null) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        var sig = 0L
+        var y = 0
+        while (y < 8) {
+          val sy = (y.toLong * h / 8).toInt
+          var prev = 0L
+          var x = 0
+          while (x < 9) {
+            val rgb = img.getRGB((x.toLong * w / 9).toInt, sy)
+            val luma = 299L * ((rgb >>> 16) & 0xff) +
+              587L * ((rgb >>> 8) & 0xff) + 114L * (rgb & 0xff)
+            if (x > 0 && luma > prev) sig |= 1L << (y * 8 + (x - 1))
+            prev = luma
+            x += 1
+          }
+          y += 1
+        }
+        Some(sig)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** dHash stage over a media table `(media_id, payload, …)`: one real
+    * decode per row, mapPartitions-batched; undecodable payloads surface
+    * as NULL signatures (never dropped — a downstream gate decides). */
+  def imageDhash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => (id, dhash64(p)) })
+      .toDF("media_id", "dhash")
+  }
+
+  /** Image near-duplicate pairs: [[dhash64]] signatures through the SAME
+    * banded Hamming pigeonhole kernel the text SimHash path rides
+    * ([[graft.ops.Dedup.hammingNearDupPairs]] — exhaustive for
+    * `maxHamming ≤ blocks − keyBlocks`, capped buckets, one shuffle).
+    * Undecodable payloads drop out of the pair relation (no signature →
+    * no candidacy); surface them via [[imageDhash]]'s NULL rows if a
+    * pipeline needs the inventory. Output `(media_a, media_b, hamming)`
+    * with `media_a < media_b`. */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3,
+      maxBucketSize: Int = 1000, blocks: Int = -1, keyBlocks: Int = -1): DataFrame =
+    graft.ops.Dedup.hammingNearDupPairs(
+      imageDhash(media).filter(col("dhash").isNotNull)
+        .select(col("media_id").as("doc_id"), col("dhash").as("sig")),
+      maxHamming, maxBucketSize, blocks, keyBlocks)
+      .toDF("media_a", "media_b", "hamming")
+
+  /** The planted NEAR-DUP image family behind [[imageNearDupPairs]]'s x200
+    * oracle: per id a BASE image and a one-pixel-edited VARIANT (green
+    * channel at source pixel (2, 3) shifted +128 mod 256). The channel
+    * closed form differs from [[syntheticPng]]'s on purpose — that one is
+    * a pure linear gradient, and gradient-sign hashes of linear gradients
+    * COLLIDE catastrophically (measured: 1000 such bases produce ~112k
+    * cross pairs within hamming 3 — a near-clique that says nothing about
+    * near-dup detection and crowds the LSH buckets). The `x·y` cross term
+    * scaled by a per-id coefficient makes the mod-256 wrap positions —
+    * and so the gradient signs — vary pseudo-randomly per image: measured
+    * on 1000 ids, ZERO cross pairs within hamming 3 while every
+    * base/variant pair lands at hamming ≤ 2 (the edit perturbs only the
+    * grid cells that NN-sample pixel (2, 3); for some dims none do and
+    * the pair sits at hamming 0 — still found). Everything stays integer
+    * closed form, so SQL replays both hashes bit-for-bit. */
+  def syntheticPngPair(id: Long, w: Int, h: Int, variant: Boolean): Array[Byte] = {
+    imageIoInit
+    require(w > 3 && h > 3, s"syntheticPngPair: needs pixel (2,3), got ${w}x$h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (((x.toLong * y + 3L * x + 5L * y) * (1 + id % 97) + id) % 256).toInt
+        val bump = if (variant && x == 2 && y == 3) 128 else 0
+        val g = ((((2L * x * y + 11L * x + y) * (1 + id % 89) + 2L * id) % 256 + bump) % 256).toInt
+        val b = (((3L * x * y + x + 13L * y) * (1 + id % 83) + 3L * id) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(256)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Plant a base+variant PNG per id ([[syntheticPngPair]], dims
+    * `w = 8 + id mod 9`, `h = 8 + 7·id mod 9`): the base at
+    * `media_id = id`, the one-pixel variant at `media_id = id +
+    * variantOffset` — the deterministic near-dup image family
+    * ([[imageNearDupPairs]]'s oracle input). Map-side. */
+  def plantSyntheticPngPairs(ids: DataFrame, idCol: String,
+      variantOffset: Long = 1000000L): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val w = (8 + id % 9).toInt
+        val h = (8 + (id * 7) % 9).toInt
+        Iterator((id, syntheticPngPair(id, w, h, variant = false)),
+          (id + variantOffset, syntheticPngPair(id, w, h, variant = true)))
+      })
+      .toDF("media_id", "payload")
+  }
+
   /** REAL nearest-neighbor pixel resize: decode via ImageIO, remap with the
     * integer index convention `src = (dst · srcDim) DIV dstDim` (exactly
     * replayable in any engine's integer math — the x193 oracle's hook),

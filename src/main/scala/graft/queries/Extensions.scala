@@ -5829,6 +5829,65 @@ object Extensions {
       |WHERE d.doc_id % 10 >= 8
       |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------- x200 image near-dup (dHash pairs)
+  /** Image NEAR-DUP dedup — the multimodal leg of the near-dup family
+    * (x06/x07/x08 dedup text; this dedups pixels): per document a base PNG
+    * and a one-pixel-edited variant are planted
+    * ([[graft.ops.Multimodal.plantSyntheticPngPairs]] — closed-form
+    * channels through the real encoder), every payload is REAL-decoded to
+    * its NN-sampled [[graft.ops.Multimodal.dhash64]], and exact
+    * Hamming-≤3 pairs come out of the same banded pigeonhole kernel the
+    * text SimHash path rides ([[graft.ops.Dedup.hammingNearDupPairs]] —
+    * capped buckets, one shuffle, never all-pairs). The oracle replays the
+    * WHOLE path — NN grid sampling, integer luma, gradient bits, bit-63
+    * packing, Hamming — in plain SQL from the planted closed form (no
+    * codec), then brute-forces the pair truth; the Spark side must land on
+    * the identical pair set through the codec round trip AND the bucketed
+    * kernel (exhaustive for h ≤ 3 by pigeonhole, so capped-LSH == truth
+    * here). A wrong decoded pixel, grid index, luma weight, bit position,
+    * or a pair lost in bucketing all break the hash. */
+  def x200ImageNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.imageNearDupPairs(
+      Multimodal.plantSyntheticPngPairs(docs(s, dir), "doc_id"))
+      .orderBy($"media_a", $"media_b")
+  }
+  val x200Sql: String =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS base FROM documents),
+      |imgs AS (
+      |  SELECT base AS media_id, base, 0 AS v FROM d
+      |  UNION ALL
+      |  SELECT base + 1000000, base, 1 FROM d),
+      |dims AS (SELECT media_id, base, v,
+      |  8 + base % 9 AS w, 8 + (base * 7) % 9 AS h FROM imgs),
+      |g AS (
+      |  SELECT media_id, base, v, gx.x AS x, gy.y AS y,
+      |    (gx.x * w) // 9 AS sx, (gy.y * h) // 8 AS sy
+      |  FROM dims, (SELECT unnest(range(0, 9)) AS x) gx,
+      |             (SELECT unnest(range(0, 8)) AS y) gy),
+      |luma AS (
+      |  SELECT media_id, x, y,
+      |    299*(((sx*sy + 3*sx + 5*sy) * (1 + base % 97) + base) % 256)
+      |    + 587*((((2*sx*sy + 11*sx + sy) * (1 + base % 89) + 2*base) % 256
+      |             + CASE WHEN v = 1 AND sx = 2 AND sy = 3 THEN 128 ELSE 0 END) % 256)
+      |    + 114*(((3*sx*sy + sx + 13*sy) * (1 + base % 83) + 3*base) % 256) AS l
+      |  FROM g),
+      |bits AS (
+      |  SELECT a.media_id, a.y * 8 + a.x AS j,
+      |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+      |  FROM luma a JOIN luma b
+      |    ON a.media_id = b.media_id AND b.y = a.y AND b.x = a.x + 1
+      |  WHERE a.x < 8),
+      |sig AS (
+      |  SELECT media_id, CAST(sum(CASE WHEN j = 63 THEN bit * (-9223372036854775807 - 1)
+      |    ELSE bit * (CAST(1 AS BIGINT) << CAST(j AS INT)) END) AS BIGINT) AS sig
+      |  FROM bits GROUP BY media_id)
+      |SELECT a.media_id AS media_a, b.media_id AS media_b,
+      |  bit_count(xor(a.sig, b.sig)) AS hamming
+      |FROM sig a JOIN sig b ON a.media_id < b.media_id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+      |ORDER BY media_a, media_b""".stripMargin
+
   // ------------------------------------------------------------- x74 BM25
   /** BM25 ranked retrieval for a 3-term query, top-20. The oracle contract
     * is the score quantized to nano-precision (floor(score·1e9) as BIGINT):
@@ -6471,6 +6530,7 @@ object Extensions {
     "x197_codec_contract" -> x197CodecContract _,
     "x198_oph_short_recall" -> x198OphShortRecall _,
     "x199_admission_twin" -> x199AdmissionTwin _,
+    "x200_image_neardup" -> x200ImageNeardup _,
     "x194_gif_frames" -> x194GifFrames _,
     "x193_pixel_resize" -> x193PixelResize _,
     "x192_manku_recall" -> x192MankuRecall _,
@@ -6724,6 +6784,7 @@ object Extensions {
     "x197_codec_contract" -> x197Sql,
     "x198_oph_short_recall" -> x198Sql,
     "x199_admission_twin" -> x199Sql,
+    "x200_image_neardup" -> x200Sql,
     "x194_gif_frames" -> x194Sql,
     "x193_pixel_resize" -> x193Sql,
     "x192_manku_recall" -> x192Sql,

@@ -335,6 +335,86 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.mp4HeaderInfo(null).isEmpty)
   }
 
+  // dHash truth from the closed form DIRECTLY — no codec, no call into the
+  // code under test: an independent replay of grid sampling + luma + bits,
+  // the same computation the x200 SQL oracle runs.
+  private def dhashTruth(id: Long, variant: Boolean): Long = {
+    val w = (8 + id % 9).toInt
+    val h = (8 + (id * 7) % 9).toInt
+    def luma(gx: Int, gy: Int): Long = {
+      val sx = gx.toLong * w / 9
+      val sy = gy.toLong * h / 8
+      val r = ((sx * sy + 3 * sx + 5 * sy) * (1 + id % 97) + id) % 256
+      val bump = if (variant && sx == 2 && sy == 3) 128 else 0
+      val g = (((2 * sx * sy + 11 * sx + sy) * (1 + id % 89) + 2 * id) % 256 + bump) % 256
+      val b = ((3 * sx * sy + sx + 13 * sy) * (1 + id % 83) + 3 * id) % 256
+      299 * r + 587 * g + 114 * b
+    }
+    (for (y <- 0 until 8; x <- 0 until 8 if luma(x + 1, y) > luma(x, y))
+      yield 1L << (y * 8 + x)).foldLeft(0L)(_ | _)
+  }
+
+  test("dhash64: codec round trip lands on the closed-form hash; junk/null → None") {
+    for (id <- 0L until 40L) {
+      val w = (8 + id % 9).toInt
+      val h = (8 + (id * 7) % 9).toInt
+      assert(Multimodal.dhash64(Multimodal.syntheticPngPair(id, w, h, variant = false))
+        .contains(dhashTruth(id, variant = false)), s"base id=$id")
+      assert(Multimodal.dhash64(Multimodal.syntheticPngPair(id, w, h, variant = true))
+        .contains(dhashTruth(id, variant = true)), s"variant id=$id")
+    }
+    assert(Multimodal.dhash64(null).isEmpty)
+    assert(Multimodal.dhash64(Array[Byte](1, 2, 3)).isEmpty)
+    // a truncated PNG: real magic, unreadable body
+    assert(Multimodal.dhash64(
+      Multimodal.syntheticPngPair(5L, 8, 8, variant = false).take(20)).isEmpty)
+    // brightness invariance — the property that makes gradient-sign bits a
+    // perceptual hash: a global +1 shift on every channel moves every
+    // sampled luma by the same 299+587+114, flipping no comparison
+    val img = new java.awt.image.BufferedImage(10, 10,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val img2 = new java.awt.image.BufferedImage(10, 10,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 10) {
+      val v = (x * 37 + y * 91) % 200 // headroom so +1 can't clip at 255
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      img2.setRGB(x, y, ((v + 1) << 16) | ((v + 1) << 8) | (v + 1))
+    }
+    def png(i: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(i, "png", bos); bos.toByteArray
+    }
+    assert(Multimodal.dhash64(png(img)) == Multimodal.dhash64(png(img2)))
+  }
+
+  test("imageNearDupPairs == brute-force hamming truth; undecodables drop; NULL sigs surface in imageDhash") {
+    import spark.implicits._
+    val n = 60
+    val planted = Multimodal.plantSyntheticPngPairs(
+      spark.range(n).toDF("doc_id"), "doc_id")
+    // one undecodable payload riding along — must vanish from pairs but
+    // surface as a NULL signature in the imageDhash inventory
+    val junk = Seq((5000000L, Array[Byte](9, 9, 9))).toDF("media_id", "payload")
+    val media = planted.unionAll(junk)
+    val got = Multimodal.imageNearDupPairs(media, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // truth: all pairs over the closed-form hashes (no codec, no LSH)
+    val sigs = (0L until n).flatMap(id =>
+      Seq(id -> dhashTruth(id, variant = false),
+          (id + 1000000L) -> dhashTruth(id, variant = true)))
+    val truth = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      hm = java.lang.Long.bitCount(sa ^ sb) if hm <= 3
+    } yield (ia, ib, hm)).toSet
+    assert(got == truth)
+    // every planted base/variant pair is found (measured contract: the
+    // one-pixel edit stays within hamming 2 on this family)
+    assert((0L until n).forall(id => got.exists(p => p._1 == id && p._2 == id + 1000000L)))
+    val dh = Multimodal.imageDhash(media).collect()
+    assert(dh.length == 2 * n + 1)
+    assert(dh.filter(_.isNullAt(1)).map(_.getLong(0)).toSeq == Seq(5000000L))
+  }
+
   test("sampleFrames: stride-2 generator over n_frames") {
     import spark.implicits._
     val decoded = Multimodal.decode(media)
