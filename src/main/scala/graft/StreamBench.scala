@@ -161,6 +161,39 @@ object StreamBench {
             "append", rowsPerBatch = admRowsPerBatch),
           s""""${name}_index_build_s":${"%.1f".format(idxSec)}""")
       }
+    // ANN serving: index the sf embeddings table once (trained quantizer,
+    // the production mode), serve synthesized dim-64 query vectors — the
+    // measured cost is the map-side probe + stream-static cell join +
+    // top-k aggregation, the whole per-arrival path
+    def annServeLeg(name: String, replicas: Int): Seq[String] =
+      if (!wanted(name)) Seq.empty else {
+        val e = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+          .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
+        val nE = e.count()
+        val c = if (replicas <= 1) e else (0 until replicas).map { k =>
+          e.select((col("vec_id") + lit(k * nE)).as("vec_id"), col("embedding"))
+        }.reduce(_ unionAll _)
+        // nlist scales ~sqrt(N), the standard IVF sizing: candidates per
+        // query (nprobe·N/nlist) then grow ~sqrt(corpus) instead of
+        // linearly — a fixed nlist at 10× the corpus probed 10× the
+        // vectors per query and paid ~3× throughput for it (measured)
+        val nlist = math.max(1, (64 * math.sqrt(replicas.toDouble)).round.toInt)
+        val t0 = System.nanoTime()
+        val idx = graft.streaming.AnnStreams.buildServingIndex(
+          c, "vec_id", "embedding", s"$outRoot/$name-idx", nlist = nlist)
+        val idxSec = (System.nanoTime() - t0) / 1e9
+        Seq(
+          measure(name,
+            rate => graft.streaming.AnnStreams.annServe(
+              rate.select(col("value").as("query_id"), col("timestamp").as("ts"),
+                expr("transform(sequence(0, 63), " +
+                  "i -> cast(pmod(hash(value * 131 + i), 1000) as float) / 500.0 - 1.0)")
+                  .as("embedding")),
+              idx, "query_id", "ts", "embedding", k = 10, nprobe = 4,
+              watermarkDelay = "10 seconds"),
+            "append", rowsPerBatch = admRowsPerBatch),
+          s""""${name}_index_build_s":${"%.1f".format(idxSec)}""")
+      }
     val legs =
       (if (wanted("sessionize")) Seq(measure("sessionize",
         rate => graft.streaming.EventStreams.sessionize(
@@ -172,7 +205,9 @@ object StreamBench {
             concat(lit("t"), col("value") % 5).as("event_type"))),
         "update")) else Seq.empty) ++
       admissionLeg("admission", "admidx", 1) ++
-      admissionLeg("admission_10x", "admidx10", 10)
+      admissionLeg("admission_10x", "admidx10", 10) ++
+      annServeLeg("annserve", 1) ++
+      annServeLeg("annserve_10x", 10)
     println(s"""{"offered_rows_per_s":$offeredRps,"run_seconds":$runSeconds,"n_users":$nUsers,"adm_rows_per_batch":$admRowsPerBatch,"cpus":$cpus,"corpus_docs":$nCorpus,${legs.mkString(",")}}""")
     spark.stop()
   }

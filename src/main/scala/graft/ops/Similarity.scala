@@ -89,7 +89,7 @@ object Similarity {
     * `array_max` and ascending `array_sort` break score ties toward the
     * LOWEST centroid id — and doubles order NaN-greatest, matching the
     * previous desc-sort spelling. */
-  private def centroidScores(vec: Column, centroids: Array[(Int, Array[Float])]): Column =
+  private[graft] def centroidScores(vec: Column, centroids: Array[(Int, Array[Float])]): Column =
     array(centroids.map { case (cid, cvec) =>
       struct(
         cosine_sim(vec, typedLit(cvec.toSeq)).as("s"),
@@ -160,15 +160,25 @@ object Similarity {
     * it. */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, iters: Int = 3, trainSample: Int = 4096): IvfIndex = {
+    val centroids = buildTrainedCentroids(corpus, idCol, vecCol, nlist, iters, trainSample)
+    val cells = assignCells(corpus, centroids, idCol, vecCol).persist()
+    IvfIndex(centroids, cells)
+  }
+
+  /** The training half of [[buildIvfIndex]] alone — a deterministic
+    * xxhash64 sample (one TakeOrdered job) fed to the driver-local Lloyd
+    * loop. Split out so an index whose CELLS live elsewhere (the on-disk
+    * serving index, [[graft.streaming.AnnStreams]]) reuses the exact same
+    * quantizer discipline. */
+  private[graft] def buildTrainedCentroids(corpus: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, iters: Int, trainSample: Int): Array[(Int, Array[Float])] = {
     val sample = corpus
       .select(col(idCol).as("item_id"), col(vecCol).as("item_vec"))
       .orderBy(xxhash64(col("item_id")), col("item_id"))
       .limit(trainSample)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val centroids = localLloyd(sample, nlist, iters)
-    val cells = assignCells(corpus, centroids, idCol, vecCol).persist()
-    IvfIndex(centroids, cells)
+    localLloyd(sample, nlist, iters)
   }
 
   /** Incremental index maintenance: fold a batch of NEW vectors into an

@@ -5829,6 +5829,81 @@ object Extensions {
       |WHERE d.doc_id % 10 >= 8
       |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------- x201 streaming-ANN-serving batch twin
+  /** The on-disk-index ANN SERVE verdict — x199's discipline applied to the
+    * similarity-search leg: the 20% arriving vectors scored through
+    * [[graft.streaming.AnnStreams.annServeBatch]], the IDENTICAL plan the
+    * streaming operator runs per micro-batch (persisted bucketed IVF cells,
+    * map-side nprobe centroid ranking, stream-static join, collect_list
+    * top-k). The index uses the SEEDED quantizer (`trained = false`: the
+    * nlist lowest-id corpus vectors verbatim), so the oracle replays EVERY
+    * number in plain SQL — centroid ranking, cell assignment (ties toward
+    * the lowest centroid id, both engines), cosine scores, (score DESC, id)
+    * ranks — where the trained quantizer's k-means means would drift in
+    * float. Production serves through `trained = true`; its recall/nprobe
+    * curve is quantified by x188 — this query pins the serve PLAN's
+    * exactness given a quantizer. */
+  private val x201Indexes = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.streaming.AnnStreams.ServingIndex]()
+  def x201AnnServeTwin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val idx = x201Indexes.computeIfAbsent(
+      System.identityHashCode(s) + "/" + dir, _ => {
+        val idxDir = java.nio.file.Files.createTempDirectory("x201idx").toString
+        graft.streaming.AnnStreams.buildServingIndex(
+          e.filter($"vec_id" % 10 < 8), "vec_id", "embedding", idxDir,
+          nlist = 8, trained = false)
+      })
+    val arrivals = e.filter($"vec_id" % 10 >= 8)
+      .select($"vec_id", timestamp_seconds($"vec_id" % 86400).as("ts"), $"embedding")
+    graft.streaming.AnnStreams.annServeBatch(
+      arrivals, idx, "vec_id", "ts", "embedding", k = 5, nprobe = 2)
+      .select($"query_id", unix_timestamp($"ts").as("ts_s"),
+        $"rank".cast("long").as("rank"), $"item_id", $"cos_sim")
+      .orderBy($"query_id", $"rank".asc_nulls_last)
+  }
+  private val x201Cos =
+    """list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(%A[i] AS DOUBLE)*CAST(%B[i] AS DOUBLE)), (x,y) -> x+y)
+      |    / (sqrt(list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(%A[i] AS DOUBLE)*CAST(%A[i] AS DOUBLE)), (x,y) -> x+y))
+      |     * sqrt(list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(%B[i] AS DOUBLE)*CAST(%B[i] AS DOUBLE)), (x,y) -> x+y)))""".stripMargin
+  private def cosSql(a: String, b: String): String =
+    x201Cos.replace("%A", a).replace("%B", b)
+  val x201Sql: String =
+    s"""WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 < 8),
+      |q AS (SELECT vec_id AS query_id, embedding AS qv
+      |      FROM embeddings WHERE vec_id % 10 >= 8),
+      |cent AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+      |  FROM (SELECT vec_id, embedding FROM corpus ORDER BY vec_id LIMIT 8)),
+      |assigned AS (
+      |  SELECT item_id, item_vec, cid FROM (
+      |    SELECT c.vec_id AS item_id, c.embedding AS item_vec, ct.cid,
+      |      row_number() OVER (PARTITION BY c.vec_id
+      |        ORDER BY ${cosSql("c.embedding", "ct.cvec")} DESC, ct.cid) AS rn
+      |    FROM corpus c CROSS JOIN cent ct) WHERE rn = 1),
+      |probes AS (
+      |  SELECT query_id, qv, cid FROM (
+      |    SELECT q.query_id, q.qv, ct.cid,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY ${cosSql("q.qv", "ct.cvec")} DESC, ct.cid) AS rn
+      |    FROM q CROSS JOIN cent ct) WHERE rn <= 2),
+      |hits AS (
+      |  SELECT query_id, item_id, cs,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, item_id) AS rank
+      |  FROM (
+      |    SELECT p.query_id, a.item_id, ${cosSql("p.qv", "a.item_vec")} AS cs
+      |    FROM probes p JOIN assigned a USING (cid)
+      |    WHERE a.item_id <> p.query_id))
+      |SELECT q.query_id, CAST(q.query_id % 86400 AS BIGINT) AS ts_s,
+      |  h.rank, h.item_id, h.cs AS cos_sim
+      |FROM q LEFT JOIN hits h ON h.query_id = q.query_id AND h.rank <= 5
+      |ORDER BY q.query_id, h.rank""".stripMargin
+
   // ------------------------------------- x200 image near-dup (dHash pairs)
   /** Image NEAR-DUP dedup — the multimodal leg of the near-dup family
     * (x06/x07/x08 dedup text; this dedups pixels): per document a base PNG
@@ -6531,6 +6606,7 @@ object Extensions {
     "x198_oph_short_recall" -> x198OphShortRecall _,
     "x199_admission_twin" -> x199AdmissionTwin _,
     "x200_image_neardup" -> x200ImageNeardup _,
+    "x201_ann_serve_twin" -> x201AnnServeTwin _,
     "x194_gif_frames" -> x194GifFrames _,
     "x193_pixel_resize" -> x193PixelResize _,
     "x192_manku_recall" -> x192MankuRecall _,
@@ -6785,6 +6861,7 @@ object Extensions {
     "x198_oph_short_recall" -> x198Sql,
     "x199_admission_twin" -> x199Sql,
     "x200_image_neardup" -> x200Sql,
+    "x201_ann_serve_twin" -> x201Sql,
     "x194_gif_frames" -> x194Sql,
     "x193_pixel_resize" -> x193Sql,
     "x192_manku_recall" -> x192Sql,

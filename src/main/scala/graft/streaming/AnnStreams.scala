@@ -1,0 +1,203 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+import graft.functions.Exprs.cosine_sim
+
+/** Streaming ANN SERVING — the similarity-search twin of
+  * [[DedupStreams.nearDupAdmission]]: as query embeddings ARRIVE, answer
+  * each with its top-k nearest corpus vectors through an IVF probe of a
+  * STATIC corpus index, emitting `(query_id, ts, rank, item_id, cos_sim)`.
+  * The retrieval-serving shape made continuous: the lake is indexed once,
+  * arrivals pay only their own probe.
+  *
+  * Scale design mirrors the admission index (r14 verdict → r15): the index
+  * lives ON DISK, not pinned in executors. [[buildServingIndex]] spends the
+  * one corpus pass a static index always costs and persists under `dir`:
+  *
+  *  - `cells/` — the IVF cell assignment `(centroid_id, item_id, item_vec)`
+  *    as a parquet table BUCKETED AND SORTED ON `centroid_id` (one bucket
+  *    per cell): the stream-static join's static side arrives
+  *    pre-partitioned, so a micro-batch shuffles only its own exploded
+  *    probes — the corpus never moves, and a lost executor re-reads its
+  *    buckets from disk.
+  *  - `centroids/` + `meta/` — the (tiny, nlist-sized) coarse quantizer and
+  *    the index parameters. [[openServingIndex]] rebuilds the probe
+  *    expression from these after a driver bounce — restart never re-scans
+  *    the corpus.
+  *
+  * Per micro-batch the STREAM side is pure map-side (nearest-`nprobe`
+  * centroid ranking is a literal-array expression — no join, no shuffle;
+  * same kernel as [[graft.ops.Similarity.ivfSearch]]), then one
+  * stream-static join against the bucketed cells and ONE stateful
+  * aggregation: per-(query, ts) top-k through the k-BOUNDED
+  * [[graft.functions.TopKAgg]] heap aggregate — state is k entries per
+  * in-flight query (never the candidate volume, never the corpus), and the
+  * watermark bounds how many queries are in flight. Corpus item ids are
+  * assumed unique (each vector lives in exactly ONE cell — IVF assignment
+  * is a partition), so no dedup pass is needed between the join and the
+  * top-k.
+  *
+  * Centroids: `trained = true` (default) trains the standard driver-local
+  * Lloyd loop on a deterministic xxhash64 sample
+  * ([[graft.ops.Similarity.buildIvfIndex]]'s discipline — recall/nprobe
+  * behavior quantified by x188); `trained = false` uses the `nlist`
+  * lowest-id corpus vectors VERBATIM as the quantizer — a seeded mode
+  * whose every number is replayable in plain SQL (no float drift from
+  * k-means means), which is what lets the batch twin carry a full
+  * value-level DuckDB oracle (x201) over the exact serve path: probe
+  * ranking, cell membership, cosine scores, ranks.
+  */
+object AnnStreams {
+
+  /** One arriving query vector — the typed stream row for tests and callers. */
+  case class Arrival(query_id: Long, ts: java.sql.Timestamp, embedding: Seq[Float])
+
+  /** Handle over a built-or-opened on-disk serving index. `cells` is a
+    * catalog-backed bucketed table (shuffle-free static join side);
+    * `centroids` is the nlist-sized quantizer the probe expression bakes
+    * in as literals. */
+  final case class ServingIndex(
+      dir: String, nlist: Int, buckets: Int,
+      centroids: Array[(Int, Array[Float])], cells: DataFrame)
+
+  /** Catalog names derive from the index LOCATION (same rule as the
+    * admission index): reopening a directory reuses the registration, two
+    * directories never collide. */
+  private def tableName(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    s"graft_ann_cells_$md5"
+  }
+
+  /** Index a static corpus for serving: ONE corpus pass (train/seed the
+    * quantizer, assign every vector map-side, write bucketed), persisted
+    * under `dir`. Returns the live handle. */
+  def buildServingIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, nlist: Int = 16, trained: Boolean = true,
+      iters: Int = 3, trainSample: Int = 4096): ServingIndex = {
+    require(!corpus.isStreaming, "corpus must be a static relation (the indexed lake)")
+    require(nlist >= 1, s"nlist must be positive, got $nlist")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids: Array[(Int, Array[Float])] =
+      if (trained) Similarity.buildTrainedCentroids(
+        corpus, idCol, vecCol, nlist, iters, trainSample)
+      else corpus.select(col(idCol).cast("long").as("item_id"), col(vecCol))
+        .orderBy(col("item_id")).limit(nlist)
+        .collect().map(_.getSeq[Float](1).toArray)
+        .zipWithIndex.map { case (v, i) => (i, v) }
+    // one bucket per cell: the probe join's static side is pre-partitioned
+    // by exactly the key it is probed on
+    Similarity.assignCells(corpus.select(col(idCol).cast("long").as(idCol),
+        col(vecCol)), centroids, idCol, vecCol)
+      .select(col("centroid_id"), col("item_id"), col("item_vec"))
+      .repartition(nlist, col("centroid_id"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nlist, "centroid_id").sortBy("centroid_id")
+      .option("path", s"$dir/cells")
+      .saveAsTable(tableName(dir))
+    centroids.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    Seq((nlist, centroids.length)).toDF("nlist", "n_centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    ServingIndex(dir, nlist, nlist, centroids, spark.table(tableName(dir)))
+  }
+
+  /** Reopen a persisted serving index after a driver bounce: re-register
+    * the bucketed cells table over the existing files and reload the
+    * nlist-sized quantizer. No corpus work. */
+  def openServingIndex(spark: SparkSession, dir: String): ServingIndex = {
+    val nlist = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    val name = tableName(dir)
+    if (!spark.catalog.tableExists(name)) {
+      val schemaDdl = spark.read.parquet(s"$dir/cells").schema.toDDL
+      spark.sql(
+        s"""CREATE TABLE $name ($schemaDdl) USING PARQUET
+           |CLUSTERED BY (centroid_id) SORTED BY (centroid_id) INTO $nlist BUCKETS
+           |LOCATION '$dir/cells'""".stripMargin)
+    }
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("centroid_id"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    ServingIndex(dir, nlist, nlist, centroids, spark.table(name))
+  }
+
+  /** @param arrivals streaming relation with (`idCol`, `tsCol`, `vecCol`)
+    * @return streaming `(query_id, ts, rank, item_id, cos_sim)` in append
+    *         mode — rows finalize when the watermark passes their event
+    *         time. A query whose probed cells hold no candidates still
+    *         surfaces, with NULL rank/item/score (the admission operator's
+    *         every-arrival-gets-a-verdict contract). */
+  def annServe(arrivals: DataFrame, index: ServingIndex,
+      idCol: String, tsCol: String, vecCol: String,
+      k: Int = 10, nprobe: Int = 4,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(arrivals.isStreaming,
+      "arrivals must be a streaming relation; use annServeBatch for the batch twin")
+    servePlan(arrivals, index, idCol, tsCol, vecCol, k, nprobe, Some(watermarkDelay))
+  }
+
+  /** The BATCH twin: the identical plan over a batch `arrivals` relation —
+    * what the streaming specs assert equality against, and the x201
+    * oracle's DataFrame side. */
+  def annServeBatch(arrivals: DataFrame, index: ServingIndex,
+      idCol: String, tsCol: String, vecCol: String,
+      k: Int = 10, nprobe: Int = 4): DataFrame = {
+    require(!arrivals.isStreaming, "batch twin takes a batch relation")
+    servePlan(arrivals, index, idCol, tsCol, vecCol, k, nprobe, None)
+  }
+
+  private def servePlan(arrivals: DataFrame, index: ServingIndex,
+      idCol: String, tsCol: String, vecCol: String,
+      k: Int, nprobe: Int, watermarkDelay: Option[String]): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(nprobe >= 1 && nprobe <= index.centroids.length,
+      s"nprobe must be in [1, ${index.centroids.length}], got $nprobe")
+    val base = arrivals.select(
+      col(idCol).cast("long").as("query_id"),
+      col(tsCol).as("ts"),
+      col(vecCol).as("query_vec"))
+    val arr = watermarkDelay.fold(base)(base.withWatermark("ts", _))
+    // map-side probe: rank the literal centroid set by (cosine desc, id
+    // asc) — the ivfSearch kernel — and explode the nprobe best
+    val probes = arr.select(col("query_id"), col("ts"), col("query_vec"),
+      explode(slice(reverse(array_sort(
+        Similarity.centroidScores(col("query_vec"), index.centroids))),
+        1, nprobe)).as("probe"))
+      .select(col("query_id"), col("ts"), col("query_vec"),
+        (-col("probe.ncid")).as("centroid_id"))
+    // stream-static LEFT join against the bucketed cells: a probed-empty
+    // cell yields a NULL candidate (not a dropped query). Self-matches
+    // (same id arriving as both query and corpus item) are NULLed too.
+    val ok = col("item_id").isNotNull && col("item_id") =!= col("query_id")
+    val scored = probes.join(index.cells, Seq("centroid_id"), "left_outer")
+      .select(col("query_id"), col("ts"),
+        when(ok, cosine_sim(col("query_vec"), col("item_vec"))).as("s"),
+        when(ok, col("item_id")).as("cand_id"))
+    // ONE stateful aggregation with a HARD k-sized buffer — the existing
+    // top_k TypedImperativeAggregate (graft.functions.TopKAgg, the x19
+    // kernel): the collect_list spelling held EVERY candidate in state
+    // until the watermark flush (measured 3.4 GB for 750k in-flight
+    // queries at ~300 candidates each); top_k holds k entries per query
+    // in the partial aggregate, the shuffle, and the state store alike.
+    // NULLed candidates update nothing; an all-NULL group evaluates to an
+    // empty array, which posexplode_outer surfaces as a NULL-rank verdict
+    // row.
+    scored
+      .groupBy(col("query_id"), col("ts"))
+      .agg(graft.functions.TopKBuffer.top_k(
+        col("s"), col("cand_id"), k).as("topk"))
+      .select(col("query_id"), col("ts"),
+        posexplode_outer(col("topk")).as(Seq("pos", "hit")))
+      .select(col("query_id"), col("ts"),
+        (col("pos") + 1).as("rank"),
+        col("hit.id").as("item_id"),
+        col("hit.ord").as("cos_sim"))
+  }
+}

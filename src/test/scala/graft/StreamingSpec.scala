@@ -822,6 +822,149 @@ class StreamingSpec extends SparkSpec {
     assert(verdicts(reopened) == before, "reopened index must score identically")
   }
 
+  // ---- streaming ANN serving (AnnStreams) — fixture: two well-separated
+  // directions; seeded quantizer = the two lowest-id vectors (one per
+  // direction), so cell membership and every score are hand-computable.
+  private def annCorpus = {
+    import spark.implicits._
+    Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),   // seed → centroid 0
+      (1L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),   // seed → centroid 1
+      (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),   // cell 0
+      (3L, Seq(0.1f, 0.9f, 0.0f, 0.0f)),   // cell 1
+      (4L, Seq(0.8f, 0.0f, 0.2f, 0.0f)))   // cell 0
+      .toDF("vec_id", "embedding")
+  }
+  private def annArrival(id: Long, t: java.sql.Timestamp, v: Seq[Float]) =
+    graft.streaming.AnnStreams.Arrival(id, t, v)
+
+  test("streaming ANN serve equals the batch twin; ranks match hand truth") {
+    import spark.implicits._
+    import graft.streaming.AnnStreams
+    val idxDir = java.nio.file.Files.createTempDirectory("annserve-idx").toString
+    val index = AnnStreams.buildServingIndex(
+      annCorpus, "vec_id", "embedding", idxDir, nlist = 2, trained = false)
+    // queries: one per cluster, across two micro-batches
+    val arrivals = Seq(
+      annArrival(100L, ts(0), Seq(1.0f, 0.05f, 0.0f, 0.0f)),  // x-cluster
+      annArrival(101L, ts(1), Seq(0.05f, 1.0f, 0.0f, 0.0f)))  // y-cluster
+    val input = MemoryStream[AnnStreams.Arrival](spark)
+    val q = AnnStreams.annServe(input.toDF(), index,
+      "query_id", "ts", "embedding", k = 2, nprobe = 1,
+      watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("ann_serve_test")
+      .outputMode("append").start()
+    try {
+      input.addData(arrivals.take(1)); q.processAllAvailable()
+      input.addData(arrivals.drop(1)); q.processAllAvailable()
+      // watermark flushers (held themselves)
+      input.addData(Seq(annArrival(998L, ts(500), Seq(0.5f, 0.5f, 0.0f, 0.0f))))
+      q.processAllAvailable()
+      input.addData(Seq(annArrival(999L, ts(501), Seq(0.5f, 0.5f, 0.0f, 0.0f))))
+      q.processAllAvailable()
+      val got = spark.table("ann_serve_test")
+        .filter($"query_id" < 900)
+        .select($"query_id", $"rank", $"item_id")
+        .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      // hand truth at nprobe=1: query 100 probes cell 0 = {0, 2, 4};
+      // top-2 by cosine: item 2 (cos≈0.9985 — aligned with the query's
+      // small y component) then item 0 (cos≈0.9988? no: cos(q,0)=
+      // 1/|q|≈0.99875, cos(q,2)=(0.9+0.005)/(|q||v2|)≈0.99876) — assert
+      // against the batch twin instead of fragile float hand-math, then
+      // pin the MEMBERSHIP (both hits from cell 0).
+      val twin = AnnStreams.annServeBatch(arrivals.toDF(), index,
+        "query_id", "ts", "embedding", k = 2, nprobe = 1)
+        .select($"query_id", $"rank", $"item_id")
+        .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(got == twin, s"stream=$got batchTwin=$twin")
+      assert(got.map(_._1).distinct == Seq(100L, 101L))
+      assert(got.count(_._1 == 100L) == 2 && got.count(_._1 == 101L) == 2)
+      // cell membership: query 100's hits ⊆ cell 0 = {0,2,4}; 101's ⊆ {1,3}
+      assert(got.filter(_._1 == 100L).map(_._3).forall(Set(0L, 2L, 4L)))
+      assert(got.filter(_._1 == 101L).map(_._3).forall(Set(1L, 3L)))
+      // ranks are 1..k with the best-cosine item first (hand truth: 101's
+      // nearest is item 1 — exact axis alignment beats (0.1, 0.9))
+      assert(got.filter(_._1 == 101L).sortBy(_._2).map(_._3) == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("ANN serving index reopens from disk after catalog loss — same results; empty-candidate query still surfaces") {
+    import spark.implicits._
+    import graft.streaming.AnnStreams
+    val idxDir = java.nio.file.Files.createTempDirectory("annserve-reopen").toString
+    val built = AnnStreams.buildServingIndex(
+      annCorpus, "vec_id", "embedding", idxDir, nlist = 2, trained = false)
+    val arrivals = Seq(
+      annArrival(100L, ts(0), Seq(1.0f, 0.05f, 0.0f, 0.0f)),
+      annArrival(101L, ts(1), Seq(0.05f, 1.0f, 0.0f, 0.0f))).toDF()
+    def serve(idx: AnnStreams.ServingIndex) =
+      AnnStreams.annServeBatch(arrivals, idx, "query_id", "ts", "embedding",
+        k = 3, nprobe = 2)
+        .select($"query_id", $"rank", $"item_id")
+        .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val before = serve(built)
+    // nprobe=2 reaches both cells: each query sees all 5 corpus vectors
+    assert(before.count(_._1 == 100L) == 3 && before.count(_._1 == 101L) == 3)
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_ann_cells_"))
+      .foreach(n => spark.sql(s"DROP TABLE $n"))
+    val reopened = AnnStreams.openServingIndex(spark, idxDir)
+    assert(reopened.nlist == built.nlist && reopened.buckets == built.buckets)
+    assert(reopened.centroids.map(_._1).toSeq == built.centroids.map(_._1).toSeq)
+    assert(reopened.centroids.map(_._2.toSeq).toSeq == built.centroids.map(_._2.toSeq).toSeq)
+    assert(serve(reopened) == before, "reopened index must score identically")
+    // a query that matches ONLY itself (self-exclusion) still surfaces,
+    // with NULL rank/item — the every-arrival-gets-a-verdict contract
+    val selfOnly = Seq(annArrival(0L, ts(0), Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF()
+    val verdict = AnnStreams.annServeBatch(selfOnly,
+      AnnStreams.buildServingIndex(
+        annCorpus.filter($"vec_id" === 0L), "vec_id", "embedding",
+        java.nio.file.Files.createTempDirectory("annserve-self").toString,
+        nlist = 1, trained = false),
+      "query_id", "ts", "embedding", k = 2, nprobe = 1)
+      .select($"query_id", $"rank", $"item_id").collect()
+    assert(verdict.length == 1 && verdict.head.getLong(0) == 0L
+      && verdict.head.isNullAt(1) && verdict.head.isNullAt(2))
+  }
+
+  test("ANN serving survives a checkpoint restart without duplicate or lost answers") {
+    import spark.implicits._
+    import graft.streaming.AnnStreams
+    val tmp = java.nio.file.Files.createTempDirectory("annserve-restart").toString
+    AnnStreams.buildServingIndex(
+      annCorpus, "vec_id", "embedding", s"$tmp/idx", nlist = 2, trained = false)
+    val input = MemoryStream[AnnStreams.Arrival](spark)
+    def start() = AnnStreams.annServe(input.toDF(),
+      AnnStreams.openServingIndex(spark, s"$tmp/idx"),
+      "query_id", "ts", "embedding", k = 2, nprobe = 1,
+      watermarkDelay = "0 seconds")
+      .writeStream.format("parquet").option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      input.addData(Seq(annArrival(100L, ts(0), Seq(1.0f, 0.05f, 0.0f, 0.0f))))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      input.addData(Seq(annArrival(101L, ts(1), Seq(0.05f, 1.0f, 0.0f, 0.0f))))
+      q2.processAllAvailable()
+      input.addData(Seq(annArrival(998L, ts(500), Seq(0.5f, 0.5f, 0.0f, 0.0f))))
+      q2.processAllAvailable()
+      input.addData(Seq(annArrival(999L, ts(501), Seq(0.5f, 0.5f, 0.0f, 0.0f))))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(s"$tmp/out")
+        .filter($"query_id" < 900)
+        .select($"query_id", $"rank", $"item_id")
+        .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(got.map(r => (r._1, r._2)).distinct.size == got.size,
+        s"duplicate (query, rank) emissions after restart: $got")
+      assert(got.count(_._1 == 100L) == 2 && got.count(_._1 == 101L) == 2,
+        s"restart must neither lose nor duplicate an answer: $got")
+    } finally q2.stop()
+  }
+
   test("near-dup admission survives a checkpoint restart without duplicate or lost verdicts") {
     import spark.implicits._
     import graft.streaming.DedupStreams
