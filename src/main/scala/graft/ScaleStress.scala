@@ -375,7 +375,16 @@ object ScaleStress {
             s"""[${jq("x06_minhash_neardup")}]""")
           java.nio.file.Files.writeString(
             java.nio.file.Paths.get(s"$outDir/verify40/errors.json"), "{}")
+          // the single-file staging dir served its one copy
+          new java.io.File(s"$outDir/sf40_tmp").listFiles()
+            .foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
+          java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(s"$outDir/sf40_tmp"))
         }
+        // each round's checkpointed pair set would otherwise stay pinned in
+        // block-manager storage for the rest of the run — wasted executor
+        // memory in exactly the leg that probes memory behavior at scale
+        pairs.unpersist()
         corpus.unpersist()
       }
       val drift = ratios(40) / ratios(10)

@@ -135,6 +135,11 @@ object StreamBench {
     val corpus = spark.read.parquet(s"$corpusDir/documents.parquet")
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text")
     lazy val nCorpus = corpus.count()
+    // replica id offset = max(id)+1, NOT count() (the ScaleStress
+    // convention): on a gapped or non-0-based id space, count-based
+    // offsets would silently collide replica ranges and build the 10x
+    // indexes over duplicate ids
+    lazy val corpusStride = corpus.agg(max(col("doc_id"))).head().getLong(0) + 1
     def buildIndex(name: String, c: DataFrame): (graft.streaming.DedupStreams.AdmissionIndex, Double) = {
       val t0 = System.nanoTime()
       val idx = graft.streaming.DedupStreams.buildAdmissionIndex(
@@ -147,7 +152,7 @@ object StreamBench {
         // construction — the r14 verdict asked for the admission leg at the
         // 10× corpus (50k docs)
         val c = if (replicas <= 1) corpus else (0 until replicas).map { k =>
-          corpus.select((col("doc_id") + lit(k * nCorpus)).as("doc_id"),
+          corpus.select((col("doc_id") + lit(k * corpusStride)).as("doc_id"),
             concat(col("text"), lit(s" rep$k")).as("text"))
         }.reduce(_ unionAll _)
         val (idx, idxSec) = buildIndex(idxName, c)
@@ -169,9 +174,9 @@ object StreamBench {
       if (!wanted(name)) Seq.empty else {
         val e = spark.read.parquet(s"$corpusDir/embeddings.parquet")
           .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
-        val nE = e.count()
+        val stride = e.agg(max(col("vec_id"))).head().getLong(0) + 1
         val c = if (replicas <= 1) e else (0 until replicas).map { k =>
-          e.select((col("vec_id") + lit(k * nE)).as("vec_id"), col("embedding"))
+          e.select((col("vec_id") + lit(k * stride)).as("vec_id"), col("embedding"))
         }.reduce(_ unionAll _)
         // nlist scales ~sqrt(N), the standard IVF sizing: candidates per
         // query (nprobe·N/nlist) then grow ~sqrt(corpus) instead of

@@ -794,7 +794,10 @@ object Multimodal {
           if (start + 32 > end) return None
           (be32(start + 20), be64(start + 24))
         } else return None
-      if (ts <= 0 || dur < 0) None
+      // dur is 8 attacker-controllable bytes in the v1 branch: past
+      // Long.MaxValue/1000 the ms conversion would wrap and surface a
+      // garbage (possibly negative) duration as data — malformed, so None
+      if (ts <= 0 || dur < 0 || dur > Long.MaxValue / 1000) None
       else Some(Mp4Info(ts, dur, dur * 1000L / ts))
     }
     var i = 0
@@ -883,9 +886,17 @@ object Multimodal {
     *  - `null`        — NULL payload (an upstream stage's undecodable
     *                    marker). */
   def decodeMode(p: Array[Byte]): String =
+    decodeModeOf(p, decodeAudio(p), headerDurationMs(p))
+
+  /** The single copy of the mode ladder, over pre-computed audio/header
+    * results — [[codecSupport]] needs those values anyway (for
+    * duration_ms), and a second inline ladder there could drift from this
+    * one when the next header parser lands. */
+  private def decodeModeOf(p: Array[Byte], audio: Option[AudioStats],
+      hdrDur: Option[Long]): String =
     if (p == null) "null"
-    else if (decodePixels(p).isDefined || decodeAudio(p).isDefined) "real"
-    else if (imageDims(p).isDefined || headerDurationMs(p).isDefined) "header_only"
+    else if (decodePixels(p).isDefined || audio.isDefined) "real"
+    else if (imageDims(p).isDefined || hdrDur.isDefined) "header_only"
     else "stub"
 
   /** Codec-support CONTRACT surface (r13 verdict ask #5): per media row,
@@ -908,11 +919,7 @@ object Multimodal {
           else {
             val audio = decodeAudio(p)
             val hdrDur = headerDurationMs(p)
-            val mode =
-              if (decodePixels(p).isDefined || audio.isDefined) "real"
-              else if (imageDims(p).isDefined || hdrDur.isDefined) "header_only"
-              else "stub"
-            (mode, audio.filter(_.sampleRateHz > 0)
+            (decodeModeOf(p, audio, hdrDur), audio.filter(_.sampleRateHz > 0)
               .map(s => s.nSamples / s.channels * 1000L / s.sampleRateHz)
               .orElse(hdrDur))
           }

@@ -5783,18 +5783,17 @@ object Extensions {
     * oracle instead of only ScalaTest specs. The index is built once per
     * (session, corpus) — the production amortization shape, same as
     * [[ngramPairGraph]] — so the timed marginal cost is the per-batch scoring. */
-  private val x199Indexes = new java.util.concurrent.ConcurrentHashMap[
-    String, graft.streaming.DedupStreams.AdmissionIndex]()
+  private val x199Indexes =
+    new SessionIndexCache[graft.streaming.DedupStreams.AdmissionIndex]
   def x199AdmissionTwin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = docs(s, dir)
-    val idx = x199Indexes.computeIfAbsent(
-      System.identityHashCode(s) + "/" + dir, _ => {
-        val idxDir = java.nio.file.Files.createTempDirectory("x199idx").toString
-        graft.streaming.DedupStreams.buildAdmissionIndex(
-          d.filter($"doc_id" % 10 < 8), "doc_id", "text", idxDir,
-          shingleK = 3, threshold = 0.5)
-      })
+    val idx = x199Indexes.getOrBuild(s, dir) {
+      val idxDir = java.nio.file.Files.createTempDirectory("x199idx").toString
+      graft.streaming.DedupStreams.buildAdmissionIndex(
+        d.filter($"doc_id" % 10 < 8), "doc_id", "text", idxDir,
+        shingleK = 3, threshold = 0.5)
+    }
     val arrivals = d.filter($"doc_id" % 10 >= 8)
       .select($"doc_id", timestamp_seconds($"doc_id" % 86400).as("ts"), $"text")
     graft.streaming.DedupStreams.nearDupAdmissionBatch(
@@ -5843,18 +5842,31 @@ object Extensions {
     * float. Production serves through `trained = true`; its recall/nprobe
     * curve is quantified by x188 — this query pins the serve PLAN's
     * exactness given a quantizer. */
-  private val x201Indexes = new java.util.concurrent.ConcurrentHashMap[
-    String, graft.streaming.AnnStreams.ServingIndex]()
+  /** Per-(session, dir) index cache for the serve/admission twins, WEAK on
+    * the session: a stopped session's index handles (DataFrames bound to
+    * it) become collectable instead of accumulating for the JVM lifetime,
+    * and — unlike an identityHashCode key — a new session can never collide
+    * into a dead session's entry. */
+  private final class SessionIndexCache[T] {
+    private val bySession = new java.util.WeakHashMap[
+      SparkSession, scala.collection.mutable.Map[String, T]]()
+    def getOrBuild(s: SparkSession, dir: String)(build: => T): T = synchronized {
+      val m = bySession.computeIfAbsent(s,
+        _ => scala.collection.mutable.Map.empty[String, T])
+      m.getOrElseUpdate(dir, build)
+    }
+  }
+  private val x201Indexes =
+    new SessionIndexCache[graft.streaming.AnnStreams.ServingIndex]
   def x201AnnServeTwin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir)
-    val idx = x201Indexes.computeIfAbsent(
-      System.identityHashCode(s) + "/" + dir, _ => {
-        val idxDir = java.nio.file.Files.createTempDirectory("x201idx").toString
-        graft.streaming.AnnStreams.buildServingIndex(
-          e.filter($"vec_id" % 10 < 8), "vec_id", "embedding", idxDir,
-          nlist = 8, trained = false)
-      })
+    val idx = x201Indexes.getOrBuild(s, dir) {
+      val idxDir = java.nio.file.Files.createTempDirectory("x201idx").toString
+      graft.streaming.AnnStreams.buildServingIndex(
+        e.filter($"vec_id" % 10 < 8), "vec_id", "embedding", idxDir,
+        nlist = 8, trained = false)
+    }
     val arrivals = e.filter($"vec_id" % 10 >= 8)
       .select($"vec_id", timestamp_seconds($"vec_id" % 86400).as("ts"), $"embedding")
     graft.streaming.AnnStreams.annServeBatch(

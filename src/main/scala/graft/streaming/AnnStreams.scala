@@ -63,15 +63,9 @@ object AnnStreams {
       dir: String, nlist: Int, buckets: Int,
       centroids: Array[(Int, Array[Float])], cells: DataFrame)
 
-  /** Catalog names derive from the index LOCATION (same rule as the
-    * admission index): reopening a directory reuses the registration, two
-    * directories never collide. */
-  private def tableName(dir: String): String = {
-    val abs = new java.io.File(dir).getAbsolutePath
-    val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(abs.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    s"graft_ann_cells_$md5"
-  }
+  /** Location-derived catalog name (shared rule: [[DiskIndex.tableName]]). */
+  private def tableName(dir: String): String =
+    DiskIndex.tableName("graft_ann_cells", dir)
 
   /** Index a static corpus for serving: ONE corpus pass (train/seed the
     * quantizer, assign every vector map-side, write bucketed), persisted
@@ -90,6 +84,10 @@ object AnnStreams {
         .orderBy(col("item_id")).limit(nlist)
         .collect().map(_.getSeq[Float](1).toArray)
         .zipWithIndex.map { case (v, i) => (i, v) }
+    // an empty quantizer would otherwise surface as an opaque analysis
+    // error from the empty literal centroid array (or a "[1, 0]" nprobe
+    // range) far from the actual cause
+    require(centroids.nonEmpty, "ANN serving index: corpus must be non-empty")
     // one bucket per cell: the probe join's static side is pre-partitioned
     // by exactly the key it is probed on
     Similarity.assignCells(corpus.select(col(idCol).cast("long").as(idCol),
@@ -113,19 +111,13 @@ object AnnStreams {
     * nlist-sized quantizer. No corpus work. */
   def openServingIndex(spark: SparkSession, dir: String): ServingIndex = {
     val nlist = spark.read.parquet(s"$dir/meta").head().getInt(0)
-    val name = tableName(dir)
-    if (!spark.catalog.tableExists(name)) {
-      val schemaDdl = spark.read.parquet(s"$dir/cells").schema.toDDL
-      spark.sql(
-        s"""CREATE TABLE $name ($schemaDdl) USING PARQUET
-           |CLUSTERED BY (centroid_id) SORTED BY (centroid_id) INTO $nlist BUCKETS
-           |LOCATION '$dir/cells'""".stripMargin)
-    }
+    val cells = DiskIndex.registerBucketed(
+      spark, tableName(dir), s"$dir/cells", "centroid_id", nlist)
     val centroids = spark.read.parquet(s"$dir/centroids")
       .orderBy(col("centroid_id"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-    ServingIndex(dir, nlist, nlist, centroids, spark.table(name))
+    ServingIndex(dir, nlist, nlist, centroids, cells)
   }
 
   /** @param arrivals streaming relation with (`idCol`, `tsCol`, `vecCol`)

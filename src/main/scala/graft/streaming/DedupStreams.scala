@@ -66,15 +66,9 @@ object DedupStreams {
       dir: String, shingleK: Int, threshold: Double, buckets: Int,
       prefix: DataFrame, sets: DataFrame, prefixExpr: Column)
 
-  /** Catalog names are derived from the index LOCATION, so re-opening the
-    * same directory reuses the registration and two different indexes
-    * never collide. */
-  private def tableName(kind: String, dir: String): String = {
-    val abs = new java.io.File(dir).getAbsolutePath
-    val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(abs.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    s"graft_adm_${kind}_$md5"
-  }
+  /** Location-derived catalog name (shared rule: [[DiskIndex.tableName]]). */
+  private def tableName(kind: String, dir: String): String =
+    DiskIndex.tableName(s"graft_adm_$kind", dir)
 
   /** Index a static corpus for admission: ONE corpus pass, persisted as
     * bucketed parquet under `dir` (layout in the class doc). Building is
@@ -130,17 +124,8 @@ object DedupStreams {
     val meta = spark.read.parquet(s"$dir/meta").head()
     val (shingleK, threshold, b) =
       (meta.getInt(0), meta.getDouble(1), meta.getInt(2))
-    def register(kind: String, bucketCol: String): DataFrame = {
-      val name = tableName(kind, dir)
-      if (!spark.catalog.tableExists(name)) {
-        val schemaDdl = spark.read.parquet(s"$dir/$kind").schema.toDDL
-        spark.sql(
-          s"""CREATE TABLE $name ($schemaDdl) USING PARQUET
-             |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $b BUCKETS
-             |LOCATION '$dir/$kind'""".stripMargin)
-      }
-      spark.table(name)
-    }
+    def register(kind: String, bucketCol: String): DataFrame =
+      DiskIndex.registerBucketed(spark, tableName(kind, dir), s"$dir/$kind", bucketCol, b)
     val sets = register("sets", "doc_id")
     val prefix = register("prefix", "shingle")
     val hot = spark.read.parquet(s"$dir/hot")

@@ -333,6 +333,14 @@ class MultimodalSpec extends SparkSpec {
     while (i < 4) { zeroTs(44 + i) = 0; i += 1 }
     assert(Multimodal.mp4HeaderInfo(zeroTs).isEmpty)
     assert(Multimodal.mp4HeaderInfo(null).isEmpty)
+    // a v1 duration past Long.MaxValue/1000 (8 attacker-controlled bytes)
+    // must be malformed-data → None, not a wrapped/negative duration_ms
+    val mvhdHuge = be32(8 + 4 + 8 + 8 + 4 + 8 + 80) ++ "mvhd".getBytes("US-ASCII") ++
+      Array[Byte](1, 0, 0, 0) ++ new Array[Byte](16) ++
+      be32(90000L) ++ be32(1L << 28) ++ be32(0L) ++ new Array[Byte](80) // dur = 2^60
+    val huge = be32(16) ++ "ftypisom".getBytes("US-ASCII") ++ be32(0) ++
+      be32(8 + mvhdHuge.length) ++ "moov".getBytes("US-ASCII") ++ mvhdHuge
+    assert(Multimodal.mp4HeaderInfo(huge).isEmpty)
   }
 
   // dHash truth from the closed form DIRECTLY — no codec, no call into the

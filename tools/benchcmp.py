@@ -77,7 +77,12 @@ def main():
             best = el if best is None else min(best, el)
         spark_s = bench["queries"].get(name)
         ratio = (spark_s / best) if (spark_s and best > 0) else float("nan")
-        minus_floor = max(0.0, spark_s - floor_s) if spark_s is not None else None
+        # a failed query carries the -1.0 sentinel in the bench detail file;
+        # clamping it to 0.00 would silently IMPROVE the minus-floor subtotal
+        # while the query's duck_s still counts — keep failures out of the
+        # minus-floor column entirely (they already surface via n_failed)
+        minus_floor = (max(0.0, spark_s - floor_s)
+                       if spark_s is not None and spark_s >= 0 else None)
         rows.append((name, spark_s, best, ratio, minus_floor))
     print(f"{'query':28} {'spark_s':>8} {'-floor':>8} {'duck_s':>8} {'spark/duck':>10}")
     for name, s, d, r, mf in rows:
@@ -87,7 +92,7 @@ def main():
 
     def subtotal(label, pred):
         sub = [r for r in rows if pred(r[0])]
-        ts = sum(r[1] for r in sub if r[1])
+        ts = sum(r[1] for r in sub if r[1] and r[1] >= 0)  # -1.0 = failed sentinel
         tmf = sum(r[4] for r in sub if r[4] is not None)
         td = sum(r[2] for r in sub)
         print(f"{label:28} {ts:8.2f} {tmf:8.2f} {td:8.2f} "
