@@ -58,10 +58,13 @@ object AnnStreams {
   /** Handle over a built-or-opened on-disk serving index. `cells` is a
     * catalog-backed bucketed table (shuffle-free static join side);
     * `centroids` is the nlist-sized quantizer the probe expression bakes
-    * in as literals. */
+    * in as literals; `appends` is the (possibly empty) tail of
+    * [[appendStream]]-ingested vectors not yet folded into the bucketed
+    * base — see the maintenance contract on [[appendStream]]. */
   final case class ServingIndex(
       dir: String, nlist: Int, buckets: Int,
-      centroids: Array[(Int, Array[Float])], cells: DataFrame)
+      centroids: Array[(Int, Array[Float])], cells: DataFrame,
+      appends: DataFrame)
 
   /** Location-derived catalog name (shared rule: [[DiskIndex.tableName]]). */
   private def tableName(dir: String): String =
@@ -103,8 +106,15 @@ object AnnStreams {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     Seq((nlist, centroids.length)).toDF("nlist", "n_centroids")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    ServingIndex(dir, nlist, nlist, centroids, spark.table(tableName(dir)))
+    ServingIndex(dir, nlist, nlist, centroids, spark.table(tableName(dir)),
+      appendsOf(spark, dir))
   }
+
+  /** The append tail under `dir/appends/batch=<id>/` — empty (with the
+    * cells schema) when no [[appendStream]] batch has landed yet. */
+  private def appendsOf(spark: SparkSession, dir: String): DataFrame =
+    DiskIndex.appendTail(spark, s"$dir/appends",
+      spark.table(tableName(dir)).schema)
 
   /** Reopen a persisted serving index after a driver bounce: re-register
     * the bucketed cells table over the existing files and reload the
@@ -117,7 +127,43 @@ object AnnStreams {
       .orderBy(col("centroid_id"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-    ServingIndex(dir, nlist, nlist, centroids, cells)
+    ServingIndex(dir, nlist, nlist, centroids, cells, appendsOf(spark, dir))
+  }
+
+  /** Streaming index MAINTENANCE — the write path of a living vector lake:
+    * arriving embeddings are assigned to their IVF cell MAP-SIDE against
+    * the index's FIXED centroids (the standard IVF maintenance contract —
+    * cells drift only as much as the data distribution does; retrain on a
+    * schedule, never per batch) and landed under
+    * `dir/appends/batch=<batchId>/`. Writing each micro-batch into its own
+    * batchId-named directory with overwrite makes the sink IDEMPOTENT: a
+    * crash-replayed batch overwrites its own output instead of duplicating
+    * rows — exactly-once index contents over an at-least-once foreachBatch.
+    *
+    * Visibility contract: serve plans bind the append tail when the index
+    * handle is built/opened, so appended vectors are seen by queries
+    * (batch or streaming) whose handle was opened AFTER the append landed
+    * — the restart/reopen picks them up; a mid-flight stream does not
+    * re-list. Fold the tail into the bucketed base by re-running
+    * [[buildServingIndex]] on schedule (the one corpus pass a re-index
+    * always costs); until then the tail joins UNBUCKETED, which is the
+    * small-fraction price of not rescanning the lake per arrival. */
+  def appendStream(arrivals: DataFrame, index: ServingIndex,
+      idCol: String, vecCol: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(arrivals.isStreaming, "appendStream takes a streaming relation")
+    arrivals
+      .select(col(idCol).cast("long").as(idCol), col(vecCol))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Similarity.assignCells(batch, index.centroids, idCol, vecCol)
+          .select(col("centroid_id"), col("item_id"), col("item_vec"))
+          .write.mode("overwrite")
+          .parquet(s"${index.dir}/appends/batch=$batchId")
+      }
+      .start()
   }
 
   /** @param arrivals streaming relation with (`idCol`, `tsCol`, `vecCol`)
@@ -167,11 +213,18 @@ object AnnStreams {
     // stream-static LEFT join against the bucketed cells: a probed-empty
     // cell yields a NULL candidate (not a dropped query). Self-matches
     // (same id arriving as both query and corpus item) are NULLed too.
+    // The append tail joins as a SECOND branch rather than a union into
+    // the cells relation — unioning bucketed+unbucketed sides would strip
+    // the bucket pre-partitioning from the whole join; this way the
+    // lake-sized base keeps it and only the small tail joins plain.
     val ok = col("item_id").isNotNull && col("item_id") =!= col("query_id")
-    val scored = probes.join(index.cells, Seq("centroid_id"), "left_outer")
-      .select(col("query_id"), col("ts"),
-        when(ok, cosine_sim(col("query_vec"), col("item_vec"))).as("s"),
-        when(ok, col("item_id")).as("cand_id"))
+    def scoredAgainst(cells: DataFrame): DataFrame =
+      probes.join(cells, Seq("centroid_id"), "left_outer")
+        .select(col("query_id"), col("ts"),
+          when(ok, cosine_sim(col("query_vec"), col("item_vec"))).as("s"),
+          when(ok, col("item_id")).as("cand_id"))
+    val scored = scoredAgainst(index.cells)
+      .unionByName(scoredAgainst(index.appends))
     // ONE stateful aggregation with a HARD k-sized buffer — the existing
     // top_k TypedImperativeAggregate (graft.functions.TopKAgg, the x19
     // kernel): the collect_list spelling held EVERY candidate in state

@@ -61,10 +61,13 @@ object DedupStreams {
   /** Handle over a built-or-opened on-disk admission index. `prefix` and
     * `sets` are catalog-backed bucketed tables (shuffle-free static join
     * sides); `prefixExpr` is the global PPJoin order rebuilt from the
-    * persisted hot table. */
+    * persisted hot table; `prefixAppends`/`setsAppends` are the (possibly
+    * empty) [[appendToIndex]]-ingested tail not yet folded into the
+    * bucketed base. */
   final case class AdmissionIndex(
       dir: String, shingleK: Int, threshold: Double, buckets: Int,
-      prefix: DataFrame, sets: DataFrame, prefixExpr: Column)
+      prefix: DataFrame, sets: DataFrame, prefixExpr: Column,
+      prefixAppends: DataFrame, setsAppends: DataFrame)
 
   /** Location-derived catalog name (shared rule: [[DiskIndex.tableName]]). */
   private def tableName(kind: String, dir: String): String =
@@ -112,7 +115,10 @@ object DedupStreams {
     Seq((shingleK, threshold, b)).toDF("shingle_k", "threshold", "buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     AdmissionIndex(dir, shingleK, threshold, b,
-      spark.table(tableName("prefix", dir)), sets, prefixExpr)
+      spark.table(tableName("prefix", dir)), sets, prefixExpr,
+      DiskIndex.appendTail(spark, s"$dir/appends_prefix",
+        spark.table(tableName("prefix", dir)).schema),
+      DiskIndex.appendTail(spark, s"$dir/appends_sets", sets.schema))
   }
 
   /** Reopen a persisted index — e.g. after a driver bounce, when the
@@ -133,7 +139,47 @@ object DedupStreams {
       .select(col("shingle"), col("df"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     AdmissionIndex(dir, shingleK, threshold, b, prefix, sets,
-      Dedup.prefixExprOf(hot))
+      Dedup.prefixExprOf(hot),
+      DiskIndex.appendTail(spark, s"$dir/appends_prefix", prefix.schema),
+      DiskIndex.appendTail(spark, s"$dir/appends_sets", sets.schema))
+  }
+
+  /** Streaming index MAINTENANCE — dedup-at-the-door closing its own loop:
+    * documents the caller has ADMITTED are shingled and prefix-exploded
+    * under the index's FIXED persisted order (required for PPJoin
+    * exactness — and any consistent global order stays exact for new
+    * documents; only the order's PRUNING QUALITY drifts as the lake does,
+    * which a scheduled re-index refreshes), then landed under
+    * `dir/appends_sets/batch=<id>/` and `dir/appends_prefix/batch=<id>/`.
+    * Per-batchId overwrite makes a crash-replayed batch replace its own
+    * output — exactly-once index contents over at-least-once foreachBatch.
+    * Same visibility contract as [[AnnStreams.appendStream]]: handles
+    * opened AFTER an append see it; doc ids must be distinct from the
+    * already-indexed corpus (the caller's admission gate is exactly what
+    * guarantees near-dups don't pile in). */
+  def appendToIndex(arrivals: DataFrame, index: AdmissionIndex,
+      idCol: String, textCol: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(arrivals.isStreaming, "appendToIndex takes a streaming relation")
+    arrivals
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val setsDir = s"${index.dir}/appends_sets/batch=$batchId"
+        Dedup.shingleSets(batch, "doc_id", "text", index.shingleK)
+          .write.mode("overwrite").parquet(setsDir)
+        // prefix rows derive from the JUST-WRITTEN sets files (one compute,
+        // one scan) so the two directories can never disagree
+        Dedup.prefixRows(spark.read.parquet(setsDir), index.prefixExpr, index.threshold)
+          .select(col("shingle"), col("doc_id").as("cor_id"),
+            col("n_shingles").as("n_b"), col("pos").as("pos_b"))
+          .write.mode("overwrite")
+          .parquet(s"${index.dir}/appends_prefix/batch=$batchId")
+      }
+      .start()
   }
 
   /** @param arrivals streaming relation with (`idCol`, `tsCol`, `textCol`)
@@ -186,21 +232,38 @@ object DedupStreams {
     // (prefixCandidates — exactness argument there).
     val alpha = ceil((col("n_a") + col("n_b"))
       * lit((threshold / (1.0 + threshold)) * (1.0 - 1e-12)) - lit(1e-9))
-    val candidates = pa.join(pb, Seq("shingle"), "left_outer")
-      .select(col("doc_id"), col("ts"), col("sh_a"), col("n_a"),
-        when(col("cor_id").isNotNull
-            && col("n_a") * lit(threshold) <= col("n_b")
-            && col("n_b") * lit(threshold) <= col("n_a")
-            && lit(1) + least(col("n_a") - col("pos_a") - 1,
-              col("n_b") - col("pos_b") - 1) >= alpha,
-          col("cor_id")).as("cand_id"))
+    // the append tail joins as a SECOND branch (before the stateful dedup,
+    // so there is still exactly ONE dropDuplicates state instance): the
+    // bucketed base keeps its pre-partitioning, the small tail joins
+    // plain, and the branches' duplicate NULL-candidate rows collapse in
+    // the dedup below
+    def candBranch(pb: DataFrame): DataFrame =
+      pa.join(pb, Seq("shingle"), "left_outer")
+        .select(col("doc_id"), col("ts"), col("sh_a"), col("n_a"),
+          when(col("cor_id").isNotNull
+              && col("n_a") * lit(threshold) <= col("n_b")
+              && col("n_b") * lit(threshold) <= col("n_a")
+              && lit(1) + least(col("n_a") - col("pos_a") - 1,
+                col("n_b") - col("pos_b") - 1) >= alpha,
+            col("cor_id")).as("cand_id"))
+    val candidates = candBranch(index.prefix)
+      .unionByName(candBranch(index.prefixAppends))
       // ONE row per (doc, ts, candidate) BEFORE the verify join — the
       // exact kernel below runs once per candidate pair, not once per
       // shared prefix shingle (r14 ADVICE). Watermark-bounded dedup state;
       // the NULLed candidates of a doc collapse to a single row here.
       .dropDuplicates("doc_id", "ts", "cand_id")
+    // verify sides chain as two left joins with coalesce — doc ids are
+    // disjoint between base and tail, so each candidate matches at most
+    // one side and no row duplicates through the exact kernel
+    val fullApp = index.setsAppends.select(col("doc_id").as("cand_id"),
+      col("shingles").as("sh_b2"), col("n_shingles").as("__vn2"))
     candidates
       .join(full, Seq("cand_id"), "left_outer")
+      .join(fullApp, Seq("cand_id"), "left_outer")
+      .select(col("doc_id"), col("ts"), col("sh_a"), col("n_a"), col("cand_id"),
+        coalesce(col("sh_b"), col("sh_b2")).as("sh_b"),
+        coalesce(col("__vn"), col("__vn2")).as("__vn"))
       .withColumn("__inter", sorted_intersect_count(col("sh_a"), col("sh_b")))
       .select(col("doc_id"), col("ts"),
         when(col("cand_id").isNotNull

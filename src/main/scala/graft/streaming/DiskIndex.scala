@@ -18,6 +18,23 @@ private[streaming] object DiskIndex {
     s"${prefix}_$md5"
   }
 
+  /** The append tail under `root/batch=<id>/` — the idempotent landing
+    * zone of a foreachBatch index-maintenance sink (each micro-batch
+    * overwrites its own batchId-named directory, so a crash-replayed batch
+    * replaces rather than duplicates). Empty-with-`schema` when no batch
+    * has landed. */
+  def appendTail(spark: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val batches = Option(new java.io.File(root).listFiles())
+      .map(_.filter(f => f.isDirectory && f.getName.startsWith("batch=")))
+      .getOrElse(Array.empty)
+    if (batches.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.parquet(batches.map(_.getPath).toSeq: _*)
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+  }
+
   /** Re-register a bucketed parquet table over existing files (schema read
     * from the parquet footers) if the in-memory catalog lost it — the
     * driver-bounce reopen path. Returns the live table either way. */

@@ -927,6 +927,65 @@ class StreamingSpec extends SparkSpec {
       && verdict.head.isNullAt(1) && verdict.head.isNullAt(2))
   }
 
+  test("ANN index maintenance: streamed appends serve like a same-centroid rebuild; batch replay is idempotent") {
+    import spark.implicits._
+    import graft.streaming.AnnStreams
+    val tmp = java.nio.file.Files.createTempDirectory("annserve-append").toString
+    // base = ids 0..2 (seeds are ids 0,1 — present in BOTH the partial and
+    // the full corpus, so the fixed-centroid contract makes the rebuilt
+    // index's quantizer identical)
+    val base = annCorpus.filter($"vec_id" <= 2)
+    val idx = AnnStreams.buildServingIndex(
+      base, "vec_id", "embedding", s"$tmp/idx", nlist = 2, trained = false)
+    assert(idx.appends.isEmpty, "fresh index has no append tail")
+    // stream ids 3,4 into the index across two micro-batches
+    val late = annCorpus.filter($"vec_id" >= 3)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val q = AnnStreams.appendStream(
+      input.toDF().toDF("vec_id", "embedding"), idx,
+      "vec_id", "embedding", s"$tmp/ckpt")
+    try {
+      input.addData(late.take(1)); q.processAllAvailable()
+      input.addData(late.drop(1)); q.processAllAvailable()
+    } finally q.stop()
+    // a handle opened AFTER the appends sees them (the visibility contract)
+    val reopened = AnnStreams.openServingIndex(spark, s"$tmp/idx")
+    assert(reopened.appends.count() == 2)
+    val arrivals = Seq(
+      annArrival(100L, ts(0), Seq(1.0f, 0.05f, 0.0f, 0.0f)),
+      annArrival(101L, ts(1), Seq(0.05f, 1.0f, 0.0f, 0.0f))).toDF()
+    def results(idx: AnnStreams.ServingIndex) =
+      AnnStreams.annServeBatch(arrivals, idx, "query_id", "ts", "embedding",
+        k = 3, nprobe = 2)
+        .select($"query_id", $"rank", $"item_id")
+        .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val viaAppends = results(reopened)
+    // ground truth: a full rebuild over the whole corpus — same seeded
+    // centroids (ids 0,1), so results must be IDENTICAL
+    val rebuilt = AnnStreams.buildServingIndex(
+      annCorpus, "vec_id", "embedding", s"$tmp/idx-full", nlist = 2, trained = false)
+    assert(viaAppends == results(rebuilt),
+      s"appends=$viaAppends rebuild=${results(rebuilt)}")
+    // appended vectors actually answer queries (id 3 is the y-cluster's
+    // second-best neighbor; it was absent from the base index)
+    assert(viaAppends.filter(_._1 == 101L).map(_._3).contains(3L))
+    // replay idempotence: a fresh checkpoint re-delivers the same data with
+    // the same batchIds; batch=<id> overwrite must leave contents unchanged
+    val input2 = MemoryStream[(Long, Seq[Float])](spark)
+    val q2 = AnnStreams.appendStream(
+      input2.toDF().toDF("vec_id", "embedding"), reopened,
+      "vec_id", "embedding", s"$tmp/ckpt2")
+    try {
+      input2.addData(late.take(1)); q2.processAllAvailable()
+      input2.addData(late.drop(1)); q2.processAllAvailable()
+    } finally q2.stop()
+    val replayed = AnnStreams.openServingIndex(spark, s"$tmp/idx")
+    assert(replayed.appends.count() == 2,
+      "replayed batches must overwrite their own output, not duplicate it")
+    assert(results(replayed) == viaAppends)
+  }
+
   test("ANN serving survives a checkpoint restart without duplicate or lost answers") {
     import spark.implicits._
     import graft.streaming.AnnStreams
@@ -963,6 +1022,63 @@ class StreamingSpec extends SparkSpec {
       assert(got.count(_._1 == 100L) == 2 && got.count(_._1 == 101L) == 2,
         s"restart must neither lose nor duplicate an answer: $got")
     } finally q2.stop()
+  }
+
+  test("admission index maintenance: streamed appends reject future near-dups like a rebuild; replay idempotent") {
+    import spark.implicits._
+    import graft.streaming.DedupStreams
+    val tmp = java.nio.file.Files.createTempDirectory("admission-append").toString
+    val corpusA = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"),
+      (102L, "completely different corpus content entirely unrelated words here"))
+      .toDF("doc_id", "text")
+    val idx = DedupStreams.buildAdmissionIndex(corpusA, "doc_id", "text", s"$tmp/idx")
+    assert(idx.prefixAppends.isEmpty && idx.setsAppends.isEmpty)
+    // stream two ADMITTED (novel) documents into the index
+    val admitted = Seq(
+      (201L, "a freshly admitted document about winter harvest schedules"),
+      (202L, "unique prose concerning tidal measurement instruments"))
+    val input = MemoryStream[(Long, String)](spark)
+    val q = DedupStreams.appendToIndex(
+      input.toDF().toDF("doc_id", "text"), idx, "doc_id", "text", s"$tmp/ckpt")
+    try {
+      input.addData(admitted.take(1)); q.processAllAvailable()
+      input.addData(admitted.drop(1)); q.processAllAvailable()
+    } finally q.stop()
+    val reopened = DedupStreams.openAdmissionIndex(spark, s"$tmp/idx")
+    assert(reopened.setsAppends.count() == 2 && reopened.prefixAppends.count() > 0)
+    // new arrivals: a near-dup of an APPENDED doc (must now be rejected),
+    // a near-dup of a base doc, and a novel one
+    val arrivals = Seq(
+      DedupStreams.Arrival(1L, ts(0), "a freshly admitted document about winter harvest schedules today"),
+      DedupStreams.Arrival(2L, ts(1), "the quick brown fox jumps over the lazy dog again"),
+      DedupStreams.Arrival(3L, ts(2), "wholly novel arrival text with words never seen anywhere"))
+      .toDF()
+    def verdicts(i: DedupStreams.AdmissionIndex) =
+      DedupStreams.nearDupAdmissionBatch(arrivals, i, "doc_id", "ts", "text")
+        .select($"doc_id", $"n_matches", $"admitted")
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val got = verdicts(reopened)
+    assert(got == Seq((1L, 1L, false), (2L, 1L, false), (3L, 0L, true)),
+      s"appended docs must reject future near-dups: $got")
+    // ground truth: a full rebuild over corpusA ∪ admitted — the hot order
+    // differs, but PPJoin exactness holds under ANY consistent order, so
+    // the VERDICTS must be identical
+    val rebuilt = DedupStreams.buildAdmissionIndex(
+      corpusA.unionAll(admitted.toDF("doc_id", "text")), "doc_id", "text", s"$tmp/idx-full")
+    assert(got == verdicts(rebuilt))
+    // replay idempotence: fresh checkpoint, same data, same batchIds
+    val input2 = MemoryStream[(Long, String)](spark)
+    val q2 = DedupStreams.appendToIndex(
+      input2.toDF().toDF("doc_id", "text"), reopened, "doc_id", "text", s"$tmp/ckpt2")
+    try {
+      input2.addData(admitted.take(1)); q2.processAllAvailable()
+      input2.addData(admitted.drop(1)); q2.processAllAvailable()
+    } finally q2.stop()
+    val replayed = DedupStreams.openAdmissionIndex(spark, s"$tmp/idx")
+    assert(replayed.setsAppends.count() == 2,
+      "replayed batches must overwrite, not duplicate")
+    assert(verdicts(replayed) == got)
   }
 
   test("near-dup admission survives a checkpoint restart without duplicate or lost verdicts") {
