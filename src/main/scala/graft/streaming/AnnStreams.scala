@@ -166,6 +166,33 @@ object AnnStreams {
       .start()
   }
 
+  /** Fold the append tail into a fresh bucketed base at `newDir` — the
+    * scheduled maintenance step, blue/green rather than in-place: Spark
+    * cannot overwrite a table it is reading from, and at lake scale the
+    * union cannot be pinned in memory to break the cycle, so compaction
+    * rolls the index FORWARD (old dir stays readable until the caller
+    * drops it; serve handles opened on `newDir` see one bucketed base and
+    * an empty tail). Centroids are carried over VERBATIM — compaction
+    * reorganizes storage, it never moves a vector between cells — so
+    * results are identical by construction (spec'd). */
+  def compactIndex(spark: SparkSession, dir: String, newDir: String): ServingIndex = {
+    require(new java.io.File(dir).getAbsolutePath !=
+      new java.io.File(newDir).getAbsolutePath,
+      "compaction is blue/green: newDir must differ from dir")
+    val old = openServingIndex(spark, dir)
+    old.cells.unionByName(old.appends)
+      .repartition(old.nlist, col("centroid_id"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(old.nlist, "centroid_id").sortBy("centroid_id")
+      .option("path", s"$newDir/cells")
+      .saveAsTable(tableName(newDir))
+    spark.read.parquet(s"$dir/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$newDir/centroids")
+    spark.read.parquet(s"$dir/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$newDir/meta")
+    openServingIndex(spark, newDir)
+  }
+
   /** @param arrivals streaming relation with (`idCol`, `tsCol`, `vecCol`)
     * @return streaming `(query_id, ts, rank, item_id, cos_sim)` in append
     *         mode — rows finalize when the watermark passes their event

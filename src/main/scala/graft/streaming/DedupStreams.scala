@@ -182,6 +182,38 @@ object DedupStreams {
       .start()
   }
 
+  /** Fold the append tail into a fresh bucketed base at `newDir` —
+    * blue/green, same contract as [[AnnStreams.compactIndex]] (no
+    * in-place rewrite, old dir stays readable). The hot order and meta
+    * carry over VERBATIM: the order is any-consistent-order exact, so
+    * verdicts are unchanged by construction; only a full
+    * [[buildAdmissionIndex]] re-run refreshes its PRUNING quality against
+    * lake drift. */
+  def compactAdmissionIndex(spark: SparkSession, dir: String,
+      newDir: String): AdmissionIndex = {
+    require(new java.io.File(dir).getAbsolutePath !=
+      new java.io.File(newDir).getAbsolutePath,
+      "compaction is blue/green: newDir must differ from dir")
+    val old = openAdmissionIndex(spark, dir)
+    old.sets.unionByName(old.setsAppends)
+      .repartition(old.buckets, col("doc_id"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(old.buckets, "doc_id").sortBy("doc_id")
+      .option("path", s"$newDir/sets")
+      .saveAsTable(tableName("sets", newDir))
+    old.prefix.unionByName(old.prefixAppends)
+      .repartition(old.buckets, col("shingle"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(old.buckets, "shingle").sortBy("shingle")
+      .option("path", s"$newDir/prefix")
+      .saveAsTable(tableName("prefix", newDir))
+    Seq("hot", "meta").foreach { kind =>
+      spark.read.parquet(s"$dir/$kind")
+        .coalesce(1).write.mode("overwrite").parquet(s"$newDir/$kind")
+    }
+    openAdmissionIndex(spark, newDir)
+  }
+
   /** @param arrivals streaming relation with (`idCol`, `tsCol`, `textCol`)
     * @param index    a built or reopened on-disk corpus index
     * @return streaming `(doc_id, ts, n_matches, admitted)` in append mode */

@@ -984,6 +984,13 @@ class StreamingSpec extends SparkSpec {
     assert(replayed.appends.count() == 2,
       "replayed batches must overwrite their own output, not duplicate it")
     assert(results(replayed) == viaAppends)
+    // compaction rolls base + tail forward to a fresh bucketed base
+    // (blue/green) — empty tail, same vectors, identical results
+    val compacted = AnnStreams.compactIndex(spark, s"$tmp/idx", s"$tmp/idx-compact")
+    assert(compacted.appends.isEmpty && compacted.cells.count() == 5)
+    assert(results(compacted) == viaAppends)
+    assert(results(AnnStreams.openServingIndex(spark, s"$tmp/idx")) == viaAppends,
+      "the old index must stay readable after compaction")
   }
 
   test("ANN serving survives a checkpoint restart without duplicate or lost answers") {
@@ -1079,6 +1086,14 @@ class StreamingSpec extends SparkSpec {
     assert(replayed.setsAppends.count() == 2,
       "replayed batches must overwrite, not duplicate")
     assert(verdicts(replayed) == got)
+    // compaction: fresh bucketed base at a new location, empty tail,
+    // verdicts unchanged (hot order carried verbatim — exact under any
+    // consistent order)
+    val compacted = DedupStreams.compactAdmissionIndex(
+      spark, s"$tmp/idx", s"$tmp/idx-compact")
+    assert(compacted.setsAppends.isEmpty && compacted.prefixAppends.isEmpty)
+    assert(compacted.sets.count() == 4)
+    assert(verdicts(compacted) == got)
   }
 
   test("near-dup admission survives a checkpoint restart without duplicate or lost verdicts") {
