@@ -100,6 +100,10 @@ object ScaleStress {
     java.nio.file.Files.copy(part.toPath,
       java.nio.file.Paths.get(s"$outDir/sf1/documents.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // the staging dir served its one copy (same cleanup as the lsh40x leg)
+    new java.io.File(s"$outDir/sf1_tmp").listFiles()
+      .foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$outDir/sf1_tmp"))
     val corpus = spark.read.parquet(s"$outDir/sf1/documents.parquet")
     corpus.count() // warm
     (1 to 40).foreach(_ => spark.range(1).count())
