@@ -67,8 +67,8 @@ object AnnStreams {
       appends: DataFrame)
 
   /** Location-derived catalog name (shared rule: [[DiskIndex.tableName]]). */
-  private def tableName(dir: String): String =
-    DiskIndex.tableName("graft_ann_cells", dir)
+  private def tableName(spark: SparkSession, dir: String): String =
+    DiskIndex.tableName(spark, "graft_ann_cells", dir)
 
   /** Index a static corpus for serving: ONE corpus pass (train/seed the
     * quantizer, assign every vector map-side, write bucketed), persisted
@@ -100,13 +100,13 @@ object AnnStreams {
       .write.mode("overwrite").format("parquet")
       .bucketBy(nlist, "centroid_id").sortBy("centroid_id")
       .option("path", s"$dir/cells")
-      .saveAsTable(tableName(dir))
+      .saveAsTable(tableName(spark, dir))
     centroids.toSeq.map { case (cid, v) => (cid, v.toSeq) }
       .toDF("centroid_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     Seq((nlist, centroids.length)).toDF("nlist", "n_centroids")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    ServingIndex(dir, nlist, nlist, centroids, spark.table(tableName(dir)),
+    ServingIndex(dir, nlist, nlist, centroids, spark.table(tableName(spark, dir)),
       appendsOf(spark, dir))
   }
 
@@ -114,7 +114,7 @@ object AnnStreams {
     * cells schema) when no [[appendStream]] batch has landed yet. */
   private def appendsOf(spark: SparkSession, dir: String): DataFrame =
     DiskIndex.appendTail(spark, s"$dir/appends",
-      spark.table(tableName(dir)).schema)
+      spark.table(tableName(spark, dir)).schema)
 
   /** Reopen a persisted serving index after a driver bounce: re-register
     * the bucketed cells table over the existing files and reload the
@@ -122,7 +122,7 @@ object AnnStreams {
   def openServingIndex(spark: SparkSession, dir: String): ServingIndex = {
     val nlist = spark.read.parquet(s"$dir/meta").head().getInt(0)
     val cells = DiskIndex.registerBucketed(
-      spark, tableName(dir), s"$dir/cells", "centroid_id", nlist)
+      spark, tableName(spark, dir), s"$dir/cells", "centroid_id", nlist)
     val centroids = spark.read.parquet(s"$dir/centroids")
       .orderBy(col("centroid_id"))
       .collect()
@@ -176,8 +176,8 @@ object AnnStreams {
     * reorganizes storage, it never moves a vector between cells — so
     * results are identical by construction (spec'd). */
   def compactIndex(spark: SparkSession, dir: String, newDir: String): ServingIndex = {
-    require(new java.io.File(dir).getAbsolutePath !=
-      new java.io.File(newDir).getAbsolutePath,
+    require(DiskIndex.qualifiedUri(spark, dir) !=
+      DiskIndex.qualifiedUri(spark, newDir),
       "compaction is blue/green: newDir must differ from dir")
     val old = openServingIndex(spark, dir)
     old.cells.unionByName(old.appends)
@@ -185,7 +185,7 @@ object AnnStreams {
       .write.mode("overwrite").format("parquet")
       .bucketBy(old.nlist, "centroid_id").sortBy("centroid_id")
       .option("path", s"$newDir/cells")
-      .saveAsTable(tableName(newDir))
+      .saveAsTable(tableName(spark, newDir))
     spark.read.parquet(s"$dir/centroids")
       .coalesce(1).write.mode("overwrite").parquet(s"$newDir/centroids")
     spark.read.parquet(s"$dir/meta")

@@ -70,8 +70,8 @@ object DedupStreams {
       prefixAppends: DataFrame, setsAppends: DataFrame)
 
   /** Location-derived catalog name (shared rule: [[DiskIndex.tableName]]). */
-  private def tableName(kind: String, dir: String): String =
-    DiskIndex.tableName(s"graft_adm_$kind", dir)
+  private def tableName(spark: SparkSession, kind: String, dir: String): String =
+    DiskIndex.tableName(spark, s"graft_adm_$kind", dir)
 
   /** Index a static corpus for admission: ONE corpus pass, persisted as
     * bucketed parquet under `dir` (layout in the class doc). Building is
@@ -94,8 +94,8 @@ object DedupStreams {
       .write.mode("overwrite").format("parquet")
       .bucketBy(b, "doc_id").sortBy("doc_id")
       .option("path", s"$dir/sets")
-      .saveAsTable(tableName("sets", dir))
-    val sets = spark.table(tableName("sets", dir))
+      .saveAsTable(tableName(spark, "sets", dir))
+    val sets = spark.table(tableName(spark, "sets", dir))
     // the global prefix order, from the ON-DISK sets (no second corpus
     // scan), persisted so reopen is a k-sized read, not a corpus pass
     val hot = Dedup.hotShingles(sets)
@@ -111,13 +111,13 @@ object DedupStreams {
       .write.mode("overwrite").format("parquet")
       .bucketBy(b, "shingle").sortBy("shingle")
       .option("path", s"$dir/prefix")
-      .saveAsTable(tableName("prefix", dir))
+      .saveAsTable(tableName(spark, "prefix", dir))
     Seq((shingleK, threshold, b)).toDF("shingle_k", "threshold", "buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     AdmissionIndex(dir, shingleK, threshold, b,
-      spark.table(tableName("prefix", dir)), sets, prefixExpr,
+      spark.table(tableName(spark, "prefix", dir)), sets, prefixExpr,
       DiskIndex.appendTail(spark, s"$dir/appends_prefix",
-        spark.table(tableName("prefix", dir)).schema),
+        spark.table(tableName(spark, "prefix", dir)).schema),
       DiskIndex.appendTail(spark, s"$dir/appends_sets", sets.schema))
   }
 
@@ -131,7 +131,7 @@ object DedupStreams {
     val (shingleK, threshold, b) =
       (meta.getInt(0), meta.getDouble(1), meta.getInt(2))
     def register(kind: String, bucketCol: String): DataFrame =
-      DiskIndex.registerBucketed(spark, tableName(kind, dir), s"$dir/$kind", bucketCol, b)
+      DiskIndex.registerBucketed(spark, tableName(spark, kind, dir), s"$dir/$kind", bucketCol, b)
     val sets = register("sets", "doc_id")
     val prefix = register("prefix", "shingle")
     val hot = spark.read.parquet(s"$dir/hot")
@@ -191,8 +191,8 @@ object DedupStreams {
     * lake drift. */
   def compactAdmissionIndex(spark: SparkSession, dir: String,
       newDir: String): AdmissionIndex = {
-    require(new java.io.File(dir).getAbsolutePath !=
-      new java.io.File(newDir).getAbsolutePath,
+    require(DiskIndex.qualifiedUri(spark, dir) !=
+      DiskIndex.qualifiedUri(spark, newDir),
       "compaction is blue/green: newDir must differ from dir")
     val old = openAdmissionIndex(spark, dir)
     old.sets.unionByName(old.setsAppends)
@@ -200,13 +200,13 @@ object DedupStreams {
       .write.mode("overwrite").format("parquet")
       .bucketBy(old.buckets, "doc_id").sortBy("doc_id")
       .option("path", s"$newDir/sets")
-      .saveAsTable(tableName("sets", newDir))
+      .saveAsTable(tableName(spark, "sets", newDir))
     old.prefix.unionByName(old.prefixAppends)
       .repartition(old.buckets, col("shingle"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(old.buckets, "shingle").sortBy("shingle")
       .option("path", s"$newDir/prefix")
-      .saveAsTable(tableName("prefix", newDir))
+      .saveAsTable(tableName(spark, "prefix", newDir))
     Seq("hot", "meta").foreach { kind =>
       spark.read.parquet(s"$dir/$kind")
         .coalesce(1).write.mode("overwrite").parquet(s"$newDir/$kind")

@@ -1,20 +1,47 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Shared plumbing for the on-disk bucketed index families
   * ([[DedupStreams]]' admission index, [[AnnStreams]]' serving index):
   * location-derived catalog names and bucketed-table re-registration.
   * One copy, so a fix here (name sanitization, path quoting, bucket-spec
-  * validation) reaches every disk-backed index the same way. */
+  * validation) reaches every disk-backed index the same way.
+  *
+  * Every path here goes through the HADOOP filesystem API, never
+  * `java.io.File` (r15 verdict #1): the indexes are designed to live on
+  * the lake (`abfss://`/`hdfs://`/`s3a://`), where a `java.io.File` of a
+  * URI path silently lists NOTHING — appended documents would vanish from
+  * the admission check and appended vectors from serve results, with no
+  * error. `Path.getFileSystem` resolves the scheme against the session's
+  * Hadoop conf and FAILS LOUDLY (`UnsupportedFileSystemException` /
+  * "No FileSystem for scheme") on a scheme the deployment cannot reach —
+  * an unreadable tail is an error, never an empty one. */
 private[streaming] object DiskIndex {
 
-  /** Catalog names derive from the index LOCATION: re-opening the same
-    * directory reuses the registration, two directories never collide. */
-  def tableName(prefix: String, dir: String): String = {
-    val abs = new java.io.File(dir).getAbsolutePath
+  /** The ONE canonical spelling of a location: the fully-qualified URI
+    * under the session's Hadoop conf. Two relative/absolute/`file:`
+    * spellings of the same directory qualify identically; two different
+    * stores never collide. Pure path math — the location need not exist
+    * yet (indexes derive their catalog name before their first write). */
+  def qualifiedUri(spark: SparkSession, dir: String): String = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val u = fs.makeQualified(p).toUri
+    // normalize the authority: java.net.URI renders a scheme'd-but-
+    // authority-less path as `file:/x` while a qualified bare path renders
+    // `file:///x` — same location, two strings. Force the `://` form.
+    s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
+  }
+
+  /** Catalog names derive from the index LOCATION's qualified URI:
+    * re-opening the same directory (under any spelling) reuses the
+    * registration, two directories never collide. */
+  def tableName(spark: SparkSession, prefix: String, dir: String): String = {
+    val uri = qualifiedUri(spark, dir)
     val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(abs.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      .digest(uri.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     s"${prefix}_$md5"
   }
 
@@ -22,16 +49,20 @@ private[streaming] object DiskIndex {
     * zone of a foreachBatch index-maintenance sink (each micro-batch
     * overwrites its own batchId-named directory, so a crash-replayed batch
     * replaces rather than duplicates). Empty-with-`schema` when no batch
-    * has landed. */
+    * has landed; listed via Hadoop `globStatus` so the discovery works on
+    * any configured filesystem and THROWS on an unreachable scheme. */
   def appendTail(spark: SparkSession, root: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val batches = Option(new java.io.File(root).listFiles())
-      .map(_.filter(f => f.isDirectory && f.getName.startsWith("batch=")))
+    val p = new Path(root)
+    val fs: FileSystem = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val batches = Option(fs.globStatus(new Path(p, "batch=*")))
       .getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .map(_.getPath.toString)
     if (batches.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.parquet(batches.map(_.getPath).toSeq: _*)
+    else spark.read.parquet(batches.toSeq: _*)
       .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
   }
 
