@@ -39,7 +39,8 @@ object ScaleStress {
     // optional leg filter (args(2), comma-separated): any pair-query name
     // from Names (x06/x07/x08/x196), plus "ann" (10× IVF recall sweep),
     // "annskew" (skewed-corpus IVF), "ophlong" (long-doc signature cost),
-    // "sat" (saturation plant), "lsh40x" (x06 candidate-volume linearity at
+    // "sat" (saturation plant), "reindex" (admission-index re-index on a
+    // drifted 10× corpus), "lsh40x" (x06 candidate-volume linearity at
     // 10/20/40× with a 40× pair dump for the DuckDB replay). Empty =
     // everything EXCEPT lsh40x (the 40× oracle replay is a deliberate
     // opt-in — it multiplies the DuckDB-side cost ~16×).
@@ -397,6 +398,67 @@ object ScaleStress {
       require(drift <= 2.0 && drift >= 0.5,
         f"LSH candidate volume stopped tracking output between 10x and 40x: " +
           f"cand/pair ${ratios(10)}%.3f -> ${ratios(40)}%.3f (drift $drift%.2fx)")
+    }
+
+    // ---- leg 1e: admission-index RE-INDEX on a drifted 10× corpus (r15
+    // verdict ask #7). Build the on-disk admission index over the 10×
+    // corpus, then land a 10%-of-corpus drift cluster through the REAL
+    // append path — every drifted doc shares a boilerplate head whose
+    // shingles the frozen build-time order has never seen (df≈5k now, but
+    // ranked 0/rare forever under the stale order, so they keep entering
+    // prefixes). The receipt: candidate pairs per arriving doc BEFORE and
+    // AFTER [[graft.streaming.DedupStreams.reindexAdmission]] recomputes
+    // the hot order over base + tail. Verdicts are order-invariant
+    // (StreamingSpec pins that); what this measures is the PRUNING quality
+    // a scheduled re-index buys back, and what it costs.
+    if (wanted("reindex")) {
+      import graft.streaming.DedupStreams
+      val dir = s"$outDir/reindex"
+      val big = (0 until 10).map { k =>
+        base.select(($"doc_id" + lit(k * nBase)).as("doc_id"),
+          concat($"text", lit(s" rep$k")).as("text"))
+      }.reduce(_ unionAll _).localCheckpoint()
+      val nBig = big.count()
+      val (buildSec, _) = timed {
+        DedupStreams.buildAdmissionIndex(big, "doc_id", "text", s"$dir/idx")
+        nBig
+      }
+      val boiler =
+        "standard corporate disclaimer header applies to this entire document"
+      val nDrift = nBig / 10
+      def synth(n: Long, idOffset: Long, vocab: String, seed: Int) =
+        spark.range(n).select(
+          ($"id" + lit(idOffset)).as("doc_id"),
+          concat(lit(boiler + " "), expr(
+            s"concat_ws(' ', transform(sequence(0, 19), " +
+              s"i -> concat('$vocab', pmod(hash(id * $seed + i), 100000))))"))
+            .as("text"))
+      DedupStreams.landAppendBatch(
+        synth(nDrift, nBase * 10, "dw", 37),
+        DedupStreams.openAdmissionIndex(spark, s"$dir/idx"),
+        "doc_id", "text", batchId = 0L)
+      val drifted = DedupStreams.openAdmissionIndex(spark, s"$dir/idx")
+      val arrivals =
+        synth(1000, nBase * 10 + nDrift, "aw", 41).localCheckpoint()
+      val (beforeSec, candBefore) = timed(
+        DedupStreams.candidatePairCount(arrivals, drifted, "doc_id", "text"))
+      val (reSec, _) = timed {
+        DedupStreams.reindexAdmission(spark, s"$dir/idx", s"$dir/idx-re"); 0L
+      }
+      val reindexed = DedupStreams.openAdmissionIndex(spark, s"$dir/idx-re")
+      val (afterSec, candAfter) = timed(
+        DedupStreams.candidatePairCount(arrivals, reindexed, "doc_id", "text"))
+      require(candAfter < candBefore,
+        s"re-index failed to restore pruning on a drifted corpus: " +
+          s"cand $candBefore -> $candAfter")
+      results("reindex_corpus_docs") = nBig.toDouble
+      results("reindex_drift_docs") = nDrift.toDouble
+      results("reindex_build_s") = buildSec
+      results("reindex_cand_before") = candBefore.toDouble
+      results("reindex_cand_after") = candAfter.toDouble
+      results("reindex_probe_before_s") = beforeSec
+      results("reindex_probe_after_s") = afterSec
+      results("reindex_s") = reSec
     }
 
     // ---- leg 2: saturation plant (x06/x07; x08 is exact/uncapped by design)

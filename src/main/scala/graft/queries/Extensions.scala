@@ -5916,6 +5916,85 @@ object Extensions {
       |FROM q LEFT JOIN hits h ON h.query_id = q.query_id AND h.rank <= 5
       |ORDER BY q.query_id, h.rank""".stripMargin
 
+  // --------------------------------------- x202 compaction equivalence twin
+  /** Blue/green compaction ORACLED end-to-end (r15 verdict ask #3): the
+    * serving index is built over 70% of the corpus, a 10% slice is landed
+    * through the REAL append path ([[graft.streaming.AnnStreams
+    * .landAppendBatch]] — the exact foreachBatch body the maintenance
+    * stream runs), the index is compacted blue→green, and the SAME
+    * arrivals are served through BOTH handles: `old` = bucketed base +
+    * unbucketed tail, `new` = the compacted single base. Both legs are
+    * value-level-replayed by DuckDB over the combined corpus — centroid
+    * ranking, cell membership (the appended slice assigned under the SAME
+    * fixed centroids, the IVF maintenance contract), cosine doubles,
+    * ranks — so a compaction that lost a vector, moved one between cells,
+    * duplicated a batch, or re-derived centroids breaks the hash. Seeded
+    * quantizer (`trained = false` over the BASE slice) for the same
+    * reason as x201: every number replays in plain SQL. */
+  private val x202Indexes = new SessionIndexCache[
+    (graft.streaming.AnnStreams.ServingIndex, graft.streaming.AnnStreams.ServingIndex)]
+  def x202CompactionTwin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.AnnStreams
+    val e = emb(s, dir)
+    val (oldIdx, newIdx) = x202Indexes.getOrBuild(s, dir) {
+      val idxDir = java.nio.file.Files.createTempDirectory("x202idx").toString
+      val built = AnnStreams.buildServingIndex(
+        e.filter($"vec_id" % 10 < 7), "vec_id", "embedding", s"$idxDir/blue",
+        nlist = 8, trained = false)
+      AnnStreams.landAppendBatch(
+        e.filter($"vec_id" % 10 === 7), built, "vec_id", "embedding", batchId = 0L)
+      // `old` reopens AFTER the append landed (the visibility contract:
+      // handles bind the tail at open time); `new` is the green rollover
+      (AnnStreams.openServingIndex(s, s"$idxDir/blue"),
+        AnnStreams.compactIndex(s, s"$idxDir/blue", s"$idxDir/green"))
+    }
+    val arrivals = e.filter($"vec_id" % 10 >= 8)
+      .select($"vec_id", timestamp_seconds($"vec_id" % 86400).as("ts"), $"embedding")
+    def leg(idx: AnnStreams.ServingIndex, name: String): DataFrame =
+      AnnStreams.annServeBatch(arrivals, idx, "vec_id", "ts", "embedding",
+        k = 5, nprobe = 2)
+        .select(lit(name).as("leg"), $"query_id",
+          unix_timestamp($"ts").as("ts_s"),
+          $"rank".cast("long").as("rank"), $"item_id", $"cos_sim")
+    leg(oldIdx, "old").unionByName(leg(newIdx, "new"))
+      .orderBy($"leg", $"query_id", $"rank".asc_nulls_last)
+  }
+  val x202Sql: String =
+    s"""WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 < 8),
+      |q AS (SELECT vec_id AS query_id, embedding AS qv
+      |      FROM embeddings WHERE vec_id % 10 >= 8),
+      |cent AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+      |  FROM (SELECT vec_id, embedding FROM corpus
+      |        WHERE vec_id % 10 < 7 ORDER BY vec_id LIMIT 8)),
+      |assigned AS (
+      |  SELECT item_id, item_vec, cid FROM (
+      |    SELECT c.vec_id AS item_id, c.embedding AS item_vec, ct.cid,
+      |      row_number() OVER (PARTITION BY c.vec_id
+      |        ORDER BY ${cosSql("c.embedding", "ct.cvec")} DESC, ct.cid) AS rn
+      |    FROM corpus c CROSS JOIN cent ct) WHERE rn = 1),
+      |probes AS (
+      |  SELECT query_id, qv, cid FROM (
+      |    SELECT q.query_id, q.qv, ct.cid,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY ${cosSql("q.qv", "ct.cvec")} DESC, ct.cid) AS rn
+      |    FROM q CROSS JOIN cent ct) WHERE rn <= 2),
+      |hits AS (
+      |  SELECT query_id, item_id, cs,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, item_id) AS rank
+      |  FROM (
+      |    SELECT p.query_id, a.item_id, ${cosSql("p.qv", "a.item_vec")} AS cs
+      |    FROM probes p JOIN assigned a USING (cid)
+      |    WHERE a.item_id <> p.query_id))
+      |SELECT l.leg, q.query_id, CAST(q.query_id % 86400 AS BIGINT) AS ts_s,
+      |  h.rank, h.item_id, h.cs AS cos_sim
+      |FROM (VALUES ('old'), ('new')) l(leg)
+      |CROSS JOIN q
+      |LEFT JOIN hits h ON h.query_id = q.query_id AND h.rank <= 5
+      |ORDER BY l.leg, q.query_id, h.rank""".stripMargin
+
   // ------------------------------------- x200 image near-dup (dHash pairs)
   /** Image NEAR-DUP dedup — the multimodal leg of the near-dup family
     * (x06/x07/x08 dedup text; this dedups pixels): per document a base PNG
@@ -6619,6 +6698,7 @@ object Extensions {
     "x199_admission_twin" -> x199AdmissionTwin _,
     "x200_image_neardup" -> x200ImageNeardup _,
     "x201_ann_serve_twin" -> x201AnnServeTwin _,
+    "x202_compaction_twin" -> x202CompactionTwin _,
     "x194_gif_frames" -> x194GifFrames _,
     "x193_pixel_resize" -> x193PixelResize _,
     "x192_manku_recall" -> x192MankuRecall _,
@@ -6874,6 +6954,7 @@ object Extensions {
     "x199_admission_twin" -> x199Sql,
     "x200_image_neardup" -> x200Sql,
     "x201_ann_serve_twin" -> x201Sql,
+    "x202_compaction_twin" -> x202Sql,
     "x194_gif_frames" -> x194Sql,
     "x193_pixel_resize" -> x193Sql,
     "x192_manku_recall" -> x192Sql,

@@ -158,13 +158,25 @@ object AnnStreams {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Similarity.assignCells(batch, index.centroids, idCol, vecCol)
-          .select(col("centroid_id"), col("item_id"), col("item_vec"))
-          .write.mode("overwrite")
-          .parquet(s"${index.dir}/appends/batch=$batchId")
+        landAppendBatch(batch, index, idCol, vecCol, batchId)
       }
       .start()
   }
+
+  /** Land ONE batch of new vectors into the append tail — the body of
+    * [[appendStream]]'s foreachBatch, exposed so batch callers (a backfill
+    * job, the x202 compaction twin) ride the IDENTICAL landing path the
+    * stream does: map-side cell assignment against the index's FIXED
+    * centroids, written idempotently under `batch=<batchId>` (re-landing a
+    * batchId replaces its own output). */
+  def landAppendBatch(batch: DataFrame, index: ServingIndex,
+      idCol: String, vecCol: String, batchId: Long): Unit =
+    Similarity.assignCells(
+      batch.select(col(idCol).cast("long").as(idCol), col(vecCol)),
+      index.centroids, idCol, vecCol)
+      .select(col("centroid_id"), col("item_id"), col("item_vec"))
+      .write.mode("overwrite")
+      .parquet(s"${index.dir}/appends/batch=$batchId")
 
   /** Fold the append tail into a fresh bucketed base at `newDir` — the
     * scheduled maintenance step, blue/green rather than in-place: Spark

@@ -83,13 +83,25 @@ object DedupStreams {
       buckets: Int = -1): AdmissionIndex = {
     require(!corpus.isStreaming, "corpus must be a static relation (the indexed lake)")
     val spark = corpus.sparkSession
-    import spark.implicits._
     val b = if (buckets > 0) buckets
             else spark.sessionState.conf.numShufflePartitions
+    writeIndex(spark, Dedup.shingleSets(corpus, idCol, textCol, shingleK),
+      dir, shingleK, threshold, b)
+  }
+
+  /** The index WRITE path shared by [[buildAdmissionIndex]] (sets freshly
+    * shingled from a corpus) and [[reindexAdmission]] (sets = an existing
+    * index's base + tail): persist the sets bucketed, derive the global
+    * hot-shingle prefix order FROM the on-disk sets, persist the prefix
+    * relation bucketed under that order, and record hot/meta so
+    * [[openAdmissionIndex]] can rebuild the handle without corpus work. */
+  private def writeIndex(spark: SparkSession, perDoc: DataFrame, dir: String,
+      shingleK: Int, threshold: Double, b: Int): AdmissionIndex = {
+    import spark.implicits._
     // the verify side: full shingle sets, bucketed on doc_id. Repartition
     // on the bucket column first so each bucket is ONE file — the sorted
     // bucketed scan then needs no per-batch sort.
-    Dedup.shingleSets(corpus, idCol, textCol, shingleK)
+    perDoc
       .repartition(b, col("doc_id"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(b, "doc_id").sortBy("doc_id")
@@ -167,19 +179,32 @@ object DedupStreams {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val setsDir = s"${index.dir}/appends_sets/batch=$batchId"
-        Dedup.shingleSets(batch, "doc_id", "text", index.shingleK)
-          .write.mode("overwrite").parquet(setsDir)
-        // prefix rows derive from the JUST-WRITTEN sets files (one compute,
-        // one scan) so the two directories can never disagree
-        Dedup.prefixRows(spark.read.parquet(setsDir), index.prefixExpr, index.threshold)
-          .select(col("shingle"), col("doc_id").as("cor_id"),
-            col("n_shingles").as("n_b"), col("pos").as("pos_b"))
-          .write.mode("overwrite")
-          .parquet(s"${index.dir}/appends_prefix/batch=$batchId")
+        landAppendBatch(batch, index, "doc_id", "text", batchId)
       }
       .start()
+  }
+
+  /** Land ONE batch of admitted documents into the append tail — the body
+    * of [[appendToIndex]]'s foreachBatch, exposed so batch callers (a
+    * backfill job, the ScaleStress re-index receipt) ride the IDENTICAL
+    * landing path the stream does: shingle + prefix-explode under the
+    * index's FIXED persisted order, written idempotently under
+    * `batch=<batchId>` (re-landing a batchId replaces its own output). */
+  def landAppendBatch(batch: DataFrame, index: AdmissionIndex,
+      idCol: String, textCol: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val setsDir = s"${index.dir}/appends_sets/batch=$batchId"
+    Dedup.shingleSets(
+      batch.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text")),
+      "doc_id", "text", index.shingleK)
+      .write.mode("overwrite").parquet(setsDir)
+    // prefix rows derive from the JUST-WRITTEN sets files (one compute,
+    // one scan) so the two directories can never disagree
+    Dedup.prefixRows(spark.read.parquet(setsDir), index.prefixExpr, index.threshold)
+      .select(col("shingle"), col("doc_id").as("cor_id"),
+        col("n_shingles").as("n_b"), col("pos").as("pos_b"))
+      .write.mode("overwrite")
+      .parquet(s"${index.dir}/appends_prefix/batch=$batchId")
   }
 
   /** Fold the append tail into a fresh bucketed base at `newDir` —
@@ -214,6 +239,44 @@ object DedupStreams {
     openAdmissionIndex(spark, newDir)
   }
 
+  /** The scheduled RE-INDEX [[compactAdmissionIndex]]'s doc promises: fold
+    * base + tail into a fresh index at `newDir` AND recompute the global
+    * hot-shingle prefix order over the grown corpus. Verdicts are
+    * order-invariant (any consistent global order satisfies the PPJoin
+    * exactness precondition — spec'd), so this NEVER changes an admission
+    * decision; what it restores is PRUNING quality: appended documents
+    * were prefix-exploded under the order frozen at build time, and as the
+    * lake drifts away from that snapshot the prefix filter passes ever
+    * more false candidates into the exact-verify kernel. No re-shingling —
+    * the sets relation is reused verbatim; the one recomputed artifact is
+    * the hot table and the prefix relation derived under it. Blue/green
+    * like compaction: `dir` stays readable. */
+  def reindexAdmission(spark: SparkSession, dir: String,
+      newDir: String): AdmissionIndex = {
+    require(DiskIndex.qualifiedUri(spark, dir) !=
+      DiskIndex.qualifiedUri(spark, newDir),
+      "re-index is blue/green: newDir must differ from dir")
+    val old = openAdmissionIndex(spark, dir)
+    writeIndex(spark, old.sets.unionByName(old.setsAppends)
+        .select(col("doc_id"), col("shingles"), col("n_shingles")),
+      newDir, old.shingleK, old.threshold, old.buckets)
+  }
+
+  /** Diagnostic (batch): the DISTINCT (doc_id, cand_id) pairs that survive
+    * the prefix + length + positional filters — the exact-verify kernel's
+    * workload. candidates-per-true-pair measured over this is the pruning-
+    * quality number the re-index receipts track (ScaleStress `reindex`
+    * leg); the admission verdicts themselves are order-invariant. */
+  private[graft] def candidatePairCount(arrivals: DataFrame,
+      index: AdmissionIndex, idCol: String, textCol: String): Long = {
+    val withTs = arrivals.select(col(idCol).cast("long").as("arr_id"),
+      lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("arr_ts"),
+      col(textCol).as("arr_text"))
+    admissionCandidates(withTs, index, "arr_id", "arr_ts", "arr_text")
+      .filter(col("cand_id").isNotNull)
+      .select(col("doc_id"), col("cand_id")).distinct().count()
+  }
+
   /** @param arrivals streaming relation with (`idCol`, `tsCol`, `textCol`)
     * @param index    a built or reopened on-disk corpus index
     * @return streaming `(doc_id, ts, n_matches, admitted)` in append mode */
@@ -235,13 +298,17 @@ object DedupStreams {
     admissionPlan(arrivals, index, idCol, tsCol, textCol, None)
   }
 
-  private def admissionPlan(arrivals: DataFrame, index: AdmissionIndex,
+  /** The CANDIDATE stage of the admission plan, shared with the pruning-
+    * quality diagnostic ([[candidatePairCount]]): arrivals shingled
+    * map-side, prefix-exploded under the index's persisted order,
+    * left-joined against the bucketed prefix base and the append tail,
+    * filtered by the PPJoin length/positional bounds, and deduplicated to
+    * ONE row per (doc, ts, candidate) — `cand_id` NULL when a doc's every
+    * candidate failed, so the doc still reaches the verify aggregate. */
+  private def admissionCandidates(arrivals: DataFrame, index: AdmissionIndex,
       idCol: String, tsCol: String, textCol: String,
-      watermarkDelay: Option[String]): DataFrame = {
+      watermarkDelay: Option[String] = None): DataFrame = {
     val threshold = index.threshold
-    val pb = index.prefix // (shingle, cor_id, n_b, pos_b), bucketed on shingle
-    val full = index.sets.select(col("doc_id").as("cand_id"),
-      col("shingles").as("sh_b"), col("n_shingles").as("__vn"))
     // stream side: map-side shingle + prefix explode under the SAME
     // persisted order (the baked expression reads a column named
     // `shingles`, the shingleSets convention — keep that name until
@@ -278,13 +345,23 @@ object DedupStreams {
               && lit(1) + least(col("n_a") - col("pos_a") - 1,
                 col("n_b") - col("pos_b") - 1) >= alpha,
             col("cor_id")).as("cand_id"))
-    val candidates = candBranch(index.prefix)
+    candBranch(index.prefix)
       .unionByName(candBranch(index.prefixAppends))
       // ONE row per (doc, ts, candidate) BEFORE the verify join — the
       // exact kernel below runs once per candidate pair, not once per
       // shared prefix shingle (r14 ADVICE). Watermark-bounded dedup state;
       // the NULLed candidates of a doc collapse to a single row here.
       .dropDuplicates("doc_id", "ts", "cand_id")
+  }
+
+  private def admissionPlan(arrivals: DataFrame, index: AdmissionIndex,
+      idCol: String, tsCol: String, textCol: String,
+      watermarkDelay: Option[String]): DataFrame = {
+    val threshold = index.threshold
+    val full = index.sets.select(col("doc_id").as("cand_id"),
+      col("shingles").as("sh_b"), col("n_shingles").as("__vn"))
+    val candidates = admissionCandidates(
+      arrivals, index, idCol, tsCol, textCol, watermarkDelay)
     // verify sides chain as two left joins with coalesce — doc ids are
     // disjoint between base and tail, so each candidate matches at most
     // one side and no row duplicates through the exact kernel

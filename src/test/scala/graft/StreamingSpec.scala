@@ -1096,6 +1096,67 @@ class StreamingSpec extends SparkSpec {
     assert(verdicts(compacted) == got)
   }
 
+  test("reindexAdmission keeps verdicts and restores pruning quality on a drifted corpus") {
+    import spark.implicits._
+    import graft.streaming.DedupStreams
+    val tmp = java.nio.file.Files.createTempDirectory("admission-reindex").toString
+    // base corpus: all-unique vocabularies — at build time NOTHING is hot,
+    // so the persisted prefix order knows no boilerplate
+    val base = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+      (102L, "crimson harbor lantern whistle granite meadow copper thistle ember willow anchor"))
+      .toDF("doc_id", "text")
+    val idx = DedupStreams.buildAdmissionIndex(
+      base, "doc_id", "text", s"$tmp/idx", shingleK = 3, threshold = 0.8)
+    // DRIFT: stream in a cluster sharing a 9-token boilerplate head (its
+    // shingles reach df≈10 — boilerplate-hot — but the index's frozen
+    // order still ranks them 0/unknown, so they keep entering prefixes)
+    val boiler = "standard corporate disclaimer header applies to this entire document"
+    val appended = (0 until 10).map(i => (200L + i, s"$boiler uniq${i}a uniq${i}b"))
+    val input = MemoryStream[(Long, String)](spark)
+    val q = DedupStreams.appendToIndex(
+      input.toDF().toDF("doc_id", "text"),
+      idx, "doc_id", "text", s"$tmp/ckpt")
+    try { input.addData(appended); q.processAllAvailable() } finally q.stop()
+    val drifted = DedupStreams.openAdmissionIndex(spark, s"$tmp/idx")
+    assert(drifted.setsAppends.count() == 10)
+    // arrivals: three boilerplate-headed novel docs (J = 7/11 < 0.8 vs any
+    // appended doc — NOT near-dups) and one exact copy of an appended doc
+    val arrivals = Seq(
+      DedupStreams.Arrival(1L, ts(0), s"$boiler fresh0a fresh0b"),
+      DedupStreams.Arrival(2L, ts(1), s"$boiler fresh1a fresh1b"),
+      DedupStreams.Arrival(3L, ts(2), s"$boiler fresh2a fresh2b"),
+      DedupStreams.Arrival(4L, ts(3), s"$boiler uniq0a uniq0b")).toDF()
+    def verdicts(i: DedupStreams.AdmissionIndex) =
+      DedupStreams.nearDupAdmissionBatch(arrivals, i, "doc_id", "ts", "text")
+        .select($"doc_id", $"n_matches", $"admitted")
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val got = verdicts(drifted)
+    assert(got == Seq((1L, 0L, true), (2L, 0L, true), (3L, 0L, true), (4L, 1L, false)),
+      s"drifted-index verdicts: $got")
+    val candBefore = DedupStreams.candidatePairCount(
+      arrivals, drifted, "doc_id", "text")
+    // re-index: same documents, hot order RECOMPUTED over base + tail —
+    // the boilerplate shingles are now ranked last and leave the prefixes
+    val reindexed = DedupStreams.reindexAdmission(spark, s"$tmp/idx", s"$tmp/idx-re")
+    assert(reindexed.setsAppends.isEmpty && reindexed.prefixAppends.isEmpty)
+    assert(reindexed.sets.count() == 12)
+    // verdicts are ORDER-INVARIANT: exact PPJoin under any consistent order
+    assert(verdicts(reindexed) == got,
+      "re-indexing must never change an admission verdict")
+    val candAfter = DedupStreams.candidatePairCount(
+      arrivals, reindexed, "doc_id", "text")
+    // pruning quality: under the stale order every boilerplate-headed
+    // arrival collides with most of the drifted cluster; under the fresh
+    // order only the true near-dup pair survives the prefix filter
+    assert(candBefore > candAfter,
+      s"re-index must cut candidates on a drifted corpus: $candBefore -> $candAfter")
+    assert(candAfter <= 3,
+      s"fresh order should leave only the true pair (+hash ties): $candAfter")
+    // the old index stays readable (blue/green)
+    assert(verdicts(DedupStreams.openAdmissionIndex(spark, s"$tmp/idx")) == got)
+  }
+
   test("near-dup admission survives a checkpoint restart without duplicate or lost verdicts") {
     import spark.implicits._
     import graft.streaming.DedupStreams
