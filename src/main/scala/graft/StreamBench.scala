@@ -199,6 +199,141 @@ object StreamBench {
             "append", rowsPerBatch = admRowsPerBatch),
           s""""${name}_index_build_s":${"%.1f".format(idxSec)}""")
       }
+    // ---- maintenance-under-load legs (r15 verdict ask #2): serve WHILE the
+    // index-maintenance stream appends concurrently, for three tail states:
+    //   *_empty_tail   — handle opened before any append (tail invisible;
+    //                    measures pure write-contention cost)
+    //   *_grown_tail   — handle REOPENED after ~10-20% of the corpus landed
+    //                    (measures the unbucketed-tail join cost)
+    //   *_post_compact — after blue/green compaction (the recovery number)
+    // Appends run through the REAL appendStream/appendToIndex sinks on a
+    // 2 s maintenance trigger; phases A+B keep them live for 2×runSeconds
+    // (≥90 s at the 45 s default). Tail row counts land in the JSON so the
+    // throughput deltas are attributable.
+    val synthVec = expr("transform(sequence(0, 63), " +
+      "i -> cast(pmod(hash(value * 131 + i), 1000) as float) / 500.0 - 1.0)")
+    val maintTrigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("2 seconds")
+    def annMaintLeg(name: String): Seq[String] =
+      if (!wanted(name)) Seq.empty else {
+        import graft.streaming.AnnStreams
+        val e = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+          .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
+        val stride = e.agg(max(col("vec_id"))).head().getLong(0) + 1
+        val idxDir = s"$outRoot/$name-idx"
+        val t0 = System.nanoTime()
+        val built = AnnStreams.buildServingIndex(e, "vec_id", "embedding", idxDir, nlist = 64)
+        val idxSec = (System.nanoTime() - t0) / 1e9
+        def serveLeg(phase: String, idx: AnnStreams.ServingIndex): String =
+          measure(s"${name}_$phase",
+            rate => AnnStreams.annServe(
+              rate.select(col("value").as("query_id"), col("timestamp").as("ts"),
+                synthVec.as("embedding")),
+              idx, "query_id", "ts", "embedding", k = 10, nprobe = 4,
+              watermarkDelay = "10 seconds"),
+            "append", rowsPerBatch = admRowsPerBatch)
+        // JIT/codegen warm-up through the batch twin (identical plan) so
+        // phase A doesn't pay first-query compilation that phases B/C
+        // then don't — the A→B→C deltas must be tail-state, not warmup
+        AnnStreams.annServeBatch(
+          spark.range(5000).select(col("id").as("value"))
+            .select(col("value").as("query_id"),
+              lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"),
+              synthVec.as("embedding")),
+          built, "query_id", "ts", "embedding", k = 10, nprobe = 4).count()
+        // ~10 vec/s on a 2 s trigger: ~450 vectors over phases A+B at the
+        // 45 s default — a 20%-of-corpus tail in a handful of batch dirs
+        // one DISCARDED streaming phase: the serve stream's own ramp (state
+        // store, scheduler, codegen glue) must not masquerade as phase-A
+        // cost — the A/B/C deltas are meant to isolate TAIL STATE
+        serveLeg("warm_discard", built)
+        val appender = AnnStreams.appendStream(
+          spark.readStream.format("rate").option("rowsPerSecond", 10)
+            .option("numPartitions", 1).load()
+            .select((col("value") + lit(stride)).as("vec_id"), synthVec.as("embedding")),
+          built, "vec_id", "embedding", s"$outRoot/$name-appendckpt",
+          trigger = maintTrigger)
+        try {
+          val mA = serveLeg("empty_tail", built)
+          val grown = AnnStreams.openServingIndex(spark, idxDir)
+          val tailAtReopen = grown.appends.count()
+          val mB = serveLeg("grown_tail", grown)
+          // the settled-vs-compacted comparison must hold the VECTOR
+          // POPULATION fixed (an earlier cut compared a 2.6k-vector tail
+          // phase against a 3.2k-vector compacted base and read corpus
+          // growth as compaction cost) — stop the writer, reopen, measure
+          // the final tail, compact the SAME rows, measure again
+          appender.stop()
+          val settled = AnnStreams.openServingIndex(spark, idxDir)
+          val tailSettled = settled.appends.count()
+          val mB2 = serveLeg("settled_tail", settled)
+          val tC = System.nanoTime()
+          val compacted = AnnStreams.compactIndex(spark, idxDir, s"$idxDir-compact")
+          val compactSec = (System.nanoTime() - tC) / 1e9
+          val mC = serveLeg("post_compact", compacted)
+          Seq(mA, mB, mB2, mC,
+            s""""${name}_index_build_s":${"%.1f".format(idxSec)}""",
+            s""""${name}_tail_rows_at_reopen":$tailAtReopen""",
+            s""""${name}_tail_rows_settled":$tailSettled""",
+            s""""${name}_rows_compacted":${compacted.cells.count()}""",
+            s""""${name}_compact_s":${"%.1f".format(compactSec)}""")
+        } finally if (appender.isActive) appender.stop()
+      }
+    def admMaintLeg(name: String): Seq[String] =
+      if (!wanted(name)) Seq.empty else {
+        import graft.streaming.DedupStreams
+        val (idx, idxSec) = buildIndex(s"$name-idx", corpus)
+        val synthText = expr("concat_ws(' ', transform(sequence(0, 29), " +
+          "i -> concat('w', pmod(hash(value * 31 + i), 5000))))")
+        def serveLeg(phase: String, i: DedupStreams.AdmissionIndex): String =
+          measure(s"${name}_$phase",
+            rate => DedupStreams.nearDupAdmission(
+              rate.select(col("value").as("doc_id"), col("timestamp").as("ts"),
+                synthText.as("text")),
+              i, "doc_id", "ts", "text", watermarkDelay = "10 seconds"),
+            "append", rowsPerBatch = admRowsPerBatch)
+        // JIT/codegen warm-up through the batch twin (identical plan) —
+        // same reasoning as the ANN maintenance leg
+        DedupStreams.nearDupAdmissionBatch(
+          spark.range(5000).select(col("id").as("value"))
+            .select(col("value").as("doc_id"),
+              lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"),
+              synthText.as("text")),
+          idx, "doc_id", "ts", "text").count()
+        // ~20 docs/s: ~900 documents over phases A+B at the 45 s default —
+        // an 18%-of-corpus tail for the 5k sf0.1 corpus
+        // same discarded ramp phase as the ANN maintenance leg
+        serveLeg("warm_discard", idx)
+        val appender = DedupStreams.appendToIndex(
+          spark.readStream.format("rate").option("rowsPerSecond", 20)
+            .option("numPartitions", 1).load()
+            .select((col("value") + lit(corpusStride * 100)).as("doc_id"),
+              expr("concat_ws(' ', transform(sequence(0, 29), " +
+                "i -> concat('m', pmod(hash(value * 53 + i), 5000))))").as("text")),
+          idx, "doc_id", "text", s"$outRoot/$name-appendckpt",
+          trigger = maintTrigger)
+        try {
+          val mA = serveLeg("empty_tail", idx)
+          val grown = DedupStreams.openAdmissionIndex(spark, idx.dir)
+          val tailAtReopen = grown.setsAppends.count()
+          val mB = serveLeg("grown_tail", grown)
+          // same fixed-population discipline as the ANN maintenance leg
+          appender.stop()
+          val settled = DedupStreams.openAdmissionIndex(spark, idx.dir)
+          val tailSettled = settled.setsAppends.count()
+          val mB2 = serveLeg("settled_tail", settled)
+          val tC = System.nanoTime()
+          val compacted = DedupStreams.compactAdmissionIndex(
+            spark, idx.dir, s"${idx.dir}-compact")
+          val compactSec = (System.nanoTime() - tC) / 1e9
+          val mC = serveLeg("post_compact", compacted)
+          Seq(mA, mB, mB2, mC,
+            s""""${name}_index_build_s":${"%.1f".format(idxSec)}""",
+            s""""${name}_tail_rows_at_reopen":$tailAtReopen""",
+            s""""${name}_tail_rows_settled":$tailSettled""",
+            s""""${name}_rows_compacted":${compacted.sets.count()}""",
+            s""""${name}_compact_s":${"%.1f".format(compactSec)}""")
+        } finally if (appender.isActive) appender.stop()
+      }
     val legs =
       (if (wanted("sessionize")) Seq(measure("sessionize",
         rate => graft.streaming.EventStreams.sessionize(
@@ -212,7 +347,9 @@ object StreamBench {
       admissionLeg("admission", "admidx", 1) ++
       admissionLeg("admission_10x", "admidx10", 10) ++
       annServeLeg("annserve", 1) ++
-      annServeLeg("annserve_10x", 10)
+      annServeLeg("annserve_10x", 10) ++
+      annMaintLeg("annmaint") ++
+      admMaintLeg("admmaint")
     println(s"""{"offered_rows_per_s":$offeredRps,"run_seconds":$runSeconds,"n_users":$nUsers,"adm_rows_per_batch":$admRowsPerBatch,"cpus":$cpus,"corpus_docs":$nCorpus,${legs.mkString(",")}}""")
     spark.stop()
   }

@@ -30,6 +30,31 @@ object Exprs {
       copy(left = l, right = r)
   }
 
+  /** int8_quantize(array<float>) → binary: symmetric scalar quantization,
+    * one byte per dimension ([[Ops.int8Quantize]]) — the storage codec of
+    * the quantized IVF serving index. */
+  case class Int8Quantize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override protected def nullSafeEval(v: Any): Any =
+      Ops.int8Quantize(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Ops.int8Quantize($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** int8_cosine(array<float> query, binary code) → double: asymmetric
+    * cosine against an [[Int8Quantize]]d corpus vector. */
+  case class Int8Cosine(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(q: Any, code: Any): Any =
+      Ops.int8Cosine(q.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        code.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (q, c) => s"graft.functions.Ops.int8Cosine($q, $c)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** dot(array<float>, array<float>) → double */
   case class DotF(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -349,6 +374,8 @@ object Exprs {
   private def ex(c: Column): Expression = GraftBridge.expression(c)
 
   def cosine_sim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
+  def int8_quantize(v: Column): Column = col(Int8Quantize(ex(v)))
+  def int8_cosine(q: Column, code: Column): Column = col(Int8Cosine(ex(q), ex(code)))
   def dot_f(a: Column, b: Column): Column = col(DotF(ex(a), ex(b)))
   def dot_l(a: Column, b: Column): Column = col(DotL(ex(a), ex(b)))
   def minhash_sig(tokens: Column, shingleK: Int = 3, numHashes: Int = 128): Column =
@@ -392,6 +419,8 @@ object Exprs {
     def register(name: String, f: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, f, "scala_udf")
     register("cosine_sim", es => CosineSim(es(0), es(1)))
+    register("int8_quantize", es => Int8Quantize(es(0)))
+    register("int8_cosine", es => Int8Cosine(es(0), es(1)))
     register("dot_f", es => DotF(es(0), es(1)))
     register("dot_l", es => DotL(es(0), es(1)))
     register("simhash64", es => SimHash64(es(0)))

@@ -365,6 +365,52 @@ object Ops {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Symmetric int8 scalar quantization of a float vector: scale =
+    * max|v|/127, code_i = floor(v_i/scale + 0.5) — one BYTE per dimension
+    * (4× smaller than float32 on disk AND in scan bytes), exactly
+    * replayable in SQL (`floor(CAST(x AS DOUBLE)/scale + 0.5)` — the
+    * floor(x+0.5) spelling sidesteps engine-specific round() half-rule
+    * differences). An all-zero vector quantizes to all-zero bytes. The
+    * per-vector scale is NOT stored: cosine is scale-invariant
+    * (cos(q, code·scale) = cos(q, code)), which is the one distance the
+    * serving path ranks by. */
+  def int8Quantize(v: ArrayData): Array[Byte] = {
+    val fv = v.toFloatArray()
+    val out = new Array[Byte](fv.length)
+    var maxAbs = 0f
+    var i = 0
+    while (i < fv.length) {
+      val x = math.abs(fv(i)); if (x > maxAbs) maxAbs = x; i += 1
+    }
+    if (maxAbs == 0f) return out
+    val scale = maxAbs.toDouble / 127.0
+    i = 0
+    while (i < fv.length) {
+      out(i) = math.floor(fv(i).toDouble / scale + 0.5).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Cosine between a float query vector and an int8-quantized corpus code
+    * ([[int8Quantize]]) — the ASYMMETRIC distance of scalar-quantized IVF:
+    * the query stays full-precision, the corpus side is one byte per
+    * dimension. Accumulation order matches [[cosine]] (sequential fold in
+    * double), so a SQL replay folding `CAST(q[i] AS DOUBLE) * CAST(code[i]
+    * AS DOUBLE)` left-to-right reproduces every bit. */
+  def int8Cosine(q: ArrayData, code: Array[Byte]): Double = {
+    val fq = q.toFloatArray()
+    val n = math.min(fq.length, code.length)
+    var dot = 0.0; var nq = 0.0; var nc = 0.0
+    var i = 0
+    while (i < n) {
+      val a = fq(i).toDouble; val b = code(i).toDouble
+      dot += a * b; nq += a * a; nc += b * b
+      i += 1
+    }
+    if (nq == 0.0 || nc == 0.0) 0.0 else dot / (math.sqrt(nq) * math.sqrt(nc))
+  }
+
   /** Dot product of two float vectors. */
   def dotF(a: ArrayData, b: ArrayData): Double = {
     val fa = a.toFloatArray()

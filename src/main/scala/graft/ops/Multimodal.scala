@@ -328,28 +328,32 @@ object Multimodal {
     if (payload == null) return None
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      if (img == null) None
-      else {
-        val w = img.getWidth; val h = img.getHeight
-        var sig = 0L
-        var y = 0
-        while (y < 8) {
-          val sy = (y.toLong * h / 8).toInt
-          var prev = 0L
-          var x = 0
-          while (x < 9) {
-            val rgb = img.getRGB((x.toLong * w / 9).toInt, sy)
-            val luma = 299L * ((rgb >>> 16) & 0xff) +
-              587L * ((rgb >>> 8) & 0xff) + 114L * (rgb & 0xff)
-            if (x > 0 && luma > prev) sig |= 1L << (y * 8 + (x - 1))
-            prev = luma
-            x += 1
-          }
-          y += 1
-        }
-        Some(sig)
-      }
+      if (img == null) None else Some(dhashImage(img))
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The dHash core over an already-decoded frame — shared between the
+    * single-image path ([[dhash64]]) and the per-frame clip path
+    * ([[clipFrameDhashes]]), so the two families can never drift. */
+  private def dhashImage(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    var sig = 0L
+    var y = 0
+    while (y < 8) {
+      val sy = (y.toLong * h / 8).toInt
+      var prev = 0L
+      var x = 0
+      while (x < 9) {
+        val rgb = img.getRGB((x.toLong * w / 9).toInt, sy)
+        val luma = 299L * ((rgb >>> 16) & 0xff) +
+          587L * ((rgb >>> 8) & 0xff) + 114L * (rgb & 0xff)
+        if (x > 0 && luma > prev) sig |= 1L << (y * 8 + (x - 1))
+        prev = luma
+        x += 1
+      }
+      y += 1
+    }
+    sig
   }
 
   /** dHash stage over a media table `(media_id, payload, …)`: one real
@@ -562,6 +566,172 @@ object Multimodal {
       writer.endWriteSequence()
     } finally { writer.dispose(); ios.close() }
     bos.toByteArray
+  }
+
+  // --------------------------------------------------- clip (video) near-dup
+
+  /** dHash of every `sampleEvery`-th REAL-decoded frame of a multi-frame
+    * payload (GIF is the JDK's multi-frame container — x194's machinery):
+    * `(media_id, frame_idx, dhash)`, one row per SAMPLED frame, nothing
+    * for undecodable payloads. The frame loop reads through the format's
+    * own ImageIO reader, so disposal/packaging quirks are the codec's
+    * problem, not ours; the hash is [[dhash64]]'s NN-sampled integer core
+    * applied per frame. */
+  def clipFrameDhashes(media: DataFrame, sampleEvery: Int = 1): DataFrame = {
+    require(sampleEvery >= 1, s"sampleEvery must be >= 1, got $sampleEvery")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        imageIoInit
+        if (payload == null) Iterator.empty
+        else try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) Iterator.empty
+            else {
+              val r = readers.next()
+              try {
+                r.setInput(iis, false)
+                val n = r.getNumImages(true)
+                (0 until n by sampleEvery)
+                  .map(f => (id, f, dhashImage(r.read(f)))).iterator
+              } finally r.dispose()
+            }
+          } finally iis.close()
+        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+      })
+      .toDF("media_id", "frame_idx", "dhash")
+  }
+
+  /** Clip-level near-duplicate pairs — the multimodal analogue of x28's
+    * text clusters, composed from the existing pieces (r15 verdict ask
+    * #6): sample frames ([[clipFrameDhashes]]) → per-frame dHash → the
+    * SAME banded Hamming pigeonhole kernel x200/SimHash ride
+    * ([[graft.ops.Dedup.hammingNearDupPairs]] — exhaustive for the default
+    * geometry at `maxHamming ≤ 3`, capped buckets, one shuffle, never
+    * all-pairs) over ALL sampled frames of ALL clips at once → aggregate
+    * frame matches to clip pairs. Two clips near-duplicate when enough of
+    * their sampled frames match: `shared_ppm = ⌊10⁶ · min(matched_a,
+    * matched_b) / max(n_a, n_b)⌋` (integer arithmetic — exactly
+    * replayable), kept when ≥ `minSharePpm`.
+    *
+    * Frame rows ride the kernel under the composite id `media_id ·
+    * frameStride + frame_idx`; callers with > 2²⁰ frames per clip or ids
+    * beyond Long.Max/frameStride pass a wider stride. Output
+    * `(clip_a, clip_b, n_frame_pairs, shared_ppm)`, `clip_a < clip_b`. */
+  def clipNearDupPairs(media: DataFrame, sampleEvery: Int = 1,
+      maxHamming: Int = 3, minSharePpm: Long = 500000L,
+      maxBucketSize: Int = 1000, frameStride: Long = 1L << 20): DataFrame = {
+    val frames = clipFrameDhashes(media, sampleEvery)
+    val sizes = frames.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"))
+    val pairs = graft.ops.Dedup.hammingNearDupPairs(
+      frames.select(
+        (col("media_id") * lit(frameStride) + col("frame_idx")).as("doc_id"),
+        col("dhash").as("sig")),
+      maxHamming, maxBucketSize)
+      .toDF("fa", "fb", "hamming")
+      .select(
+        (col("fa") / lit(frameStride)).cast("long").as("ca"),
+        col("fa").as("fa"),
+        (col("fb") / lit(frameStride)).cast("long").as("cb"),
+        col("fb").as("fb"))
+      .filter(col("ca") =!= col("cb"))
+      // canonical clip order; frame ids keep their side so the distinct
+      // per-side match counts stay attached to the right clip
+      .select(
+        least(col("ca"), col("cb")).as("clip_a"),
+        greatest(col("ca"), col("cb")).as("clip_b"),
+        when(col("ca") < col("cb"), col("fa")).otherwise(col("fb")).as("frame_a"),
+        when(col("ca") < col("cb"), col("fb")).otherwise(col("fa")).as("frame_b"))
+    pairs
+      .groupBy(col("clip_a"), col("clip_b"))
+      .agg(count(lit(1)).as("n_frame_pairs"),
+        countDistinct(col("frame_a")).as("ma"),
+        countDistinct(col("frame_b")).as("mb"))
+      .join(sizes.withColumnRenamed("media_id", "clip_a")
+        .withColumnRenamed("n_frames", "na"), Seq("clip_a"))
+      .join(sizes.withColumnRenamed("media_id", "clip_b")
+        .withColumnRenamed("n_frames", "nb"), Seq("clip_b"))
+      .select(col("clip_a"), col("clip_b"), col("n_frame_pairs"),
+        // integer DIV, not float divide-then-cast: CAST(double AS BIGINT)
+        // rounds in some engines and truncates in others — DIV replays
+        // exactly everywhere
+        expr("CAST(least(ma, mb) * 1000000 DIV greatest(na, nb) AS BIGINT)")
+          .as("shared_ppm"))
+      .filter(col("shared_ppm") >= minSharePpm)
+  }
+
+  /** Deterministic planted clip FAMILY for [[clipNearDupPairs]]' oracle:
+    * per id a BASE `frames`-frame 16×16 GIF and a VARIANT that REPLACES
+    * frame `variantFrame` with a different pattern (formula frame term
+    * shifted by 1000) — every other frame is pixel-identical, so the pair
+    * shares all but one sampled frame. Pixel channels are QUANTIZED to
+    * multiples of 32: a 16×16 frame holds ≤ 256 distinct colors, which the
+    * JDK GIF writer palettizes LOSSLESSLY (probed: write→read round trip
+    * is pixel-exact, the x195 WAV discipline) — that is what lets a SQL
+    * oracle replay the decoded dHashes from the closed form with no codec.
+    * The channel formulas keep [[syntheticPngPair]]'s per-id coefficients
+    * and `x·y` cross term — the x191 gradient-collision trap documented in
+    * NOTES_r15 §8 (linear gradients collide under gradient-sign hashing)
+    * stays avoided, so unrelated clips share nothing. */
+  def syntheticGifClipPair(id: Long, frames: Int, variant: Boolean,
+      variantFrame: Int = 2): Array[Byte] = {
+    imageIoInit
+    require(frames > 0, s"syntheticGifClipPair: frames must be positive, got $frames")
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream(1024)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val eff = if (variant && f == variantFrame) f + 1000 else f
+        val img = new java.awt.image.BufferedImage(
+          16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            // full-range closed form FIRST, quantize after (high 3 bits):
+            // quantizing the raw formula mod 8 made every id ≡ (mod 8)
+            // plant identical frames (97/89/83 are all 1 mod 8) — a
+            // near-clique worse than the x191 gradient trap. % 256 then
+            // DIV 32 keeps the per-id pseudo-randomness in the kept bits.
+            val r = (((x.toLong * y + 3L * x + 5L * y) * (1 + id % 97) + id + 7L * eff) % 256 / 32 * 32).toInt
+            val g = (((2L * x * y + 11L * x + y) * (1 + id % 89) + 2L * id + 11L * eff) % 256 / 32 * 32).toInt
+            val b = (((3L * x * y + x + 13L * y) * (1 + id % 83) + 3L * id + 13L * eff) % 256 / 32 * 32).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Plant a base+variant clip per id ([[syntheticGifClipPair]]): base at
+    * `media_id = id`, the one-frame-replaced variant at `id +
+    * variantOffset`. Map-side, the [[plantSyntheticPngPairs]] layout. */
+  def plantSyntheticGifClips(ids: DataFrame, idCol: String, frames: Int = 6,
+      variantFrame: Int = 2, variantOffset: Long = 1000000L): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        Iterator(
+          (id, syntheticGifClipPair(id, frames, variant = false, variantFrame)),
+          (id + variantOffset, syntheticGifClipPair(id, frames, variant = true, variantFrame)))
+      })
+      .toDF("media_id", "payload")
   }
 
   /** Exact integer statistics of one decoded audio payload: channel count

@@ -5995,6 +5995,87 @@ object Extensions {
       |LEFT JOIN hits h ON h.query_id = q.query_id AND h.rank <= 5
       |ORDER BY l.leg, q.query_id, h.rank""".stripMargin
 
+  // ------------------------------- x203 quantized-IVF serve twin (int8+re-rank)
+  /** The QUANTIZED serving index oracled value-level (r15 verdict ask #5):
+    * the same corpus/arrival split and seeded quantizer as x201, served
+    * through [[graft.streaming.AnnStreams.annServeQuantizedBatch]] — probe
+    * join over int8-coded cells (one byte per dimension; the asymmetric
+    * `int8_cosine` distance), a k·refine shortlist through the k-bounded
+    * heap aggregate, exact float re-rank of just the shortlist. The DuckDB
+    * replay recomputes the CODES from closed form (scale = max|v|/127,
+    * `floor(v/scale + 0.5)` — the engine-neutral rounding spelling), the
+    * approximate ranking, the shortlist cut (approx DESC, id), and the
+    * exact re-ranked top-k — so a wrong quantization constant, a rounding
+    * half-rule mismatch, a shortlist off-by-one, or a re-rank that read
+    * quantized instead of float values all break the hash. Directly
+    * comparable to x201: same queries, same index geometry, the only
+    * difference is the int8 shortlist cut. */
+  private val x203Indexes =
+    new SessionIndexCache[graft.streaming.AnnStreams.QuantizedIndex]
+  def x203QuantizedServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val idx = x203Indexes.getOrBuild(s, dir) {
+      val idxDir = java.nio.file.Files.createTempDirectory("x203idx").toString
+      graft.streaming.AnnStreams.buildQuantizedIndex(
+        e.filter($"vec_id" % 10 < 8), "vec_id", "embedding", idxDir,
+        nlist = 8, trained = false)
+    }
+    val arrivals = e.filter($"vec_id" % 10 >= 8)
+      .select($"vec_id", timestamp_seconds($"vec_id" % 86400).as("ts"), $"embedding")
+    graft.streaming.AnnStreams.annServeQuantizedBatch(
+      arrivals, idx, "vec_id", "ts", "embedding", k = 5, nprobe = 2, refine = 4)
+      .select($"query_id", unix_timestamp($"ts").as("ts_s"),
+        $"rank".cast("long").as("rank"), $"item_id", $"cos_sim")
+      .orderBy($"query_id", $"rank".asc_nulls_last)
+  }
+  val x203Sql: String =
+    s"""WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 < 8),
+      |q AS (SELECT vec_id AS query_id, embedding AS qv
+      |      FROM embeddings WHERE vec_id % 10 >= 8),
+      |cent AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+      |  FROM (SELECT vec_id, embedding FROM corpus ORDER BY vec_id LIMIT 8)),
+      |codes AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+      |      ELSE CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT) END) AS code
+      |  FROM (SELECT vec_id, embedding,
+      |          CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+      |            / 127.0 AS scale
+      |        FROM corpus)),
+      |assigned AS (
+      |  SELECT item_id, item_vec, cid FROM (
+      |    SELECT c.vec_id AS item_id, c.embedding AS item_vec, ct.cid,
+      |      row_number() OVER (PARTITION BY c.vec_id
+      |        ORDER BY ${cosSql("c.embedding", "ct.cvec")} DESC, ct.cid) AS rn
+      |    FROM corpus c CROSS JOIN cent ct) WHERE rn = 1),
+      |probes AS (
+      |  SELECT query_id, qv, cid FROM (
+      |    SELECT q.query_id, q.qv, ct.cid,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY ${cosSql("q.qv", "ct.cvec")} DESC, ct.cid) AS rn
+      |    FROM q CROSS JOIN cent ct) WHERE rn <= 2),
+      |short AS (
+      |  SELECT query_id, qv, item_id FROM (
+      |    SELECT p.query_id, p.qv, a.item_id,
+      |      row_number() OVER (PARTITION BY p.query_id
+      |        ORDER BY ${cosSql("p.qv", "k.code")} DESC, a.item_id) AS rn
+      |    FROM probes p JOIN assigned a USING (cid)
+      |    JOIN codes k ON k.vec_id = a.item_id
+      |    WHERE a.item_id <> p.query_id) WHERE rn <= 20),
+      |hits AS (
+      |  SELECT query_id, item_id, cs,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, item_id) AS rank
+      |  FROM (
+      |    SELECT s.query_id, s.item_id, ${cosSql("s.qv", "c.embedding")} AS cs
+      |    FROM short s JOIN corpus c ON c.vec_id = s.item_id))
+      |SELECT q.query_id, CAST(q.query_id % 86400 AS BIGINT) AS ts_s,
+      |  h.rank, h.item_id, h.cs AS cos_sim
+      |FROM q LEFT JOIN hits h ON h.query_id = q.query_id AND h.rank <= 5
+      |ORDER BY q.query_id, h.rank""".stripMargin
+
   // ------------------------------------- x200 image near-dup (dHash pairs)
   /** Image NEAR-DUP dedup — the multimodal leg of the near-dup family
     * (x06/x07/x08 dedup text; this dedups pixels): per document a base PNG
@@ -6053,6 +6134,80 @@ object Extensions {
       |FROM sig a JOIN sig b ON a.media_id < b.media_id
       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
       |ORDER BY media_a, media_b""".stripMargin
+
+  // ----------------------------------- x204 clip (video) near-dup via frames
+  /** Clip-level near-dup (r15 verdict ask #6) — the existing pieces
+    * composed: per document a BASE 6-frame 16×16 GIF and a variant with
+    * frame 2 REPLACED ([[graft.ops.Multimodal.plantSyntheticGifClips]] —
+    * ≤256 colors per frame, so the JDK GIF palette round trip is
+    * pixel-exact, probed), every 2nd frame REAL-decoded to its dHash, all
+    * sampled frames of all clips through the one banded Hamming kernel,
+    * frame matches aggregated to clip pairs with integer shared-fraction
+    * arithmetic. The oracle replays the WHOLE path from the planted closed
+    * form — frame synthesis, NN 9×8 grid on 16×16, integer luma, gradient
+    * bits, bit-63 packing, cross-clip Hamming ≤ 3 brute force, the
+    * min-matched/max-frames DIV — with no codec: the Spark side must land
+    * on the identical clip pair set through the real GIF decode AND the
+    * bucketed kernel. Expected shape: each (base, variant) pair shares
+    * sampled frames {0, 4} of 3 → shared_ppm = 666666. */
+  def x204ClipNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // every 5th document: a clip is 6 REAL GIF-encoded 16x16 frames — 24x
+    // the pixel volume of an x200 image — so the full table would spend
+    // the whole query on codec work (measured 15 s at sf0.1; 1/5 of the
+    // docs still plants 1000 clips there, plenty of pair mass)
+    Multimodal.clipNearDupPairs(
+      Multimodal.plantSyntheticGifClips(
+        docs(s, dir).filter($"doc_id" % 5 === 0), "doc_id", frames = 6,
+        variantFrame = 2),
+      sampleEvery = 2, maxHamming = 3, minSharePpm = 500000L)
+      .orderBy($"clip_a", $"clip_b")
+  }
+  val x204Sql: String =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS base FROM documents
+      |           WHERE doc_id % 5 = 0),
+      |clips AS (
+      |  SELECT base AS clip_id, base, 0 AS v FROM d
+      |  UNION ALL
+      |  SELECT base + 1000000, base, 1 FROM d),
+      |fr AS (
+      |  SELECT clip_id, base, f.f AS f,
+      |    CASE WHEN v = 1 AND f.f = 2 THEN f.f + 1000 ELSE f.f END AS eff
+      |  FROM clips, (SELECT unnest([0, 2, 4]) AS f) f),
+      |g AS (
+      |  SELECT clip_id, f, eff, base, gx.x AS x, gy.y AS y,
+      |    (gx.x * 16) // 9 AS sx, gy.y * 2 AS sy
+      |  FROM fr, (SELECT unnest(range(0, 9)) AS x) gx,
+      |            (SELECT unnest(range(0, 8)) AS y) gy),
+      |luma AS (
+      |  SELECT clip_id, f, x, y,
+      |    299*(((sx*sy + 3*sx + 5*sy) * (1 + base % 97) + base + 7*eff) % 256 // 32 * 32)
+      |    + 587*(((2*sx*sy + 11*sx + sy) * (1 + base % 89) + 2*base + 11*eff) % 256 // 32 * 32)
+      |    + 114*(((3*sx*sy + sx + 13*sy) * (1 + base % 83) + 3*base + 13*eff) % 256 // 32 * 32) AS l
+      |  FROM g),
+      |bits AS (
+      |  SELECT a.clip_id, a.f, a.y * 8 + a.x AS j,
+      |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+      |  FROM luma a JOIN luma b
+      |    ON a.clip_id = b.clip_id AND a.f = b.f AND b.y = a.y AND b.x = a.x + 1
+      |  WHERE a.x < 8),
+      |sig AS (
+      |  SELECT clip_id, f, CAST(sum(CASE WHEN j = 63 THEN bit * (-9223372036854775807 - 1)
+      |    ELSE bit * (CAST(1 AS BIGINT) << CAST(j AS INT)) END) AS BIGINT) AS sig
+      |  FROM bits GROUP BY clip_id, f),
+      |fpairs AS (
+      |  SELECT a.clip_id AS clip_a, a.f AS fa, b.clip_id AS clip_b, b.f AS fb
+      |  FROM sig a JOIN sig b ON a.clip_id < b.clip_id
+      |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+      |agg AS (
+      |  SELECT clip_a, clip_b, count(*) AS n_frame_pairs,
+      |    count(DISTINCT fa) AS ma, count(DISTINCT fb) AS mb
+      |  FROM fpairs GROUP BY 1, 2)
+      |SELECT clip_a, clip_b, n_frame_pairs,
+      |  CAST(least(ma, mb) * 1000000 // 3 AS BIGINT) AS shared_ppm
+      |FROM agg
+      |WHERE least(ma, mb) * 1000000 // 3 >= 500000
+      |ORDER BY clip_a, clip_b""".stripMargin
 
   // ------------------------------------------------------------- x74 BM25
   /** BM25 ranked retrieval for a 3-term query, top-20. The oracle contract
@@ -6699,6 +6854,8 @@ object Extensions {
     "x200_image_neardup" -> x200ImageNeardup _,
     "x201_ann_serve_twin" -> x201AnnServeTwin _,
     "x202_compaction_twin" -> x202CompactionTwin _,
+    "x203_quantized_serve" -> x203QuantizedServe _,
+    "x204_clip_neardup" -> x204ClipNeardup _,
     "x194_gif_frames" -> x194GifFrames _,
     "x193_pixel_resize" -> x193PixelResize _,
     "x192_manku_recall" -> x192MankuRecall _,
@@ -6955,6 +7112,8 @@ object Extensions {
     "x200_image_neardup" -> x200Sql,
     "x201_ann_serve_twin" -> x201Sql,
     "x202_compaction_twin" -> x202Sql,
+    "x203_quantized_serve" -> x203Sql,
+    "x204_clip_neardup" -> x204Sql,
     "x194_gif_frames" -> x194Sql,
     "x193_pixel_resize" -> x193Sql,
     "x192_manku_recall" -> x192Sql,

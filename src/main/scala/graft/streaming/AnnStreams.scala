@@ -80,17 +80,10 @@ object AnnStreams {
     require(nlist >= 1, s"nlist must be positive, got $nlist")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids: Array[(Int, Array[Float])] =
-      if (trained) Similarity.buildTrainedCentroids(
-        corpus, idCol, vecCol, nlist, iters, trainSample)
-      else corpus.select(col(idCol).cast("long").as("item_id"), col(vecCol))
-        .orderBy(col("item_id")).limit(nlist)
-        .collect().map(_.getSeq[Float](1).toArray)
-        .zipWithIndex.map { case (v, i) => (i, v) }
     // an empty quantizer would otherwise surface as an opaque analysis
     // error from the empty literal centroid array (or a "[1, 0]" nprobe
-    // range) far from the actual cause
-    require(centroids.nonEmpty, "ANN serving index: corpus must be non-empty")
+    // range) far from the actual cause — quantizerOf fails loudly instead
+    val centroids = quantizerOf(corpus, idCol, vecCol, nlist, trained, iters, trainSample)
     // one bucket per cell: the probe join's static side is pre-partitioned
     // by exactly the key it is probed on
     Similarity.assignCells(corpus.select(col(idCol).cast("long").as(idCol),
@@ -149,14 +142,19 @@ object AnnStreams {
     * always costs); until then the tail joins UNBUCKETED, which is the
     * small-fraction price of not rescanning the lake per arrival. */
   def appendStream(arrivals: DataFrame, index: ServingIndex,
-      idCol: String, vecCol: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      idCol: String, vecCol: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     require(arrivals.isStreaming, "appendStream takes a streaming relation")
     arrivals
       .select(col(idCol).cast("long").as(idCol), col(vecCol))
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
+      // the maintenance cadence: a longer trigger batches more vectors per
+      // landed batch=<id> dir — fewer, bigger tail files between compactions
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         landAppendBatch(batch, index, idCol, vecCol, batchId)
       }
@@ -203,6 +201,169 @@ object AnnStreams {
     spark.read.parquet(s"$dir/meta")
       .coalesce(1).write.mode("overwrite").parquet(s"$newDir/meta")
     openServingIndex(spark, newDir)
+  }
+
+  // ------------------------------------------------- quantized serving index
+
+  /** Handle over an int8-quantized on-disk serving index (r15 verdict ask
+    * #5 — the next 100 TB axis for ANN serving). Two bucketed tables:
+    *
+    *  - `cellsq/` — `(centroid_id, item_id, code BINARY)` bucketed on
+    *    `centroid_id`: the HOT index the per-batch probe join scans, at
+    *    ONE BYTE per dimension (4× fewer scan bytes than float32 cells —
+    *    measured ~3.9× on-disk at sf0.1; the per-vector scale is not even
+    *    stored, because cosine is scale-invariant). Probing ranks by the
+    *    asymmetric distance `int8_cosine(query_float, code)`.
+    *  - `vecs/` — `(item_id, item_vec)` bucketed on `item_id`: the exact
+    *    re-rank side. Only the `k·refine` shortlisted rows per query join
+    *    it, repartitioned on the bucket key — the corpus side never
+    *    shuffles.
+    *
+    * Recall: quantization only coarsens the SHORTLIST cut; the served
+    * scores are full-precision re-ranks, so with `refine` ≥ cell
+    * population the results equal the float index exactly (spec'd), and
+    * the nprobe/refine recall trade-off is quantified by the ScaleStress
+    * `pq` leg. */
+  final case class QuantizedIndex(
+      dir: String, nlist: Int, centroids: Array[(Int, Array[Float])],
+      cellsQ: DataFrame, vecs: DataFrame)
+
+  private def qTableName(spark: SparkSession, dir: String, kind: String): String =
+    DiskIndex.tableName(spark, s"graft_annq_$kind", dir)
+
+  /** The quantizer half of [[buildServingIndex]], shared with
+    * [[buildQuantizedIndex]]: trained Lloyd centroids (production) or the
+    * nlist lowest-id corpus vectors verbatim (the SQL-replayable seeded
+    * mode the oracles ride). */
+  private def quantizerOf(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, trained: Boolean, iters: Int,
+      trainSample: Int): Array[(Int, Array[Float])] = {
+    val centroids: Array[(Int, Array[Float])] =
+      if (trained) Similarity.buildTrainedCentroids(
+        corpus, idCol, vecCol, nlist, iters, trainSample)
+      else corpus.select(col(idCol).cast("long").as("item_id"), col(vecCol))
+        .orderBy(col("item_id")).limit(nlist)
+        .collect().map(_.getSeq[Float](1).toArray)
+        .zipWithIndex.map { case (v, i) => (i, v) }
+    require(centroids.nonEmpty, "serving index: corpus must be non-empty")
+    centroids
+  }
+
+  /** Index a static corpus for QUANTIZED serving: one corpus pass — train
+    * or seed the quantizer, assign every vector map-side, int8-encode into
+    * `cellsq/`, land the float vectors bucketed on `item_id` into `vecs/`
+    * for the exact re-rank. Persisted under `dir` with the same
+    * centroids/meta layout as [[buildServingIndex]]. */
+  def buildQuantizedIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, nlist: Int = 16, trained: Boolean = true,
+      iters: Int = 3, trainSample: Int = 4096): QuantizedIndex = {
+    require(!corpus.isStreaming, "corpus must be a static relation (the indexed lake)")
+    require(nlist >= 1, s"nlist must be positive, got $nlist")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = quantizerOf(corpus, idCol, vecCol, nlist, trained, iters, trainSample)
+    Similarity.assignCells(corpus.select(col(idCol).cast("long").as(idCol),
+        col(vecCol)), centroids, idCol, vecCol)
+      .select(col("centroid_id"), col("item_id"),
+        graft.functions.Exprs.int8_quantize(col("item_vec")).as("code"))
+      .repartition(nlist, col("centroid_id"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nlist, "centroid_id").sortBy("centroid_id")
+      .option("path", s"$dir/cellsq")
+      .saveAsTable(qTableName(spark, dir, "cellsq"))
+    corpus.select(col(idCol).cast("long").as("item_id"),
+        col(vecCol).as("item_vec"))
+      .repartition(nlist, col("item_id"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nlist, "item_id").sortBy("item_id")
+      .option("path", s"$dir/vecs")
+      .saveAsTable(qTableName(spark, dir, "vecs"))
+    centroids.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    Seq((nlist, centroids.length)).toDF("nlist", "n_centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    QuantizedIndex(dir, nlist, centroids,
+      spark.table(qTableName(spark, dir, "cellsq")),
+      spark.table(qTableName(spark, dir, "vecs")))
+  }
+
+  /** Reopen a persisted quantized index after a driver bounce — same
+    * discipline as [[openServingIndex]]: re-register the bucketed tables,
+    * reload the nlist-sized quantizer, no corpus work. */
+  def openQuantizedIndex(spark: SparkSession, dir: String): QuantizedIndex = {
+    val nlist = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    val cellsQ = DiskIndex.registerBucketed(
+      spark, qTableName(spark, dir, "cellsq"), s"$dir/cellsq", "centroid_id", nlist)
+    val vecs = DiskIndex.registerBucketed(
+      spark, qTableName(spark, dir, "vecs"), s"$dir/vecs", "item_id", nlist)
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("centroid_id"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    QuantizedIndex(dir, nlist, centroids, cellsQ, vecs)
+  }
+
+  /** Serve top-k through the QUANTIZED index: map-side nprobe centroid
+    * ranking (identical to [[annServeBatch]]), probe join against the
+    * byte-coded cells ranking by asymmetric int8 cosine, a k·`refine`
+    * shortlist per query through the k-bounded heap aggregate, then an
+    * EXACT full-precision re-rank of just the shortlist against the
+    * `item_id`-bucketed float table. Output schema and every-query-gets-a-
+    * verdict semantics match [[annServeBatch]]; served scores are exact
+    * cosines, so quantization error can only reorder the shortlist CUT,
+    * never a served score. */
+  def annServeQuantizedBatch(arrivals: DataFrame, index: QuantizedIndex,
+      idCol: String, tsCol: String, vecCol: String,
+      k: Int = 10, nprobe: Int = 4, refine: Int = 4): DataFrame = {
+    require(!arrivals.isStreaming, "quantized serve twin takes a batch relation")
+    require(k >= 1, s"k must be positive, got $k")
+    require(refine >= 1, s"refine must be positive, got $refine")
+    require(nprobe >= 1 && nprobe <= index.centroids.length,
+      s"nprobe must be in [1, ${index.centroids.length}], got $nprobe")
+    val base = arrivals.select(
+      col(idCol).cast("long").as("query_id"),
+      col(tsCol).as("ts"),
+      col(vecCol).as("query_vec"))
+    val probes = base.select(col("query_id"), col("ts"), col("query_vec"),
+      explode(slice(reverse(array_sort(
+        Similarity.centroidScores(col("query_vec"), index.centroids))),
+        1, nprobe)).as("probe"))
+      .select(col("query_id"), col("ts"), col("query_vec"),
+        (-col("probe.ncid")).as("centroid_id"))
+    val ok = col("item_id").isNotNull && col("item_id") =!= col("query_id")
+    val scoredQ = probes.join(index.cellsQ, Seq("centroid_id"), "left_outer")
+      .select(col("query_id"), col("ts"), col("query_vec"),
+        when(ok, graft.functions.Exprs.int8_cosine(
+          col("query_vec"), col("code"))).as("aq"),
+        when(ok, col("item_id")).as("cand_id"))
+    // the shortlist: k·refine candidates per query by (approx DESC, id) —
+    // the ONLY pass over the (4× smaller) quantized cells
+    val short = scoredQ.groupBy(col("query_id"), col("ts"))
+      .agg(first(col("query_vec")).as("query_vec"),
+        graft.functions.TopKBuffer.top_k(
+          col("aq"), col("cand_id"), k * refine).as("shortk"))
+    // exact re-rank of the probed slice: k·refine rows per query move to
+    // the float table's buckets; the corpus side never shuffles
+    val rer = short
+      .select(col("query_id"), col("ts"), col("query_vec"),
+        explode(col("shortk")).as("hit"))
+      .select(col("query_id"), col("ts"), col("query_vec"),
+        col("hit.id").as("item_id"))
+      .join(index.vecs, Seq("item_id"))
+      .select(col("query_id"), col("ts"),
+        cosine_sim(col("query_vec"), col("item_vec")).as("cs"), col("item_id"))
+    val hits = rer.groupBy(col("query_id"), col("ts"))
+      .agg(graft.functions.TopKBuffer.top_k(
+        col("cs"), col("item_id"), k).as("topk"))
+    base.select(col("query_id"), col("ts"))
+      .join(hits, Seq("query_id", "ts"), "left_outer")
+      .select(col("query_id"), col("ts"),
+        posexplode_outer(col("topk")).as(Seq("pos", "hit")))
+      .select(col("query_id"), col("ts"),
+        (col("pos") + 1).as("rank"),
+        col("hit.id").as("item_id"),
+        col("hit.ord").as("cos_sim"))
   }
 
   /** @param arrivals streaming relation with (`idCol`, `tsCol`, `vecCol`)

@@ -170,14 +170,19 @@ object DedupStreams {
     * already-indexed corpus (the caller's admission gate is exactly what
     * guarantees near-dups don't pile in). */
   def appendToIndex(arrivals: DataFrame, index: AdmissionIndex,
-      idCol: String, textCol: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      idCol: String, textCol: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     require(arrivals.isStreaming, "appendToIndex takes a streaming relation")
     arrivals
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
+      // the maintenance cadence: a longer trigger batches more documents
+      // per landed batch=<id> dir — fewer tail files between compactions
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         landAppendBatch(batch, index, "doc_id", "text", batchId)
       }

@@ -423,6 +423,34 @@ class MultimodalSpec extends SparkSpec {
     assert(dh.filter(_.isNullAt(1)).map(_.getLong(0)).toSeq == Seq(5000000L))
   }
 
+  test("clip near-dup: planted GIF pairs found at 2/3 shared frames; codec round trip lossless") {
+    import spark.implicits._
+    val ids = (0L until 6L).toDF("doc_id")
+    val clips = Multimodal.plantSyntheticGifClips(ids, "doc_id", frames = 6, variantFrame = 2)
+    // sampled frames 0/2/4 per clip; base and variant share {0, 4} exactly
+    val frames = Multimodal.clipFrameDhashes(clips, sampleEvery = 2)
+      .as[(Long, Int, Long)].collect()
+    assert(frames.length == 12 * 3)
+    val byClip = frames.groupBy(_._1).view.mapValues(_.map(f => f._2 -> f._3).toMap).toMap
+    (0L until 6L).foreach { id =>
+      val b = byClip(id); val v = byClip(id + 1000000L)
+      assert(b(0) == v(0) && b(4) == v(4),
+        s"shared frames must round-trip to identical hashes for id=$id")
+      assert(b(2) != v(2), s"the replaced frame must differ for id=$id")
+    }
+    val got = Multimodal.clipNearDupPairs(clips, sampleEvery = 2,
+      maxHamming = 3, minSharePpm = 500000L)
+      .select($"clip_a", $"clip_b", $"n_frame_pairs", $"shared_ppm")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == (0L until 6L).map(id => (id, id + 1000000L, 2L, 666666L)),
+      s"expected exactly the planted pairs at 2/3 shared: $got")
+    // junk payloads drop out of the frame relation (no signature, no pair)
+    val withJunk = clips.unionByName(
+      Seq((9000000L, Array[Byte](1, 2, 3))).toDF("media_id", "payload"))
+    assert(Multimodal.clipFrameDhashes(withJunk, 2)
+      .filter($"media_id" === 9000000L).isEmpty)
+  }
+
   test("sampleFrames: stride-2 generator over n_frames") {
     import spark.implicits._
     val decoded = Multimodal.decode(media)

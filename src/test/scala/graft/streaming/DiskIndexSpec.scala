@@ -59,6 +59,65 @@ class DiskIndexSpec extends graft.SparkSpec {
       != DiskIndex.tableName(spark, "t", root))
   }
 
+  test("quantized index: exact with refine >= cell population, reopenable, 4x smaller cells") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("annq").toString
+    // 40 vectors in 4 clusters around the axes of a 4-dim space, plus a
+    // deterministic per-vector wobble so cosine ties are broken by value
+    val corpus = (0 until 40).map { i =>
+      val axis = i % 4
+      val v = Array.tabulate(4)(d =>
+        (if (d == axis) 1.0f else 0.0f) + 0.01f * ((i * 7 + d * 3) % 11))
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = graft.streaming.AnnStreams.buildQuantizedIndex(
+      corpus, "vec_id", "embedding", s"$tmp/q", nlist = 4, trained = false)
+    val f = graft.streaming.AnnStreams.buildServingIndex(
+      corpus, "vec_id", "embedding", s"$tmp/f", nlist = 4, trained = false)
+    val arrivals = (100 until 110).map { i =>
+      val axis = i % 4
+      val v = Array.tabulate(4)(d =>
+        (if (d == axis) 1.0f else 0.0f) + 0.01f * ((i * 5 + d) % 7))
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), v.toSeq)
+    }.toDF("query_id", "ts", "embedding")
+    def served(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long, Double)] =
+      df.select($"query_id", $"rank".cast("int"), $"item_id", $"cos_sim")
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // refine large enough to shortlist EVERY probed candidate: the exact
+    // re-rank then sees all of them, so quantization cannot change the
+    // answer — quantized == float index, score for score
+    val exact = served(graft.streaming.AnnStreams.annServeQuantizedBatch(
+      arrivals, q, "query_id", "ts", "embedding", k = 3, nprobe = 2, refine = 40))
+    val float = served(graft.streaming.AnnStreams.annServeBatch(
+      arrivals, f, "query_id", "ts", "embedding", k = 3, nprobe = 2))
+    assert(exact == float,
+      s"refine >= cell size must equal the float index:\n$exact\nvs\n$float")
+    // served scores are exact cosines even at tight refine
+    val tight = served(graft.streaming.AnnStreams.annServeQuantizedBatch(
+      arrivals, q, "query_id", "ts", "embedding", k = 3, nprobe = 2, refine = 1))
+    val floatByKey = float.map(r => (r._1, r._3) -> r._4).toMap
+    tight.foreach { case (qid, _, item, cs) =>
+      floatByKey.get((qid, item)).foreach(expected =>
+        assert(cs == expected, s"re-ranked score must be the exact cosine for ($qid,$item)"))
+    }
+    // driver-bounce reopen serves identically
+    spark.catalog.listTables().filter(_.name.startsWith("graft_annq")).collect()
+      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+    val reopened = graft.streaming.AnnStreams.openQuantizedIndex(spark, s"$tmp/q")
+    assert(served(graft.streaming.AnnStreams.annServeQuantizedBatch(
+      arrivals, reopened, "query_id", "ts", "embedding",
+      k = 3, nprobe = 2, refine = 40)) == exact)
+    // the byte claim: int8 cells materially smaller than float cells
+    def dirBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+        else f.length()
+      walk(new java.io.File(p))
+    }
+    val qb = dirBytes(s"$tmp/q/cellsq"); val fb = dirBytes(s"$tmp/f/cells")
+    assert(qb < fb, s"quantized cells must be smaller: $qb vs $fb bytes")
+  }
+
   test("blue/green guards reject two spellings of the same location") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("diskidx-bg").toString
