@@ -97,11 +97,25 @@ object Bench {
       // A failed run must NOT contribute its elapsed time to the min (a
       // query that fails fast would under-report); failures map to a -1.0
       // sentinel that survives to the output so a broken query is visible.
-      val runs = (1 to repeats).flatMap { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+      // SHARED-PLAN protocol (r15 verdict ask #4): the DataFrame is built
+      // ONCE and counted `repeats` times — run 1 pays physical planning +
+      // codegen inside its count() (and, under AQE, the adaptive
+      // re-planning), run 2 reuses the cached QueryExecution, so the min
+      // measures EXECUTION the way the DuckDB comparator's ~1 ms planner
+      // does. Catalyst analyze/optimize/plan was measured at 12-56 ms per
+      // core query (FloorProbe plan_* fields) — a per-query constant that
+      // a plan-caching deployment (thrift server, repeated ETL) never
+      // re-pays and a 100 TB input amortizes to nothing. Isolation is
+      // untouched: every run is its own job; the floor timeline and
+      // pollution attribution read the same quantities as before.
+      val frame = try Some(fn(spark, sfDir)) catch { case _: Throwable => None }
+      val runs = frame.toSeq.flatMap { df =>
+        (1 to repeats).flatMap { _ =>
+          val t0 = System.nanoTime()
+          val ok = try { df.count(); true }
+                   catch { case _: Throwable => false }
+          if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        }
       }
       (name, if (runs.nonEmpty) runs.min else -1.0, idx)
     }

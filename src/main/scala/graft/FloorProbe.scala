@@ -77,7 +77,25 @@ object FloorProbe {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     def ms(v: Double): String = "%.1f".format(v * 1000)
-    println(s"""{"launch_ms":${ms(a)},"scan_count_ms":${ms(b)},"cached_count_ms":${ms(c)},"q13_ms":${ms(d)},"q13_cached_ms":${ms(e)},"q01_ms":${ms(f)},"launch_noaqe_ms":${ms(g)},"q13_noaqe_ms":${ms(h)},"q01_noaqe_ms":${ms(i)}}""")
+
+    // J: the MINIMAL job — one slice, two tasks — vs A's cpus-slice range:
+    // separates the per-JOB constant from the per-TASK dispatch cost that
+    // local[cpus] pays 32× on every default-parallelism stage.
+    val j = best(20)(spark.range(1L, 2L, 1L, 1).count())
+    // K: per-query Catalyst cost — DataFrame build + analyze + optimize +
+    // physical planning, NO execution — for three core shapes. This is
+    // paid once per fn() call (the DataFrame API has no plan cache across
+    // re-built frames), so it is a fixed per-query constant the sf0.1
+    // bench pays and a 100 TB run amortizes to nothing.
+    def planMs(name: String): Double = best(10) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.queryExecution.executedPlan // forces analyze→optimize→plan
+    } * 1000
+    val planned = Seq("q01_filter_project", "q09_gold_join", "q12_rank_sum")
+      .map(n => s""""plan_${n.takeWhile(_ != '_')}_ms":${"%.1f".format(planMs(n))}""")
+      .mkString(",")
+
+    println(s"""{"launch_ms":${ms(a)},"launch_1slice_ms":${ms(j)},"scan_count_ms":${ms(b)},"cached_count_ms":${ms(c)},"q13_ms":${ms(d)},"q13_cached_ms":${ms(e)},"q01_ms":${ms(f)},"launch_noaqe_ms":${ms(g)},"q13_noaqe_ms":${ms(h)},"q01_noaqe_ms":${ms(i)},$planned}""")
     spark.stop()
   }
 }

@@ -634,10 +634,13 @@ object Multimodal {
         col("dhash").as("sig")),
       maxHamming, maxBucketSize)
       .toDF("fa", "fb", "hamming")
+      // integer DIV to recover the clip id: `/` on longs is DOUBLE
+      // division, which above 2^53 rounds composite ids onto the wrong
+      // clip — exactly the id range a large media lake occupies
       .select(
-        (col("fa") / lit(frameStride)).cast("long").as("ca"),
+        expr(s"fa DIV $frameStride").as("ca"),
         col("fa").as("fa"),
-        (col("fb") / lit(frameStride)).cast("long").as("cb"),
+        expr(s"fb DIV $frameStride").as("cb"),
         col("fb").as("fb"))
       .filter(col("ca") =!= col("cb"))
       // canonical clip order; frame ids keep their side so the distinct

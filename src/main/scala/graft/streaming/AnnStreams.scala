@@ -223,10 +223,18 @@ object AnnStreams {
     * scores are full-precision re-ranks, so with `refine` ≥ cell
     * population the results equal the float index exactly (spec'd), and
     * the nprobe/refine recall trade-off is quantified by the ScaleStress
-    * `pq` leg. */
+    * `pq` leg.
+    *
+    * Maintenance parity with the other index families:
+    * `cellsQAppends`/`vecsAppends` are the [[appendQuantizedStream]]-
+    * ingested tails (landed in LOCKSTEP — codes without floats would
+    * shortlist but never re-rank), joined as separate branches so the
+    * bucketed bases keep their pre-partitioning;
+    * [[compactQuantizedIndex]] folds both tails blue/green. */
   final case class QuantizedIndex(
       dir: String, nlist: Int, centroids: Array[(Int, Array[Float])],
-      cellsQ: DataFrame, vecs: DataFrame)
+      cellsQ: DataFrame, vecs: DataFrame,
+      cellsQAppends: DataFrame, vecsAppends: DataFrame)
 
   private def qTableName(spark: SparkSession, dir: String, kind: String): String =
     DiskIndex.tableName(spark, s"graft_annq_$kind", dir)
@@ -283,9 +291,11 @@ object AnnStreams {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     Seq((nlist, centroids.length)).toDF("nlist", "n_centroids")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    QuantizedIndex(dir, nlist, centroids,
-      spark.table(qTableName(spark, dir, "cellsq")),
-      spark.table(qTableName(spark, dir, "vecs")))
+    val cellsQ = spark.table(qTableName(spark, dir, "cellsq"))
+    val vecs = spark.table(qTableName(spark, dir, "vecs"))
+    QuantizedIndex(dir, nlist, centroids, cellsQ, vecs,
+      DiskIndex.appendTail(spark, s"$dir/appends_cellsq", cellsQ.schema),
+      DiskIndex.appendTail(spark, s"$dir/appends_vecs", vecs.schema))
   }
 
   /** Reopen a persisted quantized index after a driver bounce — same
@@ -301,7 +311,79 @@ object AnnStreams {
       .orderBy(col("centroid_id"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-    QuantizedIndex(dir, nlist, centroids, cellsQ, vecs)
+    QuantizedIndex(dir, nlist, centroids, cellsQ, vecs,
+      DiskIndex.appendTail(spark, s"$dir/appends_cellsq", cellsQ.schema),
+      DiskIndex.appendTail(spark, s"$dir/appends_vecs", vecs.schema))
+  }
+
+  /** Land ONE batch of new vectors into the quantized index's append tail
+    * — [[landAppendBatch]]'s discipline for the quantized family: map-side
+    * cell assignment against the FIXED centroids, int8 codes into
+    * `appends_cellsq/batch=<id>`, float vectors into
+    * `appends_vecs/batch=<id>` (the exact-re-rank side must grow in
+    * lockstep or appended items would shortlist but never re-rank).
+    * Idempotent per batchId. Handles opened AFTER the append see it —
+    * [[openQuantizedIndex]] binds both tails at open time. */
+  def landQuantizedAppendBatch(batch: DataFrame, index: QuantizedIndex,
+      idCol: String, vecCol: String, batchId: Long): Unit = {
+    val b = batch.select(col(idCol).cast("long").as(idCol), col(vecCol))
+    Similarity.assignCells(b, index.centroids, idCol, vecCol)
+      .select(col("centroid_id"), col("item_id"),
+        graft.functions.Exprs.int8_quantize(col("item_vec")).as("code"))
+      .write.mode("overwrite")
+      .parquet(s"${index.dir}/appends_cellsq/batch=$batchId")
+    b.select(col(idCol).cast("long").as("item_id"),
+        col(vecCol).as("item_vec"))
+      .write.mode("overwrite")
+      .parquet(s"${index.dir}/appends_vecs/batch=$batchId")
+  }
+
+  /** Streaming maintenance for the quantized index — the [[appendStream]]
+    * twin over [[landQuantizedAppendBatch]]. */
+  def appendQuantizedStream(arrivals: DataFrame, index: QuantizedIndex,
+      idCol: String, vecCol: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(arrivals.isStreaming, "appendQuantizedStream takes a streaming relation")
+    arrivals
+      .select(col(idCol).cast("long").as(idCol), col(vecCol))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        landQuantizedAppendBatch(batch, index, idCol, vecCol, batchId)
+      }
+      .start()
+  }
+
+  /** Blue/green compaction for the quantized family: fold both append
+    * tails into fresh bucketed bases at `newDir`, centroids/meta verbatim
+    * — same contract as [[compactIndex]]. */
+  def compactQuantizedIndex(spark: SparkSession, dir: String,
+      newDir: String): QuantizedIndex = {
+    require(DiskIndex.qualifiedUri(spark, dir) !=
+      DiskIndex.qualifiedUri(spark, newDir),
+      "compaction is blue/green: newDir must differ from dir")
+    val old = openQuantizedIndex(spark, dir)
+    old.cellsQ.unionByName(old.cellsQAppends)
+      .repartition(old.nlist, col("centroid_id"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(old.nlist, "centroid_id").sortBy("centroid_id")
+      .option("path", s"$newDir/cellsq")
+      .saveAsTable(qTableName(spark, newDir, "cellsq"))
+    old.vecs.unionByName(old.vecsAppends)
+      .repartition(old.nlist, col("item_id"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(old.nlist, "item_id").sortBy("item_id")
+      .option("path", s"$newDir/vecs")
+      .saveAsTable(qTableName(spark, newDir, "vecs"))
+    Seq("centroids", "meta").foreach { kind =>
+      spark.read.parquet(s"$dir/$kind")
+        .coalesce(1).write.mode("overwrite").parquet(s"$newDir/$kind")
+    }
+    openQuantizedIndex(spark, newDir)
   }
 
   /** Serve top-k through the QUANTIZED index: map-side nprobe centroid
@@ -332,11 +414,17 @@ object AnnStreams {
       .select(col("query_id"), col("ts"), col("query_vec"),
         (-col("probe.ncid")).as("centroid_id"))
     val ok = col("item_id").isNotNull && col("item_id") =!= col("query_id")
-    val scoredQ = probes.join(index.cellsQ, Seq("centroid_id"), "left_outer")
-      .select(col("query_id"), col("ts"), col("query_vec"),
-        when(ok, graft.functions.Exprs.int8_cosine(
-          col("query_vec"), col("code"))).as("aq"),
-        when(ok, col("item_id")).as("cand_id"))
+    // the append tail joins as a SECOND branch (same reasoning as the
+    // float serve plan: a bucketed∪unbucketed union would strip the
+    // bucket pre-partitioning from the whole probe join)
+    def scoredAgainst(cells: DataFrame): DataFrame =
+      probes.join(cells, Seq("centroid_id"), "left_outer")
+        .select(col("query_id"), col("ts"), col("query_vec"),
+          when(ok, graft.functions.Exprs.int8_cosine(
+            col("query_vec"), col("code"))).as("aq"),
+          when(ok, col("item_id")).as("cand_id"))
+    val scoredQ = scoredAgainst(index.cellsQ)
+      .unionByName(scoredAgainst(index.cellsQAppends))
     // the shortlist: k·refine candidates per query by (approx DESC, id) —
     // the ONLY pass over the (4× smaller) quantized cells
     val short = scoredQ.groupBy(col("query_id"), col("ts"))
@@ -344,15 +432,21 @@ object AnnStreams {
         graft.functions.TopKBuffer.top_k(
           col("aq"), col("cand_id"), k * refine).as("shortk"))
     // exact re-rank of the probed slice: k·refine rows per query move to
-    // the float table's buckets; the corpus side never shuffles
+    // the float table's buckets; the corpus side never shuffles. The tail
+    // chains as a second LEFT join + coalesce — item ids are disjoint
+    // between base and tail, so each shortlisted id resolves exactly once
+    val vecsApp = index.vecsAppends.select(col("item_id"),
+      col("item_vec").as("__tv"))
     val rer = short
       .select(col("query_id"), col("ts"), col("query_vec"),
         explode(col("shortk")).as("hit"))
       .select(col("query_id"), col("ts"), col("query_vec"),
         col("hit.id").as("item_id"))
-      .join(index.vecs, Seq("item_id"))
+      .join(index.vecs, Seq("item_id"), "left_outer")
+      .join(vecsApp, Seq("item_id"), "left_outer")
       .select(col("query_id"), col("ts"),
-        cosine_sim(col("query_vec"), col("item_vec")).as("cs"), col("item_id"))
+        cosine_sim(col("query_vec"),
+          coalesce(col("item_vec"), col("__tv"))).as("cs"), col("item_id"))
     val hits = rer.groupBy(col("query_id"), col("ts"))
       .agg(graft.functions.TopKBuffer.top_k(
         col("cs"), col("item_id"), k).as("topk"))

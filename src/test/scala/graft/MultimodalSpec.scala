@@ -449,6 +449,14 @@ class MultimodalSpec extends SparkSpec {
       Seq((9000000L, Array[Byte](1, 2, 3))).toDF("media_id", "payload"))
     assert(Multimodal.clipFrameDhashes(withJunk, 2)
       .filter($"media_id" === 9000000L).isEmpty)
+    // composite-id decode stays exact beyond 2^53 (integer DIV, not double
+    // division — clip·2^20 + frame at a 10-billion clip id is ~1.05e16)
+    val big = Multimodal.plantSyntheticGifClips(
+      Seq(10000000000L).toDF("doc_id"), "doc_id", frames = 6, variantFrame = 2)
+    val bigPairs = Multimodal.clipNearDupPairs(big, sampleEvery = 2)
+      .select($"clip_a", $"clip_b").as[(Long, Long)].collect().toSeq
+    assert(bigPairs == Seq((10000000000L, 10001000000L)),
+      s"huge composite ids must decode exactly: $bigPairs")
   }
 
   test("sampleFrames: stride-2 generator over n_frames") {

@@ -118,6 +118,58 @@ class DiskIndexSpec extends graft.SparkSpec {
     assert(qb < fb, s"quantized cells must be smaller: $qb vs $fb bytes")
   }
 
+  test("quantized index: streamed appends serve like a rebuild; compaction identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tmp = java.nio.file.Files.createTempDirectory("annq-append").toString
+    // ids 0,1 carry the axis seeds so the base index and a full rebuild
+    // derive IDENTICAL seeded centroids
+    val base = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)), (1L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val late = Seq(
+      (3L, Seq(0.1f, 0.9f, 0.0f, 0.0f)), (4L, Seq(0.95f, 0.05f, 0.0f, 0.0f)))
+    val full = base.unionByName(late.toDF("vec_id", "embedding"))
+    val built = graft.streaming.AnnStreams.buildQuantizedIndex(
+      base, "vec_id", "embedding", s"$tmp/idx", nlist = 2, trained = false)
+    assert(built.cellsQAppends.isEmpty && built.vecsAppends.isEmpty)
+    // stream the two late vectors in across two micro-batches
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val q = graft.streaming.AnnStreams.appendQuantizedStream(
+      input.toDF().toDF("vec_id", "embedding"), built,
+      "vec_id", "embedding", s"$tmp/ckpt")
+    try {
+      input.addData(late.take(1)); q.processAllAvailable()
+      input.addData(late.drop(1)); q.processAllAvailable()
+    } finally q.stop()
+    val reopened = graft.streaming.AnnStreams.openQuantizedIndex(spark, s"$tmp/idx")
+    assert(reopened.cellsQAppends.count() == 2 && reopened.vecsAppends.count() == 2)
+    val arrivals = Seq(
+      (100L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), Seq(1.0f, 0.05f, 0.0f, 0.0f)),
+      (101L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), Seq(0.05f, 1.0f, 0.0f, 0.0f)))
+      .toDF("query_id", "ts", "embedding")
+    def served(idx: graft.streaming.AnnStreams.QuantizedIndex) =
+      graft.streaming.AnnStreams.annServeQuantizedBatch(
+        arrivals, idx, "query_id", "ts", "embedding", k = 3, nprobe = 2, refine = 2)
+        .select($"query_id", $"rank".cast("int"), $"item_id", $"cos_sim")
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val viaAppends = served(reopened)
+    // ground truth: rebuild over the whole corpus — same seeded centroids
+    val rebuilt = graft.streaming.AnnStreams.buildQuantizedIndex(
+      full, "vec_id", "embedding", s"$tmp/idx-full", nlist = 2, trained = false)
+    assert(viaAppends == served(rebuilt), s"$viaAppends vs ${served(rebuilt)}")
+    // appended vectors actually serve (id 3 answers the y-axis query)
+    assert(viaAppends.filter(_._1 == 101L).map(_._3).contains(3L))
+    // blue/green compaction: same results, empty tails, old dir readable
+    val compacted = graft.streaming.AnnStreams.compactQuantizedIndex(
+      spark, s"$tmp/idx", s"$tmp/idx-compact")
+    assert(compacted.cellsQAppends.isEmpty && compacted.vecsAppends.isEmpty)
+    assert(compacted.cellsQ.count() == 5 && compacted.vecs.count() == 5)
+    assert(served(compacted) == viaAppends)
+    assert(served(graft.streaming.AnnStreams.openQuantizedIndex(
+      spark, s"$tmp/idx")) == viaAppends)
+  }
+
   test("blue/green guards reject two spellings of the same location") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("diskidx-bg").toString
