@@ -6076,6 +6076,96 @@ object Extensions {
       |FROM q LEFT JOIN hits h ON h.query_id = q.query_id AND h.rank <= 5
       |ORDER BY q.query_id, h.rank""".stripMargin
 
+  // --------------------------- x205 quantized append/compaction twin (int8)
+  /** x202's compaction-equivalence discipline applied to the QUANTIZED
+    * family: build the int8 index over 70% of the corpus, land a 10%
+    * slice through the REAL lockstep landing path
+    * ([[graft.streaming.AnnStreams.landQuantizedAppendBatch]] — codes AND
+    * float vectors, the exact foreachBatch body), compact blue→green, and
+    * serve the same arrivals through BOTH handles. What this pins beyond
+    * x202/x203: the appended slice is quantized at APPEND time with the
+    * same closed form the base was, the shortlist sees base and tail as
+    * separate branches, and the exact re-rank resolves appended ids from
+    * the tail float table — a tail landed without its floats, a branch
+    * dropped, or a compaction that re-quantized would all break the hash
+    * against the one-corpus DuckDB replay. */
+  private val x205Indexes = new SessionIndexCache[
+    (graft.streaming.AnnStreams.QuantizedIndex, graft.streaming.AnnStreams.QuantizedIndex)]
+  def x205QuantizedAppendTwin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.AnnStreams
+    val e = emb(s, dir)
+    val (oldIdx, newIdx) = x205Indexes.getOrBuild(s, dir) {
+      val idxDir = java.nio.file.Files.createTempDirectory("x205idx").toString
+      val built = AnnStreams.buildQuantizedIndex(
+        e.filter($"vec_id" % 10 < 7), "vec_id", "embedding", s"$idxDir/blue",
+        nlist = 8, trained = false)
+      AnnStreams.landQuantizedAppendBatch(
+        e.filter($"vec_id" % 10 === 7), built, "vec_id", "embedding", batchId = 0L)
+      (AnnStreams.openQuantizedIndex(s, s"$idxDir/blue"),
+        AnnStreams.compactQuantizedIndex(s, s"$idxDir/blue", s"$idxDir/green"))
+    }
+    val arrivals = e.filter($"vec_id" % 10 >= 8)
+      .select($"vec_id", timestamp_seconds($"vec_id" % 86400).as("ts"), $"embedding")
+    def leg(idx: AnnStreams.QuantizedIndex, name: String): DataFrame =
+      AnnStreams.annServeQuantizedBatch(arrivals, idx, "vec_id", "ts", "embedding",
+        k = 5, nprobe = 2, refine = 4)
+        .select(lit(name).as("leg"), $"query_id",
+          unix_timestamp($"ts").as("ts_s"),
+          $"rank".cast("long").as("rank"), $"item_id", $"cos_sim")
+    leg(oldIdx, "old").unionByName(leg(newIdx, "new"))
+      .orderBy($"leg", $"query_id", $"rank".asc_nulls_last)
+  }
+  val x205Sql: String =
+    s"""WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 < 8),
+      |q AS (SELECT vec_id AS query_id, embedding AS qv
+      |      FROM embeddings WHERE vec_id % 10 >= 8),
+      |cent AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+      |  FROM (SELECT vec_id, embedding FROM corpus
+      |        WHERE vec_id % 10 < 7 ORDER BY vec_id LIMIT 8)),
+      |codes AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+      |      ELSE CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT) END) AS code
+      |  FROM (SELECT vec_id, embedding,
+      |          CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+      |            / 127.0 AS scale
+      |        FROM corpus)),
+      |assigned AS (
+      |  SELECT item_id, item_vec, cid FROM (
+      |    SELECT c.vec_id AS item_id, c.embedding AS item_vec, ct.cid,
+      |      row_number() OVER (PARTITION BY c.vec_id
+      |        ORDER BY ${cosSql("c.embedding", "ct.cvec")} DESC, ct.cid) AS rn
+      |    FROM corpus c CROSS JOIN cent ct) WHERE rn = 1),
+      |probes AS (
+      |  SELECT query_id, qv, cid FROM (
+      |    SELECT q.query_id, q.qv, ct.cid,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY ${cosSql("q.qv", "ct.cvec")} DESC, ct.cid) AS rn
+      |    FROM q CROSS JOIN cent ct) WHERE rn <= 2),
+      |short AS (
+      |  SELECT query_id, qv, item_id FROM (
+      |    SELECT p.query_id, p.qv, a.item_id,
+      |      row_number() OVER (PARTITION BY p.query_id
+      |        ORDER BY ${cosSql("p.qv", "k.code")} DESC, a.item_id) AS rn
+      |    FROM probes p JOIN assigned a USING (cid)
+      |    JOIN codes k ON k.vec_id = a.item_id
+      |    WHERE a.item_id <> p.query_id) WHERE rn <= 20),
+      |hits AS (
+      |  SELECT query_id, item_id, cs,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, item_id) AS rank
+      |  FROM (
+      |    SELECT s.query_id, s.item_id, ${cosSql("s.qv", "c.embedding")} AS cs
+      |    FROM short s JOIN corpus c ON c.vec_id = s.item_id))
+      |SELECT l.leg, q.query_id, CAST(q.query_id % 86400 AS BIGINT) AS ts_s,
+      |  h.rank, h.item_id, h.cs AS cos_sim
+      |FROM (VALUES ('old'), ('new')) l(leg)
+      |CROSS JOIN q
+      |LEFT JOIN hits h ON h.query_id = q.query_id AND h.rank <= 5
+      |ORDER BY l.leg, q.query_id, h.rank""".stripMargin
+
   // ------------------------------------- x200 image near-dup (dHash pairs)
   /** Image NEAR-DUP dedup — the multimodal leg of the near-dup family
     * (x06/x07/x08 dedup text; this dedups pixels): per document a base PNG
@@ -6856,6 +6946,7 @@ object Extensions {
     "x202_compaction_twin" -> x202CompactionTwin _,
     "x203_quantized_serve" -> x203QuantizedServe _,
     "x204_clip_neardup" -> x204ClipNeardup _,
+    "x205_quantized_append_twin" -> x205QuantizedAppendTwin _,
     "x194_gif_frames" -> x194GifFrames _,
     "x193_pixel_resize" -> x193PixelResize _,
     "x192_manku_recall" -> x192MankuRecall _,
@@ -7114,6 +7205,7 @@ object Extensions {
     "x202_compaction_twin" -> x202Sql,
     "x203_quantized_serve" -> x203Sql,
     "x204_clip_neardup" -> x204Sql,
+    "x205_quantized_append_twin" -> x205Sql,
     "x194_gif_frames" -> x194Sql,
     "x193_pixel_resize" -> x193Sql,
     "x192_manku_recall" -> x192Sql,

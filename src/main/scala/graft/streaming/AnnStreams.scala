@@ -399,14 +399,40 @@ object AnnStreams {
       idCol: String, tsCol: String, vecCol: String,
       k: Int = 10, nprobe: Int = 4, refine: Int = 4): DataFrame = {
     require(!arrivals.isStreaming, "quantized serve twin takes a batch relation")
+    serveQuantizedPlan(arrivals, index, idCol, tsCol, vecCol, k, nprobe, refine, None)
+  }
+
+  /** STREAMING quantized serve — [[annServeQuantizedBatch]]'s plan over an
+    * arrival stream. Structurally this chains TWO stateful aggregations in
+    * append mode (the k·refine shortlist heap, then the exact-re-rank
+    * top-k heap) with two stream-static joins between and after them —
+    * the multiple-stateful-operator shape Spark supports when every
+    * stateful step groups on the SAME watermarked event-time column, as
+    * both heaps here do (query_id, ts). Rows finalize when the watermark
+    * passes their event time, same as [[annServe]]. */
+  def annServeQuantized(arrivals: DataFrame, index: QuantizedIndex,
+      idCol: String, tsCol: String, vecCol: String,
+      k: Int = 10, nprobe: Int = 4, refine: Int = 4,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(arrivals.isStreaming,
+      "arrivals must be a streaming relation; use annServeQuantizedBatch for the batch twin")
+    serveQuantizedPlan(arrivals, index, idCol, tsCol, vecCol, k, nprobe,
+      refine, Some(watermarkDelay))
+  }
+
+  private def serveQuantizedPlan(arrivals: DataFrame, index: QuantizedIndex,
+      idCol: String, tsCol: String, vecCol: String,
+      k: Int, nprobe: Int, refine: Int,
+      watermarkDelay: Option[String]): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(refine >= 1, s"refine must be positive, got $refine")
     require(nprobe >= 1 && nprobe <= index.centroids.length,
       s"nprobe must be in [1, ${index.centroids.length}], got $nprobe")
-    val base = arrivals.select(
+    val built = arrivals.select(
       col(idCol).cast("long").as("query_id"),
       col(tsCol).as("ts"),
       col(vecCol).as("query_vec"))
+    val base = watermarkDelay.fold(built)(built.withWatermark("ts", _))
     val probes = base.select(col("query_id"), col("ts"), col("query_vec"),
       explode(slice(reverse(array_sort(
         Similarity.centroidScores(col("query_vec"), index.centroids))),

@@ -60,8 +60,13 @@ private[streaming] object DiskIndex {
       .filter(_.isDirectory)
       .map(_.getPath.toString)
     if (batches.isEmpty)
+      // a LocalRelation empty, NOT an emptyRDD-backed frame: Catalyst can
+      // prove a LocalRelation has zero rows, so PropagateEmptyRelation
+      // prunes the whole tail branch out of every serve plan (an RDD scan
+      // is opaque — measured: the un-pruned empty branch re-scanned and
+      // re-shuffled the arrivals side once per serve)
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
     else spark.read.parquet(batches.toSeq: _*)
       .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
   }

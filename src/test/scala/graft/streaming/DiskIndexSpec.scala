@@ -170,6 +170,52 @@ class DiskIndexSpec extends graft.SparkSpec {
       spark, s"$tmp/idx")) == viaAppends)
   }
 
+  test("streaming quantized serve: two chained heap aggregates, stream == batch twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tmp = java.nio.file.Files.createTempDirectory("annq-stream").toString
+    val corpus = (0 until 24).map { i =>
+      val axis = i % 4
+      val v = Array.tabulate(4)(d =>
+        (if (d == axis) 1.0f else 0.0f) + 0.01f * ((i * 7 + d * 3) % 11))
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val idx = graft.streaming.AnnStreams.buildQuantizedIndex(
+      corpus, "vec_id", "embedding", s"$tmp/idx", nlist = 4, trained = false)
+    def ts(s: Int) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    val arrivals = (0 until 6).map { i =>
+      val axis = i % 4
+      val v = Array.tabulate(4)(d =>
+        (if (d == axis) 1.0f else 0.0f) + 0.01f * ((i * 5 + d) % 7))
+      (100L + i, ts(i), v.toSeq)
+    }
+    val input = MemoryStream[(Long, java.sql.Timestamp, Seq[Float])](spark)
+    val q = graft.streaming.AnnStreams.annServeQuantized(
+      input.toDF().toDF("query_id", "ts", "embedding"), idx,
+      "query_id", "ts", "embedding", k = 3, nprobe = 2, refine = 2,
+      watermarkDelay = "0 seconds")
+      .writeStream.format("parquet").option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append").start()
+    try {
+      input.addData(arrivals.take(3)); q.processAllAvailable()
+      input.addData(arrivals.drop(3)); q.processAllAvailable()
+      // a far-future flusher pushes the watermark past every real arrival
+      input.addData(Seq((999L, ts(100000), Seq(0.5f, 0.5f, 0.0f, 0.0f))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$tmp/out")
+      .filter($"query_id" < 900)
+      .select($"query_id", $"rank".cast("int"), $"item_id", $"cos_sim")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val expected = graft.streaming.AnnStreams.annServeQuantizedBatch(
+      arrivals.toDF("query_id", "ts", "embedding"), idx,
+      "query_id", "ts", "embedding", k = 3, nprobe = 2, refine = 2)
+      .select($"query_id", $"rank".cast("int"), $"item_id", $"cos_sim")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == expected, s"stream:\n$got\nbatch:\n$expected")
+  }
+
   test("blue/green guards reject two spellings of the same location") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("diskidx-bg").toString
