@@ -55,6 +55,11 @@ object Bench {
         val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
       }.min
     val floorLaunchMs = minOf(20)(spark.range(1).count()) * 1000
+    // the MINIMAL job (one slice, two tasks): separates the per-JOB
+    // constant from the per-task dispatch the default-parallelism floor
+    // above pays cpus× per stage (FloorProbe decomposition, r16) — a
+    // second calibration sentinel for cross-round host comparison
+    val floorLaunch1Ms = minOf(20)(spark.range(1L, 2L, 1L, 1).count()) * 1000
     val floorQ13Ms = SparkEntry.queries.get("q13_count")
       .map(fn => minOf(5)(fn(spark, sfDir).count()) * 1000)
       .getOrElse(-1.0)
@@ -239,7 +244,7 @@ object Bench {
     // broke round 6); the complete lists live in BENCH_QUERIES.json
     def names(xs: Seq[String], cap: Int): String =
       xs.take(cap).map(n => "\"" + n + "\"").mkString("[", ",", "]")
-    val cal = s""""floor_launch_ms":${f(floorLaunchMs)},"floor_q13_ms":${f(floorQ13Ms)},"floor_mid_max_ms":${f(floorMidMax)},"n_failed":$nFailedFinal,"n_polluted":${polluted.size},"n_polluted_final":${unresolved.size},"polluted":${names(polluted, 10)},"unresolved":${names(unresolved.toSeq, 10)}"""
+    val cal = s""""floor_launch_ms":${f(floorLaunchMs)},"floor_launch1_ms":${f(floorLaunch1Ms)},"floor_q13_ms":${f(floorQ13Ms)},"floor_mid_max_ms":${f(floorMidMax)},"n_failed":$nFailedFinal,"n_polluted":${polluted.size},"n_polluted_final":${unresolved.size},"polluted":${names(polluted, 10)},"unresolved":${names(unresolved.toSeq, 10)}"""
     val timelineJson = floorTimeline
       .map { case (at, ms) => s"""{"after_query":$at,"ms":${f(ms)}}""" }
       .mkString("[", ",", "]")
