@@ -73,6 +73,49 @@ object Bench {
     // optional local-iteration knobs (the driver passes neither): args are
     // query names to run exclusively; SPARK_GRAFT_REPEATS overrides the
     // best-of-2 protocol for variance hunting on an individual query
+    // Timing protocol, used by the main pass, the hot-set extras, and the
+    // quiet-tail re-time alike. DEFAULT (honest, per-run): every repeat
+    // re-invokes fn() and times construction + Catalyst planning +
+    // execution — NOTHING a query does escapes the clock, including eager
+    // driver-side work in constructors (hot-shingle collects, planted-
+    // media checkpoints). SPARK_GRAFT_SHARED_PLAN=1 switches to the
+    // plan-cached variant the r15 verdict floated ("shared-plan warm-up /
+    // Bench-side job reuse"): build once, time collect() on the SAME
+    // Dataset per repeat — Dataset actions reuse their own QueryExecution,
+    // so run 2 executes the already-compiled plan, the steady-state a
+    // thrift-server/repeated-ETL deployment lives in. The shared mode is
+    // an OPT-IN receipt, not the default, because it has a documented
+    // loophole: any eager work inside fn() (and anything a query
+    // localCheckpoints internally) happens once OUTSIDE the clock, so
+    // queries with eager constructors under-report (first observed on
+    // x204: 3.6 s honest vs 0.04 s shared — the planted-GIF decode lives
+    // in a checkpoint the reused Dataset never re-runs). Failed runs are
+    // excluded from the min (a query that fails fast must not
+    // under-report); a build failure yields no runs → the -1.0 sentinel.
+    val sharedPlan = sys.env.getOrElse("SPARK_GRAFT_SHARED_PLAN", "0") == "1"
+    def timedRuns(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        n: Int): Seq[Double] = {
+      def build(): Option[org.apache.spark.sql.DataFrame] =
+        try Some(fn(spark, sfDir).selectExpr("count(*)"))
+        catch { case _: Throwable => None }
+      if (sharedPlan) {
+        build().toSeq.flatMap { df =>
+          (1 to n).flatMap { _ =>
+            val t0 = System.nanoTime()
+            val ok = try { df.collect(); true }
+                     catch { case _: Throwable => false }
+            if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+          }
+        }
+      } else {
+        (1 to n).flatMap { _ =>
+          val t0 = System.nanoTime()
+          val ok = try { build().exists { df => df.collect(); true } }
+                   catch { case _: Throwable => false }
+          if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        }
+      }
+    }
     val only = args.toSet
     val unknown = only.diff(SparkEntry.queries.keySet)
     require(unknown.isEmpty,
@@ -102,26 +145,7 @@ object Bench {
       // A failed run must NOT contribute its elapsed time to the min (a
       // query that fails fast would under-report); failures map to a -1.0
       // sentinel that survives to the output so a broken query is visible.
-      // SHARED-PLAN protocol (r15 verdict ask #4): the DataFrame is built
-      // ONCE and counted `repeats` times — run 1 pays physical planning +
-      // codegen inside its count() (and, under AQE, the adaptive
-      // re-planning), run 2 reuses the cached QueryExecution, so the min
-      // measures EXECUTION the way the DuckDB comparator's ~1 ms planner
-      // does. Catalyst analyze/optimize/plan was measured at 12-56 ms per
-      // core query (FloorProbe plan_* fields) — a per-query constant that
-      // a plan-caching deployment (thrift server, repeated ETL) never
-      // re-pays and a 100 TB input amortizes to nothing. Isolation is
-      // untouched: every run is its own job; the floor timeline and
-      // pollution attribution read the same quantities as before.
-      val frame = try Some(fn(spark, sfDir)) catch { case _: Throwable => None }
-      val runs = frame.toSeq.flatMap { df =>
-        (1 to repeats).flatMap { _ =>
-          val t0 = System.nanoTime()
-          val ok = try { df.count(); true }
-                   catch { case _: Throwable => false }
-          if (ok) Some((System.nanoTime() - t0) / 1e9) else None
-        }
-      }
+      val runs = timedRuns(fn, repeats)
       (name, if (runs.nonEmpty) runs.min else -1.0, idx)
     }
     val results = timed.map { case (name, best, _) => name -> best }
@@ -149,12 +173,7 @@ object Bench {
         // same rule as the first pass: failed extra runs are EXCLUDED from
         // the min — a query that starts failing fast here must not report
         // an artificially small time.
-        val extra = (1 to hotExtra).flatMap { _ =>
-          val t0 = System.nanoTime()
-          val ok = try { fns(name)(spark, sfDir).count(); true }
-                   catch { case _: Throwable => false }
-          if (ok) Some((System.nanoTime() - t0) / 1e9) else None
-        }
+        val extra = timedRuns(fns(name), hotExtra)
         name -> (best +: extra).min
       }
     }
@@ -218,12 +237,7 @@ object Bench {
         while (fl > 3.0 * floorLaunchMs && System.nanoTime() < deadline) {
           Thread.sleep(2000); fl = floorNow()
         }
-        val runs = (1 to repeats).flatMap { _ =>
-          val t0 = System.nanoTime()
-          val ok = try { fns(name)(spark, sfDir).count(); true }
-                   catch { case _: Throwable => false }
-          if (ok) Some((System.nanoTime() - t0) / 1e9) else None
-        }
+        val runs = timedRuns(fns(name), repeats)
         val bracket = math.max(fl, floorNow())
         retimeFloors(name) = bracket
         if (runs.nonEmpty && bracket <= 3.0 * floorLaunchMs) retimed(name) = runs.min

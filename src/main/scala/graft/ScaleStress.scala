@@ -507,10 +507,10 @@ object ScaleStress {
             s"concat_ws(' ', transform(sequence(0, 19), " +
               s"i -> concat('$vocab', pmod(hash(id * $seed + i), 100000))))"))
             .as("text"))
+      val built = DedupStreams.openAdmissionIndex(spark, s"$dir/idx")
       DedupStreams.landAppendBatch(
-        synth(nDrift, nBase * 10, "dw", 37),
-        DedupStreams.openAdmissionIndex(spark, s"$dir/idx"),
-        "doc_id", "text", batchId = 0L)
+        synth(nDrift, nBase * 10, "dw", 37), built, "doc_id", "text", batchId = 0L)
+      // reopen AFTER the landing: handles bind the tail at open time
       val drifted = DedupStreams.openAdmissionIndex(spark, s"$dir/idx")
       val arrivals =
         synth(1000, nBase * 10 + nDrift, "aw", 41).localCheckpoint()

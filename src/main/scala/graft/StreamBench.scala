@@ -140,6 +140,15 @@ object StreamBench {
     // offsets would silently collide replica ranges and build the 10x
     // indexes over duplicate ids
     lazy val corpusStride = corpus.agg(max(col("doc_id"))).head().getLong(0) + 1
+    // ONE parameterized synthetic-workload generator per modality (vectors,
+    // texts) — the legs vary only vocab/seed, so the dimension/shape can
+    // never silently diverge between serve and append sides
+    def synthVecSeeded(seed: Int) = expr(s"transform(sequence(0, 63), " +
+      s"i -> cast(pmod(hash(value * $seed + i), 1000) as float) / 500.0 - 1.0)")
+    val synthVec = synthVecSeeded(131)
+    def synthTextSeeded(vocab: String, seed: Int) =
+      expr(s"concat_ws(' ', transform(sequence(0, 29), " +
+        s"i -> concat('$vocab', pmod(hash(value * $seed + i), 5000))))")
     def buildIndex(name: String, c: DataFrame): (graft.streaming.DedupStreams.AdmissionIndex, Double) = {
       val t0 = System.nanoTime()
       val idx = graft.streaming.DedupStreams.buildAdmissionIndex(
@@ -160,8 +169,7 @@ object StreamBench {
           measure(name,
             rate => graft.streaming.DedupStreams.nearDupAdmission(
               rate.select(col("value").as("doc_id"), col("timestamp").as("ts"),
-                expr("concat_ws(' ', transform(sequence(0, 29), " +
-                  "i -> concat('w', pmod(hash(value * 31 + i), 5000))))").as("text")),
+                synthTextSeeded("w", 31).as("text")),
               idx, "doc_id", "ts", "text", watermarkDelay = "10 seconds"),
             "append", rowsPerBatch = admRowsPerBatch),
           s""""${name}_index_build_s":${"%.1f".format(idxSec)}""")
@@ -191,9 +199,7 @@ object StreamBench {
           measure(name,
             rate => graft.streaming.AnnStreams.annServe(
               rate.select(col("value").as("query_id"), col("timestamp").as("ts"),
-                expr("transform(sequence(0, 63), " +
-                  "i -> cast(pmod(hash(value * 131 + i), 1000) as float) / 500.0 - 1.0)")
-                  .as("embedding")),
+                synthVec.as("embedding")),
               idx, "query_id", "ts", "embedding", k = 10, nprobe = 4,
               watermarkDelay = "10 seconds"),
             "append", rowsPerBatch = admRowsPerBatch),
@@ -210,8 +216,6 @@ object StreamBench {
     // 2 s maintenance trigger; phases A+B keep them live for 2×runSeconds
     // (≥90 s at the 45 s default). Tail row counts land in the JSON so the
     // throughput deltas are attributable.
-    val synthVec = expr("transform(sequence(0, 63), " +
-      "i -> cast(pmod(hash(value * 131 + i), 1000) as float) / 500.0 - 1.0)")
     val maintTrigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("2 seconds")
     def annMaintLeg(name: String): Seq[String] =
       if (!wanted(name)) Seq.empty else {
@@ -246,10 +250,17 @@ object StreamBench {
         // store, scheduler, codegen glue) must not masquerade as phase-A
         // cost — the A/B/C deltas are meant to isolate TAIL STATE
         serveLeg("warm_discard", built)
+        // appended vectors use a DIFFERENT seed than the serve queries —
+        // reusing synthVec here would make every appended vector an exact
+        // clone of a query (both derive from rate values starting at 0),
+        // turning the grown-tail phases into a degenerate self-match
+        // workload the empty-tail phase never sees (same discipline as the
+        // admission twin's 'm'-vs-'w' vocab split)
         val appender = AnnStreams.appendStream(
           spark.readStream.format("rate").option("rowsPerSecond", 10)
             .option("numPartitions", 1).load()
-            .select((col("value") + lit(stride)).as("vec_id"), synthVec.as("embedding")),
+            .select((col("value") + lit(stride)).as("vec_id"),
+              synthVecSeeded(137).as("embedding")),
           built, "vec_id", "embedding", s"$outRoot/$name-appendckpt",
           trigger = maintTrigger)
         try {
@@ -282,8 +293,7 @@ object StreamBench {
       if (!wanted(name)) Seq.empty else {
         import graft.streaming.DedupStreams
         val (idx, idxSec) = buildIndex(s"$name-idx", corpus)
-        val synthText = expr("concat_ws(' ', transform(sequence(0, 29), " +
-          "i -> concat('w', pmod(hash(value * 31 + i), 5000))))")
+        val synthText = synthTextSeeded("w", 31)
         def serveLeg(phase: String, i: DedupStreams.AdmissionIndex): String =
           measure(s"${name}_$phase",
             rate => DedupStreams.nearDupAdmission(
@@ -307,8 +317,7 @@ object StreamBench {
           spark.readStream.format("rate").option("rowsPerSecond", 20)
             .option("numPartitions", 1).load()
             .select((col("value") + lit(corpusStride * 100)).as("doc_id"),
-              expr("concat_ws(' ', transform(sequence(0, 29), " +
-                "i -> concat('m', pmod(hash(value * 53 + i), 5000))))").as("text")),
+              synthTextSeeded("m", 53).as("text")),
           idx, "doc_id", "text", s"$outRoot/$name-appendckpt",
           trigger = maintTrigger)
         try {

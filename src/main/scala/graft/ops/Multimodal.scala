@@ -625,7 +625,11 @@ object Multimodal {
   def clipNearDupPairs(media: DataFrame, sampleEvery: Int = 1,
       maxHamming: Int = 3, minSharePpm: Long = 500000L,
       maxBucketSize: Int = 1000, frameStride: Long = 1L << 20): DataFrame = {
-    val frames = clipFrameDhashes(media, sampleEvery)
+    // materialize the decoded signatures ONCE (the hammingNearDupPairs
+    // rule): the sizes aggregate and the pair kernel both consume this
+    // relation, and each would otherwise re-run the full codec decode of
+    // every clip — measured as roughly half of x204's runtime
+    val frames = clipFrameDhashes(media, sampleEvery).localCheckpoint()
     val sizes = frames.groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_frames"))
     val pairs = graft.ops.Dedup.hammingNearDupPairs(

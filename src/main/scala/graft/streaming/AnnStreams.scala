@@ -99,6 +99,9 @@ object AnnStreams {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     Seq((nlist, centroids.length)).toDF("nlist", "n_centroids")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    // a rebuild into a previously-used location must not resurrect a tail
+    // assigned under the OLD centroids (DiskIndex.clearAppendTails doc)
+    DiskIndex.clearAppendTails(spark, Seq(s"$dir/appends"))
     ServingIndex(dir, nlist, nlist, centroids, spark.table(tableName(spark, dir)),
       appendsOf(spark, dir))
   }
@@ -200,6 +203,8 @@ object AnnStreams {
       .coalesce(1).write.mode("overwrite").parquet(s"$newDir/centroids")
     spark.read.parquet(s"$dir/meta")
       .coalesce(1).write.mode("overwrite").parquet(s"$newDir/meta")
+    // newDir may have hosted an index before — clear any stale tail
+    DiskIndex.clearAppendTails(spark, Seq(s"$newDir/appends"))
     openServingIndex(spark, newDir)
   }
 
@@ -291,6 +296,9 @@ object AnnStreams {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     Seq((nlist, centroids.length)).toDF("nlist", "n_centroids")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    // same stale-tail guard as the float builder, for BOTH lockstep tails
+    DiskIndex.clearAppendTails(spark,
+      Seq(s"$dir/appends_cellsq", s"$dir/appends_vecs"))
     val cellsQ = spark.table(qTableName(spark, dir, "cellsq"))
     val vecs = spark.table(qTableName(spark, dir, "vecs"))
     QuantizedIndex(dir, nlist, centroids, cellsQ, vecs,
@@ -383,6 +391,9 @@ object AnnStreams {
       spark.read.parquet(s"$dir/$kind")
         .coalesce(1).write.mode("overwrite").parquet(s"$newDir/$kind")
     }
+    // newDir may have hosted an index before — clear any stale tails
+    DiskIndex.clearAppendTails(spark,
+      Seq(s"$newDir/appends_cellsq", s"$newDir/appends_vecs"))
     openQuantizedIndex(spark, newDir)
   }
 

@@ -126,6 +126,10 @@ object DedupStreams {
       .saveAsTable(tableName(spark, "prefix", dir))
     Seq((shingleK, threshold, b)).toDF("shingle_k", "threshold", "buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    // a rebuild into a previously-used location must not resurrect a tail
+    // landed under the OLD hot order (DiskIndex.clearAppendTails doc)
+    DiskIndex.clearAppendTails(spark,
+      Seq(s"$dir/appends_prefix", s"$dir/appends_sets"))
     AdmissionIndex(dir, shingleK, threshold, b,
       spark.table(tableName(spark, "prefix", dir)), sets, prefixExpr,
       DiskIndex.appendTail(spark, s"$dir/appends_prefix",
@@ -241,6 +245,10 @@ object DedupStreams {
       spark.read.parquet(s"$dir/$kind")
         .coalesce(1).write.mode("overwrite").parquet(s"$newDir/$kind")
     }
+    // newDir may have hosted an index before — its stale tail must not
+    // ride into the freshly-compacted handle
+    DiskIndex.clearAppendTails(spark,
+      Seq(s"$newDir/appends_prefix", s"$newDir/appends_sets"))
     openAdmissionIndex(spark, newDir)
   }
 

@@ -71,6 +71,23 @@ private[streaming] object DiskIndex {
       .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
   }
 
+  /** Delete every `batch=*` dir under each append root — called by every
+    * index BUILDER before it returns its handle: base tables are written
+    * with mode("overwrite"), so rebuilding into a previously-used location
+    * must not silently resurrect a stale tail that was landed under the
+    * OLD quantizer/hot order (appended items would serve with wrong cell
+    * assignments, with no error — the same silent-wrong-tail family as
+    * the r15 java.io.File finding). Hadoop FS, scheme-clean. */
+  def clearAppendTails(spark: SparkSession, roots: Seq[String]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    roots.foreach { root =>
+      val p = new Path(root)
+      val fs = p.getFileSystem(conf)
+      Option(fs.globStatus(new Path(p, "batch=*"))).getOrElse(Array.empty)
+        .foreach(st => fs.delete(st.getPath, true))
+    }
+  }
+
   /** Re-register a bucketed parquet table over existing files (schema read
     * from the parquet footers) if the in-memory catalog lost it — the
     * driver-bounce reopen path. Returns the live table either way. */

@@ -216,6 +216,40 @@ class DiskIndexSpec extends graft.SparkSpec {
     assert(got == expected, s"stream:\n$got\nbatch:\n$expected")
   }
 
+  test("rebuilding into a used location clears stale append tails") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("stale-tail").toString
+    // serving family: build, land an append, prove the tail is live
+    val c1 = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val idx1 = AnnStreams.buildServingIndex(
+      c1, "vec_id", "embedding", s"$tmp/ann", nlist = 2, trained = false)
+    AnnStreams.landAppendBatch(
+      Seq((5L, Seq(0.5f, 0.5f))).toDF("vec_id", "embedding"),
+      idx1, "vec_id", "embedding", batchId = 0L)
+    assert(AnnStreams.openServingIndex(spark, s"$tmp/ann").appends.count() == 1)
+    // REBUILD into the same location (new corpus, new centroids): the old
+    // tail was assigned under centroids that no longer exist — it must be
+    // cleared, not silently resurrected into the new handle
+    val rebuilt = AnnStreams.buildServingIndex(
+      Seq((10L, Seq(0.2f, 0.8f)), (11L, Seq(0.8f, 0.2f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$tmp/ann", nlist = 2, trained = false)
+    assert(rebuilt.appends.isEmpty,
+      "rebuild must not resurrect a stale append tail")
+    assert(AnnStreams.openServingIndex(spark, s"$tmp/ann").appends.isEmpty)
+    // admission family: same contract through reindexAdmission's writeIndex
+    val d1 = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val adm = DedupStreams.buildAdmissionIndex(d1, "doc_id", "text", s"$tmp/adm")
+    DedupStreams.landAppendBatch(
+      Seq((2L, "zeta eta theta iota kappa")).toDF("doc_id", "text"),
+      adm, "doc_id", "text", batchId = 0L)
+    assert(DedupStreams.openAdmissionIndex(spark, s"$tmp/adm").setsAppends.count() == 1)
+    val admRebuilt = DedupStreams.buildAdmissionIndex(
+      Seq((9L, "totally different corpus now here")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$tmp/adm")
+    assert(admRebuilt.setsAppends.isEmpty && admRebuilt.prefixAppends.isEmpty)
+  }
+
   test("blue/green guards reject two spellings of the same location") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("diskidx-bg").toString
