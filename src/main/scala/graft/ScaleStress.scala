@@ -461,11 +461,14 @@ object ScaleStress {
         s"int8+re-rank lost >5% recall vs float at nprobe=16: " +
           s"${results("pq_int8_recall_ppm_np16_rf4")} vs " +
           s"${results("pq_float_recall_ppm_np16")}")
+      // Hadoop FS, same scheme-safe discipline as DiskIndex (r16 ADVICE):
+      // a java.io.File walk of a non-local URI would silently report 0
+      // bytes; getContentSummary follows the configured filesystem and
+      // FAILS on a missing/unreachable location instead
       def dirBytes(p: String): Double = {
-        def walk(f: java.io.File): Long =
-          if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
-          else f.length()
-        walk(new java.io.File(p)).toDouble
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.getContentSummary(hp).getLength.toDouble
       }
       results("pq_float_cells_bytes") = dirBytes(s"$dir/float/cells")
       results("pq_int8_cells_bytes") = dirBytes(s"$dir/int8/cellsq")

@@ -619,12 +619,19 @@ object Multimodal {
     * replayable), kept when ≥ `minSharePpm`.
     *
     * Frame rows ride the kernel under the composite id `media_id ·
-    * frameStride + frame_idx`; callers with > 2²⁰ frames per clip or ids
-    * beyond Long.Max/frameStride pass a wider stride. Output
+    * frameStride + frame_idx`. The stride trades the two ranges off
+    * against each other: callers with > 2²⁰ sampled frames per clip pass
+    * a WIDER stride (which lowers the media-id ceiling); callers with
+    * media ids near `Long.MaxValue / frameStride` need a SMALLER stride
+    * (or re-keyed media ids) — a wider one only overflows sooner. Both
+    * bounds are ENFORCED row-wise inside the plan (`assert_true`, no extra
+    * job): a composite that would overflow fails loudly instead of
+    * silently pairing the wrong clips. Output
     * `(clip_a, clip_b, n_frame_pairs, shared_ppm)`, `clip_a < clip_b`. */
   def clipNearDupPairs(media: DataFrame, sampleEvery: Int = 1,
       maxHamming: Int = 3, minSharePpm: Long = 500000L,
       maxBucketSize: Int = 1000, frameStride: Long = 1L << 20): DataFrame = {
+    require(frameStride >= 1, s"frameStride must be positive, got $frameStride")
     // materialize the decoded signatures ONCE (the hammingNearDupPairs
     // rule): the sizes aggregate and the pair kernel both consume this
     // relation, and each would otherwise re-run the full codec decode of
@@ -632,9 +639,26 @@ object Multimodal {
     val frames = clipFrameDhashes(media, sampleEvery).localCheckpoint()
     val sizes = frames.groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_frames"))
+    // the composite-id precondition, enforced where the composite is built
+    // (r16 ADVICE): media_id·stride + frame_idx must stay below Long.Max
+    // and frame_idx below the stride, or two different (clip, frame) pairs
+    // alias to one id and the kernel pairs the WRONG clips with no error.
+    // assert_true keeps the check distributed and inside the plan — no
+    // extra driver action over the frames relation.
+    val maxMediaId = (Long.MaxValue - (frameStride - 1)) / frameStride
+    val inRange = col("media_id").between(0L, maxMediaId) &&
+      col("frame_idx").between(0L, frameStride - 1)
+    val composite = when(
+      assert_true(inRange, concat(
+        lit(s"clipNearDupPairs: composite id would overflow at frameStride=$frameStride "),
+        lit(s"(need 0 <= media_id <= $maxMediaId and frame_idx < $frameStride; got media_id="),
+        col("media_id"), lit(", frame_idx="), col("frame_idx"),
+        lit("); use a smaller stride or re-keyed ids for large media_id, " +
+          "a wider stride only for >stride frames per clip"))).isNull,
+      col("media_id") * lit(frameStride) + col("frame_idx"))
     val pairs = graft.ops.Dedup.hammingNearDupPairs(
       frames.select(
-        (col("media_id") * lit(frameStride) + col("frame_idx")).as("doc_id"),
+        composite.as("doc_id"),
         col("dhash").as("sig")),
       maxHamming, maxBucketSize)
       .toDF("fa", "fb", "hamming")

@@ -28,7 +28,13 @@ private[streaming] object DiskIndex {
   def qualifiedUri(spark: SparkSession, dir: String): String = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val u = fs.makeQualified(p).toUri
+    // .normalize() collapses `.`/`..` segments — Hadoop's Path keeps them,
+    // so `dir` and `dir/sub/..` would otherwise qualify to two different
+    // strings for ONE physical directory: two catalog names for the same
+    // location, and a blue/green guard that lets compaction overwrite the
+    // index it is reading (the r16 ADVICE finding). Pure path math, so the
+    // location still need not exist.
+    val u = fs.makeQualified(p).toUri.normalize()
     // normalize the authority: java.net.URI renders a scheme'd-but-
     // authority-less path as `file:/x` while a qualified bare path renders
     // `file:///x` — same location, two strings. Force the `://` form.

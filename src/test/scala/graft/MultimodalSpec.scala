@@ -457,6 +457,29 @@ class MultimodalSpec extends SparkSpec {
       .select($"clip_a", $"clip_b").as[(Long, Long)].collect().toSeq
     assert(bigPairs == Seq((10000000000L, 10001000000L)),
       s"huge composite ids must decode exactly: $bigPairs")
+    // the composite-id precondition is ENFORCED, not just documented (r16
+    // ADVICE): a media_id past Long.Max/frameStride would silently alias
+    // onto another clip's composite range — it must fail loudly instead
+    val tooBig = Multimodal.plantSyntheticGifClips(
+      Seq(Long.MaxValue / (1L << 20)).toDF("doc_id"), "doc_id",
+      frames = 6, variantFrame = 2)
+    val ex = intercept[Exception] {
+      Multimodal.clipNearDupPairs(tooBig, sampleEvery = 2).collect()
+    }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null && !String.valueOf(c.getMessage).contains("overflow"))
+        c = c.getCause
+      String.valueOf(c.getMessage)
+    }
+    assert(rootMsg(ex).contains("composite id would overflow"),
+      s"expected the overflow guard, got: ${rootMsg(ex)}")
+    // the documented remedy actually works: a SMALLER stride re-admits the
+    // large id (6 frames per clip need only stride > 5)
+    val rescued = Multimodal.clipNearDupPairs(
+      tooBig, sampleEvery = 2, frameStride = 64L)
+      .select($"clip_a", $"clip_b").as[(Long, Long)].collect().toSeq
+    assert(rescued.length == 1, s"smaller stride must rescue large ids: $rescued")
   }
 
   test("sampleFrames: stride-2 generator over n_frames") {

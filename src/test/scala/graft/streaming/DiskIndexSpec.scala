@@ -49,8 +49,17 @@ class DiskIndexSpec extends graft.SparkSpec {
     val viaDot = DiskIndex.qualifiedUri(spark, s"$root/sub/..")
     assert(viaFile == viaBare,
       s"two spellings of one location must qualify identically: $viaFile vs $viaBare")
-    assert(new org.apache.hadoop.fs.Path(viaDot).getParent != null) // parses
+    // `..` segments collapse — `dir` and `dir/sub/..` are ONE physical
+    // directory and must qualify to ONE string (r16 ADVICE: an uncollapsed
+    // `..` spelling bypassed the blue/green guard and derived a second
+    // catalog name for the same location)
+    assert(viaDot == viaBare,
+      s"dot-dot spelling must unify with the plain one: $viaDot vs $viaBare")
+    assert(DiskIndex.qualifiedUri(spark, s"$root/sub/../sub") ==
+      DiskIndex.qualifiedUri(spark, s"$root/sub"))
     assert(DiskIndex.qualifiedUri(spark, s"$root/other") != viaBare)
+    assert(DiskIndex.tableName(spark, "t", s"$root/sub/..")
+      == DiskIndex.tableName(spark, "t", root))
     // catalog names follow the same rule — reopen under any spelling
     // reuses the registration; a different location never collides
     assert(DiskIndex.tableName(spark, "t", s"file:$root")
@@ -261,6 +270,11 @@ class DiskIndexSpec extends graft.SparkSpec {
       AnnStreams.compactIndex(spark, s"$tmp/idx", s"file:$tmp/idx")
     }
     assert(ex.getMessage.contains("blue/green"))
+    // the `..` spelling of the SAME directory is also an in-place rewrite
+    val exDot = intercept[IllegalArgumentException] {
+      AnnStreams.compactIndex(spark, s"$tmp/idx", s"$tmp/idx/sub/..")
+    }
+    assert(exDot.getMessage.contains("blue/green"))
     // and a genuinely different target works, through the file: spelling
     val compacted = AnnStreams.compactIndex(spark, s"$tmp/idx", s"file:$tmp/idx2")
     assert(compacted.cells.count() == 3 && compacted.appends.isEmpty)
