@@ -41,7 +41,8 @@ object ScaleStress {
     // "annskew" (skewed-corpus IVF), "ophlong" (long-doc signature cost),
     // "sat" (saturation plant), "pq" (int8-quantized serving index recall/
     // bytes vs the float index at 10×), "reindex" (admission-index
-    // re-index on a drifted 10× corpus), "lsh40x" (x06 candidate-volume linearity at
+    // re-index on a drifted 10× corpus), "retrain" (serving-index quantizer
+    // retrain on a drifted 10× vector lake), "lsh40x" (x06 candidate-volume linearity at
     // 10/20/40× with a 40× pair dump for the DuckDB replay). Empty =
     // everything EXCEPT lsh40x (the 40× oracle replay is a deliberate
     // opt-in — it multiplies the DuckDB-side cost ~16×).
@@ -536,6 +537,121 @@ object ScaleStress {
       results("reindex_probe_before_s") = beforeSec
       results("reindex_probe_after_s") = afterSec
       results("reindex_s") = reSec
+    }
+
+    // ---- leg 1f: IVF quantizer RETRAIN on a drifted 10× vector lake (r16
+    // verdict #1 — the reindex leg's story for the SERVING family). Build
+    // the trained serving index over the 20k-vector corpus, then land a
+    // 10%-of-corpus DRIFT cluster through the REAL append path: dimension-
+    // REVERSED copies of the first 2k vectors — reversal decorrelates them
+    // from every trained centroid (the quantizer has no resolution there)
+    // while preserving their internal neighborhoods exactly
+    // (cos(rev a, rev b) = cos(a, b)). Drift-region queries then measure
+    // what the stale quantizer costs: their true neighbors scatter across
+    // stale cells (recall erodes at small nprobe) and the probed cells are
+    // the wrong ones. The receipt: recall@10 per nprobe, candidates
+    // scanned per query at nprobe=4 (the pruning term), and the hot-cell
+    // share, BEFORE and AFTER [[graft.streaming.AnnStreams.retrainIndex]]
+    // re-derives the quantizer over base + tail — plus what the retrain
+    // costs next to the original build.
+    if (wanted("retrain")) {
+      import graft.streaming.AnnStreams
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val nEmb = emb.agg(max($"vec_id")).as[Long].collect()(0) + 1
+      val emb10 = (0 until 10).map { k =>
+        emb.select(($"vec_id" + lit(k * nEmb)).as("vec_id"),
+          transform($"embedding", x => x + lit((k + 1) * 0.001f)).as("embedding"))
+      }.reduce(_ unionAll _).localCheckpoint()
+      val n10 = emb10.count()
+      val drift = emb10.filter($"vec_id" < nEmb)
+        .select(($"vec_id" + lit(10 * nEmb)).as("vec_id"),
+          reverse($"embedding").as("embedding"))
+        .localCheckpoint()
+      val nDrift = drift.count()
+      val dir = s"$outDir/retrain"
+      val (tBuild, _) = timed {
+        AnnStreams.buildServingIndex(emb10, "vec_id", "embedding",
+          s"$dir/blue", nlist = 64); 0L
+      }
+      AnnStreams.landAppendBatch(drift,
+        AnnStreams.openServingIndex(spark, s"$dir/blue"),
+        "vec_id", "embedding", batchId = 0L)
+      // reopen AFTER the landing: handles bind the tail at open time
+      val old = AnnStreams.openServingIndex(spark, s"$dir/blue")
+      val queries = drift.filter($"vec_id" % 19 === 0)
+        .select($"vec_id",
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"),
+          $"embedding")
+        .localCheckpoint()
+      val nQ = queries.count()
+      val combined = emb10.unionAll(drift).localCheckpoint()
+      val truth = graft.ops.Similarity
+        .bruteForceTopK(combined, queries.select($"vec_id", $"embedding"),
+          "vec_id", "embedding", k = 10)
+        .select($"query_id", $"item_id").localCheckpoint()
+      val truthRows = truth.count()
+      def recallPpm(served: DataFrame): Double = {
+        val hit = served.select($"query_id", $"item_id")
+          .join(truth, Seq("query_id", "item_id")).count()
+        hit.toDouble * 1e6 / truthRows
+      }
+      // the pruning term: how many corpus rows the nprobe=4 probe join
+      // actually touches per query (probed cells weighted by population)
+      def candPerQuery(idx: AnnStreams.ServingIndex): Double = {
+        val sizes = idx.cells.unionByName(idx.appends)
+          .groupBy($"centroid_id").agg(count(lit(1)).as("n"))
+        queries.select($"vec_id",
+          explode(slice(reverse(array_sort(graft.ops.Similarity
+            .centroidScores($"embedding", idx.centroids))), 1, 4)).as("p"))
+          .select((-$"p.ncid").as("centroid_id"))
+          .join(sizes, Seq("centroid_id"), "left")
+          .agg(sum(coalesce($"n", lit(0L)))).as[Long].head().toDouble / nQ
+      }
+      def maxCellSharePct(idx: AnnStreams.ServingIndex): Double = {
+        val all = idx.cells.unionByName(idx.appends)
+        val top = all.groupBy($"centroid_id").agg(count(lit(1)).as("n"))
+          .agg(max($"n")).as[Long].head()
+        top.toDouble * 100.0 / (n10 + nDrift)
+      }
+      def sweep(idx: AnnStreams.ServingIndex, tag: String): Unit =
+        Seq(1, 4, 16).foreach { np =>
+          results(s"retrain_${tag}_recall_ppm_np$np") = recallPpm(
+            AnnStreams.annServeBatch(queries, idx,
+              "vec_id", "ts", "embedding", k = 10, nprobe = np))
+        }
+      sweep(old, "old")
+      results("retrain_old_cand_per_query_np4") = candPerQuery(old)
+      results("retrain_old_max_cell_share_pct") = maxCellSharePct(old)
+      val (tRetrain, _) = timed {
+        AnnStreams.retrainIndex(spark, s"$dir/blue", s"$dir/green"); 0L
+      }
+      val green = AnnStreams.openServingIndex(spark, s"$dir/green")
+      sweep(green, "new")
+      results("retrain_new_cand_per_query_np4") = candPerQuery(green)
+      results("retrain_new_max_cell_share_pct") = maxCellSharePct(green)
+      // the seeding control: the same retrain under the DEFAULT lowest-id
+      // seeding — quantifies what the spread (farthest-first) default buys
+      // on a drifted lake, rather than asserting it
+      val lowSeed = AnnStreams.retrainIndex(
+        spark, s"$dir/blue", s"$dir/green-lowseed", spreadSeeds = false)
+      sweep(lowSeed, "newlowseed")
+      results("retrain_corpus_vecs") = n10.toDouble
+      results("retrain_drift_vecs") = nDrift.toDouble
+      results("retrain_queries") = nQ.toDouble
+      results("retrain_build_s") = tBuild
+      results("retrain_s") = tRetrain
+      // the gate: a retrain must restore drift-region recall (the stale
+      // quantizer has no resolution where the drifted mass lives), and the
+      // restored index must clear the same working-index floor the skew
+      // leg uses
+      require(results("retrain_new_recall_ppm_np4") >=
+          results("retrain_old_recall_ppm_np4"),
+        s"retrain worsened drift-region recall at nprobe=4: " +
+          s"${results("retrain_old_recall_ppm_np4")} -> " +
+          s"${results("retrain_new_recall_ppm_np4")}")
+      require(results("retrain_new_recall_ppm_np16") >= 500000,
+        s"retrained index below the working-index floor: " +
+          s"${results("retrain_new_recall_ppm_np16")} ppm at nprobe=16")
     }
 
     // ---- leg 2: saturation plant (x06/x07; x08 is exact/uncapped by design)

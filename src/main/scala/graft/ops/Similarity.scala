@@ -171,14 +171,15 @@ object Similarity {
     * serving index, [[graft.streaming.AnnStreams]]) reuses the exact same
     * quantizer discipline. */
   private[graft] def buildTrainedCentroids(corpus: DataFrame, idCol: String,
-      vecCol: String, nlist: Int, iters: Int, trainSample: Int): Array[(Int, Array[Float])] = {
+      vecCol: String, nlist: Int, iters: Int, trainSample: Int,
+      spreadSeeds: Boolean = false): Array[(Int, Array[Float])] = {
     val sample = corpus
       .select(col(idCol).as("item_id"), col(vecCol).as("item_vec"))
       .orderBy(xxhash64(col("item_id")), col("item_id"))
       .limit(trainSample)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    localLloyd(sample, nlist, iters)
+    localLloyd(sample, nlist, iters, spreadSeeds)
   }
 
   /** Incremental index maintenance: fold a batch of NEW vectors into an
@@ -198,14 +199,35 @@ object Similarity {
   }
 
   /** Driver-local Lloyd iterations over the collected training sample.
-    * Seeds are the `nlist` lowest-id sample vectors (deterministic); each
-    * round assigns by cosine (same tie-break as [[nearestCell]]: best
-    * score, then lowest centroid id) and recomputes element-wise means in
-    * float, matching the distributed trainer's avg-then-toFloat rounding
-    * closely enough for centroid purposes (centroids steer recall, they
-    * carry no output values). Empty cells keep their previous centroid. */
+    * Two deterministic seeding strategies:
+    *
+    *  - `spreadSeeds = false` (default): the `nlist` lowest-id sample
+    *    vectors. Because the sample is the top-`trainSample` by
+    *    `xxhash64(id)`, this is effectively pseudo-random-point seeding —
+    *    the discipline every shipped receipt was calibrated under.
+    *  - `spreadSeeds = true`: FARTHEST-FIRST (Gonzalez 1985): seed 0 is
+    *    the lowest-id sample vector, each next seed is the sample vector
+    *    whose best cosine to the seeds chosen so far is SMALLEST (ties →
+    *    lowest id, so still fully deterministic). Farthest-first
+    *    2-approximates the k-center objective, i.e. it GUARANTEES a seed
+    *    near every mode of the sample — the property a drift RETRAIN
+    *    ([[graft.streaming.AnnStreams.retrainIndex]]) needs: under
+    *    default seeding at most one centroid can migrate into a region
+    *    the old quantizer never saw (one basin, one mean), so a drifted
+    *    cluster re-trains into ONE giant cell; with spread seeds it gets
+    *    as many cells as its share of the sample warrants. On unimodal/
+    *    unstructured corpora the two seedings measure statistically
+    *    indistinguishable unbiased recall (r17 notes), so the default
+    *    stays put and retrain opts in.
+    *
+    * Each Lloyd round assigns by cosine (same tie-break as
+    * [[nearestCell]]: best score, then lowest centroid id) and recomputes
+    * element-wise means in float, matching the distributed trainer's
+    * avg-then-toFloat rounding closely enough for centroid purposes
+    * (centroids steer recall, they carry no output values). Empty cells
+    * keep their previous centroid. */
   private[graft] def localLloyd(sample: Array[(Long, Array[Float])], nlist: Int,
-      iters: Int): Array[(Int, Array[Float])] = {
+      iters: Int, spreadSeeds: Boolean = false): Array[(Int, Array[Float])] = {
     require(sample.nonEmpty, "IVF training sample is empty")
     def cos(a: Array[Float], b: Array[Float]): Double = {
       val n = math.min(a.length, b.length)
@@ -216,8 +238,37 @@ object Similarity {
       }
       if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    var centroids = sample.sortBy(_._1).take(nlist).map(_._2).zipWithIndex
-      .map { case (v, i) => (i, v) }
+    val byId = sample.sortBy(_._1)
+    val k = math.min(nlist, byId.length)
+    val seeds: Array[Array[Float]] =
+      if (!spreadSeeds) byId.take(k).map(_._2)
+      else {
+        val s = new Array[Array[Float]](k)
+        s(0) = byId.head._2
+        // bestToSeeds(i) = best cosine from sample i to any chosen seed;
+        // the next seed MINIMIZES it (ascending-id scan with strict <, so
+        // ties resolve to the lowest id — deterministic)
+        val bestToSeeds = byId.map(x => cos(x._2, s(0)))
+        var c = 1
+        while (c < k) {
+          var pick = 0; var pickScore = Double.PositiveInfinity
+          var i = 0
+          while (i < byId.length) {
+            if (bestToSeeds(i) < pickScore) { pick = i; pickScore = bestToSeeds(i) }
+            i += 1
+          }
+          s(c) = byId(pick)._2
+          i = 0
+          while (i < byId.length) {
+            val v = cos(byId(i)._2, s(c))
+            if (v > bestToSeeds(i)) bestToSeeds(i) = v
+            i += 1
+          }
+          c += 1
+        }
+        s
+      }
+    var centroids = seeds.zipWithIndex.map { case (v, i) => (i, v) }
     for (_ <- 1 to iters) {
       val dim = sample.head._2.length
       val sums = Array.fill(centroids.length)(new Array[Double](dim))

@@ -2919,7 +2919,16 @@ object Extensions {
     *    with margin — measured hits-of-100 are 72/77/86/95 (sf0.01),
     *    76/82/87/95 (sf0.001), 93/94/97/100 (sf0.1); a broken index scores
     *    ~nprobe/nlist·k ≈ 6/12/25/50 by luck, so each floor separates
-    *    working from broken at every measured scale.
+    *    working from broken at every measured scale. Caveat found in r17:
+    *    these numbers are flattered by a query–seed coincidence — the
+    *    queries (vec_id < 10) are among the default seeding's lowest-id
+    *    Lloyd seeds, so their cells are centered near them; queries drawn
+    *    away from the seeds measure ~27/40/59/77 at sf0.01 under EVERY
+    *    seeding tried (lowest-id / farthest-first / k-means++ were
+    *    statistically indistinguishable there). The floors therefore gate
+    *    this query set under the default seeding only — which is what a
+    *    regression gate needs — and are NOT a general recall claim; the
+    *    unbiased number is the ScaleStress pq/retrain receipts' job.
     * The exact integer report (n_hits, recall_ppm per nprobe) is pinned by
     * an independent ScalaTest oracle in DedupSimilaritySpec. */
   def x188IvfRecall(s: SparkSession, dir: String): DataFrame = {
@@ -6166,6 +6175,191 @@ object Extensions {
       |LEFT JOIN hits h ON h.query_id = q.query_id AND h.rank <= 5
       |ORDER BY l.leg, q.query_id, h.rank""".stripMargin
 
+  // --------------------------------------- x206 quantizer-retrain twin (float)
+  /** The quantizer RETRAIN path oracled end-to-end (r16 verdict #1): the
+    * serving index is built over 70% of the corpus, a 10% slice lands
+    * through the REAL append path, and the index is RETRAINED blue→green
+    * ([[graft.streaming.AnnStreams.retrainIndex]]) — unlike x202's
+    * compaction, the quantizer is RE-DERIVED over the grown corpus, so
+    * the two legs legitimately DIFFER and the oracle pins BOTH: the `old`
+    * leg serves under the stale build-time centroids (base + tail
+    * branches), the `new` leg under the retrained ones (seeded mode: the
+    * nlist lowest-id vectors of base ∪ tail, vs base alone — the id-7
+    * stripe enters the quantizer). A retrain that carried centroids over,
+    * lost or duplicated a vector while folding the tail, or derived the
+    * new quantizer from anything but the combined corpus breaks the hash. */
+  private val x206Indexes = new SessionIndexCache[
+    (graft.streaming.AnnStreams.ServingIndex, graft.streaming.AnnStreams.ServingIndex)]
+  def x206RetrainTwin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.AnnStreams
+    val e = emb(s, dir)
+    val (oldIdx, newIdx) = x206Indexes.getOrBuild(s, dir) {
+      val idxDir = java.nio.file.Files.createTempDirectory("x206idx").toString
+      val built = AnnStreams.buildServingIndex(
+        e.filter($"vec_id" % 10 < 7), "vec_id", "embedding", s"$idxDir/blue",
+        nlist = 8, trained = false)
+      AnnStreams.landAppendBatch(
+        e.filter($"vec_id" % 10 === 7), built, "vec_id", "embedding", batchId = 0L)
+      (AnnStreams.openServingIndex(s, s"$idxDir/blue"),
+        AnnStreams.retrainIndex(s, s"$idxDir/blue", s"$idxDir/green", trained = false))
+    }
+    val arrivals = e.filter($"vec_id" % 10 >= 8)
+      .select($"vec_id", timestamp_seconds($"vec_id" % 86400).as("ts"), $"embedding")
+    def leg(idx: AnnStreams.ServingIndex, name: String): DataFrame =
+      AnnStreams.annServeBatch(arrivals, idx, "vec_id", "ts", "embedding",
+        k = 5, nprobe = 2)
+        .select(lit(name).as("leg"), $"query_id",
+          unix_timestamp($"ts").as("ts_s"),
+          $"rank".cast("long").as("rank"), $"item_id", $"cos_sim")
+    leg(oldIdx, "old").unionByName(leg(newIdx, "new"))
+      .orderBy($"leg", $"query_id", $"rank".asc_nulls_last)
+  }
+  /** One serve leg of the x206/x207 replays: assignment + probes + hits
+    * under the given centroid CTE. Shared so the old/new legs cannot
+    * drift in spelling — only the quantizer differs. */
+  private def retrainLegSql(c: String): String =
+    s"""assigned_$c AS (
+      |  SELECT item_id, item_vec, cid FROM (
+      |    SELECT co.vec_id AS item_id, co.embedding AS item_vec, ct.cid,
+      |      row_number() OVER (PARTITION BY co.vec_id
+      |        ORDER BY ${cosSql("co.embedding", "ct.cvec")} DESC, ct.cid) AS rn
+      |    FROM corpus co CROSS JOIN cent_$c ct) WHERE rn = 1),
+      |probes_$c AS (
+      |  SELECT query_id, qv, cid FROM (
+      |    SELECT q.query_id, q.qv, ct.cid,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY ${cosSql("q.qv", "ct.cvec")} DESC, ct.cid) AS rn
+      |    FROM q CROSS JOIN cent_$c ct) WHERE rn <= 2),
+      |hits_$c AS (
+      |  SELECT query_id, item_id, cs,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, item_id) AS rank
+      |  FROM (
+      |    SELECT p.query_id, a.item_id, ${cosSql("p.qv", "a.item_vec")} AS cs
+      |    FROM probes_$c p JOIN assigned_$c a USING (cid)
+      |    WHERE a.item_id <> p.query_id))""".stripMargin
+  val x206Sql: String =
+    s"""WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 < 8),
+      |q AS (SELECT vec_id AS query_id, embedding AS qv
+      |      FROM embeddings WHERE vec_id % 10 >= 8),
+      |cent_old AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+      |  FROM (SELECT vec_id, embedding FROM corpus
+      |        WHERE vec_id % 10 < 7 ORDER BY vec_id LIMIT 8)),
+      |cent_new AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+      |  FROM (SELECT vec_id, embedding FROM corpus ORDER BY vec_id LIMIT 8)),
+      |${retrainLegSql("old")},
+      |${retrainLegSql("new")}
+      |SELECT 'old' AS leg, q.query_id, CAST(q.query_id % 86400 AS BIGINT) AS ts_s,
+      |  h.rank, h.item_id, h.cs AS cos_sim
+      |FROM q LEFT JOIN hits_old h ON h.query_id = q.query_id AND h.rank <= 5
+      |UNION ALL
+      |SELECT 'new', q.query_id, CAST(q.query_id % 86400 AS BIGINT),
+      |  h.rank, h.item_id, h.cs
+      |FROM q LEFT JOIN hits_new h ON h.query_id = q.query_id AND h.rank <= 5
+      |ORDER BY leg, query_id, rank""".stripMargin
+
+  // ----------------------------------- x207 quantizer-retrain twin (int8)
+  /** x206's retrain discipline for the QUANTIZED family
+    * ([[graft.streaming.AnnStreams.retrainQuantizedIndex]]): lockstep
+    * append, retrain blue→green, both legs served and replayed. The
+    * codes CTE is deliberately SHARED between the legs — int8
+    * quantization is per-vector and centroid-independent, so a retrain
+    * that re-quantizes the ORIGINAL floats lands on byte-identical codes;
+    * an implementation that instead decoded and re-encoded the lossy int8
+    * codes would serve a different shortlist and break the hash. Only the
+    * quantizer (and therefore cell membership and the shortlist cut)
+    * differs between the legs. */
+  private val x207Indexes = new SessionIndexCache[
+    (graft.streaming.AnnStreams.QuantizedIndex, graft.streaming.AnnStreams.QuantizedIndex)]
+  def x207QuantizedRetrainTwin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.AnnStreams
+    val e = emb(s, dir)
+    val (oldIdx, newIdx) = x207Indexes.getOrBuild(s, dir) {
+      val idxDir = java.nio.file.Files.createTempDirectory("x207idx").toString
+      val built = AnnStreams.buildQuantizedIndex(
+        e.filter($"vec_id" % 10 < 7), "vec_id", "embedding", s"$idxDir/blue",
+        nlist = 8, trained = false)
+      AnnStreams.landQuantizedAppendBatch(
+        e.filter($"vec_id" % 10 === 7), built, "vec_id", "embedding", batchId = 0L)
+      (AnnStreams.openQuantizedIndex(s, s"$idxDir/blue"),
+        AnnStreams.retrainQuantizedIndex(s, s"$idxDir/blue", s"$idxDir/green",
+          trained = false))
+    }
+    val arrivals = e.filter($"vec_id" % 10 >= 8)
+      .select($"vec_id", timestamp_seconds($"vec_id" % 86400).as("ts"), $"embedding")
+    def leg(idx: AnnStreams.QuantizedIndex, name: String): DataFrame =
+      AnnStreams.annServeQuantizedBatch(arrivals, idx, "vec_id", "ts", "embedding",
+        k = 5, nprobe = 2, refine = 4)
+        .select(lit(name).as("leg"), $"query_id",
+          unix_timestamp($"ts").as("ts_s"),
+          $"rank".cast("long").as("rank"), $"item_id", $"cos_sim")
+    leg(oldIdx, "old").unionByName(leg(newIdx, "new"))
+      .orderBy($"leg", $"query_id", $"rank".asc_nulls_last)
+  }
+  /** One quantized serve leg (shortlist through the shared codes, exact
+    * re-rank) under the given centroid CTE — x207's per-leg replay. */
+  private def retrainQLegSql(c: String): String =
+    s"""assigned_$c AS (
+      |  SELECT item_id, cid FROM (
+      |    SELECT co.vec_id AS item_id, ct.cid,
+      |      row_number() OVER (PARTITION BY co.vec_id
+      |        ORDER BY ${cosSql("co.embedding", "ct.cvec")} DESC, ct.cid) AS rn
+      |    FROM corpus co CROSS JOIN cent_$c ct) WHERE rn = 1),
+      |probes_$c AS (
+      |  SELECT query_id, qv, cid FROM (
+      |    SELECT q.query_id, q.qv, ct.cid,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY ${cosSql("q.qv", "ct.cvec")} DESC, ct.cid) AS rn
+      |    FROM q CROSS JOIN cent_$c ct) WHERE rn <= 2),
+      |short_$c AS (
+      |  SELECT query_id, qv, item_id FROM (
+      |    SELECT p.query_id, p.qv, a.item_id,
+      |      row_number() OVER (PARTITION BY p.query_id
+      |        ORDER BY ${cosSql("p.qv", "k.code")} DESC, a.item_id) AS rn
+      |    FROM probes_$c p JOIN assigned_$c a USING (cid)
+      |    JOIN codes k ON k.vec_id = a.item_id
+      |    WHERE a.item_id <> p.query_id) WHERE rn <= 20),
+      |hits_$c AS (
+      |  SELECT query_id, item_id, cs,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, item_id) AS rank
+      |  FROM (
+      |    SELECT s.query_id, s.item_id, ${cosSql("s.qv", "co.embedding")} AS cs
+      |    FROM short_$c s JOIN corpus co ON co.vec_id = s.item_id))""".stripMargin
+  val x207Sql: String =
+    s"""WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 < 8),
+      |q AS (SELECT vec_id AS query_id, embedding AS qv
+      |      FROM embeddings WHERE vec_id % 10 >= 8),
+      |cent_old AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+      |  FROM (SELECT vec_id, embedding FROM corpus
+      |        WHERE vec_id % 10 < 7 ORDER BY vec_id LIMIT 8)),
+      |cent_new AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+      |  FROM (SELECT vec_id, embedding FROM corpus ORDER BY vec_id LIMIT 8)),
+      |codes AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+      |      ELSE CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT) END) AS code
+      |  FROM (SELECT vec_id, embedding,
+      |          CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+      |            / 127.0 AS scale
+      |        FROM corpus)),
+      |${retrainQLegSql("old")},
+      |${retrainQLegSql("new")}
+      |SELECT 'old' AS leg, q.query_id, CAST(q.query_id % 86400 AS BIGINT) AS ts_s,
+      |  h.rank, h.item_id, h.cs AS cos_sim
+      |FROM q LEFT JOIN hits_old h ON h.query_id = q.query_id AND h.rank <= 5
+      |UNION ALL
+      |SELECT 'new', q.query_id, CAST(q.query_id % 86400 AS BIGINT),
+      |  h.rank, h.item_id, h.cs
+      |FROM q LEFT JOIN hits_new h ON h.query_id = q.query_id AND h.rank <= 5
+      |ORDER BY leg, query_id, rank""".stripMargin
+
   // ------------------------------------- x200 image near-dup (dHash pairs)
   /** Image NEAR-DUP dedup — the multimodal leg of the near-dup family
     * (x06/x07/x08 dedup text; this dedups pixels): per document a base PNG
@@ -6947,6 +7141,8 @@ object Extensions {
     "x203_quantized_serve" -> x203QuantizedServe _,
     "x204_clip_neardup" -> x204ClipNeardup _,
     "x205_quantized_append_twin" -> x205QuantizedAppendTwin _,
+    "x206_retrain_twin" -> x206RetrainTwin _,
+    "x207_quantized_retrain_twin" -> x207QuantizedRetrainTwin _,
     "x194_gif_frames" -> x194GifFrames _,
     "x193_pixel_resize" -> x193PixelResize _,
     "x192_manku_recall" -> x192MankuRecall _,
@@ -7206,6 +7402,8 @@ object Extensions {
     "x203_quantized_serve" -> x203Sql,
     "x204_clip_neardup" -> x204Sql,
     "x205_quantized_append_twin" -> x205Sql,
+    "x206_retrain_twin" -> x206Sql,
+    "x207_quantized_retrain_twin" -> x207Sql,
     "x194_gif_frames" -> x194Sql,
     "x193_pixel_resize" -> x193Sql,
     "x192_manku_recall" -> x192Sql,

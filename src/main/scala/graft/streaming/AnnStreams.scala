@@ -75,7 +75,8 @@ object AnnStreams {
     * under `dir`. Returns the live handle. */
   def buildServingIndex(corpus: DataFrame, idCol: String, vecCol: String,
       dir: String, nlist: Int = 16, trained: Boolean = true,
-      iters: Int = 3, trainSample: Int = 4096): ServingIndex = {
+      iters: Int = 3, trainSample: Int = 4096,
+      spreadSeeds: Boolean = false): ServingIndex = {
     require(!corpus.isStreaming, "corpus must be a static relation (the indexed lake)")
     require(nlist >= 1, s"nlist must be positive, got $nlist")
     val spark = corpus.sparkSession
@@ -83,7 +84,8 @@ object AnnStreams {
     // an empty quantizer would otherwise surface as an opaque analysis
     // error from the empty literal centroid array (or a "[1, 0]" nprobe
     // range) far from the actual cause — quantizerOf fails loudly instead
-    val centroids = quantizerOf(corpus, idCol, vecCol, nlist, trained, iters, trainSample)
+    val centroids = quantizerOf(corpus, idCol, vecCol, nlist, trained, iters,
+      trainSample, spreadSeeds)
     // one bucket per cell: the probe join's static side is pre-partitioned
     // by exactly the key it is probed on
     Similarity.assignCells(corpus.select(col(idCol).cast("long").as(idCol),
@@ -130,7 +132,7 @@ object AnnStreams {
     * arriving embeddings are assigned to their IVF cell MAP-SIDE against
     * the index's FIXED centroids (the standard IVF maintenance contract —
     * cells drift only as much as the data distribution does; retrain on a
-    * schedule, never per batch) and landed under
+    * schedule via [[retrainIndex]], never per batch) and landed under
     * `dir/appends/batch=<batchId>/`. Writing each micro-batch into its own
     * batchId-named directory with overwrite makes the sink IDEMPOTENT: a
     * crash-replayed batch overwrites its own output instead of duplicating
@@ -140,10 +142,11 @@ object AnnStreams {
     * handle is built/opened, so appended vectors are seen by queries
     * (batch or streaming) whose handle was opened AFTER the append landed
     * — the restart/reopen picks them up; a mid-flight stream does not
-    * re-list. Fold the tail into the bucketed base by re-running
-    * [[buildServingIndex]] on schedule (the one corpus pass a re-index
-    * always costs); until then the tail joins UNBUCKETED, which is the
-    * small-fraction price of not rescanning the lake per arrival. */
+    * re-list. Fold the tail into the bucketed base with [[compactIndex]]
+    * (centroids fixed, results identical) and re-pick the cell boundaries
+    * with [[retrainIndex]] as drift accumulates (the one corpus pass a
+    * re-index always costs); until then the tail joins UNBUCKETED, which
+    * is the small-fraction price of not rescanning the lake per arrival. */
   def appendStream(arrivals: DataFrame, index: ServingIndex,
       idCol: String, vecCol: String, checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
@@ -208,6 +211,59 @@ object AnnStreams {
     openServingIndex(spark, newDir)
   }
 
+  /** RETRAIN the quantizer over the grown corpus and rebuild at `newDir` —
+    * the scheduled drift-management step [[compactIndex]] deliberately is
+    * not (r16 verdict #1). Compaction reorganizes storage under FIXED
+    * centroids (results identical by construction); retrain moves the CELL
+    * BOUNDARIES to where the data now lives: it re-derives the quantizer
+    * over base ∪ tail (the same trained-Lloyd / seeded discipline as
+    * [[buildServingIndex]]), reassigns every vector map-side, and writes a
+    * fresh bucketed base — exactly what [[DedupStreams.reindexAdmission]]
+    * does for the admission family's hot order. Equivalent by construction
+    * (and by spec) to a fresh [[buildServingIndex]] over the combined
+    * corpus at the same parameters (including `spreadSeeds`):
+    * fold-then-build IS the implementation, so retrain can never drift
+    * from the build path.
+    *
+    * Cost model: one corpus pass (read cells + tail, one map-side
+    * reassignment, one bucketed rewrite) plus the driver-local Lloyd over
+    * a `trainSample`-bounded sample — the price of the original build,
+    * which is the point: drift erodes the index's PRUNING (appended
+    * vectors pile into the few cells nearest the old centroids — the
+    * ScaleStress skew sweep measured one cell at 27% of the corpus), and
+    * the only fix is re-picking the cell boundaries on a SCHEDULE, never
+    * per batch. Retrain subsumes compaction — the tail is folded and
+    * empties — so a deployment alternates cheap compactions with
+    * occasional retrains as drift accumulates.
+    *
+    * Blue/green like compaction: the corpus is re-read from the live index
+    * at `dir`, which therefore cannot be rewritten in place; `dir` stays
+    * readable until the caller drops it.
+    *
+    * @param newNlist re-pick the cell count as the corpus grows (√N rule);
+    *                 `0` (default) keeps the old index's nlist.
+    * @param spreadSeeds trained-mode Lloyd seeding; defaults to TRUE here
+    *                 (unlike the builders) because retrain exists for the
+    *                 drifted case: farthest-first seeding guarantees a
+    *                 seed near every mode of the grown sample, where the
+    *                 default lowest-id seeding can move at most one
+    *                 centroid into a region the old quantizer never saw —
+    *                 a drifted cluster would retrain into one giant cell
+    *                 (spec'd in RetrainSpec; [[graft.ops.Similarity
+    *                 .localLloyd]] documents the trade). */
+  def retrainIndex(spark: SparkSession, dir: String, newDir: String,
+      trained: Boolean = true, iters: Int = 3, trainSample: Int = 4096,
+      newNlist: Int = 0, spreadSeeds: Boolean = true): ServingIndex = {
+    require(DiskIndex.qualifiedUri(spark, dir) !=
+      DiskIndex.qualifiedUri(spark, newDir),
+      "retrain is blue/green: newDir must differ from dir")
+    val old = openServingIndex(spark, dir)
+    val nlist = if (newNlist > 0) newNlist else old.nlist
+    buildServingIndex(
+      old.cells.unionByName(old.appends).select(col("item_id"), col("item_vec")),
+      "item_id", "item_vec", newDir, nlist, trained, iters, trainSample, spreadSeeds)
+  }
+
   // ------------------------------------------------- quantized serving index
 
   /** Handle over an int8-quantized on-disk serving index (r15 verdict ask
@@ -249,11 +305,11 @@ object AnnStreams {
     * nlist lowest-id corpus vectors verbatim (the SQL-replayable seeded
     * mode the oracles ride). */
   private def quantizerOf(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, trained: Boolean, iters: Int,
-      trainSample: Int): Array[(Int, Array[Float])] = {
+      nlist: Int, trained: Boolean, iters: Int, trainSample: Int,
+      spreadSeeds: Boolean): Array[(Int, Array[Float])] = {
     val centroids: Array[(Int, Array[Float])] =
       if (trained) Similarity.buildTrainedCentroids(
-        corpus, idCol, vecCol, nlist, iters, trainSample)
+        corpus, idCol, vecCol, nlist, iters, trainSample, spreadSeeds)
       else corpus.select(col(idCol).cast("long").as("item_id"), col(vecCol))
         .orderBy(col("item_id")).limit(nlist)
         .collect().map(_.getSeq[Float](1).toArray)
@@ -269,12 +325,14 @@ object AnnStreams {
     * centroids/meta layout as [[buildServingIndex]]. */
   def buildQuantizedIndex(corpus: DataFrame, idCol: String, vecCol: String,
       dir: String, nlist: Int = 16, trained: Boolean = true,
-      iters: Int = 3, trainSample: Int = 4096): QuantizedIndex = {
+      iters: Int = 3, trainSample: Int = 4096,
+      spreadSeeds: Boolean = false): QuantizedIndex = {
     require(!corpus.isStreaming, "corpus must be a static relation (the indexed lake)")
     require(nlist >= 1, s"nlist must be positive, got $nlist")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = quantizerOf(corpus, idCol, vecCol, nlist, trained, iters, trainSample)
+    val centroids = quantizerOf(corpus, idCol, vecCol, nlist, trained, iters,
+      trainSample, spreadSeeds)
     Similarity.assignCells(corpus.select(col(idCol).cast("long").as(idCol),
         col(vecCol)), centroids, idCol, vecCol)
       .select(col("centroid_id"), col("item_id"),
@@ -395,6 +453,29 @@ object AnnStreams {
     DiskIndex.clearAppendTails(spark,
       Seq(s"$newDir/appends_cellsq", s"$newDir/appends_vecs"))
     openQuantizedIndex(spark, newDir)
+  }
+
+  /** [[retrainIndex]] for the quantized family: re-derive the quantizer
+    * over base ∪ tail, reassign, re-encode, rebuild both bucketed tables
+    * at `newDir` blue/green. The retrain reads the stored FLOATS
+    * (`vecs/` ∪ its tail) and re-quantizes them — never the int8 codes:
+    * codes are lossy, and a code→decode→re-encode rebuild would compound
+    * quantization error on every scheduled retrain (spec'd: retrained
+    * codes equal a fresh build's codes byte-for-byte). Same cost model,
+    * blue/green contract, fold-then-build equivalence, and drift-mode
+    * `spreadSeeds = true` default as [[retrainIndex]]; `newNlist` re-picks
+    * the cell count (0 keeps). */
+  def retrainQuantizedIndex(spark: SparkSession, dir: String, newDir: String,
+      trained: Boolean = true, iters: Int = 3, trainSample: Int = 4096,
+      newNlist: Int = 0, spreadSeeds: Boolean = true): QuantizedIndex = {
+    require(DiskIndex.qualifiedUri(spark, dir) !=
+      DiskIndex.qualifiedUri(spark, newDir),
+      "retrain is blue/green: newDir must differ from dir")
+    val old = openQuantizedIndex(spark, dir)
+    val nlist = if (newNlist > 0) newNlist else old.nlist
+    buildQuantizedIndex(
+      old.vecs.unionByName(old.vecsAppends).select(col("item_id"), col("item_vec")),
+      "item_id", "item_vec", newDir, nlist, trained, iters, trainSample, spreadSeeds)
   }
 
   /** Serve top-k through the QUANTIZED index: map-side nprobe centroid

@@ -1,0 +1,211 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The quantizer RETRAIN path (r16 verdict #1 — the last index family
+  * without drift management): [[AnnStreams.retrainIndex]] /
+  * [[AnnStreams.retrainQuantizedIndex]]. The load-bearing contract is
+  * fold-then-build equivalence — retraining an index that grew through
+  * the real append path serves value-for-value like a FRESH build over
+  * the combined corpus — plus the drift story itself: appends pile into
+  * the cells nearest the old centroids; retrain re-balances them. */
+class RetrainSpec extends graft.SparkSpec {
+
+  private def ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+
+  private def served(df: DataFrame): Seq[(Long, Int, Long, Double)] = {
+    import spark.implicits._
+    df.select($"query_id", $"rank".cast("int"), $"item_id", $"cos_sim")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+  }
+
+  test("retrain == fresh build over the combined corpus; tail folded; quantizer moved; old dir intact") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("retrain-f").toString
+    // base ids are HIGH so the appended low ids change the seeded
+    // quantizer: seeded centroids are the nlist lowest-id vectors, so a
+    // retrain that really re-derives them must pick the appended ones
+    val base = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f)), (11L, Seq(0.0f, 1.0f, 0.0f)),
+      (12L, Seq(0.9f, 0.1f, 0.0f)), (13L, Seq(0.1f, 0.9f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val late = Seq(
+      (1L, Seq(0.0f, 0.1f, 0.9f)), (2L, Seq(0.1f, 0.0f, 0.9f)))
+    val built = AnnStreams.buildServingIndex(
+      base, "vec_id", "embedding", s"$tmp/blue", nlist = 2, trained = false)
+    AnnStreams.landAppendBatch(
+      late.toDF("vec_id", "embedding"), built, "vec_id", "embedding", batchId = 0L)
+    val old = AnnStreams.openServingIndex(spark, s"$tmp/blue")
+    assert(old.appends.count() == 2)
+    val oldServe = served(AnnStreams.annServeBatch(
+      Seq((100L, ts0, Seq(0.05f, 0.05f, 1.0f))).toDF("query_id", "ts", "embedding"),
+      old, "query_id", "ts", "embedding", k = 2, nprobe = 2))
+
+    val retrained = AnnStreams.retrainIndex(
+      spark, s"$tmp/blue", s"$tmp/green", trained = false)
+    // the tail is folded and empty; no vector lost or duplicated
+    assert(retrained.appends.isEmpty)
+    assert(retrained.cells.select($"item_id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 10L, 11L, 12L, 13L))
+    // the quantizer really re-derived over the GROWN corpus: seeded
+    // centroids are now the appended ids' vectors, not the old ones
+    assert(!retrained.centroids.map(_._2.toSeq).toSet
+      .equals(old.centroids.map(_._2.toSeq).toSet),
+      "retrain must re-derive the quantizer, not carry it over")
+    // fold-then-build equivalence: identical to a fresh build over the
+    // combined corpus — centroids, cells, and serve results
+    val fresh = AnnStreams.buildServingIndex(
+      base.unionByName(late.toDF("vec_id", "embedding")),
+      "vec_id", "embedding", s"$tmp/fresh", nlist = 2, trained = false)
+    assert(retrained.centroids.map { case (c, v) => (c, v.toSeq) }.toSeq
+      == fresh.centroids.map { case (c, v) => (c, v.toSeq) }.toSeq)
+    val arrivals = Seq(
+      (100L, ts0, Seq(0.05f, 0.05f, 1.0f)),
+      (101L, ts0, Seq(1.0f, 0.05f, 0.0f))).toDF("query_id", "ts", "embedding")
+    def serveAll(idx: AnnStreams.ServingIndex) = served(
+      AnnStreams.annServeBatch(arrivals, idx, "query_id", "ts", "embedding",
+        k = 3, nprobe = 2))
+    assert(serveAll(retrained) == serveAll(fresh))
+    // reopen-after-bounce serves the retrained index identically
+    assert(serveAll(AnnStreams.openServingIndex(spark, s"$tmp/green"))
+      == serveAll(retrained))
+    // blue stays readable and serves exactly as before the retrain
+    assert(served(AnnStreams.annServeBatch(
+      Seq((100L, ts0, Seq(0.05f, 0.05f, 1.0f))).toDF("query_id", "ts", "embedding"),
+      AnnStreams.openServingIndex(spark, s"$tmp/blue"),
+      "query_id", "ts", "embedding", k = 2, nprobe = 2)) == oldServe)
+  }
+
+  test("trained retrain restores drift-region recall and cell balance") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("retrain-drift").toString
+    // region A: 40 vectors around axes 0/1 (what the quantizer trained on)
+    val regionA = (0 until 40).map { i =>
+      val axis = i % 2
+      (i.toLong, Seq.tabulate(4)(d =>
+        (if (d == axis) 1.0f else 0.0f) + 0.01f * ((i * 7 + d * 3) % 11)))
+    }.toDF("vec_id", "embedding")
+    // region B: 40 DRIFTED vectors around axes 2/3 — nothing like them
+    // existed at build time. Each carries a LARGE per-vector wobble in the
+    // dims the OLD centroids live in (0/1): the stale quantizer can only
+    // discriminate B by that wobble (its centroids are orthogonal to B's
+    // dominant axis), so the drifted cluster SCATTERS across stale cells
+    // while its true mutual neighborhoods stay intact — the realistic way
+    // drift erodes recall at small nprobe
+    val regionB = (100 until 140).map { i =>
+      val axis = 2 + i % 2
+      val theta = 0.7 * i
+      val wob = Seq(0.35 * math.cos(theta), 0.35 * math.sin(theta), 0.0, 0.0)
+      (i.toLong, Seq.tabulate(4)(d =>
+        ((if (d == axis) 1.0 else 0.0) + wob(d)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val built = AnnStreams.buildServingIndex(
+      regionA, "vec_id", "embedding", s"$tmp/blue", nlist = 4, trained = true)
+    AnnStreams.landAppendBatch(regionB, built, "vec_id", "embedding", batchId = 0L)
+    val old = AnnStreams.openServingIndex(spark, s"$tmp/blue")
+    val retrained = AnnStreams.retrainIndex(spark, s"$tmp/blue", s"$tmp/green")
+    // B-region queries, one near each drifted axis
+    val q = (0 until 8).map { i =>
+      val axis = 2 + i % 2
+      (900L + i, ts0, Seq.tabulate(4)(d =>
+        (if (d == axis) 1.0f else 0.0f) + 0.01f * ((i * 3 + d) % 5)))
+    }.toDF("query_id", "ts", "embedding")
+    // a served hit is a TRUE neighbor when it is a region-B vector (every
+    // B vector is near-parallel to its axis; every A vector is near-
+    // orthogonal to a B query) — count them at nprobe=1
+    def hitsAt1(idx: AnnStreams.ServingIndex): Long = served(
+      AnnStreams.annServeBatch(q, idx, "query_id", "ts", "embedding",
+        k = 10, nprobe = 1)).count(r => r._3 >= 100L)
+    val oldHits = hitsAt1(old)
+    val newHits = hitsAt1(retrained)
+    // drift erodes recall: under the STALE quantizer the B vectors landed
+    // in cells whose centroids know nothing of region B, scattered by
+    // their wobble — a B query's single probed cell holds only a fraction
+    // of its true neighbors. The retrained quantizer (farthest-first
+    // seeds reach region B) gives the drifted region its own cells, and
+    // nprobe=1 recovers full recall.
+    assert(newHits == 80L,
+      s"retrained index must serve all 8x10 true B neighbors at nprobe=1, got $newHits")
+    assert(oldHits < newHits,
+      s"stale quantizer should have eroded recall: old=$oldHits vs retrained=$newHits")
+    // and the drifted mass is re-balanced across cells, not piled into the
+    // old quantizer's nearest one
+    def maxCell(cells: DataFrame): Long = cells
+      .groupBy($"centroid_id").agg(count(lit(1)).as("n"))
+      .agg(max($"n")).as[Long].head()
+    val oldMax = maxCell(old.cells.unionByName(old.appends))
+    val newMax = maxCell(retrained.cells)
+    info(s"oldHits=$oldHits newHits=$newHits oldMax=$oldMax newMax=$newMax")
+    assert(newMax <= oldMax,
+      s"trained retrain must not worsen cell balance: $newMax > $oldMax")
+  }
+
+  test("quantized retrain re-quantizes from floats, equals a fresh build, honors newNlist") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("retrain-q").toString
+    val base = (10 until 30).map { i =>
+      val axis = i % 2
+      (i.toLong, Seq.tabulate(4)(d =>
+        (if (d == axis) 1.0f else 0.0f) + 0.01f * ((i * 7 + d * 3) % 11)))
+    }.toDF("vec_id", "embedding")
+    val late = (0 until 4).map { i =>
+      val axis = 2 + i % 2
+      (i.toLong, Seq.tabulate(4)(d =>
+        (if (d == axis) 1.0f else 0.0f) + 0.01f * ((i * 5 + d) % 7)))
+    }
+    val built = AnnStreams.buildQuantizedIndex(
+      base, "vec_id", "embedding", s"$tmp/blue", nlist = 2, trained = false)
+    AnnStreams.landQuantizedAppendBatch(
+      late.toDF("vec_id", "embedding"), built, "vec_id", "embedding", batchId = 0L)
+    val retrained = AnnStreams.retrainQuantizedIndex(
+      spark, s"$tmp/blue", s"$tmp/green", trained = false)
+    assert(retrained.cellsQAppends.isEmpty && retrained.vecsAppends.isEmpty)
+    val fresh = AnnStreams.buildQuantizedIndex(
+      base.unionByName(late.toDF("vec_id", "embedding")),
+      "vec_id", "embedding", s"$tmp/fresh", nlist = 2, trained = false)
+    // codes byte-for-byte: the retrain quantized the ORIGINAL floats — a
+    // lossy code→decode→re-encode rebuild would differ here
+    def codes(idx: AnnStreams.QuantizedIndex): Seq[(Long, Seq[Byte])] = idx.cellsQ
+      .select($"item_id", $"code").as[(Long, Array[Byte])]
+      .collect().map { case (id, c) => (id, c.toSeq) }.sortBy(_._1).toSeq
+    assert(codes(retrained) == codes(fresh))
+    val arrivals = Seq(
+      (100L, ts0, Seq(1.0f, 0.05f, 0.0f, 0.0f)),
+      (101L, ts0, Seq(0.0f, 0.05f, 1.0f, 0.0f))).toDF("query_id", "ts", "embedding")
+    def serveAll(idx: AnnStreams.QuantizedIndex) = served(
+      AnnStreams.annServeQuantizedBatch(arrivals, idx,
+        "query_id", "ts", "embedding", k = 3, nprobe = 2, refine = 4))
+    assert(serveAll(retrained) == serveAll(fresh))
+    // an appended (drift-region) vector is served by the retrained index
+    assert(serveAll(retrained).filter(_._1 == 101L).map(_._3).exists(_ < 4L))
+    // newNlist: the retrain is where a growing corpus re-picks its cell
+    // count — more cells, same exact served cosines at exhaustive probe
+    val wider = AnnStreams.retrainQuantizedIndex(
+      spark, s"$tmp/blue", s"$tmp/wide", trained = false, newNlist = 4)
+    assert(wider.nlist == 4 && wider.centroids.length == 4)
+    val exactWide = served(AnnStreams.annServeQuantizedBatch(
+      arrivals, wider, "query_id", "ts", "embedding", k = 3, nprobe = 4, refine = 24))
+    val exactFresh = served(AnnStreams.annServeQuantizedBatch(
+      arrivals, fresh, "query_id", "ts", "embedding", k = 3, nprobe = 2, refine = 24))
+    assert(exactWide == exactFresh,
+      "exhaustive probe must be geometry-invariant: retrained-wider == fresh")
+    // reopen honors the new geometry
+    assert(AnnStreams.openQuantizedIndex(spark, s"$tmp/wide").nlist == 4)
+  }
+
+  test("retrain is blue/green: any spelling of the same location is rejected") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("retrain-bg").toString
+    AnnStreams.buildServingIndex(
+      Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)), (2L, Seq(0.9f, 0.1f)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$tmp/idx", nlist = 2, trained = false)
+    Seq(s"$tmp/idx", s"file:$tmp/idx", s"$tmp/idx/sub/..").foreach { same =>
+      val ex = intercept[IllegalArgumentException] {
+        AnnStreams.retrainIndex(spark, s"$tmp/idx", same, trained = false)
+      }
+      assert(ex.getMessage.contains("blue/green"), s"spelling: $same")
+    }
+  }
+}
