@@ -6360,6 +6360,60 @@ object Extensions {
       |FROM q LEFT JOIN hits_new h ON h.query_id = q.query_id AND h.rank <= 5
       |ORDER BY leg, query_id, rank""".stripMargin
 
+  // ----------------------------------------- x208 index health / maintenance
+  /** [[graft.streaming.AnnStreams.indexHealth]] oracled value-level: the
+    * maintenance SCHEDULING signal behind retrain/compact — per branch
+    * (base, tail) the row and cell counts, the mean vector-to-own-centroid
+    * cosine (floored to ppm — integer, exactly replayable), and the
+    * hottest cell's share. The replay recomputes the assignment from the
+    * seeded closed form and aggregates with the same integer arithmetic —
+    * a wrong assignment, a tail health read off the wrong branch, or a
+    * share computed against the wrong denominator all break the hash. */
+  private val x208Indexes =
+    new SessionIndexCache[graft.streaming.AnnStreams.ServingIndex]
+  def x208IndexHealth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.AnnStreams
+    val e = emb(s, dir)
+    val idx = x208Indexes.getOrBuild(s, dir) {
+      val idxDir = java.nio.file.Files.createTempDirectory("x208idx").toString
+      val built = AnnStreams.buildServingIndex(
+        e.filter($"vec_id" % 10 < 7), "vec_id", "embedding", idxDir,
+        nlist = 8, trained = false)
+      AnnStreams.landAppendBatch(
+        e.filter($"vec_id" % 10 === 7), built, "vec_id", "embedding", batchId = 0L)
+      AnnStreams.openServingIndex(s, idxDir)
+    }
+    AnnStreams.indexHealth(idx)
+  }
+  val x208Sql: String =
+    s"""WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 < 7),
+      |tl AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 7),
+      |cent AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+      |  FROM (SELECT vec_id, embedding FROM corpus ORDER BY vec_id LIMIT 8)),
+      |assigned AS (
+      |  SELECT leg, cid, CAST(floor(cs * 1000000) AS BIGINT) AS cos_ppm FROM (
+      |    SELECT leg, item_id, cid, cs,
+      |      row_number() OVER (PARTITION BY leg, item_id
+      |        ORDER BY cs DESC, cid) AS rn
+      |    FROM (
+      |      SELECT 'base' AS leg, c.vec_id AS item_id, ct.cid,
+      |        ${cosSql("c.embedding", "ct.cvec")} AS cs
+      |      FROM corpus c CROSS JOIN cent ct
+      |      UNION ALL
+      |      SELECT 'tail', t.vec_id, ct.cid, ${cosSql("t.embedding", "ct.cvec")}
+      |      FROM tl t CROSS JOIN cent ct))
+      |  WHERE rn = 1),
+      |cells AS (
+      |  SELECT leg, cid, count(*) AS n, sum(cos_ppm) AS s
+      |  FROM assigned GROUP BY 1, 2)
+      |SELECT leg, CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_cells,
+      |  CAST(sum(s) // sum(n) AS BIGINT) AS avg_assign_cos_ppm,
+      |  CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS max_cell_share_ppm
+      |FROM cells GROUP BY leg ORDER BY leg""".stripMargin
+
   // ------------------------------------- x200 image near-dup (dHash pairs)
   /** Image NEAR-DUP dedup — the multimodal leg of the near-dup family
     * (x06/x07/x08 dedup text; this dedups pixels): per document a base PNG
@@ -7143,6 +7197,7 @@ object Extensions {
     "x205_quantized_append_twin" -> x205QuantizedAppendTwin _,
     "x206_retrain_twin" -> x206RetrainTwin _,
     "x207_quantized_retrain_twin" -> x207QuantizedRetrainTwin _,
+    "x208_index_health" -> x208IndexHealth _,
     "x194_gif_frames" -> x194GifFrames _,
     "x193_pixel_resize" -> x193PixelResize _,
     "x192_manku_recall" -> x192MankuRecall _,
@@ -7404,6 +7459,7 @@ object Extensions {
     "x205_quantized_append_twin" -> x205Sql,
     "x206_retrain_twin" -> x206Sql,
     "x207_quantized_retrain_twin" -> x207Sql,
+    "x208_index_health" -> x208Sql,
     "x194_gif_frames" -> x194Sql,
     "x193_pixel_resize" -> x193Sql,
     "x192_manku_recall" -> x192Sql,

@@ -254,6 +254,7 @@ object AnnStreams {
   def retrainIndex(spark: SparkSession, dir: String, newDir: String,
       trained: Boolean = true, iters: Int = 3, trainSample: Int = 4096,
       newNlist: Int = 0, spreadSeeds: Boolean = true): ServingIndex = {
+    // (scheduling: indexHealth + maintenanceDue answer WHEN to call this)
     require(DiskIndex.qualifiedUri(spark, dir) !=
       DiskIndex.qualifiedUri(spark, newDir),
       "retrain is blue/green: newDir must differ from dir")
@@ -262,6 +263,77 @@ object AnnStreams {
     buildServingIndex(
       old.cells.unionByName(old.appends).select(col("item_id"), col("item_vec")),
       "item_id", "item_vec", newDir, nlist, trained, iters, trainSample, spreadSeeds)
+  }
+
+  /** One-pass HEALTH report over a serving index — the observability the
+    * maintenance contract needs: [[compactIndex]] and [[retrainIndex]] are
+    * the actions, this is the signal for WHICH one is due. One row per
+    * branch (`base`, `tail`), totally ordered:
+    *
+    *  - `n_rows`, `n_cells` — branch sizes. The tail is broadcast-joined
+    *    by serve plans and accumulates one directory per maintenance
+    *    batch, so it must stay a small fraction of the base — the
+    *    COMPACTION trigger.
+    *  - `avg_assign_cos_ppm` — mean cosine between each stored vector and
+    *    its OWN cell centroid, floored to ppm (integer arithmetic —
+    *    exactly replayable). Tail vectors were assigned under the same
+    *    fixed centroids as the base, so arrivals that fit the quantizer
+    *    score ≈ the base; a DRIFTED tail scores materially lower (the
+    *    quantizer has no resolution where it lives) — the RETRAIN trigger.
+    *  - `max_cell_share_ppm` — the hottest cell's share of the branch
+    *    (the pruning-skew signal: drifted appends pile into few cells).
+    *
+    * Cost: one scan of cells + tail against the nlist-sized broadcast
+    * centroid relation and two tiny aggregations — the stored
+    * `centroid_id` IS the assignment, no reassignment pass. Oracled
+    * value-level by x208. */
+  def indexHealth(index: ServingIndex): DataFrame = {
+    val spark = index.cells.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(index.centroids.toSeq
+      .map { case (cid, v) => (cid, v.toSeq) }.toDF("centroid_id", "centroid"))
+    def legOf(df: DataFrame, leg: String): DataFrame =
+      df.join(centDf, Seq("centroid_id"))
+        .select(lit(leg).as("leg"), col("centroid_id"),
+          floor(cosine_sim(col("item_vec"), col("centroid")) * 1e6)
+            .cast("long").as("cos_ppm"))
+    legOf(index.cells, "base").unionByName(legOf(index.appends, "tail"))
+      .groupBy(col("leg"), col("centroid_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cos_ppm")).as("s"))
+      .groupBy(col("leg"))
+      .agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_cells"),
+        expr("sum(s) DIV sum(n)").as("avg_assign_cos_ppm"),
+        expr("max(n) * 1000000 DIV sum(n)").as("max_cell_share_ppm"))
+      .orderBy(col("leg"))
+  }
+
+  /** The scheduling decision over an [[indexHealth]] report — pure
+    * threshold logic, split out so a deployment's maintenance job is
+    * exactly `if (retrainDue) retrainIndex(...) else if (compactDue)
+    * compactIndex(...)` (retrain subsumes compaction, so it wins when
+    * both fire):
+    *
+    *  - `compactDue`: the tail exceeds `maxTailFraction` of the base —
+    *    storage-shape maintenance, results identical by construction.
+    *  - `retrainDue`: the tail's mean assignment cosine trails the
+    *    base's by more than `maxDriftGapPpm` — the arrivals no longer
+    *    fit the quantizer, so folding them under fixed centroids would
+    *    keep serving them from the wrong cells.
+    *
+    * An absent/empty tail is healthy by definition. */
+  final case class Maintenance(compactDue: Boolean, retrainDue: Boolean)
+  def maintenanceDue(health: DataFrame, maxTailFraction: Double = 0.1,
+      maxDriftGapPpm: Long = 100000L): Maintenance = {
+    require(maxTailFraction > 0, s"maxTailFraction must be positive, got $maxTailFraction")
+    val legs = health.select(col("leg"), col("n_rows"), col("avg_assign_cos_ppm"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (baseRows, baseCos) = legs.getOrElse("base", (0L, 0L))
+    val (tailRows, tailCos) = legs.getOrElse("tail", (0L, 0L))
+    Maintenance(
+      compactDue = baseRows > 0L && tailRows.toDouble > maxTailFraction * baseRows,
+      retrainDue = tailRows > 0L && baseCos - tailCos > maxDriftGapPpm)
   }
 
   // ------------------------------------------------- quantized serving index

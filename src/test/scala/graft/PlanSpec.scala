@@ -115,6 +115,28 @@ class PlanSpec extends SparkSpec {
     index.cells.unpersist()
   }
 
+  test("indexHealth: centroid join broadcasts, no sort-merge, bounded exchanges") {
+    import spark.implicits._
+    import graft.streaming.AnnStreams
+    val tmp = java.nio.file.Files.createTempDirectory("health-plan").toString
+    val built = AnnStreams.buildServingIndex(
+      Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)), (2L, Seq(0.9f, 0.1f)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", tmp, nlist = 2, trained = false)
+    AnnStreams.landAppendBatch(
+      Seq((5L, Seq(0.5f, 0.5f))).toDF("vec_id", "embedding"),
+      built, "vec_id", "embedding", batchId = 0L)
+    val idx = AnnStreams.openServingIndex(spark, tmp)
+    val p = plan(AnnStreams.indexHealth(idx))
+    // the centroid relation is nlist-sized and explicitly broadcast: the
+    // health scan must never shuffle the corpus to meet it
+    assert(count(p, "BroadcastHashJoin") == 2, // base branch + live tail branch
+      s"expected both branches to broadcast-join the centroids:\n$p")
+    assert(count(p, "SortMergeJoin") == 0, s"no sort-merge expected:\n$p")
+    // per-cell partial -> per-leg final -> output sort; nothing else
+    assert(count(p, "Exchange") <= 4, s"health report grew extra shuffles:\n$p")
+  }
+
   test("q25 fuzzy match: segment blocking is an equi hash join, never nested-loop") {
     val p = plan(Breadth.q25FuzzyMatch(spark, dir))
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),

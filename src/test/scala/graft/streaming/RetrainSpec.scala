@@ -194,6 +194,66 @@ class RetrainSpec extends graft.SparkSpec {
     assert(AnnStreams.openQuantizedIndex(spark, s"$tmp/wide").nlist == 4)
   }
 
+  test("indexHealth + maintenanceDue: tail growth trips compact, drift trips retrain") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("health").toString
+    val base = (0 until 40).map { i =>
+      val axis = i % 2
+      (i.toLong, Seq.tabulate(4)(d =>
+        (if (d == axis) 1.0f else 0.0f) + 0.01f * ((i * 7 + d * 3) % 11)))
+    }.toDF("vec_id", "embedding")
+    val built = AnnStreams.buildServingIndex(
+      base, "vec_id", "embedding", s"$tmp/idx", nlist = 4, trained = true)
+    // empty tail: healthy by definition
+    val h0 = AnnStreams.indexHealth(built)
+    assert(h0.count() == 1L && h0.select($"leg").as[String].head() == "base")
+    assert(AnnStreams.maintenanceDue(h0) ==
+      AnnStreams.Maintenance(compactDue = false, retrainDue = false))
+    // a small IN-DISTRIBUTION tail: nothing due — it fits the quantizer
+    // (same mean assignment cosine neighborhood as the base)
+    AnnStreams.landAppendBatch(
+      Seq((100L, Seq(0.98f, 0.05f, 0.0f, 0.0f)), (101L, Seq(0.03f, 0.99f, 0.0f, 0.0f)))
+        .toDF("vec_id", "embedding"),
+      built, "vec_id", "embedding", batchId = 0L)
+    val small = AnnStreams.indexHealth(AnnStreams.openServingIndex(spark, s"$tmp/idx"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(small("base").getLong(1) == 40L && small("tail").getLong(1) == 2L)
+    assert(AnnStreams.maintenanceDue(
+      AnnStreams.indexHealth(AnnStreams.openServingIndex(spark, s"$tmp/idx"))) ==
+      AnnStreams.Maintenance(compactDue = false, retrainDue = false))
+    // tail growth past the fraction: compact due, retrain still not
+    AnnStreams.landAppendBatch(
+      (200 until 210).map { i =>
+        val axis = i % 2
+        (i.toLong, Seq.tabulate(4)(d =>
+          (if (d == axis) 1.0f else 0.0f) + 0.01f * ((i * 5 + d) % 7)))
+      }.toDF("vec_id", "embedding"),
+      built, "vec_id", "embedding", batchId = 1L)
+    val grown = AnnStreams.indexHealth(AnnStreams.openServingIndex(spark, s"$tmp/idx"))
+    assert(AnnStreams.maintenanceDue(grown) ==
+      AnnStreams.Maintenance(compactDue = true, retrainDue = false))
+    // DRIFTED tail (vectors orthogonal to everything the quantizer saw):
+    // the assignment-cosine gap trips the retrain signal
+    AnnStreams.landAppendBatch(
+      (300 until 310).map { i =>
+        val axis = 2 + i % 2
+        (i.toLong, Seq.tabulate(4)(d =>
+          (if (d == axis) 1.0f else 0.0f) + 0.01f * ((i * 3 + d) % 5)))
+      }.toDF("vec_id", "embedding"),
+      built, "vec_id", "embedding", batchId = 2L)
+    val drifted = AnnStreams.indexHealth(AnnStreams.openServingIndex(spark, s"$tmp/idx"))
+    val byLeg = drifted.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(byLeg("base") - byLeg("tail") > 100000L,
+      s"drifted tail must trail the base's assignment cosine: $byLeg")
+    assert(AnnStreams.maintenanceDue(drifted) ==
+      AnnStreams.Maintenance(compactDue = true, retrainDue = true))
+    // and after the retrain the new index is healthy again
+    val healed = AnnStreams.indexHealth(
+      AnnStreams.retrainIndex(spark, s"$tmp/idx", s"$tmp/idx-re"))
+    assert(AnnStreams.maintenanceDue(healed) ==
+      AnnStreams.Maintenance(compactDue = false, retrainDue = false))
+  }
+
   test("retrain is blue/green: any spelling of the same location is rejected") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("retrain-bg").toString
