@@ -563,9 +563,25 @@ object ScaleStress {
           transform($"embedding", x => x + lit((k + 1) * 0.001f)).as("embedding"))
       }.reduce(_ unionAll _).localCheckpoint()
       val n10 = emb10.count()
+      // the drifted population: 20 TIGHT clusters around dimension-REVERSED
+      // anchors. Reversal pushes the anchors off every trained centroid
+      // (max cosine to any base vector ~0.45 on this corpus — probed), and
+      // the 0.3-scaled wobble (a real corpus vector, so no RNG) gives each
+      // cluster ~100 members at within-cluster cosine ≈0.95 — a new data
+      // REGION with genuine internal neighborhoods, which is what corpus
+      // drift looks like: the old quantizer has no resolution there, while
+      // in-distribution queries keep their ~0.94 np4 recall (pq leg)
+      val nAnchors = math.max(1L, nEmb / 100)
+      val anchors = emb10.filter($"vec_id" % 100 === 0 && $"vec_id" < nEmb)
+        .select(($"vec_id" / 100).cast("long").as("c"),
+          reverse($"embedding").as("center"))
       val drift = emb10.filter($"vec_id" < nEmb)
         .select(($"vec_id" + lit(10 * nEmb)).as("vec_id"),
-          reverse($"embedding").as("embedding"))
+          ($"vec_id" % nAnchors).as("c"), $"embedding")
+        .join(broadcast(anchors), "c")
+        .select($"vec_id",
+          zip_with($"center", $"embedding", (c, w) => c + lit(0.3f) * w)
+            .as("embedding"))
         .localCheckpoint()
       val nDrift = drift.count()
       val dir = s"$outDir/retrain"
@@ -622,6 +638,19 @@ object ScaleStress {
       sweep(old, "old")
       results("retrain_old_cand_per_query_np4") = candPerQuery(old)
       results("retrain_old_max_cell_share_pct") = maxCellSharePct(old)
+      // the maintenance loop end-to-end: indexHealth must DETECT the drift
+      // (the tail's assignment cosine trails the base's), maintenanceDue
+      // must signal retrain, and after the retrain the new index must
+      // report healthy — the full detect -> act -> verify cycle a
+      // deployment schedules
+      val healthOld = AnnStreams.indexHealth(old).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+      results("retrain_health_base_cos_ppm") = healthOld("base")._2.toDouble
+      results("retrain_health_tail_cos_ppm") = healthOld("tail")._2.toDouble
+      val dueOld = AnnStreams.maintenanceDue(AnnStreams.indexHealth(old))
+      require(dueOld.retrainDue,
+        s"indexHealth failed to detect the drifted tail: $healthOld")
+      results("retrain_due_detected") = 1.0
       val (tRetrain, _) = timed {
         AnnStreams.retrainIndex(spark, s"$dir/blue", s"$dir/green"); 0L
       }
@@ -629,6 +658,9 @@ object ScaleStress {
       sweep(green, "new")
       results("retrain_new_cand_per_query_np4") = candPerQuery(green)
       results("retrain_new_max_cell_share_pct") = maxCellSharePct(green)
+      val dueNew = AnnStreams.maintenanceDue(AnnStreams.indexHealth(green))
+      require(!dueNew.compactDue && !dueNew.retrainDue,
+        "retrained index must report healthy")
       // the seeding control: the same retrain under the DEFAULT lowest-id
       // seeding — quantifies what the spread (farthest-first) default buys
       // on a drifted lake, rather than asserting it

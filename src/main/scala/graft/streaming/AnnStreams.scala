@@ -317,14 +317,19 @@ object AnnStreams {
     *  - `compactDue`: the tail exceeds `maxTailFraction` of the base —
     *    storage-shape maintenance, results identical by construction.
     *  - `retrainDue`: the tail's mean assignment cosine trails the
-    *    base's by more than `maxDriftGapPpm` — the arrivals no longer
-    *    fit the quantizer, so folding them under fixed centroids would
-    *    keep serving them from the wrong cells.
+    *    base's by more than `maxDriftDropPpm` OF THE BASE'S VALUE (a
+    *    RELATIVE drop — an absolute gap does not transfer across
+    *    corpora: a high-structure lake at 0.95 drifting to 0.85 and a
+    *    diffuse one at 0.38 dropping to 0.28 are both material, but only
+    *    one clears any fixed absolute threshold). Arrivals that trail
+    *    the base this much no longer fit the quantizer, so folding them
+    *    under fixed centroids would keep serving them from the wrong
+    *    cells.
     *
     * An absent/empty tail is healthy by definition. */
   final case class Maintenance(compactDue: Boolean, retrainDue: Boolean)
   def maintenanceDue(health: DataFrame, maxTailFraction: Double = 0.1,
-      maxDriftGapPpm: Long = 100000L): Maintenance = {
+      maxDriftDropPpm: Long = 100000L): Maintenance = {
     require(maxTailFraction > 0, s"maxTailFraction must be positive, got $maxTailFraction")
     val legs = health.select(col("leg"), col("n_rows"), col("avg_assign_cos_ppm"))
       .collect()
@@ -333,7 +338,8 @@ object AnnStreams {
     val (tailRows, tailCos) = legs.getOrElse("tail", (0L, 0L))
     Maintenance(
       compactDue = baseRows > 0L && tailRows.toDouble > maxTailFraction * baseRows,
-      retrainDue = tailRows > 0L && baseCos - tailCos > maxDriftGapPpm)
+      retrainDue = tailRows > 0L && baseCos > 0L &&
+        (baseCos - tailCos).toDouble > baseCos.toDouble * maxDriftDropPpm / 1e6)
   }
 
   // ------------------------------------------------- quantized serving index
