@@ -6414,6 +6414,70 @@ object Extensions {
       |  CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS max_cell_share_ppm
       |FROM cells GROUP BY leg ORDER BY leg""".stripMargin
 
+  // ------------------------------- x209 quantized index health (int8 metric)
+  /** [[graft.streaming.AnnStreams.quantizedIndexHealth]] oracled: the x208
+    * health report for the byte-coded family, where the assignment-quality
+    * signal is the asymmetric `int8_cosine(own centroid, code)` — the
+    * SAME metric the probe serves with. The replay recomputes the codes
+    * from the quantization closed form (x203's discipline) and the cosine
+    * over (float centroid, integer code) lists, then aggregates with the
+    * identical integer ppm arithmetic — a health report that dequantized
+    * through the wrong scale rule, measured fitness under a different
+    * metric than the serve path, or read the wrong branch breaks the
+    * hash. */
+  private val x209Indexes =
+    new SessionIndexCache[graft.streaming.AnnStreams.QuantizedIndex]
+  def x209QuantizedHealth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.AnnStreams
+    val e = emb(s, dir)
+    val idx = x209Indexes.getOrBuild(s, dir) {
+      val idxDir = java.nio.file.Files.createTempDirectory("x209idx").toString
+      val built = AnnStreams.buildQuantizedIndex(
+        e.filter($"vec_id" % 10 < 7), "vec_id", "embedding", idxDir,
+        nlist = 8, trained = false)
+      AnnStreams.landQuantizedAppendBatch(
+        e.filter($"vec_id" % 10 === 7), built, "vec_id", "embedding", batchId = 0L)
+      AnnStreams.openQuantizedIndex(s, idxDir)
+    }
+    AnnStreams.quantizedIndexHealth(idx)
+  }
+  val x209Sql: String =
+    s"""WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 < 7),
+      |tl AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 7),
+      |cent AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+      |  FROM (SELECT vec_id, embedding FROM corpus ORDER BY vec_id LIMIT 8)),
+      |both_legs AS (
+      |  SELECT 'base' AS leg, vec_id, embedding FROM corpus
+      |  UNION ALL SELECT 'tail', vec_id, embedding FROM tl),
+      |codes AS (
+      |  SELECT leg, vec_id,
+      |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+      |      ELSE CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT) END) AS code
+      |  FROM (SELECT leg, vec_id, embedding,
+      |          CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+      |            / 127.0 AS scale
+      |        FROM both_legs)),
+      |assigned AS (
+      |  SELECT leg, cid, CAST(floor(cs * 1000000) AS BIGINT) AS cos_ppm FROM (
+      |    SELECT b.leg, b.vec_id, ct.cid,
+      |      ${cosSql("ct.cvec", "k.code")} AS cs,
+      |      row_number() OVER (PARTITION BY b.leg, b.vec_id
+      |        ORDER BY ${cosSql("b.embedding", "ct.cvec")} DESC, ct.cid) AS rn
+      |    FROM both_legs b
+      |    JOIN codes k ON k.leg = b.leg AND k.vec_id = b.vec_id
+      |    CROSS JOIN cent ct)
+      |  WHERE rn = 1),
+      |cells AS (
+      |  SELECT leg, cid, count(*) AS n, sum(cos_ppm) AS s
+      |  FROM assigned GROUP BY 1, 2)
+      |SELECT leg, CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_cells,
+      |  CAST(sum(s) // sum(n) AS BIGINT) AS avg_assign_cos_ppm,
+      |  CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS max_cell_share_ppm
+      |FROM cells GROUP BY leg ORDER BY leg""".stripMargin
+
   // ------------------------------------- x200 image near-dup (dHash pairs)
   /** Image NEAR-DUP dedup — the multimodal leg of the near-dup family
     * (x06/x07/x08 dedup text; this dedups pixels): per document a base PNG
@@ -7198,6 +7262,7 @@ object Extensions {
     "x206_retrain_twin" -> x206RetrainTwin _,
     "x207_quantized_retrain_twin" -> x207QuantizedRetrainTwin _,
     "x208_index_health" -> x208IndexHealth _,
+    "x209_quantized_health" -> x209QuantizedHealth _,
     "x194_gif_frames" -> x194GifFrames _,
     "x193_pixel_resize" -> x193PixelResize _,
     "x192_manku_recall" -> x192MankuRecall _,
@@ -7460,6 +7525,7 @@ object Extensions {
     "x206_retrain_twin" -> x206Sql,
     "x207_quantized_retrain_twin" -> x207Sql,
     "x208_index_health" -> x208Sql,
+    "x209_quantized_health" -> x209Sql,
     "x194_gif_frames" -> x194Sql,
     "x193_pixel_resize" -> x193Sql,
     "x192_manku_recall" -> x192Sql,

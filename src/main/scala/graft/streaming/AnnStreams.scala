@@ -556,6 +556,35 @@ object AnnStreams {
       "item_id", "item_vec", newDir, nlist, trained, iters, trainSample, spreadSeeds)
   }
 
+  /** [[indexHealth]] for the quantized family. The byte-coded cells don't
+    * store floats, so the assignment-quality signal is the asymmetric
+    * `int8_cosine(own centroid, code)` — the same metric the probe ranks
+    * by, which is the point: health measures fitness under the distance
+    * the index actually serves with. Both tails are landed in lockstep
+    * ([[landQuantizedAppendBatch]]), so the code tail IS the append
+    * population and no float scan is needed. Same output schema and
+    * [[maintenanceDue]] contract as the float report; oracled by x209. */
+  def quantizedIndexHealth(index: QuantizedIndex): DataFrame = {
+    val spark = index.cellsQ.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(index.centroids.toSeq
+      .map { case (cid, v) => (cid, v.toSeq) }.toDF("centroid_id", "centroid"))
+    def legOf(df: DataFrame, leg: String): DataFrame =
+      df.join(centDf, Seq("centroid_id"))
+        .select(lit(leg).as("leg"), col("centroid_id"),
+          floor(graft.functions.Exprs.int8_cosine(
+            col("centroid"), col("code")) * 1e6).cast("long").as("cos_ppm"))
+    legOf(index.cellsQ, "base").unionByName(legOf(index.cellsQAppends, "tail"))
+      .groupBy(col("leg"), col("centroid_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cos_ppm")).as("s"))
+      .groupBy(col("leg"))
+      .agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_cells"),
+        expr("sum(s) DIV sum(n)").as("avg_assign_cos_ppm"),
+        expr("max(n) * 1000000 DIV sum(n)").as("max_cell_share_ppm"))
+      .orderBy(col("leg"))
+  }
+
   /** Serve top-k through the QUANTIZED index: map-side nprobe centroid
     * ranking (identical to [[annServeBatch]]), probe join against the
     * byte-coded cells ranking by asymmetric int8 cosine, a k·`refine`

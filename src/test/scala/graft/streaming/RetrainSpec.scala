@@ -254,6 +254,44 @@ class RetrainSpec extends graft.SparkSpec {
       AnnStreams.Maintenance(compactDue = false, retrainDue = false))
   }
 
+  test("quantizedIndexHealth: the int8 serve metric drives the same maintenance triggers") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("health-q").toString
+    val base = (0 until 40).map { i =>
+      val axis = i % 2
+      (i.toLong, Seq.tabulate(4)(d =>
+        (if (d == axis) 1.0f else 0.0f) + 0.01f * ((i * 7 + d * 3) % 11)))
+    }.toDF("vec_id", "embedding")
+    val built = AnnStreams.buildQuantizedIndex(
+      base, "vec_id", "embedding", s"$tmp/idx", nlist = 4, trained = true)
+    assert(AnnStreams.maintenanceDue(AnnStreams.quantizedIndexHealth(built)) ==
+      AnnStreams.Maintenance(compactDue = false, retrainDue = false))
+    // a drifted lockstep append (orthogonal axes): the int8 assignment
+    // cosine gap trips retrain; tail size trips compact
+    AnnStreams.landQuantizedAppendBatch(
+      (300 until 310).map { i =>
+        val axis = 2 + i % 2
+        (i.toLong, Seq.tabulate(4)(d =>
+          (if (d == axis) 1.0f else 0.0f) + 0.01f * ((i * 3 + d) % 5)))
+      }.toDF("vec_id", "embedding"),
+      built, "vec_id", "embedding", batchId = 0L)
+    val drifted = AnnStreams.quantizedIndexHealth(
+      AnnStreams.openQuantizedIndex(spark, s"$tmp/idx"))
+    val byLeg = drifted.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(byLeg("base")._1 == 40L && byLeg("tail")._1 == 10L)
+    assert(byLeg("base")._2 - byLeg("tail")._2 >
+      byLeg("base")._2 / 10,
+      s"drifted tail must trail under the int8 metric too: $byLeg")
+    assert(AnnStreams.maintenanceDue(drifted) ==
+      AnnStreams.Maintenance(compactDue = true, retrainDue = true))
+    // the quantized retrain heals it
+    val healed = AnnStreams.quantizedIndexHealth(
+      AnnStreams.retrainQuantizedIndex(spark, s"$tmp/idx", s"$tmp/idx-re"))
+    assert(AnnStreams.maintenanceDue(healed) ==
+      AnnStreams.Maintenance(compactDue = false, retrainDue = false))
+  }
+
   test("retrain is blue/green: any spelling of the same location is rejected") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("retrain-bg").toString
