@@ -6478,6 +6478,75 @@ object Extensions {
       |  CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS max_cell_share_ppm
       |FROM cells GROUP BY leg ORDER BY leg""".stripMargin
 
+  // -------------------------------- x210 admission index health (hot-order)
+  /** [[graft.streaming.DedupStreams.admissionHealth]] oracled: the
+    * scheduling signal behind [[graft.streaming.DedupStreams
+    * .reindexAdmission]] — per branch, the document count and the
+    * UNRANKED-PAIR MASS (Σ C(count,2) over shingles the persisted hot
+    * order never ranked; each is treated as maximally rare and enters
+    * every holder's PPJoin prefix, so f appended documents sharing one
+    * contribute ~C(f,2) candidate pairs until a re-index recomputes the
+    * order). The plant: the appended stripe is headed by a fixed 9-token
+    * boilerplate the base corpus has never seen — its shingles are
+    * unranked, so the tail's mass is quadratic in the stripe while the
+    * base's is zero (the base slice is sized so the 4096-entry hot cap
+    * does NOT bind: every base df≥2 shingle is ranked, making the hot SET
+    * order-free and the replay exact on string shingles). A health that
+    * read the wrong branch, misapplied the hot filter, or drifted from
+    * the C(n,2) integer arithmetic breaks the hash. */
+  private val x210Indexes =
+    new SessionIndexCache[graft.streaming.DedupStreams.AdmissionIndex]
+  private val x210Boiler =
+    "standard corporate disclaimer header applies to this entire document"
+  def x210AdmissionHealth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.DedupStreams
+    val d = docs(s, dir)
+    val idx = x210Indexes.getOrBuild(s, dir) {
+      val idxDir = java.nio.file.Files.createTempDirectory("x210idx").toString
+      val built = DedupStreams.buildAdmissionIndex(
+        d.filter($"doc_id" % 10 < 5), "doc_id", "text", idxDir)
+      DedupStreams.landAppendBatch(
+        d.filter($"doc_id" % 10 === 7)
+          .select($"doc_id", concat(lit(x210Boiler + " "), $"text").as("text")),
+        built, "doc_id", "text", batchId = 0L)
+      DedupStreams.openAdmissionIndex(s, idxDir)
+    }
+    DedupStreams.admissionHealth(idx)
+  }
+  val x210Sql: String =
+    s"""WITH base_toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+      |  FROM documents WHERE doc_id % 10 < 5),
+      |tail_toks AS (
+      |  SELECT doc_id,
+      |    string_split_regex(lower('$x210Boiler ' || text), '\\s+') AS w
+      |  FROM documents WHERE doc_id % 10 = 7),
+      |sh AS (
+      |  SELECT leg, doc_id, shingle FROM (
+      |    SELECT DISTINCT leg, doc_id, unnest(CASE WHEN len(w) >= 3
+      |      THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
+      |      ELSE [array_to_string(w, ' ')] END) AS shingle
+      |    FROM (SELECT 'base' AS leg, doc_id, w FROM base_toks
+      |          UNION ALL SELECT 'tail', doc_id, w FROM tail_toks))),
+      |hot AS (
+      |  SELECT shingle FROM (
+      |    SELECT shingle, count(*) AS df FROM sh WHERE leg = 'base' GROUP BY 1)
+      |  WHERE df >= 2),
+      |unranked AS (
+      |  SELECT leg, shingle, count(*) AS n
+      |  FROM sh ANTI JOIN hot USING (shingle)
+      |  GROUP BY 1, 2),
+      |mass AS (
+      |  SELECT leg, CAST(sum(n * (n - 1) // 2) AS BIGINT) AS m
+      |  FROM unranked GROUP BY 1),
+      |d AS (SELECT leg, count(DISTINCT doc_id) AS n_docs FROM sh GROUP BY 1)
+      |SELECT d.leg, d.n_docs,
+      |  coalesce(m.m, 0) AS unranked_pair_mass,
+      |  CAST(coalesce(m.m, 0) * 1000000 // d.n_docs AS BIGINT) AS mass_per_doc_ppm
+      |FROM d LEFT JOIN mass m ON m.leg = d.leg
+      |ORDER BY d.leg""".stripMargin
+
   // ------------------------------------- x200 image near-dup (dHash pairs)
   /** Image NEAR-DUP dedup — the multimodal leg of the near-dup family
     * (x06/x07/x08 dedup text; this dedups pixels): per document a base PNG
@@ -7263,6 +7332,7 @@ object Extensions {
     "x207_quantized_retrain_twin" -> x207QuantizedRetrainTwin _,
     "x208_index_health" -> x208IndexHealth _,
     "x209_quantized_health" -> x209QuantizedHealth _,
+    "x210_admission_health" -> x210AdmissionHealth _,
     "x194_gif_frames" -> x194GifFrames _,
     "x193_pixel_resize" -> x193PixelResize _,
     "x192_manku_recall" -> x192MankuRecall _,
@@ -7526,6 +7596,7 @@ object Extensions {
     "x207_quantized_retrain_twin" -> x207Sql,
     "x208_index_health" -> x208Sql,
     "x209_quantized_health" -> x209Sql,
+    "x210_admission_health" -> x210Sql,
     "x194_gif_frames" -> x194Sql,
     "x193_pixel_resize" -> x193Sql,
     "x192_manku_recall" -> x192Sql,

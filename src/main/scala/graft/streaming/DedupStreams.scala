@@ -275,6 +275,66 @@ object DedupStreams {
       newDir, old.shingleK, old.threshold, old.buckets)
   }
 
+  /** [[AnnStreams.indexHealth]]'s discipline for the ADMISSION family —
+    * the signal behind scheduling [[reindexAdmission]]. Per branch
+    * (`base`, `tail`): document count and the UNRANKED-PAIR MASS —
+    * `Σ_s C(count(s), 2)` over shingles that the persisted hot order has
+    * no rank for. Verdicts are order-invariant, so what a stale order
+    * costs is PRUNING: an unranked shingle is treated as maximally rare
+    * and enters every holder's PPJoin prefix, so a shingle shared by f
+    * appended documents contributes ~C(f,2) candidate pairs the exact
+    * verify must absorb — the quadratic term the ScaleStress `reindex`
+    * receipt measured at 5,000,000 candidates on a 5k-doc drifted
+    * cluster. The mass is computed from the STORED shingle sets against
+    * the (≤4096-entry, broadcast) hot table — one scan per branch, no
+    * arrivals needed, exactly replayable (integer arithmetic). Oracled by
+    * x210. */
+  def admissionHealth(index: AdmissionIndex): DataFrame = {
+    val spark = index.sets.sparkSession
+    val hot = broadcast(spark.read.parquet(s"${index.dir}/hot")
+      .select(col("shingle")))
+    def legOf(df: DataFrame, leg: String): DataFrame =
+      df.select(lit(leg).as("leg"), col("doc_id"),
+        explode(col("shingles")).as("shingle"))
+        .join(hot, Seq("shingle"), "left_anti")
+    val mass = legOf(index.sets, "base")
+      .unionByName(legOf(index.setsAppends, "tail"))
+      .groupBy(col("leg"), col("shingle"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("leg"))
+      .agg(expr("sum(n * (n - 1) DIV 2)").as("m"))
+    index.sets.select(lit("base").as("leg"))
+      .unionByName(index.setsAppends.select(lit("tail").as("leg")))
+      .groupBy(col("leg")).agg(count(lit(1)).as("n_docs"))
+      .join(mass, Seq("leg"), "left_outer")
+      .select(col("leg"), col("n_docs"),
+        coalesce(col("m"), lit(0L)).as("unranked_pair_mass"),
+        expr("coalesce(m, 0) * 1000000 DIV n_docs").as("mass_per_doc_ppm"))
+      .orderBy(col("leg"))
+  }
+
+  /** The scheduling decision over an [[admissionHealth]] report — the
+    * admission family's [[AnnStreams.maintenanceDue]] (its `retrainDue`
+    * means [[reindexAdmission]] is due):
+    *  - compact when the tail exceeds `maxTailFraction` of the base;
+    *  - re-index when the tail carries more than `maxUnrankedPairsPerDoc`
+    *    candidate pairs per appended document on shingles the stale order
+    *    has never ranked — future arrivals sharing those shingles pay
+    *    that quadratic verify work until the hot order is recomputed.
+    * An absent/empty tail is healthy by definition. */
+  def maintenanceDueAdmission(health: DataFrame, maxTailFraction: Double = 0.1,
+      maxUnrankedPairsPerDoc: Long = 100L): AnnStreams.Maintenance = {
+    require(maxTailFraction > 0, s"maxTailFraction must be positive, got $maxTailFraction")
+    val legs = health.select(col("leg"), col("n_docs"), col("mass_per_doc_ppm"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (baseDocs, _) = legs.getOrElse("base", (0L, 0L))
+    val (tailDocs, tailMass) = legs.getOrElse("tail", (0L, 0L))
+    AnnStreams.Maintenance(
+      compactDue = baseDocs > 0L && tailDocs.toDouble > maxTailFraction * baseDocs,
+      retrainDue = tailDocs > 0L && tailMass > maxUnrankedPairsPerDoc * 1000000L)
+  }
+
   /** Diagnostic (batch): the DISTINCT (doc_id, cand_id) pairs that survive
     * the prefix + length + positional filters — the exact-verify kernel's
     * workload. candidates-per-true-pair measured over this is the pruning-

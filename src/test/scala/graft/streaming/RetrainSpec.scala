@@ -292,6 +292,59 @@ class RetrainSpec extends graft.SparkSpec {
       AnnStreams.Maintenance(compactDue = false, retrainDue = false))
   }
 
+  test("admissionHealth: unranked-pair mass trips reindex; reindexAdmission heals it") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("health-adm").toString
+    // base: 30 documents with no shared shingles at all
+    val base = (0 until 30).map { i =>
+      (i.toLong, (0 until 8).map(j => s"tok${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val built = DedupStreams.buildAdmissionIndex(base, "doc_id", "text", s"$tmp/idx")
+    val h0 = DedupStreams.admissionHealth(built)
+    assert(h0.collect().map(r => (r.getString(0), r.getLong(2))).toSeq ==
+      Seq(("base", 0L)), "an all-distinct base has zero unranked mass")
+    assert(DedupStreams.maintenanceDueAdmission(h0) ==
+      AnnStreams.Maintenance(compactDue = false, retrainDue = false))
+    // two in-distribution appends: compact not yet due, no mass
+    DedupStreams.landAppendBatch(
+      Seq((100L, "fresh alpha beta gamma delta epsilon zeta eta"),
+        (101L, "fresh2 un deux trois quatre cinq six sept")).toDF("doc_id", "text"),
+      built, "doc_id", "text", batchId = 0L)
+    val small = DedupStreams.admissionHealth(
+      DedupStreams.openAdmissionIndex(spark, s"$tmp/idx"))
+    assert(DedupStreams.maintenanceDueAdmission(small) ==
+      AnnStreams.Maintenance(compactDue = false, retrainDue = false))
+    // a drifted boilerplate-headed cluster: its shared shingles are
+    // UNRANKED in the stale order, so the tail's pair mass is quadratic
+    // in the cluster — the reindex trigger
+    val boiler =
+      "standard corporate disclaimer header applies to this entire document"
+    DedupStreams.landAppendBatch(
+      (200 until 250).map(i => (i.toLong, s"$boiler body$i tail$i end$i"))
+        .toDF("doc_id", "text"),
+      built, "doc_id", "text", batchId = 1L)
+    val drifted = DedupStreams.admissionHealth(
+      DedupStreams.openAdmissionIndex(spark, s"$tmp/idx"))
+    val byLeg = drifted.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(byLeg("base")._2 == 0L)
+    // 50 docs sharing the 7-shingle boilerplate head: mass >= 7 * C(50,2)
+    // = 8,575 -> ~165 pairs per tail doc over 52 docs, past the default
+    // 100/doc trigger
+    assert(byLeg("tail")._2 >= 8575L,
+      s"boilerplate cluster must carry quadratic unranked mass: $byLeg")
+    assert(DedupStreams.maintenanceDueAdmission(drifted) ==
+      AnnStreams.Maintenance(compactDue = true, retrainDue = true))
+    // the scheduled re-index ranks the now-hot shingles: mass collapses
+    val healed = DedupStreams.admissionHealth(
+      DedupStreams.reindexAdmission(spark, s"$tmp/idx", s"$tmp/idx-re"))
+    assert(DedupStreams.maintenanceDueAdmission(healed) ==
+      AnnStreams.Maintenance(compactDue = false, retrainDue = false))
+    assert(healed.filter($"leg" === "base").select($"unranked_pair_mass")
+      .as[Long].head() == 0L,
+      "after re-index every shared shingle is ranked")
+  }
+
   test("retrain is blue/green: any spelling of the same location is rejected") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("retrain-bg").toString
