@@ -520,10 +520,24 @@ object ScaleStress {
         synth(1000, nBase * 10 + nDrift, "aw", 41).localCheckpoint()
       val (beforeSec, candBefore) = timed(
         DedupStreams.candidatePairCount(arrivals, drifted, "doc_id", "text"))
+      // the scheduling loop, like the retrain leg: admissionHealth must
+      // DETECT the drifted tail (quadratic unranked-pair mass from the
+      // shared boilerplate head) before the re-index runs, and the
+      // re-indexed handle must report healthy after
+      val hOld = DedupStreams.admissionHealth(drifted).collect()
+        .map(r => r.getString(0) -> r.getLong(3)).toMap
+      results("reindex_health_base_mass_ppm") = hOld("base").toDouble
+      results("reindex_health_tail_mass_ppm") = hOld("tail").toDouble
+      require(DedupStreams.maintenanceDueAdmission(
+          DedupStreams.admissionHealth(drifted)).retrainDue,
+        s"admissionHealth failed to detect the drifted tail: $hOld")
       val (reSec, _) = timed {
         DedupStreams.reindexAdmission(spark, s"$dir/idx", s"$dir/idx-re"); 0L
       }
       val reindexed = DedupStreams.openAdmissionIndex(spark, s"$dir/idx-re")
+      require(!DedupStreams.maintenanceDueAdmission(
+          DedupStreams.admissionHealth(reindexed)).retrainDue,
+        "re-indexed admission index must report healthy")
       val (afterSec, candAfter) = timed(
         DedupStreams.candidatePairCount(arrivals, reindexed, "doc_id", "text"))
       require(candAfter < candBefore,

@@ -343,6 +343,80 @@ object StreamBench {
             s""""${name}_compact_s":${"%.1f".format(compactSec)}""")
         } finally if (appender.isActive) appender.stop()
       }
+    // RETRAIN UNDER LOAD (r17): blue/green's operational claim is that a
+    // quantizer retrain never pauses serving — the serve stream keeps
+    // reading blue while green rebuilds, and only a handle swap moves
+    // traffic. This leg measures the claim instead of asserting it:
+    //  - `solo`: serve throughput against blue, nothing else running;
+    //  - `during_retrain`: the SAME serve while a background thread runs
+    //    retrainIndex blue→green CONTINUOUSLY for the whole window (each
+    //    into a fresh green dir) — the co-location tax is the difference;
+    //  - `on_retrained`: serve against the last green (the post-swap
+    //    steady state; also proves the swap target is live).
+    // The tail folded by each retrain is a real 10%-of-corpus drifted
+    // slice (reversed vectors) landed through the real append path.
+    def annRetrainLeg(name: String): Seq[String] =
+      if (!wanted(name)) Seq.empty else {
+        import graft.streaming.AnnStreams
+        val e = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+          .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
+        val stride = e.agg(max(col("vec_id"))).head().getLong(0) + 1
+        val idxDir = s"$outRoot/$name-idx"
+        val built = AnnStreams.buildServingIndex(e, "vec_id", "embedding",
+          idxDir, nlist = 64)
+        AnnStreams.landAppendBatch(
+          e.filter(col("vec_id") % 10 === 0)
+            .select((col("vec_id") + lit(stride)).as("vec_id"),
+              reverse(col("embedding")).as("embedding")),
+          built, "vec_id", "embedding", batchId = 0L)
+        val blue = AnnStreams.openServingIndex(spark, idxDir)
+        def serveLeg(phase: String, idx: AnnStreams.ServingIndex): String =
+          measure(s"${name}_$phase",
+            rate => AnnStreams.annServe(
+              rate.select(col("value").as("query_id"), col("timestamp").as("ts"),
+                synthVec.as("embedding")),
+              idx, "query_id", "ts", "embedding", k = 10, nprobe = 4,
+              watermarkDelay = "10 seconds"),
+            "append", rowsPerBatch = admRowsPerBatch)
+        AnnStreams.annServeBatch(
+          spark.range(5000).select(col("id").as("value"))
+            .select(col("value").as("query_id"),
+              lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"),
+              synthVec.as("embedding")),
+          blue, "query_id", "ts", "embedding", k = 10, nprobe = 4).count()
+        serveLeg("warm_discard", blue)
+        val mSolo = serveLeg("solo", blue)
+        @volatile var stopRetrains = false
+        @volatile var nRetrains = 0
+        @volatile var retrainSecs = 0.0
+        val retrainer = new Thread(() => {
+          var i = 0
+          while (!stopRetrains) {
+            val t0 = System.nanoTime()
+            AnnStreams.retrainIndex(spark, idxDir, s"$outRoot/$name-green-$i")
+            retrainSecs += (System.nanoTime() - t0) / 1e9
+            nRetrains += 1
+            i += 1
+          }
+        })
+        retrainer.setDaemon(true)
+        retrainer.start()
+        val mDuring = serveLeg("during_retrain", blue)
+        stopRetrains = true
+        retrainer.join(120000L)
+        // if the box was so slow that no retrain finished inside the serve
+        // window, do one synchronously so the swap target exists
+        val green =
+          if (nRetrains > 0)
+            AnnStreams.openServingIndex(spark, s"$outRoot/$name-green-${nRetrains - 1}")
+          else AnnStreams.retrainIndex(spark, idxDir, s"$outRoot/$name-green-sync")
+        val mAfter = serveLeg("on_retrained", green)
+        Seq(mSolo, mDuring, mAfter,
+          s""""${name}_retrains_completed":$nRetrains""",
+          s""""${name}_retrain_avg_s":${"%.1f".format(
+            if (nRetrains > 0) retrainSecs / nRetrains else -1.0)}""",
+          s""""${name}_corpus_rows":${green.cells.count()}""")
+      }
     val legs =
       (if (wanted("sessionize")) Seq(measure("sessionize",
         rate => graft.streaming.EventStreams.sessionize(
@@ -358,7 +432,8 @@ object StreamBench {
       annServeLeg("annserve", 1) ++
       annServeLeg("annserve_10x", 10) ++
       annMaintLeg("annmaint") ++
-      admMaintLeg("admmaint")
+      admMaintLeg("admmaint") ++
+      annRetrainLeg("annretrain")
     println(s"""{"offered_rows_per_s":$offeredRps,"run_seconds":$runSeconds,"n_users":$nUsers,"adm_rows_per_batch":$admRowsPerBatch,"cpus":$cpus,"corpus_docs":$nCorpus,${legs.mkString(",")}}""")
     spark.stop()
   }

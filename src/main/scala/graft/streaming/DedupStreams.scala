@@ -317,22 +317,31 @@ object DedupStreams {
     * admission family's [[AnnStreams.maintenanceDue]] (its `retrainDue`
     * means [[reindexAdmission]] is due):
     *  - compact when the tail exceeds `maxTailFraction` of the base;
-    *  - re-index when the tail carries more than `maxUnrankedPairsPerDoc`
-    *    candidate pairs per appended document on shingles the stale order
-    *    has never ranked — future arrivals sharing those shingles pay
-    *    that quadratic verify work until the hot order is recomputed.
+    *  - re-index when the tail carries more unranked candidate-pair mass
+    *    per appended document than BOTH the absolute floor
+    *    (`maxUnrankedPairsPerDoc`) and `baseFactor` × the base's own
+    *    per-doc mass. The base term matters on a big lake: shingles past
+    *    the 4096-entry hot cap leave the base itself with a nonzero
+    *    unranked mass (measured 188 pairs/doc on the 10× stress corpus),
+    *    so a fixed absolute threshold alone would fire on any
+    *    in-distribution tail that merely RESEMBLES the base — the same
+    *    does-not-transfer-across-corpora lesson as the ANN trigger's
+    *    relative drop, applied in the opposite direction.
     * An absent/empty tail is healthy by definition. */
   def maintenanceDueAdmission(health: DataFrame, maxTailFraction: Double = 0.1,
-      maxUnrankedPairsPerDoc: Long = 100L): AnnStreams.Maintenance = {
+      maxUnrankedPairsPerDoc: Long = 100L,
+      baseFactor: Double = 4.0): AnnStreams.Maintenance = {
     require(maxTailFraction > 0, s"maxTailFraction must be positive, got $maxTailFraction")
+    require(baseFactor >= 1.0, s"baseFactor must be >= 1, got $baseFactor")
     val legs = health.select(col("leg"), col("n_docs"), col("mass_per_doc_ppm"))
       .collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    val (baseDocs, _) = legs.getOrElse("base", (0L, 0L))
+    val (baseDocs, baseMass) = legs.getOrElse("base", (0L, 0L))
     val (tailDocs, tailMass) = legs.getOrElse("tail", (0L, 0L))
+    val bar = math.max(maxUnrankedPairsPerDoc * 1e6, baseFactor * baseMass)
     AnnStreams.Maintenance(
       compactDue = baseDocs > 0L && tailDocs.toDouble > maxTailFraction * baseDocs,
-      retrainDue = tailDocs > 0L && tailMass > maxUnrankedPairsPerDoc * 1000000L)
+      retrainDue = tailDocs > 0L && tailMass.toDouble > bar)
   }
 
   /** Diagnostic (batch): the DISTINCT (doc_id, cand_id) pairs that survive
