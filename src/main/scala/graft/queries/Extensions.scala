@@ -6490,8 +6490,11 @@ object Extensions {
     * boilerplate the base corpus has never seen — its shingles are
     * unranked, so the tail's mass is quadratic in the stripe while the
     * base's is zero (the base slice is sized so the 4096-entry hot cap
-    * does NOT bind: every base df≥2 shingle is ranked, making the hot SET
-    * order-free and the replay exact on string shingles). A health that
+    * does NOT bind AT THE sf0.01 GATE SCALE — 2,467 df≥2 shingles,
+    * measured: every base df≥2 shingle is ranked, making the hot SET
+    * order-free and the string-shingle replay exact; at larger SFs the
+    * cap binds and its df-tie cut is xxhash-ordered, so this oracle is
+    * exact at the correctness gate's scale by design). A health that
     * read the wrong branch, misapplied the hot filter, or drifted from
     * the C(n,2) integer arithmetic breaks the hash. */
   private val x210Indexes =
