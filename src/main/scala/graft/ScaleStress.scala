@@ -524,12 +524,14 @@ object ScaleStress {
       // DETECT the drifted tail (quadratic unranked-pair mass from the
       // shared boilerplate head) before the re-index runs, and the
       // re-indexed handle must report healthy after
-      val hOld = DedupStreams.admissionHealth(drifted).collect()
+      // one health scan (it explodes every stored shingle of the 10x
+      // corpus); receipt fields and the due decision share the rows
+      val hOldDf = DedupStreams.admissionHealth(drifted).localCheckpoint()
+      val hOld = hOldDf.collect()
         .map(r => r.getString(0) -> r.getLong(3)).toMap
       results("reindex_health_base_mass_ppm") = hOld("base").toDouble
       results("reindex_health_tail_mass_ppm") = hOld("tail").toDouble
-      require(DedupStreams.maintenanceDueAdmission(
-          DedupStreams.admissionHealth(drifted)).retrainDue,
+      require(DedupStreams.maintenanceDueAdmission(hOldDf).retrainDue,
         s"admissionHealth failed to detect the drifted tail: $hOld")
       val (reSec, _) = timed {
         DedupStreams.reindexAdmission(spark, s"$dir/idx", s"$dir/idx-re"); 0L
@@ -657,12 +659,14 @@ object ScaleStress {
       // must signal retrain, and after the retrain the new index must
       // report healthy — the full detect -> act -> verify cycle a
       // deployment schedules
-      val healthOld = AnnStreams.indexHealth(old).collect()
+      // compute the health report ONCE (it scans cells + tail); both the
+      // receipt fields and the due decision read the same materialized rows
+      val healthOldDf = AnnStreams.indexHealth(old).localCheckpoint()
+      val healthOld = healthOldDf.collect()
         .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
       results("retrain_health_base_cos_ppm") = healthOld("base")._2.toDouble
       results("retrain_health_tail_cos_ppm") = healthOld("tail")._2.toDouble
-      val dueOld = AnnStreams.maintenanceDue(AnnStreams.indexHealth(old))
-      require(dueOld.retrainDue,
+      require(AnnStreams.maintenanceDue(healthOldDf).retrainDue,
         s"indexHealth failed to detect the drifted tail: $healthOld")
       results("retrain_due_detected") = 1.0
       val (tRetrain, _) = timed {

@@ -403,13 +403,19 @@ object StreamBench {
         retrainer.start()
         val mDuring = serveLeg("during_retrain", blue)
         stopRetrains = true
-        retrainer.join(120000L)
-        // if the box was so slow that no retrain finished inside the serve
-        // window, do one synchronously so the swap target exists
+        // UNBOUNDED join: the in-flight retrain is a normal Spark job and
+        // WILL finish — returning early (a timed join) would let the
+        // straggler keep running into the on_retrained window and
+        // co-location load would masquerade as post-swap steady state
+        retrainer.join()
+        // the during_retrain number is only a co-location receipt if a
+        // retrain actually overlapped the window — a thread that died on
+        // its first iteration would otherwise report a tax for nothing
+        require(nRetrains > 0,
+          s"$name: no retrain completed inside the serve window — " +
+            "during_retrain measured no co-location; rerun with a longer window")
         val green =
-          if (nRetrains > 0)
-            AnnStreams.openServingIndex(spark, s"$outRoot/$name-green-${nRetrains - 1}")
-          else AnnStreams.retrainIndex(spark, idxDir, s"$outRoot/$name-green-sync")
+          AnnStreams.openServingIndex(spark, s"$outRoot/$name-green-${nRetrains - 1}")
         val mAfter = serveLeg("on_retrained", green)
         Seq(mSolo, mDuring, mAfter,
           s""""${name}_retrains_completed":$nRetrains""",

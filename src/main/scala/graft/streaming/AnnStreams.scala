@@ -287,17 +287,27 @@ object AnnStreams {
     * centroid relation and two tiny aggregations — the stored
     * `centroid_id` IS the assignment, no reassignment pass. Oracled
     * value-level by x208. */
-  def indexHealth(index: ServingIndex): DataFrame = {
-    val spark = index.cells.sparkSession
+  def indexHealth(index: ServingIndex): DataFrame =
+    healthReport(index.cells, index.appends, index.centroids,
+      cosine_sim(col("item_vec"), col("centroid")))
+
+  /** The ONE health pipeline both families ride (r17 review: the float and
+    * quantized reports feed the same [[maintenanceDue]] contract, so their
+    * ppm arithmetic must not be able to drift apart): per-branch broadcast
+    * join against the nlist-sized centroid relation, per-cell partial
+    * counts/sums, per-leg rollup. `assignCos` is the family's own serve
+    * metric over (`centroid`, the branch's payload columns). */
+  private def healthReport(base: DataFrame, tail: DataFrame,
+      centroids: Array[(Int, Array[Float])], assignCos: org.apache.spark.sql.Column): DataFrame = {
+    val spark = base.sparkSession
     import spark.implicits._
-    val centDf = broadcast(index.centroids.toSeq
+    val centDf = broadcast(centroids.toSeq
       .map { case (cid, v) => (cid, v.toSeq) }.toDF("centroid_id", "centroid"))
     def legOf(df: DataFrame, leg: String): DataFrame =
       df.join(centDf, Seq("centroid_id"))
         .select(lit(leg).as("leg"), col("centroid_id"),
-          floor(cosine_sim(col("item_vec"), col("centroid")) * 1e6)
-            .cast("long").as("cos_ppm"))
-    legOf(index.cells, "base").unionByName(legOf(index.appends, "tail"))
+          floor(assignCos * 1e6).cast("long").as("cos_ppm"))
+    legOf(base, "base").unionByName(legOf(tail, "tail"))
       .groupBy(col("leg"), col("centroid_id"))
       .agg(count(lit(1)).as("n"), sum(col("cos_ppm")).as("s"))
       .groupBy(col("leg"))
@@ -321,10 +331,16 @@ object AnnStreams {
     *    RELATIVE drop — an absolute gap does not transfer across
     *    corpora: a high-structure lake at 0.95 drifting to 0.85 and a
     *    diffuse one at 0.38 dropping to 0.28 are both material, but only
-    *    one clears any fixed absolute threshold). Arrivals that trail
-    *    the base this much no longer fit the quantizer, so folding them
-    *    under fixed centroids would keep serving them from the wrong
-    *    cells.
+    *    one clears any fixed absolute threshold). The relative base is
+    *    floored at 0.1 (100,000 ppm): without a floor the rule
+    *    degenerates at tiny or non-positive base cosines — a base at
+    *    1 ppm would retrain on a 1-ppm dip, and a base at ≤ 0 (possible:
+    *    the per-row floor() biases slightly-negative cosines down, so a
+    *    near-orthogonal corpus can average below zero) would NEVER
+    *    retrain no matter how far the tail falls (r17 review finding).
+    *    Arrivals that trail the base this much no longer fit the
+    *    quantizer, so folding them under fixed centroids would keep
+    *    serving them from the wrong cells.
     *
     * An absent/empty tail is healthy by definition. */
   final case class Maintenance(compactDue: Boolean, retrainDue: Boolean)
@@ -336,10 +352,11 @@ object AnnStreams {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     val (baseRows, baseCos) = legs.getOrElse("base", (0L, 0L))
     val (tailRows, tailCos) = legs.getOrElse("tail", (0L, 0L))
+    val relBase = math.max(baseCos.toDouble, 100000.0)
     Maintenance(
       compactDue = baseRows > 0L && tailRows.toDouble > maxTailFraction * baseRows,
-      retrainDue = tailRows > 0L && baseCos > 0L &&
-        (baseCos - tailCos).toDouble > baseCos.toDouble * maxDriftDropPpm / 1e6)
+      retrainDue = tailRows > 0L &&
+        (baseCos - tailCos).toDouble > relBase * maxDriftDropPpm / 1e6)
   }
 
   // ------------------------------------------------- quantized serving index
@@ -564,26 +581,9 @@ object AnnStreams {
     * ([[landQuantizedAppendBatch]]), so the code tail IS the append
     * population and no float scan is needed. Same output schema and
     * [[maintenanceDue]] contract as the float report; oracled by x209. */
-  def quantizedIndexHealth(index: QuantizedIndex): DataFrame = {
-    val spark = index.cellsQ.sparkSession
-    import spark.implicits._
-    val centDf = broadcast(index.centroids.toSeq
-      .map { case (cid, v) => (cid, v.toSeq) }.toDF("centroid_id", "centroid"))
-    def legOf(df: DataFrame, leg: String): DataFrame =
-      df.join(centDf, Seq("centroid_id"))
-        .select(lit(leg).as("leg"), col("centroid_id"),
-          floor(graft.functions.Exprs.int8_cosine(
-            col("centroid"), col("code")) * 1e6).cast("long").as("cos_ppm"))
-    legOf(index.cellsQ, "base").unionByName(legOf(index.cellsQAppends, "tail"))
-      .groupBy(col("leg"), col("centroid_id"))
-      .agg(count(lit(1)).as("n"), sum(col("cos_ppm")).as("s"))
-      .groupBy(col("leg"))
-      .agg(sum(col("n")).as("n_rows"),
-        count(lit(1)).as("n_cells"),
-        expr("sum(s) DIV sum(n)").as("avg_assign_cos_ppm"),
-        expr("max(n) * 1000000 DIV sum(n)").as("max_cell_share_ppm"))
-      .orderBy(col("leg"))
-  }
+  def quantizedIndexHealth(index: QuantizedIndex): DataFrame =
+    healthReport(index.cellsQ, index.cellsQAppends, index.centroids,
+      graft.functions.Exprs.int8_cosine(col("centroid"), col("code")))
 
   /** Serve top-k through the QUANTIZED index: map-side nprobe centroid
     * ranking (identical to [[annServeBatch]]), probe join against the

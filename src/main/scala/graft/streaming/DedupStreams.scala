@@ -297,19 +297,27 @@ object DedupStreams {
       df.select(lit(leg).as("leg"), col("doc_id"),
         explode(col("shingles")).as("shingle"))
         .join(hot, Seq("shingle"), "left_anti")
+    // decimal accumulation + a Long.Max clamp on the outputs: the mass is
+    // QUADRATIC in the drifted cluster, so on a large lake the naive
+    // `m * 1000000` wraps negative exactly when drift is most extreme —
+    // and a negative mass would silently disarm the re-index trigger
+    // (r17 review finding). Clamped values stay exact everywhere the
+    // numbers fit (the oracle's regime) and saturate positive beyond.
     val mass = legOf(index.sets, "base")
       .unionByName(legOf(index.setsAppends, "tail"))
       .groupBy(col("leg"), col("shingle"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("leg"))
-      .agg(expr("sum(n * (n - 1) DIV 2)").as("m"))
+      .agg(expr("sum(CAST(n * (n - 1) DIV 2 AS DECIMAL(38,0)))").as("m"))
     index.sets.select(lit("base").as("leg"))
       .unionByName(index.setsAppends.select(lit("tail").as("leg")))
       .groupBy(col("leg")).agg(count(lit(1)).as("n_docs"))
       .join(mass, Seq("leg"), "left_outer")
       .select(col("leg"), col("n_docs"),
-        coalesce(col("m"), lit(0L)).as("unranked_pair_mass"),
-        expr("coalesce(m, 0) * 1000000 DIV n_docs").as("mass_per_doc_ppm"))
+        expr("CAST(least(coalesce(m, 0), 9223372036854775807) AS BIGINT)")
+          .as("unranked_pair_mass"),
+        expr("CAST(least(floor(coalesce(m, 0) * 1000000 / n_docs), " +
+          "9223372036854775807) AS BIGINT)").as("mass_per_doc_ppm"))
       .orderBy(col("leg"))
   }
 
