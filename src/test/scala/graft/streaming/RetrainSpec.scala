@@ -345,6 +345,23 @@ class RetrainSpec extends graft.SparkSpec {
       "after re-index every shared shingle is ranked")
   }
 
+  test("maintenanceDue: the relative-drop floor closes the degenerate-base dead zones") {
+    import spark.implicits._
+    def health(baseCos: Long, tailCos: Long) = Seq(
+      ("base", 100L, 10L, baseCos, 50000L),
+      ("tail", 10L, 5L, tailCos, 50000L))
+      .toDF("leg", "n_rows", "n_cells", "avg_assign_cos_ppm", "max_cell_share_ppm")
+    // a base averaging <= 0 ppm must still detect a collapsing tail (the
+    // unfloored relative rule could NEVER fire there)
+    assert(AnnStreams.maintenanceDue(health(0L, -500000L)).retrainDue)
+    // and a 1-ppm base must not fire on a 1-ppm dip
+    assert(!AnnStreams.maintenanceDue(health(1L, 0L)).retrainDue)
+    // the ordinary relative regime is unchanged: a 12% drop on a 0.5 base
+    // fires at the 10% default, an 8% drop does not
+    assert(AnnStreams.maintenanceDue(health(500000L, 440000L)).retrainDue)
+    assert(!AnnStreams.maintenanceDue(health(500000L, 460000L)).retrainDue)
+  }
+
   test("retrain is blue/green: any spelling of the same location is rejected") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("retrain-bg").toString
