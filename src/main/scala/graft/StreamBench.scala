@@ -389,15 +389,32 @@ object StreamBench {
         @volatile var stopRetrains = false
         @volatile var nRetrains = 0
         @volatile var retrainSecs = 0.0
+        // a retrain failure must surface, not die with the thread: if
+        // retrainIndex threw after >= 1 completed iteration the
+        // nRetrains > 0 guard below would still pass and during_retrain
+        // would report a PARTIAL-overlap window as a full co-location
+        // receipt (r17 ADVICE). The terminal exception is recorded and
+        // require'd null after join; superseded green-$i dirs are deleted
+        // as they are replaced (each retrain reads from the BLUE idxDir,
+        // so green-$i never depends on green-$(i-1)) to keep the window
+        // from accumulating one full index copy per iteration.
+        @volatile var retrainErr: Throwable = null
         val retrainer = new Thread(() => {
           var i = 0
-          while (!stopRetrains) {
-            val t0 = System.nanoTime()
-            AnnStreams.retrainIndex(spark, idxDir, s"$outRoot/$name-green-$i")
-            retrainSecs += (System.nanoTime() - t0) / 1e9
-            nRetrains += 1
-            i += 1
-          }
+          try {
+            while (!stopRetrains) {
+              val t0 = System.nanoTime()
+              AnnStreams.retrainIndex(spark, idxDir, s"$outRoot/$name-green-$i")
+              retrainSecs += (System.nanoTime() - t0) / 1e9
+              nRetrains += 1
+              if (i > 0) {
+                val prev = new org.apache.hadoop.fs.Path(s"$outRoot/$name-green-${i - 1}")
+                prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                  .delete(prev, true)
+              }
+              i += 1
+            }
+          } catch { case t: Throwable => retrainErr = t }
         })
         retrainer.setDaemon(true)
         retrainer.start()
@@ -414,6 +431,10 @@ object StreamBench {
         require(nRetrains > 0,
           s"$name: no retrain completed inside the serve window — " +
             "during_retrain measured no co-location; rerun with a longer window")
+        require(retrainErr == null,
+          s"$name: retrainer thread died mid-window after $nRetrains " +
+            s"retrains — during_retrain is a partial-overlap measurement, " +
+            s"not a co-location receipt: $retrainErr")
         val green =
           AnnStreams.openServingIndex(spark, s"$outRoot/$name-green-${nRetrains - 1}")
         val mAfter = serveLeg("on_retrained", green)

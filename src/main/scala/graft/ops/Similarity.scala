@@ -247,16 +247,28 @@ object Similarity {
         s(0) = byId.head._2
         // bestToSeeds(i) = best cosine from sample i to any chosen seed;
         // the next seed MINIMIZES it (ascending-id scan with strict <, so
-        // ties resolve to the lowest id — deterministic)
+        // ties resolve to the lowest UNPICKED id — deterministic). Already-
+        // picked indices are skipped outright: on a duplicate-heavy sample
+        // every remaining candidate can tie at the max (cos = 1 to some
+        // seed), and without the skip the strict-< scan would re-emit
+        // index 0, wasting a centroid on a permanently-empty duplicate
+        // cell (r17 ADVICE). k <= byId.length, so an unpicked index always
+        // exists.
+        val picked = new Array[Boolean](byId.length)
+        picked(0) = true
         val bestToSeeds = byId.map(x => cos(x._2, s(0)))
         var c = 1
         while (c < k) {
-          var pick = 0; var pickScore = Double.PositiveInfinity
+          var pick = -1; var pickScore = Double.PositiveInfinity
           var i = 0
           while (i < byId.length) {
-            if (bestToSeeds(i) < pickScore) { pick = i; pickScore = bestToSeeds(i) }
+            if (!picked(i) &&
+                (pick < 0 || bestToSeeds(i) < pickScore)) {
+              pick = i; pickScore = bestToSeeds(i)
+            }
             i += 1
           }
+          picked(pick) = true
           s(c) = byId(pick)._2
           i = 0
           while (i < byId.length) {

@@ -313,7 +313,15 @@ object AnnStreams {
       .groupBy(col("leg"))
       .agg(sum(col("n")).as("n_rows"),
         count(lit(1)).as("n_cells"),
-        expr("sum(s) DIV sum(n)").as("avg_assign_cos_ppm"),
+        // FLOOR division, not Spark's truncate-toward-zero DIV: the x208/
+        // x209 DuckDB replays use `//` (floors), and the two diverge by 1
+        // whenever sum(s) < 0 — a regime maintenanceDue itself documents
+        // (near-orthogonal corpora average below zero after the per-row
+        // floor). pmod(a, b) with b > 0 lands in [0, b), so the adjusted
+        // numerator is exactly divisible and DIV is exact — all-integer,
+        // no double rounding at lake-scale sums (r17 ADVICE).
+        expr("(sum(s) - pmod(sum(s), sum(n))) DIV sum(n)")
+          .as("avg_assign_cos_ppm"),
         expr("max(n) * 1000000 DIV sum(n)").as("max_cell_share_ppm"))
       .orderBy(col("leg"))
   }

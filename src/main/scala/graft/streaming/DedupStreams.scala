@@ -289,6 +289,29 @@ object DedupStreams {
     * the (≤4096-entry, broadcast) hot table — one scan per branch, no
     * arrivals needed, exactly replayable (integer arithmetic). Oracled by
     * x210. */
+  /** The saturating ppm projection over (`m` DECIMAL(38,0), `n_docs`
+    * BIGINT) — split out as a constant so the spec can pin the clamp
+    * regimes on literal inputs (the quadratic masses that exercise them
+    * cannot be synthesized through real documents).
+    *
+    * Why not `floor(m * 1000000 / n_docs)`: under ANSI (Spark 4's
+    * default) the decimal multiply THROWS at m >= 1e32 and the scale-6
+    * fractional divide throws earlier still; under non-ANSI both go NULL
+    * and [[maintenanceDueAdmission]]'s getLong throws on the NULL — either
+    * way the trigger dies exactly when drift is most extreme (r17
+    * ADVICE). Instead: clamp m at Long.Max (the same saturation point
+    * `unranked_pair_mass` reports), then compute
+    * `floor(m*1e6/n) = (m DIV n)*1e6 + (m MOD n)*1e6 DIV n` — all-integer
+    * (quotient <= Long.Max, widened to DECIMAL(38,0) for the *1e6 so
+    * nothing exceeds ~9.2e24), exact wherever the mass column itself is
+    * exact, saturating at Long.Max beyond. */
+  private[graft] val massPerDocPpmSql: String = {
+    val m0 = "least(coalesce(m, 0), CAST('9223372036854775807' AS DECIMAL(38,0)))"
+    s"CAST(least(CAST($m0 DIV n_docs AS DECIMAL(38,0)) * 1000000 " +
+      s"+ pmod($m0, n_docs) * 1000000 DIV n_docs, " +
+      "9223372036854775807) AS BIGINT)"
+  }
+
   def admissionHealth(index: AdmissionIndex): DataFrame = {
     val spark = index.sets.sparkSession
     val hot = broadcast(spark.read.parquet(s"${index.dir}/hot")
@@ -303,6 +326,15 @@ object DedupStreams {
     // and a negative mass would silently disarm the re-index trigger
     // (r17 review finding). Clamped values stay exact everywhere the
     // numbers fit (the oracle's regime) and saturate positive beyond.
+    // The ppm projection ([[massPerDocPpmSql]]) clamps m at Long.Max
+    // FIRST and then runs all-integer quotient/remainder arithmetic —
+    // the naive decimal multiply/divide overflows (ANSI throw, or NULL →
+    // maintenanceDueAdmission's getLong throws) exactly when drift is
+    // most extreme (r17 ADVICE). Both columns clamp at the SAME point,
+    // so the invariant `mass_per_doc_ppm == floor(unranked_pair_mass *
+    // 1e6 / n_docs)` (itself Long.Max-clamped) holds in EVERY regime —
+    // and the saturated values sit astronomically above any trigger
+    // threshold.
     val mass = legOf(index.sets, "base")
       .unionByName(legOf(index.setsAppends, "tail"))
       .groupBy(col("leg"), col("shingle"))
@@ -316,8 +348,7 @@ object DedupStreams {
       .select(col("leg"), col("n_docs"),
         expr("CAST(least(coalesce(m, 0), 9223372036854775807) AS BIGINT)")
           .as("unranked_pair_mass"),
-        expr("CAST(least(floor(coalesce(m, 0) * 1000000 / n_docs), " +
-          "9223372036854775807) AS BIGINT)").as("mass_per_doc_ppm"))
+        expr(massPerDocPpmSql).as("mass_per_doc_ppm"))
       .orderBy(col("leg"))
   }
 

@@ -376,4 +376,93 @@ class RetrainSpec extends graft.SparkSpec {
       assert(ex.getMessage.contains("blue/green"), s"spelling: $same")
     }
   }
+
+  test("indexHealth FLOORS the negative-average regime (DuckDB // parity, r17 ADVICE)") {
+    import spark.implicits._
+    import graft.functions.Exprs.cosine_sim
+    val tmp = java.nio.file.Files.createTempDirectory("health-neg").toString
+    // seeded nlist=1: the centroid is the lone base vector, so every
+    // tail row's assignment cosine is just cos(vec, base) — steer the
+    // tail ANTI-parallel and the leg's cos_ppm sum goes negative, the
+    // regime where truncate-toward-zero (Spark DIV) and floor (the
+    // DuckDB replay's //) diverge by exactly 1
+    val built = AnnStreams.buildServingIndex(
+      Seq((0L, Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$tmp/idx", nlist = 1, trained = false)
+    val tail = Seq(
+      (1L, Seq(-1.0f, 0.1f, 0.0f, 0.0f)),
+      (2L, Seq(-1.0f, 0.2f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    AnnStreams.landAppendBatch(tail, built, "vec_id", "embedding", batchId = 0L)
+    val health = AnnStreams.indexHealth(AnnStreams.openServingIndex(spark, s"$tmp/idx"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // the per-row oracle, through the engine's own metric
+    val ppm = tail
+      .select(floor(cosine_sim(col("embedding"),
+        typedLit(Seq(1.0f, 0.0f, 0.0f, 0.0f))) * 1e6).cast("long"))
+      .as[Long].collect()
+    val (s, n) = (ppm.sum, ppm.length.toLong)
+    assert(s < 0L && s % n != 0L,
+      s"test corpus must exercise the divergent regime: sum=$s n=$n")
+    assert(health("tail").getLong(3) == Math.floorDiv(s, n),
+      s"avg_assign_cos_ppm must floor like the x208 replay's //: " +
+        s"got ${health("tail").getLong(3)}, floor=${Math.floorDiv(s, n)}, " +
+        s"truncate=${s / n}")
+    assert(health("tail").getLong(3) != s / n,
+      "floor and truncate must actually differ here or the test is vacuous")
+  }
+
+  test("farthest-first seeding never re-picks a chosen sample (all-tie rounds, r17 ADVICE)") {
+    // two copies of A, a scaled copy 2A (cos(2A, A) = 1 exactly), and B:
+    // after seeds [A, B] every remaining candidate ties at best-cos 1.0,
+    // where the old strict-< scan re-emitted index 0 forever — 2A could
+    // NEVER be picked. iters = 0 makes centroids == seeds.
+    val sample = Array(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f)), (3L, Array(0.0f, 1.0f)))
+    val seeds = graft.ops.Similarity
+      .localLloyd(sample, nlist = 4, iters = 0, spreadSeeds = true)
+      .map(_._2.toSeq)
+    assert(seeds.length == 4)
+    // distinct sample PICKS: both copies of A appear exactly once each
+    // (the old scan emitted index 0 three times and never reached 2A)
+    assert(seeds.count(_ == Seq(1.0f, 0.0f)) == 2, s"picks: ${seeds.toSeq}")
+    assert(seeds.contains(Seq(2.0f, 0.0f)),
+      "the scaled duplicate must be reachable once ids 0/1 are exhausted")
+    assert(seeds.contains(Seq(0.0f, 1.0f)))
+    // non-degenerate geometry is untouched: distinct directions still
+    // pick by farthest-first order (A, then the two orthogonals, ties by
+    // lowest id)
+    val spread = Array(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)), (3L, Array(0.0f, 0.0f, 1.0f)))
+    val s3 = graft.ops.Similarity
+      .localLloyd(spread, nlist = 3, iters = 0, spreadSeeds = true)
+      .map(_._2.toSeq).toSeq
+    assert(s3 == Seq(Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f),
+      Seq(0.0f, 0.0f, 1.0f)))
+  }
+
+  test("admission ppm projection saturates (never NULLs) at clamp-regime masses (r17 ADVICE)") {
+    import spark.implicits._
+    // the quadratic masses that exercise the decimal-overflow regime
+    // cannot be synthesized through real documents (C(n,2) >= 1e32 needs
+    // ~1.4e16 docs on one shingle), so the projection is pinned on
+    // literal inputs — exactly what the old `m * 1e6` NULLed on, making
+    // maintenanceDueAdmission's getLong throw instead of clamping
+    def ppm(m: String, nDocs: Long): java.lang.Long = {
+      val row = spark.sql(
+        s"SELECT CAST('$m' AS DECIMAL(38,0)) AS m, CAST($nDocs AS BIGINT) AS n_docs")
+        .selectExpr(DedupStreams.massPerDocPpmSql + " AS p").head()
+      if (row.isNullAt(0)) null else java.lang.Long.valueOf(row.getLong(0))
+    }
+    // ordinary regime: exact
+    assert(ppm("123456", 7L) == 123456L * 1000000L / 7L)
+    // Long-scale mass, many docs: still exact — floor(Long.Max * 1e6 / 1e9)
+    assert(ppm("9223372036854775807", 1000000000L) ==
+      (BigInt(Long.MaxValue) * 1000000 / 1000000000).toLong)
+    // beyond DECIMAL(38,0) * 1e6: the old projection NULLed here
+    assert(ppm("99999999999999999999999999999999999999", 10L) == Long.MaxValue)
+    assert(ppm("10000000000000000000000000000000000", 2L) == Long.MaxValue)
+  }
 }
