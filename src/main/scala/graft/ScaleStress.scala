@@ -669,8 +669,16 @@ object ScaleStress {
       require(AnnStreams.maintenanceDue(healthOldDf).retrainDue,
         s"indexHealth failed to detect the drifted tail: $healthOld")
       results("retrain_due_detected") = 1.0
+      // √N hygiene ON SCHEDULE (r17 verdict #7): the retrain re-picks its
+      // cell count from the same health report that triggered it — the
+      // corpus grew 10%+ past the 64-cell build, so the scheduled
+      // geometry is what a deployment would actually retrain at, not the
+      // frozen build-time nlist
+      val schedNlist = AnnStreams.scheduledNlist(healthOldDf)
+      results("retrain_scheduled_nlist") = schedNlist.toDouble
       val (tRetrain, _) = timed {
-        AnnStreams.retrainIndex(spark, s"$dir/blue", s"$dir/green"); 0L
+        AnnStreams.retrainIndex(spark, s"$dir/blue", s"$dir/green",
+          newNlist = schedNlist); 0L
       }
       val green = AnnStreams.openServingIndex(spark, s"$dir/green")
       sweep(green, "new")
@@ -683,7 +691,8 @@ object ScaleStress {
       // seeding — quantifies what the spread (farthest-first) default buys
       // on a drifted lake, rather than asserting it
       val lowSeed = AnnStreams.retrainIndex(
-        spark, s"$dir/blue", s"$dir/green-lowseed", spreadSeeds = false)
+        spark, s"$dir/blue", s"$dir/green-lowseed", newNlist = schedNlist,
+        spreadSeeds = false)
       sweep(lowSeed, "newlowseed")
       results("retrain_corpus_vecs") = n10.toDouble
       results("retrain_drift_vecs") = nDrift.toDouble

@@ -399,12 +399,17 @@ object StreamBench {
         // so green-$i never depends on green-$(i-1)) to keep the window
         // from accumulating one full index copy per iteration.
         @volatile var retrainErr: Throwable = null
+        // √N hygiene on schedule (r17 verdict #7): each retrain re-picks
+        // its geometry from the health report — blue is static inside the
+        // window, so one report serves every iteration
+        val schedNlist = AnnStreams.scheduledNlist(AnnStreams.indexHealth(blue))
         val retrainer = new Thread(() => {
           var i = 0
           try {
             while (!stopRetrains) {
               val t0 = System.nanoTime()
-              AnnStreams.retrainIndex(spark, idxDir, s"$outRoot/$name-green-$i")
+              AnnStreams.retrainIndex(spark, idxDir, s"$outRoot/$name-green-$i",
+                newNlist = schedNlist)
               retrainSecs += (System.nanoTime() - t0) / 1e9
               nRetrains += 1
               if (i > 0) {
@@ -439,6 +444,7 @@ object StreamBench {
           AnnStreams.openServingIndex(spark, s"$outRoot/$name-green-${nRetrains - 1}")
         val mAfter = serveLeg("on_retrained", green)
         Seq(mSolo, mDuring, mAfter,
+          s""""${name}_scheduled_nlist":$schedNlist""",
           s""""${name}_retrains_completed":$nRetrains""",
           s""""${name}_retrain_avg_s":${"%.1f".format(
             if (nRetrains > 0) retrainSecs / nRetrains else -1.0)}""",

@@ -367,6 +367,30 @@ object AnnStreams {
         (baseCos - tailCos).toDouble > relBase * maxDriftDropPpm / 1e6)
   }
 
+  /** The √N rule as a SCHEDULABLE function (r17 verdict #7): the nlist the
+    * NEXT retrain should build at, read off the same health report
+    * [[maintenanceDue]] decides from — so the maintenance job's whole loop
+    * is `val h = indexHealth(idx); if (maintenanceDue(h).retrainDue)
+    * retrainIndex(..., newNlist = scheduledNlist(h))` and a grown corpus
+    * retrains into its right geometry automatically instead of freezing
+    * the build-time cell count forever. Retrain folds the tail, so the
+    * corpus it builds over is base + tail rows; √N balances probe cost
+    * (∝ N/nlist per probed cell) against centroid-scan cost (∝ nlist) —
+    * the classical IVF operating point, and 4× growth re-cells at 2×.
+    * Works over [[indexHealth]] and [[quantizedIndexHealth]] alike (same
+    * schema). Clamped to [minNlist, maxNlist]; empty report → minNlist. */
+  def scheduledNlist(health: DataFrame, minNlist: Int = 1,
+      maxNlist: Int = 1 << 16): Int = {
+    require(minNlist >= 1 && maxNlist >= minNlist,
+      s"bad nlist bounds: [$minNlist, $maxNlist]")
+    val n = health.select(sum(col("n_rows"))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    math.max(minNlist.toLong,
+      math.min(maxNlist.toLong, math.round(math.sqrt(n.toDouble)))).toInt
+  }
+
   // ------------------------------------------------- quantized serving index
 
   /** Handle over an int8-quantized on-disk serving index (r15 verdict ask

@@ -377,6 +377,39 @@ class RetrainSpec extends graft.SparkSpec {
     }
   }
 
+  test("scheduledNlist: 4x corpus growth retrains into 2x cells (sqrt-N on schedule)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("sched-nlist").toString
+    def vecs(ids: Range) = ids.map { i =>
+      (i.toLong, Seq.tabulate(4)(d => 0.1f * ((i * 7 + d * 3) % 13) + 0.01f))
+    }.toDF("vec_id", "embedding")
+    // build at the geometry the rule picks for 64 rows: sqrt(64) = 8
+    val built = AnnStreams.buildServingIndex(vecs(0 until 64),
+      "vec_id", "embedding", s"$tmp/idx", nlist = 8, trained = false)
+    assert(AnnStreams.scheduledNlist(AnnStreams.indexHealth(built)) == 8)
+    // grow the corpus 4x through the REAL append path
+    AnnStreams.landAppendBatch(vecs(64 until 256), built,
+      "vec_id", "embedding", batchId = 0L)
+    val grown = AnnStreams.openServingIndex(spark, s"$tmp/idx")
+    val h = AnnStreams.indexHealth(grown)
+    val next = AnnStreams.scheduledNlist(h)
+    assert(next == 16, s"sqrt(256) must schedule 16 cells, got $next")
+    // the maintenance loop a deployment runs: retrain AT the scheduled
+    // geometry — the grown corpus re-cells at 2x automatically
+    val green = AnnStreams.retrainIndex(spark, s"$tmp/idx", s"$tmp/green",
+      trained = false, newNlist = next)
+    assert(green.nlist == 16 && green.centroids.length == 16)
+    assert(AnnStreams.openServingIndex(spark, s"$tmp/green").nlist == 16)
+    // clamps + empty report
+    assert(AnnStreams.scheduledNlist(h, minNlist = 32) == 32)
+    assert(AnnStreams.scheduledNlist(h, maxNlist = 4) == 4)
+    assert(AnnStreams.scheduledNlist(h.limit(0)) == 1)
+    // the quantized family reads the same schema
+    val q = AnnStreams.buildQuantizedIndex(vecs(0 until 64),
+      "vec_id", "embedding", s"$tmp/q", nlist = 8, trained = false)
+    assert(AnnStreams.scheduledNlist(AnnStreams.quantizedIndexHealth(q)) == 8)
+  }
+
   test("indexHealth FLOORS the negative-average regime (DuckDB // parity, r17 ADVICE)") {
     import spark.implicits._
     import graft.functions.Exprs.cosine_sim
