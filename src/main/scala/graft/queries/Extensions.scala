@@ -5798,7 +5798,7 @@ object Extensions {
     import s.implicits._
     val d = docs(s, dir)
     val idx = x199Indexes.getOrBuild(s, dir) {
-      val idxDir = java.nio.file.Files.createTempDirectory("x199idx").toString
+      val idxDir = fixtureIndexDir(s, "x199idx")
       graft.streaming.DedupStreams.buildAdmissionIndex(
         d.filter($"doc_id" % 10 < 8), "doc_id", "text", idxDir,
         shingleK = 3, threshold = 0.5)
@@ -5856,6 +5856,17 @@ object Extensions {
     * it) become collectable instead of accumulating for the JVM lifetime,
     * and — unlike an identityHashCode key — a new session can never collide
     * into a dead session's entry. */
+  /** Fixture index locations are FILE-URI-SPELLED (r16 verdict #6): every
+    * oracled twin builds its index at the explicit `file://`-qualified
+    * path [[graft.streaming.DiskIndex.qualifiedUri]] resolves — the same
+    * scheme-clean discipline the engine guarantees on the lake — so the
+    * ten twins exercise qualified-URI pathing through the full
+    * build/append/serve cycle instead of only ever seeing bare local
+    * paths. */
+  private def fixtureIndexDir(s: SparkSession, prefix: String): String =
+    graft.streaming.DiskIndex.qualifiedUri(s,
+      java.nio.file.Files.createTempDirectory(prefix).toString)
+
   private final class SessionIndexCache[T] {
     private val bySession = new java.util.WeakHashMap[
       SparkSession, scala.collection.mutable.Map[String, T]]()
@@ -5871,7 +5882,7 @@ object Extensions {
     import s.implicits._
     val e = emb(s, dir)
     val idx = x201Indexes.getOrBuild(s, dir) {
-      val idxDir = java.nio.file.Files.createTempDirectory("x201idx").toString
+      val idxDir = fixtureIndexDir(s, "x201idx")
       graft.streaming.AnnStreams.buildServingIndex(
         e.filter($"vec_id" % 10 < 8), "vec_id", "embedding", idxDir,
         nlist = 8, trained = false)
@@ -5947,7 +5958,7 @@ object Extensions {
     import graft.streaming.AnnStreams
     val e = emb(s, dir)
     val (oldIdx, newIdx) = x202Indexes.getOrBuild(s, dir) {
-      val idxDir = java.nio.file.Files.createTempDirectory("x202idx").toString
+      val idxDir = fixtureIndexDir(s, "x202idx")
       val built = AnnStreams.buildServingIndex(
         e.filter($"vec_id" % 10 < 7), "vec_id", "embedding", s"$idxDir/blue",
         nlist = 8, trained = false)
@@ -6025,7 +6036,7 @@ object Extensions {
     import s.implicits._
     val e = emb(s, dir)
     val idx = x203Indexes.getOrBuild(s, dir) {
-      val idxDir = java.nio.file.Files.createTempDirectory("x203idx").toString
+      val idxDir = fixtureIndexDir(s, "x203idx")
       graft.streaming.AnnStreams.buildQuantizedIndex(
         e.filter($"vec_id" % 10 < 8), "vec_id", "embedding", idxDir,
         nlist = 8, trained = false)
@@ -6105,7 +6116,7 @@ object Extensions {
     import graft.streaming.AnnStreams
     val e = emb(s, dir)
     val (oldIdx, newIdx) = x205Indexes.getOrBuild(s, dir) {
-      val idxDir = java.nio.file.Files.createTempDirectory("x205idx").toString
+      val idxDir = fixtureIndexDir(s, "x205idx")
       val built = AnnStreams.buildQuantizedIndex(
         e.filter($"vec_id" % 10 < 7), "vec_id", "embedding", s"$idxDir/blue",
         nlist = 8, trained = false)
@@ -6195,7 +6206,7 @@ object Extensions {
     import graft.streaming.AnnStreams
     val e = emb(s, dir)
     val (oldIdx, newIdx) = x206Indexes.getOrBuild(s, dir) {
-      val idxDir = java.nio.file.Files.createTempDirectory("x206idx").toString
+      val idxDir = fixtureIndexDir(s, "x206idx")
       val built = AnnStreams.buildServingIndex(
         e.filter($"vec_id" % 10 < 7), "vec_id", "embedding", s"$idxDir/blue",
         nlist = 8, trained = false)
@@ -6279,7 +6290,7 @@ object Extensions {
     import graft.streaming.AnnStreams
     val e = emb(s, dir)
     val (oldIdx, newIdx) = x207Indexes.getOrBuild(s, dir) {
-      val idxDir = java.nio.file.Files.createTempDirectory("x207idx").toString
+      val idxDir = fixtureIndexDir(s, "x207idx")
       val built = AnnStreams.buildQuantizedIndex(
         e.filter($"vec_id" % 10 < 7), "vec_id", "embedding", s"$idxDir/blue",
         nlist = 8, trained = false)
@@ -6376,7 +6387,7 @@ object Extensions {
     import graft.streaming.AnnStreams
     val e = emb(s, dir)
     val idx = x208Indexes.getOrBuild(s, dir) {
-      val idxDir = java.nio.file.Files.createTempDirectory("x208idx").toString
+      val idxDir = fixtureIndexDir(s, "x208idx")
       val built = AnnStreams.buildServingIndex(
         e.filter($"vec_id" % 10 < 7), "vec_id", "embedding", idxDir,
         nlist = 8, trained = false)
@@ -6432,7 +6443,7 @@ object Extensions {
     import graft.streaming.AnnStreams
     val e = emb(s, dir)
     val idx = x209Indexes.getOrBuild(s, dir) {
-      val idxDir = java.nio.file.Files.createTempDirectory("x209idx").toString
+      val idxDir = fixtureIndexDir(s, "x209idx")
       val built = AnnStreams.buildQuantizedIndex(
         e.filter($"vec_id" % 10 < 7), "vec_id", "embedding", idxDir,
         nlist = 8, trained = false)
@@ -6506,7 +6517,7 @@ object Extensions {
     import graft.streaming.DedupStreams
     val d = docs(s, dir)
     val idx = x210Indexes.getOrBuild(s, dir) {
-      val idxDir = java.nio.file.Files.createTempDirectory("x210idx").toString
+      val idxDir = fixtureIndexDir(s, "x210idx")
       val built = DedupStreams.buildAdmissionIndex(
         d.filter($"doc_id" % 10 < 5), "doc_id", "text", idxDir)
       DedupStreams.landAppendBatch(

@@ -18,7 +18,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Hadoop conf and FAILS LOUDLY (`UnsupportedFileSystemException` /
   * "No FileSystem for scheme") on a scheme the deployment cannot reach —
   * an unreadable tail is an error, never an empty one. */
-private[streaming] object DiskIndex {
+private[graft] object DiskIndex {
 
   /** The ONE canonical spelling of a location: the fully-qualified URI
     * under the session's Hadoop conf. Two relative/absolute/`file:`

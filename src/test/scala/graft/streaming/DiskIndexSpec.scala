@@ -279,4 +279,58 @@ class DiskIndexSpec extends graft.SparkSpec {
     val compacted = AnnStreams.compactIndex(spark, s"$tmp/idx", s"file:$tmp/idx2")
     assert(compacted.cells.count() == 3 && compacted.appends.isEmpty)
   }
+
+  test("full lifecycle through an explicit file:// URI: build -> append -> compact -> retrain -> serve") {
+    import spark.implicits._
+    // every location in the cycle is the ://-spelled qualified URI — the
+    // exact discipline the lake deployment and the oracled fixture twins
+    // (queries/Extensions.fixtureIndexDir) run under
+    val root = DiskIndex.qualifiedUri(spark,
+      java.nio.file.Files.createTempDirectory("cycle").toString)
+    assert(root.startsWith("file:///"), s"qualified spelling: $root")
+    def vecs(ids: Range) = ids.map { i =>
+      (i.toLong, Seq.tabulate(4)(d => 0.1f * ((i * 5 + d * 7) % 11) + 0.01f))
+    }.toDF("vec_id", "embedding")
+    val built = AnnStreams.buildServingIndex(vecs(0 until 16),
+      "vec_id", "embedding", s"$root/idx", nlist = 4, trained = false)
+    AnnStreams.landAppendBatch(vecs(16 until 24), built,
+      "vec_id", "embedding", batchId = 0L)
+    val opened = AnnStreams.openServingIndex(spark, s"$root/idx")
+    assert(opened.appends.count() == 8L)
+    def serve(idx: AnnStreams.ServingIndex): Seq[(Long, Long)] = {
+      val q = vecs(0 until 24).filter($"vec_id" % 7 === 0)
+        .select($"vec_id".as("query_id"),
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"),
+          $"embedding")
+      AnnStreams.annServeBatch(q, idx, "query_id", "ts", "embedding",
+        k = 3, nprobe = 4)
+        .select($"query_id", $"item_id").as[(Long, Long)]
+        .collect().sorted.toSeq
+    }
+    val before = serve(opened)
+    assert(before.nonEmpty && before.exists(_._2 >= 16L),
+      "appended vectors must be servable through the URI-opened handle")
+    // compact folds the tail (results identical by construction)
+    val compacted = AnnStreams.compactIndex(spark, s"$root/idx", s"$root/c")
+    assert(compacted.appends.isEmpty && compacted.cells.count() == 24L)
+    assert(serve(compacted) == before)
+    // retrain re-derives the quantizer at the scheduled geometry
+    val next = AnnStreams.scheduledNlist(AnnStreams.indexHealth(compacted))
+    val green = AnnStreams.retrainIndex(spark, s"$root/c", s"$root/g",
+      trained = false, newNlist = next)
+    assert(green.nlist == next && green.cells.count() == 24L)
+    // exhaustive probe is geometry-invariant — same served pairs
+    val q = vecs(0 until 24).filter($"vec_id" % 7 === 0)
+      .select($"vec_id".as("query_id"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"),
+        $"embedding")
+    val exhaustive = AnnStreams.annServeBatch(q,
+      AnnStreams.openServingIndex(spark, s"$root/g"),
+      "query_id", "ts", "embedding", k = 3, nprobe = next)
+      .select($"query_id", $"item_id").as[(Long, Long)].collect().sorted.toSeq
+    val exhaustiveBefore = AnnStreams.annServeBatch(q, compacted,
+      "query_id", "ts", "embedding", k = 3, nprobe = 4)
+      .select($"query_id", $"item_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(exhaustive == exhaustiveBefore)
+  }
 }
