@@ -713,6 +713,111 @@ object ScaleStress {
           s"${results("retrain_new_recall_ppm_np16")} ppm at nprobe=16")
     }
 
+    // ---- leg: broadcast-DISABLED serve receipt (r17 verdict #1). The
+    // 100 TB serve claim is that the corpus side of the probe joins NEVER
+    // moves: probes hash to the bucketed cells' layout and the lake stays
+    // put. On a real cluster the query batch can exceed the broadcast
+    // threshold (or an operator disables broadcasting outright), so the
+    // claim must hold under SortMergeJoin too — this leg forces
+    // autoBroadcastJoinThreshold=-1, asserts the shape (zero broadcast
+    // operators; zero exchanges above any bucketed corpus scan), and
+    // prices the degradation honestly: q/s + shuffle bytes, broadcast vs
+    // disabled, float + quantized families on the 10x corpus with a live
+    // append tail.
+    if (wanted("nobroadcast")) {
+      import graft.streaming.AnnStreams
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val nEmb = emb.agg(max($"vec_id")).as[Long].collect()(0) + 1
+      val emb10 = (0 until 10).map { k =>
+        emb.select(($"vec_id" + lit(k * nEmb)).as("vec_id"),
+          transform($"embedding", x => x + lit((k + 1) * 0.001f)).as("embedding"))
+      }.reduce(_ unionAll _).localCheckpoint()
+      val dir = s"$outDir/nobc"
+      val fBuilt = AnnStreams.buildServingIndex(emb10, "vec_id", "embedding",
+        s"$dir/f", nlist = 64)
+      val qBuilt = AnnStreams.buildQuantizedIndex(emb10, "vec_id", "embedding",
+        s"$dir/q", nlist = 64)
+      // a live tail: the appends branch must keep its contract under the
+      // same disable (it joins unbucketed — small-fraction by design)
+      val tail = emb10.filter($"vec_id" % 20 === 3)
+        .select(($"vec_id" + lit(10 * nEmb)).as("vec_id"), $"embedding")
+      AnnStreams.landAppendBatch(tail, fBuilt, "vec_id", "embedding", batchId = 0L)
+      AnnStreams.landQuantizedAppendBatch(tail, qBuilt, "vec_id", "embedding",
+        batchId = 0L)
+      val float = AnnStreams.openServingIndex(spark, s"$dir/f")
+      val quant = AnnStreams.openQuantizedIndex(spark, s"$dir/q")
+      val queries = emb10.filter($"vec_id" % 7 === 0)
+        .select($"vec_id",
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"),
+          $"embedding")
+        .localCheckpoint()
+      val nQ = queries.count()
+      def serveF() = AnnStreams.annServeBatch(queries, float,
+        "vec_id", "ts", "embedding", k = 10, nprobe = 4)
+      def serveQ() = AnnStreams.annServeQuantizedBatch(queries, quant,
+        "vec_id", "ts", "embedding", k = 10, nprobe = 4, refine = 4)
+      // shuffle-byte meter: stage-level task metrics, quiesced between runs
+      // (listener events are async — wait until the stage count stops
+      // moving before reading the counter)
+      object meter extends org.apache.spark.scheduler.SparkListener {
+        @volatile var bytes = 0L
+        @volatile var stages = 0L
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          bytes += sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+          stages += 1
+        }
+      }
+      spark.sparkContext.addSparkListener(meter)
+      def settle(): Unit = {
+        var prev = -1L
+        while (meter.stages != prev) { prev = meter.stages; Thread.sleep(300) }
+      }
+      def measured(tag: String, body: => Long): Unit = {
+        settle(); val b0 = meter.bytes
+        val (sec, n) = timed(body)
+        settle()
+        require(n > 0, s"$tag served nothing")
+        results(s"nobc_${tag}_s") = sec
+        results(s"nobc_${tag}_qps") = nQ / sec
+        results(s"nobc_${tag}_shuffle_mb") = (meter.bytes - b0) / 1e6
+      }
+      val savedThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        serveF().count(); serveQ().count() // warm: registration + codegen
+        measured("bcast_float", serveF().count())
+        measured("bcast_quant", serveQ().count())
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        // the SHAPE receipt, on the compile-time plan: zero broadcast
+        // operators anywhere; no exchange above any bucketed corpus scan
+        Seq("float" -> serveF(), "quant" -> serveQ()).foreach { case (fam, df) =>
+          val sp = df.queryExecution.sparkPlan
+          val bcast = sp.collect {
+            case p if p.nodeName.toLowerCase.contains("broadcast") => p.nodeName }
+          require(bcast.isEmpty,
+            s"$fam: broadcast operators survived the disable: $bcast")
+          val movedLake = sp.collect { case e: ShuffleExchangeExec =>
+            e.collect { case f: FileSourceScanExec if f.bucketedScan => f }
+          }.flatten
+          require(movedLake.isEmpty,
+            s"$fam: a bucketed corpus scan sits under an exchange — the lake side moved")
+          val bucketed = sp.collect {
+            case f: FileSourceScanExec if f.bucketedScan => f }
+          require(bucketed.nonEmpty, s"$fam: no bucketed scan in the serve plan")
+          results(s"nobc_${fam}_bucketed_scans") = bucketed.size.toDouble
+        }
+        measured("nobc_float", serveF().count())
+        measured("nobc_quant", serveQ().count())
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThresh)
+        spark.sparkContext.removeSparkListener(meter)
+      }
+      results("nobc_corpus_vecs") = emb10.count().toDouble
+      results("nobc_queries") = nQ.toDouble
+    }
+
     // ---- leg 2: saturation plant (x06/x07; x08 is exact/uncapped by design)
     if (wanted("sat")) {
     val planted = (0 until 3000).map { i =>

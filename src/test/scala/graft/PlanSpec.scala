@@ -395,4 +395,69 @@ class PlanSpec extends SparkSpec {
       Seq(graft.ops.Par.RankSpec("odd", ascending = true, "rn_d"),
         graft.ops.Par.RankSpec("o_custkey", ascending = true, "rn_c")))))
   }
+
+  test("broadcast-disabled serve: SMJ degrades gracefully — the bucketed corpus never exchanges") {
+    // the 100 TB serve claim under the WORST join strategy (r17 verdict
+    // #1): with autoBroadcastJoinThreshold=-1 the probe joins fall back to
+    // SortMergeJoin, where the QUERY side shuffles to the corpus buckets'
+    // layout and the lake-sized bucketed scans stay put — zero broadcast
+    // operators, zero exchanges above any bucketed scan, both families
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    import graft.streaming.AnnStreams
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val tmp = java.nio.file.Files.createTempDirectory("nobc-plan").toString
+    val vecs = (0 until 64).map { i =>
+      (i.toLong, Seq.tabulate(4)(d => 0.1f * ((i * 5 + d * 7) % 11) + 0.01f))
+    }.toDF("vec_id", "embedding")
+    val fBuilt = AnnStreams.buildServingIndex(vecs, "vec_id", "embedding",
+      s"$tmp/f", nlist = 4, trained = false)
+    val qBuilt = AnnStreams.buildQuantizedIndex(vecs, "vec_id", "embedding",
+      s"$tmp/q", nlist = 4, trained = false)
+    val tail = vecs.filter($"vec_id" % 16 === 3)
+      .select(($"vec_id" + 64L).as("vec_id"), $"embedding")
+    AnnStreams.landAppendBatch(tail, fBuilt, "vec_id", "embedding", batchId = 0L)
+    AnnStreams.landQuantizedAppendBatch(tail, qBuilt, "vec_id", "embedding",
+      batchId = 0L)
+    val q = vecs.filter($"vec_id" % 9 === 0)
+      .select($"vec_id".as("query_id"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"),
+        $"embedding")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plans = Seq(
+        "float" -> AnnStreams.annServeBatch(q,
+          AnnStreams.openServingIndex(spark, s"$tmp/f"),
+          "query_id", "ts", "embedding", k = 3, nprobe = 2),
+        "quantized" -> AnnStreams.annServeQuantizedBatch(q,
+          AnnStreams.openQuantizedIndex(spark, s"$tmp/q"),
+          "query_id", "ts", "embedding", k = 3, nprobe = 2, refine = 4))
+      plans.foreach { case (fam, df) =>
+        val sp = df.queryExecution.sparkPlan
+        val bcast = sp.collect {
+          case p if p.nodeName.toLowerCase.contains("broadcast") => p.nodeName }
+        assert(bcast.isEmpty, s"$fam: broadcast survived the disable: $bcast")
+        // the degraded strategy really is SMJ (not nested-loop)
+        val fp = plan(df)
+        assert(count(fp, "SortMergeJoin") >= 1,
+          s"$fam: expected sort-merge fallback:\n$fp")
+        assert(count(fp, "BroadcastNestedLoopJoin") == 0 &&
+          count(fp, "CartesianProduct") == 0,
+          s"$fam: non-equi fallback crept in:\n$fp")
+        // the lake never moves: no bucketed scan under any exchange
+        val movedLake = sp.collect { case e: ShuffleExchangeExec =>
+          e.collect { case f: FileSourceScanExec if f.bucketedScan => f }
+        }.flatten
+        assert(movedLake.isEmpty,
+          s"$fam: bucketed corpus scan under an exchange — the lake side moved")
+        val bucketed = sp.collect {
+          case f: FileSourceScanExec if f.bucketedScan => f }
+        assert(bucketed.nonEmpty, s"$fam: no bucketed scan in the serve plan")
+        // and the shape is load-bearing, not inert: it still serves
+        assert(df.count() > 0)
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }
