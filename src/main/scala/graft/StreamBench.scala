@@ -450,6 +450,131 @@ object StreamBench {
             if (nRetrains > 0) retrainSecs / nRetrains else -1.0)}""",
           s""""${name}_corpus_rows":${green.cells.count()}""")
       }
+    // POLICY-DRIVEN MAINTENANCE UNDER LOAD (r17 verdict #6): the scheduling
+    // layer's pieces — indexHealth, maintenanceDue, scheduledNlist,
+    // retrainIndex — demonstrated as ONE operational loop rather than
+    // oracled components. A maintenance thread polls indexHealth on a
+    // cadence and acts ONLY when maintenanceDue fires, retraining at the
+    // scheduled sqrt-N geometry; serving never pauses. Three phases, each
+    // a full measured window against the live handle:
+    //  - `healthy`: empty tail — the poller must observe and NOT act;
+    //  - `drifted`: a 10%-of-corpus reversed-vector tail lands through the
+    //    real append path mid-leg; the poller detects it, fires exactly
+    //    one retrain into green, verifies green's health, and swaps its
+    //    own polling target (green must never re-fire);
+    //  - `on_green`: serving against the retrained index.
+    // The receipt is the causal chain t(drift) < t(due) < t(retrain done)
+    // plus q/s per phase and the poll/act counters.
+    def annPolicyLeg(name: String): Seq[String] =
+      if (!wanted(name)) Seq.empty else {
+        import graft.streaming.AnnStreams
+        val e = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+          .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
+        val stride = e.agg(max(col("vec_id"))).head().getLong(0) + 1
+        val idxDir = s"$outRoot/$name-idx"
+        val greenDir = s"$outRoot/$name-green"
+        val built = AnnStreams.buildServingIndex(e, "vec_id", "embedding",
+          idxDir, nlist = 64)
+        val blue = AnnStreams.openServingIndex(spark, idxDir)
+        def serveLeg(phase: String, idx: AnnStreams.ServingIndex): String =
+          measure(s"${name}_$phase",
+            rate => AnnStreams.annServe(
+              rate.select(col("value").as("query_id"), col("timestamp").as("ts"),
+                synthVec.as("embedding")),
+              idx, "query_id", "ts", "embedding", k = 10, nprobe = 4,
+              watermarkDelay = "10 seconds"),
+            "append", rowsPerBatch = admRowsPerBatch)
+        AnnStreams.annServeBatch(
+          spark.range(5000).select(col("id").as("value"))
+            .select(col("value").as("query_id"),
+              lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"),
+              synthVec.as("embedding")),
+          blue, "query_id", "ts", "embedding", k = 10, nprobe = 4).count()
+        serveLeg("warm_discard", blue)
+        val t0 = System.nanoTime()
+        def secs(t: Long): Double = (t - t0) / 1e9
+        @volatile var stopPolling = false
+        @volatile var polls = 0
+        @volatile var pollsAfterSwap = 0
+        @volatile var tDueFired = -1L
+        @volatile var tRetrainDone = -1L
+        @volatile var maintErr: Throwable = null
+        val poller = new Thread(() => {
+          try {
+            var acted = false
+            while (!stopPolling) {
+              // a poll REOPENS the handle: serve handles bind the tail at
+              // open time, so only a fresh open sees newly landed batches
+              val dir = if (acted) greenDir else idxDir
+              val h = AnnStreams.indexHealth(
+                AnnStreams.openServingIndex(spark, dir))
+              val due = AnnStreams.maintenanceDue(h)
+              polls += 1
+              if (acted) {
+                pollsAfterSwap += 1
+                require(!due.retrainDue && !due.compactDue,
+                  s"$name: green re-fired maintenance after the swap")
+              } else if (due.retrainDue) {
+                tDueFired = System.nanoTime()
+                AnnStreams.retrainIndex(spark, idxDir, greenDir,
+                  newNlist = AnnStreams.scheduledNlist(h))
+                tRetrainDone = System.nanoTime()
+                acted = true
+              }
+              Thread.sleep(2000)
+            }
+            require(acted, s"$name: poller never acted — drift was not detected")
+          } catch { case t: Throwable => maintErr = t }
+        })
+        poller.setDaemon(true)
+        poller.start()
+        val mHealthy = serveLeg("healthy", blue)
+        require(tDueFired < 0L,
+          s"$name: maintenance fired on a healthy index (poll bug or plant leak)")
+        val healthyPolls = polls
+        // drift lands mid-run through the REAL append path (the same
+        // reversed-vector plant the retrain legs use)
+        val tDrift = System.nanoTime()
+        AnnStreams.landAppendBatch(
+          e.filter(col("vec_id") % 10 === 0)
+            .select((col("vec_id") + lit(stride)).as("vec_id"),
+              reverse(col("embedding")).as("embedding")),
+          built, "vec_id", "embedding", batchId = 0L)
+        // serving keeps running on blue while the poller detects and acts
+        val mDrifted = serveLeg("drifted", blue)
+        // bounded wait: the retrain must complete near the window, not hang
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        while (tRetrainDone < 0L && maintErr == null &&
+            System.nanoTime() < deadline) Thread.sleep(200)
+        require(maintErr == null, s"$name: maintenance thread died: $maintErr")
+        require(tRetrainDone > 0L,
+          s"$name: drift landed but no retrain completed within the window")
+        require(tDrift < tDueFired && tDueFired < tRetrainDone,
+          s"$name: causal chain broken: drift=${secs(tDrift)}s " +
+            s"due=${secs(tDueFired)}s done=${secs(tRetrainDone)}s")
+        // the poller stays live through the green phase (a deployment's
+        // poller never stops) — its in-thread require pins that green
+        // NEVER re-fires maintenance; we demand it actually polled
+        val green = AnnStreams.openServingIndex(spark, greenDir)
+        val mGreen = serveLeg("on_green", green)
+        val deadline2 = System.nanoTime() + 60L * 1000000000L
+        while (pollsAfterSwap < 1 && maintErr == null &&
+            System.nanoTime() < deadline2) Thread.sleep(200)
+        stopPolling = true
+        poller.join(15000)
+        require(maintErr == null, s"$name: maintenance thread died: $maintErr")
+        require(pollsAfterSwap >= 1,
+          s"$name: green was never health-polled after the swap")
+        Seq(mHealthy, mDrifted, mGreen,
+          s""""${name}_t_drift_s":${"%.1f".format(secs(tDrift))}""",
+          s""""${name}_t_due_s":${"%.1f".format(secs(tDueFired))}""",
+          s""""${name}_t_retrain_done_s":${"%.1f".format(secs(tRetrainDone))}""",
+          s""""${name}_polls":$polls""",
+          s""""${name}_polls_healthy":$healthyPolls""",
+          s""""${name}_polls_after_swap":$pollsAfterSwap""",
+          s""""${name}_green_nlist":${green.nlist}""",
+          s""""${name}_corpus_rows":${green.cells.count()}""")
+      }
     val legs =
       (if (wanted("sessionize")) Seq(measure("sessionize",
         rate => graft.streaming.EventStreams.sessionize(
@@ -466,7 +591,8 @@ object StreamBench {
       annServeLeg("annserve_10x", 10) ++
       annMaintLeg("annmaint") ++
       admMaintLeg("admmaint") ++
-      annRetrainLeg("annretrain")
+      annRetrainLeg("annretrain") ++
+      annPolicyLeg("annpolicy")
     println(s"""{"offered_rows_per_s":$offeredRps,"run_seconds":$runSeconds,"n_users":$nUsers,"adm_rows_per_batch":$admRowsPerBatch,"cpus":$cpus,"corpus_docs":$nCorpus,${legs.mkString(",")}}""")
     spark.stop()
   }

@@ -73,7 +73,17 @@ private[graft] object DiskIndex {
       // re-shuffled the arrivals side once per serve)
       spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-    else spark.read.parquet(batches.toSeq: _*)
+    // EXPLICIT schema, never inference (r18 finding, caught live by the
+    // StreamBench policy-maintenance leg): a batch=<id> dir exists from
+    // the moment its write JOB starts, but holds no committed footers
+    // until job commit — schema inference over it throws
+    // UNABLE_TO_INFER_SCHEMA, killing any reader that opens the index
+    // while a maintenance batch is mid-commit. With the schema supplied
+    // (it IS the cells schema — the landing paths write exactly it), an
+    // in-flight dir reads as its committed rows: zero until the commit
+    // renames the files in, the full batch after. Readers never race the
+    // writer; unreadable SCHEMES still fail loudly above.
+    else spark.read.schema(schema).parquet(batches.toSeq: _*)
       .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
   }
 

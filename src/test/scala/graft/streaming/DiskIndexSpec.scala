@@ -33,6 +33,23 @@ class DiskIndexSpec extends graft.SparkSpec {
     assert(ids(s"file:$root") == Seq(1L, 2L))
   }
 
+  test("appendTail survives an in-flight (uncommitted) batch dir — reads its committed rows: zero") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("diskidx-inflight").toString
+    // a batch dir exists from write-job start but has no committed parquet
+    // footers until job commit — exactly what a concurrent health poll
+    // sees mid-maintenance (caught live by the StreamBench policy leg)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/batch=0"))
+    val tail = DiskIndex.appendTail(spark, root, schema)
+    assert(tail.schema.fieldNames.toSeq == Seq("doc_id", "v"))
+    assert(tail.count() == 0L,
+      "an uncommitted batch must read as zero rows, not throw on inference")
+    // and a committed batch beside it still reads in full
+    Seq((7L, 70L)).toDF("doc_id", "v").write.parquet(s"$root/batch=1")
+    assert(DiskIndex.appendTail(spark, root, schema)
+      .select($"doc_id").as[Long].collect().toSeq == Seq(7L))
+  }
+
   test("appendTail fails loudly on an unreachable scheme, never empty") {
     val ex = intercept[Exception] {
       DiskIndex.appendTail(spark, "nosuchscheme://bucket/index/appends", schema)
