@@ -6561,6 +6561,99 @@ object Extensions {
       |FROM d LEFT JOIN mass m ON m.leg = d.leg
       |ORDER BY d.leg""".stripMargin
 
+  // --------------------------------- x211 maintenance plan (decision oracled)
+  /** The COMPLETE maintenance decision oracled end-to-end: health report →
+    * [[graft.streaming.AnnStreams.maintenanceDue]] flags →
+    * [[graft.streaming.AnnStreams.scheduledNlist]] geometry, in one row.
+    * x208 oracles the health REPORT; this oracles what the scheduler DOES
+    * with it — the exact arithmetic a maintenance poller acts on
+    * (StreamBench's `annpolicy` loop is this decision on a timer). The
+    * fixture is x208's base (70% stripe, seeded nlist=8) with a
+    * REVERSED-vector append stripe sized and steered to fire BOTH
+    * triggers at the gate scale: 50 tail rows over 350 base = 14.3% >
+    * the 10% compaction budget, and reversal drops the tail's assignment
+    * cosine ~37.5k ppm against a ~19.8k relative gate (both measured, so
+    * the oracle pins due flags at TRUE, not vacuously false). The replay
+    * recomputes assignment from the seeded closed form, then reapplies
+    * the decision arithmetic EXACTLY: truncating integer ppm averages
+    * (`//` — measured to truncate like Spark DIV, including on HUGEINT),
+    * the 100k-ppm relative-base clamp, the double-precision threshold
+    * compares, and the clamped `floor(sqrt(N)+0.5)` geometry rule
+    * (`Math.round` and DuckDB `floor(x+0.5)` agree exactly: IEEE sqrt is
+    * correctly rounded in both engines). A health read off the wrong
+    * branch, a drifted threshold constant, truncate-vs-floor drift, or a
+    * mis-clamped geometry all break the hash. */
+  private val x211Indexes =
+    new SessionIndexCache[graft.streaming.AnnStreams.ServingIndex]
+  def x211MaintenancePlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.AnnStreams
+    val e = emb(s, dir)
+    val idx = x211Indexes.getOrBuild(s, dir) {
+      val idxDir = fixtureIndexDir(s, "x211idx")
+      val built = AnnStreams.buildServingIndex(
+        e.filter($"vec_id" % 10 < 7), "vec_id", "embedding", idxDir,
+        nlist = 8, trained = false)
+      AnnStreams.landAppendBatch(
+        e.filter($"vec_id" % 10 === 7)
+          .select($"vec_id", reverse($"embedding").as("embedding")),
+        built, "vec_id", "embedding", batchId = 0L)
+      AnnStreams.openServingIndex(s, idxDir)
+    }
+    val h = AnnStreams.indexHealth(idx)
+    val due = AnnStreams.maintenanceDue(h)
+    val sched = AnnStreams.scheduledNlist(h)
+    val legs = h.select($"leg", $"n_rows").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq((legs.getOrElse("base", 0L), legs.getOrElse("tail", 0L),
+      if (due.compactDue) 1L else 0L, if (due.retrainDue) 1L else 0L,
+      sched.toLong))
+      .toDF("base_rows", "tail_rows", "compact_due", "retrain_due",
+        "scheduled_nlist")
+  }
+  val x211Sql: String =
+    s"""WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 < 7),
+      |tl AS (SELECT vec_id, list_reverse(embedding) AS embedding
+      |       FROM embeddings WHERE vec_id % 10 = 7),
+      |cent AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+      |  FROM (SELECT vec_id, embedding FROM corpus ORDER BY vec_id LIMIT 8)),
+      |assigned AS (
+      |  SELECT leg, cid, CAST(floor(cs * 1000000) AS BIGINT) AS cos_ppm FROM (
+      |    SELECT leg, item_id, cid, cs,
+      |      row_number() OVER (PARTITION BY leg, item_id
+      |        ORDER BY cs DESC, cid) AS rn
+      |    FROM (
+      |      SELECT 'base' AS leg, c.vec_id AS item_id, ct.cid,
+      |        ${cosSql("c.embedding", "ct.cvec")} AS cs
+      |      FROM corpus c CROSS JOIN cent ct
+      |      UNION ALL
+      |      SELECT 'tail', t.vec_id, ct.cid, ${cosSql("t.embedding", "ct.cvec")}
+      |      FROM tl t CROSS JOIN cent ct))
+      |  WHERE rn = 1),
+      |cells AS (
+      |  SELECT leg, cid, count(*) AS n, sum(cos_ppm) AS s
+      |  FROM assigned GROUP BY 1, 2),
+      |health AS (
+      |  SELECT leg, CAST(sum(n) AS BIGINT) AS n_rows,
+      |    CAST(sum(s) // sum(n) AS BIGINT) AS cos
+      |  FROM cells GROUP BY leg),
+      |b AS (SELECT n_rows, cos FROM health WHERE leg = 'base'),
+      |t AS (SELECT n_rows, cos FROM health WHERE leg = 'tail')
+      |SELECT b.n_rows AS base_rows, t.n_rows AS tail_rows,
+      |  CAST(CASE WHEN b.n_rows > 0
+      |    AND CAST(t.n_rows AS DOUBLE) > 0.1 * b.n_rows
+      |    THEN 1 ELSE 0 END AS BIGINT) AS compact_due,
+      |  CAST(CASE WHEN t.n_rows > 0
+      |    AND CAST(b.cos - t.cos AS DOUBLE)
+      |      > GREATEST(CAST(b.cos AS DOUBLE), 100000.0) * 0.1
+      |    THEN 1 ELSE 0 END AS BIGINT) AS retrain_due,
+      |  CAST(GREATEST(1, LEAST(65536,
+      |    CAST(floor(sqrt(CAST(b.n_rows + t.n_rows AS DOUBLE)) + 0.5)
+      |      AS BIGINT))) AS BIGINT) AS scheduled_nlist
+      |FROM b, t""".stripMargin
+
   // ------------------------------------- x200 image near-dup (dHash pairs)
   /** Image NEAR-DUP dedup — the multimodal leg of the near-dup family
     * (x06/x07/x08 dedup text; this dedups pixels): per document a base PNG
@@ -7347,6 +7440,7 @@ object Extensions {
     "x208_index_health" -> x208IndexHealth _,
     "x209_quantized_health" -> x209QuantizedHealth _,
     "x210_admission_health" -> x210AdmissionHealth _,
+    "x211_maintenance_plan" -> x211MaintenancePlan _,
     "x194_gif_frames" -> x194GifFrames _,
     "x193_pixel_resize" -> x193PixelResize _,
     "x192_manku_recall" -> x192MankuRecall _,
@@ -7611,6 +7705,7 @@ object Extensions {
     "x208_index_health" -> x208Sql,
     "x209_quantized_health" -> x209Sql,
     "x210_admission_health" -> x210Sql,
+    "x211_maintenance_plan" -> x211Sql,
     "x194_gif_frames" -> x194Sql,
     "x193_pixel_resize" -> x193Sql,
     "x192_manku_recall" -> x192Sql,

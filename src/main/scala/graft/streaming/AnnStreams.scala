@@ -313,15 +313,17 @@ object AnnStreams {
       .groupBy(col("leg"))
       .agg(sum(col("n")).as("n_rows"),
         count(lit(1)).as("n_cells"),
-        // FLOOR division, not Spark's truncate-toward-zero DIV: the x208/
-        // x209 DuckDB replays use `//` (floors), and the two diverge by 1
-        // whenever sum(s) < 0 — a regime maintenanceDue itself documents
-        // (near-orthogonal corpora average below zero after the per-row
-        // floor). pmod(a, b) with b > 0 lands in [0, b), so the adjusted
-        // numerator is exactly divisible and DIV is exact — all-integer,
-        // no double rounding at lake-scale sums (r17 ADVICE).
-        expr("(sum(s) - pmod(sum(s), sum(n))) DIV sum(n)")
-          .as("avg_assign_cos_ppm"),
+        // TRUNCATE-toward-zero (Spark DIV), deliberately — the r17 ADVICE
+        // asked for floor "matching DuckDB //", but DuckDB `//` MEASURED
+        // (r18, this container): -7 // 2 = -3 on INTEGER and HUGEINT
+        // alike — `//` truncates exactly like DIV, in every regime
+        // including the negative-sum one the near-orthogonal-corpus
+        // comment below describes. An r18 interim commit switched this to
+        // pmod-adjusted floor on the ADVICE's stated premise; that was the
+        // only spelling that could diverge from the `sum(s) // sum(n)`
+        // replays (x208/x209/x211), so it is reverted with the receipt
+        // pinned in RetrainSpec's negative-regime test.
+        expr("sum(s) DIV sum(n)").as("avg_assign_cos_ppm"),
         expr("max(n) * 1000000 DIV sum(n)").as("max_cell_share_ppm"))
       .orderBy(col("leg"))
   }

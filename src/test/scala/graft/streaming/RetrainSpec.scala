@@ -410,15 +410,20 @@ class RetrainSpec extends graft.SparkSpec {
     assert(AnnStreams.scheduledNlist(AnnStreams.quantizedIndexHealth(q)) == 8)
   }
 
-  test("indexHealth FLOORS the negative-average regime (DuckDB // parity, r17 ADVICE)") {
+  test("indexHealth TRUNCATES the negative-average regime (measured DuckDB // parity)") {
     import spark.implicits._
     import graft.functions.Exprs.cosine_sim
     val tmp = java.nio.file.Files.createTempDirectory("health-neg").toString
     // seeded nlist=1: the centroid is the lone base vector, so every
     // tail row's assignment cosine is just cos(vec, base) — steer the
     // tail ANTI-parallel and the leg's cos_ppm sum goes negative, the
-    // regime where truncate-toward-zero (Spark DIV) and floor (the
-    // DuckDB replay's //) diverge by exactly 1
+    // ONLY regime where truncate-toward-zero and floor can differ. The
+    // r17 ADVICE claimed DuckDB `//` floors; measured in this container
+    // (r18) it TRUNCATES: `SELECT -7 // 2` → -3, and identically on
+    // HUGEINT (`CAST(-7 AS HUGEINT) // CAST(2 AS HUGEINT)` → -3), which
+    // is the type the x208/x211 replays' sum()s carry. Spark DIV also
+    // truncates — so plain DIV is the cross-engine-exact spelling and
+    // this test pins it against Math.floorDiv to stay non-vacuous
     val built = AnnStreams.buildServingIndex(
       Seq((0L, Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"),
       "vec_id", "embedding", s"$tmp/idx", nlist = 1, trained = false)
@@ -437,11 +442,11 @@ class RetrainSpec extends graft.SparkSpec {
     val (s, n) = (ppm.sum, ppm.length.toLong)
     assert(s < 0L && s % n != 0L,
       s"test corpus must exercise the divergent regime: sum=$s n=$n")
-    assert(health("tail").getLong(3) == Math.floorDiv(s, n),
-      s"avg_assign_cos_ppm must floor like the x208 replay's //: " +
-        s"got ${health("tail").getLong(3)}, floor=${Math.floorDiv(s, n)}, " +
-        s"truncate=${s / n}")
-    assert(health("tail").getLong(3) != s / n,
+    assert(health("tail").getLong(3) == s / n,
+      s"avg_assign_cos_ppm must truncate like the measured DuckDB //: " +
+        s"got ${health("tail").getLong(3)}, truncate=${s / n}, " +
+        s"floor=${Math.floorDiv(s, n)}")
+    assert(health("tail").getLong(3) != Math.floorDiv(s, n),
       "floor and truncate must actually differ here or the test is vacuous")
   }
 
