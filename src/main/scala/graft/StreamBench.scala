@@ -575,6 +575,124 @@ object StreamBench {
           s""""${name}_green_nlist":${green.nlist}""",
           s""""${name}_corpus_rows":${green.cells.count()}""")
       }
+    // POLICY-DRIVEN MAINTENANCE, ADMISSION FAMILY: the same closed loop as
+    // annpolicy for the dedup-at-the-door index — admissionHealth polled on
+    // a cadence, acting ONLY when maintenanceDueAdmission fires, with the
+    // drift landed mid-leg through the real append path (the x210/
+    // ScaleStress plant: a boilerplate head the build-time hot order has
+    // never ranked, so the tail's unranked-pair mass goes quadratic in the
+    // cluster). Same three measured phases and the same causal-chain
+    // receipt; the act is a blue/green reindexAdmission (hot order
+    // recomputed over base ∪ tail), after which the poller tracks green
+    // and must observe it healthy. One asymmetry vs annpolicy, priced
+    // honestly: an admission health poll explodes every stored shingle
+    // (a corpus scan per poll), so the polling cadence itself is the
+    // realistic maintenance cost — reported as polls over the window.
+    def admPolicyLeg(name: String): Seq[String] =
+      if (!wanted(name)) Seq.empty else {
+        import graft.streaming.DedupStreams
+        val (built, idxSec) = buildIndex(s"$name-idx", corpus)
+        val idxDir = built.dir
+        val greenDir = s"$outRoot/$name-green"
+        val synthText = synthTextSeeded("w", 31)
+        def serveLeg(phase: String, i: DedupStreams.AdmissionIndex): String =
+          measure(s"${name}_$phase",
+            rate => DedupStreams.nearDupAdmission(
+              rate.select(col("value").as("doc_id"), col("timestamp").as("ts"),
+                synthText.as("text")),
+              i, "doc_id", "ts", "text", watermarkDelay = "10 seconds"),
+            "append", rowsPerBatch = admRowsPerBatch)
+        DedupStreams.nearDupAdmissionBatch(
+          spark.range(5000).select(col("id").as("value"))
+            .select(col("value").as("doc_id"),
+              lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"),
+              synthText.as("text")),
+          built, "doc_id", "ts", "text").count()
+        serveLeg("warm_discard", built)
+        val t0 = System.nanoTime()
+        def secs(t: Long): Double = (t - t0) / 1e9
+        @volatile var stopPolling = false
+        @volatile var polls = 0
+        @volatile var pollsAfterSwap = 0
+        @volatile var tDueFired = -1L
+        @volatile var tReindexDone = -1L
+        @volatile var maintErr: Throwable = null
+        val poller = new Thread(() => {
+          try {
+            var acted = false
+            while (!stopPolling) {
+              val dir = if (acted) greenDir else idxDir
+              val h = DedupStreams.admissionHealth(
+                DedupStreams.openAdmissionIndex(spark, dir))
+              val due = DedupStreams.maintenanceDueAdmission(h)
+              polls += 1
+              if (acted) {
+                pollsAfterSwap += 1
+                require(!due.retrainDue && !due.compactDue,
+                  s"$name: green re-fired maintenance after the swap")
+              } else if (due.retrainDue) {
+                tDueFired = System.nanoTime()
+                DedupStreams.reindexAdmission(spark, idxDir, greenDir)
+                tReindexDone = System.nanoTime()
+                acted = true
+              }
+              Thread.sleep(2000)
+            }
+            require(acted, s"$name: poller never acted — drift was not detected")
+          } catch { case t: Throwable => maintErr = t }
+        })
+        poller.setDaemon(true)
+        poller.start()
+        val mHealthy = serveLeg("healthy", built)
+        require(tDueFired < 0L,
+          s"$name: maintenance fired on a healthy admission index")
+        val healthyPolls = polls
+        // the drift: 10% of corpus, every doc headed by the same
+        // boilerplate the base hot order has never seen — its shingles
+        // stay unranked under the stale order, mass ~ C(f,2) per shingle
+        val boiler =
+          "standard corporate disclaimer header applies to this entire document"
+        val nDrift = corpus.count() / 10
+        val tDrift = System.nanoTime()
+        DedupStreams.landAppendBatch(
+          spark.range(nDrift).select(
+            (col("id") + lit(corpusStride * 7)).as("doc_id"),
+            concat(lit(boiler + " "), expr(
+              "concat_ws(' ', transform(sequence(0, 19), " +
+                "i -> concat('dw', pmod(hash(id * 37 + i), 100000))))"))
+              .as("text")),
+          built, "doc_id", "text", batchId = 0L)
+        val mDrifted = serveLeg("drifted", built)
+        val deadline = System.nanoTime() + 120L * 1000000000L
+        while (tReindexDone < 0L && maintErr == null &&
+            System.nanoTime() < deadline) Thread.sleep(200)
+        require(maintErr == null, s"$name: maintenance thread died: $maintErr")
+        require(tReindexDone > 0L,
+          s"$name: drift landed but no re-index completed within the window")
+        require(tDrift < tDueFired && tDueFired < tReindexDone,
+          s"$name: causal chain broken: drift=${secs(tDrift)}s " +
+            s"due=${secs(tDueFired)}s done=${secs(tReindexDone)}s")
+        val green = DedupStreams.openAdmissionIndex(spark, greenDir)
+        val mGreen = serveLeg("on_green", green)
+        val deadline2 = System.nanoTime() + 60L * 1000000000L
+        while (pollsAfterSwap < 1 && maintErr == null &&
+            System.nanoTime() < deadline2) Thread.sleep(200)
+        stopPolling = true
+        poller.join(15000)
+        require(maintErr == null, s"$name: maintenance thread died: $maintErr")
+        require(pollsAfterSwap >= 1,
+          s"$name: green was never health-polled after the swap")
+        Seq(mHealthy, mDrifted, mGreen,
+          s""""${name}_index_build_s":${"%.1f".format(idxSec)}""",
+          s""""${name}_t_drift_s":${"%.1f".format(secs(tDrift))}""",
+          s""""${name}_t_due_s":${"%.1f".format(secs(tDueFired))}""",
+          s""""${name}_t_reindex_done_s":${"%.1f".format(secs(tReindexDone))}""",
+          s""""${name}_polls":$polls""",
+          s""""${name}_polls_healthy":$healthyPolls""",
+          s""""${name}_polls_after_swap":$pollsAfterSwap""",
+          s""""${name}_drift_docs":$nDrift""",
+          s""""${name}_green_docs":${green.sets.count()}""")
+      }
     val legs =
       (if (wanted("sessionize")) Seq(measure("sessionize",
         rate => graft.streaming.EventStreams.sessionize(
@@ -592,7 +710,8 @@ object StreamBench {
       annMaintLeg("annmaint") ++
       admMaintLeg("admmaint") ++
       annRetrainLeg("annretrain") ++
-      annPolicyLeg("annpolicy")
+      annPolicyLeg("annpolicy") ++
+      admPolicyLeg("admpolicy")
     println(s"""{"offered_rows_per_s":$offeredRps,"run_seconds":$runSeconds,"n_users":$nUsers,"adm_rows_per_batch":$admRowsPerBatch,"cpus":$cpus,"corpus_docs":$nCorpus,${legs.mkString(",")}}""")
     spark.stop()
   }
