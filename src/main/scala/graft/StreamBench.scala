@@ -465,31 +465,46 @@ object StreamBench {
     //  - `on_green`: serving against the retrained index.
     // The receipt is the causal chain t(drift) < t(due) < t(retrain done)
     // plus q/s per phase and the poll/act counters.
-    def annPolicyLeg(name: String): Seq[String] =
+    // The loop is FAMILY-GENERIC: one implementation drives the float and
+    // the int8-quantized serving indexes through the identical policy
+    // (maintenanceDue / scheduledNlist read the same health schema for
+    // both families by design), so the two receipts differ only in what
+    // the family's own build/serve/retrain cost — not in loop structure.
+    final case class ServingFamily[I](
+        build: String => I,
+        open: String => I,
+        health: I => DataFrame,
+        retrain: (String, String, Int) => Unit,
+        serveStream: (DataFrame, I) => DataFrame,
+        serveBatch: (DataFrame, I) => DataFrame,
+        landDrift: (DataFrame, I) => Unit,
+        nlistOf: I => Int,
+        rowsOf: I => Long)
+    lazy val annCorpus = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
+    def servingPolicyLeg[I](name: String,
+        fam: ServingFamily[I]): Seq[String] =
       if (!wanted(name)) Seq.empty else {
         import graft.streaming.AnnStreams
-        val e = spark.read.parquet(s"$corpusDir/embeddings.parquet")
-          .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
+        val e = annCorpus
         val stride = e.agg(max(col("vec_id"))).head().getLong(0) + 1
         val idxDir = s"$outRoot/$name-idx"
         val greenDir = s"$outRoot/$name-green"
-        val built = AnnStreams.buildServingIndex(e, "vec_id", "embedding",
-          idxDir, nlist = 64)
-        val blue = AnnStreams.openServingIndex(spark, idxDir)
-        def serveLeg(phase: String, idx: AnnStreams.ServingIndex): String =
+        val built = fam.build(idxDir)
+        val blue = fam.open(idxDir)
+        def serveLeg(phase: String, idx: I): String =
           measure(s"${name}_$phase",
-            rate => AnnStreams.annServe(
+            rate => fam.serveStream(
               rate.select(col("value").as("query_id"), col("timestamp").as("ts"),
                 synthVec.as("embedding")),
-              idx, "query_id", "ts", "embedding", k = 10, nprobe = 4,
-              watermarkDelay = "10 seconds"),
+              idx),
             "append", rowsPerBatch = admRowsPerBatch)
-        AnnStreams.annServeBatch(
+        fam.serveBatch(
           spark.range(5000).select(col("id").as("value"))
             .select(col("value").as("query_id"),
               lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"),
               synthVec.as("embedding")),
-          blue, "query_id", "ts", "embedding", k = 10, nprobe = 4).count()
+          blue).count()
         serveLeg("warm_discard", blue)
         val t0 = System.nanoTime()
         def secs(t: Long): Double = (t - t0) / 1e9
@@ -506,8 +521,7 @@ object StreamBench {
               // a poll REOPENS the handle: serve handles bind the tail at
               // open time, so only a fresh open sees newly landed batches
               val dir = if (acted) greenDir else idxDir
-              val h = AnnStreams.indexHealth(
-                AnnStreams.openServingIndex(spark, dir))
+              val h = fam.health(fam.open(dir))
               val due = AnnStreams.maintenanceDue(h)
               polls += 1
               if (acted) {
@@ -516,8 +530,7 @@ object StreamBench {
                   s"$name: green re-fired maintenance after the swap")
               } else if (due.retrainDue) {
                 tDueFired = System.nanoTime()
-                AnnStreams.retrainIndex(spark, idxDir, greenDir,
-                  newNlist = AnnStreams.scheduledNlist(h))
+                fam.retrain(idxDir, greenDir, AnnStreams.scheduledNlist(h))
                 tRetrainDone = System.nanoTime()
                 acted = true
               }
@@ -535,11 +548,11 @@ object StreamBench {
         // drift lands mid-run through the REAL append path (the same
         // reversed-vector plant the retrain legs use)
         val tDrift = System.nanoTime()
-        AnnStreams.landAppendBatch(
+        fam.landDrift(
           e.filter(col("vec_id") % 10 === 0)
             .select((col("vec_id") + lit(stride)).as("vec_id"),
               reverse(col("embedding")).as("embedding")),
-          built, "vec_id", "embedding", batchId = 0L)
+          built)
         // serving keeps running on blue while the poller detects and acts
         val mDrifted = serveLeg("drifted", blue)
         // bounded wait: the retrain must complete near the window, not hang
@@ -555,7 +568,7 @@ object StreamBench {
         // the poller stays live through the green phase (a deployment's
         // poller never stops) — its in-thread require pins that green
         // NEVER re-fires maintenance; we demand it actually polled
-        val green = AnnStreams.openServingIndex(spark, greenDir)
+        val green = fam.open(greenDir)
         val mGreen = serveLeg("on_green", green)
         val deadline2 = System.nanoTime() + 60L * 1000000000L
         while (pollsAfterSwap < 1 && maintErr == null &&
@@ -572,9 +585,48 @@ object StreamBench {
           s""""${name}_polls":$polls""",
           s""""${name}_polls_healthy":$healthyPolls""",
           s""""${name}_polls_after_swap":$pollsAfterSwap""",
-          s""""${name}_green_nlist":${green.nlist}""",
-          s""""${name}_corpus_rows":${green.cells.count()}""")
+          s""""${name}_green_nlist":${fam.nlistOf(green)}""",
+          s""""${name}_corpus_rows":${fam.rowsOf(green)}""")
       }
+    def annPolicyLeg(name: String): Seq[String] = {
+      import graft.streaming.AnnStreams
+      servingPolicyLeg[AnnStreams.ServingIndex](name, ServingFamily(
+        build = dir => AnnStreams.buildServingIndex(
+          annCorpus, "vec_id", "embedding", dir, nlist = 64),
+        open = dir => AnnStreams.openServingIndex(spark, dir),
+        health = AnnStreams.indexHealth,
+        retrain = (blue, green, n) =>
+          AnnStreams.retrainIndex(spark, blue, green, newNlist = n),
+        serveStream = (arrivals, i) => AnnStreams.annServe(
+          arrivals, i, "query_id", "ts", "embedding", k = 10, nprobe = 4,
+          watermarkDelay = "10 seconds"),
+        serveBatch = (arrivals, i) => AnnStreams.annServeBatch(
+          arrivals, i, "query_id", "ts", "embedding", k = 10, nprobe = 4),
+        landDrift = (drift, i) => AnnStreams.landAppendBatch(
+          drift, i, "vec_id", "embedding", batchId = 0L),
+        nlistOf = _.nlist,
+        rowsOf = _.cells.count()))
+    }
+    def qannPolicyLeg(name: String): Seq[String] = {
+      import graft.streaming.AnnStreams
+      servingPolicyLeg[AnnStreams.QuantizedIndex](name, ServingFamily(
+        build = dir => AnnStreams.buildQuantizedIndex(
+          annCorpus, "vec_id", "embedding", dir, nlist = 64),
+        open = dir => AnnStreams.openQuantizedIndex(spark, dir),
+        health = AnnStreams.quantizedIndexHealth,
+        retrain = (blue, green, n) =>
+          AnnStreams.retrainQuantizedIndex(spark, blue, green, newNlist = n),
+        serveStream = (arrivals, i) => AnnStreams.annServeQuantized(
+          arrivals, i, "query_id", "ts", "embedding", k = 10, nprobe = 4,
+          refine = 4, watermarkDelay = "10 seconds"),
+        serveBatch = (arrivals, i) => AnnStreams.annServeQuantizedBatch(
+          arrivals, i, "query_id", "ts", "embedding", k = 10, nprobe = 4,
+          refine = 4),
+        landDrift = (drift, i) => AnnStreams.landQuantizedAppendBatch(
+          drift, i, "vec_id", "embedding", batchId = 0L),
+        nlistOf = _.nlist,
+        rowsOf = _.cellsQ.count()))
+    }
     // POLICY-DRIVEN MAINTENANCE, ADMISSION FAMILY: the same closed loop as
     // annpolicy for the dedup-at-the-door index — admissionHealth polled on
     // a cadence, acting ONLY when maintenanceDueAdmission fires, with the
@@ -711,6 +763,7 @@ object StreamBench {
       admMaintLeg("admmaint") ++
       annRetrainLeg("annretrain") ++
       annPolicyLeg("annpolicy") ++
+      qannPolicyLeg("qannpolicy") ++
       admPolicyLeg("admpolicy")
     println(s"""{"offered_rows_per_s":$offeredRps,"run_seconds":$runSeconds,"n_users":$nUsers,"adm_rows_per_batch":$admRowsPerBatch,"cpus":$cpus,"corpus_docs":$nCorpus,${legs.mkString(",")}}""")
     spark.stop()
