@@ -6528,7 +6528,11 @@ object Extensions {
     }
     DedupStreams.admissionHealth(idx)
   }
-  val x210Sql: String =
+  /** The x210 health CTE chain up through the per-leg report — ONE spelling
+    * shared by x210 (the report) and x212 (the decision over it), so the
+    * two replays cannot drift apart. Ends with `health(leg, n_docs,
+    * unranked_pair_mass, mass_per_doc_ppm)`. */
+  private val x210HealthCtes: String =
     s"""WITH base_toks AS (
       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
       |  FROM documents WHERE doc_id % 10 < 5),
@@ -6554,12 +6558,68 @@ object Extensions {
       |mass AS (
       |  SELECT leg, CAST(sum(n * (n - 1) // 2) AS BIGINT) AS m
       |  FROM unranked GROUP BY 1),
-      |d AS (SELECT leg, count(DISTINCT doc_id) AS n_docs FROM sh GROUP BY 1)
-      |SELECT d.leg, d.n_docs,
-      |  coalesce(m.m, 0) AS unranked_pair_mass,
-      |  CAST(coalesce(m.m, 0) * 1000000 // d.n_docs AS BIGINT) AS mass_per_doc_ppm
-      |FROM d LEFT JOIN mass m ON m.leg = d.leg
-      |ORDER BY d.leg""".stripMargin
+      |d AS (SELECT leg, count(DISTINCT doc_id) AS n_docs FROM sh GROUP BY 1),
+      |health AS (
+      |  SELECT d.leg, d.n_docs,
+      |    coalesce(m.m, 0) AS unranked_pair_mass,
+      |    CAST(coalesce(m.m, 0) * 1000000 // d.n_docs AS BIGINT) AS mass_per_doc_ppm
+      |  FROM d LEFT JOIN mass m ON m.leg = d.leg)""".stripMargin
+  val x210Sql: String =
+    s"""$x210HealthCtes
+      |SELECT leg, n_docs, unranked_pair_mass, mass_per_doc_ppm
+      |FROM health ORDER BY leg""".stripMargin
+
+  // ----------------------------- x212 admission plan (dedup decision oracled)
+  /** x211's discipline for the ADMISSION family: the complete scheduling
+    * decision over [[graft.streaming.DedupStreams.admissionHealth]] —
+    * [[graft.streaming.DedupStreams.maintenanceDueAdmission]]'s two flags
+    * from the x210 fixture, in one row beside the branch counts. The replay
+    * reuses x210's health CTEs VERBATIM (one shared spelling — the report
+    * and the decision over it cannot drift apart) and then reapplies the
+    * trigger arithmetic exactly: the 10% tail-fraction budget as a double
+    * compare, and the re-index bar `max(100 pairs/doc in ppm, 4.0 × base
+    * mass)` — the adaptive floor that keeps an in-distribution tail from
+    * ever firing while a quadratic drift cluster always does. Both flags
+    * fire TRUE at the gate fixture (measured: tail 20% of base; tail mass
+    * ~1.7e11 ppm against a 1e8 bar), so the oracle pins the firing
+    * arithmetic, not vacuous FALSEs. */
+  private val x212Indexes =
+    new SessionIndexCache[graft.streaming.DedupStreams.AdmissionIndex]
+  def x212AdmissionPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.DedupStreams
+    val d = docs(s, dir)
+    val idx = x212Indexes.getOrBuild(s, dir) {
+      val idxDir = fixtureIndexDir(s, "x212idx")
+      val built = DedupStreams.buildAdmissionIndex(
+        d.filter($"doc_id" % 10 < 5), "doc_id", "text", idxDir)
+      DedupStreams.landAppendBatch(
+        d.filter($"doc_id" % 10 === 7)
+          .select($"doc_id", concat(lit(x210Boiler + " "), $"text").as("text")),
+        built, "doc_id", "text", batchId = 0L)
+      DedupStreams.openAdmissionIndex(s, idxDir)
+    }
+    val h = DedupStreams.admissionHealth(idx)
+    val due = DedupStreams.maintenanceDueAdmission(h)
+    val legs = h.select($"leg", $"n_docs").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq((legs.getOrElse("base", 0L), legs.getOrElse("tail", 0L),
+      if (due.compactDue) 1L else 0L, if (due.retrainDue) 1L else 0L))
+      .toDF("base_docs", "tail_docs", "compact_due", "reindex_due")
+  }
+  val x212Sql: String =
+    s"""$x210HealthCtes,
+      |b AS (SELECT n_docs, mass_per_doc_ppm FROM health WHERE leg = 'base'),
+      |t AS (SELECT n_docs, mass_per_doc_ppm FROM health WHERE leg = 'tail')
+      |SELECT b.n_docs AS base_docs, t.n_docs AS tail_docs,
+      |  CAST(CASE WHEN b.n_docs > 0
+      |    AND CAST(t.n_docs AS DOUBLE) > 0.1 * b.n_docs
+      |    THEN 1 ELSE 0 END AS BIGINT) AS compact_due,
+      |  CAST(CASE WHEN t.n_docs > 0
+      |    AND CAST(t.mass_per_doc_ppm AS DOUBLE)
+      |      > GREATEST(100000000.0, 4.0 * b.mass_per_doc_ppm)
+      |    THEN 1 ELSE 0 END AS BIGINT) AS reindex_due
+      |FROM b, t""".stripMargin
 
   // --------------------------------- x211 maintenance plan (decision oracled)
   /** The COMPLETE maintenance decision oracled end-to-end: health report →
@@ -7441,6 +7501,7 @@ object Extensions {
     "x209_quantized_health" -> x209QuantizedHealth _,
     "x210_admission_health" -> x210AdmissionHealth _,
     "x211_maintenance_plan" -> x211MaintenancePlan _,
+    "x212_admission_plan" -> x212AdmissionPlan _,
     "x194_gif_frames" -> x194GifFrames _,
     "x193_pixel_resize" -> x193PixelResize _,
     "x192_manku_recall" -> x192MankuRecall _,
@@ -7706,6 +7767,7 @@ object Extensions {
     "x209_quantized_health" -> x209Sql,
     "x210_admission_health" -> x210Sql,
     "x211_maintenance_plan" -> x211Sql,
+    "x212_admission_plan" -> x212Sql,
     "x194_gif_frames" -> x194Sql,
     "x193_pixel_resize" -> x193Sql,
     "x192_manku_recall" -> x192Sql,
