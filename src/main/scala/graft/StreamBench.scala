@@ -475,6 +475,7 @@ object StreamBench {
         open: String => I,
         health: I => DataFrame,
         retrain: (String, String, Int) => Unit,
+        compact: (String, String) => Unit,
         serveStream: (DataFrame, I) => DataFrame,
         serveBatch: (DataFrame, I) => DataFrame,
         landDrift: (DataFrame, I) => Unit,
@@ -482,8 +483,18 @@ object StreamBench {
         rowsOf: I => Long)
     lazy val annCorpus = spark.read.parquet(s"$corpusDir/embeddings.parquet")
       .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding")
-    def servingPolicyLeg[I](name: String,
-        fam: ServingFamily[I]): Seq[String] =
+    // The poller implements the CANONICAL decision rule in full —
+    // `if (retrainDue) retrain(scheduledNlist) else if (compactDue)
+    // compact` — and each scenario differs only in the planted tail:
+    // a reversed-vector drift cluster fires the retrain branch, an
+    // in-distribution 20% tail fires compaction alone (its assignment
+    // cosine matches the base, so the drift gate stays silent). The leg
+    // REQUIRES the branch the plant was designed to fire — a compaction
+    // that masks drift, or a retrain triggered by healthy growth, both
+    // fail loudly.
+    def servingPolicyLeg[I](name: String, fam: ServingFamily[I],
+        plant: (DataFrame, Long) => DataFrame,
+        expectAct: String): Seq[String] =
       if (!wanted(name)) Seq.empty else {
         import graft.streaming.AnnStreams
         val e = annCorpus
@@ -512,7 +523,8 @@ object StreamBench {
         @volatile var polls = 0
         @volatile var pollsAfterSwap = 0
         @volatile var tDueFired = -1L
-        @volatile var tRetrainDone = -1L
+        @volatile var tActDone = -1L
+        @volatile var actTaken = ""
         @volatile var maintErr: Throwable = null
         val poller = new Thread(() => {
           try {
@@ -528,10 +540,16 @@ object StreamBench {
                 pollsAfterSwap += 1
                 require(!due.retrainDue && !due.compactDue,
                   s"$name: green re-fired maintenance after the swap")
-              } else if (due.retrainDue) {
+              } else if (due.retrainDue || due.compactDue) {
                 tDueFired = System.nanoTime()
-                fam.retrain(idxDir, greenDir, AnnStreams.scheduledNlist(h))
-                tRetrainDone = System.nanoTime()
+                if (due.retrainDue) {
+                  actTaken = "retrain"
+                  fam.retrain(idxDir, greenDir, AnnStreams.scheduledNlist(h))
+                } else {
+                  actTaken = "compact"
+                  fam.compact(idxDir, greenDir)
+                }
+                tActDone = System.nanoTime()
                 acted = true
               }
               Thread.sleep(2000)
@@ -545,26 +563,25 @@ object StreamBench {
         require(tDueFired < 0L,
           s"$name: maintenance fired on a healthy index (poll bug or plant leak)")
         val healthyPolls = polls
-        // drift lands mid-run through the REAL append path (the same
-        // reversed-vector plant the retrain legs use)
+        // the tail lands mid-run through the REAL append path; the plant
+        // decides which maintenance branch it must fire
         val tDrift = System.nanoTime()
-        fam.landDrift(
-          e.filter(col("vec_id") % 10 === 0)
-            .select((col("vec_id") + lit(stride)).as("vec_id"),
-              reverse(col("embedding")).as("embedding")),
-          built)
+        fam.landDrift(plant(e, stride), built)
         // serving keeps running on blue while the poller detects and acts
         val mDrifted = serveLeg("drifted", blue)
-        // bounded wait: the retrain must complete near the window, not hang
+        // bounded wait: the act must complete near the window, not hang
         val deadline = System.nanoTime() + 60L * 1000000000L
-        while (tRetrainDone < 0L && maintErr == null &&
+        while (tActDone < 0L && maintErr == null &&
             System.nanoTime() < deadline) Thread.sleep(200)
         require(maintErr == null, s"$name: maintenance thread died: $maintErr")
-        require(tRetrainDone > 0L,
-          s"$name: drift landed but no retrain completed within the window")
-        require(tDrift < tDueFired && tDueFired < tRetrainDone,
+        require(tActDone > 0L,
+          s"$name: tail landed but no maintenance act completed within the window")
+        require(actTaken == expectAct,
+          s"$name: wrong maintenance branch fired: " +
+            s"expected $expectAct, got $actTaken")
+        require(tDrift < tDueFired && tDueFired < tActDone,
           s"$name: causal chain broken: drift=${secs(tDrift)}s " +
-            s"due=${secs(tDueFired)}s done=${secs(tRetrainDone)}s")
+            s"due=${secs(tDueFired)}s done=${secs(tActDone)}s")
         // the poller stays live through the green phase (a deployment's
         // poller never stops) — its in-thread require pins that green
         // NEVER re-fires maintenance; we demand it actually polled
@@ -579,24 +596,40 @@ object StreamBench {
         require(pollsAfterSwap >= 1,
           s"$name: green was never health-polled after the swap")
         Seq(mHealthy, mDrifted, mGreen,
+          s""""${name}_act":"$actTaken"""",
           s""""${name}_t_drift_s":${"%.1f".format(secs(tDrift))}""",
           s""""${name}_t_due_s":${"%.1f".format(secs(tDueFired))}""",
-          s""""${name}_t_retrain_done_s":${"%.1f".format(secs(tRetrainDone))}""",
+          s""""${name}_t_act_done_s":${"%.1f".format(secs(tActDone))}""",
           s""""${name}_polls":$polls""",
           s""""${name}_polls_healthy":$healthyPolls""",
           s""""${name}_polls_after_swap":$pollsAfterSwap""",
           s""""${name}_green_nlist":${fam.nlistOf(green)}""",
           s""""${name}_corpus_rows":${fam.rowsOf(green)}""")
       }
-    def annPolicyLeg(name: String): Seq[String] = {
+    // the two plants: a 10% reversed-vector cluster (drifted — must fire
+    // the retrain branch) and a 20% verbatim-copy tail (in-distribution
+    // growth — must fire compaction ALONE: its assignment cosines equal
+    // the base's, so the drift gate stays silent while the tail-fraction
+    // budget trips)
+    def driftPlant(e: DataFrame, stride: Long): DataFrame =
+      e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + lit(stride)).as("vec_id"),
+          reverse(col("embedding")).as("embedding"))
+    def growthPlant(e: DataFrame, stride: Long): DataFrame =
+      e.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + lit(stride)).as("vec_id"),
+          col("embedding"))
+    lazy val floatFamily = {
       import graft.streaming.AnnStreams
-      servingPolicyLeg[AnnStreams.ServingIndex](name, ServingFamily(
+      ServingFamily[AnnStreams.ServingIndex](
         build = dir => AnnStreams.buildServingIndex(
           annCorpus, "vec_id", "embedding", dir, nlist = 64),
         open = dir => AnnStreams.openServingIndex(spark, dir),
         health = AnnStreams.indexHealth,
         retrain = (blue, green, n) =>
           AnnStreams.retrainIndex(spark, blue, green, newNlist = n),
+        compact = (blue, green) =>
+          AnnStreams.compactIndex(spark, blue, green),
         serveStream = (arrivals, i) => AnnStreams.annServe(
           arrivals, i, "query_id", "ts", "embedding", k = 10, nprobe = 4,
           watermarkDelay = "10 seconds"),
@@ -605,17 +638,19 @@ object StreamBench {
         landDrift = (drift, i) => AnnStreams.landAppendBatch(
           drift, i, "vec_id", "embedding", batchId = 0L),
         nlistOf = _.nlist,
-        rowsOf = _.cells.count()))
+        rowsOf = _.cells.count())
     }
-    def qannPolicyLeg(name: String): Seq[String] = {
+    lazy val quantizedFamily = {
       import graft.streaming.AnnStreams
-      servingPolicyLeg[AnnStreams.QuantizedIndex](name, ServingFamily(
+      ServingFamily[AnnStreams.QuantizedIndex](
         build = dir => AnnStreams.buildQuantizedIndex(
           annCorpus, "vec_id", "embedding", dir, nlist = 64),
         open = dir => AnnStreams.openQuantizedIndex(spark, dir),
         health = AnnStreams.quantizedIndexHealth,
         retrain = (blue, green, n) =>
           AnnStreams.retrainQuantizedIndex(spark, blue, green, newNlist = n),
+        compact = (blue, green) =>
+          AnnStreams.compactQuantizedIndex(spark, blue, green),
         serveStream = (arrivals, i) => AnnStreams.annServeQuantized(
           arrivals, i, "query_id", "ts", "embedding", k = 10, nprobe = 4,
           refine = 4, watermarkDelay = "10 seconds"),
@@ -625,8 +660,16 @@ object StreamBench {
         landDrift = (drift, i) => AnnStreams.landQuantizedAppendBatch(
           drift, i, "vec_id", "embedding", batchId = 0L),
         nlistOf = _.nlist,
-        rowsOf = _.cellsQ.count()))
+        rowsOf = _.cellsQ.count())
     }
+    def annPolicyLeg(name: String): Seq[String] =
+      servingPolicyLeg(name, floatFamily, driftPlant, "retrain")
+    def qannPolicyLeg(name: String): Seq[String] =
+      servingPolicyLeg(name, quantizedFamily, driftPlant, "retrain")
+    def annPolicyCompactLeg(name: String): Seq[String] =
+      servingPolicyLeg(name, floatFamily, growthPlant, "compact")
+    def qannPolicyCompactLeg(name: String): Seq[String] =
+      servingPolicyLeg(name, quantizedFamily, growthPlant, "compact")
     // POLICY-DRIVEN MAINTENANCE, ADMISSION FAMILY: the same closed loop as
     // annpolicy for the dedup-at-the-door index — admissionHealth polled on
     // a cadence, acting ONLY when maintenanceDueAdmission fires, with the
@@ -640,7 +683,12 @@ object StreamBench {
     // honestly: an admission health poll explodes every stored shingle
     // (a corpus scan per poll), so the polling cadence itself is the
     // realistic maintenance cost — reported as polls over the window.
-    def admPolicyLeg(name: String): Seq[String] =
+    // Same plant-decides-the-branch discipline as the serving loop: the
+    // boilerplate drift cluster must fire re-index; a 20% verbatim-copy
+    // tail (its shingles are the base's — ranked — so unranked mass stays
+    // ~zero) must fire compaction alone.
+    def admPolicyLeg(name: String, plant: Long => DataFrame,
+        expectAct: String): Seq[String] =
       if (!wanted(name)) Seq.empty else {
         import graft.streaming.DedupStreams
         val (built, idxSec) = buildIndex(s"$name-idx", corpus)
@@ -667,7 +715,8 @@ object StreamBench {
         @volatile var polls = 0
         @volatile var pollsAfterSwap = 0
         @volatile var tDueFired = -1L
-        @volatile var tReindexDone = -1L
+        @volatile var tActDone = -1L
+        @volatile var actTaken = ""
         @volatile var maintErr: Throwable = null
         val poller = new Thread(() => {
           try {
@@ -682,10 +731,16 @@ object StreamBench {
                 pollsAfterSwap += 1
                 require(!due.retrainDue && !due.compactDue,
                   s"$name: green re-fired maintenance after the swap")
-              } else if (due.retrainDue) {
+              } else if (due.retrainDue || due.compactDue) {
                 tDueFired = System.nanoTime()
-                DedupStreams.reindexAdmission(spark, idxDir, greenDir)
-                tReindexDone = System.nanoTime()
+                if (due.retrainDue) {
+                  actTaken = "reindex"
+                  DedupStreams.reindexAdmission(spark, idxDir, greenDir)
+                } else {
+                  actTaken = "compact"
+                  DedupStreams.compactAdmissionIndex(spark, idxDir, greenDir)
+                }
+                tActDone = System.nanoTime()
                 acted = true
               }
               Thread.sleep(2000)
@@ -699,31 +754,24 @@ object StreamBench {
         require(tDueFired < 0L,
           s"$name: maintenance fired on a healthy admission index")
         val healthyPolls = polls
-        // the drift: 10% of corpus, every doc headed by the same
-        // boilerplate the base hot order has never seen — its shingles
-        // stay unranked under the stale order, mass ~ C(f,2) per shingle
-        val boiler =
-          "standard corporate disclaimer header applies to this entire document"
-        val nDrift = corpus.count() / 10
+        val plantDf = plant(corpusStride).localCheckpoint()
+        val nDrift = plantDf.count()
         val tDrift = System.nanoTime()
         DedupStreams.landAppendBatch(
-          spark.range(nDrift).select(
-            (col("id") + lit(corpusStride * 7)).as("doc_id"),
-            concat(lit(boiler + " "), expr(
-              "concat_ws(' ', transform(sequence(0, 19), " +
-                "i -> concat('dw', pmod(hash(id * 37 + i), 100000))))"))
-              .as("text")),
-          built, "doc_id", "text", batchId = 0L)
+          plantDf, built, "doc_id", "text", batchId = 0L)
         val mDrifted = serveLeg("drifted", built)
         val deadline = System.nanoTime() + 120L * 1000000000L
-        while (tReindexDone < 0L && maintErr == null &&
+        while (tActDone < 0L && maintErr == null &&
             System.nanoTime() < deadline) Thread.sleep(200)
         require(maintErr == null, s"$name: maintenance thread died: $maintErr")
-        require(tReindexDone > 0L,
-          s"$name: drift landed but no re-index completed within the window")
-        require(tDrift < tDueFired && tDueFired < tReindexDone,
+        require(tActDone > 0L,
+          s"$name: tail landed but no maintenance act completed within the window")
+        require(actTaken == expectAct,
+          s"$name: wrong maintenance branch fired: " +
+            s"expected $expectAct, got $actTaken")
+        require(tDrift < tDueFired && tDueFired < tActDone,
           s"$name: causal chain broken: drift=${secs(tDrift)}s " +
-            s"due=${secs(tDueFired)}s done=${secs(tReindexDone)}s")
+            s"due=${secs(tDueFired)}s done=${secs(tActDone)}s")
         val green = DedupStreams.openAdmissionIndex(spark, greenDir)
         val mGreen = serveLeg("on_green", green)
         val deadline2 = System.nanoTime() + 60L * 1000000000L
@@ -735,16 +783,35 @@ object StreamBench {
         require(pollsAfterSwap >= 1,
           s"$name: green was never health-polled after the swap")
         Seq(mHealthy, mDrifted, mGreen,
+          s""""${name}_act":"$actTaken"""",
           s""""${name}_index_build_s":${"%.1f".format(idxSec)}""",
           s""""${name}_t_drift_s":${"%.1f".format(secs(tDrift))}""",
           s""""${name}_t_due_s":${"%.1f".format(secs(tDueFired))}""",
-          s""""${name}_t_reindex_done_s":${"%.1f".format(secs(tReindexDone))}""",
+          s""""${name}_t_act_done_s":${"%.1f".format(secs(tActDone))}""",
           s""""${name}_polls":$polls""",
           s""""${name}_polls_healthy":$healthyPolls""",
           s""""${name}_polls_after_swap":$pollsAfterSwap""",
           s""""${name}_drift_docs":$nDrift""",
           s""""${name}_green_docs":${green.sets.count()}""")
       }
+    // the boilerplate drift cluster: 10% of corpus, every doc headed by
+    // the same 9-token boilerplate the base hot order has never seen —
+    // its shingles stay unranked under the stale order, so mass goes
+    // ~C(f,2) per shared shingle (the x210 plant)
+    def admDriftPlant(stride: Long): DataFrame =
+      spark.range(corpus.count() / 10).select(
+        (col("id") + lit(stride * 7)).as("doc_id"),
+        concat(
+          lit("standard corporate disclaimer header applies to this entire document "),
+          expr("concat_ws(' ', transform(sequence(0, 19), " +
+            "i -> concat('dw', pmod(hash(id * 37 + i), 100000))))"))
+          .as("text"))
+    // in-distribution growth: 20% verbatim copies — their shingles are
+    // the base's own (ranked), so unranked mass stays ~zero while the
+    // tail-fraction budget trips
+    def admGrowthPlant(stride: Long): DataFrame =
+      corpus.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + lit(stride * 7)).as("doc_id"), col("text"))
     val legs =
       (if (wanted("sessionize")) Seq(measure("sessionize",
         rate => graft.streaming.EventStreams.sessionize(
@@ -764,7 +831,10 @@ object StreamBench {
       annRetrainLeg("annretrain") ++
       annPolicyLeg("annpolicy") ++
       qannPolicyLeg("qannpolicy") ++
-      admPolicyLeg("admpolicy")
+      annPolicyCompactLeg("annpolicyc") ++
+      qannPolicyCompactLeg("qannpolicyc") ++
+      admPolicyLeg("admpolicy", admDriftPlant, "reindex") ++
+      admPolicyLeg("admpolicyc", admGrowthPlant, "compact")
     println(s"""{"offered_rows_per_s":$offeredRps,"run_seconds":$runSeconds,"n_users":$nUsers,"adm_rows_per_batch":$admRowsPerBatch,"cpus":$cpus,"corpus_docs":$nCorpus,${legs.mkString(",")}}""")
     spark.stop()
   }
