@@ -473,9 +473,7 @@ object StreamBench {
     final case class ServingFamily[I](
         build: String => I,
         open: String => I,
-        health: I => DataFrame,
-        retrain: (String, String, Int) => Unit,
-        compact: (String, String) => Unit,
+        policy: graft.streaming.Maintenance.Family,
         serveStream: (DataFrame, I) => DataFrame,
         serveBatch: (DataFrame, I) => DataFrame,
         landDrift: (DataFrame, I) => Unit,
@@ -530,27 +528,29 @@ object StreamBench {
           try {
             var acted = false
             while (!stopPolling) {
-              // a poll REOPENS the handle: serve handles bind the tail at
-              // open time, so only a fresh open sees newly landed batches
-              val dir = if (acted) greenDir else idxDir
-              val h = fam.health(fam.open(dir))
-              val due = AnnStreams.maintenanceDue(h)
+              // each poll is one LIBRARY tick against a fresh open (serve
+              // handles bind the tail at open time); the bench only
+              // timestamps and counts — the decision, the act, and the
+              // post-act health require all live in Maintenance.tick
               polls += 1
               if (acted) {
                 pollsAfterSwap += 1
+                val due = fam.policy.due(fam.policy.health(spark, greenDir))
                 require(!due.retrainDue && !due.compactDue,
                   s"$name: green re-fired maintenance after the swap")
-              } else if (due.retrainDue || due.compactDue) {
-                tDueFired = System.nanoTime()
-                if (due.retrainDue) {
-                  actTaken = "retrain"
-                  fam.retrain(idxDir, greenDir, AnnStreams.scheduledNlist(h))
-                } else {
-                  actTaken = "compact"
-                  fam.compact(idxDir, greenDir)
+              } else {
+                import graft.streaming.Maintenance
+                Maintenance.tick(spark, fam.policy, idxDir, greenDir,
+                  onDue = () => tDueFired = System.nanoTime()) match {
+                  case Maintenance.NoOp(_) => ()
+                  case a =>
+                    actTaken = a match {
+                      case _: Maintenance.Retrained => "retrain"
+                      case _ => "compact"
+                    }
+                    tActDone = System.nanoTime()
+                    acted = true
                 }
-                tActDone = System.nanoTime()
-                acted = true
               }
               Thread.sleep(2000)
             }
@@ -625,11 +625,7 @@ object StreamBench {
         build = dir => AnnStreams.buildServingIndex(
           annCorpus, "vec_id", "embedding", dir, nlist = 64),
         open = dir => AnnStreams.openServingIndex(spark, dir),
-        health = AnnStreams.indexHealth,
-        retrain = (blue, green, n) =>
-          AnnStreams.retrainIndex(spark, blue, green, newNlist = n),
-        compact = (blue, green) =>
-          AnnStreams.compactIndex(spark, blue, green),
+        policy = graft.streaming.Maintenance.FloatIvf,
         serveStream = (arrivals, i) => AnnStreams.annServe(
           arrivals, i, "query_id", "ts", "embedding", k = 10, nprobe = 4,
           watermarkDelay = "10 seconds"),
@@ -646,11 +642,7 @@ object StreamBench {
         build = dir => AnnStreams.buildQuantizedIndex(
           annCorpus, "vec_id", "embedding", dir, nlist = 64),
         open = dir => AnnStreams.openQuantizedIndex(spark, dir),
-        health = AnnStreams.quantizedIndexHealth,
-        retrain = (blue, green, n) =>
-          AnnStreams.retrainQuantizedIndex(spark, blue, green, newNlist = n),
-        compact = (blue, green) =>
-          AnnStreams.compactQuantizedIndex(spark, blue, green),
+        policy = graft.streaming.Maintenance.QuantizedIvf,
         serveStream = (arrivals, i) => AnnStreams.annServeQuantized(
           arrivals, i, "query_id", "ts", "embedding", k = 10, nprobe = 4,
           refine = 4, watermarkDelay = "10 seconds"),
@@ -720,28 +712,30 @@ object StreamBench {
         @volatile var maintErr: Throwable = null
         val poller = new Thread(() => {
           try {
+            import graft.streaming.Maintenance
             var acted = false
             while (!stopPolling) {
-              val dir = if (acted) greenDir else idxDir
-              val h = DedupStreams.admissionHealth(
-                DedupStreams.openAdmissionIndex(spark, dir))
-              val due = DedupStreams.maintenanceDueAdmission(h)
+              // same shape as the serving pollers: one library tick per
+              // poll pre-swap, a health check (never an act) on green after
               polls += 1
               if (acted) {
                 pollsAfterSwap += 1
+                val due = Maintenance.Admission.due(
+                  Maintenance.Admission.health(spark, greenDir))
                 require(!due.retrainDue && !due.compactDue,
                   s"$name: green re-fired maintenance after the swap")
-              } else if (due.retrainDue || due.compactDue) {
-                tDueFired = System.nanoTime()
-                if (due.retrainDue) {
-                  actTaken = "reindex"
-                  DedupStreams.reindexAdmission(spark, idxDir, greenDir)
-                } else {
-                  actTaken = "compact"
-                  DedupStreams.compactAdmissionIndex(spark, idxDir, greenDir)
+              } else {
+                Maintenance.tick(spark, Maintenance.Admission, idxDir, greenDir,
+                  onDue = () => tDueFired = System.nanoTime()) match {
+                  case Maintenance.NoOp(_) => ()
+                  case a =>
+                    actTaken = a match {
+                      case _: Maintenance.Retrained => "reindex"
+                      case _ => "compact"
+                    }
+                    tActDone = System.nanoTime()
+                    acted = true
                 }
-                tActDone = System.nanoTime()
-                acted = true
               }
               Thread.sleep(2000)
             }
