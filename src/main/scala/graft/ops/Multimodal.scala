@@ -29,6 +29,24 @@ object Multimodal {
   // small belong in memory; flip it once per JVM before any codec call.
   private lazy val imageIoInit: Unit = javax.imageio.ImageIO.setUseCache(false)
 
+  /** Fan a narrow id relation out to the session's full parallelism before
+    * a codec-heavy map stage.
+    *
+    * A synthesis/encode pass costs CPU per ROW (pixels × frames), not per
+    * input BYTE — but a plain `mapPartitions` over a scan inherits the
+    * scan's split count, which parquet sizes by BYTES (1 split per 128 MB).
+    * A few thousand ids occupy one split, so the whole codec pass — GIF
+    * palette quantization, PNG filtering, WAV framing — serializes on ONE
+    * core while the rest of the machine idles (measured: x204's 24k frame
+    * encodes ran single-task; the fan-out cut the query ~3×). The exchange
+    * this inserts moves only the id longs — the payloads do not exist yet —
+    * so it is the "shuffle keys, not payloads" shape: bytes shuffled scale
+    * with row COUNT, never with media size, at any corpus scale. Sized by
+    * `defaultParallelism` (= cluster cores), not a constant, so the same
+    * code saturates local[4] and a thousand-executor deployment. */
+  def fanOutIds(ids: DataFrame): DataFrame =
+    ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
+
   /** Typed metadata carried beside every binary payload. */
   val mediaMetaType: StructType = StructType(Seq(
     StructField("mime", StringType),
@@ -299,7 +317,7 @@ object Multimodal {
   def plantSyntheticPngs(ids: DataFrame, idCol: String): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col(idCol).cast("long")).as[Long]
+    fanOutIds(ids.select(col(idCol).cast("long"))).as[Long]
       .mapPartitions(_.map { id =>
         val w = (8 + id % 9).toInt
         val h = (8 + (id * 7) % 9).toInt
@@ -430,7 +448,7 @@ object Multimodal {
       variantOffset: Long = 1000000L): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col(idCol).cast("long")).as[Long]
+    fanOutIds(ids.select(col(idCol).cast("long"))).as[Long]
       .mapPartitions(_.flatMap { id =>
         val w = (8 + id % 9).toInt
         val h = (8 + (id * 7) % 9).toInt
@@ -756,7 +774,7 @@ object Multimodal {
       variantFrame: Int = 2, variantOffset: Long = 1000000L): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col(idCol).cast("long")).as[Long]
+    fanOutIds(ids.select(col(idCol).cast("long"))).as[Long]
       .mapPartitions(_.flatMap { id =>
         Iterator(
           (id, syntheticGifClipPair(id, frames, variant = false, variantFrame)),
@@ -780,11 +798,62 @@ object Multimodal {
     * → read round trip is bit-exact (probed), which is what lets x195
     * oracle the decoded sample stream against a closed form with no codec
     * in the SQL engine. */
+  // javax.sound's AudioSystem facade re-walks its provider registry on
+  // EVERY write/getAudioInputStream call through a JVM-global synchronized
+  // lookup (sun.awt's JDK13Services) — measured here: fanning the WAV plant
+  // out to 32 cores made x195 3.5× SLOWER than single-task, every thread
+  // queueing on that lock. The SPI types are public API; load the providers
+  // ONCE per JVM through the standard ServiceLoader and call them directly —
+  // the identical JDK codec classes run, minus the per-row global lock.
+  private lazy val audioWriters: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala.toSeq
+  }
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala.toSeq
+  }
+
+  // The JDK ships one audio reader that is NOT a plain sniffer:
+  // SoftMidiAudioFileReader (the MIDI softsynth bridge) probes by calling
+  // MidiSystem.getSequence, which takes a JVM-GLOBAL class lock
+  // (JSSecurityManager) on EVERY call — including for payloads it will
+  // reject. Thread-dumped here: 31 of 32 decode threads blocked on that
+  // monitor; the decode stage anti-scaled 0.20 s serial → 0.73 s on 32
+  // threads. A payload it could accept must carry a MIDI container magic
+  // (SMF "MThd", or RIFF with the "RMID" form type), so gate MIDI-routed
+  // providers behind that 12-byte sniff: real MIDI still reaches the real
+  // reader; everything else skips the global lock entirely.
+  private def maybeMidi(p: Array[Byte]): Boolean =
+    (p.length >= 4 && p(0) == 'M' && p(1) == 'T' && p(2) == 'h' && p(3) == 'd') ||
+    (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'R' && p(9) == 'M' && p(10) == 'I' && p(11) == 'D')
+
+  /** First provider that claims the payload — AudioSystem.getAudioInputStream's
+    * own loop (try each reader, skip UnsupportedAudioFileException), minus
+    * the synchronized registry re-walk and with MIDI-bridge readers gated
+    * behind [[maybeMidi]] (see the lock note above). */
+  private def audioInputStreamOf(
+      payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val midiCandidate = maybeMidi(payload)
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      val rd = it.next()
+      if (midiCandidate || !rd.getClass.getName.contains("Midi")) {
+        try return rd.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+        catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+      }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "Stream of unsupported format")
+  }
+
   def decodeAudio(payload: Array[Byte]): Option[AudioStats] = {
     if (payload == null) return None
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      val ais = audioInputStreamOf(payload)
       val f = ais.getFormat
       if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
           f.getSampleSizeInBits != 16) None
@@ -845,8 +914,14 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val bos = new java.io.ByteArrayOutputStream(n * 2 + 64)
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    // direct SPI call (same JDK WaveFileWriter AudioSystem.write dispatches
+    // to) — see audioWriters: the facade's per-call registry walk is a
+    // JVM-global synchronized bottleneck under fanned-out encode
+    audioWriters.find(_.isFileTypeSupported(
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, ais))
+      .getOrElse(throw new IllegalArgumentException(
+        "could not write WAVE: no supporting AudioFileWriter provider"))
+      .write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 

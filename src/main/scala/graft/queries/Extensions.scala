@@ -544,7 +544,10 @@ object Extensions {
     * indices are pure integer generation both engines replay. */
   def x194GifFrames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+    // codec fan-out: GIF sequence encode is CPU-per-row, not per-byte —
+    // spread the id rows before the heavy map (Multimodal.fanOutIds doc)
+    val media = Multimodal.fanOutIds(
+      docs(s, dir).select(col("doc_id").cast("long"))).as[Long]
       .mapPartitions(_.map { id =>
         (id, Multimodal.syntheticGif(id, (1 + id % 4).toInt))
       })
@@ -574,7 +577,10 @@ object Extensions {
     * Header-derived fields (channels, rate) come from the real container. */
   def x195WavStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+    // codec fan-out: WAV encode+decode is CPU-per-row — spread the id rows
+    // before the heavy map (Multimodal.fanOutIds doc)
+    val media = Multimodal.fanOutIds(
+      docs(s, dir).select(col("doc_id").cast("long"))).as[Long]
       .mapPartitions(_.map { id =>
         (id, Multimodal.syntheticWav(id, (500 + id % 300).toInt))
       })
@@ -615,7 +621,10 @@ object Extensions {
     * 100 samples at 8 kHz → 12 ms). */
   def x197CodecContract(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+    // codec fan-out: the eight-family plant runs four real encoders per
+    // partition — spread the id rows first (Multimodal.fanOutIds doc)
+    val media = Multimodal.fanOutIds(
+      docs(s, dir).select(col("doc_id").cast("long"))).as[Long]
       .mapPartitions(_.map { id =>
         val payload: Array[Byte] = (id % 8) match {
           case 0 => Multimodal.syntheticPng(id, 8, 8)
