@@ -144,12 +144,8 @@ object Dedup {
     val m = least(col("n_a"), col("n_b"))
     val bucketExpr = bucketEdges.sorted.foldLeft(lit(0L): Column)(
       (acc, e) => when(m >= e, lit(e.toLong)).otherwise(acc))
-    def bucketed(pairs: DataFrame): DataFrame = pairs
-      .join(na, Seq("doc_a")).join(nb, Seq("doc_b"))
-      .withColumn("bucket_lo", bucketExpr)
-    val truth = bucketed(
-      ngramJaccardPairs(docs, idCol, textCol, shingleK, threshold)
-        .select(col("doc_a"), col("doc_b")))
+    val truth = ngramJaccardPairs(docs, idCol, textCol, shingleK, threshold)
+      .select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
     def slicedCands(sigCol: String, bands: Int): DataFrame = {
       val r = numBins / bands
@@ -164,16 +160,22 @@ object Dedup {
     // three-aggregate + per-leg-checkpoint spelling at audit scale — the
     // truth leg dominates — but one pass over each candidate relation is
     // the right shape if the audit ever runs on a real corpus slice.)
+    // bucket_lo is a pure function of the PAIR (shorter side's shingle
+    // count), identical whichever leg surfaced the pair — so the doc-size
+    // relations join ONCE onto the assembled pair set, not once per leg
+    // (was 2 joins × 3 legs × config; now 2 joins × config — x198's plan
+    // dropped 6 joins and their exchanges).
     val perConfig = bandConfigs.map { bands =>
-      val candC = bucketed(slicedCands("sig_c", bands))
-        .select(col("doc_a"), col("doc_b"), col("bucket_lo").as("bkt_c"), lit(1L).as("is_c"))
-      val candO = bucketed(slicedCands("sig_o", bands))
-        .select(col("doc_a"), col("doc_b"), col("bucket_lo").as("bkt_o"), lit(1L).as("is_o"))
+      val candC = slicedCands("sig_c", bands)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("is_c"))
+      val candO = slicedCands("sig_o", bands)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("is_o"))
       truth
-        .select(col("doc_a"), col("doc_b"), col("bucket_lo").as("bkt_t"), lit(1L).as("is_t"))
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("is_t"))
         .join(candC, Seq("doc_a", "doc_b"), "full_outer")
         .join(candO, Seq("doc_a", "doc_b"), "full_outer")
-        .select(coalesce(col("bkt_t"), col("bkt_c"), col("bkt_o")).as("bucket_lo"),
+        .join(na, Seq("doc_a")).join(nb, Seq("doc_b"))
+        .select(bucketExpr.as("bucket_lo"),
           coalesce(col("is_t"), lit(0L)).as("is_t"),
           coalesce(col("is_c"), lit(0L)).as("is_c"),
           coalesce(col("is_o"), lit(0L)).as("is_o"))

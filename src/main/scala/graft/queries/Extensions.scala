@@ -3146,10 +3146,29 @@ object Extensions {
       .crossJoin(broadcast(anchor))
       .withColumn("recency", datediff($"maxd", $"lastd"))
       .localCheckpoint(eager = false) // feeds the rank kernel + the row count
-    val ranked = graft.ops.Par.globalRowNumbers(per, "o_custkey", Seq(
-      graft.ops.Par.RankSpec("recency", ascending = true, "rn_r"), // low recency = best
-      graft.ops.Par.RankSpec("freq", ascending = false, "rn_f"),
-      graft.ops.Par.RankSpec("cents", ascending = false, "rn_m")))
+    // Three global ranks in ONE row-level keyed prefix scan (rank key m,
+    // descending metrics ride as their negation; freq/cents are positive
+    // counts and recency ≥ 0, so negation is safe). The generic
+    // Par.globalRowNumbers kernel builds a per-value histogram, prefixes
+    // THAT, joins the offsets back, and finally re-joins the ranks onto
+    // the input — the right shape when values repeat heavily, but cents is
+    // near-unique here, so the histogram was row-sized and its exchange
+    // plus BOTH joins were overhead (plan: 9 exchanges → 5). cents itself
+    // is recovered from the m=2 sort key (av = −cents), so no join back.
+    val exploded = per.select($"o_custkey", explode(array(
+        struct(lit(0).as("m"), $"recency".cast("long").as("av")),
+        struct(lit(1).as("m"), (-$"freq").cast("long").as("av")),
+        struct(lit(2).as("m"), (-$"cents").cast("long").as("av")))).as("e"))
+      .select($"o_custkey", $"e.m".as("m"), $"e.av".as("av"))
+    val ranked = graft.ops.Par
+      .exclusivePrefixBy(exploded.withColumn("__one", lit(1L)), "m",
+        struct($"av", $"o_custkey"), Seq("__one" -> "__before"))
+      .withColumn("__rn", $"__before" + 1L)
+      .groupBy($"o_custkey")
+      .agg(max(when($"m" === 0, $"__rn")).as("rn_r"),
+        max(when($"m" === 1, $"__rn")).as("rn_f"),
+        max(when($"m" === 2, $"__rn")).as("rn_m"),
+        max(when($"m" === 2, -$"av")).as("cents"))
     // NTILE(5)'s exact bucket function of (rank, n): the first n%5 tiles
     // hold ⌈n/5⌉ rows, the rest ⌊n/5⌋ — pure int64, engine-identical
     def tile(rn: String): org.apache.spark.sql.Column = expr(
@@ -3576,16 +3595,19 @@ object Extensions {
         struct(lit(0).as("m"), $"odd".cast("long").as("av")),
         struct(lit(1).as("m"), $"zval".cast("long").as("av")))).as("e"))
       .select($"o_orderkey", $"o_custkey", $"e.m".as("m"), $"e.av".as("av"))
-      .localCheckpoint(eager = false) // feeds the histogram pass + the rank join
-    val hist = tagged.groupBy($"m", $"av").agg(count(lit(1)).as("__c"))
-    val pre = graft.ops.Par
-      .exclusivePrefixBy(hist, "m", $"av".asc, Seq("__c" -> "__before"))
-      .select($"m", $"av", $"__c", $"__before")
-    val w = Window.partitionBy($"m", $"av").orderBy($"o_orderkey")
-    val ranked = tagged.join(pre.drop("__c"), Seq("m", "av"))
-      .withColumn("rn", $"__before" + row_number().over(w).cast("long"))
-    // row count from the pinned histogram blocks, not a third orders scan
-    val n = broadcast(pre.filter($"m" === 0).agg(sum($"__c").as("n")))
+    // rn = 1 + (rows strictly before in the total order (m)(av, o_orderkey))
+    // — ONE row-level keyed prefix scan. The earlier histogram spelling
+    // (groupBy (m,av) → prefix → join back → per-(m,av) window) only pays
+    // off when values repeat heavily; here the m=1 morton codes are
+    // near-unique, so the histogram was row-sized and its exchange + the
+    // rank join back were pure overhead (plan: 10 exchanges → 6).
+    val ranked = graft.ops.Par
+      .exclusivePrefixBy(tagged.withColumn("__one", lit(1L)), "m",
+        struct($"av", $"o_orderkey"), Seq("__one" -> "__before"))
+      .withColumn("rn", $"__before" + 1L)
+    // row count: one count-star over the orders scan (parquet metadata),
+    // replacing the histogram-block sum the old spelling read
+    val n = broadcast(o.agg(count(lit(1)).as("n")))
     val probes = s.range(nProbes).select(($"id" * 7).as("probe")) // spread probes
     ranked.crossJoin(n)
       .withColumn("f", expr(s"((rn - 1) * $nFiles) DIV n"))
