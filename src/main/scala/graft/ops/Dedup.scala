@@ -147,52 +147,68 @@ object Dedup {
     val truth = ngramJaccardPairs(docs, idCol, textCol, shingleK, threshold)
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
-    def slicedCands(sigCol: String, bands: Int): DataFrame = {
+    // ONE bucket pass + ONE flag aggregation for EVERY (config, signature)
+    // leg — no per-leg candidate pipelines, no full-outer assembly joins.
+    // Each leg gets a disjoint slice of the band-index space
+    // (band_idx·nLegs + leg), so the capped-bucket kernel's semantics are
+    // unchanged per leg (bucket key = (band_idx, band_key); the cap, the
+    // singleton drop and the saturation NULL all stay per-(leg, band,
+    // key)), while all legs ride one groupBy. Candidate pairs come out
+    // tagged by leg, union with the truth pairs (one synthetic leg per
+    // config), and a single (config, pair) aggregate replaces the two
+    // full-outer joins per config: a pair's is_t/is_c/is_o flags are max()
+    // over its tagged occurrences — identical to the joined spelling, with
+    // the multi-band duplicate-pair dedup absorbed into the same
+    // aggregate's map side. Plan: 19 exchanges → 8 for the x198 defaults.
+    val nLegs = 2 * bandConfigs.size
+    val legSlices = bandConfigs.zipWithIndex.flatMap { case (bands, ci) =>
       val r = numBins / bands
-      val banded = base.select(col("doc_id"), posexplode(
-        expr(s"transform(sequence(0, ${bands - 1}), b -> slice($sigCol, b * $r + 1, $r))")))
-        .toDF("doc_id", "band_idx", "band_key")
-      bucketCandidatePairs(banded, "band_idx", "band_key", maxBucketSize)
+      Seq("sig_c", "sig_o").zipWithIndex.map { case (sigCol, si) =>
+        val leg = ci * 2 + si
+        base.select(col("doc_id"), posexplode(
+          expr(s"transform(sequence(0, ${bands - 1}), b -> slice($sigCol, b * $r + 1, $r))")))
+          .toDF("doc_id", "band_idx", "band_key")
+          .select(col("doc_id"),
+            (col("band_idx") * nLegs + leg).as("band_idx"), col("band_key"))
+      }
     }
-    // ONE pair-level full-outer assembly per config: each candidate
-    // pipeline has a single consumer (no checkpoint, no recompute), and
-    // one aggregate produces every count. (Equal wall-clock to the
-    // three-aggregate + per-leg-checkpoint spelling at audit scale — the
-    // truth leg dominates — but one pass over each candidate relation is
-    // the right shape if the audit ever runs on a real corpus slice.)
-    // bucket_lo is a pure function of the PAIR (shorter side's shingle
-    // count), identical whichever leg surfaced the pair — so the doc-size
-    // relations join ONCE onto the assembled pair set, not once per leg
-    // (was 2 joins × 3 legs × config; now 2 joins × config — x198's plan
-    // dropped 6 joins and their exchanges).
-    val perConfig = bandConfigs.map { bands =>
-      val candC = slicedCands("sig_c", bands)
-        .select(col("doc_a"), col("doc_b"), lit(1L).as("is_c"))
-      val candO = slicedCands("sig_o", bands)
-        .select(col("doc_a"), col("doc_b"), lit(1L).as("is_o"))
-      truth
-        .select(col("doc_a"), col("doc_b"), lit(1L).as("is_t"))
-        .join(candC, Seq("doc_a", "doc_b"), "full_outer")
-        .join(candO, Seq("doc_a", "doc_b"), "full_outer")
-        .join(na, Seq("doc_a")).join(nb, Seq("doc_b"))
-        .select(bucketExpr.as("bucket_lo"),
-          coalesce(col("is_t"), lit(0L)).as("is_t"),
-          coalesce(col("is_c"), lit(0L)).as("is_c"),
-          coalesce(col("is_o"), lit(0L)).as("is_o"))
-        .groupBy(col("bucket_lo"))
-        .agg(sum(col("is_t")).as("n_truth"),
-          sum(col("is_c")).as("n_cand_classic"),
-          sum(col("is_t") * col("is_c")).as("n_tp_classic"),
-          sum(col("is_o")).as("n_cand_oph"),
-          sum(col("is_t") * col("is_o")).as("n_tp_oph"))
-        .select(lit(bands.toLong).as("bands"), lit((numBins / bands).toLong).as("rows_per_band"),
-          col("bucket_lo"), col("n_truth"), col("n_cand_classic"), col("n_tp_classic"),
-          col("n_cand_oph"), col("n_tp_oph"))
-    }
+    val candTagged = pairsFromBucketsTagged(
+      boundedBuckets(legSlices.reduce(_.unionByName(_)),
+        "band_idx", "band_key", maxBucketSize), nLegs)
+    val truthTagged = bandConfigs.indices.map { ci =>
+      truth.select(col("doc_a"), col("doc_b"), lit(ci * 2 + nLegs).as("leg"))
+    }.reduce(_.unionByName(_))
+    // config index of any leg id: strip the truth offset, drop the
+    // signature bit — a pure function of leg, so ONE aggregate dedups
+    // multi-band pair repeats and assembles the three per-leg flags
+    val flags = candTagged.unionByName(truthTagged)
+      .groupBy(((col("leg") % nLegs).cast("int") / lit(2)).cast("int").as("ci"),
+        col("doc_a"), col("doc_b"))
+      .agg(max(when(col("leg") < nLegs && col("leg") % 2 === 0, 1L).otherwise(0L)).as("is_c"),
+        max(when(col("leg") < nLegs && col("leg") % 2 === 1, 1L).otherwise(0L)).as("is_o"),
+        max(when(col("leg") >= nLegs, 1L).otherwise(0L)).as("is_t"))
+    def perCi(f: Int => Long): Column = bandConfigs.indices
+      .foldLeft(lit(-1L): Column) { (acc, ci) =>
+        when(col("ci") === ci, lit(f(ci))).otherwise(acc) }
+    val bandsOfCi = perCi(ci => bandConfigs(ci).toLong)
+    val rowsPerBandOfCi = perCi(ci => (numBins / bandConfigs(ci)).toLong)
+    val assembled = flags
+      .join(na, Seq("doc_a")).join(nb, Seq("doc_b"))
+      .select(col("ci"), bucketExpr.as("bucket_lo"),
+        col("is_t"), col("is_c"), col("is_o"))
+      .groupBy(col("ci"), col("bucket_lo"))
+      .agg(sum(col("is_t")).as("n_truth"),
+        sum(col("is_c")).as("n_cand_classic"),
+        sum(col("is_t") * col("is_c")).as("n_tp_classic"),
+        sum(col("is_o")).as("n_cand_oph"),
+        sum(col("is_t") * col("is_o")).as("n_tp_oph"))
+      .select(bandsOfCi.as("bands"), rowsPerBandOfCi.as("rows_per_band"),
+        col("bucket_lo"), col("n_truth"), col("n_cand_classic"), col("n_tp_classic"),
+        col("n_cand_oph"), col("n_tp_oph"))
     def ratioMicro(num: String, den: String): String =
       s"CASE WHEN $den = 0 THEN NULL ELSE " +
         s"CAST(FLOOR(CAST($num AS DOUBLE) * 1000000.0D / CAST($den AS DOUBLE)) AS BIGINT) END"
-    perConfig.reduce(_.unionByName(_))
+    assembled
       .select(col("bands"), col("rows_per_band"), col("bucket_lo"),
         col("n_truth"), col("n_cand_classic"), col("n_tp_classic"),
         col("n_cand_oph"), col("n_tp_oph"),
@@ -276,6 +292,21 @@ object Dedup {
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
 
+  /** [[pairsFromBuckets]] for a MULTI-LEG bucket relation whose band-index
+    * space interleaves `nLegs` independent legs (`band_idx·nLegs + leg` —
+    * [[ophRecallReport]]'s one-pass audit): pairs come out tagged with
+    * their leg and WITHOUT the distinct — the caller's per-(leg, pair)
+    * aggregate absorbs multi-band repeats, so the extra exchange a
+    * distinct would cost here is pure overhead. */
+  private[graft] def pairsFromBucketsTagged(buckets: DataFrame,
+      nLegs: Int): DataFrame =
+    buckets
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+      .select((col("band_idx") % nLegs).as("leg"), explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), " +
+          "y -> struct(least(x, y) AS a, greatest(x, y) AS b))))")).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"), col("leg"))
+
   /** LSH band-geometry tuning report: for each `bands` value over a
     * `sigLen`-hash signature, the CANDIDATE pair set (docs sharing at least
     * one band) scored against an exact-Jaccard truth pair set —
@@ -299,24 +330,46 @@ object Dedup {
       .localCheckpoint()
     val truth = truthPairs.select(col("doc_a"), col("doc_b")).distinct()
       .localCheckpoint()
-    val perConfig = bandConfigs.map { bands =>
-      require(sigLen % bands == 0, s"bands=$bands must divide sigLen=$sigLen")
+    // ONE bucket pass + ONE pair aggregate for every geometry (the x198
+    // one-pass audit shape): each config gets a disjoint slice of the
+    // band-index space (band_idx·nCfg + ci), so the capped-bucket kernel's
+    // per-(config, band, key) semantics are unchanged while all configs
+    // ride one groupBy; tagged pairs dedup per (config, pair) in the same
+    // aggregate that scores them. A config spine left-join preserves the
+    // all-configs-present output row even when a geometry surfaces zero
+    // candidates (the old per-config global agg always emitted its row).
+    bandConfigs.foreach(bands => require(sigLen % bands == 0,
+      s"bands=$bands must divide sigLen=$sigLen"))
+    val nCfg = bandConfigs.size
+    val bandedAll = bandConfigs.zipWithIndex.map { case (bands, ci) =>
       val r = sigLen / bands
-      val banded = base
-        .select(col("doc_id"), posexplode(
+      base.select(col("doc_id"), posexplode(
           expr(s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b * $r + 1, $r))")))
         .toDF("doc_id", "band_idx", "band_key")
-      bucketCandidatePairs(banded, "band_idx", "band_key", maxBucketSize)
-        // truth is the audited pair set — near-dup-density-sized, broadcast
-        // (localCheckpoint drops size stats, so without the hint Spark
-        // falls back to a sort-merge join of a tiny relation)
-        .join(broadcast(truth.withColumn("is_tp", lit(1L))), Seq("doc_a", "doc_b"), "left")
-        .agg(count(lit(1)).as("n_candidates"),
-          coalesce(sum(col("is_tp")), lit(0L)).as("n_tp"))
-        .select(lit(bands.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
-          col("n_candidates"), col("n_tp"))
-    }
-    perConfig.reduce(_.unionByName(_))
+        .select(col("doc_id"),
+          (col("band_idx") * nCfg + ci).as("band_idx"), col("band_key"))
+    }.reduce(_.unionByName(_))
+    val scored = pairsFromBucketsTagged(
+      boundedBuckets(bandedAll, "band_idx", "band_key", maxBucketSize), nCfg)
+      .groupBy(col("leg").as("ci"), col("doc_a"), col("doc_b")).agg(lit(1).as("__one"))
+      // truth is the audited pair set — near-dup-density-sized, broadcast
+      // (localCheckpoint drops size stats, so without the hint Spark
+      // falls back to a sort-merge join of a tiny relation)
+      .join(broadcast(truth.withColumn("is_tp", lit(1L))), Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("ci"))
+      .agg(count(lit(1)).as("n_candidates"),
+        coalesce(sum(col("is_tp")), lit(0L)).as("n_tp"))
+    val spine = bandConfigs.zipWithIndex.map { case (bands, ci) =>
+      truth.sparkSession.range(1).select(lit(ci).as("ci"),
+        lit(bands.toLong).as("bands"), lit((sigLen / bands).toLong).as("rows_per_band"))
+    }.reduce(_.unionByName(_))
+    // scored is ≤ one row per geometry by construction — broadcast at any
+    // scale (the post-agg stats are unknown to the planner, which would
+    // otherwise SMJ a |bandConfigs|-row relation)
+    spine.join(broadcast(scored), Seq("ci"), "left")
+      .select(col("bands"), col("rows_per_band"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_tp"), lit(0L)).as("n_tp"))
       .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
       .select(col("bands"), col("rows_per_band"),
         col("n_candidates"), col("n_truth"), col("n_tp"),
