@@ -229,7 +229,13 @@ object Dedup {
   private def bandedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, sigOf: Column => Column, bands: Int,
       threshold: Double, maxBucketSize: Int): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    // Single-split inputs (guide §2.5 "input skew") serialize the signature
+    // projection AND leave the checkpointed base 1-partitioned, so the band
+    // explode and both verify joins all start serial. Par.widen repairs only
+    // under-partitioned inputs — a no-op on a well-partitioned corpus; it
+    // sits BELOW the tokenize/sig projections so they run post-exchange.
+    val base = Par.widenBySize(docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")))
+      .select(col("doc_id"), tokens(col("__t")).as("toks"))
       .select(col("doc_id"),
         sigOf(col("toks")).as("sig"),
         shingle_hashes(col("toks"), shingleK).as("sh"))

@@ -27,9 +27,35 @@ private[graft] object Par {
     * shuffle on an under-partitioned input is by definition small). The
     * explicit partition count matters: AQE would coalesce an un-numbered
     * exchange of a few small MB right back to one partition. */
-  def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  def widen(df: DataFrame): DataFrame = widenTo(df,
+    df.sparkSession.sparkContext.defaultParallelism)
+
+  /** [[widen]] with an explicit target — for map stages whose serial cost
+    * is real but modest, where full defaultParallelism fan-out costs more
+    * in per-task/per-shuffle-block constants across every downstream stage
+    * than it recovers (measured r19: 32-way widening of a ~2000-row
+    * relation added ~10 ms × tasks × stages). Still only ever widens. */
+  def widenTo(df: DataFrame, target: Int): DataFrame = {
+    val t = math.min(target, df.sparkSession.sparkContext.defaultParallelism)
+    if (df.rdd.getNumPartitions < t) df.repartition(t) else df
+  }
+
+  /** Scale-adaptive widen (guide §2: derive partitioning from input size,
+    * never a constant tuned for one box): target ≈ estimated input bytes /
+    * `bytesPerTask`, clamped to defaultParallelism. The estimate comes from
+    * the optimized logical plan (for the scan-shaped inputs this guards,
+    * that is the parquet file size, cheap and accurate; no job runs). The
+    * default task grain is 64 KiB of compressed input — small because the
+    * guarded stages AMPLIFY per byte (tokenize → shingle → multi-hash is
+    * 10–100× the scan cost; measured r19: a 0.6 MB corpus wants ~10-way,
+    * where 32-way pays more in per-task constants than it buys and 1-way
+    * serializes ~2 s of signature work). At 100 TB the input arrives in
+    * thousands of splits and this is a structural no-op. */
+  def widenBySize(df: DataFrame, bytesPerTask: Long = 64L << 10): DataFrame = {
+    val cap = BigInt(df.sparkSession.sparkContext.defaultParallelism)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = ((est / bytesPerTask + 1) min cap max BigInt(1)).toInt
+    widenTo(df, target)
   }
 
   /** Distributed EXCLUSIVE prefix sum — the textbook two-pass scan that

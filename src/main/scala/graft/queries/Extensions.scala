@@ -30,7 +30,11 @@ object Extensions {
     * one-time build is [[graft.ops.Dedup.ngramJaccardPairs]]. */
   private def ngramPairGraph(s: SparkSession, dir: String): DataFrame =
     graft.ops.SharedViews.materialized(s, s"ngram_pairs_k3_t0.5/$dir") {
-      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", shingleK = 3, threshold = 0.5)
+      // widen the corpus before the one-time pair mine (guide §2.5): the
+      // single-split local scan would otherwise shingle-hash the whole
+      // corpus serially; no-op on a well-partitioned input
+      Dedup.ngramJaccardPairs(graft.ops.Par.widenBySize(docs(s, dir)),
+        "doc_id", "text", shingleK = 3, threshold = 0.5)
     }
 
   /** The TOKENIZED corpus — `(doc_id, lang, source, tokens ARRAY<STRING>)`
@@ -46,8 +50,13 @@ object Extensions {
   private def tokDocs(s: SparkSession, dir: String): DataFrame =
     graft.ops.SharedViews.materialized(s, s"tokenized_docs/$dir") {
       import org.apache.spark.sql.functions.col
-      docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
-        graft.ops.Dedup.tokens(col("text")).as("tokens"))
+      // widen BEFORE tokenizing (guide §2.5): a single-split corpus would
+      // otherwise checkpoint ONE partition, serializing the first map stage
+      // of every downstream token consumer for the whole session
+      graft.ops.Par.widenBySize(docs(s, dir).select(col("doc_id"), col("lang"),
+          col("source"), col("text")))
+        .select(col("doc_id"), col("lang"), col("source"),
+          graft.ops.Dedup.tokens(col("text")).as("tokens"))
     }
 
   /** The distinct (order, part) basket relation — materialized once per
