@@ -32,7 +32,8 @@ object Prof {
           s.stageInfo.taskMetrics.executorRunTime)
         if (stageDetail) {
           val m = s.stageInfo.taskMetrics
-          println(f"STAGE ${s.stageInfo.stageId}%4d n=${s.stageInfo.numTasks}%4d run=${m.executorRunTime / 1e3}%7.2f gc=${m.jvmGCTime / 1e3}%6.2f cpu=${m.executorCpuTime / 1e9}%7.2f deser=${m.executorDeserializeTime / 1e3}%6.2f ${s.stageInfo.name.take(90)}")
+          val rdds = s.stageInfo.rddInfos.map(_.name).distinct.mkString(",").take(120)
+          println(f"STAGE ${s.stageInfo.stageId}%4d n=${s.stageInfo.numTasks}%4d run=${m.executorRunTime / 1e3}%7.2f gc=${m.jvmGCTime / 1e3}%6.2f cpu=${m.executorCpuTime / 1e9}%7.2f deser=${m.executorDeserializeTime / 1e3}%6.2f [$rdds]")
         }
       }
     })
@@ -49,6 +50,21 @@ object Prof {
     // warm like Bench does: base tables + submission path
     Tables.names.foreach(n => spark.read.parquet(s"$dir/$n.parquet").count())
     (1 to 60).foreach(_ => spark.range(1).count())
+    if (sys.env.contains("PROF_CKPT")) {
+      import org.apache.spark.sql.functions._
+      val df = spark.range(6000).select(col("id"),
+        expr("transform(sequence(1, 128), i -> id * i)").as("arr"))
+        .repartition(32)
+      val ck = tm("ckpt-materialize")(df.localCheckpoint())
+      (1 to 4).foreach(i => tm(s"count$i")(ck.count()))
+      (1 to 4).foreach(i => tm(s"noop$i")(
+        ck.write.format("noop").mode("overwrite").save()))
+      // same read through a narrow projection (forces column eval)
+      (1 to 3).foreach(i => tm(s"proj$i")(
+        ck.select(expr("aggregate(arr, 0L, (a, x) -> a + x)").as("s"))
+          .write.format("noop").mode("overwrite").save()))
+      spark.stop(); return
+    }
     if (sys.env.contains("PROF_X06_KERNEL")) {
       import org.apache.spark.sql.functions._
       import graft.functions.Exprs._

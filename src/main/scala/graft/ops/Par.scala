@@ -71,8 +71,16 @@ private[graft] object Par {
     * strictly before this one in `order`. NULL srcs count as 0. */
   def exclusivePrefix(df: DataFrame, order: Column,
       sums: Seq[(String, String)]): DataFrame =
-    exclusivePrefixBy(df.withColumn("__grp", lit(0)), "__grp", order, sums)
-      .drop("__grp")
+    exclusivePrefixWithTotals(df, order, sums)._1
+
+  /** [[exclusivePrefix]] + the relation-wide grand total per summed column
+    * (from the offsets collect — see [[exclusivePrefixByWithTotals]]). */
+  def exclusivePrefixWithTotals(df: DataFrame, order: Column,
+      sums: Seq[(String, String)]): (DataFrame, Seq[Long]) = {
+    val (out, totals) = exclusivePrefixByWithTotals(
+      df.withColumn("__grp", lit(0)), "__grp", order, sums)
+    (out.drop("__grp"), totals.getOrElse(0, sums.map(_ => 0L)))
+  }
 
   /** Keyed distributed exclusive prefix sum: within each distinct value of
     * `keyCol` (ordered by `order`), `out` = Σ src over rows strictly
@@ -98,7 +106,19 @@ private[graft] object Par {
     *     broadcast back; the running sum is a window PARTITIONED by
     *     (pid, key) — every partition scans in parallel. */
   def exclusivePrefixBy(df: DataFrame, keyCol: String, order: Column,
-      sums: Seq[(String, String)]): DataFrame = {
+      sums: Seq[(String, String)]): DataFrame =
+    exclusivePrefixByWithTotals(df, keyCol, order, sums)._1
+
+  /** [[exclusivePrefixBy]], also returning each key's GRAND TOTAL per
+    * summed column — read from the same bounded per-(partition, key)
+    * offsets collect the scan already pays, so callers that need
+    * "prefix + total" (quantile map's m and k, the gini stump's class
+    * totals, the layout audit's row count) stop running a separate
+    * aggregate job + broadcast exchange over the scanned relation. The
+    * totals are exact by construction: they sum the identical partial
+    * sums the offsets are built from. */
+  def exclusivePrefixByWithTotals(df: DataFrame, keyCol: String, order: Column,
+      sums: Seq[(String, String)]): (DataFrame, Map[Any, Seq[Long]]) = {
     import org.apache.spark.sql.expressions.Window
     require(sums.nonEmpty)
     val s = df.sparkSession
@@ -151,11 +171,15 @@ private[graft] object Par {
       s.sparkContext.parallelize(offs, 1), schema)
     val w = Window.partitionBy(col("__pid"), col(keyCol)).orderBy(order)
       .rowsBetween(Window.unboundedPreceding, -1)
-    sums.foldLeft(p.join(broadcast(offsDf), Seq("__pid", keyCol))) {
+    val scanned = sums.foldLeft(p.join(broadcast(offsDf), Seq("__pid", keyCol))) {
       case (acc, (src, out)) =>
         acc.withColumn(out, col(s"__off_$out") +
           coalesce(sum(coalesce(col(src).cast("long"), lit(0L))).over(w), lit(0L)))
     }.drop("__pid" +: sums.map { case (_, out) => s"__off_$out" }: _*)
+    val totals = rows.groupBy(_._2).map { case (key, grp) =>
+      key -> sums.indices.map(i => grp.iterator.map(_._3(i)).sum)
+    }.toMap
+    (scanned, totals)
   }
 
   /** Exact 1-based global row number by (`valueCol` asc/desc, `tieCol`

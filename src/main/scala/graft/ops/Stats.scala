@@ -691,14 +691,17 @@ object Stats {
         col(labelCol).cast("boolean").as("pos"))
       .groupBy(col("sq"))
       .agg(count(lit(1)).as("n"), sum(when(col("pos"), 1L).otherwise(0L)).as("np"))
-    // inclusive prefix = exclusive prefix + own bucket; totals read the
-    // prefix pass's checkpointed relation (scoreAuc's r9 de-globalization)
-    val pre = Par.exclusivePrefix(g, col("sq").asc, Seq("n" -> "nb", "np" -> "pb"))
-    val tots = pre.agg(sum(col("n")).as("nt"), sum(col("np")).as("pt"))
+    // inclusive prefix = exclusive prefix + own bucket; the class totals
+    // come from the prefix kernel's own offsets collect (r19) — the
+    // aggregate job + broadcast exchange that re-derived them from the
+    // scanned relation were pure job-floor overhead, values identical
+    val (pre, totals) = Par.exclusivePrefixWithTotals(
+      g, col("sq").asc, Seq("n" -> "nb", "np" -> "pb"))
+    val Seq(ntV, ptV) = totals
     val cand = pre
       .withColumn("nl", col("nb") + col("n"))
       .withColumn("pl", col("pb") + col("np"))
-      .crossJoin(broadcast(tots))
+      .withColumn("nt", lit(ntV)).withColumn("pt", lit(ptV))
       .filter(col("nl") < col("nt")) // a split must leave a right side
       .withColumn("gini_e9", expr(
         """CAST(FLOOR((
@@ -848,7 +851,11 @@ object Stats {
     val tHist = target.select(col(valueCol).cast("long").as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
       .withColumn("side", lit(1))
-    val pre = Par.exclusivePrefixBy(
+    // the totals m (source rows) and k (target rows) come from the prefix
+    // kernel's own offsets collect — the two aggregate jobs + broadcast
+    // exchanges that re-derived them from the scanned relation were pure
+    // job-floor overhead (r19; the values are identical by construction)
+    val (pre, totals) = Par.exclusivePrefixByWithTotals(
       sHist.unionByName(tHist), "side", col("v").asc, Seq("cnt" -> "below"))
     val sPre = pre.filter(col("side") === 0)
       .select(col("v").as("__prev"), col("below"))
@@ -856,14 +863,13 @@ object Stats {
       .withColumn("r", col("below") + row_number()
         .over(Window.partitionBy(col("v")).orderBy(col(idCol))).cast("long"))
       .drop("__prev", "below")
-    val m = pre.filter(col("side") === 0).agg(sum(col("cnt")).as("m"))
+    val m = totals.getOrElse(0, Seq(0L)).head
+    val k = totals.getOrElse(1, Seq(0L)).head
     val tPre = pre.filter(col("side") === 1)
-    val k = tPre.agg(sum(col("cnt")).as("k"))
     val tIdx = tPre.select(col("v").as("tv"),
       explode(sequence(col("below") + 1, col("below") + col("cnt"))).as("idx"))
     ranked
-      .crossJoin(broadcast(m)).crossJoin(broadcast(k))
-      .withColumn("idx", expr("(r * k + m - 1) DIV m"))
+      .withColumn("idx", expr(s"(r * ${k}L + ${m}L - 1) DIV ${m}L"))
       .join(tIdx, Seq("idx"))
       .select(col(idCol), col("v").as("value"), col("r").as("rank"),
         col("tv").as("mapped_value"))

@@ -3610,16 +3610,17 @@ object Extensions {
     // off when values repeat heavily; here the m=1 morton codes are
     // near-unique, so the histogram was row-sized and its exchange + the
     // rank join back were pure overhead (plan: 10 exchanges → 6).
-    val ranked = graft.ops.Par
-      .exclusivePrefixBy(tagged.withColumn("__one", lit(1L)), "m",
+    val (pre, totals) = graft.ops.Par
+      .exclusivePrefixByWithTotals(tagged.withColumn("__one", lit(1L)), "m",
         struct($"av", $"o_orderkey"), Seq("__one" -> "__before"))
-      .withColumn("rn", $"__before" + 1L)
-    // row count: one count-star over the orders scan (parquet metadata),
-    // replacing the histogram-block sum the old spelling read
-    val n = broadcast(o.agg(count(lit(1)).as("n")))
+    val ranked = pre.withColumn("rn", $"__before" + 1L)
+    // row count: each layout tag holds every order once, so the prefix
+    // kernel's own offsets total IS the order count — the count-star job +
+    // broadcast exchange that re-derived it were pure job-floor overhead
+    val n = totals.getOrElse(0, Seq(0L)).head
     val probes = s.range(nProbes).select(($"id" * 7).as("probe")) // spread probes
-    ranked.crossJoin(n)
-      .withColumn("f", expr(s"((rn - 1) * $nFiles) DIV n"))
+    ranked
+      .withColumn("f", expr(s"((rn - 1) * $nFiles) DIV ${math.max(n, 1L)}L"))
       .groupBy($"m", $"f")
       .agg(min($"o_custkey").as("lo"), max($"o_custkey").as("hi"))
       .crossJoin(broadcast(probes))
