@@ -652,10 +652,20 @@ object Dedup {
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16,
       threshold: Double = 0.7, maxBucketSize: Int = 1000): DataFrame = {
-    val losers = minhashNearDupPairs(docs, idCol, textCol,
+    // TWO consumers (the pair kernel's signature base and the anti-join
+    // left side) — when the input carries its own exchanges (x18's
+    // gates → exact-dedup chain), materialize it once instead of running
+    // that whole lineage twice (the multi-consumer checkpoint rule every
+    // kernel here follows). A plain scan stays un-checkpointed: both
+    // consumers then just re-read the file, which is cheaper than holding
+    // a second copy of the corpus in block storage.
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val d = if (docs.queryExecution.sparkPlan.exists(_.isInstanceOf[Exchange]))
+      docs.localCheckpoint() else docs
+    val losers = minhashNearDupPairs(d, idCol, textCol,
       shingleK, numHashes, bands, threshold, maxBucketSize)
       .select(col("doc_b").as(idCol)).distinct()
-    docs.join(losers, Seq(idCol), "left_anti")
+    d.join(losers, Seq(idCol), "left_anti")
   }
 
   // ---------------------------------------------------------------- simhash

@@ -36,8 +36,21 @@ private[graft] object Par {
     * than it recovers (measured r19: 32-way widening of a ~2000-row
     * relation added ~10 ms × tasks × stages). Still only ever widens. */
   def widenTo(df: DataFrame, target: Int): DataFrame = {
-    val t = math.min(target, df.sparkSession.sparkContext.defaultParallelism)
-    if (df.rdd.getNumPartitions < t) df.repartition(t) else df
+    // Exchange-bearing plans are excluded for TWO reasons: (1) their
+    // downstream partitioning is already shuffle.partitions-wide, so widen
+    // would be a no-op; (2) probing `.rdd.getNumPartitions` on an adaptive
+    // plan MATERIALIZES its query stages eagerly (AQE must run every
+    // exchange to produce the final RDD), and the repartitioned copy would
+    // then re-run them — a hidden double execution of the whole upstream
+    // lineage. Only scan-shaped (exchange-free) inputs are probed; for
+    // those, .rdd compiles the plan without running any job.
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val hasExchange = df.queryExecution.sparkPlan.exists(_.isInstanceOf[Exchange])
+    if (hasExchange) df
+    else {
+      val t = math.min(target, df.sparkSession.sparkContext.defaultParallelism)
+      if (df.rdd.getNumPartitions < t) df.repartition(t) else df
+    }
   }
 
   /** Scale-adaptive widen (guide §2: derive partitioning from input size,
@@ -197,16 +210,26 @@ private[graft] object Par {
     * to NULLS LAST ascending) — or guarantee non-null values, as every
     * current caller does. */
   def globalRowNumber(df: DataFrame, valueCol: String, tieCol: String,
-      ascending: Boolean, out: String): DataFrame = {
+      ascending: Boolean, out: String): DataFrame =
+    globalRowNumberWithCount(df, valueCol, tieCol, ascending, out)._1
+
+  /** [[globalRowNumber]] + the relation's total row count, read from the
+    * prefix kernel's offsets collect (see [[exclusivePrefixByWithTotals]])
+    * — rank-to-quantile callers need (rank, n) and otherwise pay a
+    * separate count aggregate + broadcast exchange for a number the scan
+    * already summed. */
+  def globalRowNumberWithCount(df: DataFrame, valueCol: String, tieCol: String,
+      ascending: Boolean, out: String): (DataFrame, Long) = {
     import org.apache.spark.sql.expressions.Window
     val hist = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))
     val ord = if (ascending) col(valueCol).asc else col(valueCol).desc
-    val pre = exclusivePrefix(hist, ord, Seq("__c" -> "__before"))
-      .select(col(valueCol).as("__prev"), col("__before"))
+    val (pre0, totals) = exclusivePrefixWithTotals(hist, ord, Seq("__c" -> "__before"))
+    val pre = pre0.select(col(valueCol).as("__prev"), col("__before"))
     val w = Window.partitionBy(col(valueCol)).orderBy(col(tieCol))
-    df.join(pre, col(valueCol) <=> col("__prev"))
+    val ranked = df.join(pre, col(valueCol) <=> col("__prev"))
       .withColumn(out, col("__before") + row_number().over(w).cast("long"))
       .drop("__prev", "__before")
+    (ranked, totals.head)
   }
 
   /** Rank spec for [[globalRowNumbers]]: 1-based global row number by

@@ -72,7 +72,9 @@ object TextAnalysis {
     val punctRatio = nPunct / nullif(nChars, lit(0.0))
     val stopRatio = nStop / nullif(nWords, lit(0.0))
     val meanWordLen = (nChars - (nWords - lit(1.0))) / nullif(nWords, lit(0.0))
-    docs.select(
+    // widen a single-split input before the regex-heavy feature projection
+    // (guide §2.5) — no-op on well-partitioned or exchange-bearing inputs
+    Par.widenBySize(docs.select(col(idCol), col(textCol))).select(
       col(idCol),
       nChars.as("n_chars"),
       punctRatio.as("punct_ratio"),
@@ -359,7 +361,9 @@ object TextAnalysis {
     * Counts are integers; `novelty_frac` is one exact division. */
   def shingleNovelty(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3): DataFrame = {
-    val exploded = Dedup.shingleSets(docs, idCol, textCol, shingleK)
+    // widen a single-split input before the shingle projection (guide §2.5)
+    val exploded = Dedup.shingleSets(
+      Par.widenBySize(docs.select(col(idCol), col(textCol))), idCol, textCol, shingleK)
       .select(col("doc_id"), explode(col("shingles")).as("h"))
     val firstOcc = exploded.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
     exploded.join(firstOcc, Seq("h"))

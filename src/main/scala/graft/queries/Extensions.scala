@@ -1584,7 +1584,9 @@ object Extensions {
     * the ppm is integer floor division. */
   def x159SourceContainment(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = docs(s, dir)
+    // widen the serial shingle projection (guide §2.5); the distinct
+    // exchange below is shared by all three consumers via ReusedExchange
+    val sh = graft.ops.Par.widenBySize(docs(s, dir).select($"source", $"text"))
       .select($"source", explode(
         graft.functions.Exprs.shingle_hashes(Dedup.tokens($"text"), 3)).as("h"))
       .distinct()
@@ -3169,24 +3171,28 @@ object Extensions {
         struct(lit(1).as("m"), (-$"freq").cast("long").as("av")),
         struct(lit(2).as("m"), (-$"cents").cast("long").as("av")))).as("e"))
       .select($"o_custkey", $"e.m".as("m"), $"e.av".as("av"))
-    val ranked = graft.ops.Par
-      .exclusivePrefixBy(exploded.withColumn("__one", lit(1L)), "m",
+    val (pre, totals) = graft.ops.Par
+      .exclusivePrefixByWithTotals(exploded.withColumn("__one", lit(1L)), "m",
         struct($"av", $"o_custkey"), Seq("__one" -> "__before"))
+    val ranked = pre
       .withColumn("__rn", $"__before" + 1L)
       .groupBy($"o_custkey")
       .agg(max(when($"m" === 0, $"__rn")).as("rn_r"),
         max(when($"m" === 1, $"__rn")).as("rn_f"),
         max(when($"m" === 2, $"__rn")).as("rn_m"),
         max(when($"m" === 2, -$"av")).as("cents"))
+    // the customer count: every metric key ranks each customer once, so
+    // the prefix kernel's own offsets total IS n — the count aggregate +
+    // broadcast crossJoin it replaces were pure job-floor overhead (r19)
+    val n = totals.getOrElse(0, Seq(0L)).head
     // NTILE(5)'s exact bucket function of (rank, n): the first n%5 tiles
     // hold ⌈n/5⌉ rows, the rest ⌊n/5⌋ — pure int64, engine-identical
     def tile(rn: String): org.apache.spark.sql.Column = expr(
-      s"""CASE WHEN $rn <= (__n % 5) * (__n DIV 5 + 1)
-         |  THEN ($rn - 1) DIV (__n DIV 5 + 1) + 1
-         |  ELSE (__n % 5) + ($rn - (__n % 5) * (__n DIV 5 + 1) - 1) DIV (__n DIV 5) + 1
+      s"""CASE WHEN $rn <= ($n % 5) * ($n DIV 5 + 1)
+         |  THEN ($rn - 1) DIV ($n DIV 5 + 1) + 1
+         |  ELSE ($n % 5) + ($rn - ($n % 5) * ($n DIV 5 + 1) - 1) DIV ($n DIV 5) + 1
          |END""".stripMargin)
     ranked
-      .crossJoin(broadcast(per.agg(count(lit(1)).as("__n"))))
       .withColumn("r", tile("rn_r"))
       .withColumn("f", tile("rn_f"))
       .withColumn("m", tile("rn_m"))
@@ -7255,20 +7261,26 @@ object Extensions {
     * stage parallelizes. */
   def x86QualityDupCurve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val scored = docs(s, dir).select($"doc_id",
-      TextAnalysis.qualityScoreCol("text").as("q"))
-      .localCheckpoint(eager = false) // feeds the rank kernel's histogram + value join + count
+    // widen the serial score projection (guide §2.5) before the lazy
+    // checkpoint that feeds the rank kernel's histogram + the value join
+    val scored = graft.ops.Par.widenBySize(docs(s, dir).select($"doc_id",
+      TextAnalysis.qualityScoreCol("text").as("q")))
+      .localCheckpoint(eager = false)
     val paired = ngramPairGraph(s, dir)
       .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
       .withColumn("__p", lit(1))
-    graft.ops.Par.globalRowNumber(scored, "q", "doc_id", ascending = true, "rn")
-      .crossJoin(broadcast(scored.agg(count(lit(1)).as("__n"))))
+    // the doc count comes from the rank kernel's own offsets collect —
+    // the count aggregate + broadcast crossJoin it replaces were pure
+    // job-floor overhead (r19; identical value by construction)
+    val (ranked, n) = graft.ops.Par.globalRowNumberWithCount(
+      scored, "q", "doc_id", ascending = true, "rn")
+    ranked
       .withColumn("decile", expr(
-        """CASE WHEN rn <= (__n % 10) * (__n DIV 10 + 1)
-          |  THEN (rn - 1) DIV (__n DIV 10 + 1) + 1
-          |  ELSE (__n % 10) + (rn - (__n % 10) * (__n DIV 10 + 1) - 1) DIV (__n DIV 10) + 1
+        s"""CASE WHEN rn <= ($n % 10) * ($n DIV 10 + 1)
+          |  THEN (rn - 1) DIV ($n DIV 10 + 1) + 1
+          |  ELSE ($n % 10) + (rn - ($n % 10) * ($n DIV 10 + 1) - 1) DIV ($n DIV 10) + 1
           |END""".stripMargin))
-      .drop("rn", "__n")
+      .drop("rn")
       .join(paired, Seq("doc_id"), "left")
       .groupBy($"decile")
       .agg(count(lit(1)).as("n_docs"),
