@@ -132,6 +132,11 @@ object Dedup {
     require(bandConfigs.nonEmpty && bandConfigs.forall(b => b > 0 && numBins % b == 0),
       s"every bands value must divide numBins=$numBins, got $bandConfigs")
     require(bucketEdges.nonEmpty && bucketEdges.forall(_ > 0), s"bad edges $bucketEdges")
+    // base stays NARROW (sigs + count only): checkpointed rows cannot be
+    // column-pruned, and the four band-leg slices re-read this relation —
+    // carrying the shingle arrays here was measured ~0.6 s SLOWER than
+    // letting the truth leg keep its own small per-doc-sets checkpoint
+    // (r19 A/B; the truth leg's extra corpus pass is the cheaper side)
     val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .select(col("doc_id"),
         minhash_sig(col("toks"), shingleK, numBins).as("sig_c"),
@@ -1043,6 +1048,18 @@ object Dedup {
     // megabytes per million docs. Together with the length filter and the
     // merge-walk verify kernel: 2.45s → 1.59s on the sf0.1 kernel.
     val perDoc = shingleSets(docs, idCol, textCol, shingleK).localCheckpoint()
+    jaccardVerifiedPairs(perDoc, threshold)
+  }
+
+  /** The candidate + exact-verify phase of [[ngramJaccardPairs]] over an
+    * ALREADY-MATERIALIZED `(doc_id, shingles, n_shingles)` relation —
+    * factored out so callers that have the shingle sets in hand
+    * ([[ophRecallReport]]'s truth leg reads them off its signature base)
+    * skip the second corpus scan + shingle pass + checkpoint. `perDoc`
+    * must be materialized (checkpointed/persisted): it feeds the
+    * hot-shingle collect, the prefix explode and both verify sides. */
+  private[graft] def jaccardVerifiedPairs(perDoc: DataFrame,
+      threshold: Double): DataFrame = {
     val candidates = prefixCandidates(perDoc, threshold)
     val a = perDoc.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
       col("n_shingles").as("n_a"))

@@ -602,8 +602,11 @@ object Similarity {
     // each re-split the full text (separate subtrees share no scan); the
     // pinned projection is doc-count-sized — id, length, and ONLY the
     // query-matched tokens, never the full token array
-    val base = docs
-      .select(col(idCol).as("doc_id"), size(toks).cast("long").as("len"),
+    // widen a single-split input before the tokenize projection (guide
+    // §2.5) — no-op on well-partitioned or exchange-bearing inputs
+    val base = graft.ops.Par.widenBySize(
+        docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), size(toks).cast("long").as("len"),
         filter(toks, t => array_contains(q, t)).as("__m"))
       .localCheckpoint(eager = false)
     val stats = base

@@ -178,17 +178,18 @@ object TextAnalysis {
       .select(col(groupCol), explode(ngram_hashes(toks, 2)).as("__h"))
       .groupBy(col(groupCol), col("__h"))
       .agg(count(lit(1)).as("n"))
-    val bucket = pmod(col("__h"), lit(64L))
-    val perBucket = Window.partitionBy(col(groupCol), bucket)
-      .orderBy(col("n").desc, col("__h").asc)
-    val overall = Window.partitionBy(col(groupCol))
-      .orderBy(col("n").desc, col("__h").asc)
+    // τ = the k-th largest count per group under (n DESC, __h ASC) — ONE
+    // bounded-heap aggregate (top_k: O(k) state per group, map-side
+    // partial merge, shuffle ≤ k rows per group per mapper) instead of the
+    // earlier two-level window prune, which re-shuffled and SORTED the
+    // whole distinct-bigram relation twice. Counts are exact in a double
+    // below 2⁵³, so the heap order equals the integer order.
     val tau = counts
-      .withColumn("__rk", row_number().over(perBucket))
-      .filter(col("__rk") <= k)
-      .withColumn("__rk", row_number().over(overall))
-      .filter(col("__rk") <= k)
-      .groupBy(col(groupCol)).agg(min(col("n")).as("__tau"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopKBuffer.top_k(
+        col("n").cast("double"), col("__h"), k).as("__tk"))
+      .select(col(groupCol),
+        expr("CAST(element_at(__tk, size(__tk)).ord AS BIGINT)").as("__tau"))
     val cand = counts
       .join(broadcast(tau), Seq(groupCol))
       .filter(col("n") >= col("__tau"))

@@ -2670,15 +2670,16 @@ object Extensions {
     def wOf(rankCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       DcgWeights.foldLeft(lit(0L)) { case (acc, (r, w)) =>
         when(rankCol === r, lit(w)).otherwise(acc) }
-    val dcg = top.filter($"rank" <= 10)
-      .agg(sum($"grade" * wOf($"rank")).as("dcg_e9"))
-    val mrr = top.filter($"grade" > 0)
-      .agg(expr("1000000 DIV min(rank)").as("mrr_ppm"))
+    // dcg and mrr fold over the SAME 20-row top relation — one aggregate
+    // (conditional sums) instead of two aggregate jobs + an extra crossJoin
+    val dm = top.agg(
+      sum(when($"rank" <= 10, $"grade" * wOf($"rank")).otherwise(0L)).as("dcg_e9"),
+      expr("1000000 DIV min(CASE WHEN grade > 0 THEN rank END)").as("mrr_ppm"))
     val wIdeal = Window.orderBy($"grade".desc, $"doc_id") // 10 rows — k-bounded
     val idcg = graded.orderBy($"grade".desc, $"doc_id").limit(10)
       .withColumn("irank", row_number().over(wIdeal).cast("long"))
       .agg(sum($"grade" * wOf($"irank")).as("idcg_e9"))
-    dcg.crossJoin(idcg).crossJoin(mrr)
+    dm.crossJoin(idcg)
       .select(coalesce($"dcg_e9", lit(0L)).as("dcg_e9"), $"idcg_e9",
         expr("(coalesce(dcg_e9, 0) * 1000000) DIV nullif(idcg_e9, 0)").as("ndcg_ppm"),
         $"mrr_ppm")
@@ -6646,9 +6647,14 @@ object Extensions {
         built, "doc_id", "text", batchId = 0L)
       DedupStreams.openAdmissionIndex(s, idxDir)
     }
+    // run the health plan ONCE: the decision helper and the leg counts
+    // both read the collected 2-row report through a LocalRelation instead
+    // of re-executing the index-mass aggregation per consumer (r19)
     val h = DedupStreams.admissionHealth(idx)
-    val due = DedupStreams.maintenanceDueAdmission(h)
-    val legs = h.select($"leg", $"n_docs").collect()
+    val hRows = h.collect()
+    val hLocal = s.createDataFrame(java.util.Arrays.asList(hRows: _*), h.schema)
+    val due = DedupStreams.maintenanceDueAdmission(hLocal)
+    val legs = hRows
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     Seq((legs.getOrElse("base", 0L), legs.getOrElse("tail", 0L),
       if (due.compactDue) 1L else 0L, if (due.retrainDue) 1L else 0L))
@@ -6707,10 +6713,15 @@ object Extensions {
         built, "vec_id", "embedding", batchId = 0L)
       AnnStreams.openServingIndex(s, idxDir)
     }
+    // run the health plan ONCE: the two decision helpers and the leg
+    // counts all read the collected 2-row report through a LocalRelation
+    // instead of re-executing the assignment pipeline per consumer (r19)
     val h = AnnStreams.indexHealth(idx)
-    val due = AnnStreams.maintenanceDue(h)
-    val sched = AnnStreams.scheduledNlist(h)
-    val legs = h.select($"leg", $"n_rows").collect()
+    val hRows = h.collect()
+    val hLocal = s.createDataFrame(java.util.Arrays.asList(hRows: _*), h.schema)
+    val due = AnnStreams.maintenanceDue(hLocal)
+    val sched = AnnStreams.scheduledNlist(hLocal)
+    val legs = hRows
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     Seq((legs.getOrElse("base", 0L), legs.getOrElse("tail", 0L),
       if (due.compactDue) 1L else 0L, if (due.retrainDue) 1L else 0L,
