@@ -293,13 +293,17 @@ object Dedup {
   /** The pair-explosion half of [[bucketCandidatePairs]]: saturated (NULL)
     * and singleton buckets drop, surviving lists explode to their i<j pairs
     * map-side. */
+  /** All i<j pairs of a bucket's id list, generated in-place (shared by
+    * both pair generators below — r18 ADVICE: the two verbatim copies
+    * could drift). */
+  private val bucketPairExplosionSql: String =
+    "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), " +
+      "y -> struct(least(x, y) AS a, greatest(x, y) AS b))))"
+
   private[graft] def pairsFromBuckets(buckets: DataFrame): DataFrame =
     buckets
       .filter(col("ids").isNotNull && size(col("ids")) >= 2)
-      .select(explode(expr(
-        // all i<j index pairs of the bucket's id list, generated in-place
-        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), " +
-          "y -> struct(least(x, y) AS a, greatest(x, y) AS b))))")).as("p"))
+      .select(explode(expr(bucketPairExplosionSql)).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
 
@@ -313,9 +317,8 @@ object Dedup {
       nLegs: Int): DataFrame =
     buckets
       .filter(col("ids").isNotNull && size(col("ids")) >= 2)
-      .select((col("band_idx") % nLegs).as("leg"), explode(expr(
-        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), " +
-          "y -> struct(least(x, y) AS a, greatest(x, y) AS b))))")).as("p"))
+      .select((col("band_idx") % nLegs).as("leg"),
+        explode(expr(bucketPairExplosionSql)).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"), col("leg"))
 
   /** LSH band-geometry tuning report: for each `bands` value over a
@@ -664,9 +667,7 @@ object Dedup {
     // kernel here follows). A plain scan stays un-checkpointed: both
     // consumers then just re-read the file, which is cheaper than holding
     // a second copy of the corpus in block storage.
-    import org.apache.spark.sql.execution.exchange.Exchange
-    val d = if (docs.queryExecution.sparkPlan.exists(_.isInstanceOf[Exchange]))
-      docs.localCheckpoint() else docs
+    val d = if (Par.hasExchange(docs)) docs.localCheckpoint() else docs
     val losers = minhashNearDupPairs(d, idCol, textCol,
       shingleK, numHashes, bands, threshold, maxBucketSize)
       .select(col("doc_b").as(idCol)).distinct()

@@ -43,9 +43,12 @@ object Multimodal {
     * so it is the "shuffle keys, not payloads" shape: bytes shuffled scale
     * with row COUNT, never with media size, at any corpus scale. Sized by
     * `defaultParallelism` (= cluster cores), not a constant, so the same
-    * code saturates local[4] and a thousand-executor deployment. */
+    * code saturates local[4] and a thousand-executor deployment. Only ever
+    * WIDENS (r18 ADVICE): an id relation already wider than the core count
+    * passes through untouched — an unconditional repartition would NARROW
+    * it, the exact regression [[Par.widen]] guards against. */
   def fanOutIds(ids: DataFrame): DataFrame =
-    ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
+    Par.widen(ids)
 
   /** Typed metadata carried beside every binary payload. */
   val mediaMetaType: StructType = StructType(Seq(

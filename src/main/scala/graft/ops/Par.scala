@@ -35,6 +35,28 @@ private[graft] object Par {
     * in per-task/per-shuffle-block constants across every downstream stage
     * than it recovers (measured r19: 32-way widening of a ~2000-row
     * relation added ~10 ms × tasks × stages). Still only ever widens. */
+  /** Does this frame's PREPARED physical plan carry an exchange? Read from
+    * the plan inside the AQE wrapper: `sparkPlan` is pre-EnsureRequirements
+    * and never contains Exchange nodes, and the AdaptiveSparkPlanExec leaf
+    * hides its input from TreeNode traversal — both probes silently answer
+    * "no" for every plan (r19 bug). No job runs: preparation only plans. */
+  private[graft] def hasExchange(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    // decided on the OPTIMIZED LOGICAL plan: the physical probes all lie
+    // here — `sparkPlan` is pre-EnsureRequirements (no Exchange nodes yet)
+    // and AdaptiveSparkPlanExec hides its prepared plan from TreeNode
+    // traversal. Any operator below that requires a distribution plans an
+    // exchange (broadcast or shuffle); `false` is reserved for the
+    // scan-shaped plans (scan/filter/project/union/generate) the widen
+    // sites actually feed.
+    df.queryExecution.optimizedPlan.exists {
+      case s: Sort => s.global
+      case _: Aggregate | _: Join | _: Window | _: Distinct |
+           _: Deduplicate | _: RepartitionOperation | _: GlobalLimit => true
+      case _ => false
+    }
+  }
+
   def widenTo(df: DataFrame, target: Int): DataFrame = {
     // Exchange-bearing plans are excluded for TWO reasons: (1) their
     // downstream partitioning is already shuffle.partitions-wide, so widen
@@ -44,9 +66,7 @@ private[graft] object Par {
     // then re-run them — a hidden double execution of the whole upstream
     // lineage. Only scan-shaped (exchange-free) inputs are probed; for
     // those, .rdd compiles the plan without running any job.
-    import org.apache.spark.sql.execution.exchange.Exchange
-    val hasExchange = df.queryExecution.sparkPlan.exists(_.isInstanceOf[Exchange])
-    if (hasExchange) df
+    if (hasExchange(df)) df
     else {
       val t = math.min(target, df.sparkSession.sparkContext.defaultParallelism)
       if (df.rdd.getNumPartitions < t) df.repartition(t) else df
